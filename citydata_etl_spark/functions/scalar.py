@@ -1,0 +1,111 @@
+"""Scalar function library (SURVEY.md §2.6 F1-F11).
+
+All composed from pyspark.sql.functions builtins — JVM-side, inside
+whole-stage codegen. No Python UDFs here: every helper returns a Column
+expression, so Catalyst can fold/push them like any builtin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: The reference's write-side timestamp format, `%Y-%m-%dT%H-%M-%S`
+#: (reference lambda/collect-data.py:114,173,201).
+TS_FORMAT_WRITE = "yyyy-MM-dd'T'HH-mm-ss"
+#: The at-rest format seen in control CSVs (reference data/usa_control.csv:2).
+TS_FORMAT_REST = "yyyy-MM-dd HH:mm:ss"
+
+
+def utc_now_compact() -> Column:
+    """F1 — current UTC timestamp in the reference's compact write format."""
+    return F.date_format(F.current_timestamp(), TS_FORMAT_WRITE)
+
+
+def dual_format_ts(col: Column | str) -> Column:
+    """F3 — parse `date_completed` strings that appear in either format.
+
+    Data at rest uses `yyyy-MM-dd HH:mm:ss` while code-written rows use
+    `yyyy-MM-dd'T'HH-mm-ss` (SURVEY.md §1.2): try both, first hit wins.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # try_to_timestamp: ANSI mode (Spark 4 default) makes to_timestamp throw
+    # on format mismatch; the dual-format fallback needs null-on-miss.
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit(TS_FORMAT_REST)),
+        F.try_to_timestamp(c, F.lit(TS_FORMAT_WRITE)),
+    )
+
+
+def partition_cols_from_ts(col: Column | str) -> dict[str, Column]:
+    """F2 — year/month/day/hour derivation for the curated layout
+    (reference lambda/process-staging.py:14-18)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "year": F.year(c),
+        "month": F.month(c),
+        "day": F.dayofmonth(c),
+        "hour": F.hour(c),
+    }
+
+
+def is_pending(status_col: Column | str = "status") -> Column:
+    """P1 predicate — pending means empty-string OR null status.
+
+    The reference encodes pending as '' in CSV (which pandas reads as NaN):
+    both spellings must match (reference lambda/collect-data.py:166;
+    SURVEY.md §2.10 bug 1).
+    """
+    c = F.col(status_col) if isinstance(status_col, str) else status_col
+    return c.isNull() | (c == F.lit(""))
+
+
+def hierarchical_key(*cols: Column | str, sep: str = "/") -> Column:
+    """F6 — build a hierarchical object key from components
+    (reference lambda/collect-data.py:183-186)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.concat_ws(sep, *cs)
+
+
+def url_from_template(template: str, *args: Column | str) -> Column:
+    """F6/J3 — URL interpolation from a config template
+    (reference data/scraper_config.csv:2-3, lambda/collect-data.py:176)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in args]
+    return F.format_string(template.replace("{}", "%s"), *cs)
+
+
+def curated_key(ts: Column | str) -> list[Column]:
+    """F2+F5 — the curated partition column list for a given timestamp."""
+    parts = partition_cols_from_ts(ts)
+    return [parts["year"], parts["month"], parts["day"], parts["hour"]]
+
+
+def zips_array(col: Column | str = "zips") -> Column:
+    """F9 — unpack the space-delimited zips list
+    (reference data/greatschools_control.csv col 7) into an array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def parse_props(col: Column | str = "props", schema: str = "k INT") -> Column:
+    """F7 — decode the events JSON props column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_json(c, schema)
+
+
+def haversine_km(
+    lat1: Column, lng1: Column, lat2: Column, lng2: Column
+) -> Column:
+    """F11 — great-circle distance in km, composed from builtin trig.
+
+    Grounded by the lat/lng columns in the greatschools control table
+    (reference data/greatschools_control.csv:1); used for geo scoring.
+    """
+    r = 6371.0
+    dlat = F.radians(lat2 - lat1)
+    dlng = F.radians(lng2 - lng1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlng / 2) ** 2
+    )
+    return 2 * r * F.asin(F.sqrt(a))

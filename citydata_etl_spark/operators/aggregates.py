@@ -1,0 +1,116 @@
+"""Aggregations, windows, sorts, set ops (SURVEY.md §2.5 A1-A7).
+
+Determinism conventions (driver's DuckDB-oracle hash compare):
+  - Money-like double sums go through integer cents: floor(x*100 + 0.5) is
+    the same IEEE double expression in any engine (unlike double->decimal
+    casts, whose tie-rounding differs between Spark's HALF_UP and DuckDB),
+    and integer addition is exact and associative — so the sum is
+    bit-identical no matter how Spark partitions the data or in which
+    order DuckDB sums. Double summation order would not be.
+  - Averages are cent-sum / 100.0 / count (exact double divisions).
+  - Every ranking has a total-order tie-break (unique key last).
+All of this is also the right call at 100 TB: partial aggregation
+(map-side combine) is automatic for all of these, and integer sums make
+results stable across AQE re-partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Round a money-like double to integer cents with an engine-portable
+    expression: floor(x*100 + 0.5) — pure IEEE double ops + floor, identical
+    everywhere (double->decimal casts are NOT: tie-rounding modes differ)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5))
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Exact, order-insensitive sum of a money-like double column:
+    sum integer cents, divide once. Oracle-SQL twin:
+    CAST(sum(CAST(floor(x*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"""
+    return (F.sum(cents(col)).cast("double") / 100.0).alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Deterministic average: exact cent sum, two double divisions.
+    Oracle twin: CAST(sum(...cents...) AS DOUBLE) / 100.0 / count(x)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(col)).cast("double") / 100.0 / F.count(c)).alias(alias)
+
+
+def group_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """A1 — hash aggregate with automatic partial+final phases."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def rollup_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """A3 — hierarchical rollup (state -> city drilldowns)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """A3 — full cube."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_alias: str = "rnk",
+) -> DataFrame:
+    """A4 — top-k rows per group via row_number over a total order.
+
+    Callers MUST include a unique column in `order` so the ranking is a
+    total order (deterministic under any partitioning).
+    """
+    w = W.partitionBy(*group).orderBy(*order)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+def topk_global(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """A6 — global top-k; Spark plans TakeOrderedAndProject (no full sort:
+    each partition keeps k, the driver merges k*num_partitions rows)."""
+    return df.orderBy(*order).limit(k)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Batch sessionization: split a per-key event sequence where the gap
+    from the previous event exceeds `gap_seconds`.
+
+    Classic lag+cumsum: one shuffle on `key`, two window passes, no state
+    store needed in batch. (The streaming twin is session_window +
+    watermark — streaming/windows.py.)
+
+    Adds columns: session_id (0-based per key).
+    """
+    w_order = W.partitionBy(key).orderBy(ts, order_tiebreak)
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w_order)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(w_run) - 1
+    ).drop("__new")

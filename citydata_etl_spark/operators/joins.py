@@ -1,0 +1,121 @@
+"""Join operators (SURVEY.md §2.4 J1-J4 + range/as-of extensions).
+
+Scale posture per join class:
+  - config/dim lookups (J1/J3): broadcast hash — the build side is bounded
+    (config tables, region/nation dims), so no shuffle at any scale.
+  - large x large (J4): sort-merge with AQE; both sides shuffle on the key.
+  - semi/anti (J2): 'left_semi'/'left_anti' so Spark never materializes
+    right-side columns.
+  - as-of: union + window "last non-null" — ONE shuffle on (key), no
+    per-row lookups, no crossJoin; this is the scalable form of
+    pd.merge_asof for time-series at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame, dim: DataFrame, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """J1/J3 — fact x small-dim lookup as an explicit broadcast hash join
+    (reference lambda/update-control.py:22-26 conceptually joins control to
+    config on site)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J2 — EXISTS: left rows with a match; right columns never surface
+    (reference lambda/update-control.py:29-30's id-mask select)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J2 — NOT EXISTS: the complement side of the mask."""
+    return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Non-equi band join: left.val in [right.lo, right.hi).
+
+    The band table is small (a dimension of ranges), so broadcast —
+    a broadcast-nested-loop whose inner side is bounded, which is the
+    right physical plan for banding at any fact-table scale.
+    """
+    cond = (F.col(left_col) >= F.col(lo_col)) & (F.col(left_col) < F.col(hi_col))
+    return left.join(F.broadcast(right), cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts (backward, inclusive), per key.
+
+    Implementation: tag + union both sides, then a single window pass per
+    key ordered by (ts, side) carrying the last non-null right value
+    forward. One shuffle on `key`, no range explosion — this scales
+    linearly where a naive non-equi join is quadratic.
+
+    Right-side ties on (key, ts) must be pre-deduplicated by the caller for
+    deterministic output (as pd.merge_asof requires sorted unique keys).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+
+    lcols = left.columns
+    # side ordering at equal ts: right (0) sorts before left (1), so an
+    # exactly-simultaneous right row is visible to the left row (inclusive).
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tagged.schema["__left"].dataType
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "__side",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col("__left")[c].alias(c) for c in lcols],
+        *[F.col(f"__rv_{c}").alias(f"right_{c}") for c in right_cols],
+    )
+    return out

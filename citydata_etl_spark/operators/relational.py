@@ -1,0 +1,120 @@
+"""Relational core: projections, filters, point updates (SURVEY.md §2.2-2.3).
+
+The reference's signature pattern is the keyed point-update of a control row
+(whole-CSV rewrite per row, reference lambda/collect-data.py:111-135 — an
+O(n^2) anti-pattern). Spark-first, updates are expressed as set-oriented
+`when/otherwise` column rewrites over the whole table in ONE pass, batched
+per micro-batch; at lake scale the same logic becomes a MERGE against a
+transactional table format.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.functions.scalar import is_pending
+
+
+def pending_work(df: DataFrame, id_col: str | None = "id") -> DataFrame:
+    """P1 — rows still to process: empty/null status (+ non-null id when the
+    source schema has one; greatschools does not — SURVEY.md §2.10 bug 4).
+
+    Reference: reference lambda/collect-data.py:166.
+    """
+    cond = is_pending("status")
+    if id_col is not None and id_col in df.columns:
+        cond = cond & F.col(id_col).isNotNull()
+    return df.filter(cond)
+
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P2 — column projection (reference lambda/collect-data.py:168-170).
+    Catalyst prunes the scan to exactly these columns."""
+    return df.select(*cols)
+
+
+def point_filter(df: DataFrame, col: str, value) -> DataFrame:
+    """P3 — single equality predicate
+    (reference lambda/update-control.py:22)."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def dynamic_filter(df: DataFrame, predicates: Mapping[str, object]) -> DataFrame:
+    """P4 — AND-chain of equality predicates over a runtime-chosen column
+    list (reference lambda/update-control.py:23-26: filter columns come from
+    the config table's `s3_directory` list, values from the event payload).
+
+    Composing `filter` calls keeps every predicate visible to Catalyst, so
+    all of them push down to the scan as one conjunction.
+    """
+    return reduce(
+        lambda acc, kv: acc.filter(F.col(kv[0]) == F.lit(kv[1])),
+        predicates.items(),
+        df,
+    )
+
+
+def first_row(df: DataFrame, order_by: Sequence[Column | str]) -> DataFrame:
+    """P6 — deterministic point lookup: the reference's `.iloc[0]`
+    (reference lambda/update-control.py:29) needs an explicit order in a
+    distributed engine. Spark plans orderBy+limit as TakeOrderedAndProject
+    (no full sort)."""
+    return df.orderBy(*order_by).limit(1)
+
+
+def keyed_update(
+    df: DataFrame,
+    key_col: str,
+    key_value,
+    updates: Mapping[str, Column],
+) -> DataFrame:
+    """U1/U2 — set-oriented point update: rewrite matching rows' columns,
+    pass everything else through unchanged.
+
+    Reference semantics: replace the row whose id matches and stamp
+    status/date_completed (reference lambda/collect-data.py:111-135,
+    lambda/update-control.py:29-30) — but as ONE columnar pass, not a
+    per-row file rewrite (fixes SURVEY.md §2.10 bug 5).
+    """
+    match = F.col(key_col) == F.lit(key_value)
+    out = df
+    for col_name, new_val in updates.items():
+        out = out.withColumn(
+            col_name, F.when(match, new_val).otherwise(F.col(col_name))
+        )
+    return out
+
+
+def masked_update(
+    df: DataFrame,
+    mask: Column,
+    updates: Mapping[str, Column],
+) -> DataFrame:
+    """U2 generalized — update all rows matching an arbitrary mask
+    (the pandas `.loc[mask, cols] = vals` pattern,
+    reference lambda/update-control.py:29-30)."""
+    out = df
+    for col_name, new_val in updates.items():
+        out = out.withColumn(
+            col_name, F.when(mask, new_val).otherwise(F.col(col_name))
+        )
+    return out
+
+
+def route_status(
+    df: DataFrame,
+    payload_col: str = "payload",
+    status_col: str = "status",
+) -> DataFrame:
+    """U3 — fetch-result routing: null payload -> 'error', else 'completed'
+    (reference lambda/collect-data.py:177-187)."""
+    return df.withColumn(
+        status_col,
+        F.when(F.col(payload_col).isNull(), F.lit("error")).otherwise(
+            F.lit("completed")
+        ),
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8 D4 [north-star]).
+
+  - brute_force_topk: exact cosine top-k — crossJoin + builtin array math
+    (JVM-side: transform/zip_with/aggregate inside codegen, no Python).
+    The exactness baseline; quadratic, fine for re-ranking a candidate set.
+  - lsh_bucket_topk: random-hyperplane LSH variant — each vector hashed to a
+    sign-bit bucket; candidates only within the same bucket. Linear shuffle
+    cost; recall measured against brute force in tests.
+
+Arithmetic notes: embeddings are float32; products of float32 values are
+EXACT in double (24-bit mantissas), so the dot product differs from any
+other engine only by addition-order rounding (~1e-15) — rounded to 4
+decimals for oracle comparison. Hyperplane components are integer-LCG
+derived (exact in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm2(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the squared L2 norm (exact double arithmetic)."""
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("norm2", _dot(v, v))
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for every vector (self-excluded).
+
+    Output: (query_id, neighbor_id, cos_sim, rnk) — ranked by
+    (rounded cos desc, neighbor_id) so the cut is a total order.
+    """
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+    )
+    q = base.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    c = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes via an integer LCG:
+    component (p, d) = ((a*(p*dim+d) + c) mod m)/m - 0.5, exact in double."""
+    m = 2147483647
+    rows = []
+    for p in range(n_planes):
+        comps = [
+            (((1103515245 * (p * dim + d) + 12345) % m) / m) - 0.5
+            for d in range(dim)
+        ]
+        rows.append((p, comps))
+    return spark.createDataFrame(rows, "plane INT, comps ARRAY<DOUBLE>")
+
+
+def lsh_bucket_topk(
+    emb: DataFrame, k: int = 5, n_planes: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_digits: int = 4,
+) -> DataFrame:
+    """ANN cosine top-k: random-hyperplane sign buckets, exact rerank within
+    bucket. Recall < 1 by construction; tests measure it against brute
+    force. Scale shape: one shuffle on bucket, candidate cost follows
+    bucket occupancy (add multi-probe or more tables to trade recall).
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(spark, n_planes, dim)
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+    )
+    signed = (
+        base.crossJoin(F.broadcast(planes))
+        .withColumn("proj", _dot(_as_double(F.col("v")), F.col("comps")))
+        .withColumn(
+            "bit",
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1, plane)"))
+            .otherwise(0),
+        )
+        .groupBy("id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    bucketed = base.join(signed, "id")
+    q = bucketed.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"), "bucket",
+    )
+    c = bucketed.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("norm2").alias("cn"), "bucket",
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -1,0 +1,105 @@
+"""Text analysis operators for training-data pipelines (D4 [north-star]).
+
+All builtin expressions (codegen'd): token counting, quality scoring,
+language ID (stopword-ratio heuristic), document fingerprinting (rolling
+hash over token ids). Pure integer/rational arithmetic everywhere an oracle
+compares values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list for the language-ID heuristic.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+FINGERPRINT_MOD = 1000000007
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token statistics: token count, char count, whitespace ratio,
+    mean token length — the quality-scoring raw features."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_spaces = n_chars - F.length(F.regexp_replace(text_col, " ", ""))
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_text"),
+        (n_spaces.cast("double") / n_chars).alias("space_ratio"),
+        (
+            (n_chars - n_spaces).cast("double") / n_tokens
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation x token-shape
+    sanity. Deterministic rational arithmetic (oracle-exact)."""
+    s = token_stats(docs, text_col, id_col)
+    len_score = F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+    shape_score = F.when(
+        (F.col("mean_token_len") >= 2.0) & (F.col("mean_token_len") <= 12.0),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.5))
+    return s.select(
+        id_col,
+        "n_tokens",
+        (len_score * shape_score).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", threshold: float = 0.05) -> DataFrame:
+    """Stopword-ratio language ID: share of tokens in the English stopword
+    list; >= threshold -> 'en'. N-gram-free heuristic that stays entirely
+    in builtin array functions."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = n_sw.cast("double") / F.size(toks)
+    return docs.select(
+        id_col,
+        n_sw.alias("n_stopwords"),
+        F.size(toks).alias("n_tokens"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("unknown").alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint over token ids:
+    fp = fold(tokens, acc -> (acc*31 + tid) mod 1e9+7).
+
+    Token ids come from the dense-rank vocabulary (dedup.vocabulary), so the
+    fingerprint is engine-reproducible. Position is preserved via posexplode
+    -> sort — unlike a set hash, reordered documents get different prints.
+    """
+    from citydata_etl_spark.operators.dedup import vocabulary
+
+    pos_tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    vocab = vocabulary(pos_tok.select(F.col(id_col), F.col("token")))
+    seq = (
+        pos_tok.join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"],
+            ).alias("tids")
+        )
+    )
+    fp = F.aggregate(
+        F.col("tids"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + t) % FINGERPRINT_MOD,
+    )
+    return seq.select(id_col, fp.alias("fingerprint"))

@@ -1,0 +1,294 @@
+"""Aggregation / window / set-op queries (SURVEY.md §2.5 A1-A7).
+
+a1_pricing_summary is the flagship (entry()) — scan -> filter -> hash agg
+-> sort, the TPC-H Q1 shape, with partial aggregation map-side and exact
+decimal sums (order-insensitive at any partition count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.operators import aggregates as A
+from citydata_etl_spark.operators.aggregates import dec_avg, dec_sum
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_testdata
+
+
+@register(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_base_price,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+           CAST(sum(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             / count(l_extendedprice) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1 flagship: TPC-H-Q1-shaped pricing summary — scan with pushed "
+    "filter, two-phase hash aggregate, exact decimal sums "
+    "(reference README.md:6 scoring objective; SURVEY.md §7 phase 0).",
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_base_price"),
+        dec_sum(disc_price, "sum_disc_price"),
+        dec_sum(charge, "sum_charge"),
+        dec_avg("l_quantity", "avg_qty"),
+        dec_avg("l_extendedprice", "avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "a2_count_distinct",
+    oracle="""
+    SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_rows
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="A2: exact distinct aggregation per group (cities-per-state analog). "
+    "approx_count_distinct is a2_approx_distinct (rows-only: HLL sketches "
+    "are engine-specific).",
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    nation = read_testdata(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "a2_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific; checked rows-only +
+    # tests/test_aggregates.py bounds the estimate vs exact.
+    doc="A2: approx_count_distinct (HyperLogLog++) — the at-scale form of "
+    "distinct counting; error bound asserted in tests.",
+)
+def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "a3_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="A3: hierarchical rollup region -> nation (state -> city drilldown "
+    "analog, reference README.md:6-7 dashboard objective).",
+)
+def a3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    nation = read_testdata(spark, sf_dir, "nation")
+    region = read_testdata(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return A.rollup_agg(
+        joined,
+        ["r_name", "n_name"],
+        [F.count("*").alias("n_customers"), dec_sum("c_acctbal", "total_bal")],
+    )
+
+
+@register(
+    "a3_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(floor((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="A3: full cube over the two lineitem flags.",
+)
+def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return A.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n"), dec_sum("l_quantity", "sum_qty")],
+    )
+
+
+@register(
+    "a4_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    WHERE rnk <= 3
+    """,
+    doc="A4: top-k per group (top cities per state analog) — row_number "
+    "over a TOTAL order (unique key tie-break) so the cut is deterministic.",
+)
+def a4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    nation = read_testdata(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("n_name", "c_custkey", "c_acctbal")
+    return A.topk_per_group(
+        joined,
+        ["n_name"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=3,
+    )
+
+
+@register(
+    "a5_window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_value,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0 AS running_value
+    FROM events
+    """,
+    doc="A5: analytic windows — lag + running sum per user over event time "
+    "(population-growth-delta analog, reference README.md:5). Integer-cent "
+    "running sum keeps prefix sums exact.",
+)
+def a5_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.sum(A.cents("value")).over(wrun).cast("double") / 100.0)
+        .alias("running_value"),
+    )
+
+
+@register(
+    "a6_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="A6: global top-k — TakeOrderedAndProject, no full sort "
+    "(each partition keeps k, driver merges).",
+)
+def a6_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return A.topk_global(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=100
+    )
+
+
+@register(
+    "a7_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="A7: multiset EXCEPT ALL (backlog-diff analog over the three "
+    "parallel control tables).",
+)
+def a7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return pos.exceptAll(bld)
+
+
+@register(
+    "a7_union_by_name",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+                      NULL AS segment
+               FROM customer WHERE c_nationkey = 1),
+         b AS (SELECT c_custkey AS id, c_name AS name, NULL AS bal,
+                      c_mktsegment AS segment
+               FROM customer WHERE c_nationkey = 2)
+    SELECT id, name, CAST(bal AS DOUBLE) AS bal, CAST(segment AS VARCHAR) AS segment
+    FROM a
+    UNION ALL
+    SELECT id, name, CAST(bal AS DOUBLE), CAST(segment AS VARCHAR) FROM b
+    """,
+    doc="A7: schema-reconciling union — unionByName(allowMissingColumns) "
+    "over drifted per-source schemas (the three control tables have three "
+    "different schemas, SURVEY.md §1.3).",
+)
+def a7_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    b = cust.filter(F.col("c_nationkey") == 2).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "a4_rank_dense_rank",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+             AS price_rank,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+             AS price_dense_rank
+    FROM part
+    """,
+    doc="A4: rank/dense_rank — tie-aware ranking within brand (both are "
+    "deterministic under ties because equal inputs get equal ranks).",
+)
+def a4_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_testdata(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )

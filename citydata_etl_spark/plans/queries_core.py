@@ -1,0 +1,291 @@
+"""Core relational queries: scans, filters, projections, point updates
+(SURVEY.md §2.1-2.3, S1-S8 / P1-P6 / U1-U3), each ✦-registered with a
+DuckDB oracle over the driver testdata.
+
+The control-table semantics (empty-string-vs-null status, keyed updates)
+are exercised here by *deriving* a reference-shaped status column from the
+testdata inside the query, identically on both sides — the raw testdata has
+no control table, but the operator logic is byte-for-byte the one in
+citydata_etl_spark.operators.relational, which tests/ also run on
+reference-shaped fixtures.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citydata_etl_spark import schemas
+from citydata_etl_spark.operators import relational as R
+from citydata_etl_spark.operators.aggregates import dec_sum
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_control_csv, read_testdata
+
+# A reference-shaped status column derived from orders: 'O' -> pending
+# (empty string), 'P' -> pending (NULL), 'F' -> completed. Both spellings of
+# pending occur, exactly like the reference CSVs read by csv.DictReader
+# (empty string) vs pandas (NaN) — SURVEY.md §1.2.
+_STATUS_SQL = (
+    "CASE WHEN o_orderstatus = 'O' THEN '' "
+    "WHEN o_orderstatus = 'P' THEN NULL ELSE 'completed' END"
+)
+
+
+def _orders_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, "orders").withColumn(
+        "status",
+        F.when(F.col("o_orderstatus") == "O", F.lit(""))
+        .when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.lit("completed")),
+    )
+
+
+@register(
+    "s1_csv_scan",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           count(n_name) AS n_named
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="S1/S2: CSV round-trip scan with declared schema "
+    "(reference lambda/collect-data.py:156-159). The parquet table is "
+    "written to CSV and read back through the control-CSV reader; the "
+    "oracle reads the original — proving the CSV scan is lossless.",
+)
+def s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_testdata(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="s1_csv_")
+    nation.write.mode("overwrite").option("header", True).csv(tmp)
+    back = read_control_csv(spark, tmp, schemas.NATION)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.count("n_name").alias("n_named"),
+    )
+
+
+@register(
+    "s3_json_scan",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           count(*) AS n_events
+    FROM events GROUP BY k
+    """,
+    doc="S3/F7: JSON document decode + key lookup "
+    "(reference lambda/collect-data.py:51-64,107): parse the events props "
+    "JSON column and aggregate by an extracted field.",
+)
+def s3_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "p1_pending_filter",
+    oracle=f"""
+    WITH c AS (SELECT *, {_STATUS_SQL} AS status FROM orders)
+    SELECT o_orderkey, o_custkey, status
+    FROM c
+    WHERE (status IS NULL OR status = '') AND o_orderkey IS NOT NULL
+    """,
+    doc="P1: pending-work predicate — empty-string OR null status, non-null "
+    "id (reference lambda/collect-data.py:166; §2.10 bug 1 intent).",
+)
+def p1_pending_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _orders_with_status(spark, sf_dir)
+    return R.pending_work(df, id_col="o_orderkey").select(
+        "o_orderkey", "o_custkey", "status"
+    )
+
+
+@register(
+    "p2_projection",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    doc="P2: column projection (reference lambda/collect-data.py:168-170); "
+    "Catalyst prunes the parquet scan to the three columns.",
+)
+def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.project(
+        read_testdata(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_mktsegment"],
+    )
+
+
+@register(
+    "p3_point_filter",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
+    "WHERE n_name = 'CHINA'",
+    doc="P3: equality point filter (reference lambda/update-control.py:22).",
+)
+def p3_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.point_filter(read_testdata(spark, sf_dir, "nation"), "n_name", "CHINA")
+
+
+@register(
+    "p4_dynamic_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 7
+    """,
+    doc="P4: dynamic conjunctive filter — AND-chain of equality predicates "
+    "over a runtime column list (reference lambda/update-control.py:23-26).",
+)
+def p4_dynamic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_testdata(spark, sf_dir, "customer")
+    filters = {"c_mktsegment": "BUILDING", "c_nationkey": 7}
+    return R.dynamic_filter(df, filters).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "p6_first_row",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY o_orderdate, o_orderkey LIMIT 1
+    """,
+    doc="P6: deterministic first-row selection — the reference's .iloc[0] "
+    "(reference lambda/update-control.py:29) with an explicit total order.",
+)
+def p6_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return R.first_row(df, ["o_orderdate", "o_orderkey"])
+
+
+@register(
+    "u1_keyed_update",
+    oracle=f"""
+    WITH c AS (SELECT o_orderkey, {_STATUS_SQL} AS status FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey = 7 THEN 'completed' ELSE status END AS status,
+           CASE WHEN o_orderkey = 7 THEN '2024-06-01T12-00-00' ELSE NULL END
+             AS date_completed
+    FROM c
+    """,
+    doc="U1: keyed single-row update + completion stamp as one set-oriented "
+    "pass (reference lambda/collect-data.py:111-135; fixes §2.10 bug 5's "
+    "per-row whole-file rewrite).",
+)
+def u1_keyed_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _orders_with_status(spark, sf_dir).select("o_orderkey", "status")
+    df = df.withColumn("date_completed", F.lit(None).cast("string"))
+    return R.keyed_update(
+        df,
+        "o_orderkey",
+        7,
+        {
+            "status": F.lit("completed"),
+            "date_completed": F.lit("2024-06-01T12-00-00"),
+        },
+    )
+
+
+@register(
+    "u2_masked_update",
+    oracle=f"""
+    WITH c AS (SELECT o_orderkey, o_orderpriority, {_STATUS_SQL} AS status
+               FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' AND (status IS NULL OR status = '')
+                THEN 'error' ELSE status END AS status
+    FROM c
+    """,
+    doc="U2: masked conditional update — pandas .loc[mask, col] = v as a "
+    "when/otherwise columnar rewrite (reference lambda/update-control.py:29-30).",
+)
+def u2_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.scalar import is_pending
+
+    df = _orders_with_status(spark, sf_dir).select(
+        "o_orderkey", "o_orderpriority", "status"
+    )
+    mask = (F.col("o_orderpriority") == "1-URGENT") & is_pending("status")
+    return R.masked_update(df, mask, {"status": F.lit("error")}).select(
+        "o_orderkey", "status"
+    )
+
+
+@register(
+    "u3_status_routing",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS payload,
+           CASE WHEN (CASE WHEN event_type = 'error' THEN NULL ELSE props END)
+                IS NULL THEN 'error' ELSE 'completed' END AS status
+    FROM events
+    """,
+    doc="U3: fetch-result status routing — null payload -> 'error', else "
+    "'completed' (reference lambda/collect-data.py:177-187).",
+)
+def u3_status_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    return R.route_status(events, payload_col="payload")
+
+
+@register(
+    "s8_csv_overwrite_sink",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="S8: whole-table CSV overwrite sink + re-scan "
+    "(reference lambda/update-control.py:32-36): aggregate, write "
+    "single-file CSV, read back through the declared-schema reader.",
+)
+def s8_csv_overwrite_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from citydata_etl_spark.sources.sinks import write_control_csv
+
+    agg = (
+        read_testdata(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("o_totalprice", "total"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="s8_csv_")
+    write_control_csv(agg, tmp)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    return read_control_csv(spark, tmp, schema)
+
+
+@register(
+    "s7_partitioned_sink",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="S7: partitioned raw sink round-trip "
+    "(reference lambda/collect-data.py:183-186): write orders partitioned "
+    "by status (Hive layout), read back, aggregate per partition value — "
+    "proves partition columns survive the round trip and prune on read.",
+)
+def s7_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="s7_parquet_")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dec_sum("o_totalprice", "total"),
+    )

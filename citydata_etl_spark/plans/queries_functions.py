@@ -1,0 +1,259 @@
+"""Scalar-function queries (SURVEY.md §2.6 F1-F11), each over testdata with
+a DuckDB oracle. Every expression here is a builtin Column expression —
+whole-stage codegen, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.functions.scalar import (
+    TS_FORMAT_REST,
+    TS_FORMAT_WRITE,
+    dual_format_ts,
+    haversine_km,
+)
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_testdata
+
+
+@register(
+    "f1_f3_dual_ts_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(o_orderdate, '%Y-%m-%dT%H-%M-%S') END AS raw,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                              '%Y-%m-%d %H:%M:%S')
+                ELSE strptime(strftime(o_orderdate, '%Y-%m-%dT%H-%M-%S'),
+                              '%Y-%m-%dT%H-%M-%S') END AS parsed
+    FROM orders
+    """,
+    doc="F1+F3: the dual timestamp-format quirk — format each timestamp in "
+    "one of the reference's two formats (at-rest vs code-written, "
+    "reference lambda/collect-data.py:114 vs data/usa_control.csv:2), then "
+    "parse back with the dual-format coalesce. parsed == original proves "
+    "both format paths.",
+)
+def f1_f3_dual_ts_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.date_format("o_orderdate", TS_FORMAT_REST),
+    ).otherwise(F.date_format("o_orderdate", TS_FORMAT_WRITE))
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        dual_format_ts(raw).alias("parsed"),
+    )
+
+
+@register(
+    "f2_date_parts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(hour(o_orderdate) AS INT) AS h,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2, 3, 4
+    """,
+    doc="F2: year/month/day/hour partition-value derivation "
+    "(reference lambda/process-staging.py:14-18).",
+)
+def f2_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.hour("o_orderdate").alias("h"),
+        )
+        .groupBy("y", "m", "d", "h")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "f4_f5_split_element",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'staging/' || o_orderpriority || '/' || o_orderstatus || '/'
+             || CAST(o_orderkey AS VARCHAR) || '.txt' AS key
+      FROM orders)
+    SELECT replace(key, 'staging/', '') AS stripped,
+           string_split(key, '/')[2] AS priority,
+           string_split(key, '/')[3] AS status,
+           replace(string_split(key, '/')[4], '.txt', '') AS orderkey
+    FROM keyed
+    """,
+    doc="F4+F5: object-key parsing — strip prefix, split on '/', positional "
+    "element extraction (reference lambda/process-staging.py:26,33-44).",
+)
+def f4_f5_split_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.concat_ws(
+            "/",
+            F.lit("staging"),
+            "o_orderpriority",
+            "o_orderstatus",
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(".txt")),
+        ).alias("key")
+    )
+    parts = F.split(F.col("key"), "/")
+    return keyed.select(
+        F.regexp_replace("key", "^staging/", "").alias("stripped"),
+        F.element_at(parts, 2).alias("priority"),
+        F.element_at(parts, 3).alias("status"),
+        F.regexp_replace(F.element_at(parts, 4), "\\.txt$", "").alias("orderkey"),
+    )
+
+
+@register(
+    "f6_key_building",
+    oracle="""
+    SELECT concat_ws('/', source, schema_name, table_name, load,
+                     CAST(y AS VARCHAR), CAST(m AS VARCHAR),
+                     CAST(d AS VARCHAR), CAST(h AS VARCHAR)) AS curated_key,
+           count(*) AS n
+    FROM (
+      SELECT 'events' AS source, 'public' AS schema_name,
+             event_type AS table_name,
+             CASE WHEN event_id % 10 = 0 THEN 'initial' ELSE 'cdc' END AS load,
+             year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h
+      FROM events)
+    GROUP BY curated_key
+    """,
+    doc="F6: curated-key building by interpolation — the "
+    "{source}/{schema}/{table}/{load}/{y}/{m}/{d}/{h} layout "
+    "(reference lambda/process-staging.py:38,44) built with concat_ws; "
+    "grouped to one row per would-be partition directory.",
+)
+def f6_key_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    derived = events.select(
+        F.lit("events").alias("source"),
+        F.lit("public").alias("schema_name"),
+        F.col("event_type").alias("table_name"),
+        F.when(F.col("event_id") % 10 == 0, "initial")
+        .otherwise("cdc")
+        .alias("load"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+    )
+    return derived.select(
+        F.concat_ws(
+            "/", "source", "schema_name", "table_name", "load", "y", "m", "d", "h"
+        ).alias("curated_key")
+    ).groupBy("curated_key").agg(F.count("*").alias("n"))
+
+
+@register(
+    "f7_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="F7: JSON field access + typed aggregation "
+    "(reference lambda/collect-data.py:61,107).",
+)
+def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+    )
+
+
+@register(
+    "f9_split_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="F9: packed-list fan-out — split + explode (the zips-column "
+    "pattern, reference data/greatschools_control.csv col 7 + "
+    "config.json:19 per-zip API calls).",
+)
+def f9_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "f10_conditional",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY bucket
+    """,
+    doc="F10: conditional expression routing "
+    "(reference lambda/collect-data.py:177-187, process-staging.py:35-44).",
+)
+def f10_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return orders.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "f11_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+             CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5 AS lng
+      FROM customer)
+    SELECT c_custkey,
+           round(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(40.7128 - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(40.7128))
+               * pow(sin(radians(-74.006 - lng) / 2), 2))), 4) AS dist_km
+    FROM pts
+    """,
+    doc="F11: haversine distance composed from builtin trig "
+    "(lat/lng grounding: reference data/greatschools_control.csv:1). "
+    "Rounded to 4 decimals: JVM vs libm transcendentals can differ in the "
+    "last ulp.",
+)
+def f11_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180).cast("double") - 90.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 360).cast("double") - 180.0 + 0.5).alias("lng"),
+    )
+    dist = haversine_km(
+        F.col("lat"), F.col("lng"), F.lit(40.7128), F.lit(-74.006)
+    )
+    return pts.select("c_custkey", F.round(dist, 4).alias("dist_km"))

@@ -1,0 +1,212 @@
+"""Join queries (SURVEY.md §2.4 J1-J4 + range and as-of extensions).
+
+Physical-plan intent per entry is stated in the doc; tests/test_plans.py
+asserts the broadcast ones actually go broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.operators import joins as J
+from citydata_etl_spark.operators.aggregates import dec_sum
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_testdata
+
+
+@register(
+    "j1_broadcast_lookup",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="J1: config/dim lookup join as broadcast hash "
+    "(reference lambda/update-control.py:22-26: control x config on site). "
+    "nation+region are bounded dims -> broadcast, zero shuffle for the join.",
+)
+def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_testdata(spark, sf_dir, "customer")
+    nation = read_testdata(spark, sf_dir, "nation")
+    region = read_testdata(spark, sf_dir, "region")
+    dim = J.broadcast_lookup(
+        nation, region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "r_name")
+    joined = J.broadcast_lookup(
+        customer, dim, customer.c_nationkey == dim.n_nationkey
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        dec_sum("c_acctbal", "total_bal"),
+    )
+
+
+@register(
+    "j2_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    doc="J2: EXISTS as left_semi — right columns never materialize "
+    "(reference lambda/update-control.py:29-30's id-mask select).",
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_testdata(spark, sf_dir, "customer")
+    big = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return J.semi_join(customer, big, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "j2_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="J2: NOT EXISTS as left_anti — customers with no orders "
+    "(the complement side of the update mask).",
+)
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_testdata(spark, sf_dir, "customer")
+    keys = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return J.anti_join(customer, keys, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "j3_template_join",
+    oracle="""
+    SELECT c_custkey,
+           'https://www.city-data.com/city/' || c_name || '-' || n_name || '.html'
+             AS url
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="J3: URL-template join — broadcast dim + format_string interpolation "
+    "(reference data/scraper_config.csv:2-3 templates + "
+    "lambda/collect-data.py:176).",
+)
+def j3_template_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.scalar import url_from_template
+
+    customer = read_testdata(spark, sf_dir, "customer")
+    nation = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = J.broadcast_lookup(
+        customer, nation, customer.c_nationkey == nation.n_nationkey
+    )
+    return joined.select(
+        "c_custkey",
+        F.format_string(
+            "https://www.city-data.com/city/%s-%s.html", "c_name", "n_name"
+        ).alias("url"),
+    )
+
+
+@register(
+    "j4_multi_source_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer
+               GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier
+               GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="J4 [implied]: multi-source per-city combine as a full outer join of "
+    "per-source aggregates (reference README.md:4-7 scoring objective). "
+    "Shuffles once per side on the key; AQE handles skew.",
+)
+def j4_multi_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        read_testdata(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        read_testdata(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    joined = cust.join(supp, "nk", "full_outer")
+    return joined.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "j5_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 1000.0), ('medium', 1000.0, 5000.0),
+             ('large', 5000.0, 100000.0))
+    SELECT band, count(*) AS n_parts,
+           CAST(sum(CAST(floor((p_retailprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    doc="Range (non-equi band) join: fact x broadcast band dimension. "
+    "Broadcast-nested-loop with a bounded inner side — the scalable plan "
+    "for banding at any fact size.",
+)
+def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_testdata(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 1000.0), ("medium", 1000.0, 5000.0),
+         ("large", 5000.0, 100000.0)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    joined = J.range_join(part, bands, "p_retailprice", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_parts"),
+        dec_sum("p_retailprice", "total_price"),
+    )
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+         views AS (SELECT user_id, max(value) AS view_value, ts
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts AS ts,
+           v.ts AS right_ts, v.view_value AS right_view_value
+    FROM purch p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join (backward, inclusive): for each purchase, the most "
+    "recent view at-or-before it per user. Spark-side: union + window "
+    "last-non-null — one shuffle on user_id, linear in input "
+    "(operators/joins.py:asof_join); oracle uses DuckDB's native ASOF.",
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe right side on (user_id, ts) for deterministic as-of semantics
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return J.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "view_value"],
+    )

@@ -1,0 +1,278 @@
+"""North-star LLM-data-pipeline queries (SURVEY.md §2.8 D4, BASELINE.json):
+dedup, near-dedup, similarity search, text analysis over the documents and
+embeddings tables — each with a DuckDB oracle where the algorithm is
+integer/rational-exact, rows-only where engine-specific (HLL, ANN recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from citydata_etl_spark.operators import dedup as D
+from citydata_etl_spark.operators import similarity as S
+from citydata_etl_spark.operators import text as TX
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_testdata
+
+# Shared oracle CTE fragments (tokens + dense-rank vocabulary — the exact
+# construction in operators/dedup.py: tokens/vocabulary).
+_TOK = """
+tok AS (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token) - 1 AS tid
+  FROM (SELECT DISTINCT token FROM tok)),
+tt AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token))
+"""
+
+
+@register(
+    "d4_exact_dedup",
+    oracle="""
+    SELECT text, min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+    doc="D4: exact dedup — hash-groupBy on content, canonical id = min "
+    "(at scale: group on sha2(text) to shrink the shuffle).",
+)
+def d4_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_ngram_jaccard",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+    doc="D4: exact bigram-Jaccard near-dup pairs via inverted-index join "
+    "(shared-shingle candidates only — never the full cross product).",
+)
+def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+
+
+@register(
+    "d4_minhash_lsh",
+    oracle=f"""
+    WITH {_TOK},
+    hp AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
+             CAST((i * 40503 + 7) % 2147483647 AS BIGINT) AS b
+      FROM (SELECT unnest(range(16)) AS i)),
+    mh AS (
+      SELECT doc_id, i, min((a * tid + b) % 2147483647) AS h
+      FROM tt CROSS JOIN hp GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS s
+      FROM mh GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
+    """,
+    doc="D4: MinHash-LSH near-dup candidates — 16 integer-LCG minhashes "
+    "over dense-ranked token ids, 4 bands x 4 rows, bucket join. "
+    "Integer-exact, so the DuckDB oracle reproduces it bit-for-bit "
+    "(operators/dedup.py:minhash_lsh_pairs; at 100 TB swap dense-rank for "
+    "xxhash64 — same topology, no global sort).",
+)
+def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+
+
+@register(
+    "d4_simhash",
+    oracle=f"""
+    WITH {_TOK},
+    hashed AS (
+      SELECT doc_id, (tid * 2654435761 + 104729) % 2147483647 AS h FROM tt),
+    bits AS (
+      SELECT doc_id, j,
+             ((h >> CAST(j AS INT)) & 1) * 2 - 1 AS s
+      FROM hashed, unnest(range(31)) AS r(j)),
+    votes AS (SELECT doc_id, j, sum(s) AS v FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << CAST(j AS INT)
+                         ELSE 0 END) AS BIGINT) AS fingerprint
+    FROM votes GROUP BY doc_id
+    """,
+    doc="D4: 31-bit SimHash fingerprints from token-id LCG hashes — "
+    "integer-exact (operators/dedup.py:simhash_fingerprints). Pairing by "
+    "hamming distance is simhash_pairs (tested in tests/test_dedup.py).",
+)
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+@register(
+    "d4_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+      FROM v q, v c WHERE q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4: exact cosine top-5 neighbors per vector — crossJoin + builtin "
+    "zip_with/aggregate dot product (JVM codegen, no Python). float32 "
+    "products are exact in double; similarity rounded to 4 decimals to "
+    "absorb addition-order ulps (operators/similarity.py:brute_force_topk).",
+)
+def d4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb, k=5)
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
+    "d4_ann_lsh",
+    oracle=None,  # approximate by construction; tests measure recall vs
+    # brute force (tests/test_similarity.py).
+    doc="D4: ANN cosine top-k via random-hyperplane LSH buckets — the "
+    "linear-cost scale path; recall vs brute force asserted in tests "
+    "(operators/similarity.py:lsh_bucket_topk).",
+)
+def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(emb, k=5)
+
+
+@register(
+    "d4_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_tokens,
+           length(text) AS n_chars_text,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             / length(text) AS space_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS mean_token_len
+    FROM documents
+    """,
+    doc="D4: per-doc token statistics (token count, char count, whitespace "
+    "ratio, mean token length) — quality-scoring raw features "
+    "(operators/text.py:token_stats).",
+)
+def d4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS mtl
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+           * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+             AS quality
+    FROM s
+    """,
+    doc="D4: heuristic quality score — length saturation x token-shape "
+    "sanity, rational-exact (operators/text.py:quality_score).",
+)
+def d4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','that','it','for'], x)))
+               AS n_stopwords
+      FROM t)
+    SELECT doc_id, n_stopwords, n_tokens,
+           round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM c
+    """,
+    doc="D4: stopword-ratio language ID heuristic "
+    "(operators/text.py:lang_id).",
+)
+def d4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_doc_fingerprint",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    postok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS token
+      FROM tokl),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY token) - 1 AS tid
+      FROM (SELECT DISTINCT token FROM postok)),
+    seq AS (
+      SELECT doc_id, list(tid ORDER BY pos) AS tids
+      FROM postok JOIN vocab USING (token) GROUP BY doc_id)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), tids),
+                       (acc, t) -> (acc * 31 + t) % 1000000007)
+             AS fingerprint
+    FROM seq
+    """,
+    doc="D4: order-sensitive rolling-hash document fingerprint over "
+    "dense-ranked token ids (operators/text.py:doc_fingerprint) — "
+    "integer-exact fold, reproducible in any engine.",
+)
+def d4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(read_testdata(spark, sf_dir, "documents"))

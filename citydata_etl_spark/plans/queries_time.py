@@ -1,0 +1,116 @@
+"""Event-time window queries (SURVEY.md §2.7 T5 [north-star]) in their
+batch-equivalent form — the same window semantics Structured Streaming
+applies incrementally (streaming/windows.py runs these as readStream
+queries; tests assert batch == streaming output).
+
+Window starts are emitted as epoch seconds (BIGINT): engine-native window
+types (Spark's window struct, DuckDB's tz-aware to_timestamp) don't compare
+portably, epoch integers do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.operators.aggregates import dec_sum, sessionize
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_testdata
+
+
+@register(
+    "t5_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="T5: 10-minute tumbling event-time windows over events "
+    "(BASELINE.json north-star; cadence grounding: scrape_interval "
+    "reference config.json:7,13). Spark side uses window('ts','10 minutes') "
+    "— the exact construct the streaming twin runs incrementally.",
+)
+def t5_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "t5_sliding_window",
+    oracle="""
+    WITH grid AS (
+      SELECT event_id, value,
+             unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+               AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM grid GROUP BY window_start
+    """,
+    doc="T5: sliding windows (10 min length, 5 min slide) — each event in "
+    "exactly two windows. Oracle expands the two candidate starts "
+    "explicitly; Spark's window(ts, len, slide) does the same internally.",
+)
+def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "t5_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 300
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS BIGINT) AS session_id
+      FROM ordered)
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start,
+           CAST(max(floor(epoch(ts))) AS BIGINT) AS session_end,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="T5/sessionization: 5-minute-gap sessions per user — batch form is "
+    "lag+cumsum (one shuffle on user_id); the streaming twin is "
+    "session_window(ts, '5 minutes') — tests assert both produce identical "
+    "sessions.",
+)
+def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    s = sessionize(events, key="user_id", ts="ts", gap_seconds=300,
+                   order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("ts").cast("long")).alias("session_start"),
+        F.max(F.col("ts").cast("long")).alias("session_end"),
+        dec_sum("value", "total_value"),
+    )

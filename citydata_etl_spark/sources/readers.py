@@ -1,0 +1,81 @@
+"""Readers (SURVEY.md §2.1 S1-S6).
+
+Every reader takes an explicit schema — never inference — so per-source
+schema drift is declared, not discovered (SURVEY.md §1.3). Paths are plain
+URIs: the same code reads local files in tests and s3a:// at scale (Spark's
+Hadoop FS layer handles the scheme).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from citydata_etl_spark import schemas
+
+
+def read_control_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S1/S2 — header CSV scan with declared schema.
+
+    Reference behavior: csv.DictReader over an S3 object
+    (reference lambda/collect-data.py:156-159) and pd.read_csv
+    (reference lambda/update-control.py:20-21). Spark-first: one distributed
+    scan; header row skipped by name, types from the declared StructType.
+    UTF-8 BOM on some sources (SURVEY.md §1.2) is handled by Spark's
+    encoding option.
+    """
+    return (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_config_json(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — multiline JSON config document scan.
+
+    Reference: S3 GET + json.loads + dict indexing
+    (reference lambda/collect-data.py:51-64). The config is bounded (a few
+    sources), so downstream consumers broadcast it (J1/J3).
+    """
+    return spark.read.option("multiLine", True).json(path)
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan: pushdown + pruning come free from the parquet source."""
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver testdata table by name (TESTDATA.md).
+
+    The parquet footers already carry the schema in schemas.TESTDATA_TABLES;
+    we read without a schema override (parquet is self-describing) — the
+    declared StructTypes document the contract and are asserted in tests.
+    """
+    if name not in schemas.TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table: {name}")
+    # Defensive session confs: the driver builds its own SparkSession, so
+    # the engine cannot assume session.get_spark()'s settings. Both are
+    # runtime-settable. nanosAsLong is required to scan events.parquet
+    # (TIMESTAMP(NANOS)); UTC keeps date_format/year/etc. aligned with the
+    # UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): with
+    # spark.sql.legacy.parquet.nanosAsLong it scans as epoch-nanos long —
+    # convert to a microsecond TimestampType (matching DuckDB's truncation).
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
