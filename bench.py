@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries from the catalog at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a full-result action (count after cache-free
+execution) — no collect of wide payloads, mirroring how a reporting layer
+would consume them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one per operator family — scan+agg, broadcast join, semi
+# join, full-outer combine, as-of, rollup, window rank, analytic window,
+# tumbling window, sessionization, JSON, dedup, text stats, similarity.
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_broadcast_lookup",
+    "j2_semi_join",
+    "j4_multi_source_join",
+    "j6_asof_join",
+    "a3_rollup",
+    "a4_topk_per_group",
+    "a5_window_lag",
+    "t5_tumbling_window",
+    "t5_session_window",
+    "f7_json_extract",
+    "d4_exact_dedup",
+    "d4_token_stats",
+    "d4_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from citydata_etl_spark.plans.catalog import load_all
+    from citydata_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="citydata-bench")
+    catalog = load_all()
+
+    # Warm up the JVM + parquet footers with a trivial action so the first
+    # timed query doesn't pay session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog[name].spark_fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

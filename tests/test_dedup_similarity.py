@@ -1,0 +1,118 @@
+"""Algorithmic property tests for the LLM-pipeline operators: LSH recall
+vs exact Jaccard, SimHash hamming vs similarity, ANN recall vs brute
+force — on synthetic corpora with planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.operators import dedup as D
+from citydata_etl_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 docs: 20 bases, each with a near-duplicate (1 token changed) and
+    one unrelated doc, from a 200-word vocabulary."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    doc_id = 0
+    for b in range(20):
+        base = [rng.choice(vocab) for _ in range(30)]
+        near = list(base)
+        near[rng.randrange(30)] = rng.choice(vocab)
+        unrelated = [rng.choice(vocab) for _ in range(30)]
+        for toks in (base, near, unrelated):
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_identity(spark, planted_docs):
+    dup = planted_docs.union(planted_docs.limit(5))  # 5 exact dups
+    out = D.exact_dedup(dup).collect()
+    n_dups = sum(r["n_dups"] - 1 for r in out)
+    assert n_dups == 5
+    assert all(r["n_dups"] >= 1 for r in out)
+
+
+def test_minhash_lsh_recall(spark, planted_docs):
+    """Every planted near-dup pair (jaccard >= ~0.85) must be an LSH
+    candidate; candidates are a superset of high-jaccard pairs."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            planted_docs, n=1, threshold=0.8
+        ).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(planted_docs).collect()
+    }
+    assert exact, "fixture must contain high-jaccard pairs"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_separates(spark, planted_docs):
+    """Near-dup pairs must have smaller hamming distance than unrelated
+    pairs on average."""
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in D.simhash_fingerprints(planted_docs).collect()}
+
+    def ham(a, b):
+        return bin(fp[a] ^ fp[b]).count("1")
+
+    near = [ham(3 * i, 3 * i + 1) for i in range(20)]
+    far = [ham(3 * i, 3 * i + 2) for i in range(20)]
+    assert sum(near) / len(near) < sum(far) / len(far)
+
+
+def test_ngram_jaccard_bounds(spark, planted_docs):
+    out = D.ngram_jaccard_pairs(planted_docs, n=2, threshold=0.5).collect()
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in out)
+    assert all(r["doc_a"] < r["doc_b"] for r in out)
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    """10 clusters x 10 vectors, tight within-cluster cosine."""
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for c in range(10):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for _ in range(10):
+            v = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_brute_force_topk_finds_cluster(spark, clustered_vecs):
+    out = S.brute_force_topk(clustered_vecs, k=5)
+    labels = {r["vec_id"]: r["label"] for r in clustered_vecs.collect()}
+    rows = out.collect()
+    assert len(rows) == 100 * 5
+    same = sum(labels[r["query_id"]] == labels[r["neighbor_id"]] for r in rows)
+    assert same / len(rows) > 0.95  # neighbors come from the same cluster
+
+
+def test_ann_lsh_recall_vs_brute(spark, clustered_vecs):
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucket_topk(clustered_vecs, k=3, n_planes=4).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"

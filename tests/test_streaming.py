@@ -1,0 +1,176 @@
+"""Streaming-twin tests (SURVEY.md §2.7): the batch window queries and
+their Structured Streaming counterparts must agree on the same events."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.streaming import pipeline as P
+from citydata_etl_spark.streaming import windows as SW
+from tests.conftest import SF_ORACLE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def events_stream_path():
+    return f"{SF_ORACLE}/events.parquet"
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream_path):
+    # complete mode emits ALL window state at termination, so a bounded
+    # stream must agree with the batch query exactly
+    stream = SW.read_events_stream(spark, events_stream_path)
+    out = SW.run_to_completion(
+        SW.tumbling_counts(stream), "tumbling_t", output_mode="complete"
+    )
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    batch = (
+        read_testdata(spark, SF_ORACLE, "events")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    assert _rows(out, ["window_start", "event_type", "n"]) == _rows(
+        batch, ["window_start", "event_type", "n"]
+    )
+
+
+def test_tumbling_append_emits_only_closed_windows(spark, events_stream_path):
+    """Append mode + watermark: only windows older than
+    (max event time - watermark) are flushed; the tail stays in state.
+    Every emitted row must match batch, and the held-back rows must all be
+    within the final watermark+window horizon."""
+    stream = SW.read_events_stream(spark, events_stream_path)
+    out = SW.run_to_completion(
+        SW.tumbling_counts(stream), "tumbling_append_t", output_mode="append"
+    )
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    events = read_testdata(spark, SF_ORACLE, "events")
+    batch = (
+        events.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    got = _rows(out, ["window_start", "event_type", "n"])
+    want = _rows(batch, ["window_start", "event_type", "n"])
+    assert set(got) <= set(want)
+    max_ts = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    horizon = max_ts - 3600 - 600  # watermark 1h + window width
+    held_back = [r for r in want if r not in set(got)]
+    assert all(r[0] >= horizon for r in held_back)
+    assert len(held_back) < len(want)  # most windows did flush
+
+
+def test_session_stream_matches_batch_sessionize(spark, events_stream_path):
+    from citydata_etl_spark.operators.aggregates import sessionize
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    stream = SW.read_events_stream(spark, events_stream_path)
+    out = SW.run_to_completion(
+        SW.session_counts(stream), "session_t", output_mode="complete"
+    )
+    events = read_testdata(spark, SF_ORACLE, "events")
+    batch = (
+        sessionize(
+            events.select("user_id", "ts", "event_id", "value"),
+            key="user_id", ts="ts", gap_seconds=300, order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # session row counts per user must agree between the two formulations
+    a = _rows(
+        out.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    b = _rows(
+        batch.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    assert a == b
+
+
+def test_incremental_pending_run(spark):
+    """T1/T2: AvailableNow over a control directory processes pending rows
+    once, then picks up only newly arrived files on rerun."""
+    import os
+
+    from citydata_etl_spark import schemas
+    from tests import fixtures
+
+    workdir = tempfile.mkdtemp(prefix="inc_")
+    ctl_dir = os.path.join(workdir, "control")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(ctl_dir)
+
+    ctl = fixtures.citydata_control(spark)
+    ctl.limit(40).toPandas().to_csv(
+        os.path.join(ctl_dir, "batch1.csv"), index=False
+    )
+
+    seen: list[int] = []
+
+    def process(df, epoch):
+        seen.append(df.count())
+
+    P.incremental_pending_run(
+        spark, ctl_dir, schemas.CITYDATA_CONTROL, process, ckpt
+    )
+    first_total = sum(seen)
+    assert first_total > 0
+
+    # second batch of rows arrives; rerun processes ONLY the new file
+    ctl.toPandas().iloc[40:60].to_csv(
+        os.path.join(ctl_dir, "batch2.csv"), index=False
+    )
+    seen.clear()
+    P.incremental_pending_run(
+        spark, ctl_dir, schemas.CITYDATA_CONTROL, process, ckpt
+    )
+    second_total = sum(seen)
+    assert 0 < second_total <= 20
+
+
+def test_retry_policy():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    P.with_retry(flaky, attempts=5, interval_seconds=0.01)
+    assert calls["n"] == 3
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    calls["n"] = 0
+    try:
+        P.with_retry(always_fails, attempts=2, interval_seconds=0.01)
+        raise AssertionError("should have raised")
+    except RuntimeError:
+        pass
