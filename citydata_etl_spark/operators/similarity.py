@@ -106,6 +106,64 @@ def brute_force_topk(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.35, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with rounded
+    cosine >= threshold — the dedup-by-embedding primitive (pair list feeds
+    a connected-components / min-id canonicalization downstream).
+
+    Physical strategy mirrors brute_force_topk: candidate matrix broadcast,
+    queries stream through mapInPandas, one BLAS matmul per Arrow batch;
+    the threshold filter runs inside the batch so only qualifying pairs are
+    ever materialized. Scale path: this exact kernel becomes the VERIFY
+    stage behind an LSH/IVF candidate generator (lsh_bucket_topk's bucket
+    join) — candidates shrink from O(n^2) to near-linear, the verify matmul
+    is unchanged.
+
+    Emits each pair once (id_a < id_b). The threshold compares the ROUNDED
+    similarity (floor(x*1e4+0.5) half-up, same as the SQL oracle), so the
+    boundary is engine-independent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cand = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in cand], dtype=np.int64)
+    M = np.array([r[1] for r in cand], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+    scale = 10.0 ** round_digits
+
+    def neardup_batches(batches):
+        c_ids, c_m, c_norms = bc.value
+        for pdf in batches:
+            q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ c_m.T) / (qn[:, None] * c_norms[None, :])
+            sims = np.floor(sims * scale + 0.5) / scale
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            # keep only the (id_a < id_b) half above threshold
+            keep = (sims >= threshold) & (qids[:, None] < c_ids[None, :])
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[qi],
+                    "id_b": c_ids[ci],
+                    "cos_sim": sims[qi, ci],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        neardup_batches,
+        schema="id_a BIGINT, id_b BIGINT, cos_sim DOUBLE",
+    )
+
+
 def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
     """Deterministic pseudo-random hyperplanes via an integer LCG:
     component (p, d) = ((a*(p*dim+d) + c) mod m)/m - 0.5, exact in double."""

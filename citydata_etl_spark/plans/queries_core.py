@@ -66,6 +66,121 @@ def s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_typed_csv_scan",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(CAST(floor((p_retailprice) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_retail,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+    doc="S2: typed CSV scan with dtype inference "
+    "(reference lambda/update-control.py:13-21, pandas read_csv): the part "
+    "table round-trips through headered CSV with inferSchema=True — the "
+    "inferred long/double types must survive, proven by typed aggregation "
+    "against the oracle on the original parquet.",
+)
+def s2_typed_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_testdata(spark, sf_dir, "part")
+    tmp = tempfile.mkdtemp(prefix="s2_csv_")
+    part.write.mode("overwrite").option("header", True).csv(tmp)
+    back = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(tmp)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        dec_sum("p_retailprice", "total_retail"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@register(
+    "s6_object_listing",
+    # The driver contract fixes the oracle scale at sf0.01, so the path is
+    # part of the oracle (DuckDB glob() is the listing analog).
+    oracle="""
+    SELECT regexp_replace(file, '^.*/', '') AS object_name
+    FROM glob('/root/testdata/sf0.01/*.parquet')
+    """,
+    doc="S6: object-listing scan (reference lambda/process-staging.py:21-26, "
+    "list_objects_v2): binaryFile-format read enumerates the objects under "
+    "a prefix; only `path` is selected, so column pruning skips the file "
+    "contents entirely — listing semantics without reading a byte of data.",
+)
+def s6_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    listing = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return listing.select(
+        F.element_at(F.split("path", "/"), -1).alias("object_name")
+    )
+
+
+@register(
+    "s9_staging_rekey",
+    oracle=r"""
+    WITH k AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0
+                  THEN 'manual/orders_' || o_orderkey || '.csv'
+                  ELSE 'web/sales/orders/'
+                       || CASE WHEN o_orderkey % 2 = 0
+                               THEN 'initial' ELSE 'cdc' END
+                       || '/' || o_orderkey || '.txt'
+             END AS key
+      FROM orders),
+    p AS (SELECT key, string_split(key, '/') AS parts FROM k),
+    d AS (SELECT key, parts, parts[1] = 'manual' AS is_manual,
+                 parts[len(parts)] AS name,
+                 regexp_replace(parts[len(parts)], '\.[^.]+$', '') AS stem
+          FROM p)
+    SELECT key,
+           CASE WHEN is_manual THEN 'manual' ELSE parts[1] END AS source,
+           CASE WHEN is_manual THEN stem ELSE parts[2] END AS schema_name,
+           CASE WHEN is_manual THEN stem ELSE parts[3] END AS table_name,
+           CASE WHEN is_manual THEN 'initial' ELSE parts[4] END AS load,
+           name AS object_name,
+           CAST(2026 AS INT) AS year, CAST(8 AS INT) AS month,
+           CAST(13 AS INT) AS day, CAST(14 AS INT) AS hour
+    FROM d
+    """,
+    doc="S9/F5/F10/F2: staging re-key — parse object keys into curated "
+    "partition columns, routing manual-vs-sourced shapes, plus processing-"
+    "time partition values (reference lambda/process-staging.py:32-44; "
+    "etl/staging.py:derive_curated_columns with injected clock). The write "
+    "side (partitioned parquet append) is exercised by s7_partitioned_sink "
+    "and tests/test_etl.py.",
+)
+def s9_staging_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.etl.staging import derive_curated_columns
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    keys = orders.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit("manual/orders_"), F.col("o_orderkey"), F.lit(".csv")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("web/sales/orders/"),
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("initial")).otherwise(
+                    F.lit("cdc")
+                ),
+                F.lit("/"),
+                F.col("o_orderkey"),
+                F.lit(".txt"),
+            )
+        )
+        .alias("key")
+    )
+    now = F.to_timestamp(F.lit("2026-08-13 14:30:00"))
+    return derive_curated_columns(keys, now=now).select(
+        "key", "source", "schema_name", "table_name", "load",
+        "object_name", "year", "month", "day", "hour",
+    )
+
+
+@register(
     "s3_json_scan",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

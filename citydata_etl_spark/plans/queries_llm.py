@@ -164,6 +164,29 @@ def d4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_embed_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+      FROM v a, v b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+    """,
+    doc="D4: embedding-cosine near-duplicate pairs (id_a < id_b, rounded "
+    "cos >= threshold) — the dedup-by-embedding primitive. Exact broadcast-"
+    "matmul verify kernel; at scale the same kernel runs behind an LSH/IVF "
+    "candidate generator (operators/similarity.py:cosine_neardup_pairs).",
+)
+def d4_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.35)
+
+
+@register(
     "d4_ann_lsh",
     oracle=None,  # approximate by construction; tests measure recall vs
     # brute force (tests/test_similarity.py).

@@ -116,3 +116,21 @@ def test_ann_lsh_recall_vs_brute(spark, clustered_vecs):
     }
     recall = len(brute & ann) / len(brute)
     assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"
+
+
+def test_cosine_neardup_pairs_cluster_structure(spark, clustered_vecs):
+    """High threshold pairs up exactly the planted clusters: every pair is
+    intra-cluster, each id_a < id_b appears once, and the pair set covers
+    (nearly) all intra-cluster pairs."""
+    out = S.cosine_neardup_pairs(clustered_vecs, threshold=0.95).collect()
+    labels = {r["vec_id"]: r["label"] for r in clustered_vecs.collect()}
+    assert out, "no near-dup pairs found at threshold 0.95"
+    seen = set()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+        assert r["cos_sim"] >= 0.95
+        assert labels[r["id_a"]] == labels[r["id_b"]], "cross-cluster pair"
+    # 10 clusters x C(10,2)=45 intra pairs; tight clusters -> near-full
+    assert len(seen) >= 0.9 * 10 * 45
