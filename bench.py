@@ -34,8 +34,12 @@ HEADLINE = [
     "t5_session_window",
     "f7_json_extract",
     "d4_exact_dedup",
+    "d4_minhash_lsh",
     "d4_token_stats",
     "d4_cosine_topk",
+    "d4_embed_neardup",
+    "t1_streaming_tumbling",
+    "s9_staging_rekey",
 ]
 
 

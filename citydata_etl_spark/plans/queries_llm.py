@@ -199,6 +199,87 @@ def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(emb, k=5)
 
 
+def _documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped as multimodal rows: content = utf-8 bytes of the
+    text (a deterministic stand-in for image/audio/video blobs), media_type
+    cycling by doc_id, synthesized dimensions/duration. The BINARY column +
+    typed metadata is the storage contract (operators/multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        (F.col("doc_id") % 1920 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 1080 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 10 * 1000 + 500).alias("duration_ms"),
+    )
+
+
+@register(
+    "d5_media_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    doc="D5 [north-star multimodal]: binary-column decode plumbing — opaque "
+    "blobs stream through Arrow-batched mapInPandas, emitting per-blob size, "
+    "content hash, and feature vectors (operators/multimodal.py:"
+    "decode_features; codec stubbed deterministically, call site marked). "
+    "The oracle checks the bytes/hash plumbing exactly; the feature vector "
+    "is dropped from the oracled projection (hash-derived stub values).",
+)
+def d5_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import decode_features
+
+    media = _documents_as_media(spark, sf_dir)
+    return decode_features(media).select(
+        "media_id", "media_type", "n_bytes", "content_sha"
+    )
+
+
+@register(
+    "d5_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id, doc_id % 10 * 1000 + 500 AS duration_ms
+      FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+    grid AS (
+      SELECT media_id,
+             unnest(range(0, greatest(CAST(duration_ms // 1000 AS BIGINT), 1)))
+               AS frame_idx
+      FROM v)
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 1000 AS INT) AS frame_ts_ms
+    FROM grid
+    """,
+    doc="D5 [north-star multimodal]: video frame-sampling fan-out — one row "
+    "per planned frame timestamp via explode(sequence(...)), the real "
+    "distributed shape of frame extraction; per-frame decode is the stubbed "
+    "step (operators/multimodal.py:frame_sample_plan).",
+)
+def d5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import frame_sample_plan
+
+    media = _documents_as_media(spark, sf_dir)
+    out = frame_sample_plan(media, every_ms=1000)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("int").alias("frame_ts_ms"),
+    )
+
+
 @register(
     "d4_token_stats",
     oracle="""

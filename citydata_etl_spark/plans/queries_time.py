@@ -76,6 +76,55 @@ def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "t1_streaming_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="T1/T5: the SAME tumbling aggregation as t5_tumbling_window executed "
+    "as a genuine Structured Streaming query — file-source readStream over "
+    "events, Trigger.AvailableNow (the incremental-batch analog of the "
+    "reference's scrape_interval cadence, config.json:7,13), complete-mode "
+    "memory sink. Hash-matching the batch oracle proves the streaming and "
+    "batch paths agree bit-for-bit. The watermarked append-mode variant "
+    "(bounded state for unbounded streams) runs in tests/test_streaming.py.",
+)
+def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    # defensive confs for the driver's plain session (nanos events schema)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"t1_streaming_tumbling_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 @register(
     "t5_session_window",
     oracle="""

@@ -59,6 +59,11 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in schemas.TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name}")
+    # Ship the package to executor Python workers — the driver's session may
+    # have found us via a bare sys.path insert (deploy.py rationale).
+    from citydata_etl_spark.deploy import ship_package
+
+    ship_package(spark)
     # Defensive session confs: the driver builds its own SparkSession, so
     # the engine cannot assume session.get_spark()'s settings. Both are
     # runtime-settable. nanosAsLong is required to scan events.parquet
