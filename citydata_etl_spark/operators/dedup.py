@@ -39,10 +39,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _spread_small_input(docs: DataFrame) -> DataFrame:
+    """Fan a 1-3-partition input out to the session's parallelism before a
+    per-doc expansion. A <128 MB file arrives as one scan partition, which
+    would serialize the whole explode/signature pipeline onto one core;
+    the round-robin shuffle is trivially cheap at that size. Inputs that
+    already have partitions (any real-scale dataset) pass through
+    untouched."""
+    if docs.rdd.getNumPartitions() >= 4:
+        return docs
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def tokens(docs: DataFrame, text_col: str = "text",
            id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """(id, token) pairs from whitespace tokenization."""
-    t = docs.select(
+    t = _spread_small_input(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
     return t.distinct() if distinct else t
@@ -61,14 +73,23 @@ def vocabulary(tok: DataFrame) -> DataFrame:
 
 def shingles(docs: DataFrame, n: int, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Each gram is built from O(n) get() lookups (constant-time on Spark's
+    array layout; null-safe past the end, unlike ANSI element_at) — NOT
+    slice(words, i, n) with a column start, which is O(len) per position
+    and turns the doc into an O(len^2) expression."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+
+    def gram(i):
+        # concat_ws skips the trailing NULLs a short doc produces — same
+        # output as array_join over a truncated slice
+        return F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
+
     return (
-        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        _spread_small_input(docs)
+        .select(F.col(id_col), F.explode(F.transform(idx, gram)).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -112,57 +133,112 @@ def ngram_jaccard_pairs(
     )
 
 
-def _hash_params(spark, num_hashes: int) -> DataFrame:
-    """num_hashes integer LCG hash functions h_i(x) = (a_i*x + b_i) mod P."""
-    rows = [
+def _hash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """num_hashes integer LCG hash functions h_i(x) = (a_i*x + b_i) mod P
+    — driver-side constants folded into the plan as literals."""
+    return [
         (i, (i * 2654435761 + 1) % HASH_PRIME, (i * 40503 + 7) % HASH_PRIME)
         for i in range(num_hashes)
     ]
-    return spark.createDataFrame(rows, "i INT, a BIGINT, b BIGINT")
+
+
+def _doc_token_ids(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """(id, tids ARRAY<BIGINT>): distinct dense token/shingle ids per doc —
+    ONE groupBy shuffle; every signature below derives from the array with
+    codegen expressions, no further shuffles over exploded rows.
+
+    shingle_n > 1 hashes word n-grams instead of unigrams — essential when
+    the unigram vocabulary is small relative to the corpus (every doc then
+    contains nearly every token and all unigram set-signatures collide).
+    """
+    if shingle_n > 1:
+        tok = shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
+            "shingle", "token"
+        )
+    else:
+        tok = tokens(docs, text_col, id_col)
+    vocab = vocabulary(tok)
+    tt = tok.join(F.broadcast(vocab), "token").select(id_col, "tid")
+    return tt.groupBy(id_col).agg(
+        F.collect_list(F.col("tid").cast("bigint")).alias("tids")
+    )
+
+
+def minhash_signature_arrays(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sigs ARRAY<BIGINT>): sigs[i] = min over shingle ids of
+    (a_i*tid + b_i) mod P.
+
+    All num_hashes minima are computed from the per-doc tid array inside
+    whole-stage codegen — the naive alternative (explode tokens x hash
+    functions, then groupBy) pushes num_hashes x corpus-token rows through
+    a shuffle; this shape pushes the tokens through once. a_i*tid < 2^62
+    for any realistic vocabulary, so BIGINT arithmetic never overflows.
+    """
+    ta = _doc_token_ids(docs, text_col, id_col, shingle_n)
+
+    def lcg(a: int, b: int):
+        # closure factory: the HOF lambda must be unary — extra default
+        # args would change the arity PySpark's lambda builder sees
+        return lambda t: (t * F.lit(a) + F.lit(b)) % HASH_PRIME
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform("tids", lcg(a, b)))
+            for _i, a, b in _hash_params(num_hashes)
+        ]
+    )
+    return ta.select(F.col(id_col), sigs.alias("sigs"))
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16,
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures over token ids: (id, i, h) with
-    h = min over tokens of (a_i*tid + b_i) mod P."""
-    spark = docs.sparkSession
-    tok = tokens(docs, text_col, id_col)
-    vocab = vocabulary(tok)
-    tt = tok.join(F.broadcast(vocab), "token").select(id_col, "tid")
-    hp = _hash_params(spark, num_hashes)
-    return (
-        tt.crossJoin(F.broadcast(hp))
-        .groupBy(id_col, "i")
-        .agg(F.min((F.col("a") * F.col("tid") + F.col("b")) % HASH_PRIME).alias("h"))
+    """MinHash signatures in long form (id, i, h) — posexplode of the
+    array-form signatures (kept for tests/oracle symmetry)."""
+    arr = minhash_signature_arrays(docs, num_hashes, shingle_n, text_col, id_col)
+    return arr.select(
+        F.col(id_col), F.posexplode("sigs").alias("i", "h")
     )
 
 
 def minhash_lsh_pairs(
     docs: DataFrame, num_hashes: int = 16, band_size: int = 4,
-    text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 2, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidate pairs: docs whose minhash signatures agree on every row
     of at least one band. Output: (doc_a, doc_b), doc_a < doc_b.
 
-    Scale shape: groupBy band-signature then join — cost follows bucket
-    collisions, not corpus^2. Skewed buckets (boilerplate text) are the
-    known hazard; AQE skew-join or a bucket-size cap handles them.
+    Plan shape: per-doc signature array -> band slices (codegen, no
+    shuffle) -> explode to (id, band, sig) -> self-join on (band, sig).
+    Cost follows bucket collisions, not corpus^2. Skewed buckets
+    (boilerplate text) are the known hazard; AQE skew-join or a
+    bucket-size cap handles them.
     """
-    mh = minhash_signatures(docs, num_hashes, text_col, id_col)
-    sig = (
-        mh.withColumn("band", F.expr(f"i div {band_size}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "h"))),
-                    lambda x: x["h"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
-        )
+    arr = minhash_signature_arrays(docs, num_hashes, shingle_n, text_col, id_col)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sigs", bi * band_size + 1, band_size),
+                        lambda h: h.cast("string"),
+                    ),
+                    ",",
+                ).alias("sig"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    sig = arr.select(F.col(id_col), F.explode(bands).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
@@ -182,31 +258,33 @@ def simhash_fingerprints(
     set iff sum over tokens of (2*bit_j(h(tid)) - 1) > 0.
 
     Integer-only → oracle-reproducible. Output: (id, fingerprint BIGINT).
+
+    Plan shape: per-doc tid array (one shuffle), then all `bits` bit-votes
+    fold over the array inside whole-stage codegen — the naive alternative
+    (explode tokens x bits, two groupBy passes) pushes bits x corpus-token
+    rows through a shuffle.
     """
-    tok = tokens(docs, text_col, id_col)
-    vocab = vocabulary(tok)
-    tt = tok.join(F.broadcast(vocab), "token").select(id_col, "tid")
-    h = (F.col("tid") * 2654435761 + 104729) % HASH_PRIME
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    per_bit = tt.select(F.col(id_col), h.alias("h")).select(
-        id_col, "h", bit_idx
-    ).select(
-        id_col,
-        "j",
-        # shiftright with a column bit-count needs the SQL form (the Python
-        # wrapper only takes int literals)
-        (F.expr("shiftright(h, CAST(j AS INT))").bitwiseAND(1) * 2 - 1
-         ).alias("s"),
+    ta = _doc_token_ids(docs, text_col, id_col)
+    h_arr = F.transform(
+        "tids", lambda t: (t * F.lit(2654435761) + F.lit(104729)) % HASH_PRIME
     )
-    votes = per_bit.groupBy(id_col, "j").agg(F.sum("s").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("fingerprint")
-    )
+    with_h = ta.select(F.col(id_col), h_arr.alias("hs"))
+    # vote_j = sum over tokens of (2*bit_j - 1); bit j of the fingerprint is
+    # set iff the vote is positive
+    def bit_vote(j: int):
+        # closure factory: the merge lambda must be binary (see lcg above)
+        return lambda acc, x: acc + (
+            F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    fingerprint = None
+    for j in range(bits):
+        vote = F.aggregate("hs", F.lit(0).cast("bigint"), bit_vote(j))
+        term = F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return with_h.select(F.col(id_col), fingerprint.alias("fingerprint"))
 
 
 def simhash_pairs(

@@ -100,10 +100,22 @@ def brute_force_topk(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), len(ids)).mapInPandas(
         topk_batches,
         schema="query_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE, rnk INT",
     )
+
+
+def _spread(queries: DataFrame, n_rows: int, rows_per_task: int = 256) -> DataFrame:
+    """Repartition the query side so the per-batch matmuls run on many
+    cores — a single-file parquet scan otherwise serializes the whole
+    kernel into one task. Cheap round-robin shuffle of (id, vector) rows;
+    at cluster scale the query side arrives already partitioned and this
+    is a no-op."""
+    target = max(1, min(16, n_rows // rows_per_task))
+    if queries.rdd.getNumPartitions() >= target:
+        return queries
+    return queries.repartition(target)
 
 
 def cosine_neardup_pairs(
@@ -158,7 +170,7 @@ def cosine_neardup_pairs(
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return _spread(emb.select(id_col, vec_col), len(ids)).mapInPandas(
         neardup_batches,
         schema="id_a BIGINT, id_b BIGINT, cos_sim DOUBLE",
     )

@@ -78,8 +78,23 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d4_minhash_lsh",
-    oracle=f"""
-    WITH {_TOK},
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    vocab AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)),
+    tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle)),
     hp AS (
       SELECT CAST(i AS INT) AS i,
              CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
@@ -97,14 +112,17 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
     """,
     doc="D4: MinHash-LSH near-dup candidates — 16 integer-LCG minhashes "
-    "over dense-ranked token ids, 4 bands x 4 rows, bucket join. "
-    "Integer-exact, so the DuckDB oracle reproduces it bit-for-bit "
-    "(operators/dedup.py:minhash_lsh_pairs; at 100 TB swap dense-rank for "
-    "xxhash64 — same topology, no global sort).",
+    "over dense-ranked BIGRAM-shingle ids, 4 bands x 4 rows, bucket join. "
+    "Shingles (not unigram token sets) are what make the signatures "
+    "discriminative: this corpus has a ~31-word vocabulary, so every doc "
+    "contains nearly every token and unigram-set MinHash degenerates to "
+    "all-pairs. Integer-exact, so the DuckDB oracle reproduces it "
+    "bit-for-bit (operators/dedup.py:minhash_lsh_pairs; at 100 TB swap "
+    "dense-rank for xxhash64 — same topology, no global sort).",
 )
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4)
+    return D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, shingle_n=2)
 
 
 @register(
