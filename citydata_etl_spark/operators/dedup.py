@@ -307,3 +307,56 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_groups(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pair edges: (doc_id, group_id)
+    with group_id = the minimum doc id reachable through the pair graph —
+    the canonical-representative assignment that turns pair lists (LSH,
+    Jaccard, embedding near-dup) into actual dedup decisions.
+
+    Distributed min-label propagation: each round, every node takes the
+    min of its label and its neighbors' labels — one join + one groupBy
+    per round, O(graph diameter) rounds (near-dup clusters are shallow).
+    Convergence is detected by the (monotonically decreasing) label sum.
+    localCheckpoint truncates the iterative lineage so plans stay flat.
+    At extreme scale, swap for the large-star/small-star formulation
+    (Kiveris et al.) — same per-round primitives, fewer rounds.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(prop, labels.id == prop.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("group_id")
+    )

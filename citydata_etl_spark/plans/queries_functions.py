@@ -19,6 +19,36 @@ from citydata_etl_spark.sources.readers import read_testdata
 
 
 @register(
+    "f8_html_extract",
+    oracle="""
+    SELECT doc_id, text AS content
+    FROM documents
+    """,
+    doc="F8/D3: HTML element extraction by id (reference "
+    "lambda/collect-data.py:83-89, BeautifulSoup find(id=...)): documents "
+    "are wrapped in a synthetic page (title/content/footer divs) and the "
+    "content element's text is recovered through the Arrow-batched "
+    "HTMLParser pandas_udf (functions/html.py:extract_text_by_id) — the "
+    "oracle is the original text, proving the round-trip is lossless.",
+)
+def f8_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.html import extract_text_by_id
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><body><h1 id="title">Doc '),
+        F.col("doc_id"),
+        F.lit('</h1><div id="content">'),
+        F.col("text"),
+        F.lit('</div><footer id="foot">f</footer></body></html>'),
+    )
+    return docs.select(
+        "doc_id",
+        extract_text_by_id(page, "content").alias("content"),
+    )
+
+
+@register(
     "f1_f3_dual_ts_roundtrip",
     oracle="""
     SELECT o_orderkey,

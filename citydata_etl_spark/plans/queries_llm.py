@@ -217,6 +217,63 @@ def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(emb, k=5)
 
 
+@register(
+    "d4_dedup_groups",
+    oracle="""
+    WITH RECURSIVE tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    vocab AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)),
+    tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle)),
+    hp AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
+             CAST((i * 40503 + 7) % 2147483647 AS BIGINT) AS b
+      FROM (SELECT unnest(range(16)) AS i)),
+    mh AS (
+      SELECT doc_id, i, min((a * tid + b) % 2147483647) AS h
+      FROM tt CROSS JOIN hp GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS s
+      FROM mh GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+    SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+    """,
+    doc="D4: dedup GROUPS — connected components over the MinHash-LSH pair "
+    "graph via distributed min-label propagation (the step that turns pair "
+    "lists into keep/drop decisions; operators/dedup.py:dedup_groups). "
+    "Oracle: recursive CTE computing min reachable id. Iterative and "
+    "driver-coordinated, but every round is one join + one groupBy; at "
+    "extreme scale swap for large-star/small-star.",
+)
+def d4_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, shingle_n=2)
+    return D.dedup_groups(pairs)
+
+
 def _documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents re-shaped as multimodal rows: content = utf-8 bytes of the
     text (a deterministic stand-in for image/audio/video blobs), media_type

@@ -134,3 +134,18 @@ def test_cosine_neardup_pairs_cluster_structure(spark, clustered_vecs):
         assert labels[r["id_a"]] == labels[r["id_b"]], "cross-cluster pair"
     # 10 clusters x C(10,2)=45 intra pairs; tight clusters -> near-full
     assert len(seen) >= 0.9 * 10 * 45
+
+
+def test_dedup_groups_components(spark):
+    """Label propagation finds exact components: two chains and a triangle,
+    each labeled by its minimum id; a long chain needs several rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12),                   # chain 10-12
+         (20, 21), (21, 22), (20, 22)],        # triangle
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in D.dedup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 22: 20}

@@ -160,3 +160,27 @@ def test_partitioned_raw_sink_roundtrip(spark):
     assert back.count() == raw.count()
     # partition pruning columns survive
     assert {"data_source", "source_name", "state"} <= set(back.columns)
+
+
+def test_html_extract_by_id(spark):
+    from citydata_etl_spark.functions.html import extract_text_by_id
+
+    df = spark.createDataFrame(
+        [
+            (1, '<div id="x">hello <b>world</b></div>'),
+            (2, '<div id="y">nope</div>'),
+            (3, '<div id="x">outer <span id="x">inner</span></div>'),
+            (4, None),
+        ],
+        "id LONG, html STRING",
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", extract_text_by_id("html", "x").alias("t")
+        ).collect()
+    }
+    assert got[1] == "hello world"          # tags stripped, text joined
+    assert got[2] is None                   # id absent
+    assert got[3] == "outer inner"          # first match wins, nested kept
+    assert got[4] is None                   # null payload
