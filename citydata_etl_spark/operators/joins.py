@@ -119,3 +119,32 @@ def asof_join(
         *[F.col(f"__rv_{c}").alias(f"right_{c}") for c in right_cols],
     )
     return out
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the skewed (probe) side gets a random salt
+    in [0, n_salts); the other (build) side is replicated n_salts times; the
+    join key becomes (key, salt), splitting each hot key's rows across
+    n_salts shuffle partitions instead of one straggler task.
+
+    This is the manual fallback for skew AQE cannot fix (e.g. when the
+    build side is too large to split, or a deterministic plan is required).
+    Replication multiplies the build side by n_salts — use when
+    |other| * n_salts << |skewed-hot-key rows|. Salt is derived from a
+    per-row hash (stable within the task, no RNG state), and both salt
+    columns are dropped from the output.
+    """
+    salt_l = (F.abs(F.xxhash64(*skewed.columns)) % n_salts).alias("__salt")
+    left = skewed.withColumn("__salt", salt_l)
+    right = other.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
+    )
+    out = left.join(right, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -242,3 +242,94 @@ def lsh_bucket_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    n_iter: int = 5, train_sample: int = 4096, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_digits: int = 4,
+) -> DataFrame:
+    """ANN cosine top-k via an IVF (inverted-file) coarse quantizer.
+
+    Topology (the scale path for billion-vector corpora):
+      1. TRAIN: k-means on a bounded driver-side sample (first train_sample
+         ids — deterministic); the centroid matrix is a tiny broadcast
+         model, exactly like any coarse quantizer.
+      2. ASSIGN: one mapInPandas pass tags every vector with its nearest
+         centroid (cluster = inverted list id). At scale this is the
+         partition key: lists are written `partitionBy(cluster)`.
+      3. PROBE: each query expands to its n_probe nearest centroids
+         (explode), then a JVM equi-join on cluster pulls ONLY the probed
+         lists — the scan is pruned to n_probe/n_centroids of the corpus.
+      4. RERANK: exact cosine inside the probed candidates (zip_with/
+         aggregate builtins), window top-k with a total-order tie-break.
+
+    Recall < 1 by construction (cross-cluster neighbors are missed when
+    not probed); tests measure recall against brute force.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    sample = (
+        emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    bc = spark.sparkContext.broadcast(C)
+
+    def tag(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            sims = Qn @ cm.T
+            order = np.argsort(-sims, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = order[:, 0]
+            out["probes"] = [row[:n_probe].tolist() for row in order]
+            yield out
+
+    tagged = _spread(emb.select(id_col, vec_col), emb.count()).mapInPandas(
+        tag,
+        schema=f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, "
+        "cluster INT, probes ARRAY<INT>",
+    )
+    base = with_norm2(tagged, vec_col)
+    q = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("norm2").alias("qn"), F.explode("probes").alias("cluster"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("norm2").alias("cn"), "cluster",
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    pairs = (
+        q.join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+        )
+        # a candidate reachable through several probed clusters appears
+        # once per cluster — dedupe BEFORE ranking or rnk counts ghosts
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -103,3 +103,28 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
         lambda acc, t: (acc * 31 + t) % FINGERPRINT_MOD,
     )
     return seq.select(id_col, fp.alias("fingerprint"))
+
+
+#: BPE-ish pre-tokenization: letter chunks (max 3, the "merge window"),
+#: digit runs, or any single non-letter non-space symbol — a pure-ASCII
+#: regex whose semantics agree between Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[a-zA-Z]{1,3}|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Subword ("BPE-ish") token counting via one regexp_extract_all pass —
+    whitespace tokens from token_stats measure documents, subword tokens
+    approximate LLM token budgets. Output: (id, n_subwords, n_words,
+    subword_ratio). All codegen, no Python.
+    """
+    subs = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return docs.select(
+        F.col(id_col),
+        F.size(subs).alias("n_subwords"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.size(subs).cast("double") / F.size(words), 6
+        ).alias("subword_ratio"),
+    )

@@ -356,6 +356,21 @@ def d5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_ivf",
+    oracle=None,  # approximate by construction (probe-limited scan); tests
+    # measure recall vs brute force.
+    doc="D4: ANN cosine top-k via an IVF coarse quantizer — k-means "
+    "centroids trained on a bounded driver sample (broadcast model), "
+    "one-pass cluster assignment, n_probe-pruned candidate join, exact "
+    "JVM rerank. The inverted-list partition key is the billion-vector "
+    "scale path (operators/similarity.py:ivf_topk).",
+)
+def d4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=5)
+
+
+@register(
     "d4_token_stats",
     oracle="""
     SELECT doc_id,
@@ -375,6 +390,29 @@ def d5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]{1,3}|[0-9]+|[^a-zA-Z0-9 ]'))
+             AS n_subwords,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_words,
+           round(CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z]{1,3}|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')), 6)
+             AS subword_ratio
+    FROM documents
+    """,
+    doc="D4: BPE-ish subword token counting — one regexp_extract_all pass "
+    "(letter chunks / digit runs / symbols), approximating LLM token "
+    "budgets next to the whitespace counts (operators/text.py:"
+    "bpe_token_count). Pure-ASCII pattern so Java regex and RE2 agree.",
+)
+def d4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_token_count(read_testdata(spark, sf_dir, "documents"))
 
 
 @register(

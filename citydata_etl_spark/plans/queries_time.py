@@ -126,6 +126,48 @@ def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t2_streaming_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text, sha256(text) AS content_sha
+    FROM documents GROUP BY text
+    """,
+    doc="T2/D4: custom STATEFUL streaming operator — exact dedup over a "
+    "document stream via applyInPandasWithState (per-shard seen-hash "
+    "state, first occurrence passes; streaming/stateful.py:"
+    "streaming_exact_dedup). On the bounded single-file stream the result "
+    "equals batch min-id-per-text, which the oracle checks exactly; the "
+    "cross-micro-batch state path is exercised in tests/test_streaming.py.",
+)
+def t2_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from citydata_etl_spark.streaming.stateful import streaming_exact_dedup
+
+    # defensive confs + package shipping for the driver's plain session
+    from citydata_etl_spark.sources.readers import read_testdata as _rt
+
+    _rt(spark, sf_dir, "documents")  # side effects only (confs, ship)
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(d, "part-0.parquet"),
+    )
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(d)
+    out = streaming_exact_dedup(stream)
+    name = f"t2_streaming_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
     "t5_session_window",
     oracle="""
     WITH ordered AS (

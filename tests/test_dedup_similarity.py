@@ -149,3 +149,46 @@ def test_dedup_groups_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: a skewed fact (one hot key)
+    joined to a dim gives identical results salted and unsalted."""
+    from citydata_etl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 12)],
+        "k LONG, v LONG",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 12)], "k LONG, name STRING"
+    )
+    plain = {(r["k"], r["v"], r["name"])
+             for r in fact.join(dim, "k").collect()}
+    salted = {(r["k"], r["v"], r["name"])
+              for r in salted_join(fact, dim, "k", n_salts=8).collect()}
+    assert salted == plain and len(plain) == 510
+
+
+def test_ivf_recall_vs_brute(spark, clustered_vecs):
+    """IVF with enough probes recovers most true neighbors on clustered
+    data; with all clusters probed it is exact."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            clustered_vecs, k=3, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            clustered_vecs, k=3, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert full == brute, "probing every cluster must be exact"

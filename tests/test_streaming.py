@@ -174,3 +174,45 @@ def test_retry_policy():
         raise AssertionError("should have raised")
     except RuntimeError:
         pass
+
+
+def test_streaming_exact_dedup_stateful(spark):
+    """applyInPandasWithState dedup: duplicates across micro-batches are
+    suppressed by state; each distinct text is emitted exactly once with
+    the batch-1 min-id winning for batch-1 texts."""
+    import os
+
+    from citydata_etl_spark.streaming.stateful import streaming_exact_dedup
+
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+    spark.createDataFrame(
+        [(4, "alpha beta"), (5, "delta"), (6, "gamma")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*", ""))
+    )
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stateful_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT doc_id, text FROM dedup_stateful_t"
+    ).collect()
+    got = {r["text"]: r["doc_id"] for r in rows}
+    assert len(rows) == len(got) == 3          # one row per distinct text
+    assert got["alpha beta"] == 1              # min-id within first batch
+    assert got["gamma"] == 2
+    assert got["delta"] == 5
