@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the scale properties README.md promises
+must be visible in the optimized plans — pushed filters, pruned scans,
+broadcast dims, TakeOrderedAndProject top-k. A refactor that silently turns
+a broadcast into a shuffle or drops pushdown fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from citydata_etl_spark.plans.catalog import load_all
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = load_all()[name].spark_fn(spark, SF_ORACLE)
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_a1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "a1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruned to the six columns the query needs + filter column
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_comment" not in read
+
+
+def test_j1_broadcasts_dims(spark):
+    plan = _plan(spark, "j1_broadcast_lookup")
+    assert plan.count("BroadcastHashJoin") >= 2   # nation and region builds
+    assert "SortMergeJoin" not in plan
+
+
+def test_j2_semi_join_stays_semi(spark):
+    plan = _plan(spark, "j2_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_a6_topk_is_take_ordered(spark):
+    plan = _plan(spark, "a6_global_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_p1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "p1_pending_filter")
+    assert "PushedFilters" in plan and "IsNotNull(o_orderkey)" in plan
+
+
+def test_events_scan_prunes_props(spark):
+    # t5 windows never read the wide props JSON column
+    plan = _plan(spark, "t5_tumbling_window")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): engine operators vs pure-Python
+reference implementations on randomized inputs. Few examples, small data —
+each example is a Spark job — but randomized structure catches boundary
+semantics (gap edges, tie-breaks, short docs) that fixtures miss.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from citydata_etl_spark.operators.aggregates import sessionize
+from citydata_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),       # user_id
+            st.integers(min_value=0, max_value=3600),    # ts offset sec
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_matches_reference(spark, rows):
+    events = [
+        (uid, i, float(ts))  # (user_id, event_id, epoch seconds)
+        for i, (uid, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(u, e, __import__("datetime").datetime.utcfromtimestamp(t))
+         for u, e, t in events],
+        "user_id LONG, event_id LONG, ts TIMESTAMP",
+    )
+    out = sessionize(df, key="user_id", ts="ts", gap_seconds=300,
+                     order_tiebreak="event_id")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in out.collect()
+    }
+    # reference: sort per user by (ts, event_id); new session when the gap
+    # from the previous event exceeds 300 s
+    want = {}
+    by_user = itertools.groupby(
+        sorted(events, key=lambda x: (x[0], x[2], x[1])), key=lambda x: x[0]
+    )
+    for uid, evs in by_user:
+        sid, prev = -1, None
+        for _u, eid, ts in evs:
+            if prev is None or ts - prev > 300:
+                sid += 1
+            want[(uid, eid)] = sid
+            prev = ts
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_reference(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+
+    def grams(toks):
+        if len(toks) == 1:
+            return {toks[0]}
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        ga, gb = grams(ta.split(" ")), grams(tb.split(" "))
+        inter = len(ga & gb)
+        if inter == 0:
+            assert (ia, ib) not in out  # inverted index emits no pair
+        else:
+            want = round(inter / len(ga | gb), 6)
+            assert abs(out[(ia, ib)] - want) < 1e-9
