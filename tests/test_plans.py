@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from citydata_etl_spark.plans.catalog import load_all
 from tests.conftest import SF_ORACLE
 
@@ -55,3 +57,40 @@ def test_events_scan_prunes_props(spark):
     plan = _plan(spark, "t5_tumbling_window")
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "props" not in read
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing is the co-located-join tool at scale: two tables bucketed
+    8-ways on the join key must sort-merge WITHOUT an Exchange on either
+    side (the shuffle happened once, at write time)."""
+    import uuid
+
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    sfx = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"b_orders_{sfx}", f"b_cust_{sfx}"
+    orders = read_testdata(spark, SF_ORACLE, "orders")
+    customer = read_testdata(spark, SF_ORACLE, "customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable(t_orders))
+        (customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable(t_cust))
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        jdf = joined._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not reshuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
