@@ -53,16 +53,28 @@ def main() -> None:
     spark = get_spark(app_name="citydata-bench")
     catalog = load_all()
 
-    # Warm up the JVM + parquet footers with a trivial action so the first
-    # timed query doesn't pay session startup.
+    # Warm up the JVM (codegen, shuffle machinery, Python worker pool +
+    # numpy import) so the first timed query doesn't pay session startup.
+    from pyspark.sql import functions as _F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(10000).groupBy((_F.col("id") % 7).alias("k")).count().count()
+    spark.range(256).select(_F.col("id")).mapInPandas(
+        lambda it: (pdf.assign(id=__import__("numpy").asarray(pdf["id"]))
+                    for pdf in it),
+        schema="id LONG",
+    ).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = catalog[name].spark_fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # keep the JSON line intact on any failure
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -73,6 +85,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -98,37 +98,109 @@ def shingles(docs: DataFrame, n: int, text_col: str = "text",
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above a threshold.
-
-    Inverted-index join: docs sharing at least one shingle are candidates
-    (|intersection| from the join's group count, |union| = |A|+|B|-|I|).
-    Never materializes the full cross product — only pairs that share a
-    shingle, which is the standard exact-Jaccard plan at scale.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    prefix_filter=True (default) is the LOSSLESS scale plan — prefix
+    filtering (Chaudhuri/Bayardo, the AllPairs/PPJoin family):
+      1. rank shingles globally by ascending frequency (rarest first);
+      2. each doc's PREFIX is its first |d| - ceil(t*|d|) + 1 shingles in
+         that order — two docs with Jaccard >= t MUST share a prefix
+         shingle (pigeonhole on the overlap bound), so candidate pairs
+         come from an inverted index over prefixes only, where frequent
+         shingles never appear;
+      3. verify candidates exactly with one array_intersect per pair over
+         the persisted per-doc sorted shingle-id arrays.
+    On a boilerplate-heavy corpus (hot shingles shared by thousands of
+    docs) this collapses the candidate join from sum(freq^2) rows to
+    nearly-linear, without losing a single pair.
+
+    prefix_filter=False keeps the naive full inverted-index join —
+    quadratic in per-shingle frequency; used in tests to cross-check the
+    filtered plan's exactness.
     """
-    sh = shingles(docs, n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    sh = shingles(docs, n, text_col, id_col).persist()
+    if not prefix_filter:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("i"))
+        )
+        sz_a = sizes.select(
+            F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")
+        )
+        sz_b = sizes.select(
+            F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")
+        )
+        jac = (
+            inter.join(sz_a, "doc_a")
+            .join(sz_b, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.col("i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i")),
+            )
+        )
+        return jac.filter(F.col("jaccard") >= threshold).select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    # --- prefix-filtered plan ---
+    # global rarity rank (window over the DISTINCT shingle vocabulary —
+    # bounded; ties broken by shingle for determinism)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    ranked = freq.withColumn(
+        "rid", F.row_number().over(W.orderBy("freq", "shingle"))
+    ).select("shingle", "rid")
+    shr = sh.join(F.broadcast(ranked), "shingle").select(id_col, "rid")
+    # per-doc sorted shingle-id array, reused by prefix AND verify stages
+    arr = (
+        shr.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("rid")).alias("rids"))
+        .withColumn("sz", F.size("rids"))
+        .persist()
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    pref = arr.select(
+        F.col(id_col),
+        F.explode(F.slice("rids", 1, prefix_len.cast("int"))).alias("rid"),
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("doc_a"), "rid")
+        .join(pref.select(F.col(id_col).alias("doc_b"), "rid"), "rid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a_side = arr.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("rids").alias("rids_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b_side = arr.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("rids").alias("rids_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    ver = (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn(
+            "i", F.size(F.array_intersect("rids_a", "rids_b"))
+        )
         .withColumn(
             "jaccard",
             F.col("i").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("i")),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
+    return ver.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -240,6 +312,9 @@ def minhash_lsh_pairs(
     sig = arr.select(F.col(id_col), F.explode(bands).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    # the band table feeds BOTH sides of the self-join: without persist the
+    # whole tokenize->vocab->signature pipeline executes twice
+    sig = sig.persist()
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -297,7 +372,7 @@ def simhash_pairs(
     scale, block on fingerprint prefixes first (pigeonhole: some 8-bit
     chunk must match exactly when hamming <= 3 over 4 chunks).
     """
-    fp = simhash_fingerprints(docs, text_col=text_col, id_col=id_col)
+    fp = simhash_fingerprints(docs, text_col=text_col, id_col=id_col).persist()
     a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
     b = fp.select(F.col(id_col).alias("doc_b"), F.col("fingerprint").alias("fb"))
     return (

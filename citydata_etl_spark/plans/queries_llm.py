@@ -68,8 +68,12 @@ def d4_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
     """,
-    doc="D4: exact bigram-Jaccard near-dup pairs via inverted-index join "
-    "(shared-shingle candidates only — never the full cross product).",
+    doc="D4: exact bigram-Jaccard near-dup pairs via PREFIX-FILTERED "
+    "set-similarity join (AllPairs/PPJoin family): candidates must share "
+    "one of their |d|-ceil(t*|d|)+1 globally-rarest shingles, then exact "
+    "array_intersect verify — lossless pruning, proven equal to the naive "
+    "inverted-index join by a hypothesis property test "
+    "(operators/dedup.py:ngram_jaccard_pairs).",
 )
 def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")

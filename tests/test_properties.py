@@ -97,3 +97,36 @@ def test_ngram_jaccard_matches_reference(spark, docs):
         else:
             want = round(inter / len(ga | gb), 6)
             assert abs(out[(ia, ib)] - want) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filter_is_lossless(spark, docs, threshold):
+    """The prefix-filtered Jaccard join must return EXACTLY the naive
+    inverted-index join's pairs — filtering is pruning, never loss."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=threshold, prefix_filter=True
+        ).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=threshold, prefix_filter=False
+        ).collect()
+    }
+    assert fast == naive
