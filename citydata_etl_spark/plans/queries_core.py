@@ -181,6 +181,54 @@ def s9_staging_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_collect_run",
+    oracle=f"""
+    WITH c AS (SELECT o_orderkey AS id, {_STATUS_SQL} AS status FROM orders)
+    SELECT id,
+           CASE WHEN (status IS NULL OR status = '')
+                THEN CASE WHEN id % 7 = 0 THEN 'error' ELSE 'completed' END
+                ELSE status END AS status
+    FROM c
+    """,
+    doc="§3.1 end-to-end: the whole collect-data lifecycle as ONE pipeline "
+    "— pending filter (P1) -> projection (P2) -> per-partition fetch UDF "
+    "(D1, one transport per partition vs the reference's browser per row) "
+    "-> status routing (U3) -> batched control update (U1, one columnar "
+    "pass vs the reference's full-file rewrite per row; etl/collect.py:"
+    "collect_run). Deterministic injected transport (fails on id%7==0); "
+    "the oracle replays the state machine in SQL.",
+)
+def e2e_collect_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.etl.collect import collect_run
+
+    control = (
+        _orders_with_status(spark, sf_dir)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderpriority").alias("state"),
+            F.col("o_custkey").cast("string").alias("city"),
+            "status",
+            F.lit(None).cast("string").alias("date_completed"),
+            F.concat(
+                F.lit("https://example.test/city/"), F.col("o_orderkey")
+            ).alias("url"),
+        )
+    )
+
+    def fake_transport_factory():
+        def fetch(url: str):
+            key = int(url.rsplit("/", 1)[1])
+            return None if key % 7 == 0 else f"payload:{key}"
+
+        return fetch
+
+    _raw, updated = collect_run(
+        control, fake_transport_factory, "scraper", "citydata"
+    )
+    return updated.select("id", "status")
+
+
+@register(
     "s3_json_scan",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
