@@ -292,3 +292,147 @@ def a4_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("price_rank"),
         F.dense_rank().over(w).alias("price_dense_rank"),
     )
+
+
+@register(
+    "a8_city_score",
+    oracle="""
+    WITH cust_m AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust,
+             CAST(sum(CAST(floor((c_acctbal) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               / count(*) AS avg_bal
+      FROM customer GROUP BY c_nationkey),
+    ord_m AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(floor((o.o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    joined AS (
+      SELECT n.n_name AS nation, cm.avg_bal, om.revenue, om.n_orders
+      FROM nation n
+      JOIN cust_m cm ON cm.nk = n.n_nationkey
+      JOIN ord_m om ON om.nk = n.n_nationkey),
+    normed AS (
+      SELECT nation, revenue, n_orders, avg_bal,
+        (revenue - min(revenue) OVER ())
+          / (max(revenue) OVER () - min(revenue) OVER ()) AS nr,
+        (CAST(n_orders AS DOUBLE) - min(CAST(n_orders AS DOUBLE)) OVER ())
+          / (max(CAST(n_orders AS DOUBLE)) OVER ()
+             - min(CAST(n_orders AS DOUBLE)) OVER ()) AS no_,
+        (avg_bal - min(avg_bal) OVER ())
+          / (max(avg_bal) OVER () - min(avg_bal) OVER ()) AS nb
+      FROM joined)
+    SELECT nation, revenue, n_orders,
+           round(avg_bal, 2) AS avg_bal,
+           round(0.5 * nr + 0.3 * no_ + 0.2 * nb, 6) AS score,
+           CAST(row_number() OVER (
+             ORDER BY round(0.5 * nr + 0.3 * no_ + 0.2 * nb, 6) DESC, nation
+           ) AS BIGINT) AS rnk
+    FROM normed
+    """,
+    doc="A8 [implied by reference README.md:6 'score each city']: the "
+    "scoring/analytics layer the reference promises but never built — "
+    "per-entity metrics from two fact aggregations (never joined "
+    "row-level, so no fan-out double counting), min-max normalization via "
+    "unpartitioned windows over the small aggregate, weighted composite "
+    "score, total-order ranking. The city:metric -> nation:metric mapping "
+    "is structural (testdata has no city column).",
+)
+def a8_city_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_testdata(spark, sf_dir, "customer")
+    orders = read_testdata(spark, sf_dir, "orders")
+    nation = read_testdata(spark, sf_dir, "nation")
+    cust_m = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust"),
+        (dec_sum("c_acctbal", "s") / F.count("*")).alias("avg_bal"),
+    )
+    ord_m = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            dec_sum("o_totalprice", "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    joined = (
+        nation.join(cust_m, cust_m.nk == nation.n_nationkey)
+        .join(ord_m, ord_m.nk == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"), "avg_bal", "revenue", "n_orders"
+        )
+    )
+    w = W.partitionBy()
+
+    def norm(c):
+        lo, hi = F.min(c).over(w), F.max(c).over(w)
+        return (c - lo) / (hi - lo)
+
+    nr = norm(F.col("revenue"))
+    no_ = norm(F.col("n_orders").cast("double"))
+    nb = norm(F.col("avg_bal"))
+    score = F.round(0.5 * nr + 0.3 * no_ + 0.2 * nb, 6)
+    rw = W.orderBy(F.col("score").desc(), "nation")
+    return (
+        joined.withColumn("score", score)
+        .withColumn("avg_bal", F.round("avg_bal", 2))
+        .withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .select("nation", "revenue", "n_orders", "avg_bal", "score", "rnk")
+    )
+
+
+@register(
+    "a5_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+             / (100.0 * count(*) OVER w) AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="A5: 4-row moving average per user over event time — the "
+    "population-growth smoothing analog (reference README.md:5). "
+    "Frame sums use integer cents so partial order cannot change a bit.",
+)
+def a5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(cents).over(w).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("mov_avg"),
+    )
+
+
+@register(
+    "a2_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A2/scoring support: exact continuous percentiles per group "
+    "(quartiles of order value) — linear interpolation agrees bit-for-bit "
+    "with DuckDB's quantile_cont at round-4. At 100 TB swap for "
+    "approx_percentile(col, p, accuracy) — same plan shape, bounded "
+    "memory sketch instead of a full sort.",
+)
+def a2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
