@@ -118,3 +118,24 @@ def route_status(
             F.lit("completed")
         ),
     )
+
+
+def scd2_history(
+    updates: "DataFrame", key: str = "id", ts: str = "valid_from"
+) -> "DataFrame":
+    """Type-2 slowly-changing-dimension history from an update log: each
+    (key, attribute-version, ts) row becomes a versioned interval
+    [valid_from, valid_to) with valid_to = next version's start (NULL =
+    current). One window over (key ORDER BY ts) — a single shuffle on the
+    key, the set-oriented replacement for the reference's audit columns
+    (status/date_completed overwritten in place,
+    reference lambda/update-control.py:29-30 — history lost).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(key).orderBy(ts)
+    return (
+        updates.withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

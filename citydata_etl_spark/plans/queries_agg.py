@@ -325,7 +325,7 @@ def a4_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (max(avg_bal) OVER () - min(avg_bal) OVER ()) AS nb
       FROM joined)
     SELECT nation, revenue, n_orders,
-           round(avg_bal, 2) AS avg_bal,
+           CAST(floor(avg_bal * 100 + 0.5) AS DOUBLE) / 100.0 AS avg_bal,
            round(0.5 * nr + 0.3 * no_ + 0.2 * nb, 6) AS score,
            CAST(row_number() OVER (
              ORDER BY round(0.5 * nr + 0.3 * no_ + 0.2 * nb, 6) DESC, nation
@@ -376,7 +376,10 @@ def a8_city_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw = W.orderBy(F.col("score").desc(), "nation")
     return (
         joined.withColumn("score", score)
-        .withColumn("avg_bal", F.round("avg_bal", 2))
+        .withColumn(
+            "avg_bal",
+            F.floor(F.col("avg_bal") * 100 + F.lit(0.5)).cast("double") / 100.0,
+        )
         .withColumn("rnk", F.row_number().over(rw).cast("bigint"))
         .select("nation", "revenue", "n_orders", "avg_bal", "score", "rnk")
     )
@@ -435,4 +438,53 @@ def a2_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "a9_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS st_f,
+           count(*) FILTER (o_orderstatus = 'O') AS st_o,
+           count(*) FILTER (o_orderstatus = 'P') AS st_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A9/pivot: long-to-wide reshaping — groupBy().pivot() with an "
+    "EXPLICIT value list (the implicit form runs a separate distinct scan "
+    "to discover columns; never do that on a 100 TB fact). Oracle is the "
+    "equivalent filtered-count formulation.",
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+    )
+
+
+@register(
+    "a4_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+             AS balance_quartile
+    FROM customer
+    """,
+    doc="A4/scoring support: ntile quartile bucketing over a total order "
+    "(acctbal desc, custkey tie-break) — identical bucket-size semantics "
+    "in Spark and DuckDB (first n%4 buckets take the extra row).",
+)
+def a4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_testdata(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return customer.select(
+        "c_custkey", F.ntile(4).over(w).cast("int").alias("balance_quartile")
     )

@@ -452,3 +452,47 @@ def s7_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dec_sum("o_totalprice", "total"),
     )
+
+
+@register(
+    "u4_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS id, 'pending' AS status,
+             o_orderdate AS valid_from
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'completed',
+             o_orderdate + INTERVAL (CAST(o_orderkey % 30 AS INT) + 1) DAY
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT id, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM log
+    """,
+    doc="U4/SCD2: versioned history from an update log — [valid_from, "
+    "valid_to) intervals via one lead() window per key, is_current = open "
+    "interval (operators/relational.py:scd2_history). The set-oriented "
+    "replacement for the reference's in-place status overwrite "
+    "(lambda/update-control.py:29-30), which loses history.",
+)
+def u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.relational import scd2_history
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    pending = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("pending").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    completed = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("completed").alias("status"),
+        (
+            F.col("o_orderdate")
+            + F.make_dt_interval(days=(F.col("o_orderkey") % 30 + 1).cast("int"))
+        ).alias("valid_from"),
+    )
+    return scd2_history(pending.unionByName(completed))
