@@ -284,11 +284,13 @@ def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p3_point_filter",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
-    "WHERE n_name = 'CHINA'",
+    "WHERE n_name = 'NATION_7'",
     doc="P3: equality point filter (reference lambda/update-control.py:22).",
 )
 def p3_point_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.point_filter(read_testdata(spark, sf_dir, "nation"), "n_name", "CHINA")
+    return R.point_filter(
+        read_testdata(spark, sf_dir, "nation"), "n_name", "NATION_7"
+    )
 
 
 @register(

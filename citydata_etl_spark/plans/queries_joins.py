@@ -68,15 +68,19 @@ def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
-    doc="J2: NOT EXISTS as left_anti — customers with no orders "
-    "(the complement side of the update mask).",
+    doc="J2: NOT EXISTS as left_anti — customers with no urgent orders "
+    "(the complement side of the update mask; predicate chosen to be "
+    "non-empty at every test scale).",
 )
 def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_testdata(spark, sf_dir, "customer")
-    keys = read_testdata(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    keys = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return J.anti_join(customer, keys, "c_custkey").select("c_custkey", "c_name")
 
