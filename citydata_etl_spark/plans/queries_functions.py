@@ -287,3 +287,42 @@ def f11_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat"), F.col("lng"), F.lit(40.7128), F.lit(-74.006)
     )
     return pts.select("c_custkey", F.round(dist, 4).alias("dist_km"))
+
+
+@register(
+    "f12_url_parse",
+    oracle=r"""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://city-data.example/city/' || o_orderkey
+               || '.html?id=' || o_orderkey || '&p='
+               || replace(o_orderpriority, ' ', '_') AS url
+      FROM orders)
+    SELECT o_orderkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS query_id
+    FROM u
+    """,
+    doc="F12/F6 inverse: URL parsing with the parse_url builtin — host / "
+    "path / single query parameter, the decode side of the reference's URL "
+    "template interpolation (reference data/scraper_config.csv:2-3, "
+    "lambda/collect-data.py:168,176). Oracle uses equivalent anchored "
+    "regexes (verified byte-identical).",
+)
+def f12_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://city-data.example/city/"),
+        F.col("o_orderkey"),
+        F.lit(".html?id="),
+        F.col("o_orderkey"),
+        F.lit("&p="),
+        F.translate("o_orderpriority", " ", "_"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("query_id"),
+    )

@@ -130,3 +130,46 @@ def test_prefix_filter_is_lossless(spark, docs, threshold):
         ).collect()
     }
     assert fast == naive
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dedup_groups_matches_union_find(spark, edges):
+    from citydata_etl_spark.operators.dedup import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a LONG, doc_b LONG"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in dedup_groups(pairs).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert got == want
