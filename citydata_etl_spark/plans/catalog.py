@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         queries_functions,
         queries_time,
         queries_llm,
+        queries_pipeline,
     )
 
     return CATALOG

@@ -1,0 +1,205 @@
+"""Training-data pipeline queries (north-star, BASELINE.json): the
+corpus-preparation layer downstream of dedup/similarity — deterministic
+splits, stratified sampling, contamination detection, cleaned-corpus
+materialization, sequence packing, shard balancing. All integer/rational
+exact, all DuckDB-oracled (operators/pipeline.py holds the operators and
+the 100 TB scale notes).
+
+The reference stops at collection; its README names the downstream
+objective these serve (reference README.md:6-7 — "score each city" /
+analytics over the collected corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from citydata_etl_spark.operators import pipeline as P
+from citydata_etl_spark.plans.catalog import register
+from citydata_etl_spark.sources.readers import read_testdata
+
+# Shared oracle fragment: the LCG id-bucket in pipeline.py:_id_bucket.
+_BUCKET = "((doc_id * 2654435761 + 12345) % 2147483647)"
+
+
+@register(
+    "d6_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_BUCKET} % 100 AS bucket,
+           CASE WHEN {_BUCKET} % 100 < 80 THEN 'train'
+                WHEN {_BUCKET} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="D6: deterministic train/val/test split — id-hash bucketing, a "
+    "pure codegen expression on the scan (no shuffle, stable under "
+    "re-partitioning and corpus growth; operators/pipeline.py:train_split).",
+)
+def d6_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.train_split(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d6_stratified_sample",
+    oracle=f"""
+    SELECT lang AS stratum,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {_BUCKET} % 100 < 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           round(CAST(sum(CASE WHEN {_BUCKET} % 100 < 20 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS realized_rate
+    FROM documents GROUP BY lang
+    """,
+    doc="D6: stratified-sampling audit — deterministic 20% id-hash sample "
+    "per language stratum with realized-rate drift check "
+    "(operators/pipeline.py:stratified_sample_stats).",
+)
+def d6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.stratified_sample_stats(
+        read_testdata(spark, sf_dir, "documents"), rate_pct=20,
+        strata_col="lang",
+    )
+
+
+@register(
+    "d6_contamination",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    held AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+    train_sh AS (SELECT * FROM sh WHERE doc_id % 23 <> 0),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_hits
+      FROM train_sh s JOIN held h USING (shingle) GROUP BY s.doc_id)
+    SELECT doc_id, n_hits, n_shingles,
+           round(CAST(n_hits AS DOUBLE) / n_shingles, 6)
+             AS contamination_ratio
+    FROM hits JOIN sizes USING (doc_id)
+    """,
+    doc="D6: test-set contamination detection — word-4-gram overlap "
+    "between train docs and a held-out set (id % 23 == 0), held-out "
+    "shingles broadcast so the corpus side never shuffles "
+    "(operators/pipeline.py:contamination).",
+)
+def d6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.contamination(
+        read_testdata(spark, sf_dir, "documents"), n=4, holdout_mod=23
+    )
+
+
+@register(
+    "d6_dedup_keep",
+    oracle="""
+    WITH RECURSIVE tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    vocab AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)),
+    tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle)),
+    hp AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
+             CAST((i * 40503 + 7) % 2147483647 AS BIGINT) AS b
+      FROM (SELECT unnest(range(16)) AS i)),
+    mh AS (
+      SELECT doc_id, i, min((a * tid + b) % 2147483647) AS h
+      FROM tt CROSS JOIN hp GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS s
+      FROM mh GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    groups AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN groups g ON g.id = d.doc_id
+    WHERE g.id IS NULL OR g.group_id = d.doc_id
+    """,
+    doc="D6: cleaned-corpus materialization — the end-to-end near-dedup "
+    "decision: MinHash-LSH pairs -> connected components -> keep only "
+    "canonical (min-id) members plus untouched docs, applied as a "
+    "broadcast anti-join so the corpus never shuffles "
+    "(operators/pipeline.py:cleaned_corpus_ids).",
+)
+def d6_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.cleaned_corpus_ids(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d6_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM t)
+    SELECT doc_id, shard, n_tokens,
+           CAST(start // 512 AS BIGINT) AS pack_id,
+           CAST(start % 512 AS BIGINT) AS offset
+    FROM c
+    """,
+    doc="D6: concat-and-split sequence packing — per-shard id-ordered "
+    "token cumsum locates each doc's first token in fixed 512-token "
+    "context windows (GPT-style packing; parallelism = shards, no global "
+    "sort; operators/pipeline.py:pack_sequences).",
+)
+def d6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.pack_sequences(
+        read_testdata(spark, sf_dir, "documents"), ctx_len=512, n_shards=8
+    )
+
+
+@register(
+    "d6_shard_stats",
+    oracle=f"""
+    SELECT {_BUCKET} % 16 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents GROUP BY shard
+    """,
+    doc="D6: shard-balance audit — doc and token totals per hashed shard, "
+    "the skew check before committing a training-job partitioning "
+    "(operators/pipeline.py:shard_stats).",
+)
+def d6_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.shard_stats(read_testdata(spark, sf_dir, "documents"), n_shards=16)
