@@ -72,8 +72,10 @@ def vocabulary(tok: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+             id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle) — distinct by default
+    (set-semantics for Jaccard/MinHash); distinct=False keeps every
+    occurrence (bag-semantics for tf-style counting).
 
     Each gram is built from O(n) get() lookups (constant-time on Spark's
     array layout; null-safe past the end, unlike ANSI element_at) — NOT
@@ -87,12 +89,12 @@ def shingles(docs: DataFrame, n: int, text_col: str = "text",
         # output as array_join over a truncated slice
         return F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
 
-    return (
+    out = (
         _spread_small_input(docs)
         .select(F.col(id_col), F.explode(F.transform(idx, gram)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(

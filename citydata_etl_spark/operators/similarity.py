@@ -333,3 +333,38 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label",
+    round_scale: int = 4,
+) -> DataFrame:
+    """Per-label centroid in long form: (label, dim, centroid, n_vecs) —
+    the class-centroid primitive behind IVF coarse quantizers, cluster QA,
+    and nearest-class-mean classification.
+
+    Long form (one row per dimension) keeps the output hash-comparable
+    across engines — array columns don't compare portably. One posexplode
+    + one groupBy on the bounded (label, dim) key; partial aggregation
+    makes the shuffle carry only per-partition (sum, count) pairs, so the
+    cost at 100 TB is one map-side-combined shuffle of labels x dims rows.
+    float32 inputs are exact in double; the mean is rounded to absorb
+    addition-order ulps (same rule as the cosine kernels).
+    """
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), round_scale).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            "centroid",
+            "n_vecs",
+        )
+    )

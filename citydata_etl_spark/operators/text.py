@@ -105,6 +105,57 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     return seq.select(id_col, fp.alias("fingerprint"))
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, shingle_n: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per doc by TF-IDF over word n-grams:
+    (doc_id, term, tf, df, tfidf, rnk).
+
+    tfidf = round(tf * ln(N/df), 6) — integer tf/df, one transcendental
+    rounded to a fixed scale; ranking orders by the ROUNDED score with a
+    term tie-break so the cut is total and engine-portable. Bigram terms
+    (shingle_n=2) keep the scores discriminative on small-vocabulary
+    corpora, where every unigram's df ~= N and unigram TF-IDF collapses
+    to zero.
+
+    Plan shape: one bag-semantics shingle explode -> (doc, term) count,
+    a bounded document-frequency table (vocabulary-sized, broadcast), a
+    1-row corpus count (broadcast cross join), one ranking window
+    partitioned by doc. The corpus is shuffled once, on (doc, term).
+    """
+    from citydata_etl_spark.operators.dedup import shingles
+
+    sh = shingles(docs, shingle_n, text_col, id_col, distinct=False)
+    tf = sh.groupBy(id_col, "shingle").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("shingle").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "shingle")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.desc("tfidf"), "shingle")
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col, F.col("shingle").alias("term"), "tf", "df", "tfidf", "rnk"
+        )
+    )
+
+
 #: BPE-ish pre-tokenization: letter chunks (max 3, the "merge window"),
 #: digit runs, or any single non-letter non-space symbol — a pure-ASCII
 #: regex whose semantics agree between Java regex (Spark) and RE2 (DuckDB).

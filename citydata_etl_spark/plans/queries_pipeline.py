@@ -203,3 +203,72 @@ def d6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.shard_stats(read_testdata(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
+    "d4_tfidf_topk",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS term
+      FROM idx),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM sh GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="D4: top-3 characteristic bigrams per doc by TF-IDF — integer "
+    "tf/df, rounded transcendental, rank over the ROUNDED score with a "
+    "term tie-break (total order, engine-portable). Bigram terms keep "
+    "scores discriminative on a small-vocabulary corpus where unigram "
+    "df ~= N (operators/text.py:tfidf_top_terms).",
+)
+def d4_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        read_testdata(spark, sf_dir, "documents"), k=3, shingle_n=2
+    )
+
+
+@register(
+    "d6_label_centroid",
+    oracle="""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    idx AS (
+      SELECT label, e, unnest(range(1, len(e) + 1)) AS i FROM v),
+    x AS (
+      SELECT label, CAST(i - 1 AS BIGINT) AS dim, e[CAST(i AS INT)] AS val
+      FROM idx)
+    SELECT label, dim, round(avg(val), 4) AS centroid,
+           count(*) AS n_vecs
+    FROM x GROUP BY label, dim
+    """,
+    doc="D6: per-label embedding centroids in long form — the "
+    "class-centroid primitive behind IVF quantizers and cluster QA; one "
+    "posexplode + one map-side-combined groupBy on the bounded "
+    "(label, dim) key (operators/similarity.py:label_centroids).",
+)
+def d6_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.similarity import label_centroids
+
+    return label_centroids(read_testdata(spark, sf_dir, "embeddings"))

@@ -173,3 +173,38 @@ def test_dedup_groups_matches_union_find(spark, edges):
         for n in members:
             want[n] = m
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),   # doc_id
+            st.integers(min_value=1, max_value=40),   # n_tokens
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=4, max_value=32),           # ctx_len
+)
+def test_pack_sequences_matches_reference(spark, rows, ctx_len):
+    from citydata_etl_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in rows], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["pack_id"], r["offset"])
+        for r in pack_sequences(docs, ctx_len=ctx_len, n_shards=4).collect()
+    }
+
+    # pure-Python concat-and-split reference
+    want = {}
+    streams = {}
+    for i, n in sorted(rows):
+        shard = i % 4
+        start = streams.get(shard, 0)
+        want[i] = (shard, n, start // ctx_len, start % ctx_len)
+        streams[shard] = start + n
+    assert got == want
