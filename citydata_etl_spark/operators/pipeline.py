@@ -110,33 +110,40 @@ def contamination(
 
     Held-out membership is deterministic (id % holdout_mod == 0) so the
     check is self-contained; in production the held-out side is the eval
-    benchmark corpus. Plan shape: one shingle explode over the corpus
-    (shared with dedup), a semi-ish inner join train-shingles x distinct
-    held-out shingles, one groupBy per train doc. The held-out shingle set
-    is benchmark-sized (bounded), hence broadcast — the join is
-    shuffle-free on the corpus side, which is what makes n-gram decontam
-    feasible at 100 TB (the corpus streams past a broadcast hash set).
+    benchmark corpus. Plan shape: ONE shingle explode over the train corpus
+    (the holdout predicate pushes down to the scan), LEFT-joined against
+    the broadcast distinct held-out shingle set so per-doc totals and hit
+    counts come out of a single groupBy — the corpus is scanned once and
+    never shuffled except on (doc, shingle). The held-out set is
+    benchmark-sized (bounded), hence broadcast, which is what makes n-gram
+    decontam feasible at 100 TB (the corpus streams past a hash set).
     """
     sh = shingles(docs, n, text_col, id_col)
     is_held = (F.col(id_col) % holdout_mod) == 0
-    held = sh.filter(is_held).select("shingle").distinct()
-    train_sh = sh.filter(~is_held)
-    sizes = train_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = (
-        train_sh.join(F.broadcast(held), "shingle")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+    held = (
+        sh.filter(is_held)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    return (
-        hits.join(sizes, id_col)
-        .select(
-            id_col,
-            "n_hits",
-            "n_shingles",
-            F.round(
-                F.col("n_hits") / F.col("n_shingles").cast("double"), 6
-            ).alias("contamination_ratio"),
+    train_sh = sh.filter(~is_held)
+    per_doc = (
+        train_sh.join(F.broadcast(held), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
         )
+    )
+    return per_doc.filter(F.col("n_hits") > 0).select(
+        id_col,
+        "n_hits",
+        "n_shingles",
+        F.round(
+            F.col("n_hits") / F.col("n_shingles").cast("double"), 6
+        ).alias("contamination_ratio"),
     )
 
 
