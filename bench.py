@@ -20,7 +20,8 @@ import time
 
 # Headline set: one per operator family — scan+agg, broadcast join, semi
 # join, full-outer combine, as-of, rollup, window rank, analytic window,
-# tumbling window, sessionization, JSON, dedup, text stats, similarity.
+# tumbling window, sessionization, JSON, dedup, text stats, similarity,
+# corpus prep (contamination screen, TF-IDF).
 HEADLINE = [
     "a1_pricing_summary",
     "j1_broadcast_lookup",
@@ -40,6 +41,8 @@ HEADLINE = [
     "d4_embed_neardup",
     "t1_streaming_tumbling",
     "s9_staging_rekey",
+    "d6_contamination",
+    "d4_tfidf_topk",
 ]
 
 

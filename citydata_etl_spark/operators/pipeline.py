@@ -237,3 +237,56 @@ def shard_stats(
             F.max(id_col).alias("max_id"),
         )
     )
+
+
+def curation_summary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_quality: float = 0.5, holdout_mod: int = 23,
+) -> DataFrame:
+    """The end-to-end corpus-curation pipeline as ONE composed plan:
+    per train/val/test split, how many docs survive quality gating,
+    English language ID, near-dedup, and contamination screening — and
+    how many tokens the curated corpus keeps.
+
+    Composition (all prior operators, no new semantics):
+      quality_score >= min_quality  AND  lang_pred == 'en'
+      AND kept by cleaned_corpus_ids (MinHash-LSH -> connected components)
+      AND not contaminated (no 4-gram overlap with the held-out set,
+          held-out docs themselves excluded)
+      grouped by train_split bucket.
+
+    Scale shape: the corpus is scanned by each feature branch and reduced
+    before joining — quality/lang are narrow per-row expressions, the
+    dedup loser set and contaminated-id set are both FAR smaller than the
+    corpus and broadcast into anti-joins. Output is a bounded 3-row
+    summary: the shape of a curation report at any corpus size.
+    """
+    from citydata_etl_spark.operators.text import lang_id, quality_score
+
+    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
+    lid = lang_id(docs, text_col, id_col).select(id_col, "lang_pred")
+    kept = cleaned_corpus_ids(docs, text_col=text_col, id_col=id_col)
+    contaminated = contamination(
+        docs, n=4, holdout_mod=holdout_mod, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    split = train_split(docs, id_col=id_col).select(id_col, "split")
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    ).cast("bigint")
+    base = docs.select(F.col(id_col), n_tokens.alias("n_tokens")).filter(
+        (F.col(id_col) % holdout_mod) != 0
+    )
+    survivors = (
+        base.join(q, id_col)
+        .join(lid, id_col)
+        .filter(
+            (F.col("quality") >= min_quality) & (F.col("lang_pred") == "en")
+        )
+        .join(kept, id_col, "left_semi")
+        .join(F.broadcast(contaminated), id_col, "left_anti")
+        .join(split, id_col)
+    )
+    return survivors.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -272,3 +272,104 @@ def d6_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.operators.similarity import label_centroids
 
     return label_centroids(read_testdata(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "d6_curation_pipeline",
+    oracle="""
+    WITH RECURSIVE tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    vocab AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)),
+    tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle)),
+    hp AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
+             CAST((i * 40503 + 7) % 2147483647 AS BIGINT) AS b
+      FROM (SELECT unnest(range(16)) AS i)),
+    mh AS (
+      SELECT doc_id, i, min((a * tid + b) % 2147483647) AS h
+      FROM tt CROSS JOIN hp GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS s
+      FROM mh GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+    losers AS (
+      SELECT id FROM (SELECT id, min(r) AS g FROM reach GROUP BY id)
+      WHERE g <> id),
+    idx4 AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+      FROM tokl),
+    sh4 AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')
+               AS shingle
+      FROM idx4),
+    held AS (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 23 = 0),
+    contam AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh4 s JOIN held USING (shingle) WHERE s.doc_id % 23 <> 0),
+    feat AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS mtl,
+             len(list_filter(list_filter(string_split(text, ' '),
+                 x -> x <> ''), x -> list_contains(
+                 ['the','a','of','and','to','in','is','that','it','for'],
+                 x))) AS n_sw
+      FROM documents),
+    surv AS (
+      SELECT f.doc_id, f.n_tokens,
+             CASE WHEN ((f.doc_id * 2654435761 + 12345) % 2147483647)
+                       % 100 < 80 THEN 'train'
+                  WHEN ((f.doc_id * 2654435761 + 12345) % 2147483647)
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM feat f
+      WHERE f.doc_id % 23 <> 0
+        AND least(CAST(f.n_tokens AS DOUBLE) / 50.0, 1.0)
+            * (CASE WHEN f.mtl >= 2.0 AND f.mtl <= 12.0
+                    THEN 1.0 ELSE 0.5 END) >= 0.5
+        AND CAST(f.n_sw AS DOUBLE) / f.n_tokens >= 0.05
+        AND f.doc_id NOT IN (SELECT id FROM losers)
+        AND f.doc_id NOT IN (SELECT doc_id FROM contam))
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM surv GROUP BY split
+    """,
+    doc="D6 capstone: the corpus-curation pipeline composed end-to-end in "
+    "ONE plan — quality gate x language ID x MinHash-LSH near-dedup keep "
+    "x 4-gram decontamination, reported per train/val/test split. The "
+    "dedup-loser and contaminated-id sets are corpus-fraction-sized and "
+    "broadcast into semi/anti joins; the corpus itself is scanned by "
+    "narrow feature branches and reduced before any join "
+    "(operators/pipeline.py:curation_summary).",
+)
+def d6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.curation_summary(read_testdata(spark, sf_dir, "documents"))
