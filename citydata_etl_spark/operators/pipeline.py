@@ -147,6 +147,24 @@ def contamination(
     )
 
 
+def dedup_losers(
+    docs: DataFrame, num_hashes: int = 16, band_size: int = 4,
+    shingle_n: int = 2, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The ids a cleaned corpus DROPS: every non-canonical (non-minimum-id)
+    member of a MinHash-LSH duplicate component. Pair-graph-sized — a
+    corpus FRACTION, not the corpus — so it is always the broadcastable
+    side of the downstream anti-join."""
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n, text_col=text_col, id_col=id_col,
+    )
+    groups = dedup_groups(pairs)
+    return groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+
+
 def cleaned_corpus_ids(
     docs: DataFrame, num_hashes: int = 16, band_size: int = 4,
     shingle_n: int = 2, text_col: str = "text", id_col: str = "doc_id",
@@ -157,17 +175,13 @@ def cleaned_corpus_ids(
 
     This is the composition that turns the dedup primitives into an actual
     corpus filter: minhash_lsh_pairs -> dedup_groups -> anti-join of the
-    non-canonical ids against the corpus. The anti-join side (docs that
-    LOSE) is far smaller than the corpus, so it broadcasts; the corpus
-    itself is never shuffled.
+    non-canonical ids (dedup_losers) against the corpus. The anti-join side
+    is far smaller than the corpus, so it broadcasts; the corpus itself is
+    never shuffled.
     """
-    pairs = minhash_lsh_pairs(
+    losers = dedup_losers(
         docs, num_hashes=num_hashes, band_size=band_size,
         shingle_n=shingle_n, text_col=text_col, id_col=id_col,
-    )
-    groups = dedup_groups(pairs)
-    losers = groups.filter(F.col("doc_id") != F.col("group_id")).select(
-        F.col("doc_id").alias(id_col)
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti").select(id_col)
 
@@ -248,43 +262,50 @@ def curation_summary(
     English language ID, near-dedup, and contamination screening — and
     how many tokens the curated corpus keeps.
 
-    Composition (all prior operators, no new semantics):
+    Composition (all prior operators' semantics, no new ones):
       quality_score >= min_quality  AND  lang_pred == 'en'
-      AND kept by cleaned_corpus_ids (MinHash-LSH -> connected components)
+      AND not a dedup_losers id (MinHash-LSH -> connected components)
       AND not contaminated (no 4-gram overlap with the held-out set,
           held-out docs themselves excluded)
-      grouped by train_split bucket.
+      grouped by the train_split bucket.
 
-    Scale shape: the corpus is scanned by each feature branch and reduced
-    before joining — quality/lang are narrow per-row expressions, the
-    dedup loser set and contaminated-id set are both FAR smaller than the
-    corpus and broadcast into anti-joins. Output is a bounded 3-row
-    summary: the shape of a curation report at any corpus size.
+    Scale shape: ONE corpus scan. Quality, language, n_tokens, and the
+    split are narrow codegen expressions evaluated inline on that scan
+    (quality_expr / lang_pred_expr / _id_bucket — per-row functions never
+    become join sides). The only joins are anti-joins against the two
+    corpus-FRACTION-sized id sets (dedup losers, contaminated ids), both
+    broadcast. Nothing corpus-sized is ever shuffled or broadcast; output
+    is a bounded 3-row summary at any corpus size.
     """
-    from citydata_etl_spark.operators.text import lang_id, quality_score
+    from citydata_etl_spark.operators.text import lang_pred_expr, quality_expr
 
-    q = quality_score(docs, text_col, id_col).select(id_col, "quality")
-    lid = lang_id(docs, text_col, id_col).select(id_col, "lang_pred")
-    kept = cleaned_corpus_ids(docs, text_col=text_col, id_col=id_col)
+    losers = dedup_losers(docs, text_col=text_col, id_col=id_col)
     contaminated = contamination(
         docs, n=4, holdout_mod=holdout_mod, text_col=text_col, id_col=id_col
     ).select(id_col)
-    split = train_split(docs, id_col=id_col).select(id_col, "split")
     n_tokens = F.size(
         F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     ).cast("bigint")
-    base = docs.select(F.col(id_col), n_tokens.alias("n_tokens")).filter(
-        (F.col(id_col) % holdout_mod) != 0
+    bucket = _id_bucket(id_col, 100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
     )
     survivors = (
-        base.join(q, id_col)
-        .join(lid, id_col)
+        docs.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            quality_expr(text_col).alias("quality"),
+            lang_pred_expr(text_col).alias("lang_pred"),
+            split.alias("split"),
+        )
+        .filter((F.col(id_col) % holdout_mod) != 0)
         .filter(
             (F.col("quality") >= min_quality) & (F.col("lang_pred") == "en")
         )
-        .join(kept, id_col, "left_semi")
+        .join(F.broadcast(losers), id_col, "left_anti")
         .join(F.broadcast(contaminated), id_col, "left_anti")
-        .join(split, id_col)
     )
     return survivors.groupBy("split").agg(
         F.count("*").alias("n_docs"),

@@ -36,20 +36,47 @@ def token_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def quality_expr(text_col: str = "text"):
+    """Quality score as a bare Column expression — composable into a
+    single-scan pipeline (no self-join needed to attach quality to a
+    corpus; see operators/pipeline.py:curation_summary)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_spaces = n_chars - F.length(F.regexp_replace(text_col, " ", ""))
+    mean_token_len = (n_chars - n_spaces).cast("double") / n_tokens
+    len_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    shape_score = F.when(
+        (mean_token_len >= 2.0) & (mean_token_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return len_score * shape_score
+
+
 def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality score in [0,1]: length saturation x token-shape
     sanity. Deterministic rational arithmetic (oracle-exact)."""
-    s = token_stats(docs, text_col, id_col)
-    len_score = F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
-    shape_score = F.when(
-        (F.col("mean_token_len") >= 2.0) & (F.col("mean_token_len") <= 12.0),
-        F.lit(1.0),
-    ).otherwise(F.lit(0.5))
-    return s.select(
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return docs.select(
         id_col,
-        "n_tokens",
-        (len_score * shape_score).alias("quality"),
+        F.size(toks).alias("n_tokens"),
+        quality_expr(text_col).alias("quality"),
+    )
+
+
+def lang_ratio_expr(text_col: str = "text"):
+    """English-stopword token share as a bare Column expression."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.size(toks)
+
+
+def lang_pred_expr(text_col: str = "text", threshold: float = 0.05):
+    """Language prediction ('en'/'unknown') as a bare Column expression."""
+    return (
+        F.when(lang_ratio_expr(text_col) >= threshold, "en")
+        .otherwise("unknown")
     )
 
 
@@ -61,13 +88,12 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    ratio = n_sw.cast("double") / F.size(toks)
     return docs.select(
         id_col,
         n_sw.alias("n_stopwords"),
         F.size(toks).alias("n_tokens"),
-        F.round(ratio, 6).alias("stopword_ratio"),
-        F.when(ratio >= threshold, "en").otherwise("unknown").alias("lang_pred"),
+        F.round(lang_ratio_expr(text_col), 6).alias("stopword_ratio"),
+        lang_pred_expr(text_col, threshold).alias("lang_pred"),
     )
 
 

@@ -365,10 +365,10 @@ def d6_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="D6 capstone: the corpus-curation pipeline composed end-to-end in "
     "ONE plan — quality gate x language ID x MinHash-LSH near-dedup keep "
-    "x 4-gram decontamination, reported per train/val/test split. The "
-    "dedup-loser and contaminated-id sets are corpus-fraction-sized and "
-    "broadcast into semi/anti joins; the corpus itself is scanned by "
-    "narrow feature branches and reduced before any join "
+    "x 4-gram decontamination, reported per train/val/test split. ONE "
+    "corpus scan with quality/lang/split as inline codegen expressions; "
+    "the only joins are broadcast anti-joins against the corpus-fraction-"
+    "sized dedup-loser and contaminated-id sets "
     "(operators/pipeline.py:curation_summary).",
 )
 def d6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
