@@ -80,17 +80,26 @@ def shingles(docs: DataFrame, n: int, text_col: str = "text",
     Each gram is built from O(n) get() lookups (constant-time on Spark's
     array layout; null-safe past the end, unlike ANSI element_at) — NOT
     slice(words, i, n) with a column start, which is O(len) per position
-    and turns the doc into an O(len^2) expression."""
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    and turns the doc into an O(len^2) expression. The token array is
+    materialized in its own Project below the Generate: Catalyst does not
+    common-subexpression-eliminate inside HOF lambdas, so inlining `words`
+    would re-run split+filter for every one of the n+1 references per gram
+    element."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
 
     def gram(i):
         # concat_ws skips the trailing NULLs a short doc produces — same
         # output as array_join over a truncated slice
-        return F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
+        return F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
 
     out = (
         _spread_small_input(docs)
+        .select(
+            F.col(id_col),
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+            .alias("__toks"),
+        )
         .select(F.col(id_col), F.explode(F.transform(idx, gram)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )

@@ -94,3 +94,33 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+def test_shingles_generate_tokenizes_once(spark):
+    """The shingle explode must reference a MATERIALIZED token array, not
+    re-embed split+filter per gram element (Catalyst does not CSE inside
+    HOF lambdas — an inlined `words` re-tokenizes the doc n+1 times per
+    shingle)."""
+    plan = _plan(spark, "d6_contamination")
+    gen_blocks = [
+        b for b in plan.split("\n\n")
+        if b.lstrip().startswith("(") and "Generate" in b.split("\n")[0]
+    ]
+    assert gen_blocks, "expected a Generate (explode) node"
+    for b in gen_blocks:
+        assert "split(" not in b, "tokenization leaked into the explode"
+
+
+def test_curation_pipeline_single_scan_no_wide_joins(spark):
+    """The curation capstone's corpus branch is one scan with inline
+    quality/lang/split expressions; its only joins are broadcast ANTI-joins
+    against corpus-fraction id sets. A corpus-sized join side (the old
+    quality/lang self-join shape) shows up as extra Inner joins or a
+    SortMergeJoin and fails here."""
+    plan = _plan(spark, "d6_curation_pipeline")
+    assert "SortMergeJoin" not in plan
+    assert "Join type: LeftAnti" in plan
+    assert "Join type: Inner" not in plan, (
+        "corpus-sized feature branch joined back to the corpus"
+    )
+    assert "Join type: LeftSemi" not in plan
