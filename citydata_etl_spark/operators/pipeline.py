@@ -311,3 +311,58 @@ def curation_summary(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def domain_mix(
+    docs: DataFrame, weights: dict[str, float] | None = None,
+    source_col: str = "source", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixing plan: given target mix weights over sources (uniform
+    when None), the per-source keep rates realizing the LARGEST corpus
+    that satisfies the mix exactly — the water-filling solution
+    N = min_s(T_s / w_s), keep_rate_s = N * w_s / T_s (the binding source
+    keeps everything; every other source downsamples to match).
+
+    Scale shape: ONE shuffle — the per-source token totals (map-side
+    combinable groupBy). The water-fill itself runs over the BOUNDED
+    per-source aggregate (n_sources rows) via an unpartitioned window,
+    which is fine precisely because the input is dimension-sized; the
+    corpus is never re-scanned. Output: (source, n_docs, total_tokens,
+    target_weight, keep_rate).
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    agg = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )
+    wspec = W.partitionBy(F.lit(1))
+    if weights is None:
+        with_w = agg.select(
+            "*",
+            (1.0 / F.count("*").over(wspec)).alias("_w"),
+        )
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        with_w = agg.select("*", wmap[F.col(source_col)].alias("_w"))
+    capped = with_w.select(
+        "*",
+        F.min(F.col("total_tokens") / F.col("_w")).over(wspec).alias("_cap"),
+    )
+    return capped.select(
+        source_col,
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("_w"), 6).alias("target_weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_cap") * F.col("_w") / F.col("total_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )

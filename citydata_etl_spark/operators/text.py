@@ -205,3 +205,40 @@ def bpe_token_count(docs: DataFrame, text_col: str = "text",
             F.size(subs).cast("double") / F.size(words), 6
         ).alias("subword_ratio"),
     )
+
+
+def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per doc (the duplicate-n-gram
+    family of MassiveText's repetition filters — Rae et al. 2021, appendix
+    A1.1 — adapted to token n-grams): n-gram bag size, distinct n-grams,
+    duplicate-n-gram fraction, and top-n-gram share.
+
+      dup_ngram_frac  = 1 - n_distinct / n_grams   (occurrences that repeat)
+      top_ngram_share = top_count / n_grams        (mass of the modal gram)
+
+    Scale shape: ONE shuffle on (doc, gram) with map-side partial counts,
+    then a per-doc reduce that is itself map-side combinable (sum/count/max
+    over rows already co-located by doc prefix of the same hash) — two hash
+    aggs, no window, no join, never materializes a per-doc gram array.
+    """
+    from citydata_etl_spark.operators.dedup import shingles
+
+    grams = shingles(docs, n, text_col, id_col, distinct=False)
+    per_gram = grams.groupBy(id_col, "shingle").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_count"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6
+        ).alias("dup_ngram_frac"),
+        F.round(
+            F.col("top_count") / F.col("n_grams").cast("double"), 6
+        ).alias("top_ngram_share"),
+    )

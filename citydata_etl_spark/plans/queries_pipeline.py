@@ -373,3 +373,68 @@ def d6_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.curation_summary(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_repetition_stats",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    g AS (
+      SELECT doc_id, shingle, count(*) AS cnt
+      FROM grams WHERE shingle <> '' GROUP BY doc_id, shingle)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS top_count,
+           round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6)
+             AS dup_ngram_frac,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_ngram_share
+    FROM g GROUP BY doc_id
+    """,
+    doc="D4: Gopher-style repetition signals per doc — duplicate-bigram "
+    "fraction and top-bigram share (the MassiveText repetition-filter "
+    "family, Rae et al. 2021 A1.1). One (doc, gram) shuffle with map-side "
+    "partial counts, then a map-side-combinable per-doc reduce — no "
+    "window, no join (operators/text.py:repetition_stats).",
+)
+def d4_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import repetition_stats
+
+    return repetition_stats(read_testdata(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "d6_domain_mix",
+    oracle="""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    k AS (SELECT count(*) AS k FROM t),
+    c AS (SELECT t.*, 1.0 / k AS w FROM t CROSS JOIN k),
+    m AS (SELECT c.*, min(total_tokens / w) OVER () AS cap FROM c)
+    SELECT source, n_docs, total_tokens,
+           round(w, 6) AS target_weight,
+           round(least(1.0, cap * w / total_tokens), 6) AS keep_rate
+    FROM m
+    """,
+    doc="D6: domain-mixing plan — per-source keep rates realizing the "
+    "largest corpus with an exact target mix (water-filling: "
+    "N = min_s T_s/w_s, rate = N*w_s/T_s; the binding source keeps all). "
+    "One map-side-combinable groupBy(source); the water-fill runs on the "
+    "dimension-sized aggregate (operators/pipeline.py:domain_mix).",
+)
+def d6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.domain_mix(read_testdata(spark, sf_dir, "documents"))

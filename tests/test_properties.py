@@ -208,3 +208,33 @@ def test_pack_sequences_matches_reference(spark, rows, ctx_len):
         want[i] = (shard, n, start // ctx_len, start % ctx_len)
         streams[shard] = start + n
     assert got == want
+
+
+def test_domain_mix_weighted_water_fill(spark):
+    """Explicit-weights path (not oracle-covered): the binding source keeps
+    everything (rate 1.0), every realized mix share equals its target
+    weight, and kept-token mass is maximal given the caps."""
+    from citydata_etl_spark.operators.pipeline import domain_mix
+
+    rows = [
+        # (doc_id, text, source): srcA 12 tokens total, srcB 4, srcC 20
+        (1, "a b c d e f", "srcA"), (2, "g h i j k l", "srcA"),
+        (3, "m n o p", "srcB"),
+        (4, " ".join(["t%d" % i for i in range(20)]), "srcC"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    weights = {"srcA": 0.5, "srcB": 0.25, "srcC": 0.25}
+    out = {
+        r["source"]: r
+        for r in domain_mix(docs, weights=weights).collect()
+    }
+    # N = min(12/.5, 4/.25, 20/.25) = min(24, 16, 80) = 16
+    assert out["srcB"]["keep_rate"] == 1.0          # binding source
+    assert out["srcA"]["keep_rate"] == round(16 * 0.5 / 12, 6)
+    assert out["srcC"]["keep_rate"] == round(16 * 0.25 / 20, 6)
+    for s, w in weights.items():
+        kept = out[s]["keep_rate"] * out[s]["total_tokens"]
+        # keep_rate is rounded to 6 dp, so realized mass can be off by
+        # total_tokens * 5e-7
+        assert abs(kept - 16 * w) <= out[s]["total_tokens"] * 5e-7 + 1e-9
+        assert out[s]["target_weight"] == w
