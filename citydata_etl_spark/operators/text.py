@@ -242,3 +242,52 @@ def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text",
             F.col("top_count") / F.col("n_grams").cast("double"), 6
         ).alias("top_ngram_share"),
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020) with
+    the cheapest possible LM — a unigram model trained on the corpus
+    itself: per doc, total and average token log-probability.
+
+    Determinism: each token's ln(cnt/total) is rounded HALF-UP to integer
+    MICROS before summing — integer addition is associative, so partial
+    aggregation order can't change a bit (a raw double sum would).
+
+    Scale shape: the vocabulary (bounded by language, not corpus size) and
+    the 1-row total broadcast; the corpus explodes once, probes the
+    broadcast maps, and reduces per doc — one shuffle on (doc). In a real
+    pipeline the LM side is trained once and reused; here it's derived in
+    the same plan (two extra token-shuffles, corpus-independent width).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    lp_micros = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("total")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        toks.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp_micros).cast("bigint").alias("logprob_micros"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logprob_micros",
+            F.round(
+                F.col("logprob_micros").cast("double") / 1000000.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -214,3 +214,33 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_cols=["ts", "view_value"],
     )
+
+
+@register(
+    "j7_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_items,
+           CAST(sum(CAST(floor((l_extendedprice) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="J7 (skew extension): fact-to-dim equi-join through the SALTED "
+    "path — the skewed probe side gets a deterministic per-row salt, the "
+    "build side replicates n_salts times, and each hot key spreads across "
+    "n_salts shuffle partitions instead of one straggler. Semantics are "
+    "identical to the plain join (this oracle); deployed when AQE skew "
+    "handling can't split the partition (operators/joins.py:salted_join).",
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    sup = read_testdata(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = J.salted_join(li, sup, "suppkey", n_salts=16)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        dec_sum("l_extendedprice", "revenue"),
+    )

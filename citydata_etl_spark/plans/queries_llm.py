@@ -497,3 +497,37 @@ def d4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_lm_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS total FROM tok),
+    s AS (
+      SELECT doc_id,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+                  AS BIGINT) AS lp
+      FROM tok JOIN v USING (token) CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(lp) AS BIGINT) AS logprob_micros,
+           round(CAST(sum(lp) AS DOUBLE) / 1000000.0 / count(*), 6)
+             AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+    doc="D4: CCNet-style LM quality scoring (Wenzek et al. 2020) with a "
+    "corpus-trained unigram model — per-doc total and average token "
+    "log-probability. Per-token ln(cnt/total) is rounded half-up to "
+    "integer micros BEFORE summing, so the aggregate is associative and "
+    "bit-exact under any partial-agg order; vocabulary and corpus total "
+    "broadcast (operators/text.py:unigram_logprob).",
+)
+def d4_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(read_testdata(spark, sf_dir, "documents"))
