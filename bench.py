@@ -21,7 +21,7 @@ import time
 # Headline set: one per operator family — scan+agg, broadcast join, semi
 # join, full-outer combine, as-of, rollup, window rank, analytic window,
 # tumbling window, sessionization, JSON, dedup, text stats, similarity,
-# corpus prep (contamination screen, TF-IDF).
+# corpus prep (contamination screen, TF-IDF, LM scoring, repetition).
 HEADLINE = [
     "a1_pricing_summary",
     "j1_broadcast_lookup",
@@ -43,6 +43,8 @@ HEADLINE = [
     "s9_staging_rekey",
     "d6_contamination",
     "d4_tfidf_topk",
+    "d4_lm_logprob",
+    "d4_repetition_stats",
 ]
 
 
