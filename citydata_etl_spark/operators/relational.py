@@ -139,3 +139,36 @@ def scd2_history(
         updates.withColumn("valid_to", F.lead(ts).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def profile_table(df: "DataFrame", cols: list[str]) -> "DataFrame":
+    """Column profiler — the data-quality audit a control-table pipeline
+    runs before trusting an ingest (the reference has no quality gate at
+    all; its malformed rows surface as runtime scrape failures,
+    reference lambda/collect-data.py:177-187): per column, row count,
+    null count, and exact distinct count, in long format
+    (col_name, n_rows, n_nulls, n_distinct).
+
+    Shape: ONE wide aggregate over the scan (null counts are plain sums;
+    the k exact count-distincts make Catalyst plan an Expand — k copies of
+    the input into one shuffle, the standard multi-distinct strategy),
+    then a stack() unpivot of the 1-row result. At extreme cardinalities
+    swap count_distinct for approx_count_distinct and the Expand
+    disappears (single pass, HLL sketches merge map-side).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.isnull(F.col(c)).cast("bigint")).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

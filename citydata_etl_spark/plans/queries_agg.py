@@ -488,3 +488,46 @@ def a4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_custkey", F.ntile(4).over(w).cast("int").alias("balance_quartile")
     )
+
+
+@register(
+    "a10_table_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           count(DISTINCT o_orderdate)
+    FROM orders
+    """,
+    doc="A10 (profiling extension): single-aggregate column profiler — "
+    "per-column null and exact distinct counts in long format via one "
+    "wide agg + stack() unpivot (the multi-distinct Expand strategy; at "
+    "extreme cardinality swap in approx_count_distinct for a single-pass "
+    "HLL plan). The data-quality gate the reference lacks "
+    "(operators/relational.py:profile_table).",
+)
+def a10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.relational import profile_table
+
+    return profile_table(
+        read_testdata(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"],
+    )

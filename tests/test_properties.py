@@ -238,3 +238,46 @@ def test_domain_mix_weighted_water_fill(spark):
         # total_tokens * 5e-7
         assert abs(kept - 16 * w) <= out[s]["total_tokens"] * 5e-7 + 1e-9
         assert out[s]["target_weight"] == w
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_repetition_stats_matches_reference(spark, docs):
+    """repetition_stats vs a pure-Python bigram-bag reference, including
+    short-doc edge cases (0 tokens -> absent; 1 token -> one degenerate
+    unigram shingle, matching shingles() semantics)."""
+    from collections import Counter
+
+    from citydata_etl_spark.operators.text import repetition_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = repetition_stats(
+        spark.createDataFrame(rows, ["doc_id", "text"]), n=2
+    )
+    got = {r["doc_id"]: r for r in sdf.collect()}
+
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in got
+            continue
+        if len(toks) == 1:
+            grams = [toks[0]]          # shingles() emits the lone token
+        else:
+            grams = [
+                " ".join(toks[j:j + 2]) for j in range(len(toks) - 1)
+            ]
+        c = Counter(grams)
+        r = got[i]
+        assert r["n_grams"] == len(grams)
+        assert r["n_distinct"] == len(c)
+        assert r["top_count"] == max(c.values())
+        assert r["dup_ngram_frac"] == round(1.0 - len(c) / len(grams), 6)
+        assert r["top_ngram_share"] == round(max(c.values()) / len(grams), 6)
