@@ -446,3 +446,60 @@ def dedup_groups(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("group_id")
     )
+
+
+def dup_passage_stats(docs: DataFrame, n: int = 4, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr-inspired duplicated-passage signals (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — there a
+    suffix array marks character spans that recur anywhere in the corpus;
+    here the word-n-gram bag approximates the same signal with pure
+    relational ops): per doc, the fraction of n-gram occurrences whose gram
+    appears >= 2 times corpus-wide (in another doc OR repeated within this
+    one).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_passage_frac).
+
+    Scale shape: bag-semantics shingle explode -> (doc, gram) count (one
+    shuffle, map-side combined), gram totals (second shuffle on gram,
+    map-side combined because (doc,gram) is already unique), join the
+    per-doc-gram counts with the gram totals on gram (co-partitioned with
+    the total's shuffle), reduce per doc. No windows, no arrays held per
+    doc, no driver participation — every stage is a hash agg or hash join
+    on a key the data is already partitioned by at 100 TB.
+    """
+    grams = shingles(docs, n, text_col, id_col, distinct=False)
+    # persist: `per` feeds BOTH the gram-total aggregate and the join probe
+    # side — without it Spark re-runs the whole shingle explode per branch
+    per = (
+        grams.groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    tot = per.groupBy("shingle").agg(F.sum("cnt").alias("corpus_cnt"))
+    return (
+        per.join(tot, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("corpus_cnt") >= 2, F.col("cnt")).otherwise(0)
+            ).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            # half-up fixed-point on BOTH engines: integer-ratio quotients
+            # can be exactly dyadic (e.g. k/128 * 1e6 is a representable
+            # half-integer), where round() ties break differently between
+            # Spark (half-up) and DuckDB (half-even)
+            (
+                F.floor(
+                    F.col("n_dup_grams")
+                    / F.col("n_grams").cast("double") * 1000000
+                    + 0.5
+                ) / 1000000
+            ).alias("dup_passage_frac"),
+        )
+    )

@@ -368,3 +368,104 @@ def label_centroids(
             "n_vecs",
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, n_clusters: int = 8, epsilon: float = 0.5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embeddings with a coarse quantizer, compare pairs ONLY within a
+    cluster, and inside every semantic-duplicate pair (rounded cosine >=
+    epsilon) keep the example LESS similar to its cluster centroid (the
+    paper's keep-farthest-from-centroid rule; ties broken by lower id).
+
+    Deterministic variant for oracle parity: centroids are the n_clusters
+    lowest-id embeddings (seed medoids, no Lloyd iterations — swap in
+    ivf_topk's trained k-means when bit-reproducibility across engines is
+    not required), and a vector is dropped iff SOME same-cluster neighbor
+    with cosine >= epsilon dominates it (higher centroid similarity, or
+    equal and lower id) — the greedy pairwise form of the paper's
+    keep-one-per-group rule.
+
+    Output: (vec_id, cluster, centroid_sim, keep) for every vector.
+
+    Scale shape: the seed matrix is a broadcast crossJoin (k rows); the
+    argmax over clusters is a window over exactly k rows per vector; the
+    pairwise stage self-joins on cluster — candidate cost follows cluster
+    occupancy like every IVF-bucketed kernel, never all-pairs. All JVM
+    builtins (zip_with/aggregate dot products), no Python in the row path.
+    """
+    seeds = (
+        emb.orderBy(id_col).limit(n_clusters)
+        .select(
+            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("sv")
+        )
+        .withColumn(
+            "cluster", F.row_number().over(W.orderBy("seed_id")) - 1
+        )
+    )
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+    )
+    seed_dot = _dot(_as_double(F.col("v")), _as_double(F.col("sv")))
+    seed_norm2 = _dot(_as_double(F.col("sv")), _as_double(F.col("sv")))
+    sims = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "centroid_sim",
+            F.round(
+                seed_dot / (F.sqrt("norm2") * F.sqrt(seed_norm2)),
+                round_digits,
+            ),
+        )
+    )
+    pick = F.row_number().over(
+        W.partitionBy("id").orderBy(F.desc("centroid_sim"), "cluster")
+    )
+    assigned = (
+        sims.withColumn("__pick", pick)
+        .filter(F.col("__pick") == 1)
+        .select("id", "v", "norm2", "cluster", "centroid_sim")
+        .persist()
+    )
+    x = assigned.select(
+        F.col("id").alias("id_x"), F.col("v").alias("vx"),
+        F.col("norm2").alias("nx"), "cluster",
+        F.col("centroid_sim").alias("cs_x"),
+    )
+    y = assigned.select(
+        F.col("id").alias("id_y"), F.col("v").alias("vy"),
+        F.col("norm2").alias("ny"), "cluster",
+        F.col("centroid_sim").alias("cs_y"),
+    )
+    pair_cos = F.round(
+        _dot(_as_double(F.col("vx")), _as_double(F.col("vy")))
+        / (F.sqrt("nx") * F.sqrt("ny")),
+        round_digits,
+    )
+    dominated = (
+        x.join(y, "cluster")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .filter(pair_cos >= epsilon)
+        .filter(
+            (F.col("cs_y") < F.col("cs_x"))
+            | (
+                (F.col("cs_y") == F.col("cs_x"))
+                & (F.col("id_y") < F.col("id_x"))
+            )
+        )
+        .select(F.col("id_x").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("__drop", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "centroid_sim",
+            F.when(F.col("__drop").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("bigint").alias("keep"),
+        )
+    )

@@ -291,3 +291,52 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
             ).alias("avg_logprob"),
         )
     )
+
+
+#: Redaction patterns written in the ASCII-only regex subset on which Java
+#: regex (Spark) and RE2 (DuckDB) agree — no lookarounds, no \d shorthand.
+EMAIL_PATTERN = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+NUMBER_PATTERN = "[0-9]+"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass — the scrubbing stage every public-web training
+    corpus runs (emails, phone-like digit runs) as pure regexp_replace
+    expressions, one projection, zero shuffles.
+
+    The testdata corpus is synthetic word salad with no PII, so the query
+    deterministically augments each doc with a contact trailer derived
+    from its own columns (source + a doc_id-keyed number) — the operator
+    exercises real redaction while staying oracle-checkable. On real data
+    drop the augmentation and pass the raw text column.
+
+    Output: (doc_id, n_emails, n_numbers, scrubbed) where n_numbers counts
+    digit runs OUTSIDE emails (emails are redacted first).
+
+    Scale shape: narrow per-row projection fused into whole-stage codegen
+    with whatever scan/filter surrounds it — the cost is one pass over the
+    bytes; nothing is exchanged.
+    """
+    aug = F.concat(
+        F.col(text_col),
+        F.expr(
+            "repeat(concat(' contact ', source, '@example.com ref ', "
+            "cast((doc_id * 7919) % 100000 as string)), "
+            "cast(1 + doc_id % 3 as int))"
+        ),
+    )
+    after_email = F.regexp_replace(aug, EMAIL_PATTERN, "<EMAIL>")
+    return docs.select(
+        id_col,
+        F.size(
+            F.regexp_extract_all(aug, F.lit(EMAIL_PATTERN), F.lit(0))
+        ).cast("bigint").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(
+                after_email, F.lit(NUMBER_PATTERN), F.lit(0)
+            )
+        ).cast("bigint").alias("n_numbers"),
+        F.regexp_replace(after_email, NUMBER_PATTERN, "<NUM>")
+        .alias("scrubbed"),
+    )

@@ -531,3 +531,128 @@ def d4_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.operators.text import unigram_logprob
 
     return unigram_logprob(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_dup_passage",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 3 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    g AS (
+      SELECT doc_id, shingle, count(*) AS cnt
+      FROM sh WHERE shingle <> '' GROUP BY doc_id, shingle),
+    tot AS (SELECT shingle, sum(cnt) AS corpus_cnt FROM g GROUP BY shingle)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN corpus_cnt >= 2 THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_dup_grams,
+           floor(CAST(sum(CASE WHEN corpus_cnt >= 2 THEN cnt ELSE 0 END)
+                      AS DOUBLE) / sum(cnt) * 1000000 + 0.5) / 1000000
+             AS dup_passage_frac
+    FROM g JOIN tot USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="D4: ExactSubstr-inspired duplicated-passage fraction (Lee et al. "
+    "2021) — per doc, the share of 4-gram occurrences whose gram recurs "
+    "anywhere in the corpus. Two map-side-combined hash aggs + one hash "
+    "join on the gram key; the fraction is rounded half-up via "
+    "floor(x*1e6+0.5) on BOTH engines because integer-ratio quotients can "
+    "be exactly dyadic (operators/dedup.py:dup_passage_stats).",
+)
+def d4_dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dup_passage_stats(
+        read_testdata(spark, sf_dir, "documents"), n=4
+    )
+
+
+@register(
+    "d4_semantic_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (
+      SELECT e AS sv,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cluster
+      FROM v ORDER BY vec_id LIMIT 8),
+    sims AS (
+      SELECT v.vec_id, s.cluster,
+             round(list_dot_product(v.e, s.sv)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(s.sv, s.sv))), 4)
+               AS centroid_sim
+      FROM v CROSS JOIN seeds s),
+    assigned AS (
+      SELECT vec_id, cluster, centroid_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY centroid_sim DESC, cluster) AS rn
+        FROM sims) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT x.vec_id
+      FROM assigned x
+      JOIN assigned y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+      WHERE round(list_dot_product(vx.e, vy.e)
+                  / (sqrt(list_dot_product(vx.e, vx.e))
+                     * sqrt(list_dot_product(vy.e, vy.e))), 4) >= 0.3
+        AND (y.centroid_sim < x.centroid_sim
+             OR (y.centroid_sim = x.centroid_sim
+                 AND y.vec_id < x.vec_id)))
+    SELECT a.vec_id, a.cluster, a.centroid_sim,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    """,
+    doc="D4: SemDeDup-style semantic dedup (Abbas et al. 2023) — coarse "
+    "quantize on deterministic seed centroids, pairwise cosine ONLY "
+    "within a cluster, keep the pair member farther from its centroid. "
+    "Broadcast seed matrix, k-row window argmax, cluster-bucketed "
+    "self-join — never all-pairs "
+    "(operators/similarity.py:semantic_dedup).",
+)
+def d4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_clusters=8, epsilon=0.3)
+
+
+@register(
+    "d4_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || repeat(' contact ' || source || '@example.com ref '
+                            || CAST((doc_id * 7919) % 100000 AS VARCHAR),
+                            CAST(1 + doc_id % 3 AS INT)) AS a
+      FROM documents),
+    e AS (
+      SELECT doc_id, a,
+             regexp_replace(a, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+',
+                            '<EMAIL>', 'g') AS after_email
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(a,
+                '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(after_email, '[0-9]+')) AS BIGINT)
+             AS n_numbers,
+           regexp_replace(after_email, '[0-9]+', '<NUM>', 'g') AS scrubbed
+    FROM e
+    """,
+    doc="D4: PII redaction pass — email + digit-run scrubbing as pure "
+    "regexp_replace projections (zero shuffles, fused into codegen). The "
+    "synthetic corpus has no PII, so each doc is deterministically "
+    "augmented with 1-3 contact trailers derived from its own columns; "
+    "on real data the augmentation is dropped "
+    "(operators/text.py:pii_scrub).",
+)
+def d4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.pii_scrub(read_testdata(spark, sf_dir, "documents"))

@@ -192,3 +192,82 @@ def test_ivf_recall_vs_brute(spark, clustered_vecs):
         ).collect()
     }
     assert full == brute, "probing every cluster must be exact"
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """semantic_dedup vs an independent numpy re-implementation of the
+    deterministic SemDeDup rule (seed medoids, argmax assignment, pairwise
+    domination) on the sf0.001 embeddings — every cluster/centroid_sim/keep
+    value must agree."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in S.semantic_dedup(emb, n_clusters=8, epsilon=0.3).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    M = np.stack([v for _, v in rows])
+    norms = np.sqrt((M * M).sum(axis=1))
+    seeds = M[:8]
+    seed_norms = norms[:8]
+    cs = np.floor(
+        (M @ seeds.T) / (norms[:, None] * seed_norms[None, :]) * 1e4 + 0.5
+    ) / 1e4
+    # argmax with (sim desc, cluster asc) tie-break
+    cluster = np.array(
+        [max(range(8), key=lambda j: (cs[i, j], -j)) for i in range(len(ids))]
+    )
+    csim = cs[np.arange(len(ids)), cluster]
+    pair = np.floor(
+        (M @ M.T) / (norms[:, None] * norms[None, :]) * 1e4 + 0.5
+    ) / 1e4
+    n_keep = 0
+    for i in range(len(ids)):
+        same = (cluster == cluster[i]) & (ids != ids[i])
+        dominated = same & (pair[i] >= 0.3) & (
+            (csim < csim[i]) | ((csim == csim[i]) & (ids < ids[i]))
+        )
+        keep = 0 if dominated.any() else 1
+        r = out[int(ids[i])]
+        assert r["cluster"] == cluster[i]
+        assert r["centroid_sim"] == csim[i]
+        assert r["keep"] == keep
+        n_keep += keep
+    assert 0 < n_keep < len(ids)  # non-degenerate at this epsilon
+
+
+def test_semantic_dedup_keeps_cluster_minimum(spark, planted_docs):
+    """The vector with the lexicographically smallest (centroid_sim, id) in
+    each cluster can never be dominated — it must survive any epsilon."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = S.semantic_dedup(emb, n_clusters=8, epsilon=-1.0).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rows in by_cluster.values():
+        lo = min(rows, key=lambda r: (r["centroid_sim"], r["vec_id"]))
+        assert lo["keep"] == 1
+        # eps=-1: every pair is a duplicate, so exactly the minimum survives
+        assert sum(r["keep"] for r in rows) == 1
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """After the scrub no digits and no @ survive, and the trailer count
+    matches the deterministic augmentation."""
+    from citydata_etl_spark.operators.text import pii_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pii_scrub(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert "@" not in r["scrubbed"]
+        assert not any(c.isdigit() for c in r["scrubbed"])
+        assert r["n_emails"] == 1 + r["doc_id"] % 3
+        assert r["n_numbers"] == 1 + r["doc_id"] % 3
+        assert "<EMAIL>" in r["scrubbed"] and "<NUM>" in r["scrubbed"]

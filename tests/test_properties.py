@@ -281,3 +281,53 @@ def test_repetition_stats_matches_reference(spark, docs):
         assert r["top_count"] == max(c.values())
         assert r["dup_ngram_frac"] == round(1.0 - len(c) / len(grams), 6)
         assert r["top_ngram_share"] == round(max(c.values()) / len(grams), 6)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]),
+            min_size=0, max_size=10,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_dup_passage_matches_reference(spark, docs):
+    """dup_passage_stats vs a pure-Python 4-gram-bag reference, including
+    the short-doc degenerate gram (len < n -> one whole-doc shingle)."""
+    from collections import Counter
+
+    from citydata_etl_spark.operators.dedup import dup_passage_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = dup_passage_stats(
+        spark.createDataFrame(rows, ["doc_id", "text"]), n=4
+    )
+    got = {r["doc_id"]: r for r in sdf.collect()}
+
+    grams_by_doc = {}
+    corpus = Counter()
+    for i, toks in enumerate(docs):
+        if not toks:
+            continue
+        grams = [
+            " ".join(toks[j:j + 4])
+            for j in range(max(len(toks) - 4, 0) + 1)
+        ]
+        grams_by_doc[i] = grams
+        corpus.update(grams)
+
+    for i, toks in enumerate(docs):
+        if not toks:
+            assert i not in got
+            continue
+        grams = grams_by_doc[i]
+        n_dup = sum(1 for g in grams if corpus[g] >= 2)
+        r = got[i]
+        assert r["n_grams"] == len(grams)
+        assert r["n_dup_grams"] == n_dup
+        import math
+        assert r["dup_passage_frac"] == (
+            math.floor(n_dup / len(grams) * 1000000 + 0.5) / 1000000
+        )
