@@ -45,6 +45,9 @@ HEADLINE = [
     "d4_tfidf_topk",
     "d4_lm_logprob",
     "d4_repetition_stats",
+    "d4_dup_passage",
+    "d4_semantic_dedup",
+    "d4_pii_scrub",
 ]
 
 
