@@ -205,3 +205,58 @@ def t5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("ts").cast("long")).alias("session_end"),
         dec_sum("value", "total_value"),
     )
+
+
+@register(
+    "t6_stream_enrich",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           c_mktsegment AS segment,
+           count(*) AS n,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, segment
+    """,
+    doc="T6 (stream-static join, extension): the standard streaming-enrichment shape — "
+    "file-source readStream over events, INNER JOIN a static broadcast "
+    "dimension (customer segment), then a tumbling event-time aggregation "
+    "per segment; Trigger.AvailableNow, complete-mode memory sink. The "
+    "static side is re-read per micro-batch and broadcast (no shuffle on "
+    "the stream side); hash-matching the batch SQL oracle proves the "
+    "enriched streaming path agrees bit-for-bit.",
+)
+def t6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = (
+        read_testdata(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "10 minutes"), "segment")
+        .agg(F.count("*").alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "segment",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"t6_stream_enrich_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
