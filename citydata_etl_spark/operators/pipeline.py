@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from citydata_etl_spark.operators import text as TX
 from citydata_etl_spark.operators.dedup import (
     dedup_groups,
     minhash_lsh_pairs,
@@ -365,4 +366,70 @@ def domain_mix(
             ),
             6,
         ).alias("keep_rate"),
+    )
+
+
+def quality_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style filter-funnel audit (Rae et al. 2021, A1.1: the
+    sequence of document filters applied cumulatively): ONE corpus scan,
+    ONE 1-row aggregate — per filter stage, how many docs survive all
+    stages up to and including it, plus the surviving token mass.
+
+    Stages (cheap inline exprs; each a [[text.py]] -style builder):
+      0 non_empty     n_tokens >= 1
+      1 min_length    n_tokens >= 16
+      2 word_shape    2 <= mean_token_len <= 12
+      3 stopword_en   stopword ratio >= 0.05
+      4 repetition    distinct-token ratio > 0.3 (unigram proxy for the
+                      dup-n-gram family; the n-gram form is
+                      dedup.dup_passage_stats / text.repetition_stats)
+
+    Output: (stage, stage_name, n_surviving, tokens_surviving) — the
+    drop-off report every curation run ships.
+
+    Scale shape: indicator sums fuse into one partial+final hash agg (a
+    1-row result), the unpivot is a stack() over that row — the corpus is
+    read exactly once, nothing shuffles but 32 partial-agg rows.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_spaces = n_chars - F.length(F.regexp_replace(text_col, " ", ""))
+    mean_len = (n_chars - n_spaces).cast("double") / n_tokens
+    sw = F.array(*[F.lit(w) for w in TX.EN_STOPWORDS])
+    sw_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast(
+            "double"
+        ) / n_tokens
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    )
+    stages = [
+        ("non_empty", n_tokens >= 1),
+        ("min_length", n_tokens >= 16),
+        ("word_shape", (mean_len >= 2.0) & (mean_len <= 12.0)),
+        ("stopword_en", sw_ratio >= 0.05),
+        ("repetition", distinct_ratio > 0.3),
+    ]
+    aggs = []
+    cum = F.lit(True)
+    for i, (stage_name, cond) in enumerate(stages):
+        cum = cum & cond
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("bigint")
+            .alias(f"__n_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cum, n_tokens).otherwise(0)).cast("bigint")
+            .alias(f"__t_{i}")
+        )
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{name}', __n_{i}, __t_{i}"
+        for i, (name, _) in enumerate(stages)
+    )
+    return wide.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS "
+        "(stage, stage_name, n_surviving, tokens_surviving)"
     )

@@ -438,3 +438,67 @@ def d4_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.domain_mix(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d6_quality_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT len(toks) AS n_tokens,
+             CAST(n_chars - n_spaces AS DOUBLE) / len(toks) AS mean_len,
+             CAST(len(list_filter(toks, t -> t IN
+               ('the','a','of','and','to','in','is','that','it','for')))
+               AS DOUBLE) / len(toks) AS sw_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS distinct_ratio
+      FROM (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces
+        FROM documents)),
+    c AS (
+      SELECT n_tokens,
+             (n_tokens >= 1) AS c0,
+             (n_tokens >= 1 AND n_tokens >= 16) AS c1,
+             (n_tokens >= 1 AND n_tokens >= 16
+              AND mean_len >= 2.0 AND mean_len <= 12.0) AS c2,
+             (n_tokens >= 1 AND n_tokens >= 16
+              AND mean_len >= 2.0 AND mean_len <= 12.0
+              AND sw_ratio >= 0.05) AS c3,
+             (n_tokens >= 1 AND n_tokens >= 16
+              AND mean_len >= 2.0 AND mean_len <= 12.0
+              AND sw_ratio >= 0.05 AND distinct_ratio > 0.3) AS c4
+      FROM m),
+    w AS (
+      SELECT
+        sum(CASE WHEN c0 THEN 1 ELSE 0 END) AS n0,
+        sum(CASE WHEN c0 THEN n_tokens ELSE 0 END) AS t0,
+        sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN c1 THEN n_tokens ELSE 0 END) AS t1,
+        sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN c2 THEN n_tokens ELSE 0 END) AS t2,
+        sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS n3,
+        sum(CASE WHEN c3 THEN n_tokens ELSE 0 END) AS t3,
+        sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS n4,
+        sum(CASE WHEN c4 THEN n_tokens ELSE 0 END) AS t4
+      FROM c)
+    SELECT CAST(0 AS BIGINT) AS stage, 'non_empty' AS stage_name,
+           CAST(n0 AS BIGINT) AS n_surviving,
+           CAST(t0 AS BIGINT) AS tokens_surviving FROM w
+    UNION ALL SELECT 1, 'min_length', CAST(n1 AS BIGINT),
+                     CAST(t1 AS BIGINT) FROM w
+    UNION ALL SELECT 2, 'word_shape', CAST(n2 AS BIGINT),
+                     CAST(t2 AS BIGINT) FROM w
+    UNION ALL SELECT 3, 'stopword_en', CAST(n3 AS BIGINT),
+                     CAST(t3 AS BIGINT) FROM w
+    UNION ALL SELECT 4, 'repetition', CAST(n4 AS BIGINT),
+                     CAST(t4 AS BIGINT) FROM w
+    """,
+    doc="D6: Gopher-style filter-funnel audit (Rae et al. 2021 A1.1) — "
+    "per cumulative filter stage, surviving docs and token mass, from ONE "
+    "corpus scan and ONE 1-row aggregate (indicator sums fused into a "
+    "single partial+final hash agg, stack() unpivot of the row) "
+    "(operators/pipeline.py:quality_funnel).",
+)
+def d6_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.quality_funnel(read_testdata(spark, sf_dir, "documents"))

@@ -124,3 +124,33 @@ def test_curation_pipeline_single_scan_no_wide_joins(spark):
         "corpus-sized feature branch joined back to the corpus"
     )
     assert "Join type: LeftSemi" not in plan
+
+
+def test_dup_passage_single_explode_and_cache_reuse(spark):
+    """The (doc, gram) table must be computed ONCE (persisted) and reused
+    by both the gram-total aggregate and the join probe side — BOTH
+    consumers must scan the cache, so the shingle explode never runs
+    twice."""
+    plan = _plan(spark, "d4_dup_passage")
+    assert plan.count("InMemoryTableScan") >= 2
+    # exactly one parquet scan of documents feeds the cached relation
+    assert plan.count("documents.parquet") == 1
+
+
+def test_semantic_dedup_no_corpus_cartesian(spark):
+    """The only nested-loop join allowed is vector x k-row seed broadcast;
+    the pairwise stage must be an equi-join on cluster, and the argmax a
+    WindowGroupLimit (partial top-1 before the exchange)."""
+    plan = _plan(spark, "d4_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pii_scrub_zero_exchanges(spark):
+    """The redaction pass is one codegen'd projection over the scan: no
+    exchange, no join, ReadSchema pruned to (doc_id, text, source)."""
+    plan = _plan(spark, "d4_pii_scrub")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read and "n_chars" not in read
