@@ -395,15 +395,18 @@ def quality_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     n_spaces = n_chars - F.length(F.regexp_replace(text_col, " ", ""))
-    mean_len = (n_chars - n_spaces).cast("double") / n_tokens
+    # try_divide: a 0-token doc must fail the funnel (null ratio -> null
+    # condition -> false under AND), not raise under ANSI mode
+    mean_len = F.try_divide((n_chars - n_spaces).cast("double"), n_tokens)
     sw = F.array(*[F.lit(w) for w in TX.EN_STOPWORDS])
-    sw_ratio = (
+    sw_ratio = F.try_divide(
         F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast(
             "double"
-        ) / n_tokens
+        ),
+        n_tokens,
     )
-    distinct_ratio = (
-        F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    distinct_ratio = F.try_divide(
+        F.size(F.array_distinct(toks)).cast("double"), n_tokens
     )
     stages = [
         ("non_empty", n_tokens >= 1),

@@ -331,3 +331,58 @@ def test_dup_passage_matches_reference(spark, docs):
         assert r["dup_passage_frac"] == (
             math.floor(n_dup / len(grams) * 1000000 + 0.5) / 1000000
         )
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "a", "zq", "b", "xx"]),
+            min_size=0, max_size=24,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_quality_funnel_matches_reference(spark, docs):
+    """quality_funnel vs a pure-Python reference of the cumulative stage
+    logic (including 0-token docs, which must fail stage 0 but still count
+    in the scan)."""
+    from citydata_etl_spark.operators.pipeline import quality_funnel
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    out = {
+        r["stage"]: r
+        for r in quality_funnel(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+
+    surv = [0] * 5
+    toks_surv = [0] * 5
+    sw = {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"}
+    for toks in docs:
+        n = len(toks)
+        text = " ".join(toks)
+        n_chars = len(text)
+        n_spaces = text.count(" ")
+        conds = [n >= 1, n >= 16]
+        if n:
+            mean_len = (n_chars - n_spaces) / n
+            conds.append(2.0 <= mean_len <= 12.0)
+            conds.append(sum(1 for t in toks if t in sw) / n >= 0.05)
+            conds.append(len(set(toks)) / n > 0.3)
+        else:
+            conds += [False, False, False]
+        ok = True
+        for i, c in enumerate(conds):
+            ok = ok and c
+            if ok:
+                surv[i] += 1
+                toks_surv[i] += n
+    names = ["non_empty", "min_length", "word_shape", "stopword_en",
+             "repetition"]
+    assert len(out) == 5
+    for i in range(5):
+        assert out[i]["stage_name"] == names[i]
+        assert out[i]["n_surviving"] == surv[i]
+        assert out[i]["tokens_surviving"] == toks_surv[i]
