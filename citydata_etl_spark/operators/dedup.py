@@ -12,10 +12,12 @@ All-builtin implementations (no Python in the row path):
 Determinism: token ids come from a dense rank over the global vocabulary and
 hash functions are integer LCGs mod a Mersenne-ish prime — pure integer
 arithmetic reproduces bit-identically in any engine (this is what lets the
-DuckDB oracle verify MinHash-LSH exactly). At 100 TB the vocabulary
-dense-rank (one global sort over DISTINCT tokens — small by Heaps' law)
-would be replaced by xxhash64(token), trading oracle-exactness for zero
-global coordination; the banding/bucketing topology is identical.
+DuckDB oracle verify MinHash-LSH exactly). The rank is computed WITHOUT a
+single-partition sort (see _global_rank): range-partition on the key,
+rank within partitions, add the exclusive prefix-sum of partition counts —
+per-partition parallelism at any vocabulary size. At extreme scale
+xxhash64(token) remains the zero-coordination alternative (same banding
+topology, trades oracle-exactness).
 """
 
 from __future__ import annotations
@@ -60,15 +62,70 @@ def tokens(docs: DataFrame, text_col: str = "text",
     return t.distinct() if distinct else t
 
 
-def vocabulary(tok: DataFrame) -> DataFrame:
-    """Dense token ids by global lexicographic rank.
+def _global_rank(
+    df: DataFrame, order_cols: list[str], out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic 0-based global rank over rows UNIQUE on order_cols,
+    with no single-partition sort (the WindowExec "No Partition Defined"
+    scale killer):
 
-    The single-partition window is over DISTINCT tokens only (vocabulary,
-    not corpus) — bounded by Heaps' law; swap for xxhash64 at extreme scale.
+      1. range-partition on the order keys (sampled bounds — the rank is
+         bound-independent because partition ranges are disjoint and
+         ordered, so global rank = partition offset + local rank);
+      2. row_number within each partition;
+      3. add the EXCLUSIVE PREFIX-SUM of partition counts, collected to
+         the driver — bounded by the partition count (cluster size), never
+         by data size — and folded back in as a literal map.
+
+    localCheckpoint pins the sampled range bounds: the offset map is only
+    valid for the materialized partitioning, so downstream jobs must not
+    re-run the (re-sampling) range exchange.
     """
-    return tok.select("token").distinct().withColumn(
-        "tid", F.row_number().over(W.orderBy("token")) - 1
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranked = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local",
+            F.row_number().over(
+                W.partitionBy("__pid").orderBy(*order_cols)
+            ) - 1,
+        )
+        .localCheckpoint(eager=True)
     )
+    counts = ranked.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in sorted((r["__pid"], r["cnt"]) for r in counts):
+        offsets[pid] = acc
+        acc += cnt
+    if not offsets:
+        off = F.lit(0).cast("bigint")
+    else:
+        off = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(v)
+                    for pid, o in offsets.items()
+                    for v in (pid, o)
+                ]
+            ),
+            F.col("__pid"),
+        ).cast("bigint")
+    return (
+        ranked.withColumn(out_col, (F.col("__local") + off).cast("bigint"))
+        .drop("__pid", "__local")
+    )
+
+
+def vocabulary(tok: DataFrame) -> DataFrame:
+    """Dense token ids by global lexicographic rank — computed by
+    _global_rank (range-partitioned, no single-partition window), so the
+    vocabulary can grow with the corpus (shingle vocabularies do; Heaps'
+    law does not bound n-grams) without a serialization point."""
+    return _global_rank(tok.select("token").distinct(), ["token"], "tid")
 
 
 def shingles(docs: DataFrame, n: int, text_col: str = "text",
@@ -163,13 +220,16 @@ def ngram_jaccard_pairs(
         )
 
     # --- prefix-filtered plan ---
-    # global rarity rank (window over the DISTINCT shingle vocabulary —
-    # bounded; ties broken by shingle for determinism)
+    # global rarity rank over the DISTINCT shingle vocabulary, computed
+    # per-partition + offset (no single-partition window — the shingle
+    # vocabulary grows with the corpus). Plain equi-join on shingle, no
+    # broadcast hint: the rank table is corpus-dependent, so AQE decides
+    # (it will broadcast only when the vocabulary actually is small).
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-    ranked = freq.withColumn(
-        "rid", F.row_number().over(W.orderBy("freq", "shingle"))
-    ).select("shingle", "rid")
-    shr = sh.join(F.broadcast(ranked), "shingle").select(id_col, "rid")
+    ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(
+        "shingle", "rid"
+    )
+    shr = sh.join(ranked, "shingle").select(id_col, "rid")
     # per-doc sorted shingle-id array, reused by prefix AND verify stages
     arr = (
         shr.groupBy(id_col)
@@ -242,8 +302,11 @@ def _doc_token_ids(
         )
     else:
         tok = tokens(docs, text_col, id_col)
+    # no broadcast hint: the vocabulary is corpus-dependent (shingle
+    # vocabularies grow ~linearly), so the join stays a plain equi-join
+    # co-partitioned on token and AQE broadcasts only when actually small
     vocab = vocabulary(tok)
-    tt = tok.join(F.broadcast(vocab), "token").select(id_col, "tid")
+    tt = tok.join(vocab, "token").select(id_col, "tid")
     return tt.groupBy(id_col).agg(
         F.collect_list(F.col("tid").cast("bigint")).alias("tids")
     )

@@ -39,19 +39,80 @@ def with_norm2(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm2", _dot(v, v))
 
 
+def _blocked_grid(
+    emb: DataFrame, id_col: str, vec_col: str,
+    q_blocks: int, c_blocks: int,
+) -> tuple[DataFrame, DataFrame]:
+    """2D block decomposition for distributed all-pairs matmuls: the query
+    side is hash-assigned to one of q_blocks row-blocks and replicated to
+    every candidate block; the candidate side symmetric. Cogrouping on
+    (qb, cb) hands each task one bounded (Q-block x C-block) tile — the
+    standard blocked matmul, fully distributed, NO driver participation.
+
+    Replication factor is c_blocks for queries / q_blocks for candidates
+    (the classic sqrt-replication tradeoff); block counts size each tile to
+    executor memory — n_rows/blocks * dim * 8 bytes per side.
+    """
+    q = (
+        emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn(
+            "qb", F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).cast("int")
+        )
+        .withColumn(
+            "cb",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(c_blocks - 1)).cast("array<int>")
+            ),
+        )
+    )
+    c = (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn(
+            "cb", F.pmod(F.xxhash64("cid"), F.lit(c_blocks)).cast("int")
+        )
+        .withColumn(
+            "qb",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(q_blocks - 1)).cast("array<int>")
+            ),
+        )
+    )
+    return q, c
+
+
+def _tile_sims(left, right, scale):
+    """Shared tile kernel: (rounded cosine matrix, qids, cids) for one
+    (Q-block x C-block) cogroup tile — one BLAS matmul in float64."""
+    import numpy as np
+
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in left["qv"]])
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in right["cv"]])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    sims = (Q @ C.T) / (qn[:, None] * cn[None, :])
+    sims = np.floor(sims * scale + 0.5) / scale
+    return (
+        sims,
+        left["qid"].to_numpy(dtype=np.int64),
+        right["cid"].to_numpy(dtype=np.int64),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
+    q_blocks: int = 4, c_blocks: int = 4,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for every vector (self-excluded).
 
-    Physical strategy: the candidate side is collected into one numpy
-    matrix and BROADCAST (it is the build side of a broadcast join — must
-    be bounded, like any broadcast dim); queries stream through mapInPandas
-    and hit it with one BLAS matmul per Arrow batch. ~15x faster than the
-    builtin zip_with/aggregate crossJoin (interpreted per element), and the
-    shape survives scale-up: at 100 TB you shard the candidate matrix
-    (IVF/LSH — see lsh_bucket_topk) and keep the same per-block matmul.
+    Physical strategy: 2D-blocked distributed matmul (_blocked_grid) — a
+    cogroup on (query-block, candidate-block) hands each task one bounded
+    tile, scored with one float64 BLAS matmul; each tile emits its local
+    top-k per query and a final window merges the per-tile partials into
+    the global top-k. Nothing is ever collected to the driver and no tile
+    exceeds (n/q_blocks + n/c_blocks) rows — at 100 TB you raise the block
+    counts and the same plan holds. (The old shape — collect + broadcast
+    the full candidate matrix — OOMs the driver past bounded inputs.)
 
     Output: (query_id, neighbor_id, cos_sim, rnk) — ranked by
     (rounded cos desc, neighbor_id), a total order.
@@ -59,80 +120,74 @@ def brute_force_topk(
     Numeric contract: float32 inputs promoted to float64; products are
     exact, sums differ from sequential evaluation only by addition order
     (~1e-15) — invisible at round_digits=4. Rounding is floor(x*1e4+0.5)
-    (half-up), matching the SQL oracle's convention.
+    (half-up), matching the SQL oracle's convention. Block assignment
+    cannot affect values: every (q, c) dot product spans the full
+    dimension regardless of which tile computes it.
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    cand = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in cand], dtype=np.int64)
-    M = np.array([r[1] for r in cand], dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, M, norms))
     scale = 10.0 ** round_digits
-
-    def topk_batches(batches):
-        c_ids, c_m, c_norms = bc.value
-        for pdf in batches:
-            q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ c_m.T) / (qn[:, None] * c_norms[None, :])
-            sims = np.floor(sims * scale + 0.5) / scale
-            out_q, out_n, out_s, out_r = [], [], [], []
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            for row in range(len(pdf)):
-                mask = c_ids != qids[row]
-                s, n = sims[row][mask], c_ids[mask]
-                order = np.lexsort((n, -s))[:k]
-                out_q.extend([qids[row]] * len(order))
-                out_n.extend(n[order])
-                out_s.extend(s[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    "neighbor_id": np.array(out_n, dtype=np.int64),
-                    "cos_sim": np.array(out_s, dtype=np.float64),
-                    "rnk": np.array(out_r, dtype=np.int32),
-                }
-            )
-
-    return _spread(emb.select(id_col, vec_col), len(ids)).mapInPandas(
-        topk_batches,
-        schema="query_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE, rnk INT",
+    empty = pd.DataFrame(
+        {
+            "query_id": np.array([], dtype=np.int64),
+            "neighbor_id": np.array([], dtype=np.int64),
+            "cos_sim": np.array([], dtype=np.float64),
+        }
     )
 
+    def tile_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        sims, qids, cids = _tile_sims(left, right, scale)
+        out_q, out_n, out_s = [], [], []
+        for row in range(len(qids)):
+            mask = cids != qids[row]
+            s, n = sims[row][mask], cids[mask]
+            order = np.lexsort((n, -s))[:k]
+            out_q.extend([qids[row]] * len(order))
+            out_n.extend(n[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "cos_sim": np.array(out_s, dtype=np.float64),
+            }
+        )
 
-def _spread(queries: DataFrame, n_rows: int, rows_per_task: int = 256) -> DataFrame:
-    """Repartition the query side so the per-batch matmuls run on many
-    cores — a single-file parquet scan otherwise serializes the whole
-    kernel into one task. Cheap round-robin shuffle of (id, vector) rows;
-    at cluster scale the query side arrives already partitioned and this
-    is a no-op."""
-    target = max(1, min(16, n_rows // rows_per_task))
-    if queries.rdd.getNumPartitions() >= target:
-        return queries
-    return queries.repartition(target)
+    q, c = _blocked_grid(emb, id_col, vec_col, q_blocks, c_blocks)
+    partials = q.groupBy("qb", "cb").cogroup(c.groupBy("qb", "cb")).applyInPandas(
+        tile_topk,
+        schema="query_id BIGINT, neighbor_id BIGINT, cos_sim DOUBLE",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
 
 
 def cosine_neardup_pairs(
     emb: DataFrame, threshold: float = 0.35, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
+    q_blocks: int = 4, c_blocks: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b) with rounded
     cosine >= threshold — the dedup-by-embedding primitive (pair list feeds
     a connected-components / min-id canonicalization downstream).
 
-    Physical strategy mirrors brute_force_topk: candidate matrix broadcast,
-    queries stream through mapInPandas, one BLAS matmul per Arrow batch;
-    the threshold filter runs inside the batch so only qualifying pairs are
-    ever materialized. Scale path: this exact kernel becomes the VERIFY
-    stage behind an LSH/IVF candidate generator (lsh_bucket_topk's bucket
-    join) — candidates shrink from O(n^2) to near-linear, the verify matmul
-    is unchanged.
+    Physical strategy mirrors brute_force_topk: the same 2D-blocked
+    cogroup matmul (no driver collect, no broadcast of a corpus-sized
+    matrix); the threshold filter runs inside each tile so only qualifying
+    pairs are ever materialized, and no merge window is needed (the tiles
+    partition the pair space). Scale path: this exact kernel is also the
+    VERIFY stage behind an LSH/IVF candidate generator (lsh_bucket_topk /
+    ivf_topk) — candidates shrink from O(n^2) to near-linear, the verify
+    matmul is unchanged.
 
     Emits each pair once (id_a < id_b). The threshold compares the ROUNDED
     similarity (floor(x*1e4+0.5) half-up, same as the SQL oracle), so the
@@ -141,38 +196,46 @@ def cosine_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    cand = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in cand], dtype=np.int64)
-    M = np.array([r[1] for r in cand], dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, M, norms))
     scale = 10.0 ** round_digits
+    empty = pd.DataFrame(
+        {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cos_sim": np.array([], dtype=np.float64),
+        }
+    )
 
-    def neardup_batches(batches):
-        c_ids, c_m, c_norms = bc.value
-        for pdf in batches:
-            q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ c_m.T) / (qn[:, None] * c_norms[None, :])
-            sims = np.floor(sims * scale + 0.5) / scale
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            # keep only the (id_a < id_b) half above threshold
-            keep = (sims >= threshold) & (qids[:, None] < c_ids[None, :])
-            qi, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[qi],
-                    "id_b": c_ids[ci],
-                    "cos_sim": sims[qi, ci],
-                }
-            )
+    def tile_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        sims, qids, cids = _tile_sims(left, right, scale)
+        keep = (sims >= threshold) & (qids[:, None] < cids[None, :])
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "id_a": qids[qi],
+                "id_b": cids[ci],
+                "cos_sim": sims[qi, ci],
+            }
+        )
 
-    return _spread(emb.select(id_col, vec_col), len(ids)).mapInPandas(
-        neardup_batches,
+    q, c = _blocked_grid(emb, id_col, vec_col, q_blocks, c_blocks)
+    return q.groupBy("qb", "cb").cogroup(c.groupBy("qb", "cb")).applyInPandas(
+        tile_pairs,
         schema="id_a BIGINT, id_b BIGINT, cos_sim DOUBLE",
+    )
+
+
+def _spread(queries: DataFrame, rows_per_task: int = 256) -> DataFrame:
+    """Fan a 1-3-partition input out to the session parallelism before a
+    per-row Python kernel — a single-file parquet scan otherwise serializes
+    the whole kernel into one task. At cluster scale the input arrives
+    already partitioned and this is a no-op. (Partition count comes from
+    the plan, not a count() job.)"""
+    if queries.rdd.getNumPartitions() >= 4:
+        return queries
+    return queries.repartition(
+        queries.sparkSession.sparkContext.defaultParallelism
     )
 
 
@@ -299,7 +362,7 @@ def ivf_topk(
             out["probes"] = [row[:n_probe].tolist() for row in order]
             yield out
 
-    tagged = _spread(emb.select(id_col, vec_col), emb.count()).mapInPandas(
+    tagged = _spread(emb.select(id_col, vec_col)).mapInPandas(
         tag,
         schema=f"{id_col} BIGINT, {vec_col} ARRAY<FLOAT>, "
         "cluster INT, probes ARRAY<INT>",
@@ -397,14 +460,19 @@ def semantic_dedup(
     occupancy like every IVF-bucketed kernel, never all-pairs. All JVM
     builtins (zip_with/aggregate dot products), no Python in the row path.
     """
-    seeds = (
+    # seed medoids: the n_clusters lowest-id embeddings, enumerated on the
+    # driver — bounded by the n_clusters PARAMETER (exactly like ivf_topk's
+    # train sample), so the collect is a k-row point lookup, not a data
+    # dependence; it also keeps the plan free of unpartitioned windows
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    seed_rows = (
         emb.orderBy(id_col).limit(n_clusters)
-        .select(
-            F.col(id_col).alias("seed_id"), F.col(vec_col).alias("sv")
-        )
-        .withColumn(
-            "cluster", F.row_number().over(W.orderBy("seed_id")) - 1
-        )
+        .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("sv"))
+        .collect()
+    )
+    seeds = emb.sparkSession.createDataFrame(
+        [(i, list(r["sv"])) for i, r in enumerate(seed_rows)],
+        f"cluster INT, sv {vec_type}",
     )
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"

@@ -114,7 +114,7 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     ).filter(F.col("token") != "")
     vocab = vocabulary(pos_tok.select(F.col(id_col), F.col("token")))
     seq = (
-        pos_tok.join(F.broadcast(vocab), "token")
+        pos_tok.join(vocab, "token")  # corpus-dependent table: AQE decides
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -145,10 +145,13 @@ def tfidf_top_terms(
     corpora, where every unigram's df ~= N and unigram TF-IDF collapses
     to zero.
 
-    Plan shape: one bag-semantics shingle explode -> (doc, term) count,
-    a bounded document-frequency table (vocabulary-sized, broadcast), a
-    1-row corpus count (broadcast cross join), one ranking window
-    partitioned by doc. The corpus is shuffled once, on (doc, term).
+    Plan shape: one bag-semantics shingle explode -> (doc, term) count, a
+    document-frequency aggregate joined back as a PLAIN equi-join on the
+    term key (df is corpus-dependent — a vocabulary-sized broadcast would
+    be a scale killer; the join is co-partitioned with tf's shuffle and
+    AQE broadcasts only when df actually is small), a 1-row corpus count
+    (broadcast cross join), one ranking window partitioned by doc. The
+    corpus is shuffled once, on (doc, term).
     """
     from citydata_etl_spark.operators.dedup import shingles
 
@@ -157,7 +160,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("shingle").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "shingle")
+        tf.join(dfreq, "shingle")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -146,6 +146,58 @@ def test_semantic_dedup_no_corpus_cartesian(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_cosine_kernels_are_distributed_cogroups(spark):
+    """The exact cosine kernels must be 2D-blocked cogroup matmuls — no
+    driver-side collect of the embedding table (the plan is lazy and
+    contains the cogroup operator), no cartesian product. A refactor back
+    to the collect+broadcast shape fails here: that shape OOMs the driver
+    at scale."""
+    for name in ("d4_cosine_topk", "d4_embed_neardup"):
+        plan = _plan(spark, name)
+        assert "FlatMapCoGroupsInPandas" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tfidf_df_join_is_not_hinted_broadcast(spark):
+    """The document-frequency table is corpus-dependent — it must reach the
+    tf side as a plain equi-join that AQE may broadcast at runtime, never
+    via an explicit broadcast() hint. With the auto-broadcast threshold
+    disabled, a hint would still force a BroadcastExchange on the term
+    join; the plain join shows up as SortMergeJoin."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "d4_tfidf_topk")
+        assert "SortMergeJoin" in plan
+        # the only broadcast left is the 1-row corpus count (explicit,
+        # bounded); formatted explain prints each node twice (tree+details)
+        assert plan.count("BroadcastExchange") <= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _assert_no_unpartitioned_window(plan: str, name: str):
+    """An unpartitioned windowspecdefinition's FIRST argument is an
+    ordering expression (suffixed ASC/DESC); a partitioned one leads with
+    bare partition columns. 'No Partition Defined' windows move all rows
+    to one task — the single-partition-sort scale killer."""
+    import re
+
+    bad = re.findall(
+        r"windowspecdefinition\([^,()]*#\d+L? (?:ASC|DESC)", plan
+    )
+    assert not bad, f"{name}: unpartitioned window(s): {bad}"
+
+
+def test_dedup_rank_windows_are_partitioned(spark):
+    """The shingle-vocabulary / rarity ranks must never be a global
+    single-partition window: _global_rank partitions by the range-partition
+    id, so every Window node in these plans carries a partition key."""
+    for name in ("d4_minhash_lsh", "d4_ngram_jaccard", "d4_doc_fingerprint",
+                 "d4_semantic_dedup"):
+        _assert_no_unpartitioned_window(_plan(spark, name), name)
+
+
 def test_pii_scrub_zero_exchanges(spark):
     """The redaction pass is one codegen'd projection over the scan: no
     exchange, no join, ReadSchema pruned to (doc_id, text, source)."""
