@@ -48,6 +48,7 @@ HEADLINE = [
     "d4_dup_passage",
     "d4_semantic_dedup",
     "d4_pii_scrub",
+    "j7_salted_skew_join",
 ]
 
 
@@ -90,6 +91,10 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as ex:  # keep the JSON line intact on any failure
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+        # release the query's persisted intermediates (dedup signature
+        # tables, similarity assignments, ...) so storage memory does not
+        # accumulate across the 25+ headline queries in this one session
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

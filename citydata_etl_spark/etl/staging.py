@@ -21,8 +21,10 @@ def derive_curated_columns(
     """Parse staging object keys into curated partition columns.
 
     Two key shapes (reference process-staging.py:32-44):
-      manual/{name}           -> source='manual', schema/table from name,
-                                 load='initial'
+      manual/{name}           -> source='manual', schema='misc' (the
+                                 reference's fixed schema partition for
+                                 drop-ins, process-staging.py:38), table
+                                 from the file stem, load='initial'
       {source}/{schema}/{table}/{load}/{name}
     plus processing-time year/month/day/hour (reference uses wall-clock at
     move time, process-staging.py:14-18; tests inject `now` for
@@ -40,7 +42,7 @@ def derive_curated_columns(
         )
         .withColumn(
             "schema_name",
-            F.when(is_manual, stem).otherwise(F.element_at(parts, 2)),
+            F.when(is_manual, F.lit("misc")).otherwise(F.element_at(parts, 2)),
         )
         .withColumn(
             "table_name",

@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+#: HTML void elements never produce an end tag — counting their start tags
+#: toward nesting depth makes the extractor capture past the target
+#: element's close on any real page (every scraped page has <br>/<img>).
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+
 class _IdTextExtractor(HTMLParser):
     """Collects the text content of the first element whose id matches."""
 
@@ -35,13 +46,21 @@ class _IdTextExtractor(HTMLParser):
         if self.done:
             return
         if self.capturing:
-            self.depth += 1
+            if tag not in VOID_ELEMENTS:
+                self.depth += 1
         elif dict(attrs).get("id") == self.target_id:
-            self.capturing = True
-            self.depth = 1
+            if tag in VOID_ELEMENTS:
+                # a void target (<img id=...>) has no text content
+                self.done = True
+            else:
+                self.capturing = True
+                self.depth = 1
 
     def handle_endtag(self, tag):
-        if self.capturing:
+        # void end tags (invalid but seen in the wild, and synthesized by
+        # handle_startendtag's default start+end dispatch for <br/>) must
+        # not decrement: their start tag never incremented
+        if self.capturing and tag not in VOID_ELEMENTS:
             self.depth -= 1
             if self.depth == 0:
                 self.capturing = False

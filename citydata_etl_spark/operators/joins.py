@@ -139,7 +139,18 @@ def salted_join(
     |other| * n_salts << |skewed-hot-key rows|. Salt is derived from a
     per-row hash (stable within the task, no RNG state), and both salt
     columns are dropped from the output.
+
+    Only 'inner' and 'left' are supported: replicating the build side
+    n_salts times would emit each UNMATCHED right row once per salt under
+    'right'/'full' semantics (matched rows are fine — they join exactly
+    one salted probe partition).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'|'left' only: the build side "
+            f"is replicated {n_salts}x, which would duplicate unmatched "
+            "right rows under right/full semantics"
+        )
     salt_l = (F.abs(F.xxhash64(*skewed.columns)) % n_salts).alias("__salt")
     left = skewed.withColumn("__salt", salt_l)
     right = other.withColumn(

@@ -256,11 +256,18 @@ def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
 def lsh_bucket_topk(
     emb: DataFrame, k: int = 5, n_planes: int = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """ANN cosine top-k: random-hyperplane sign buckets, exact rerank within
     bucket. Recall < 1 by construction; tests measure it against brute
     force. Scale shape: one shuffle on bucket, candidate cost follows
-    bucket occupancy (add multi-probe or more tables to trade recall).
+    bucket occupancy.
+
+    n_probe_bits=1 enables MULTI-PROBE: each query additionally probes the
+    n_planes buckets at hamming distance 1 from its own (the nearest
+    alternative hash codes), trading a (1 + n_planes)x candidate fan-out
+    for recall — the standard knob when raising n_planes makes buckets too
+    sparse. Probed buckets are distinct, so no pair is generated twice.
     """
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
@@ -284,6 +291,15 @@ def lsh_bucket_topk(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm2").alias("qn"), "bucket",
     )
+    if n_probe_bits >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("bigint")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = bucketed.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("norm2").alias("cn"), "bucket",

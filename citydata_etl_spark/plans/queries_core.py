@@ -136,7 +136,7 @@ def s6_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM p)
     SELECT key,
            CASE WHEN is_manual THEN 'manual' ELSE parts[1] END AS source,
-           CASE WHEN is_manual THEN stem ELSE parts[2] END AS schema_name,
+           CASE WHEN is_manual THEN 'misc' ELSE parts[2] END AS schema_name,
            CASE WHEN is_manual THEN stem ELSE parts[3] END AS table_name,
            CASE WHEN is_manual THEN 'initial' ELSE parts[4] END AS load,
            name AS object_name,

@@ -118,6 +118,28 @@ def test_ann_lsh_recall_vs_brute(spark, clustered_vecs):
     assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"
 
 
+def test_ann_lsh_multiprobe_improves_recall(spark, clustered_vecs):
+    """Hamming-distance-1 multi-probe must dominate single-bucket recall
+    (it strictly widens each query's candidate set)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+
+    def recall(n_probe_bits):
+        ann = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_bucket_topk(
+                clustered_vecs, k=3, n_planes=4, n_probe_bits=n_probe_bits
+            ).collect()
+        }
+        return len(brute & ann) / len(brute)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0, f"multi-probe lowered recall: {r1} < {r0}"
+    assert r1 >= 0.7, f"multi-probe recall too low: {r1}"
+
+
 def test_cosine_neardup_pairs_cluster_structure(spark, clustered_vecs):
     """High threshold pairs up exactly the planted clusters: every pair is
     intra-cluster, each id_a < id_b appears once, and the pair set covers

@@ -116,8 +116,10 @@ def test_staging_key_derivation(spark):
     out = derive_curated_columns(keys, now=now).collect()
     by_key = {r["key"]: r for r in out}
     m = by_key["manual/cities.csv"]
+    # reference process-staging.py:38: manual drop-ins land under the fixed
+    # 'misc' schema partition (manual/misc/{table}/initial/...)
     assert (m["source"], m["schema_name"], m["table_name"], m["load"]) == (
-        "manual", "cities", "cities", "initial",
+        "manual", "misc", "cities", "initial",
     )
     s = by_key["city-data/public/crime/cdc/part-1.txt"]
     assert (s["source"], s["schema_name"], s["table_name"], s["load"]) == (
@@ -184,3 +186,30 @@ def test_html_extract_by_id(spark):
     assert got[2] is None                   # id absent
     assert got[3] == "outer inner"          # first match wins, nested kept
     assert got[4] is None                   # null payload
+
+
+def test_html_extract_void_elements_do_not_break_depth(spark):
+    """Void elements (<br>, <img>, <hr>, ...) never emit an end tag; they
+    must not count toward nesting depth or the extractor captures the rest
+    of the document after the target closes."""
+    from citydata_etl_spark.functions.html import extract_text_by_id
+
+    df = spark.createDataFrame(
+        [
+            (1, '<div id="x">line1<br>line2</div><p>AFTER</p>'),
+            (2, '<div id="x">pic<img src="a.png">cap</div><p>TAIL</p>'),
+            (3, '<div id="x">a<br/>b</div><p>NO</p>'),     # self-closed form
+            (4, '<body><img id="x"><p>REST</p></body>'),   # void target
+        ],
+        "id LONG, html STRING",
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", extract_text_by_id("html", "x").alias("t")
+        ).collect()
+    }
+    assert got[1] == "line1line2"
+    assert got[2] == "piccap"
+    assert got[3] == "ab"
+    assert got[4] == ""                     # void target: empty text
