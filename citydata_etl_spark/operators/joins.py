@@ -67,29 +67,35 @@ def asof_join(
     right_cols: Sequence[str] = (),
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    right.ts <= left.ts (backward, inclusive), per key.
+    """As-of join, per key, inclusive:
+      - 'backward': most recent right row with right.ts <= left.ts;
+      - 'forward' : earliest    right row with right.ts >= left.ts;
+      - 'nearest' : whichever of the two is closer in event time
+                    (exact ties prefer backward, pd.merge_asof-style).
 
-    Implementation: tag + union both sides, then a single window pass per
-    key ordered by (ts, side) carrying the last non-null right value
-    forward. One shuffle on `key`, no range explosion — this scales
-    linearly where a naive non-equi join is quadratic.
+    Implementation: tag + union both sides, then window passes over ONE
+    sort per key ordered by ts — RANGE frames ([-inf, current ts] /
+    [current ts, +inf]) make equal timestamps inclusive in either
+    direction, and both directions share the same window ordering, so
+    'nearest' still costs a single shuffle + a single sort. No range
+    explosion — this scales linearly where a naive non-equi join is
+    quadratic.
 
     Right-side ties on (key, ts) must be pre-deduplicated by the caller for
     deterministic output (as pd.merge_asof requires sorted unique keys).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
 
     lcols = left.columns
-    # side ordering at equal ts: right (0) sorts before left (1), so an
-    # exactly-simultaneous right row is visible to the left row (inclusive).
+    ts_type = right.schema[right_ts].dataType
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(ts_type).alias("__rts"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -99,21 +105,62 @@ def asof_join(
             l_tagged.schema["__left"].dataType
         ).alias("__left"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__rts"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
+    w_back = (
         W.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        .orderBy("__ts")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = unioned.select(
-        "__side",
-        "__left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+    w_fwd = (
+        W.partitionBy("__k")
+        .orderBy("__ts")
+        .rangeBetween(W.currentRow, W.unboundedFollowing)
+    )
+
+    def back(c):
+        return F.last(c, ignorenulls=True).over(w_back)
+
+    def fwd(c):
+        return F.first(c, ignorenulls=True).over(w_fwd)
+
+    if direction == "backward":
+        carried_cols = [
+            back(f"__r_{c}").alias(f"__rv_{c}") for c in right_cols
+        ]
+    elif direction == "forward":
+        carried_cols = [
+            fwd(f"__r_{c}").alias(f"__rv_{c}") for c in right_cols
+        ]
+    else:  # nearest: carry both candidates + their event times, pick the
+        # closer one per row (ties and missing-forward fall back to
+        # backward, missing-backward falls forward)
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        def num(c):
+            # exact integer micros for timestamps — a double of epoch
+            # seconds has only ~0.2 us resolution and could flip a
+            # nearest tie; numerics pass through
+            if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+                return F.unix_micros(c.cast("timestamp"))
+            return c.cast("double")
+
+        bts, fts = back("__rts"), fwd("__rts")
+        use_back = fts.isNull() | (
+            bts.isNotNull()
+            & (
+                (num(F.col("__ts")) - num(bts))
+                <= (num(fts) - num(F.col("__ts")))
+            )
+        )
+        carried_cols = [
+            F.when(use_back, back(f"__r_{c}"))
+            .otherwise(fwd(f"__r_{c}"))
+            .alias(f"__rv_{c}")
             for c in right_cols
-        ],
-    )
+        ]
+    carried = unioned.select("__side", "__left", *carried_cols)
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col("__left")[c].alias(c) for c in lcols],
         *[F.col(f"__rv_{c}").alias(f"right_{c}") for c in right_cols],

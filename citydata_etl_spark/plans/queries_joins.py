@@ -217,6 +217,93 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_asof_forward",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+         views AS (SELECT user_id, max(value) AS view_value, ts
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts AS ts,
+           v.ts AS right_ts, v.view_value AS right_view_value
+    FROM purch p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+    doc="As-of join (forward, inclusive): for each purchase, the EARLIEST "
+    "view at-or-after it per user — the direction time-series consumers "
+    "reach for next ('next reading after the event'). Same union + "
+    "range-frame window as backward, first-non-null over [current, +inf) "
+    "(operators/joins.py:asof_join); oracle is DuckDB native ASOF with "
+    "the inequality reversed.",
+)
+def j6_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return J.asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts", "view_value"], direction="forward",
+    )
+
+
+@register(
+    "j6_asof_nearest",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+         views AS (SELECT user_id, max(value) AS view_value, ts
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             v.ts AS bts, v.view_value AS bval
+      FROM purch p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.ts),
+    f AS (
+      SELECT p.event_id, v.ts AS fts, v.view_value AS fval
+      FROM purch p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts <= v.ts)
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN fts IS NULL THEN bts
+                WHEN bts IS NULL THEN fts
+                WHEN (b.ts - bts) <= (fts - b.ts) THEN bts ELSE fts
+           END AS right_ts,
+           CASE WHEN fts IS NULL THEN bval
+                WHEN bts IS NULL THEN fval
+                WHEN (b.ts - bts) <= (fts - b.ts) THEN bval ELSE fval
+           END AS right_view_value
+    FROM b JOIN f USING (event_id)
+    """,
+    doc="As-of join (nearest): for each purchase, whichever adjacent view "
+    "is closer in event time, exact ties preferring backward "
+    "(pd.merge_asof semantics). One shuffle + ONE sort: both directions "
+    "read the same range-framed window ordering "
+    "(operators/joins.py:asof_join); oracle composes DuckDB's two ASOF "
+    "directions with the same tie rule.",
+)
+def j6_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return J.asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts", "view_value"], direction="nearest",
+    )
+
+
+@register(
     "j7_salted_skew_join",
     oracle="""
     SELECT s_nationkey, count(*) AS n_items,
