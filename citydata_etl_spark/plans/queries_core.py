@@ -498,3 +498,68 @@ def u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_from"),
     )
     return scd2_history(pending.unionByName(completed))
+
+
+@register(
+    "u5_merge_upsert",
+    oracle="""
+    WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+                         o_totalprice AS total FROM orders),
+    upd AS (
+      SELECT id, 'X' AS status, CAST(NULL AS DOUBLE) AS total
+      FROM base WHERE id % 10 = 3
+      UNION ALL
+      SELECT -id, 'NEW', 1.5 FROM base WHERE id % 17 = 5),
+    merged AS (
+      SELECT coalesce(u.id, b.id) AS id,
+             CASE WHEN u.id IS NOT NULL
+                  THEN coalesce(u.status, b.status) ELSE b.status
+             END AS status,
+             CASE WHEN u.id IS NOT NULL
+                  THEN coalesce(u.total, b.total) ELSE b.total
+             END AS total
+      FROM base b FULL JOIN upd u ON b.id = u.id)
+    SELECT id, status, total FROM merged
+    """,
+    doc="U5: transactional keyed MERGE into a bucket-partitioned parquet "
+    "control table — the at-scale replacement for the reference's "
+    "whole-CSV rewrite per update (lambda/update-control.py:29-36). Only "
+    "buckets containing updated keys are read (partition pruning) and "
+    "rewritten (dynamic partition overwrite); matched non-NULL update "
+    "columns replace, NULL preserves, unmatched keys insert "
+    "(sources/merge.py:merge_upsert). The oracle replays the same merge "
+    "relationally; the Spark side goes through the REAL write+readback.",
+)
+def u5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from citydata_etl_spark.sources.merge import (
+        merge_upsert,
+        read_bucketed_control,
+        write_bucketed_control,
+    )
+
+    base = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    upd = (
+        base.filter(F.col("id") % 10 == 3)
+        .select(
+            "id",
+            F.lit("X").alias("status"),
+            F.lit(None).cast("double").alias("total"),
+        )
+        .unionByName(
+            base.filter(F.col("id") % 17 == 5).select(
+                (-F.col("id")).alias("id"),
+                F.lit("NEW").alias("status"),
+                F.lit(1.5).alias("total"),
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="u5_merge_") + "/control"
+    write_bucketed_control(base, path, "id", n_buckets=16)
+    merge_upsert(spark, path, upd, "id", n_buckets=16)
+    return read_bucketed_control(spark, path).select("id", "status", "total")

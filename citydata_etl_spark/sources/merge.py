@@ -1,0 +1,121 @@
+"""Transactional keyed MERGE (upsert) for control tables (SURVEY.md §2.3).
+
+The reference's signature write is a keyed point update applied by
+rewriting the WHOLE control CSV through one writer (reference
+lambda/update-control.py:29-36, lambda/collect-data.py:111-135) — a
+single-writer full-table rewrite that cannot scale past one bounded table.
+This module is the at-scale form SURVEY §2.3 calls for (Delta MERGE INTO
+semantics, parquet-native so it runs on the baked-in stack):
+
+  layout   control table partitioned by bucket = pmod(xxhash64(key), B)
+  merge    join ONLY the buckets containing updated keys against the
+           update set (co-partitioned equi-join on the key)
+  commit   dynamic partition overwrite — untouched buckets are neither
+           read nor rewritten; the partition swap is atomic per bucket
+           via the parquet commit protocol
+
+Cost per merge is O(|affected buckets| + |updates|), independent of total
+table size once B spreads keys: point updates touch ~1 bucket, a batch of
+u updates at most min(u, B). CSV compatibility (write_control_csv) remains
+the export sink; this is the system of record.
+
+Update semantics match the reference's column-wise point update: a
+non-NULL update value replaces the stored value; NULL preserves it
+(collect-data.py writes whole rows, but its updates always carry values —
+the NULL-preserves rule is what MERGE ... WHEN MATCHED THEN UPDATE SET
+col = coalesce(u.col, t.col) expresses). Unmatched update keys INSERT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bucket_expr(key_col: str, n_buckets: int) -> Column:
+    """Deterministic bucket id for a key: pmod(xxhash64(key), n_buckets)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed_control(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = 64
+) -> None:
+    """Initialize (or fully replace) a bucket-partitioned control table."""
+    (
+        df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_bucketed_control(spark: SparkSession, path: str) -> DataFrame:
+    """Read the control table back without the physical bucket column."""
+    return spark.read.parquet(path).drop("bucket")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """MERGE `updates` into the bucket-partitioned control table at `path`.
+
+    Matched keys: each non-NULL update column replaces the stored value
+    (NULL preserves — see module docstring). Unmatched keys insert.
+    Only partitions whose bucket contains an updated key are read (parquet
+    partition pruning on the bucket filter) and rewritten (dynamic
+    partition overwrite); every other bucket's files are untouched.
+
+    The affected-bucket list is collected to the driver — bounded by
+    n_buckets (a layout constant, like a shuffle-partition count), never
+    by data size.
+    """
+    upd = updates.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    affected = [r["bucket"] for r in upd.select("bucket").distinct().collect()]
+    if not affected:
+        return
+    existing = spark.read.parquet(path).filter(F.col("bucket").isin(affected))
+
+    data_cols = [c for c in existing.columns if c not in (key_col, "bucket")]
+    upd_sel = upd.select(
+        F.col(key_col),
+        F.col("bucket").alias("__u_bucket"),
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        F.lit(1).alias("__is_upd"),
+    )
+    merged = (
+        existing.join(upd_sel, key_col, "full_outer")
+        .select(
+            F.col(key_col),
+            # insert rows have no existing bucket; recompute = same expr
+            F.coalesce(F.col("bucket"), F.col("__u_bucket")).alias("bucket"),
+            *[
+                F.when(
+                    F.col("__is_upd").isNotNull(),
+                    F.coalesce(F.col(f"__u_{c}"), F.col(c)),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+    )
+    # materialize before writing: Spark (correctly) refuses to overwrite a
+    # path its plan is still reading. The materialized set is the merge
+    # working set only — affected buckets + updates — never the table.
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

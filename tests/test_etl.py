@@ -164,6 +164,71 @@ def test_partitioned_raw_sink_roundtrip(spark):
     assert {"data_source", "source_name", "state"} <= set(back.columns)
 
 
+def test_merge_upsert_semantics_and_partial_rewrite(spark, tmp_path):
+    """MERGE semantics (non-NULL replaces, NULL preserves, unmatched
+    inserts) AND the transactional contract: only buckets containing
+    updated keys are rewritten — untouched bucket partitions keep their
+    exact files."""
+    import glob
+    import os
+
+    from citydata_etl_spark.sources.merge import (
+        bucket_expr,
+        merge_upsert,
+        read_bucketed_control,
+        write_bucketed_control,
+    )
+
+    path = str(tmp_path / "control")
+    base = spark.range(0, 200).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("old").alias("tag")
+    )
+    write_bucketed_control(base, path, "id", n_buckets=8)
+
+    def listing():
+        return {
+            p
+            for p in glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+        }
+
+    before = listing()
+    upd = spark.createDataFrame(
+        [
+            (3, None, "upd"),     # v NULL -> preserved, tag replaced
+            (5, 999, None),       # v replaced, tag preserved
+            (1000, 7, "new"),     # unmatched key -> insert
+        ],
+        "id LONG, v LONG, tag STRING",
+    )
+    merge_upsert(spark, path, upd, "id", n_buckets=8)
+
+    rows = {
+        r["id"]: (r["v"], r["tag"])
+        for r in read_bucketed_control(spark, path).collect()
+    }
+    assert len(rows) == 201
+    assert rows[3] == (6, "upd")      # NULL v preserved old 2*3
+    assert rows[5] == (999, "old")    # NULL tag preserved
+    assert rows[1000] == (7, "new")   # inserted
+    assert rows[42] == (84, "old")    # untouched row intact
+
+    after = listing()
+    affected = {
+        r["b"]
+        for r in upd.select(bucket_expr("id", 8).alias("b")).distinct().collect()
+    }
+    untouched_dirs = {
+        f"bucket={b}" for b in range(8) if b not in affected
+    }
+    for d in untouched_dirs:
+        b_files = {p for p in before if f"/{d}/" in p}
+        a_files = {p for p in after if f"/{d}/" in p}
+        assert b_files == a_files, f"{d} was rewritten but had no updates"
+    # affected buckets DID change files
+    changed = {p for p in after - before}
+    assert changed, "no bucket was rewritten"
+
+
 def test_html_extract_by_id(spark):
     from citydata_etl_spark.functions.html import extract_text_by_id
 
