@@ -6,12 +6,18 @@ already emitted; a document passes through only the first time its content
 is seen across the whole stream — the streaming twin of exact_dedup's
 first-occurrence semantics.
 
-Scale posture: the grouping key is a PREFIX of the content hash (not the
-full hash), so state shards across `16**prefix_len` groups independent of
-corpus size, and each group's state is a bounded dict of full hashes. At
-100 TB the same topology holds — state store size follows distinct
-content, shard count follows the prefix — and an eviction TTL
-(GroupStateTimeout) bounds it further when dedup only needs a window.
+Scale posture (all three state dimensions are bounded):
+  - SHARDING: the grouping key is a PREFIX of the content hash, so state
+    shards across 16**prefix_len groups independent of corpus size;
+  - ENTRY WIDTH: state stores TRUNCATED hashes (state_hash_chars hex chars,
+    default 16 = 64 bits — collision odds ~n^2/2^65, negligible against
+    real duplicate rates), not the full 64-char digest: 4x less state I/O,
+    while the OUTPUT still carries the full sha256;
+  - LIFETIME: ttl_ms wires GroupStateTimeout.ProcessingTimeTimeout — a
+    shard idle past the TTL is dropped wholesale (dedup-within-a-window
+    semantics), so state cannot grow without bound on an infinite stream.
+    ttl_ms=None keeps exact whole-stream dedup (state follows distinct
+    content).
 """
 
 from __future__ import annotations
@@ -25,17 +31,52 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def make_dedup_group(state_hash_chars: int, ttl_ms: int | None):
+    """Build the per-group dedup function (module-level factory so tests
+    can drive it directly with a fake GroupState)."""
+
+    def dedup_group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle shard past TTL: drop its seen-set wholesale
+            state.remove()
+            return
+        seen: set = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            short = pdf["content_sha"].str.slice(0, state_hash_chars)
+            fresh = pdf[~short.isin(seen)]
+            first = fresh.drop_duplicates(subset=["content_sha"], keep="first")
+            if len(first):
+                seen.update(
+                    first["content_sha"].str.slice(0, state_hash_chars)
+                )
+                yield first[["doc_id", "text", "content_sha"]]
+        state.update((sorted(seen),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return dedup_group
+
+
 def streaming_exact_dedup(
     docs_stream: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_len: int = 2,
+    state_hash_chars: int = 16,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """First-occurrence pass-through over a streaming DataFrame of
     (id, text): emits (id, text, content_sha) once per distinct text.
 
     Within a micro-batch the minimum id wins (deterministic); across
-    batches, arrival order wins (stream semantics).
+    batches, arrival order wins (stream semantics). With ttl_ms set, a
+    shard whose state has been idle past the TTL forgets its seen-set
+    (windowed dedup); without it, dedup is exact over the whole stream.
     """
     hashed = docs_stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -43,25 +84,15 @@ def streaming_exact_dedup(
         F.sha2(F.encode(F.col(text_col), "UTF-8"), 256).alias("content_sha"),
     ).withColumn("shard", F.substring("content_sha", 1, prefix_len))
 
-    def dedup_group(
-        key: tuple,
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        seen: set = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            fresh = pdf[~pdf["content_sha"].isin(seen)]
-            first = fresh.drop_duplicates(subset=["content_sha"], keep="first")
-            if len(first):
-                seen.update(first["content_sha"])
-                yield first[["doc_id", "text", "content_sha"]]
-        state.update((list(seen),))
-
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return hashed.groupBy("shard").applyInPandasWithState(
-        dedup_group,
+        make_dedup_group(state_hash_chars, ttl_ms),
         outputStructType="doc_id LONG, text STRING, content_sha STRING",
         stateStructType="hashes ARRAY<STRING>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -216,3 +216,125 @@ def test_streaming_exact_dedup_stateful(spark):
     assert got["alpha beta"] == 1              # min-id within first batch
     assert got["gamma"] == 2
     assert got["delta"] == 5
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving make_dedup_group directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_dedup_state_is_truncated_and_bounded():
+    """State entries are truncated hashes (bounded width), the seen-set
+    holds one entry per distinct content (bounded by distinct count), and
+    re-sent content adds nothing."""
+    import hashlib
+
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import make_dedup_group
+
+    def batch(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": i,
+                    "text": t,
+                    "content_sha": hashlib.sha256(t.encode()).hexdigest(),
+                    "shard": "aa",
+                }
+                for i, t in rows
+            ]
+        )
+
+    fn = make_dedup_group(state_hash_chars=16, ttl_ms=5000)
+    state = _FakeGroupState()
+    out1 = list(fn(("aa",), iter([batch([(1, "x"), (2, "y"), (3, "x")])]), state))
+    assert sum(len(o) for o in out1) == 2
+    stored = state.get[0]
+    assert len(stored) == 2
+    assert all(len(h) == 16 for h in stored), "state must hold truncated hashes"
+    assert state.timeout_set == 5000, "TTL must be armed on every update"
+
+    # duplicates in a later batch add no state and emit nothing
+    out2 = list(fn(("aa",), iter([batch([(9, "x"), (10, "y")])]), state))
+    assert sum(len(o) for o in out2) == 0
+    assert len(state.get[0]) == 2
+
+
+def test_dedup_state_ttl_expiry_drops_shard():
+    """A timed-out shard removes its state wholesale and emits nothing."""
+    from citydata_etl_spark.streaming.stateful import make_dedup_group
+
+    fn = make_dedup_group(state_hash_chars=16, ttl_ms=5000)
+    state = _FakeGroupState(value=(["deadbeefdeadbeef"],), timed_out=True)
+    assert list(fn(("aa",), iter([]), state)) == []
+    assert state.removed
+
+
+def test_streaming_dedup_with_ttl_runs(spark):
+    """End-to-end: the ProcessingTimeTimeout configuration must run as a
+    real streaming query and (within one TTL window) dedup identically."""
+    import os
+
+    from citydata_etl_spark.streaming.stateful import streaming_exact_dedup
+
+    d = tempfile.mkdtemp(prefix="dedup_ttl_")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(
+        os.path.join(d, "*", "")
+    )
+    out = streaming_exact_dedup(stream, ttl_ms=60_000)
+    # NOTE: with ProcessingTimeTimeout the query keeps running state-
+    # cleanup batches until the TTL fires, so neither awaitTermination()
+    # nor processAllAvailable() returns promptly — poll the sink for the
+    # expected rows, then stop.
+    import time
+
+    expected = {(1, "alpha"), (2, "beta")}
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ttl_t")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        rows: set = set()
+        deadline = time.time() + 90
+        while time.time() < deadline and rows != expected:
+            rows = {
+                (r["doc_id"], r["text"])
+                for r in spark.sql(
+                    "SELECT doc_id, text FROM dedup_ttl_t"
+                ).collect()
+            }
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows == expected
