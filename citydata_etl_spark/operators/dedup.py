@@ -64,59 +64,63 @@ def tokens(docs: DataFrame, text_col: str = "text",
 
 def _global_rank(
     df: DataFrame, order_cols: list[str], out_col: str,
-    n_parts: int | None = None,
+    prefix_chars: int = 2,
 ) -> DataFrame:
     """Deterministic 0-based global rank over rows UNIQUE on order_cols,
     with no single-partition sort (the WindowExec "No Partition Defined"
-    scale killer):
+    scale killer) and no sampled partitioner:
 
-      1. range-partition on the order keys (sampled bounds — the rank is
-         bound-independent because partition ranges are disjoint and
-         ordered, so global rank = partition offset + local rank);
-      2. row_number within each partition;
-      3. add the EXCLUSIVE PREFIX-SUM of partition counts, collected to
-         the driver — bounded by the partition count (cluster size), never
-         by data size — and folded back in as a literal map.
+      1. bucket every row by a MONOTONE coarsening of its order key — the
+         leading order columns exactly plus a prefix_chars prefix of the
+         final (string) column. Monotone means bucket(a) < bucket(b)
+         implies a < b, so global rank = rank within bucket + count of
+         rows in earlier buckets;
+      2. row_number within each bucket (windows partitioned by bucket —
+         parallelism follows bucket granularity, never 1);
+      3. exclusive prefix-sum of bucket counts, collected to the driver —
+         bounded by bucket cardinality (a granularity knob: 26^prefix_chars
+         x leading-key values), never by corpus size — joined back on the
+         bucket key. The join is co-partitioned with the window's own
+         exchange, and the offsets side is tiny.
 
-    localCheckpoint pins the sampled range bounds: the offset map is only
-    valid for the materialized partitioning, so downstream jobs must not
-    re-run the (re-sampling) range exchange.
+    Unlike a repartitionByRange build, every step is a deterministic
+    expression of the data — no sampling job, no checkpoint pinning, safe
+    to recompute. Caveat: driver-side bucket ordering uses Python tuple
+    sort, which matches Spark/DuckDB string ordering for ASCII keys (the
+    only keys used here); widen prefix_chars to split hot buckets.
     """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     spark = df.sparkSession
-    n_parts = n_parts or spark.sparkContext.defaultParallelism
-    ranked = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__local",
-            F.row_number().over(
-                W.partitionBy("__pid").orderBy(*order_cols)
-            ) - 1,
-        )
-        .localCheckpoint(eager=True)
+    *head, last = order_cols
+    b_names = [f"__b{i}" for i in range(len(head) + 1)]
+    b_exprs = [
+        F.col(c).alias(n) for c, n in zip(head, b_names)
+    ] + [F.substring(F.col(last), 1, prefix_chars).alias(b_names[-1])]
+
+    inp = df.select("*", *b_exprs).persist()
+    counts = (
+        inp.groupBy(*b_names).agg(F.count("*").alias("cnt")).collect()
     )
-    counts = ranked.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    offsets: dict[int, int] = {}
     acc = 0
-    for pid, cnt in sorted((r["__pid"], r["cnt"]) for r in counts):
-        offsets[pid] = acc
-        acc += cnt
-    if not offsets:
-        off = F.lit(0).cast("bigint")
-    else:
-        off = F.element_at(
-            F.create_map(
-                *[
-                    F.lit(v)
-                    for pid, o in offsets.items()
-                    for v in (pid, o)
-                ]
-            ),
-            F.col("__pid"),
-        ).cast("bigint")
+    off_rows = []
+    for key_cnt in sorted(
+        (tuple(r[n] for n in b_names), r["cnt"]) for r in counts
+    ):
+        off_rows.append((*key_cnt[0], acc))
+        acc += key_cnt[1]
+    schema = StructType(
+        [StructField(n, df.schema[c].dataType) for c, n in zip(head, b_names)]
+        + [StructField(b_names[-1], StringType()),
+           StructField("__off", LongType())]
+    )
+    offsets = spark.createDataFrame(off_rows, schema)
+    w = W.partitionBy(*b_names).orderBy(*order_cols)
     return (
-        ranked.withColumn(out_col, (F.col("__local") + off).cast("bigint"))
-        .drop("__pid", "__local")
+        inp.withColumn("__local", F.row_number().over(w) - 1)
+        .join(offsets, b_names)
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("bigint"))
+        .drop(*b_names, "__local", "__off")
     )
 
 
@@ -302,6 +306,10 @@ def _doc_token_ids(
         )
     else:
         tok = tokens(docs, text_col, id_col)
+    # persist: tok feeds BOTH the vocabulary construction (distinct +
+    # rank) and the id-join probe side — without the cache the corpus
+    # explode runs twice
+    tok = tok.persist()
     # no broadcast hint: the vocabulary is corpus-dependent (shingle
     # vocabularies grow ~linearly), so the join stays a plain equi-join
     # co-partitioned on token and AQE broadcasts only when actually small

@@ -111,7 +111,7 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     pos_tok = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
-    ).filter(F.col("token") != "")
+    ).filter(F.col("token") != "").persist()  # feeds vocab AND the join
     vocab = vocabulary(pos_tok.select(F.col(id_col), F.col("token")))
     seq = (
         pos_tok.join(vocab, "token")  # corpus-dependent table: AQE decides
@@ -145,22 +145,27 @@ def tfidf_top_terms(
     corpora, where every unigram's df ~= N and unigram TF-IDF collapses
     to zero.
 
-    Plan shape: one bag-semantics shingle explode -> (doc, term) count, a
-    document-frequency aggregate joined back as a PLAIN equi-join on the
-    term key (df is corpus-dependent — a vocabulary-sized broadcast would
-    be a scale killer; the join is co-partitioned with tf's shuffle and
-    AQE broadcasts only when df actually is small), a 1-row corpus count
-    (broadcast cross join), one ranking window partitioned by doc. The
-    corpus is shuffled once, on (doc, term).
+    Plan shape: one bag-semantics shingle explode -> (doc, term) count;
+    document frequency attaches as a COUNT WINDOW partitioned by term —
+    no join, no second pass over the corpus, no corpus-dependent
+    broadcast: one exchange on term computes df alongside the tf rows it
+    describes (tf is unique per (doc, term), so count(*) over the term
+    partition IS df). Then the 1-row corpus count (broadcast cross join)
+    and one ranking window partitioned by doc. The corpus is exchanged
+    exactly three times — (doc, term), term, doc — each partitioned, all
+    map-side combinable where applicable.
     """
+    from pyspark.sql import Window as W
+
     from citydata_etl_spark.operators.dedup import shingles
 
     sh = shingles(docs, shingle_n, text_col, id_col, distinct=False)
     tf = sh.groupBy(id_col, "shingle").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("shingle").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(dfreq, "shingle")
+        tf.withColumn(
+            "df", F.count("*").over(W.partitionBy("shingle")).cast("bigint")
+        )
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -171,7 +176,6 @@ def tfidf_top_terms(
             ),
         )
     )
-    from pyspark.sql import Window as W
 
     rnk = F.row_number().over(
         W.partitionBy(id_col).orderBy(F.desc("tfidf"), "shingle")

@@ -158,20 +158,21 @@ def test_cosine_kernels_are_distributed_cogroups(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_tfidf_df_join_is_not_hinted_broadcast(spark):
-    """The document-frequency table is corpus-dependent — it must reach the
-    tf side as a plain equi-join that AQE may broadcast at runtime, never
-    via an explicit broadcast() hint. With the auto-broadcast threshold
-    disabled, a hint would still force a BroadcastExchange on the term
-    join; the plain join shows up as SortMergeJoin."""
+def test_tfidf_df_is_windowed_not_joined_or_broadcast(spark):
+    """Document frequency must attach as a count window over the term
+    partition — no self-join of the tf pipeline (which re-executes the
+    corpus explode) and no corpus-dependent broadcast. The only broadcast
+    is the 1-row corpus count; the only document scans are the tf branch
+    and the columnless count branch."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plan = _plan(spark, "d4_tfidf_topk")
-        assert "SortMergeJoin" in plan
-        # the only broadcast left is the 1-row corpus count (explicit,
-        # bounded); formatted explain prints each node twice (tree+details)
+        assert "SortMergeJoin" not in plan
+        # formatted explain prints each node twice (tree + details)
         assert plan.count("BroadcastExchange") <= 2
+        assert plan.count("documents.parquet") <= 2
+        _assert_no_unpartitioned_window(plan, "d4_tfidf_topk")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
