@@ -49,6 +49,7 @@ HEADLINE = [
     "d4_semantic_dedup",
     "d4_pii_scrub",
     "j7_salted_skew_join",
+    "d4_simhash_pairs",
 ]
 
 
@@ -74,27 +75,30 @@ def main() -> None:
         schema="id LONG",
     ).count()
 
-    # Best-of-2 per query: the first run pays one-time codegen compilation
-    # and is exposed to transient host contention; the min is the
-    # steady-state capability a warm cluster delivers.
+    # Median-of-3 per query, each rep COLD: the catalog wrapper releases
+    # the previous rep's scoped caches when the next plan is built, so no
+    # rep is flattered by a predecessor's persisted intermediates (the
+    # round-2 best-of-2 was); the median absorbs one-time codegen
+    # compilation and transient host contention without taking the min.
+    from citydata_etl_spark.caching import release_caches
+
+    reps = 3
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = catalog[name].spark_fn
-        best = None
         try:
-            for _rep in range(2):
+            times = []
+            for _rep in range(reps):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                times.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(times)[reps // 2], 3)
         except Exception as ex:  # keep the JSON line intact on any failure
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
-        # release the query's persisted intermediates (dedup signature
-        # tables, similarity assignments, ...) so storage memory does not
-        # accumulate across the 25+ headline queries in this one session
-        spark.catalog.clearCache()
+        # release the last rep's persisted intermediates so storage memory
+        # does not accumulate across the headline queries in this session
+        release_caches()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -104,6 +108,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "method": "median_of_3_cold_caches",
     }
     if errors:
         out["errors"] = errors

@@ -26,7 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from citydata_etl_spark.caching import scoped_persist
+
 HASH_PRIME = 2147483647  # 2^31 - 1
+
+#: Fail-fast ceiling on the driver-side bucket-offsets list (see
+#: _global_rank / ranked_tokens). Bucket cardinality is a granularity knob
+#: (leading-key values x 26^prefix_chars), but a pathological key
+#: distribution could still balloon it — past this cap the collect is no
+#: longer "tiny" and the caller should coarsen prefix_chars or switch to
+#: xxhash64 ids.
+MAX_RANK_BUCKETS = 100_000
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -88,6 +98,12 @@ def _global_rank(
     to recompute. Caveat: driver-side bucket ordering uses Python tuple
     sort, which matches Spark/DuckDB string ordering for ASCII keys (the
     only keys used here); widen prefix_chars to split hot buckets.
+
+    Guards: NULL bucket keys are rejected (an equi-join would silently
+    drop them), and the offsets list is capped at MAX_RANK_BUCKETS — for
+    the rarity rank the leading `freq` column's distinct values are
+    data-dependent, so a degenerate distribution fails fast here instead
+    of ballooning the driver collect.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -98,10 +114,22 @@ def _global_rank(
         F.col(c).alias(n) for c, n in zip(head, b_names)
     ] + [F.substring(F.col(last), 1, prefix_chars).alias(b_names[-1])]
 
-    inp = df.select("*", *b_exprs).persist()
+    inp = scoped_persist(df.select("*", *b_exprs))
     counts = (
         inp.groupBy(*b_names).agg(F.count("*").alias("cnt")).collect()
     )
+    if len(counts) > MAX_RANK_BUCKETS:
+        raise ValueError(
+            f"_global_rank: {len(counts)} rank buckets exceeds the "
+            f"{MAX_RANK_BUCKETS} driver-collect cap — coarsen prefix_chars "
+            "or switch to hash (xxhash64) ids for this key distribution"
+        )
+    if any(any(r[n] is None for n in b_names) for r in counts):
+        raise ValueError(
+            "_global_rank: NULL values in order_cols are not supported "
+            "(the offsets equi-join would drop them) — filter or coalesce "
+            "the key columns first"
+        )
     acc = 0
     off_rows = []
     for key_cnt in sorted(
@@ -121,6 +149,62 @@ def _global_rank(
         .join(offsets, b_names)
         .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("bigint"))
         .drop(*b_names, "__local", "__off")
+    )
+
+
+def ranked_tokens(
+    tok: DataFrame, token_col: str = "token", out_col: str = "tid",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Attach the global dense lexicographic rank of token_col to EVERY
+    input row in place — the fused form of `join with vocabulary(tok)`:
+
+      1. bucket each row by a prefix_chars prefix of the token (monotone
+         coarsening, as in _global_rank);
+      2. dense_rank within the bucket (window partitioned by bucket —
+         duplicate tokens share a rank, so no distinct pass is needed);
+      3. add the exclusive prefix-sum of per-bucket DISTINCT-token counts
+         (driver-collected, bounded by 26^prefix_chars buckets and the
+         MAX_RANK_BUCKETS cap; the offsets relation is tiny, so the
+         join-back broadcasts).
+
+    vs. the vocabulary()+join shape this removes one corpus-wide distinct
+    shuffle and the two-sided vocabulary equi-join — the corpus is
+    exchanged ONCE (on the bucket key) and the ids are identical.
+    Tokens must be non-NULL (callers filter empties); rank is 0-based.
+    The caller should persist `tok` — it is scanned twice (bucket counts,
+    then ranking).
+    """
+    spark = tok.sparkSession
+    bucketed = tok.withColumn(
+        "__b", F.substring(F.col(token_col), 1, prefix_chars)
+    )
+    counts = (
+        bucketed.groupBy("__b")
+        .agg(F.count_distinct(token_col).alias("cnt"))
+        .collect()
+    )
+    if len(counts) > MAX_RANK_BUCKETS:
+        raise ValueError(
+            f"ranked_tokens: {len(counts)} rank buckets exceeds the "
+            f"{MAX_RANK_BUCKETS} cap — coarsen prefix_chars"
+        )
+    if any(r["__b"] is None for r in counts):
+        raise ValueError("ranked_tokens: NULL tokens are not supported")
+    acc = 0
+    off_rows = []
+    for key, cnt in sorted((r["__b"], r["cnt"]) for r in counts):
+        off_rows.append((key, acc))
+        acc += cnt
+    offsets = spark.createDataFrame(off_rows, "__b STRING, __off BIGINT")
+    w = W.partitionBy("__b").orderBy(token_col)
+    return (
+        bucketed.withColumn("__dr", F.dense_rank().over(w))
+        .join(offsets, "__b")
+        .withColumn(
+            out_col, (F.col("__dr") - 1 + F.col("__off")).cast("bigint")
+        )
+        .drop("__b", "__dr", "__off")
     )
 
 
@@ -193,7 +277,7 @@ def ngram_jaccard_pairs(
     quadratic in per-shingle frequency; used in tests to cross-check the
     filtered plan's exactness.
     """
-    sh = shingles(docs, n, text_col, id_col).persist()
+    sh = scoped_persist(shingles(docs, n, text_col, id_col))
     if not prefix_filter:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -235,11 +319,10 @@ def ngram_jaccard_pairs(
     )
     shr = sh.join(ranked, "shingle").select(id_col, "rid")
     # per-doc sorted shingle-id array, reused by prefix AND verify stages
-    arr = (
+    arr = scoped_persist(
         shr.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("rid")).alias("rids"))
         .withColumn("sz", F.size("rids"))
-        .persist()
     )
     prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
     pref = arr.select(
@@ -306,15 +389,14 @@ def _doc_token_ids(
         )
     else:
         tok = tokens(docs, text_col, id_col)
-    # persist: tok feeds BOTH the vocabulary construction (distinct +
-    # rank) and the id-join probe side — without the cache the corpus
-    # explode runs twice
-    tok = tok.persist()
-    # no broadcast hint: the vocabulary is corpus-dependent (shingle
-    # vocabularies grow ~linearly), so the join stays a plain equi-join
-    # co-partitioned on token and AQE broadcasts only when actually small
-    vocab = vocabulary(tok)
-    tt = tok.join(vocab, "token").select(id_col, "tid")
+    # persist: tok feeds BOTH the bucket-count pass and the ranking pass of
+    # ranked_tokens — without the cache the corpus explode runs twice
+    tok = scoped_persist(tok)
+    # fused vocabulary: the dense lexicographic token rank is computed IN
+    # PLACE on the (id, token) rows (dense_rank within prefix bucket +
+    # distinct-count offsets) — no separate distinct pass and no two-sided
+    # vocabulary equi-join; ids are identical to vocabulary()'s
+    tt = ranked_tokens(tok).select(id_col, "tid")
     return tt.groupBy(id_col).agg(
         F.collect_list(F.col("tid").cast("bigint")).alias("tids")
     )
@@ -395,8 +477,8 @@ def minhash_lsh_pairs(
         id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     # the band table feeds BOTH sides of the self-join: without persist the
-    # whole tokenize->vocab->signature pipeline executes twice
-    sig = sig.persist()
+    # whole tokenize->rank->signature pipeline executes twice
+    sig = scoped_persist(sig)
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -444,23 +526,102 @@ def simhash_fingerprints(
     return with_h.select(F.col(id_col), fingerprint.alias("fingerprint"))
 
 
+def _fingerprint_chunks(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(shift, width) for n_chunks disjoint bit-chunks covering [0, bits),
+    widths as even as possible (low chunks get the remainder)."""
+    base, extra = divmod(bits, n_chunks)
+    out, shift = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < extra else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
+def hamming_pairs_blocked(
+    fp: DataFrame, max_hamming: int, bits: int = 31,
+    id_col: str = "doc_id", fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Pairs of fingerprints with hamming distance <= max_hamming via
+    PIGEONHOLE CHUNK-BLOCKING (the standard SimHash index, Manku et al.
+    2007 "Detecting Near-Duplicates for Web Crawling"): split the `bits`
+    fingerprint into max_hamming+1 disjoint chunks — at most max_hamming
+    differing bits cannot touch every chunk, so two qualifying
+    fingerprints agree EXACTLY on at least one chunk. Candidates come
+    from an equi-join on (chunk_idx, chunk_value); verify is one
+    bit_count(xor). Lossless, never a cross join: candidate cost follows
+    chunk-bucket collisions (fan-out is a fixed max_hamming+1 per row),
+    which is what survives a corpus where all-pairs is n^2.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, each pair once.
+    """
+    n_chunks = max_hamming + 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col(fp_col), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
+            )
+            for i, (shift, width) in enumerate(
+                _fingerprint_chunks(bits, n_chunks)
+            )
+        ]
+    )
+    ch = fp.select(
+        F.col(id_col), F.col(fp_col), F.explode(chunk_arr).alias("c")
+    ).select(
+        id_col, fp_col, F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = ch.select(
+        F.col(id_col).alias("doc_a"), F.col(fp_col).alias("fa"), "ci", "cv"
+    )
+    b = ch.select(
+        F.col(id_col).alias("doc_b"), F.col(fp_col).alias("fb"), "ci", "cv"
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 6,
+    docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 31, blocked: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    All-pairs over fingerprints (one BIGINT per doc — tiny); at corpus
-    scale, block on fingerprint prefixes first (pigeonhole: some 8-bit
-    chunk must match exactly when hamming <= 3 over 4 chunks).
+    blocked=True (default) is the scale path: pigeonhole chunk-blocking
+    (hamming_pairs_blocked) — an equi-join on (chunk_idx, chunk_value)
+    with a bit_count verify, lossless and never all-pairs. blocked=False
+    keeps the naive crossJoin for exactness cross-checks in tests.
     """
-    fp = simhash_fingerprints(docs, text_col=text_col, id_col=id_col).persist()
+    fp = scoped_persist(
+        simhash_fingerprints(docs, bits, text_col=text_col, id_col=id_col)
+    )
+    if blocked:
+        return hamming_pairs_blocked(fp, max_hamming, bits, id_col)
     a = fp.select(F.col(id_col).alias("doc_a"), F.col("fingerprint").alias("fa"))
     b = fp.select(F.col(id_col).alias("doc_b"), F.col("fingerprint").alias("fb"))
     return (
         a.crossJoin(b)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -542,10 +703,9 @@ def dup_passage_stats(docs: DataFrame, n: int = 4, text_col: str = "text",
     grams = shingles(docs, n, text_col, id_col, distinct=False)
     # persist: `per` feeds BOTH the gram-total aggregate and the join probe
     # side — without it Spark re-runs the whole shingle explode per branch
-    per = (
+    per = scoped_persist(
         grams.groupBy(id_col, "shingle")
         .agg(F.count("*").alias("cnt"))
-        .persist()
     )
     tot = per.groupBy("shingle").agg(F.sum("cnt").alias("corpus_cnt"))
     return (

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from citydata_etl_spark.caching import scoped_persist
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -471,10 +473,17 @@ def semantic_dedup(
     Output: (vec_id, cluster, centroid_sim, keep) for every vector.
 
     Scale shape: the seed matrix is a broadcast crossJoin (k rows); the
-    argmax over clusters is a window over exactly k rows per vector; the
+    argmax over clusters is ONE map-side-combinable max_by aggregate (k
+    rows per vector collapse before the exchange — no window sort); the
     pairwise stage self-joins on cluster — candidate cost follows cluster
     occupancy like every IVF-bucketed kernel, never all-pairs. All JVM
     builtins (zip_with/aggregate dot products), no Python in the row path.
+
+    Sizing n_clusters: cluster occupancy is ~n/k, and the pairwise stage
+    is quadratic IN THE CLUSTER, so k must grow with the corpus — k ~
+    sqrt(n) equalizes the pairwise work per cluster with the number of
+    clusters; the SemDeDup paper uses ~1e5 clusters for ~1e9 examples.
+    The default k=8 is an oracle-test scale, not a production setting.
     """
     # seed medoids: the n_clusters lowest-id embeddings, enumerated on the
     # driver — bounded by the n_clusters PARAMETER (exactly like ivf_topk's
@@ -505,14 +514,24 @@ def semantic_dedup(
             ),
         )
     )
-    pick = F.row_number().over(
-        W.partitionBy("id").orderBy(F.desc("centroid_sim"), "cluster")
-    )
-    assigned = (
-        sims.withColumn("__pick", pick)
-        .filter(F.col("__pick") == 1)
-        .select("id", "v", "norm2", "cluster", "centroid_sim")
-        .persist()
+    # argmax over the k candidate clusters as a max_by aggregate: the
+    # ordering key (centroid_sim, -cluster) is unique per (id, cluster),
+    # so this reproduces row_number(desc sim, asc cluster) == 1 exactly —
+    # but as a partial-aggregable groupBy (k rows collapse map-side)
+    # instead of a window sort over k*n rows
+    assigned = scoped_persist(
+        sims.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("v", "norm2", "cluster", "centroid_sim"),
+                F.struct(F.col("centroid_sim"), (-F.col("cluster")).alias("nc")),
+            ).alias("__m")
+        )
+        .select(
+            "id", F.col("__m.v").alias("v"), F.col("__m.norm2").alias("norm2"),
+            F.col("__m.cluster").alias("cluster"),
+            F.col("__m.centroid_sim").alias("centroid_sim"),
+        )
     )
     x = assigned.select(
         F.col("id").alias("id_x"), F.col("v").alias("vx"),

@@ -102,19 +102,24 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
     """Order-sensitive rolling-hash fingerprint over token ids:
     fp = fold(tokens, acc -> (acc*31 + tid) mod 1e9+7).
 
-    Token ids come from the dense-rank vocabulary (dedup.vocabulary), so the
-    fingerprint is engine-reproducible. Position is preserved via posexplode
-    -> sort — unlike a set hash, reordered documents get different prints.
+    Token ids come from the dense lexicographic rank computed IN PLACE on
+    the (id, pos, token) rows (dedup.ranked_tokens — dense_rank within a
+    prefix bucket + distinct-count offsets, no separate vocabulary join),
+    so the fingerprint is engine-reproducible. Position is preserved via
+    posexplode -> sort — unlike a set hash, reordered documents get
+    different prints.
     """
-    from citydata_etl_spark.operators.dedup import vocabulary
+    from citydata_etl_spark.caching import scoped_persist
+    from citydata_etl_spark.operators.dedup import ranked_tokens
 
-    pos_tok = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
-    ).filter(F.col("token") != "").persist()  # feeds vocab AND the join
-    vocab = vocabulary(pos_tok.select(F.col(id_col), F.col("token")))
+    pos_tok = scoped_persist(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+        ).filter(F.col("token") != "")
+    )  # scanned twice by ranked_tokens (bucket counts, then ranking)
     seq = (
-        pos_tok.join(vocab, "token")  # corpus-dependent table: AQE decides
+        ranked_tokens(pos_tok)
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -261,11 +266,15 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     MICROS before summing — integer addition is associative, so partial
     aggregation order can't change a bit (a raw double sum would).
 
-    Scale shape: the vocabulary (bounded by language, not corpus size) and
-    the 1-row total broadcast; the corpus explodes once, probes the
-    broadcast maps, and reduces per doc — one shuffle on (doc). In a real
-    pipeline the LM side is trained once and reused; here it's derived in
-    the same plan (two extra token-shuffles, corpus-independent width).
+    Scale shape: the unigram vocabulary is corpus-TRAINED — bounded by
+    language for clean text, but web-scale corpora carry unbounded noisy
+    tokens (URLs, hashes), so the probe join carries NO broadcast hint:
+    it is a plain equi-join co-partitioned with the vocabulary's own
+    token exchange, and AQE broadcasts only when the trained table
+    actually is small. The 1-row corpus total stays an explicit
+    broadcast. The corpus explodes once and reduces per doc — one
+    shuffle on (doc). In a real pipeline the LM side is trained once and
+    reused; here it's derived in the same plan.
     """
     toks = docs.select(
         F.col(id_col),
@@ -280,7 +289,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
         + F.lit(0.5)
     ).cast("bigint")
     return (
-        toks.join(F.broadcast(vocab), "token")
+        toks.join(vocab, "token")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(

@@ -155,6 +155,42 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_simhash_pairs",
+    oracle=f"""
+    WITH {_TOK},
+    hashed AS (
+      SELECT doc_id, (tid * 2654435761 + 104729) % 2147483647 AS h FROM tt),
+    bits AS (
+      SELECT doc_id, j,
+             ((h >> CAST(j AS INT)) & 1) * 2 - 1 AS s
+      FROM hashed, unnest(range(31)) AS r(j)),
+    votes AS (SELECT doc_id, j, sum(s) AS v FROM bits GROUP BY doc_id, j),
+    fps AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << CAST(j AS INT)
+                           ELSE 0 END) AS BIGINT) AS fingerprint
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+             AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+    """,
+    doc="D4: SimHash near-dup PAIRS (hamming <= 3) via pigeonhole "
+    "chunk-blocking (Manku et al. 2007): the 31-bit fingerprint splits "
+    "into 4 disjoint chunks, a qualifying pair must agree exactly on one, "
+    "candidates come from an equi-join on (chunk_idx, chunk_value), "
+    "verify is bit_count(xor) — lossless, no cross join "
+    "(operators/dedup.py:hamming_pairs_blocked; equality vs the naive "
+    "all-pairs form is property-tested). The oracle computes the same "
+    "integer fingerprints and pairs them all-pairs (exact at sf0.01).",
+)
+def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+@register(
     "d4_cosine_topk",
     oracle="""
     WITH v AS (

@@ -126,6 +126,58 @@ def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t5_watermarked_append",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events GROUP BY window_start, event_type
+    HAVING window_start + 600 <=
+           (SELECT max(epoch(ts)) - 3600 FROM events)
+    """,
+    doc="T5 (watermark + APPEND): the late-data contract under the oracle "
+    "— the same tumbling aggregation as t1_streaming_tumbling but with a "
+    "1-hour watermark and append output mode, so ONLY windows whose end "
+    "the final watermark (max event time - 1h) has passed are emitted; "
+    "the open tail stays in state. This is the bounded-state form an "
+    "unbounded stream requires (streaming/windows.py:tumbling_counts); "
+    "the oracle reproduces the emission rule exactly: window_end <= "
+    "max(ts) - watermark.",
+)
+def t5_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # same shape as streaming/windows.py:tumbling_counts, with the
+    # catalog's exact-decimal sum convention for the value column
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dec_sum("value", "total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = f"t5_watermarked_append_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
     "t2_streaming_dedup",
     oracle="""
     SELECT min(doc_id) AS doc_id, text, sha256(text) AS content_sha

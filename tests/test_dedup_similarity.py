@@ -293,3 +293,114 @@ def test_pii_scrub_redacts_everything(spark):
         assert r["n_emails"] == 1 + r["doc_id"] % 3
         assert r["n_numbers"] == 1 + r["doc_id"] % 3
         assert "<EMAIL>" in r["scrubbed"] and "<NUM>" in r["scrubbed"]
+
+
+def test_simhash_pairs_blocked_matches_naive(spark, planted_docs):
+    """Pigeonhole chunk-blocking is LOSSLESS: the blocked pairing must
+    return exactly the naive all-pairs result at every max_hamming — the
+    chunk equi-join is a candidate superset of qualifying pairs (at most
+    h differing bits cannot touch all h+1 chunks) and the bit_count
+    verify removes nothing that qualifies."""
+
+    def pairs(blocked, h):
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in D.simhash_pairs(
+                planted_docs, max_hamming=h, blocked=blocked
+            ).collect()
+        }
+
+    for h in (1, 3, 6):
+        naive, fast = pairs(False, h), pairs(True, h)
+        assert fast == naive, f"blocked!=naive at max_hamming={h}"
+    assert pairs(True, 6), "fixture must produce at least one near-dup pair"
+
+
+def test_semantic_dedup_two_k_cluster_agreement(spark):
+    """k is a knob that must grow with n (paper-scale ~1e5 clusters): for
+    a cluster whose MEMBERSHIP is identical under two k values, the
+    deterministic seed/argmax/domination rule must produce identical
+    keep-decisions — k changes candidate scoping, never the within-cluster
+    rule. Seeds are the k lowest-id embeddings, so cluster j shares its
+    centroid across both runs for j < min(k1, k2); planting 4 orthogonal
+    groups with ids 0..3 one-per-group makes group B exactly cluster 1
+    under BOTH k=2 and k=4 (B-members have sim ~1 to seed 1 and ~0
+    elsewhere), while groups C/D migrate between runs."""
+    import random
+
+    rng = random.Random(11)
+    dim, groups, per_group = 8, 4, 6
+    rows = []
+    # ids 0..3: one clean axis vector per group (the k=4 seeds; ids 0,1
+    # are the k=2 seeds)
+    for g in range(groups):
+        v = [0.0] * dim
+        v[g] = 1.0
+        rows.append((g, v))
+    # remaining members: axis + small noise, ids interleaved after seeds
+    vid = groups
+    for g in range(groups):
+        for _ in range(per_group - 1):
+            v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+            v[g] += 1.0
+            if g != 1:
+                # small positive axis-0 bias: under k=2 the C/D groups
+                # deterministically prefer seed 0 over seed 1 (their own
+                # axis has no seed there), keeping cluster 1 = group B
+                v[0] += 0.2
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    out2 = S.semantic_dedup(emb, n_clusters=2, epsilon=0.9).collect()
+    out4 = S.semantic_dedup(emb, n_clusters=4, epsilon=0.9).collect()
+
+    def cluster_members(rows_, j):
+        return {r["vec_id"]: r["keep"] for r in rows_ if r["cluster"] == j}
+
+    b2, b4 = cluster_members(out2, 1), cluster_members(out4, 1)
+    assert set(b2) == set(b4) and len(b2) == per_group, (
+        "group B must be exactly cluster 1 under both k"
+    )
+    assert b2 == b4, "keep-decisions differ on an identical cluster"
+    # non-degenerate: the tight group B contains dominated members
+    assert 0 < sum(b2.values()) < per_group
+
+
+def test_ranked_tokens_matches_vocabulary_join(spark, planted_docs):
+    """The fused in-place rank (ranked_tokens) must assign EXACTLY the ids
+    of the vocabulary()+join shape it replaced — same dense lexicographic
+    rank, one less corpus shuffle."""
+    tok = D.tokens(planted_docs)
+    fused = {
+        (r["doc_id"], r["token"], r["tid"])
+        for r in D.ranked_tokens(tok).collect()
+    }
+    vocab = D.vocabulary(tok)
+    joined = {
+        (r["doc_id"], r["token"], r["tid"])
+        for r in tok.join(vocab, "token").collect()
+    }
+    assert fused == joined
+
+
+def test_global_rank_rejects_null_keys(spark):
+    """NULL order keys would be dropped by the offsets equi-join — fail
+    fast instead."""
+    df = spark.createDataFrame(
+        [("aa",), (None,), ("bb",)], "token STRING"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        D.ranked_tokens(df).collect()
+
+
+def test_global_rank_bucket_cap_fails_fast(spark, planted_docs, monkeypatch):
+    """A degenerate key distribution cannot balloon the driver collect:
+    past MAX_RANK_BUCKETS the rank raises instead of collecting."""
+    monkeypatch.setattr(D, "MAX_RANK_BUCKETS", 3)
+    tok = D.tokens(planted_docs)  # 200-word vocab -> far more than 3 buckets
+    with pytest.raises(ValueError, match="buckets exceeds"):
+        D.ranked_tokens(tok).collect()
+    with pytest.raises(ValueError, match="buckets exceeds"):
+        D.vocabulary(tok).collect()

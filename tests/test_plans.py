@@ -139,11 +139,14 @@ def test_dup_passage_single_explode_and_cache_reuse(spark):
 
 def test_semantic_dedup_no_corpus_cartesian(spark):
     """The only nested-loop join allowed is vector x k-row seed broadcast;
-    the pairwise stage must be an equi-join on cluster, and the argmax a
-    WindowGroupLimit (partial top-1 before the exchange)."""
+    the pairwise stage must be an equi-join on cluster, and the cluster
+    argmax a max_by AGGREGATE (map-side combinable — the k candidate rows
+    per vector collapse before the exchange), not a window sort."""
     plan = _plan(spark, "d4_semantic_dedup")
     assert "CartesianProduct" not in plan
-    assert "WindowGroupLimit" in plan
+    assert "max_by" in plan
+    # no window anywhere in the plan: the argmax is the only candidate
+    assert "windowspecdefinition" not in plan
 
 
 def test_cosine_kernels_are_distributed_cogroups(spark):
@@ -197,6 +200,29 @@ def test_dedup_rank_windows_are_partitioned(spark):
     for name in ("d4_minhash_lsh", "d4_ngram_jaccard", "d4_doc_fingerprint",
                  "d4_semantic_dedup"):
         _assert_no_unpartitioned_window(_plan(spark, name), name)
+
+
+def test_lm_logprob_vocab_not_broadcast(spark):
+    """The unigram vocabulary is corpus-TRAINED (unbounded on noisy web
+    text), so the probe join must carry no broadcast hint — with the
+    size-based threshold disabled, the only BroadcastExchange left is the
+    1-row corpus total (formatted explain prints each node twice)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "d4_lm_logprob")
+        assert plan.count("BroadcastExchange") <= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """The blocked SimHash pairing must candidate via the (chunk_idx,
+    chunk_value) equi-join — a refactor back to the all-pairs crossJoin
+    shows up as a CartesianProduct/BroadcastNestedLoopJoin here."""
+    plan = _plan(spark, "d4_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_pii_scrub_zero_exchanges(spark):
