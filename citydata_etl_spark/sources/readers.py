@@ -72,15 +72,30 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): with
-    # spark.sql.legacy.parquet.nanosAsLong it scans as epoch-nanos long —
-    # convert to a microsecond TimestampType (matching DuckDB's truncation).
-    if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+    # Normalize timestamp PHYSICAL variants to the declared TimestampType
+    # contract (schemas.TESTDATA_TABLES), so downstream casts/extracts see
+    # one type regardless of how the driver generated the parquet:
+    #   - TIMESTAMP(NANOS) scans as epoch-nanos long (nanosAsLong) —
+    #     truncate to microseconds (matching DuckDB);
+    #   - TIMESTAMP(MICROS, isAdjustedToUTC=false) scans as TIMESTAMP_NTZ —
+    #     cast to TimestampType, value-preserving naive-as-UTC under the
+    #     UTC session timeZone (TIMESTAMP_NTZ cannot cast to numeric, so
+    #     leaving it breaks every epoch-seconds consumer).
+    declared = {f.name: f.dataType for f in schemas.TESTDATA_TABLES[name]}
+    for field in df.schema.fields:
+        want_ts = isinstance(
+            declared.get(field.name), T.TimestampType
+        )
+        if want_ts and isinstance(field.dataType, T.LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
+            )
+        elif want_ts and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
             )
     return df
