@@ -13,9 +13,15 @@ Scale posture (all three state dimensions are bounded):
     default 16 = 64 bits — collision odds ~n^2/2^65, negligible against
     real duplicate rates), not the full 64-char digest: 4x less state I/O,
     while the OUTPUT still carries the full sha256;
-  - LIFETIME: ttl_ms wires GroupStateTimeout.ProcessingTimeTimeout — a
-    shard idle past the TTL is dropped wholesale (dedup-within-a-window
-    semantics), so state cannot grow without bound on an infinite stream.
+  - LIFETIME: with ttl_ms set, every state entry carries its last-seen
+    processing-time stamp and is PRUNED on every invocation once idle past
+    the TTL — so an ACTIVE shard's state is bounded by the distinct
+    content seen in any ttl_ms window, not the whole stream (a group-level
+    ProcessingTimeTimeout would only ever fire for a shard receiving NO
+    data at all, which on a continuous stream is no bound). The group
+    timeout stays armed as wholesale cleanup for fully idle shards. A
+    sighting of suppressed duplicate content REFRESHES its stamp: an
+    entry expires only after ttl_ms with no sighting (sliding window).
     ttl_ms=None keeps exact whole-stream dedup (state follows distinct
     content).
 """
@@ -41,21 +47,35 @@ def make_dedup_group(state_hash_chars: int, ttl_ms: int | None):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # idle shard past TTL: drop its seen-set wholesale
+            # fully idle shard past TTL: drop its seen-set wholesale
             state.remove()
             return
-        seen: set = set(state.get[0]) if state.exists else set()
+        # seen: truncated hash -> last-seen processing-time ms
+        if state.exists:
+            hashes, stamps = state.get
+            seen: dict = dict(zip(hashes, stamps))
+        else:
+            seen = {}
+        now = 0
+        if ttl_ms is not None:
+            now = state.getCurrentProcessingTimeMs()
+            # per-entry expiry runs on EVERY invocation, so an active
+            # shard prunes too — the group timeout alone only ever fires
+            # for a shard receiving no data at all
+            cutoff = now - ttl_ms
+            seen = {h: t for h, t in seen.items() if t > cutoff}
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
             short = pdf["content_sha"].str.slice(0, state_hash_chars)
-            fresh = pdf[~short.isin(seen)]
+            fresh = pdf[~short.isin(seen.keys())]
             first = fresh.drop_duplicates(subset=["content_sha"], keep="first")
+            # every sighting — emitted or suppressed — refreshes the
+            # stamp: an entry expires only after ttl_ms with NO sighting
+            seen.update(dict.fromkeys(short, now))
             if len(first):
-                seen.update(
-                    first["content_sha"].str.slice(0, state_hash_chars)
-                )
                 yield first[["doc_id", "text", "content_sha"]]
-        state.update((sorted(seen),))
+        ordered = sorted(seen)
+        state.update((ordered, [seen[h] for h in ordered]))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
 
@@ -74,9 +94,11 @@ def streaming_exact_dedup(
     (id, text): emits (id, text, content_sha) once per distinct text.
 
     Within a micro-batch the minimum id wins (deterministic); across
-    batches, arrival order wins (stream semantics). With ttl_ms set, a
-    shard whose state has been idle past the TTL forgets its seen-set
-    (windowed dedup); without it, dedup is exact over the whole stream.
+    batches, arrival order wins (stream semantics). With ttl_ms set, each
+    seen-hash expires individually once unseen for ttl_ms (sliding-window
+    dedup — active shards prune on every batch, and a fully idle shard is
+    dropped wholesale by the group timeout); without it, dedup is exact
+    over the whole stream.
     """
     hashed = docs_stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -92,7 +114,7 @@ def streaming_exact_dedup(
     return hashed.groupBy("shard").applyInPandasWithState(
         make_dedup_group(state_hash_chars, ttl_ms),
         outputStructType="doc_id LONG, text STRING, content_sha STRING",
-        stateStructType="hashes ARRAY<STRING>",
+        stateStructType="hashes ARRAY<STRING>, stamps ARRAY<BIGINT>",
         outputMode="append",
         timeoutConf=timeout,
     )

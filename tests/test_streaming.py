@@ -221,11 +221,15 @@ def test_streaming_exact_dedup_stateful(spark):
 class _FakeGroupState:
     """Minimal GroupState stand-in for driving make_dedup_group directly."""
 
-    def __init__(self, value=None, timed_out=False):
+    def __init__(self, value=None, timed_out=False, now_ms=0):
         self._value = value
         self.hasTimedOut = timed_out
         self.removed = False
         self.timeout_set = None
+        self.now_ms = now_ms
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
 
     @property
     def exists(self):
@@ -273,8 +277,8 @@ def test_dedup_state_is_truncated_and_bounded():
     state = _FakeGroupState()
     out1 = list(fn(("aa",), iter([batch([(1, "x"), (2, "y"), (3, "x")])]), state))
     assert sum(len(o) for o in out1) == 2
-    stored = state.get[0]
-    assert len(stored) == 2
+    stored, stamps = state.get
+    assert len(stored) == len(stamps) == 2
     assert all(len(h) == 16 for h in stored), "state must hold truncated hashes"
     assert state.timeout_set == 5000, "TTL must be armed on every update"
 
@@ -282,6 +286,52 @@ def test_dedup_state_is_truncated_and_bounded():
     out2 = list(fn(("aa",), iter([batch([(9, "x"), (10, "y")])]), state))
     assert sum(len(o) for o in out2) == 0
     assert len(state.get[0]) == 2
+
+
+def test_dedup_state_prunes_entries_on_active_shard():
+    """Per-entry TTL: a shard that KEEPS receiving data still prunes
+    entries unseen for ttl_ms (the group timeout alone never fires for an
+    active shard), and a sighting of suppressed duplicate content
+    refreshes that entry's stamp."""
+    import hashlib
+
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import make_dedup_group
+
+    def batch(rows):
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": i,
+                    "text": t,
+                    "content_sha": hashlib.sha256(t.encode()).hexdigest(),
+                    "shard": "aa",
+                }
+                for i, t in rows
+            ]
+        )
+
+    def short(t):
+        return hashlib.sha256(t.encode()).hexdigest()[:16]
+
+    fn = make_dedup_group(state_hash_chars=16, ttl_ms=5000)
+    state = _FakeGroupState(now_ms=0)
+    list(fn(("aa",), iter([batch([(1, "x"), (2, "y")])]), state))
+
+    # t=4s: "y" re-sighted (suppressed, stamp refreshed); "x" untouched
+    state.now_ms = 4_000
+    out = list(fn(("aa",), iter([batch([(3, "y"), (4, "z")])]), state))
+    assert sum(len(o) for o in out) == 1  # only "z" is fresh
+    assert set(state.get[0]) == {short("x"), short("y"), short("z")}
+
+    # t=6s: "x" is 6s old -> pruned even though the shard is active;
+    # "y" (refreshed at 4s) and "z" survive, so "x" re-emits as fresh
+    state.now_ms = 6_000
+    out = list(fn(("aa",), iter([batch([(5, "x"), (6, "y")])]), state))
+    assert sum(len(o) for o in out) == 1
+    assert out[0]["text"].tolist() == ["x"]
+    assert set(state.get[0]) == {short("x"), short("y"), short("z")}
 
 
 def test_dedup_state_ttl_expiry_drops_shard():
