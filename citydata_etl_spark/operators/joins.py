@@ -83,9 +83,33 @@ def asof_join(
 
     Right-side ties on (key, ts) must be pre-deduplicated by the caller for
     deterministic output (as pd.merge_asof requires sorted unique keys).
+
+    The ts columns must be orderable by a RANGE frame: numeric, timestamp,
+    or date (validated up front — a string ts would only fail deep in
+    analysis with an opaque frame-type error). 'nearest' compares integral
+    ts as exact bigint and timestamps as exact integer micros, so int64
+    event times beyond 2^53 cannot lose a tie to double rounding.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
+
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    _RANGE_OK = (NumericType, DateType, TimestampType, TimestampNTZType)
+    for side, df_, col_ in (("left", left, left_ts), ("right", right, right_ts)):
+        t = df_.schema[col_].dataType
+        if not isinstance(t, _RANGE_OK):
+            raise TypeError(
+                f"asof_join: {side} ts column {col_!r} has type "
+                f"{t.simpleString()} — RANGE-frame ordering requires a "
+                "numeric, timestamp, or date type (cast string timestamps "
+                "with to_timestamp first)"
+            )
 
     lcols = left.columns
     ts_type = right.schema[right_ts].dataType
@@ -136,14 +160,20 @@ def asof_join(
     else:  # nearest: carry both candidates + their event times, pick the
         # closer one per row (ties and missing-forward fall back to
         # backward, missing-backward falls forward)
-        from pyspark.sql.types import TimestampNTZType, TimestampType
+        from pyspark.sql.types import IntegralType
 
         def num(c):
-            # exact integer micros for timestamps — a double of epoch
-            # seconds has only ~0.2 us resolution and could flip a
-            # nearest tie; numerics pass through
+            # exact comparisons where exactness exists: timestamps as
+            # integer micros (a double of epoch seconds has only ~0.2 us
+            # resolution and could flip a nearest tie), integrals as
+            # bigint (double would round past 2^53); only fractional
+            # types go through double
             if isinstance(ts_type, (TimestampType, TimestampNTZType)):
                 return F.unix_micros(c.cast("timestamp"))
+            if isinstance(ts_type, DateType):
+                return F.unix_date(c)
+            if isinstance(ts_type, IntegralType):
+                return c.cast("bigint")
             return c.cast("double")
 
         bts, fts = back("__rts"), fwd("__rts")

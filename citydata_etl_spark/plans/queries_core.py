@@ -521,7 +521,7 @@ def u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base b FULL JOIN upd u ON b.id = u.id)
     SELECT id, status, total FROM merged
     """,
-    doc="U5: transactional keyed MERGE into a bucket-partitioned parquet "
+    doc="U5: keyed MERGE into a bucket-partitioned parquet "
     "control table — the at-scale replacement for the reference's "
     "whole-CSV rewrite per update (lambda/update-control.py:29-36). Only "
     "buckets containing updated keys are read (partition pruning) and "

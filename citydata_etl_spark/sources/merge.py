@@ -1,4 +1,4 @@
-"""Transactional keyed MERGE (upsert) for control tables (SURVEY.md §2.3).
+"""Keyed MERGE (upsert) for control tables (SURVEY.md §2.3).
 
 The reference's signature write is a keyed point update applied by
 rewriting the WHOLE control CSV through one writer (reference
@@ -11,8 +11,22 @@ semantics, parquet-native so it runs on the baked-in stack):
   merge    join ONLY the buckets containing updated keys against the
            update set (co-partitioned equi-join on the key)
   commit   dynamic partition overwrite — untouched buckets are neither
-           read nor rewritten; the partition swap is atomic per bucket
+           read nor rewritten; the partition swap is atomic PER BUCKET
            via the parquet commit protocol
+
+Consistency contract (narrower than Delta's MERGE — stated, not implied):
+  - SINGLE WRITER. There is no commit log or lock; two concurrent
+    merge_upsert calls on the same path can interleave bucket overwrites
+    and silently lose one writer's updates. Serialize writers externally
+    (the reference's Lambda is effectively single-writer too).
+  - PER-BUCKET atomicity only. A failure mid-commit can leave some
+    affected buckets merged and others not — re-running the SAME merge
+    heals the table (the merge is idempotent: coalesce(update, stored)
+    applied twice is the same row), but readers in between may see a
+    partially-applied batch across buckets.
+  - localCheckpoint is not fault-tolerant: losing an executor during the
+    write fails the job (acceptable for bounded control tables; use
+    reliable checkpoint/Delta where that matters).
 
 Cost per merge is O(|affected buckets| + |updates|), independent of total
 table size once B spreads keys: point updates touch ~1 bucket, a batch of

@@ -166,7 +166,7 @@ def test_partitioned_raw_sink_roundtrip(spark):
 
 def test_merge_upsert_semantics_and_partial_rewrite(spark, tmp_path):
     """MERGE semantics (non-NULL replaces, NULL preserves, unmatched
-    inserts) AND the transactional contract: only buckets containing
+    inserts) AND the partial-rewrite contract: only buckets containing
     updated keys are rewritten — untouched bucket partitions keep their
     exact files."""
     import glob
@@ -278,3 +278,40 @@ def test_html_extract_void_elements_do_not_break_depth(spark):
     assert got[2] == "piccap"
     assert got[3] == "ab"
     assert got[4] == ""                     # void target: empty text
+
+
+def test_asof_join_rejects_unorderable_ts(spark):
+    """RANGE-frame ordering needs numeric/timestamp/date ts — a string ts
+    must fail fast with a clear TypeError, not deep in analysis."""
+    import pytest
+
+    from citydata_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k LONG, ts STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)], "k LONG, ts STRING, v DOUBLE"
+    )
+    with pytest.raises(TypeError, match="timestamp"):
+        asof_join(left, right, key="k", right_cols=["v"])
+
+
+def test_asof_nearest_exact_at_large_int64(spark):
+    """'nearest' tie-breaking on integral event times is exact bigint
+    arithmetic: at ts ~ 2^60 a double comparison would round both
+    candidate distances to equal and could pick the wrong side."""
+    from citydata_etl_spark.operators.joins import asof_join
+
+    base = 1 << 60
+    left = spark.createDataFrame([(1, base)], "k LONG, ts LONG")
+    # backward candidate is 2 closer than forward; both deltas collapse
+    # to the same double at this magnitude (ulp(2^60) = 256)
+    right = spark.createDataFrame(
+        [(1, base - 127, 1.0), (1, base + 129, 2.0)],
+        "k LONG, ts LONG, v DOUBLE",
+    )
+    out = asof_join(
+        left, right, key="k", right_cols=["v"], direction="nearest"
+    ).collect()
+    assert out[0]["right_v"] == 1.0
