@@ -372,12 +372,10 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     ]
 
 
-def _doc_token_ids(
+def _doc_token_id_rows(
     docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1
 ) -> DataFrame:
-    """(id, tids ARRAY<BIGINT>): distinct dense token/shingle ids per doc —
-    ONE groupBy shuffle; every signature below derives from the array with
-    codegen expressions, no further shuffles over exploded rows.
+    """(id, tid) rows: distinct dense token/shingle ids per doc.
 
     shingle_n > 1 hashes word n-grams instead of unigrams — essential when
     the unigram vocabulary is small relative to the corpus (every doc then
@@ -396,10 +394,22 @@ def _doc_token_ids(
     # PLACE on the (id, token) rows (dense_rank within prefix bucket +
     # distinct-count offsets) — no separate distinct pass and no two-sided
     # vocabulary equi-join; ids are identical to vocabulary()'s
-    tt = ranked_tokens(tok).select(id_col, "tid")
-    return tt.groupBy(id_col).agg(
-        F.collect_list(F.col("tid").cast("bigint")).alias("tids")
+    return ranked_tokens(tok).select(
+        id_col, F.col("tid").cast("bigint").alias("tid")
     )
+
+
+def _doc_token_ids(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """(id, tids ARRAY<BIGINT>) per doc — the array form, for consumers
+    that need the whole id-set in one row (Jaccard verify). Signature
+    kernels (minhash/simhash) aggregate the ROW form instead: collect_list
+    has no map-side combine and ships whole arrays through the exchange,
+    while min/sum aggregates collapse on the map side.
+    """
+    tt = _doc_token_id_rows(docs, text_col, id_col, shingle_n)
+    return tt.groupBy(id_col).agg(F.collect_list("tid").alias("tids"))
 
 
 def minhash_signature_arrays(
@@ -409,26 +419,26 @@ def minhash_signature_arrays(
     """(id, sigs ARRAY<BIGINT>): sigs[i] = min over shingle ids of
     (a_i*tid + b_i) mod P.
 
-    All num_hashes minima are computed from the per-doc tid array inside
-    whole-stage codegen — the naive alternative (explode tokens x hash
-    functions, then groupBy) pushes num_hashes x corpus-token rows through
-    a shuffle; this shape pushes the tokens through once. a_i*tid < 2^62
-    for any realistic vocabulary, so BIGINT arithmetic never overflows.
+    All num_hashes minima are ONE hash aggregate over the (id, tid) rows —
+    min is map-side combinable, so each shuffle partition ships one
+    num_hashes-wide row per doc instead of the doc's whole tid array
+    (the previous collect_list shape serialized every array through the
+    exchange, then folded per row — no partial aggregation, and the wide
+    fold expressions compiled slowly). a_i*tid < 2^62 for any realistic
+    vocabulary, so BIGINT arithmetic never overflows.
     """
-    ta = _doc_token_ids(docs, text_col, id_col, shingle_n)
-
-    def lcg(a: int, b: int):
-        # closure factory: the HOF lambda must be unary — extra default
-        # args would change the arity PySpark's lambda builder sees
-        return lambda t: (t * F.lit(a) + F.lit(b)) % HASH_PRIME
-
-    sigs = F.array(
+    tt = _doc_token_id_rows(docs, text_col, id_col, shingle_n)
+    params = _hash_params(num_hashes)
+    mins = tt.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform("tids", lcg(a, b)))
-            for _i, a, b in _hash_params(num_hashes)
+            F.min(
+                (F.col("tid") * F.lit(a) + F.lit(b)) % HASH_PRIME
+            ).alias(f"__h{i}")
+            for i, a, b in params
         ]
     )
-    return ta.select(F.col(id_col), sigs.alias("sigs"))
+    sigs = F.array(*[F.col(f"__h{i}") for i, _a, _b in params])
+    return mins.select(F.col(id_col), sigs.alias("sigs"))
 
 
 def minhash_signatures(
@@ -498,32 +508,30 @@ def simhash_fingerprints(
 
     Integer-only → oracle-reproducible. Output: (id, fingerprint BIGINT).
 
-    Plan shape: per-doc tid array (one shuffle), then all `bits` bit-votes
-    fold over the array inside whole-stage codegen — the naive alternative
-    (explode tokens x bits, two groupBy passes) pushes bits x corpus-token
-    rows through a shuffle.
+    Plan shape: ONE hash aggregate over the (id, tid) rows — per bit j a
+    sum of bit_j(h), plus the token count; the ±1 vote is recovered as
+    2*s_j - n, so bit j is set iff 2*s_j > n. All `bits` sums partially
+    aggregate map-side (each shuffle partition ships one bits-wide row
+    per doc). The previous shape — collect_list to a per-doc array, then
+    `bits` independent fold expressions — shipped whole arrays through
+    the exchange and compiled a pathologically large codegen method.
     """
-    ta = _doc_token_ids(docs, text_col, id_col)
-    h_arr = F.transform(
-        "tids", lambda t: (t * F.lit(2654435761) + F.lit(104729)) % HASH_PRIME
+    tt = _doc_token_id_rows(docs, text_col, id_col)
+    h = (F.col("tid") * F.lit(2654435761) + F.lit(104729)) % HASH_PRIME
+    votes = tt.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+            for j in range(bits)
+        ],
     )
-    with_h = ta.select(F.col(id_col), h_arr.alias("hs"))
-    # vote_j = sum over tokens of (2*bit_j - 1); bit j of the fingerprint is
-    # set iff the vote is positive
-    def bit_vote(j: int):
-        # closure factory: the merge lambda must be binary (see lcg above)
-        return lambda acc, x: acc + (
-            F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
     fingerprint = None
     for j in range(bits):
-        vote = F.aggregate("hs", F.lit(0).cast("bigint"), bit_vote(j))
-        term = F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            F.col(f"__s{j}") * 2 > F.col("__n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return with_h.select(F.col(id_col), fingerprint.alias("fingerprint"))
+    return votes.select(F.col(id_col), fingerprint.alias("fingerprint"))
 
 
 def _fingerprint_chunks(bits: int, n_chunks: int) -> list[tuple[int, int]]:
@@ -580,11 +588,24 @@ def hamming_pairs_blocked(
     b = ch.select(
         F.col(id_col).alias("doc_b"), F.col(fp_col).alias("fb"), "ci", "cv"
     )
+    # dedup WITHOUT a distinct exchange: a pair colliding on several
+    # chunks emits once, at its FIRST agreeing chunk — both fingerprints
+    # ride the join row, so "no earlier chunk agrees" is an inline bit
+    # test (xor has a set bit inside every chunk below ci), not a shuffle
+    xor = F.col("fa").bitwiseXOR(F.col("fb"))
+    chunks = _fingerprint_chunks(bits, n_chunks)
+    first_agree = F.lit(True)
+    for i, (shift, width) in enumerate(chunks):
+        earlier_disagree = (
+            xor.bitwiseAND(F.lit(((1 << width) - 1) << shift)) != 0
+        )
+        first_agree = first_agree & F.when(
+            F.col("ci") > i, earlier_disagree
+        ).otherwise(F.lit(True))
     cand = (
         a.join(b, ["ci", "cv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_agree)
         .select("doc_a", "doc_b", "fa", "fb")
-        .distinct()
     )
     return (
         cand.withColumn(

@@ -369,6 +369,39 @@ def domain_mix(
     )
 
 
+def domain_cap(
+    docs: DataFrame, cap: int,
+    source_col: str = "source", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the web-corpus curation rule that bounds
+    any single domain's share of the training mix (C4/Gopher-style:
+    boilerplate-heavy domains otherwise dominate after crawl): keep at
+    most `cap` docs per source, ranked by (quality desc, id asc).
+
+    Output: (doc_id, source, quality, domain_rank, keep) for EVERY input
+    doc — the drop set stays auditable, like semantic_dedup's keep flag.
+
+    Scale shape: one shuffle on source + a per-domain sort (row_number
+    window partitioned by source — never unpartitioned). The known hazard
+    is a mega-domain making one partition's sort huge; the refinement at
+    that scale is a pre-filter on an approximate per-domain quality
+    quantile (approx_percentile(quality, 1 - cap/n) per source, keep only
+    candidates above it) before the exact rank — topology unchanged, sort
+    input bounded near cap.
+    """
+    scored = docs.select(
+        id_col, source_col, TX.quality_expr(text_col).alias("quality")
+    )
+    w = W.partitionBy(source_col).orderBy(F.desc("quality"), id_col)
+    return scored.withColumn(
+        "domain_rank", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "keep",
+        F.when(F.col("domain_rank") <= cap, F.lit(1)).otherwise(0),
+    )
+
+
 def quality_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style filter-funnel audit (Rae et al. 2021, A1.1: the
     sequence of document filters applied cumulatively): ONE corpus scan,

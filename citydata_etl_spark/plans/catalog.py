@@ -80,6 +80,7 @@ DRIVER_COVERAGE_FIRST = [
     "u5_merge_upsert",
     "d4_simhash_pairs",
     "t5_watermarked_append",
+    "d6_domain_cap",
 ]
 
 

@@ -441,6 +441,43 @@ def d6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d6_domain_cap",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS mtl
+      FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+             * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END)
+               AS quality
+      FROM s),
+    r AS (
+      SELECT doc_id, source, quality,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id) AS BIGINT) AS domain_rank
+      FROM q)
+    SELECT doc_id, source, quality, domain_rank,
+           CASE WHEN domain_rank <= 60 THEN 1 ELSE 0 END AS keep
+    FROM r
+    """,
+    doc="D6: per-domain document cap — bound any single domain's share of "
+    "the training mix by keeping at most N docs per source, ranked "
+    "(quality desc, id). One shuffle on source + a PARTITIONED row_number "
+    "window; every doc is returned with its rank and keep flag so the "
+    "drop set stays auditable "
+    "(operators/pipeline.py:domain_cap).",
+)
+def d6_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.domain_cap(read_testdata(spark, sf_dir, "documents"), cap=60)
+
+
+@register(
     "d6_quality_funnel",
     oracle="""
     WITH m AS (
