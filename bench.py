@@ -50,6 +50,8 @@ HEADLINE = [
     "d4_pii_scrub",
     "j7_salted_skew_join",
     "d4_simhash_pairs",
+    "t7_stream_stream_join",
+    "d6_domain_cap",
 ]
 
 

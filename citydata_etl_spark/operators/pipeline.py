@@ -369,6 +369,43 @@ def domain_mix(
     )
 
 
+def domain_mix_apply(
+    docs: DataFrame, weights: dict[str, float] | None = None,
+    resolution: int = 1_000_000,
+    source_col: str = "source", text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize domain_mix's water-fill PLAN into an actual subsample:
+    doc kept iff lcg(doc_id) mod resolution < round(keep_rate *
+    resolution) for its source — the deterministic coin flip that makes
+    the sampled corpus reproducible and auditable (same contract as
+    train_split: stable under re-partitioning and corpus growth).
+
+    Scale shape: the rates table is dimension-sized (one row per source)
+    and broadcast; the corpus scans ONCE with a codegen filter — the only
+    shuffle is domain_mix's own per-source aggregate. Output: every doc
+    with (source, keep_rate, keep), drops auditable.
+    """
+    rates = domain_mix(
+        docs, weights, source_col=source_col,
+        text_col=text_col, id_col=id_col,
+    ).select(source_col, "keep_rate")
+    coin = (
+        (F.col(id_col) * F.lit(_SPLIT_A) + F.lit(_SPLIT_B)) % HASH_PRIME
+    ) % resolution
+    thr = F.floor(F.col("keep_rate") * resolution + F.lit(0.5))
+    return (
+        docs.select(id_col, source_col)
+        .join(F.broadcast(rates), source_col)
+        .select(
+            id_col,
+            source_col,
+            "keep_rate",
+            F.when(coin < thr, F.lit(1)).otherwise(0).alias("keep"),
+        )
+    )
+
+
 def domain_cap(
     docs: DataFrame, cap: int,
     source_col: str = "source", text_col: str = "text",

@@ -73,7 +73,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: entries new this round, lead so the external artifacts complete
 #: cumulative coverage of the catalog; everything else follows in plain
 #: alphabetical order. Every entry is verified EVERY round regardless of
-#: position by tests/test_parity.py (93/93 at sf0.01).
+#: position by tests/test_parity.py (ALL entries, at sf0.01 via PARITY_SF_DIR).
 DRIVER_COVERAGE_FIRST = [
     "f11_haversine",
     "f12_url_parse",
@@ -81,6 +81,8 @@ DRIVER_COVERAGE_FIRST = [
     "d4_simhash_pairs",
     "t5_watermarked_append",
     "d6_domain_cap",
+    "d6_domain_mix_apply",
+    "t7_stream_stream_join",
 ]
 
 

@@ -441,6 +441,39 @@ def d6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d6_domain_mix_apply",
+    oracle="""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    k AS (SELECT count(*) AS k FROM t),
+    c AS (SELECT t.*, 1.0 / k AS w FROM t CROSS JOIN k),
+    m AS (SELECT c.*, min(total_tokens / w) OVER () AS cap FROM c),
+    r AS (
+      SELECT source,
+             round(least(1.0, cap * w / total_tokens), 6) AS keep_rate
+      FROM m)
+    SELECT d.doc_id, d.source, r.keep_rate,
+           CASE WHEN ((d.doc_id * 2654435761 + 12345) % 2147483647)
+                     % 1000000
+                < floor(r.keep_rate * 1000000 + 0.5)
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d JOIN r USING (source)
+    """,
+    doc="D6: materialize the domain-mix water-fill into a deterministic "
+    "subsample — per-source keep rates become an id-hash coin flip "
+    "(lcg(doc_id) mod 1e6 < rate*1e6), so the sampled corpus is "
+    "reproducible and auditable. Rates table is dimension-sized -> "
+    "broadcast; the corpus scans once with a codegen filter "
+    "(operators/pipeline.py:domain_mix_apply).",
+)
+def d6_domain_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.domain_mix_apply(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
     "d6_domain_cap",
     oracle="""
     WITH s AS (

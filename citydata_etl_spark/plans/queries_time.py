@@ -312,3 +312,79 @@ def t6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "t7_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT)
+             AS delay_s
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="T7 (stream-stream interval join, extension): view->purchase "
+    "attribution per user within 30 minutes — two watermarked streams "
+    "over the same events source, inner-joined on user with an event-time "
+    "range condition. The time bound + 1h watermarks are what let the "
+    "state store evict buffered rows once the other side can no longer "
+    "match (the unbounded-state hazard of stream-stream joins); inner "
+    "joins emit on match, so the bounded AvailableNow run equals the "
+    "batch SQL exactly.",
+)
+def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    views = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long")
+            - F.col("view_ts").cast("long")
+        ).alias("delay_s"),
+    )
+    name = f"t7_stream_stream_join_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
