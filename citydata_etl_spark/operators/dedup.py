@@ -461,10 +461,17 @@ def minhash_lsh_pairs(
     of at least one band. Output: (doc_a, doc_b), doc_a < doc_b.
 
     Plan shape: per-doc signature array -> band slices (codegen, no
-    shuffle) -> explode to (id, band, sig) -> self-join on (band, sig).
-    Cost follows bucket collisions, not corpus^2. Skewed buckets
-    (boilerplate text) are the known hazard; AQE skew-join or a
+    shuffle) -> explode to (id, band, sig, sigs) -> self-join on
+    (band, sig). Cost follows bucket collisions, not corpus^2. Skewed
+    buckets (boilerplate text) are the known hazard; AQE skew-join or a
     bucket-size cap handles them.
+
+    Pair dedup costs NO exchange: a pair agreeing on several bands emits
+    only at its FIRST agreeing band — both docs' full signature arrays
+    ride the band rows (num_hashes bigints, fixed width), so "no earlier
+    band agrees" is an inline slice comparison. The alternative — distinct
+    over the candidate pairs — re-shuffles the one relation that scales
+    with bucket collisions rather than corpus size.
     """
     arr = minhash_signature_arrays(docs, num_hashes, shingle_n, text_col, id_col)
     n_bands = num_hashes // band_size
@@ -483,19 +490,34 @@ def minhash_lsh_pairs(
             for bi in range(n_bands)
         ]
     )
-    sig = arr.select(F.col(id_col), F.explode(bands).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    sig = arr.select(
+        F.col(id_col), "sigs", F.explode(bands).alias("bs")
+    ).select(
+        id_col, "sigs",
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
     )
     # the band table feeds BOTH sides of the self-join: without persist the
     # whole tokenize->rank->signature pipeline executes twice
     sig = scoped_persist(sig)
-    a = sig.select(F.col(id_col).alias("doc_a"), "band", "sig")
-    b = sig.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    a = sig.select(
+        F.col(id_col).alias("doc_a"), F.col("sigs").alias("sa"), "band", "sig"
+    )
+    b = sig.select(
+        F.col(id_col).alias("doc_b"), F.col("sigs").alias("sb"), "band", "sig"
+    )
+    first_band = F.lit(True)
+    for bi in range(n_bands):
+        earlier_differs = (
+            F.slice("sa", bi * band_size + 1, band_size)
+            != F.slice("sb", bi * band_size + 1, band_size)
+        )
+        first_band = first_band & F.when(
+            F.col("band") > bi, earlier_differs
+        ).otherwise(F.lit(True))
     return (
         a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_band)
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
