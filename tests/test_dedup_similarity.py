@@ -404,3 +404,60 @@ def test_global_rank_bucket_cap_fails_fast(spark, planted_docs, monkeypatch):
         D.ranked_tokens(tok).collect()
     with pytest.raises(ValueError, match="buckets exceeds"):
         D.vocabulary(tok).collect()
+
+
+def test_domain_cap_invariants(spark, planted_docs):
+    """Cap respected per source, ranks dense from 1, keeps are exactly the
+    top-cap ranked docs, and every input doc comes back."""
+    from citydata_etl_spark.operators.pipeline import domain_cap
+
+    docs = planted_docs.withColumn(
+        "source",
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    cap = 5
+    out = domain_cap(docs, cap=cap).collect()
+    assert len(out) == docs.count()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        ranks = sorted(r["domain_rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        kept = [r for r in rows if r["keep"] == 1]
+        assert len(kept) == min(cap, len(rows))
+        assert all(r["domain_rank"] <= cap for r in kept)
+        # keep set = lexicographic top-cap by (quality desc, id asc)
+        order = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert {r["doc_id"] for r in kept} == {
+            r["doc_id"] for r in order[:cap]
+        }
+
+
+def test_domain_mix_apply_matches_rates(spark, planted_docs):
+    """The materialized sample is consistent with the plan: keep flags are
+    the deterministic id-hash coin (re-runnable), and the binding source
+    (keep_rate == 1.0) keeps everything."""
+    from citydata_etl_spark.operators.pipeline import (
+        HASH_PRIME, _SPLIT_A, _SPLIT_B, domain_mix, domain_mix_apply,
+    )
+
+    docs = planted_docs.withColumn(
+        "source", (F.col("doc_id") % 3).cast("string")
+    )
+    out = {r["doc_id"]: r for r in domain_mix_apply(docs).collect()}
+    rates = {
+        r["source"]: r["keep_rate"] for r in domain_mix(docs).collect()
+    }
+    assert len(out) == docs.count()
+    for vid, r in out.items():
+        thr = int(r["keep_rate"] * 1_000_000 + 0.5)
+        coin = ((vid * _SPLIT_A + _SPLIT_B) % HASH_PRIME) % 1_000_000
+        assert r["keep"] == (1 if coin < thr else 0)
+        assert r["keep_rate"] == rates[r["source"]]
+    binding = [s for s, kr in rates.items() if kr == 1.0]
+    assert binding, "water-fill must have a binding source"
+    for s in binding:
+        assert all(
+            r["keep"] == 1 for r in out.values() if r["source"] == s
+        )
