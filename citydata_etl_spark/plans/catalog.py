@@ -83,6 +83,7 @@ DRIVER_COVERAGE_FIRST = [
     "d6_domain_cap",
     "d6_domain_mix_apply",
     "t7_stream_stream_join",
+    "t7_stream_left_outer_join",
 ]
 
 

@@ -337,6 +337,38 @@ def t6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch SQL exactly.",
 )
 def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, purchases = _attribution_streams(spark, sf_dir)
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long")
+            - F.col("view_ts").cast("long")
+        ).alias("delay_s"),
+    )
+    name = f"t7_stream_stream_join_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _attribution_streams(spark: SparkSession, sf_dir: str):
+    """The two watermarked sides of the view->purchase attribution join."""
     from citydata_etl_spark.streaming.windows import read_events_stream
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -361,6 +393,49 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("purchase_ts", "1 hour")
     )
+    return views, purchases
+
+
+@register(
+    "t7_stream_left_outer_join",
+    oracle="""
+    WITH w AS (
+      SELECT min(m) - INTERVAL 1 HOUR AS wm FROM (
+        SELECT max(ts) AS m FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT max(ts) FROM events WHERE event_type = 'purchase') t),
+    m AS (
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT)
+               AS delay_s
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+    u AS (
+      SELECT v.user_id, v.event_id AS view_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS delay_s
+      FROM events v, w
+      WHERE v.event_type = 'view'
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+        AND v.ts + INTERVAL 30 MINUTE < w.wm)
+    SELECT * FROM m UNION ALL SELECT * FROM u
+    """,
+    doc="T7b (stream-stream LEFT OUTER interval join): same attribution "
+    "join, null-extending views with no purchase — the subtle contract is "
+    "WHEN the null row may emit: only once the global watermark (min over "
+    "both streams of max event time, minus 1h) passes the view's last "
+    "possible match time (view_ts + 30min, strict <), because until then "
+    "a matching purchase could still arrive. The oracle reproduces that "
+    "eviction rule exactly; views whose match window is still open at "
+    "stream end are withheld (state, not output).",
+)
+def t7_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, purchases = _attribution_streams(spark, sf_dir)
     joined = views.join(
         purchases,
         (F.col("v_user") == F.col("p_user"))
@@ -369,6 +444,7 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts")
             <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
         ),
+        "left_outer",
     ).select(
         F.col("v_user").alias("user_id"),
         "view_id",
@@ -378,7 +454,7 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("view_ts").cast("long")
         ).alias("delay_s"),
     )
-    name = f"t7_stream_stream_join_{next(_STREAM_SEQ)}"
+    name = f"t7_stream_left_outer_join_{next(_STREAM_SEQ)}"
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
