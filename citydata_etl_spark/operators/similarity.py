@@ -416,6 +416,190 @@ def ivf_topk(
     )
 
 
+def pq_topk(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    m_subspaces: int = 4, ks: int = 16, n_iter: int = 5,
+    train_sample: int = 4096, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_digits: int = 4,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """ANN cosine top-k via IVF-PQ (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the billion-vector path
+    where even the IVF-probed candidates are too wide to scan: vectors
+    are stored as m_subspaces small codes (here m bytes vs 4*dim), and
+    similarity is approximated by ADC (asymmetric distance computation)
+    table lookups, never touching the raw candidate vector.
+
+    Topology:
+      1. TRAIN (driver, bounded train_sample rows): the IVF coarse
+         quantizer (k-means, as ivf_topk) PLUS one k-means codebook of ks
+         centroids per subspace over the residual-free normalized sample.
+         Model size: n_centroids*dim + m_subspaces*ks*(dim/m_subspaces)
+         doubles — a tiny broadcast.
+      2. ENCODE: one mapInPandas pass per vector emits (coarse cluster,
+         probe list, PQ code array, and the query's OWN ADC table:
+         adc[j*ks + c] = dot(q_subspace_j, codebook[j][c])). The code
+         array is the stored form; the ADC table is query-side only.
+      3. PROBE + SCORE: JVM equi-join on cluster pulls probed lists; the
+         approximate cosine of (query, candidate) is
+         sum_j adc[j*ks + code[j]] — m_subspaces array lookups inside
+         codegen (zip_with + aggregate), NO vector math in the pair path.
+      4. Top-k by approximate score, total-order tie-break.
+
+    rerank_factor > 0 adds the standard REFINE stage (FAISS
+    IndexRefineFlat): the top rerank_factor*k candidates by ADC score are
+    re-scored with the EXACT cosine (raw vectors joined back by id for
+    the shortlist only — at scale this touches k*factor vectors per
+    query, not the probed lists), and the final top-k ranks by exact
+    similarity. This recovers quantization-error recall at the cost of
+    one narrow join; coarse-pruning misses remain.
+
+    Recall < 1 twice over (coarse pruning + quantization error); tests
+    measure recall against brute force and that reranking recovers the
+    quantization loss. Output: (query_id, neighbor_id, approx_sim, rnk);
+    with rerank, approx_sim is the exact rounded cosine.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    sample = (
+        emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"pq_topk: dim {dim} not divisible by m_subspaces {m_subspaces}"
+        )
+    sub = dim // m_subspaces
+
+    # coarse quantizer (identical shape to ivf_topk's)
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_centroids):
+            msk = assign == c
+            if msk.any():
+                v = X[msk].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+
+    # per-subspace PQ codebooks: deterministic init = first ks sample rows
+    books = np.empty((m_subspaces, ks, sub), dtype=np.float64)
+    for j in range(m_subspaces):
+        Sj = X[:, j * sub:(j + 1) * sub]
+        B = Sj[:ks].copy()
+        for _ in range(n_iter):
+            d2 = ((Sj[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ks):
+                msk = a == c
+                if msk.any():
+                    B[c] = Sj[msk].mean(axis=0)
+        books[j] = B
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def tag(batches):
+        Cm, Bm = bc.value
+        for pdf in batches:
+            Q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            order = np.argsort(-(Qn @ Cm.T), axis=1)
+            codes, adcs = [], []
+            for row in Qn:
+                code = []
+                adc = []
+                for j in range(m_subspaces):
+                    rs = row[j * sub:(j + 1) * sub]
+                    d2 = ((rs[None, :] - Bm[j]) ** 2).sum(axis=1)
+                    code.append(int(d2.argmin()))
+                    adc.extend((Bm[j] @ rs).tolist())
+                codes.append(code)
+                adcs.append(adc)
+            out = pdf[[id_col]].copy()
+            out["cluster"] = order[:, 0]
+            out["probes"] = [row[:n_probe].tolist() for row in order]
+            out["code"] = codes
+            out["adc"] = adcs
+            yield out
+
+    tagged = _spread(emb.select(id_col, vec_col)).mapInPandas(
+        tag,
+        schema=f"{id_col} BIGINT, cluster INT, probes ARRAY<INT>, "
+        "code ARRAY<INT>, adc ARRAY<DOUBLE>",
+    )
+    tagged = scoped_persist(tagged)
+    q = tagged.select(
+        F.col(id_col).alias("query_id"), F.col("adc").alias("qadc"),
+        F.explode("probes").alias("cluster"),
+    )
+    c = tagged.select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("ccode"),
+        "cluster",
+    )
+    # ADC score: sum_j qadc[j*ks + ccode[j]] — array lookups in codegen;
+    # element_at is 1-based
+    jidx = F.sequence(F.lit(0), F.lit(m_subspaces - 1))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("ccode"), jidx,
+            lambda code, j: F.element_at(
+                F.col("qadc"), (j * ks + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_sim", F.round(score, round_digits))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    if rerank_factor <= 0:
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "approx_sim", "rnk")
+        )
+    shortlist = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    base = with_norm2(emb, vec_col)
+    qv = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    cv = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    exact = (
+        shortlist.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "approx_sim",
+            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_sim", "rnk")
+    )
+
+
 def label_centroids(
     emb: DataFrame, vec_col: str = "embedding", label_col: str = "label",
     round_scale: int = 4,

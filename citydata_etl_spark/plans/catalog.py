@@ -84,6 +84,7 @@ DRIVER_COVERAGE_FIRST = [
     "d6_domain_mix_apply",
     "t7_stream_stream_join",
     "t7_stream_left_outer_join",
+    "d4_ann_pq",
 ]
 
 

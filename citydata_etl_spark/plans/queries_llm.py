@@ -411,6 +411,22 @@ def d4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_pq",
+    oracle=None,  # approximate by construction (coarse pruning +
+    # quantization); tests measure recall and the rerank recovery.
+    doc="D4: ANN cosine top-k via IVF-PQ (Jegou et al. 2011) — vectors "
+    "stored as m product-quantizer codes (bytes, not floats: the "
+    "billion-vector memory path), similarity approximated by ADC table "
+    "lookups inside codegen (no vector math in the pair path), plus the "
+    "FAISS-style exact-rerank refine of the shortlist "
+    "(operators/similarity.py:pq_topk).",
+)
+def d4_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, k=5, rerank_factor=4)
+
+
+@register(
     "d4_token_stats",
     oracle="""
     SELECT doc_id,

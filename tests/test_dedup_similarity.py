@@ -461,3 +461,26 @@ def test_domain_mix_apply_matches_rates(spark, planted_docs):
         assert all(
             r["keep"] == 1 for r in out.values() if r["source"] == s
         )
+
+
+def test_pq_recall_and_rerank_recovers_quantization(spark, clustered_vecs):
+    """IVF-PQ with ADC-only scoring loses recall to quantization noise;
+    the exact-rerank refine stage over the same candidate sets must
+    recover it (candidates are identical, only scoring differs)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+
+    def recall(rf):
+        ann = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.pq_topk(
+                clustered_vecs, k=3, rerank_factor=rf
+            ).collect()
+        }
+        return len(brute & ann) / len(brute)
+
+    r_adc, r_refined = recall(0), recall(4)
+    assert r_refined >= r_adc, "refine must never lower recall"
+    assert r_refined >= 0.7, f"refined PQ recall too low: {r_refined}"
