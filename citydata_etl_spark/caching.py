@@ -14,6 +14,12 @@ caches when a new query is built (plans/catalog.py:register), and bench /
 tests release after each materialization — storage memory is bounded by one
 query's working set, and re-running a query re-persists fresh instead of
 tripping CacheManager's "already cached" warning.
+
+Concurrency caveat: the registry is session-global. Two catalog queries
+built CONCURRENTLY (multi-threaded driver) release each other's caches —
+results stay correct (a dropped cache recomputes), but the concurrent
+query loses its cache speedup. Serialize catalog query construction, or
+persist manually outside this registry for concurrent workloads.
 """
 
 from __future__ import annotations

@@ -388,3 +388,49 @@ def test_streaming_dedup_with_ttl_runs(spark):
     finally:
         q.stop()
     assert rows == expected
+
+
+def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint + file sink across TWO availableNow runs: the second run
+    (a fresh query object, same checkpointLocation) must resume from the
+    recorded offsets — every input row lands in the sink exactly once,
+    none dropped, none duplicated."""
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, lo, hi):
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(lo, hi)],
+            "doc_id LONG, text STRING",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(
+            os.path.join(src, "*", "")
+        )
+        q = (
+            stream.withColumn("n_chars", F.length("text"))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1", 0, 50)
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 50
+
+    write_batch("b2", 50, 80)
+    run_once()  # fresh query, same checkpoint: resumes, no reprocessing
+    rows = spark.read.parquet(sink).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == list(range(80)), "rows dropped or duplicated on restart"
