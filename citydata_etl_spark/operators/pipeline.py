@@ -409,34 +409,61 @@ def domain_mix_apply(
 def domain_cap(
     docs: DataFrame, cap: int,
     source_col: str = "source", text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", prefilter: bool = False,
 ) -> DataFrame:
     """Per-domain document cap — the web-corpus curation rule that bounds
     any single domain's share of the training mix (C4/Gopher-style:
     boilerplate-heavy domains otherwise dominate after crawl): keep at
     most `cap` docs per source, ranked by (quality desc, id asc).
 
-    Output: (doc_id, source, quality, domain_rank, keep) for EVERY input
-    doc — the drop set stays auditable, like semantic_dedup's keep flag.
+    prefilter=False (the oracle-exact audit form): output (doc_id,
+    source, quality, domain_rank, keep) for EVERY input doc — the drop
+    set stays auditable, like semantic_dedup's keep flag. One shuffle on
+    source + a per-domain sort (row_number window partitioned by source —
+    never unpartitioned). The hazard is a mega-domain making one
+    partition's sort huge.
 
-    Scale shape: one shuffle on source + a per-domain sort (row_number
-    window partitioned by source — never unpartitioned). The known hazard
-    is a mega-domain making one partition's sort huge; the refinement at
-    that scale is a pre-filter on an approximate per-domain quality
-    quantile (approx_percentile(quality, 1 - cap/n) per source, keep only
-    candidates above it) before the exact rank — topology unchanged, sort
-    input bounded near cap.
+    prefilter=True (the mega-domain scale form): an approximate per-source
+    quality quantile at a CONSTANT fraction (approx_percentile(quality,
+    1 - prefilter_frac, accuracy 10_000) — the percentage must be foldable)
+    pre-cuts each domain BEFORE the exact rank, so the window sorts
+    ~prefilter_frac of a mega-domain instead of its full population;
+    sources too small for the cut to be safe (n <= 2*cap/prefilter_frac)
+    skip it and rank exactly. Output is the KEPT rows only (keep == 1 by
+    construction). The keep set equals the exact form's whenever
+    n_source <= accuracy*cap: for gated-through sources trivially, and
+    past the gate the cut keeps ~prefilter_frac*n >= 2*cap rows with
+    quantile rank error bounded by n/accuracy, so at least cap survivors
+    sit above the threshold — property-tested; the comparison is >= so
+    quantile ties only ADD survivors, never drop them.
     """
+    prefilter_frac = 0.1
     scored = docs.select(
         id_col, source_col, TX.quality_expr(text_col).alias("quality")
     )
+    if prefilter:
+        thr = scored.groupBy(source_col).agg(
+            F.count("*").alias("__n"),
+            F.percentile_approx(
+                "quality", F.lit(1.0 - prefilter_frac), F.lit(10_000)
+            ).alias("__thr"),
+        )
+        scored = (
+            scored.join(F.broadcast(thr), source_col)
+            .filter(
+                (F.col("__n") <= 2 * cap / prefilter_frac)
+                | (F.col("quality") >= F.col("__thr"))
+            )
+            .drop("__n", "__thr")
+        )
     w = W.partitionBy(source_col).orderBy(F.desc("quality"), id_col)
-    return scored.withColumn(
+    out = scored.withColumn(
         "domain_rank", F.row_number().over(w).cast("bigint")
     ).withColumn(
         "keep",
         F.when(F.col("domain_rank") <= cap, F.lit(1)).otherwise(0),
     )
+    return out.filter(F.col("keep") == 1) if prefilter else out
 
 
 def quality_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:

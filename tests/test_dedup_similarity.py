@@ -484,3 +484,27 @@ def test_pq_recall_and_rerank_recovers_quantization(spark, clustered_vecs):
     r_adc, r_refined = recall(0), recall(4)
     assert r_refined >= r_adc, "refine must never lower recall"
     assert r_refined >= 0.7, f"refined PQ recall too low: {r_refined}"
+
+
+def test_domain_cap_prefilter_matches_exact(spark, planted_docs):
+    """The quantile-prefiltered scale form must keep EXACTLY the docs the
+    exact audit form keeps (ranks included) — the 2x-margin approximate
+    cut can only remove rows that provably cannot reach the cap."""
+    from citydata_etl_spark.operators.pipeline import domain_cap
+
+    docs = planted_docs.withColumn(
+        "source", (F.col("doc_id") % 2).cast("string")
+    )
+    # planted_docs has 30 docs per source; the small-source gate covers
+    # caps where n <= 2*cap/0.1, the cut path needs a bigger fixture
+    for cap in (1, 3, 10, 100):
+        exact = {
+            (r["doc_id"], r["domain_rank"])
+            for r in domain_cap(docs, cap=cap).collect()
+            if r["keep"] == 1
+        }
+        fast = {
+            (r["doc_id"], r["domain_rank"])
+            for r in domain_cap(docs, cap=cap, prefilter=True).collect()
+        }
+        assert fast == exact, f"prefilter diverged at cap={cap}"
