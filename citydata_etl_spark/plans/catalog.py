@@ -85,6 +85,7 @@ DRIVER_COVERAGE_FIRST = [
     "t7_stream_stream_join",
     "t7_stream_left_outer_join",
     "d4_ann_pq",
+    "f13_variant_json",
 ]
 
 

@@ -211,6 +211,36 @@ def f7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f13_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k')
+                     AS INT) > 50 THEN 1 END) AS BIGINT) AS n_high,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT) * 2)
+             AS BIGINT) AS sum_2k
+    FROM events GROUP BY event_type
+    """,
+    doc="F13 (extension): semi-structured access via Spark 4's VARIANT "
+    "type — parse_json once into a variant column, then typed "
+    "variant_get extraction feeding filters and arithmetic. Versus "
+    "per-field get_json_object re-parses (F7), the variant encodes the "
+    "document once into its binary form and each extraction is an O(log "
+    "fields) offset lookup — the engine-native path for schemaless "
+    "columns at scale. Oracle: DuckDB json_extract over the same props.",
+)
+def f13_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("vp")
+    )
+    k = F.variant_get("vp", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count(F.when(k > 50, F.lit(1))).cast("bigint").alias("n_high"),
+        F.sum(k * 2).cast("bigint").alias("sum_2k"),
+    )
+
+
+@register(
     "f9_split_explode",
     oracle="""
     SELECT word, count(*) AS n

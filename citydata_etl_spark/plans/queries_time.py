@@ -314,6 +314,24 @@ def t6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def _await_with_state_partitions(
+    spark: SparkSession, writer, n_partitions: int = 8
+) -> None:
+    """Start + await a bounded streaming query with the state-partition
+    count sized to the load: shuffle partitions at the first micro-batch
+    fix the number of state stores for the checkpoint's lifetime, and a
+    stream-stream join commits FOUR stores per partition per batch — at
+    32 partitions that is pure fixed overhead on a bounded run. At real
+    scale this knob is sized to key cardinality, not lowered."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @register(
     "t7_stream_stream_join",
     oracle="""
@@ -356,14 +374,12 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delay_s"),
     )
     name = f"t7_stream_stream_join_{next(_STREAM_SEQ)}"
-    q = (
+    _await_with_state_partitions(
+        spark,
         joined.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .queryName(name),
     )
-    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -455,12 +471,10 @@ def t7_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delay_s"),
     )
     name = f"t7_stream_left_outer_join_{next(_STREAM_SEQ)}"
-    q = (
+    _await_with_state_partitions(
+        spark,
         joined.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .queryName(name),
     )
-    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
