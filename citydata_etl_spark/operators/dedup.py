@@ -373,20 +373,41 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 
 
 def _doc_token_id_rows(
-    docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1,
+    id_mode: str = "rank",
 ) -> DataFrame:
-    """(id, tid) rows: distinct dense token/shingle ids per doc.
+    """(id, tid) rows: distinct token/shingle ids per doc.
+
+    id_mode='rank' (default): dense lexicographic rank — ORACLE-EXACT
+    (reproducible in any engine), at the cost of one bounded bucket-count
+    job and a partitioned rank window (ranked_tokens).
+    id_mode='hash': tid = pmod(xxhash64(token), HASH_PRIME) — the
+    ZERO-COORDINATION production mode the module docstring names: a pure
+    codegen projection, no extra job, no window, no driver state; same
+    banding topology downstream, trades engine-reproducibility (and a
+    ~n_tokens^2/2^31 birthday collision allowance inside the prime
+    domain, which only ever MERGES two tokens — LSH recall is unaffected
+    at any realistic vocabulary).
 
     shingle_n > 1 hashes word n-grams instead of unigrams — essential when
     the unigram vocabulary is small relative to the corpus (every doc then
     contains nearly every token and all unigram set-signatures collide).
     """
+    if id_mode not in ("rank", "hash"):
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
     if shingle_n > 1:
         tok = shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
             "shingle", "token"
         )
     else:
         tok = tokens(docs, text_col, id_col)
+    if id_mode == "hash":
+        return tok.select(
+            id_col,
+            F.pmod(F.xxhash64("token"), F.lit(HASH_PRIME))
+            .cast("bigint")
+            .alias("tid"),
+        )
     # persist: tok feeds BOTH the bucket-count pass and the ranking pass of
     # ranked_tokens — without the cache the corpus explode runs twice
     tok = scoped_persist(tok)
@@ -415,6 +436,7 @@ def _doc_token_ids(
 def minhash_signature_arrays(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
+    id_mode: str = "rank",
 ) -> DataFrame:
     """(id, sigs ARRAY<BIGINT>): sigs[i] = min over shingle ids of
     (a_i*tid + b_i) mod P.
@@ -427,7 +449,7 @@ def minhash_signature_arrays(
     fold expressions compiled slowly). a_i*tid < 2^62 for any realistic
     vocabulary, so BIGINT arithmetic never overflows.
     """
-    tt = _doc_token_id_rows(docs, text_col, id_col, shingle_n)
+    tt = _doc_token_id_rows(docs, text_col, id_col, shingle_n, id_mode)
     params = _hash_params(num_hashes)
     mins = tt.groupBy(id_col).agg(
         *[
@@ -456,6 +478,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, num_hashes: int = 16, band_size: int = 4,
     shingle_n: int = 2, text_col: str = "text", id_col: str = "doc_id",
+    id_mode: str = "rank",
 ) -> DataFrame:
     """LSH candidate pairs: docs whose minhash signatures agree on every row
     of at least one band. Output: (doc_a, doc_b), doc_a < doc_b.
@@ -473,7 +496,9 @@ def minhash_lsh_pairs(
     over the candidate pairs — re-shuffles the one relation that scales
     with bucket collisions rather than corpus size.
     """
-    arr = minhash_signature_arrays(docs, num_hashes, shingle_n, text_col, id_col)
+    arr = minhash_signature_arrays(
+        docs, num_hashes, shingle_n, text_col, id_col, id_mode
+    )
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -524,6 +549,7 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     docs: DataFrame, bits: int = 31,
     text_col: str = "text", id_col: str = "doc_id",
+    id_mode: str = "rank",
 ) -> DataFrame:
     """31-bit SimHash from token-id LCG hashes: bit j of the fingerprint is
     set iff sum over tokens of (2*bit_j(h(tid)) - 1) > 0.
@@ -538,7 +564,7 @@ def simhash_fingerprints(
     `bits` independent fold expressions — shipped whole arrays through
     the exchange and compiled a pathologically large codegen method.
     """
-    tt = _doc_token_id_rows(docs, text_col, id_col)
+    tt = _doc_token_id_rows(docs, text_col, id_col, id_mode=id_mode)
     h = (F.col("tid") * F.lit(2654435761) + F.lit(104729)) % HASH_PRIME
     votes = tt.groupBy(id_col).agg(
         F.count("*").alias("__n"),
@@ -642,7 +668,7 @@ def hamming_pairs_blocked(
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
-    bits: int = 31, blocked: bool = True,
+    bits: int = 31, blocked: bool = True, id_mode: str = "rank",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -652,7 +678,9 @@ def simhash_pairs(
     keeps the naive crossJoin for exactness cross-checks in tests.
     """
     fp = scoped_persist(
-        simhash_fingerprints(docs, bits, text_col=text_col, id_col=id_col)
+        simhash_fingerprints(
+            docs, bits, text_col=text_col, id_col=id_col, id_mode=id_mode
+        )
     )
     if blocked:
         return hamming_pairs_blocked(fp, max_hamming, bits, id_col)

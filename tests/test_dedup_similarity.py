@@ -508,3 +508,42 @@ def test_domain_cap_prefilter_matches_exact(spark, planted_docs):
             for r in domain_cap(docs, cap=cap, prefilter=True).collect()
         }
         assert fast == exact, f"prefilter diverged at cap={cap}"
+
+
+def test_minhash_hash_id_mode_recall(spark, planted_docs):
+    """id_mode='hash' (zero-coordination xxhash64 ids — no rank jobs, no
+    driver state) must preserve LSH behavior: every planted high-jaccard
+    pair is still a candidate. Signatures differ from rank mode (different
+    id space), but the banding topology and recall contract are the same."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(
+            planted_docs, n=1, threshold=0.8
+        ).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(
+            planted_docs, id_mode="hash"
+        ).collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"hash-id LSH recall too low: {recall}"
+
+
+def test_simhash_hash_id_mode_separates(spark, planted_docs):
+    """Hash-id SimHash keeps the separation property: planted near-dup
+    pairs average a smaller hamming distance than unrelated pairs."""
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in D.simhash_fingerprints(
+            planted_docs, id_mode="hash"
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin(fp[a] ^ fp[b]).count("1")
+
+    near = [ham(3 * i, 3 * i + 1) for i in range(20)]
+    far = [ham(3 * i, 3 * i + 2) for i in range(20)]
+    assert sum(near) / len(near) < sum(far) / len(far)
