@@ -309,6 +309,93 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.75) -> DataFrame:
+    """Interpolated BIGRAM language-model scoring — the next step up from
+    unigram_logprob toward CCNet's n-gram LM (Wenzek et al. 2020 use a
+    5-gram KenLM; the interpolation-with-unigram backoff here is the same
+    structure at order 2):
+
+      p(w_i | w_{i-1}) = lam * (c2(w_{i-1}, w_i) / c1(w_{i-1}))
+                       + (1-lam) * (c(w_i) / N)
+      first token of a doc scores by the unigram term alone.
+
+    Determinism: ln(p) is rounded HALF-UP to integer micros per token
+    before summing (associative integer addition — same rule as
+    unigram_logprob); the interpolation is evaluated with explicit
+    parenthesization `lam * (c2/c1) + (1-lam) * (u/N)` so both engines
+    round the same intermediate quotients.
+
+    Scale shape: bigrams come from array slices of the per-doc token
+    array (no window, no self-join on position); the c2/c1/unigram
+    tables are corpus-trained, so every probe join is a PLAIN equi-join
+    (no broadcast hints — AQE decides; same rationale as
+    unigram_logprob). One shuffle on (doc) closes the aggregation.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(F.col(id_col), ws.alias("ws")).filter(
+        F.size("ws") >= 1
+    )
+    n = F.size("ws")
+    pairs = F.zip_with(
+        F.slice("ws", F.lit(1), n - 1),
+        F.slice("ws", F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = base.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    toks = base.select(F.col(id_col), F.explode("ws").alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("u"))
+    total = toks.agg(F.count("*").alias("n"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+
+    def micros(p):
+        return F.floor(F.log(p) * 1000000 + F.lit(0.5)).cast("bigint")
+
+    uni_p = F.col("u").cast("double") / F.col("n")
+    first = (
+        base.select(
+            F.col(id_col), F.element_at("ws", 1).alias("token")
+        )
+        .join(uni, "token")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, micros(uni_p).alias("lp"))
+    )
+    big_p = (
+        F.lit(lam) * (F.col("c2").cast("double") / F.col("c1"))
+        + F.lit(1.0 - lam) * uni_p
+    )
+    rest = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni.withColumnRenamed("token", "w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, micros(big_p).alias("lp"))
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp").cast("bigint").alias("logprob_micros"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logprob_micros",
+            F.round(
+                F.col("logprob_micros").cast("double") / 1000000.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 #: Redaction patterns written in the ASCII-only regex subset on which Java
 #: regex (Spark) and RE2 (DuckDB) agree — no lookarounds, no \d shorthand.
 EMAIL_PATTERN = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"

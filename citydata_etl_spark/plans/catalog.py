@@ -86,6 +86,7 @@ DRIVER_COVERAGE_FIRST = [
     "t7_stream_left_outer_join",
     "d4_ann_pq",
     "f13_variant_json",
+    "d4_bigram_logprob",
 ]
 
 

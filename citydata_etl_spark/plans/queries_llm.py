@@ -586,6 +586,59 @@ def d4_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_bigram_logprob",
+    oracle="""
+    WITH lsts AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS lst
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(lst) AS token,
+             unnest(range(1, len(lst) + 1)) AS pos
+      FROM lsts),
+    uni AS (SELECT token, count(*) AS u FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM toks),
+    seq AS (
+      SELECT doc_id, token AS w2,
+             lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM toks),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM seq
+            WHERE w1 IS NOT NULL GROUP BY w1, w2),
+    c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM big GROUP BY w1),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN s.w1 IS NULL THEN
+               CAST(floor(ln(u.u / t.n) * 1000000 + 0.5) AS BIGINT)
+             ELSE
+               CAST(floor(ln(0.75 * (b.c2 / k.c1) + 0.25 * (u.u / t.n))
+                    * 1000000 + 0.5) AS BIGINT)
+             END AS lp
+      FROM seq s
+      JOIN uni u ON s.w2 = u.token
+      CROSS JOIN tot t
+      LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN c1t k ON s.w1 = k.w1)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(lp) AS BIGINT) AS logprob_micros,
+           round(sum(lp) / 1000000.0 / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="D4: interpolated BIGRAM LM scoring — one order up from "
+    "d4_lm_logprob toward CCNet's 5-gram KenLM: p(w|prev) = "
+    "0.75*(c2/c1) + 0.25*(unigram), first token unigram-only; per-token "
+    "ln(p) in integer micros before summing (associative, bit-exact). "
+    "Bigrams from array slices (no position self-join); trained tables "
+    "probe via plain equi-joins, AQE decides broadcasts "
+    "(operators/text.py:bigram_logprob).",
+)
+def d4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
     "d4_dup_passage",
     oracle="""
     WITH tokl AS (
