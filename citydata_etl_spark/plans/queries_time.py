@@ -114,14 +114,12 @@ def t1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"t1_streaming_tumbling_{next(_STREAM_SEQ)}"
-    q = (
+    _await_with_state_partitions(
+        spark,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .queryName(name),
     )
-    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -166,14 +164,12 @@ def t5_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"t5_watermarked_append_{next(_STREAM_SEQ)}"
-    q = (
+    _await_with_state_partitions(
+        spark,
         agg.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .queryName(name),
     )
-    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -208,14 +204,12 @@ def t2_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(d)
     out = streaming_exact_dedup(stream)
     name = f"t2_streaming_dedup_{next(_STREAM_SEQ)}"
-    q = (
+    _await_with_state_partitions(
+        spark,
         out.writeStream.outputMode("append")
         .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .queryName(name),
     )
-    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -303,14 +297,12 @@ def t6_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"t6_stream_enrich_{next(_STREAM_SEQ)}"
-    q = (
+    _await_with_state_partitions(
+        spark,
         agg.writeStream.outputMode("complete")
         .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .queryName(name),
     )
-    q.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
 
 
