@@ -51,7 +51,11 @@ HEADLINE = [
     "j7_salted_skew_join",
     "d4_simhash_pairs",
     "t7_stream_stream_join",
+    "t7_stream_left_outer_join",
+    "t5_watermarked_append",
     "d6_domain_cap",
+    "d4_bigram_logprob",
+    "f13_variant_json",
 ]
 
 
