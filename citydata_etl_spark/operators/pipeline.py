@@ -369,6 +369,34 @@ def domain_mix(
     )
 
 
+def stratified_fixed_sample(
+    docs: DataFrame, k: int,
+    strata_col: str = "source", id_col: str = "doc_id",
+) -> DataFrame:
+    """FIXED-SIZE deterministic sample per stratum — the reservoir-sample
+    analog for eval-set construction (exactly k docs per source, not a
+    rate): rank each stratum by the id-hash coin lcg(doc_id) and keep the
+    k smallest. Deterministic and stable under re-partitioning AND under
+    corpus growth in OTHER strata (a doc's coin never changes; only new
+    docs in its own stratum can displace it) — the property that makes a
+    frozen eval slice re-derivable from the raw corpus.
+
+    One shuffle on the stratum + a PARTITIONED row_number window.
+    Output: (doc_id, strata, coin, sample_rank), sample_rank <= k.
+    """
+    coin = (
+        (F.col(id_col) * F.lit(_SPLIT_A) + F.lit(_SPLIT_B)) % HASH_PRIME
+    ).cast("bigint")
+    scored = docs.select(id_col, strata_col, coin.alias("coin"))
+    w = W.partitionBy(strata_col).orderBy("coin", id_col)
+    return (
+        scored.withColumn(
+            "sample_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def domain_mix_apply(
     docs: DataFrame, weights: dict[str, float] | None = None,
     resolution: int = 1_000_000,

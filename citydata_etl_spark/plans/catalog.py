@@ -87,6 +87,7 @@ DRIVER_COVERAGE_FIRST = [
     "d4_ann_pq",
     "f13_variant_json",
     "d4_bigram_logprob",
+    "d6_fixed_sample",
 ]
 
 

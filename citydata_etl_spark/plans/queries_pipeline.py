@@ -441,6 +441,34 @@ def d6_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d6_fixed_sample",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST((doc_id * 2654435761 + 12345) % 2147483647 AS BIGINT)
+               AS coin
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, coin,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY coin, doc_id) AS BIGINT) AS sample_rank
+      FROM c)
+    SELECT doc_id, source, coin, sample_rank FROM r WHERE sample_rank <= 25
+    """,
+    doc="D6: fixed-size deterministic per-stratum sample (reservoir "
+    "analog for eval sets): rank each source by the id-hash coin, keep "
+    "the k smallest — stable under re-partitioning and under growth in "
+    "other strata, so a frozen eval slice re-derives from the raw corpus. "
+    "One shuffle + a partitioned window "
+    "(operators/pipeline.py:stratified_fixed_sample).",
+)
+def d6_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.stratified_fixed_sample(
+        read_testdata(spark, sf_dir, "documents"), k=25
+    )
+
+
+@register(
     "d6_domain_mix_apply",
     oracle="""
     WITH t AS (
