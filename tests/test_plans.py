@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from citydata_etl_spark.plans.catalog import load_all
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _plan(spark, name: str) -> str:
@@ -233,3 +233,23 @@ def test_pii_scrub_zero_exchanges(spark):
     assert "Join" not in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "lang" not in read and "n_chars" not in read
+
+
+def test_catalog_sweep_leaves_no_persistent_rdds(spark):
+    """Cache lifecycle: running the cache-heavy queries back-to-back
+    through their catalog runners (each build releases the previous
+    query's scoped persists) and releasing at the end leaves ZERO
+    persistent RDDs — storage memory is bounded by one query's working
+    set, never the sweep's."""
+    from citydata_etl_spark.caching import release_caches
+    from citydata_etl_spark.plans.catalog import load_all
+
+    cat = load_all()
+    for name in ("d4_minhash_lsh", "d4_simhash_pairs", "d4_ngram_jaccard",
+                 "d4_semantic_dedup", "d4_dup_passage"):
+        cat[name].spark_fn(spark, SF_SMOKE).count()
+    release_caches()
+    persistent = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert persistent.isEmpty(), (
+        f"{persistent.size()} persistent RDDs leaked after the sweep"
+    )
