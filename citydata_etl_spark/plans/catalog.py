@@ -88,6 +88,7 @@ DRIVER_COVERAGE_FIRST = [
     "f13_variant_json",
     "d4_bigram_logprob",
     "d6_fixed_sample",
+    "t3_cdc_promote",
 ]
 
 

@@ -117,6 +117,32 @@ def s6_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_staging_keys(orders: DataFrame) -> DataFrame:
+    """Deterministic staging object keys derived from orders — the shared
+    fixture for the re-key (s9) and CDC-promotion (t3) queries: every 7th
+    key is a manual/ drop-in, the rest follow the
+    {source}/{schema}/{table}/{load}/{name} shape with initial/cdc load
+    alternating by key parity."""
+    return orders.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit("manual/orders_"), F.col("o_orderkey"), F.lit(".csv")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("web/sales/orders/"),
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("initial")).otherwise(
+                    F.lit("cdc")
+                ),
+                F.lit("/"),
+                F.col("o_orderkey"),
+                F.lit(".txt"),
+            )
+        )
+        .alias("key")
+    )
+
+
 @register(
     "s9_staging_rekey",
     oracle=r"""
@@ -155,24 +181,7 @@ def s9_staging_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.etl.staging import derive_curated_columns
 
     orders = read_testdata(spark, sf_dir, "orders")
-    keys = orders.select(
-        F.when(
-            F.col("o_orderkey") % 7 == 0,
-            F.concat(F.lit("manual/orders_"), F.col("o_orderkey"), F.lit(".csv")),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("web/sales/orders/"),
-                F.when(F.col("o_orderkey") % 2 == 0, F.lit("initial")).otherwise(
-                    F.lit("cdc")
-                ),
-                F.lit("/"),
-                F.col("o_orderkey"),
-                F.lit(".txt"),
-            )
-        )
-        .alias("key")
-    )
+    keys = order_staging_keys(orders)
     now = F.to_timestamp(F.lit("2026-08-13 14:30:00"))
     return derive_curated_columns(keys, now=now).select(
         "key", "source", "schema_name", "table_name", "load",

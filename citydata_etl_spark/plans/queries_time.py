@@ -174,6 +174,71 @@ def t5_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t3_cdc_promote",
+    oracle=r"""
+    WITH k AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0
+                  THEN 'manual/orders_' || o_orderkey || '.csv'
+                  ELSE 'web/sales/orders/'
+                       || CASE WHEN o_orderkey % 2 = 0
+                               THEN 'initial' ELSE 'cdc' END
+                       || '/' || o_orderkey || '.txt'
+             END AS key
+      FROM orders),
+    p AS (SELECT key, string_split(key, '/') AS parts FROM k),
+    d AS (SELECT key, parts, parts[1] = 'manual' AS is_manual,
+                 regexp_replace(parts[len(parts)], '\.[^.]+$', '') AS stem
+          FROM p)
+    SELECT CASE WHEN is_manual THEN 'manual' ELSE parts[1] END AS source,
+           CASE WHEN is_manual THEN 'misc' ELSE parts[2] END AS schema_name,
+           CASE WHEN is_manual THEN stem ELSE parts[3] END AS table_name,
+           CASE WHEN is_manual THEN 'initial' ELSE parts[4] END AS load,
+           count(*) AS n_objects
+    FROM d GROUP BY source, schema_name, table_name, load
+    """,
+    doc="T3 (CDC promotion, end-to-end): staging keys stream through a "
+    "checkpointed foreachBatch sink that runs the batch promotion per "
+    "micro-batch (streaming/pipeline.py:foreach_batch_promote -> "
+    "etl/staging.py:promote) into the curated partitioned parquet layout "
+    "(source/schema/table/load/y/m/d/h — reference "
+    "process-staging.py:32-44); the query reads the CURATED ZONE back and "
+    "audits object counts per partition path. Clock injected for "
+    "determinism; manual/ drop-ins route to the fixed misc schema. The "
+    "catalog's only entry whose result passed through a foreachBatch "
+    "file sink.",
+)
+def t3_cdc_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from citydata_etl_spark.plans.queries_core import order_staging_keys
+    from citydata_etl_spark.streaming.pipeline import foreach_batch_promote
+
+    keys = order_staging_keys(read_testdata(spark, sf_dir, "orders"))
+    d = tempfile.mkdtemp(prefix="t3_cdc_")
+    staging = os.path.join(d, "staging")
+    curated = os.path.join(d, "curated")
+    ckpt = os.path.join(d, "ckpt")
+    keys.coalesce(2).write.mode("overwrite").option("header", True).csv(
+        staging
+    )
+    foreach_batch_promote(
+        spark,
+        staging,
+        T.StructType([T.StructField("key", T.StringType())]),
+        curated,
+        ckpt,
+        now=F.to_timestamp(F.lit("2026-08-13 14:30:00")),
+    )
+    back = spark.read.parquet(curated)
+    return back.groupBy(
+        "source", "schema_name", "table_name", "load"
+    ).agg(F.count("*").cast("bigint").alias("n_objects"))
+
+
+@register(
     "t2_streaming_dedup",
     oracle="""
     SELECT min(doc_id) AS doc_id, text, sha256(text) AS content_sha

@@ -61,11 +61,14 @@ def foreach_batch_promote(
     staging_schema: T.StructType,
     curated_path: str,
     checkpoint: str,
+    now=None,
 ) -> None:
     """T3: stream staging arrivals into the curated partitioned layout.
     Each micro-batch runs the batch promotion (etl/staging.py:promote) —
     partition values are processing-time, matching the reference's
-    wall-clock-at-move semantics (process-staging.py:14-18)."""
+    wall-clock-at-move semantics (process-staging.py:14-18). Pass `now`
+    (a timestamp Column) to inject the clock for deterministic tests and
+    oracle-checked runs."""
     from citydata_etl_spark.etl.staging import promote
 
     stream = (
@@ -75,7 +78,7 @@ def foreach_batch_promote(
     )
 
     def handle(df: DataFrame, epoch: int) -> None:
-        promote(df, curated_path)
+        promote(df, curated_path, now=now)
 
     q = (
         stream.writeStream.foreachBatch(handle)
