@@ -36,6 +36,7 @@ HEADLINE = [
     "f7_json_extract",
     "d4_exact_dedup",
     "d4_minhash_lsh",
+    "d4_minhash_hash",
     "d4_token_stats",
     "d4_cosine_topk",
     "d4_embed_neardup",

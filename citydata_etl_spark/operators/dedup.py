@@ -30,12 +30,15 @@ from citydata_etl_spark.caching import scoped_persist
 
 HASH_PRIME = 2147483647  # 2^31 - 1
 
-#: Fail-fast ceiling on the driver-side bucket-offsets list (see
-#: _global_rank / ranked_tokens). Bucket cardinality is a granularity knob
-#: (leading-key values x 26^prefix_chars), but a pathological key
-#: distribution could still balloon it — past this cap the collect is no
-#: longer "tiny" and the caller should coarsen prefix_chars or switch to
-#: xxhash64 ids.
+#: Sanity ceiling on the bucket-offsets relation (see _global_rank /
+#: ranked_tokens). The offsets are computed DISTRIBUTED (a cumulative-sum
+#: window over the per-bucket counts), so there is no driver collect to
+#: protect any more — but that window is deliberately unpartitioned (the
+#: offsets relation is per-BUCKET, bounded by key granularity, never by
+#: corpus size), so a pathological key distribution that ballooned bucket
+#: cardinality would serialize it. The cap fails fast inside the plan
+#: (raise_error on the bucket rank) instead of silently degrading; coarsen
+#: prefix_chars or switch to xxhash64 ids past it.
 MAX_RANK_BUCKETS = 100_000
 
 
@@ -72,13 +75,25 @@ def tokens(docs: DataFrame, text_col: str = "text",
     return t.distinct() if distinct else t
 
 
+def _null_guarded(msg: str):
+    """Column wrapper raising `msg` at execution when the value is NULL —
+    a vectorized per-row branch, deliberately INSIDE the expression so the
+    equi-join's inferred IsNotNull pushdown cannot prune the row before
+    the guard evaluates."""
+    def wrap(c: str):
+        return F.when(
+            F.col(c).isNull(), F.raise_error(F.lit(msg))
+        ).otherwise(F.col(c))
+
+    return wrap
+
+
 def _global_rank(
     df: DataFrame, order_cols: list[str], out_col: str,
     prefix_chars: int = 2,
 ) -> DataFrame:
     """Deterministic 0-based global rank over rows UNIQUE on order_cols,
-    with no single-partition sort (the WindowExec "No Partition Defined"
-    scale killer) and no sampled partitioner:
+    with no single-partition sort over the DATA and no driver-side state:
 
       1. bucket every row by a MONOTONE coarsening of its order key — the
          leading order columns exactly plus a prefix_chars prefix of the
@@ -87,62 +102,59 @@ def _global_rank(
          rows in earlier buckets;
       2. row_number within each bucket (windows partitioned by bucket —
          parallelism follows bucket granularity, never 1);
-      3. exclusive prefix-sum of bucket counts, collected to the driver —
-         bounded by bucket cardinality (a granularity knob: 26^prefix_chars
-         x leading-key values), never by corpus size — joined back on the
-         bucket key. The join is co-partitioned with the window's own
-         exchange, and the offsets side is tiny.
+      3. exclusive prefix-sum of bucket counts, computed by a cumulative
+         window over the per-BUCKET count relation — bounded by bucket
+         cardinality (a granularity knob: 26^prefix_chars x leading-key
+         values), never by corpus size, so its unpartitioned sort touches
+         a tiny relation — joined back on the bucket key (AQE broadcasts
+         the offsets side).
 
-    Unlike a repartitionByRange build, every step is a deterministic
-    expression of the data — no sampling job, no checkpoint pinning, safe
-    to recompute. Caveat: driver-side bucket ordering uses Python tuple
-    sort, which matches Spark/DuckDB string ordering for ASCII keys (the
-    only keys used here); widen prefix_chars to split hot buckets.
+    The whole rank is ONE lazy plan — no eager collect job, no
+    createDataFrame, no Python-side sorting: every step is a
+    deterministic Spark expression of the data, safe to recompute, and
+    cross-bucket ordering uses Spark's own binary string ordering
+    (prefix-monotone by construction, so it always agrees with the
+    within-bucket orderBy).
 
-    Guards: NULL bucket keys are rejected (an equi-join would silently
-    drop them), and the offsets list is capped at MAX_RANK_BUCKETS — for
-    the rarity rank the leading `freq` column's distinct values are
-    data-dependent, so a degenerate distribution fails fast here instead
-    of ballooning the driver collect.
+    Guards fire INSIDE the plan via raise_error over the offsets
+    relation: NULL bucket keys (the equi-join would silently drop them)
+    and bucket cardinality past MAX_RANK_BUCKETS (past the cap the
+    unpartitioned offsets window is no longer "tiny" — coarsen
+    prefix_chars or switch to hash ids).
     """
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-    spark = df.sparkSession
     *head, last = order_cols
-    b_names = [f"__b{i}" for i in range(len(head) + 1)]
+    b_names = [f"__rbkt{i}" for i in range(len(head) + 1)]
+    # NULL guard rides the bucket EXPRESSION (a per-row branch, not a
+    # separate check): the inner offsets equi-join makes Catalyst infer
+    # IsNotNull on the bucket key and push it below any guard projection,
+    # which would silently drop NULL-key rows before a standalone check
+    # could see them — raising inside the expression cannot be pruned.
+    nn = _null_guarded(
+        "_global_rank: NULL values in order_cols are not supported "
+        "(the offsets equi-join would drop them) — filter or coalesce "
+        "the key columns first"
+    )
     b_exprs = [
-        F.col(c).alias(n) for c, n in zip(head, b_names)
-    ] + [F.substring(F.col(last), 1, prefix_chars).alias(b_names[-1])]
+        nn(c).alias(n) for c, n in zip(head, b_names)
+    ] + [F.substring(nn(last), 1, prefix_chars).alias(b_names[-1])]
 
     inp = scoped_persist(df.select("*", *b_exprs))
-    counts = (
-        inp.groupBy(*b_names).agg(F.count("*").alias("cnt")).collect()
-    )
-    if len(counts) > MAX_RANK_BUCKETS:
-        raise ValueError(
-            f"_global_rank: {len(counts)} rank buckets exceeds the "
-            f"{MAX_RANK_BUCKETS} driver-collect cap — coarsen prefix_chars "
-            "or switch to hash (xxhash64) ids for this key distribution"
+    counts = inp.groupBy(*b_names).agg(F.count("*").alias("__cnt"))
+    w_b = W.orderBy(*b_names)
+    off = (
+        F.when(
+            F.row_number().over(w_b) > MAX_RANK_BUCKETS,
+            F.raise_error(F.lit(
+                f"_global_rank: rank buckets exceed the {MAX_RANK_BUCKETS} "
+                "cap — coarsen prefix_chars or switch to hash (xxhash64) "
+                "ids for this key distribution")),
         )
-    if any(any(r[n] is None for n in b_names) for r in counts):
-        raise ValueError(
-            "_global_rank: NULL values in order_cols are not supported "
-            "(the offsets equi-join would drop them) — filter or coalesce "
-            "the key columns first"
-        )
-    acc = 0
-    off_rows = []
-    for key_cnt in sorted(
-        (tuple(r[n] for n in b_names), r["cnt"]) for r in counts
-    ):
-        off_rows.append((*key_cnt[0], acc))
-        acc += key_cnt[1]
-    schema = StructType(
-        [StructField(n, df.schema[c].dataType) for c, n in zip(head, b_names)]
-        + [StructField(b_names[-1], StringType()),
-           StructField("__off", LongType())]
+        .otherwise(F.coalesce(
+            F.sum("__cnt").over(w_b.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ))
     )
-    offsets = spark.createDataFrame(off_rows, schema)
+    offsets = counts.select(*b_names, off.cast("bigint").alias("__off"))
     w = W.partitionBy(*b_names).orderBy(*order_cols)
     return (
         inp.withColumn("__local", F.row_number().over(w) - 1)
@@ -163,48 +175,51 @@ def ranked_tokens(
          coarsening, as in _global_rank);
       2. dense_rank within the bucket (window partitioned by bucket —
          duplicate tokens share a rank, so no distinct pass is needed);
-      3. add the exclusive prefix-sum of per-bucket DISTINCT-token counts
-         (driver-collected, bounded by 26^prefix_chars buckets and the
-         MAX_RANK_BUCKETS cap; the offsets relation is tiny, so the
-         join-back broadcasts).
+      3. add the exclusive prefix-sum of per-bucket DISTINCT-token counts,
+         computed by a cumulative window over the per-BUCKET count
+         relation (bounded by 26^prefix_chars buckets, never corpus size)
+         and joined back on the bucket key (tiny — AQE broadcasts it).
 
     vs. the vocabulary()+join shape this removes one corpus-wide distinct
     shuffle and the two-sided vocabulary equi-join — the corpus is
-    exchanged ONCE (on the bucket key) and the ids are identical.
-    Tokens must be non-NULL (callers filter empties); rank is 0-based.
-    The caller should persist `tok` — it is scanned twice (bucket counts,
-    then ranking).
+    exchanged ONCE (on the bucket key) and the ids are identical. The
+    whole rank is ONE lazy plan: no eager collect job, no
+    createDataFrame, no driver-side sorting (this was previously an
+    eager bucket-count collect — a full extra materialization of the
+    tokenize pipeline before the main query could start).
+    Tokens must be non-NULL (callers filter empties; a NULL bucket
+    raises inside the plan); rank is 0-based. The caller should persist
+    `tok` — the bucket-count branch and the ranking branch each scan it.
     """
-    spark = tok.sparkSession
+    nn = _null_guarded("ranked_tokens: NULL tokens are not supported")
     bucketed = tok.withColumn(
-        "__b", F.substring(F.col(token_col), 1, prefix_chars)
+        "__rbkt", F.substring(nn(token_col), 1, prefix_chars)
     )
-    counts = (
-        bucketed.groupBy("__b")
-        .agg(F.count_distinct(token_col).alias("cnt"))
-        .collect()
+    counts = bucketed.groupBy("__rbkt").agg(
+        F.count_distinct(token_col).alias("__cnt")
     )
-    if len(counts) > MAX_RANK_BUCKETS:
-        raise ValueError(
-            f"ranked_tokens: {len(counts)} rank buckets exceeds the "
-            f"{MAX_RANK_BUCKETS} cap — coarsen prefix_chars"
+    w_b = W.orderBy("__rbkt")
+    off = (
+        F.when(
+            F.row_number().over(w_b) > MAX_RANK_BUCKETS,
+            F.raise_error(F.lit(
+                f"ranked_tokens: rank buckets exceed the {MAX_RANK_BUCKETS} "
+                "cap — coarsen prefix_chars")),
         )
-    if any(r["__b"] is None for r in counts):
-        raise ValueError("ranked_tokens: NULL tokens are not supported")
-    acc = 0
-    off_rows = []
-    for key, cnt in sorted((r["__b"], r["cnt"]) for r in counts):
-        off_rows.append((key, acc))
-        acc += cnt
-    offsets = spark.createDataFrame(off_rows, "__b STRING, __off BIGINT")
-    w = W.partitionBy("__b").orderBy(token_col)
+        .otherwise(F.coalesce(
+            F.sum("__cnt").over(w_b.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ))
+    )
+    offsets = counts.select("__rbkt", off.cast("bigint").alias("__off"))
+    w = W.partitionBy("__rbkt").orderBy(token_col)
     return (
         bucketed.withColumn("__dr", F.dense_rank().over(w))
-        .join(offsets, "__b")
+        .join(offsets, "__rbkt")
         .withColumn(
             out_col, (F.col("__dr") - 1 + F.col("__off")).cast("bigint")
         )
-        .drop("__b", "__dr", "__off")
+        .drop("__rbkt", "__dr", "__off")
     )
 
 

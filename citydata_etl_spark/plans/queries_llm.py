@@ -130,6 +130,25 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_minhash_hash",
+    oracle=None,  # xxhash64 is engine-specific — rows-only; recall vs the
+    # rank-mode pairs is bounded by test_minhash_hash_id_mode_recall
+    doc="D4: MinHash-LSH in id_mode='hash' — the PRODUCTION 100 TB path: "
+    "shingle ids are pmod(xxhash64(shingle), P), a pure codegen "
+    "projection with ZERO coordination (no rank window, no bucket-count "
+    "job, no driver state), then the identical 4x4 banding topology. "
+    "This is the headline-benchmarked form; the rank-mode twin "
+    "(d4_minhash_lsh) keeps the oracle-exact ids "
+    "(operators/dedup.py:_doc_token_id_rows id_mode).",
+)
+def d4_minhash_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, shingle_n=2, id_mode="hash"
+    )
+
+
+@register(
     "d4_simhash",
     oracle=f"""
     WITH {_TOK},

@@ -386,23 +386,26 @@ def test_ranked_tokens_matches_vocabulary_join(spark, planted_docs):
 
 
 def test_global_rank_rejects_null_keys(spark):
-    """NULL order keys would be dropped by the offsets equi-join — fail
-    fast instead."""
+    """NULL order keys would be dropped by the offsets equi-join — the
+    in-plan raise_error guard fails the job instead (the guards moved
+    from an eager driver collect into the lazy plan when the offsets
+    became a distributed cumulative sum)."""
     df = spark.createDataFrame(
         [("aa",), (None,), ("bb",)], "token STRING"
     )
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL tokens"):
         D.ranked_tokens(df).collect()
 
 
 def test_global_rank_bucket_cap_fails_fast(spark, planted_docs, monkeypatch):
-    """A degenerate key distribution cannot balloon the driver collect:
-    past MAX_RANK_BUCKETS the rank raises instead of collecting."""
+    """A degenerate key distribution cannot balloon the unpartitioned
+    offsets window: past MAX_RANK_BUCKETS the in-plan guard raises at
+    execution instead of silently serializing."""
     monkeypatch.setattr(D, "MAX_RANK_BUCKETS", 3)
     tok = D.tokens(planted_docs)  # 200-word vocab -> far more than 3 buckets
-    with pytest.raises(ValueError, match="buckets exceeds"):
+    with pytest.raises(Exception, match="buckets exceed"):
         D.ranked_tokens(tok).collect()
-    with pytest.raises(ValueError, match="buckets exceeds"):
+    with pytest.raises(Exception, match="buckets exceed"):
         D.vocabulary(tok).collect()
 
 

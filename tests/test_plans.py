@@ -184,11 +184,20 @@ def _assert_no_unpartitioned_window(plan: str, name: str):
     """An unpartitioned windowspecdefinition's FIRST argument is an
     ordering expression (suffixed ASC/DESC); a partitioned one leads with
     bare partition columns. 'No Partition Defined' windows move all rows
-    to one task — the single-partition-sort scale killer."""
+    to one task — the single-partition-sort scale killer.
+
+    Exemption: windows ordering on a `__rbkt*` column. Those are the
+    rank-offset cumulative sums in operators/dedup.py (_global_rank /
+    ranked_tokens): they run over the per-BUCKET count relation, whose
+    size is bounded by key granularity (26^prefix_chars x leading-key
+    values, hard-capped by MAX_RANK_BUCKETS inside the plan) and does NOT
+    grow with the corpus — an unpartitioned sort there is a few thousand
+    rows on one task at any data scale, which is what makes the offsets
+    computable without an eager driver collect."""
     import re
 
     bad = re.findall(
-        r"windowspecdefinition\([^,()]*#\d+L? (?:ASC|DESC)", plan
+        r"windowspecdefinition\((?!__rbkt)[^,()]*#\d+L? (?:ASC|DESC)", plan
     )
     assert not bad, f"{name}: unpartitioned window(s): {bad}"
 
