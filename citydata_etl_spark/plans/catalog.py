@@ -64,38 +64,131 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-#: Entries listed first in load_all()'s ordering. This is a COVERAGE
-#: ROTATION, not metric tuning (ADVICE.md round 2): the external
-#: correctness gate samples the first 50 entries in registration order,
-#: and across rounds 1-2 its two windows covered 90 of the catalog's
-#: entries — all EXCEPT f11_haversine / f12_url_parse / u5_merge_upsert
-#: (see VERDICT.md round 2, "What's missing" #1). Those three, plus
-#: entries new this round, lead so the external artifacts complete
-#: cumulative coverage of the catalog; everything else follows in plain
-#: alphabetical order. Every entry is verified EVERY round regardless of
-#: position by tests/test_parity.py (ALL entries, at sf0.01 via PARITY_SF_DIR).
-DRIVER_COVERAGE_FIRST = [
-    "f11_haversine",
-    "f12_url_parse",
-    "u5_merge_upsert",
-    "d4_simhash_pairs",
-    "t5_watermarked_append",
-    "d6_domain_cap",
-    "d6_domain_mix_apply",
-    "t7_stream_stream_join",
-    "t7_stream_left_outer_join",
-    "d4_ann_pq",
-    "f13_variant_json",
-    "d4_bigram_logprob",
-    "d6_fixed_sample",
-    "t3_cdc_promote",
-]
+#: NEUTRAL STALENESS ROTATION (replaces the hand-picked round-2/3
+#: DRIVER_COVERAGE_FIRST list, per ADVICE.md): load_all() orders the
+#: catalog by (last externally-verified round ASC, name ASC). The
+#: external correctness gate samples the first 50 entries in registration
+#: order; with this rule the least-recently-verified entries always lead,
+#: so every entry cycles through the gate's window and no entry's latest
+#: driver row can go stale indefinitely — with no per-round hand-tuning
+#: of what the gate sees. New entries (round 0) sort first. The map is
+#: refreshed each round from the driver's CORRECTNESS_r{N}.json artifact;
+#: the reorder is disclosed in the round notes. Every entry is ALSO
+#: verified every round regardless of position by tests/test_parity.py
+#: (all entries, at sf0.01 via PARITY_SF_DIR).
+LAST_DRIVER_CHECK: dict[str, int] = {
+    "a10_table_profile": 3,
+    "a1_pricing_summary": 3,
+    "a2_approx_distinct": 3,
+    "a2_count_distinct": 3,
+    "a2_percentiles": 3,
+    "a3_cube": 3,
+    "a3_rollup": 3,
+    "a4_ntile": 3,
+    "a4_rank_dense_rank": 3,
+    "a4_topk_per_group": 3,
+    "a5_moving_avg": 3,
+    "a5_window_lag": 3,
+    "a6_global_topk": 3,
+    "a7_set_ops": 3,
+    "a7_union_by_name": 3,
+    "a8_city_score": 3,
+    "a9_pivot": 3,
+    "d4_ann_ivf": 3,
+    "d4_ann_lsh": 3,
+    "d4_ann_pq": 3,
+    "d4_bigram_logprob": 3,
+    "d4_bpe_tokens": 3,
+    "d4_cosine_topk": 3,
+    "d4_dedup_groups": 3,
+    "d4_doc_fingerprint": 3,
+    "d4_dup_passage": 3,
+    "d4_embed_neardup": 3,
+    "d4_exact_dedup": 3,
+    "d4_lang_id": 3,
+    "d4_lm_logprob": 3,
+    "d4_minhash_lsh": 3,
+    "d4_ngram_jaccard": 3,
+    "d4_pii_scrub": 3,
+    "d4_quality_score": 3,
+    "d4_repetition_stats": 3,
+    "d4_semantic_dedup": 3,
+    "d4_simhash": 3,
+    "d4_simhash_pairs": 3,
+    "d4_tfidf_topk": 3,
+    "d4_token_stats": 2,
+    "d5_frame_sample": 2,
+    "d5_media_decode": 2,
+    "d6_contamination": 2,
+    "d6_curation_pipeline": 2,
+    "d6_dedup_keep": 2,
+    "d6_domain_cap": 3,
+    "d6_domain_mix": 2,
+    "d6_domain_mix_apply": 3,
+    "d6_fixed_sample": 3,
+    "d6_label_centroid": 2,
+    "d6_pack_sequences": 2,
+    "d6_quality_funnel": 2,
+    "d6_shard_stats": 2,
+    "d6_stratified_sample": 2,
+    "d6_train_split": 2,
+    "e2e_collect_run": 1,
+    "f10_conditional": 1,
+    "f11_haversine": 3,
+    "f12_url_parse": 3,
+    "f13_variant_json": 3,
+    "f1_f3_dual_ts_roundtrip": 1,
+    "f2_date_parts": 1,
+    "f4_f5_split_element": 1,
+    "f6_key_building": 1,
+    "f7_json_extract": 1,
+    "f8_html_extract": 1,
+    "f9_split_explode": 1,
+    "j1_broadcast_lookup": 2,
+    "j2_anti_join": 2,
+    "j2_semi_join": 2,
+    "j3_template_join": 2,
+    "j4_multi_source_join": 2,
+    "j5_range_join": 2,
+    "j6_asof_forward": 2,
+    "j6_asof_join": 2,
+    "j6_asof_nearest": 2,
+    "j7_salted_skew_join": 2,
+    "p1_pending_filter": 1,
+    "p2_projection": 1,
+    "p3_point_filter": 1,
+    "p4_dynamic_filter": 1,
+    "p6_first_row": 1,
+    "s1_csv_scan": 1,
+    "s2_typed_csv_scan": 1,
+    "s3_json_scan": 1,
+    "s6_object_listing": 1,
+    "s7_partitioned_sink": 1,
+    "s8_csv_overwrite_sink": 1,
+    "s9_staging_rekey": 1,
+    "t1_streaming_tumbling": 2,
+    "t2_streaming_dedup": 2,
+    "t3_cdc_promote": 3,
+    "t5_session_window": 2,
+    "t5_sliding_window": 2,
+    "t5_tumbling_window": 2,
+    "t5_watermarked_append": 3,
+    "t6_stream_enrich": 2,
+    "t7_stream_left_outer_join": 3,
+    "t7_stream_stream_join": 3,
+    "u1_keyed_update": 1,
+    "u2_masked_update": 1,
+    "u3_status_routing": 1,
+    "u4_scd2_history": 1,
+    "u5_merge_upsert": 3,
+}
 
 
 def load_all() -> dict[str, Query]:
     """Import every query module so registration side-effects run; return
-    the catalog ordered by the coverage rotation above (never-externally-
-    checked entries first, the rest alphabetical)."""
+    the catalog in the neutral staleness rotation: least-recently-
+    externally-verified first (LAST_DRIVER_CHECK, new entries leading),
+    name as the tie-break."""
     from citydata_etl_spark.plans import (  # noqa: F401
         queries_llm,
         queries_time,
@@ -106,11 +199,7 @@ def load_all() -> dict[str, Query]:
         queries_functions,
     )
 
-    ordered: dict[str, Query] = {}
-    for name in DRIVER_COVERAGE_FIRST:
-        if name in CATALOG:
-            ordered[name] = CATALOG[name]
-    for name in sorted(CATALOG):
-        if name not in ordered:
-            ordered[name] = CATALOG[name]
-    return ordered
+    ordered = sorted(
+        CATALOG, key=lambda n: (LAST_DRIVER_CHECK.get(n, 0), n)
+    )
+    return {name: CATALOG[name] for name in ordered}
