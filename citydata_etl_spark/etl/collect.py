@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from citydata_etl_spark.caching import scoped_persist
 from citydata_etl_spark.functions.scalar import utc_now_compact
 from citydata_etl_spark.operators.relational import pending_work, route_status
 
@@ -76,7 +77,11 @@ def collect_run(
     updated_control: the control table with ALL of this run's status
       transitions applied in one columnar pass (U1/U3 batched).
     """
-    fetched = fetch_pending(control, transport_factory).cache()
+    # scoped persist: `fetched` feeds both the raw-payload branch and the
+    # status-update branch — and the fetch UDF must run exactly once (a
+    # recompute would re-hit every URL). Tracked in the session cache
+    # registry so catalog sweeps release it like any other intermediate.
+    fetched = scoped_persist(fetch_pending(control, transport_factory))
     routed = route_status(fetched, payload_col="payload")
 
     raw = (
@@ -94,8 +99,12 @@ def collect_run(
     updates = routed.select(
         "id", F.col("status").alias("new_status")
     )
+    # plain equi-join on id — NO broadcast hint: the update set is sized
+    # by the run's pending batch, which is data-derived (a full-backlog
+    # run at scale could be the whole control table). AQE broadcasts it
+    # at runtime exactly when it actually is small.
     updated = (
-        control.join(F.broadcast(updates), "id", "left")
+        control.join(updates, "id", "left")
         .withColumn(
             "status",
             F.coalesce(F.col("new_status"), F.col("status")),

@@ -225,6 +225,22 @@ def test_lm_logprob_vocab_not_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_collect_update_join_not_hinted(spark):
+    """The collect pipeline's control-update join must carry no broadcast
+    hint: the update set is sized by the run's pending batch (data-derived
+    — a full-backlog run is the whole control table), so the decision
+    belongs to AQE at runtime. With the size-based threshold disabled, the
+    plan contains no BroadcastExchange/BroadcastHashJoin at all."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "e2e_collect_run")
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_simhash_pairs_no_cartesian(spark):
     """The blocked SimHash pairing must candidate via the (chunk_idx,
     chunk_value) equi-join — a refactor back to the all-pairs crossJoin

@@ -434,3 +434,42 @@ def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == list(range(80)), "rows dropped or duplicated on restart"
+
+
+def test_rocksdb_state_store_provider_matches_default(spark, events_stream_path):
+    """The scale state-backend knob: the same watermarked tumbling
+    aggregation through _await_with_state_partitions with
+    ROCKSDB_STATE_STORE_PROVIDER must produce the identical result as
+    the default on-heap provider — proving the RocksDB wiring works in
+    this build (bundled rocksdbjni) and restores session conf after."""
+    from citydata_etl_spark.plans.queries_time import (
+        ROCKSDB_STATE_STORE_PROVIDER,
+        _await_with_state_partitions,
+    )
+
+    def run(provider):
+        stream = SW.read_events_stream(spark, events_stream_path)
+        agg = SW.tumbling_counts(stream)
+        name = f"rocksdb_probe_{'rdb' if provider else 'dflt'}"
+        _await_with_state_partitions(
+            spark,
+            agg.writeStream.outputMode("append").format("memory")
+            .queryName(name),
+            state_store_provider=provider,
+        )
+        return spark.sql(f"SELECT * FROM {name}")
+
+    base = _rows(run(None), ["window_start", "event_type", "n"])
+    rdb = _rows(
+        run(ROCKSDB_STATE_STORE_PROVIDER),
+        ["window_start", "event_type", "n"],
+    )
+    assert rdb == base and len(base) > 0
+    # the provider conf must not leak into the session
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "unset",
+        )
+        == "unset"
+    )
