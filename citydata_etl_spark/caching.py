@@ -7,51 +7,74 @@ session executing many catalog queries would otherwise accumulate storage
 memory: the operator returns a lazy DataFrame, so it can never know when
 its caches are safe to drop.
 
-The contract here: operators persist through `scoped_persist`, which tracks
-the cached DataFrame in a session-wide registry; `release_caches` drops
-everything tracked so far. The catalog runner releases the PREVIOUS query's
-caches when a new query is built (plans/catalog.py:register), and bench /
-tests release after each materialization — storage memory is bounded by one
-query's working set, and re-running a query re-persists fresh instead of
-tripping CacheManager's "already cached" warning.
+The contract: operators persist through `scoped_persist`, which tracks the
+cached DataFrame under the CREATING THREAD's registry; the catalog runner
+(plans/catalog.py:register) releases the current thread's tracked caches
+when a new query is built — the point where the prior query's working set
+is provably no longer needed on that thread. `release_caches()` drops
+every thread's tracked caches (bench / test teardown). Storage memory is
+bounded by one query's working set per driver thread, and re-running a
+query re-persists fresh instead of tripping CacheManager's "already
+cached" warning.
 
-Concurrency caveat: the registry is session-global. Two catalog queries
-built CONCURRENTLY (multi-threaded driver) release each other's caches —
-results stay correct (a dropped cache recomputes), but the concurrent
-query loses its cache speedup. Serialize catalog query construction, or
-persist manually outside this registry for concurrent workloads.
+Thread scoping is what makes CONCURRENT catalog builds safe: two queries
+built from different driver threads no longer release each other's caches
+(the round-3 session-global registry's documented caveat). The remaining
+contract is per-thread: build a query, materialize it, then build the
+next — interleaving build A / build B / materialize A on ONE thread drops
+A's scoped persists (results stay correct; the cache speedup is lost).
 """
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
-_TRACKED: list[DataFrame] = []
+_TRACKED: dict[int, list[DataFrame]] = {}  # owner thread id -> persisted dfs
+
+log = logging.getLogger(__name__)
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
-    """persist() + track for a later release_caches()."""
+    """persist() + track under the calling thread for a later release."""
     df = df.persist() if storage_level is None else df.persist(storage_level)
+    tid = threading.get_ident()
     with _LOCK:
-        _TRACKED.append(df)
+        _TRACKED.setdefault(tid, []).append(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every DataFrame tracked since the last release; returns the
-    number released. Safe to call at any time: dropping a cache never
-    changes results, only forces recomputation if the plan re-executes."""
-    with _LOCK:
-        dfs = list(_TRACKED)
-        _TRACKED.clear()
+def _release(dfs: list[DataFrame]) -> int:
     n = 0
     for df in dfs:
         try:
             df.unpersist()
             n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
+        except Exception as ex:
+            # expected only in teardown races (session/JVM already
+            # stopped); logged rather than silently swallowed so a real
+            # JVM-side failure is visible at debug level
+            log.debug("unpersist skipped: %s: %s", type(ex).__name__, ex)
     return n
+
+
+def release_thread_caches() -> int:
+    """Unpersist every DataFrame tracked by the CURRENT thread since its
+    last release; returns the number released. Safe at any time: dropping
+    a cache never changes results, only forces recomputation."""
+    tid = threading.get_ident()
+    with _LOCK:
+        dfs = _TRACKED.pop(tid, [])
+    return _release(dfs)
+
+
+def release_caches() -> int:
+    """Unpersist every tracked DataFrame across ALL threads (sweep/test
+    teardown); returns the number released."""
+    with _LOCK:
+        dfs = [df for lst in _TRACKED.values() for df in lst]
+        _TRACKED.clear()
+    return _release(dfs)

@@ -228,6 +228,73 @@ def cosine_neardup_pairs(
     )
 
 
+def _safe_cos(dot: Column, qn2: Column, cn2: Column,
+              round_digits: int) -> Column:
+    """Rounded cosine with a zero-norm guard, for the ANN candidate
+    paths: a zero-norm vector scores 0 against everything instead of
+    raising DIVIDE_BY_ZERO under ANSI mode (consistent with _unit_rows'
+    treatment on the numpy side). The oracle-checked exact kernels keep
+    plain division — cosine is defined only for nonzero vectors there,
+    same as the SQL oracle."""
+    denom = F.sqrt(qn2) * F.sqrt(cn2)
+    return F.round(
+        F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot / denom),
+        round_digits,
+    )
+
+
+def _unit_rows(X):
+    """Row-normalize a matrix with a zero-norm guard: an all-zero
+    embedding keeps norm 1 (its codes/similarities become 0) instead of
+    emitting NaN rows that silently poison every candidate in its
+    cluster. (The exact kernels define cosine only for nonzero vectors —
+    same as the SQL oracle.)"""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    return X / np.where(n == 0.0, 1.0, n)
+
+
+def _unit(v):
+    """1-D zero-norm-guarded normalize (centroid re-normalization)."""
+    import numpy as np
+
+    n = np.linalg.norm(v)
+    return v / (n if n != 0.0 else 1.0)
+
+
+def _train_sample_matrix(
+    emb: DataFrame, id_col: str, vec_col: str, n: int
+):
+    """Bounded, deterministic, scale-unbiased quantizer training sample:
+    the n rows with the smallest (xxhash64(id), id) — a uniform
+    pseudo-random draw over the WHOLE corpus, reproducible across runs
+    and partitionings.
+
+    SAMPLING CONTRACT: the previous orderBy(id).limit(n) trained on the
+    id-prefix of the corpus — at 100 TB that is whatever shard was
+    ingested first, a biased codebook. Hash-ordering removes the bias at
+    identical cost: physically a TakeOrderedAndProject (each partition
+    keeps a bounded n-row heap, the driver merges n rows per partition —
+    no full sort, no shuffle). n should give >= ~40 rows per trained
+    centroid (k<=16 with n=4096 gives ~256).
+
+    Returns the row-normalized float64 matrix (zero-norm guarded).
+    """
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__h", F.xxhash64("__id"))
+        .orderBy("__h", "__id")
+        .limit(n)
+        .select("__v")
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return _unit_rows(X)
+
+
 def _spread(queries: DataFrame, rows_per_task: int = 256) -> DataFrame:
     """Fan a 1-3-partition input out to the session parallelism before a
     per-row Python kernel — a single-file parquet scan otherwise serializes
@@ -312,7 +379,7 @@ def lsh_bucket_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+            _safe_cos(dot, F.col("qn"), F.col("cn"), round_digits),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -333,9 +400,11 @@ def ivf_topk(
     """ANN cosine top-k via an IVF (inverted-file) coarse quantizer.
 
     Topology (the scale path for billion-vector corpora):
-      1. TRAIN: k-means on a bounded driver-side sample (first train_sample
-         ids — deterministic); the centroid matrix is a tiny broadcast
-         model, exactly like any coarse quantizer.
+      1. TRAIN: k-means on a bounded driver-side sample — train_sample
+         rows drawn by smallest xxhash64(id) (_train_sample_matrix:
+         deterministic AND uniform over the corpus, no ingestion-order
+         prefix bias); the centroid matrix is a tiny broadcast model,
+         exactly like any coarse quantizer.
       2. ASSIGN: one mapInPandas pass tags every vector with its nearest
          centroid (cluster = inverted list id). At scale this is the
          partition key: lists are written `partitionBy(cluster)`.
@@ -351,19 +420,14 @@ def ivf_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    sample = (
-        emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
-    )
-    X = np.array([r[0] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _train_sample_matrix(emb, id_col, vec_col, train_sample)
     C = X[:n_centroids].copy()
     for _ in range(n_iter):
         assign = (X @ C.T).argmax(axis=1)
         for c in range(n_centroids):
             m = assign == c
             if m.any():
-                v = X[m].mean(axis=0)
-                C[c] = v / np.linalg.norm(v)
+                C[c] = _unit(X[m].mean(axis=0))
     bc = spark.sparkContext.broadcast(C)
 
     def tag(batches):
@@ -372,7 +436,7 @@ def ivf_topk(
         cm = bc.value
         for pdf in batches:
             Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Qn = _unit_rows(Q)
             sims = Qn @ cm.T
             order = np.argsort(-sims, axis=1)
             out = pdf[[id_col, vec_col]].copy()
@@ -400,7 +464,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
-            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+            _safe_cos(dot, F.col("qn"), F.col("cn"), round_digits),
         )
         # a candidate reachable through several probed clusters appears
         # once per cluster — dedupe BEFORE ranking or rnk counts ghosts
@@ -431,9 +495,11 @@ def pq_topk(
     table lookups, never touching the raw candidate vector.
 
     Topology:
-      1. TRAIN (driver, bounded train_sample rows): the IVF coarse
-         quantizer (k-means, as ivf_topk) PLUS one k-means codebook of ks
-         centroids per subspace over the residual-free normalized sample.
+      1. TRAIN (driver, bounded train_sample rows drawn by smallest
+         xxhash64(id) — uniform over the corpus, no prefix bias;
+         _train_sample_matrix): the IVF coarse quantizer (k-means, as
+         ivf_topk) PLUS one k-means codebook of ks centroids per
+         subspace over the residual-free normalized sample.
          Model size: n_centroids*dim + m_subspaces*ks*(dim/m_subspaces)
          doubles — a tiny broadcast.
       2. ENCODE: one mapInPandas pass per vector emits (coarse cluster,
@@ -462,11 +528,7 @@ def pq_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    sample = (
-        emb.orderBy(id_col).limit(train_sample).select(vec_col).collect()
-    )
-    X = np.array([r[0] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _train_sample_matrix(emb, id_col, vec_col, train_sample)
     dim = X.shape[1]
     if dim % m_subspaces != 0:
         raise ValueError(
@@ -481,8 +543,7 @@ def pq_topk(
         for c in range(n_centroids):
             msk = assign == c
             if msk.any():
-                v = X[msk].mean(axis=0)
-                C[c] = v / np.linalg.norm(v)
+                C[c] = _unit(X[msk].mean(axis=0))
 
     # per-subspace PQ codebooks: deterministic init = first ks sample rows
     books = np.empty((m_subspaces, ks, sub), dtype=np.float64)
@@ -505,7 +566,7 @@ def pq_topk(
             Q = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            Qn = _unit_rows(Q)
             order = np.argsort(-(Qn @ Cm.T), axis=1)
             codes, adcs = [], []
             for row in Qn:
@@ -587,7 +648,7 @@ def pq_topk(
         .join(cv, "neighbor_id")
         .withColumn(
             "approx_sim",
-            F.round(dot / (F.sqrt("qn") * F.sqrt("cn")), round_digits),
+            _safe_cos(dot, F.col("qn"), F.col("cn"), round_digits),
         )
     )
     w2 = W.partitionBy("query_id").orderBy(
@@ -638,7 +699,7 @@ def label_centroids(
 def semantic_dedup(
     emb: DataFrame, n_clusters: int = 8, epsilon: float = 0.5,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_digits: int = 4,
+    round_digits: int = 4, n_pair_blocks: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embeddings with a coarse quantizer, compare pairs ONLY within a
@@ -656,12 +717,21 @@ def semantic_dedup(
 
     Output: (vec_id, cluster, centroid_sim, keep) for every vector.
 
-    Scale shape: the seed matrix is a broadcast crossJoin (k rows); the
-    argmax over clusters is ONE map-side-combinable max_by aggregate (k
-    rows per vector collapse before the exchange — no window sort); the
-    pairwise stage self-joins on cluster — candidate cost follows cluster
-    occupancy like every IVF-bucketed kernel, never all-pairs. All JVM
-    builtins (zip_with/aggregate dot products), no Python in the row path.
+    Scale shape: the k seed vectors ride the plan as a LITERAL array —
+    the per-vector cluster candidates come from one posexplode, no join,
+    no broadcast exchange, no createDataFrame (the collect is a k-row
+    point lookup; embedding k*dim literal floats costs k py4j calls);
+    the argmax over clusters is ONE map-side-combinable max_by aggregate
+    (k rows per vector collapse before the exchange — no window sort);
+    the pairwise stage self-joins on (cluster, block) — candidate cost
+    follows cluster occupancy like every IVF-bucketed kernel, never
+    all-pairs, and the n_pair_blocks sub-key splits each cluster's
+    quadratic verify across k*n_pair_blocks tasks instead of k (a
+    cluster is ONE join key — with few clusters the verify would
+    otherwise bottleneck on k cores; the y-side replication factor is
+    n_pair_blocks, the 1-D form of the blocked-matmul tradeoff). All JVM
+    builtins (zip_with/aggregate dot products), no Python in the row
+    path.
 
     Sizing n_clusters: cluster occupancy is ~n/k, and the pairwise stage
     is quadratic IN THE CLUSTER, so k must grow with the corpus — k ~
@@ -672,24 +742,27 @@ def semantic_dedup(
     # seed medoids: the n_clusters lowest-id embeddings, enumerated on the
     # driver — bounded by the n_clusters PARAMETER (exactly like ivf_topk's
     # train sample), so the collect is a k-row point lookup, not a data
-    # dependence; it also keeps the plan free of unpartitioned windows
-    vec_type = emb.schema[vec_col].dataType.simpleString()
+    # dependence. The seed vectors are folded into the plan as literals:
+    # posexplode(array(lit(seed_0), ...)) yields (cluster, sv) per vector
+    # with zero joins and keeps the plan free of unpartitioned windows.
     seed_rows = (
         emb.orderBy(id_col).limit(n_clusters)
         .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("sv"))
         .collect()
     )
-    seeds = emb.sparkSession.createDataFrame(
-        [(i, list(r["sv"])) for i, r in enumerate(seed_rows)],
-        f"cluster INT, sv {vec_type}",
+    seed_lits = F.array(
+        *[F.lit([float(x) for x in r["sv"]]) for r in seed_rows]
     )
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
     )
-    seed_dot = _dot(_as_double(F.col("v")), _as_double(F.col("sv")))
-    seed_norm2 = _dot(_as_double(F.col("sv")), _as_double(F.col("sv")))
+    seed_dot = _dot(_as_double(F.col("v")), F.col("sv"))
+    seed_norm2 = _dot(F.col("sv"), F.col("sv"))
     sims = (
-        base.crossJoin(F.broadcast(seeds))
+        base.select(
+            "*", F.posexplode(seed_lits).alias("cluster", "sv")
+        )
+        .withColumn("cluster", F.col("cluster").cast("int"))
         .withColumn(
             "centroid_sim",
             F.round(
@@ -721,11 +794,18 @@ def semantic_dedup(
         F.col("id").alias("id_x"), F.col("v").alias("vx"),
         F.col("norm2").alias("nx"), "cluster",
         F.col("centroid_sim").alias("cs_x"),
+        F.pmod(F.xxhash64("id"), F.lit(n_pair_blocks)).cast("int")
+        .alias("blk"),
     )
     y = assigned.select(
         F.col("id").alias("id_y"), F.col("v").alias("vy"),
         F.col("norm2").alias("ny"), "cluster",
         F.col("centroid_sim").alias("cs_y"),
+    ).withColumn(
+        "blk",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_pair_blocks - 1)).cast("array<int>")
+        ),
     )
     pair_cos = F.round(
         _dot(_as_double(F.col("vx")), _as_double(F.col("vy")))
@@ -733,7 +813,7 @@ def semantic_dedup(
         round_digits,
     )
     dominated = (
-        x.join(y, "cluster")
+        x.join(y, ["cluster", "blk"])
         .filter(F.col("id_x") != F.col("id_y"))
         .filter(pair_cos >= epsilon)
         .filter(

@@ -36,13 +36,16 @@ CATALOG: dict[str, Query] = {}
 def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add a (spark_fn, oracle_sql) pair to the catalog.
 
-    The registered callable releases the PREVIOUS query's scoped caches
-    (citydata_etl_spark.caching) before building its plan: operators
-    persist intermediates that multiple branches of one plan share, and
-    this is the point where the prior query's working set is provably no
-    longer needed — a runner sweeping the whole catalog holds at most one
-    query's caches at a time. Dropping a cache never changes results
-    (plans recompute), so the release is always safe.
+    The registered callable releases the CURRENT THREAD's previously
+    scoped caches (citydata_etl_spark.caching) before building its plan:
+    operators persist intermediates that multiple branches of one plan
+    share, and this is the point where the prior query's working set is
+    provably no longer needed on this thread — a runner sweeping the
+    catalog holds at most one query's caches per thread, and catalog
+    queries built CONCURRENTLY from different threads no longer release
+    each other's caches. Dropping a cache never changes results (plans
+    recompute), so the release is always safe. Per-thread contract:
+    build, materialize, then build the next.
     """
 
     def wrap(fn: SparkQuery) -> SparkQuery:
@@ -50,9 +53,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
             raise ValueError(f"duplicate query name: {name}")
 
         def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from citydata_etl_spark.caching import release_caches
+            from citydata_etl_spark.caching import release_thread_caches
 
-            release_caches()
+            release_thread_caches()
             return fn(spark, sf_dir)
 
         runner.__name__ = fn.__name__

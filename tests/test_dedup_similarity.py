@@ -550,3 +550,48 @@ def test_simhash_hash_id_mode_separates(spark, planted_docs):
     near = [ham(3 * i, 3 * i + 1) for i in range(20)]
     far = [ham(3 * i, 3 * i + 2) for i in range(20)]
     assert sum(near) / len(near) < sum(far) / len(far)
+
+
+def test_train_sample_is_order_and_partition_invariant(spark, clustered_vecs):
+    """The quantizer training sample is a deterministic function of the
+    DATA (smallest xxhash64(id)), not of ingestion order or partitioning
+    — the scale-honesty contract that replaced the prefix-biased
+    orderBy(id).limit(n) sample."""
+    import numpy as np
+
+    a = S._train_sample_matrix(clustered_vecs, "vec_id", "embedding", 32)
+    shuffled = clustered_vecs.orderBy(F.desc("vec_id")).repartition(7)
+    b = S._train_sample_matrix(shuffled, "vec_id", "embedding", 32)
+    assert a.shape == b.shape == (32, 16)
+    assert np.array_equal(a, b)
+
+
+def test_zero_norm_embedding_does_not_poison_ann(spark, clustered_vecs):
+    """An all-zero embedding row must not emit NaN scores that silently
+    poison its cluster's candidates (ADVICE round 3): the normalize paths
+    guard zero norms, so IVF and IVF-PQ stay NaN-free and every other
+    vector still gets k neighbors."""
+    import math
+
+    poisoned = clustered_vecs.union(
+        spark.createDataFrame(
+            [(999, [0.0] * 16, 0)],
+            "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+        )
+    )
+    for fn in (
+        lambda: S.ivf_topk(poisoned, k=3, n_centroids=8, n_probe=3),
+        lambda: S.pq_topk(poisoned, k=3, n_centroids=8, n_probe=3,
+                          rerank_factor=0),
+    ):
+        rows = fn().collect()
+        score_col = "cos_sim" if "cos_sim" in rows[0] else "approx_sim"
+        assert all(not math.isnan(r[score_col]) for r in rows)
+        per_query = {}
+        for r in rows:
+            per_query.setdefault(r["query_id"], 0)
+            per_query[r["query_id"]] += 1
+        # every real vector keeps a full k neighbors
+        assert all(
+            n == 3 for q, n in per_query.items() if q != 999
+        ), per_query

@@ -287,3 +287,30 @@ def test_catalog_sweep_leaves_no_persistent_rdds(spark):
     release_caches()
     leaked = rdd_ids() - before
     assert not leaked, f"persistent RDDs leaked after the sweep: {leaked}"
+
+
+def test_thread_scoped_release_does_not_cross_threads(spark):
+    """Concurrent catalog builds must not release each other's scoped
+    persists: releases are per-thread (the round-3 session-global
+    registry's documented caveat, removed)."""
+    import threading
+
+    from citydata_etl_spark import caching
+
+    caching.release_caches()
+    a = caching.scoped_persist(spark.range(10))
+    a.count()
+    released_in_b = {}
+
+    def other_thread():
+        b = caching.scoped_persist(spark.range(20))
+        b.count()
+        released_in_b["n"] = caching.release_thread_caches()
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert released_in_b["n"] == 1  # thread B released only its own df
+    assert a.is_cached  # thread A's cache survived B's release
+    assert caching.release_thread_caches() == 1
+    assert not a.is_cached
