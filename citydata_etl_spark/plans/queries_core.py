@@ -540,13 +540,14 @@ def u4_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relationally; the Spark side goes through the REAL write+readback.",
 )
 def u5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import os
 
     from citydata_etl_spark.sources.merge import (
         merge_upsert,
         read_bucketed_control,
         write_bucketed_control,
     )
+    from citydata_etl_spark.util import session_tmpdir
 
     base = read_testdata(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id"),
@@ -568,7 +569,10 @@ def u5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    path = tempfile.mkdtemp(prefix="u5_merge_") + "/control"
+    # session-scoped scratch (no per-invocation mkdtemp leak); the init
+    # write fully replaces the table, so re-invocation stays deterministic
+    tag = f"u5_merge_{os.path.basename(os.path.normpath(sf_dir))}"
+    path = session_tmpdir(tag) + "/control"
     write_bucketed_control(base, path, "id", n_buckets=16)
     merge_upsert(spark, path, upd, "id", n_buckets=16)
     return read_bucketed_control(spark, path).select("id", "status", "total")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from citydata_etl_spark.operators.aggregates import dec_sum, sessionize
 from citydata_etl_spark.plans.catalog import register
 from citydata_etl_spark.sources.readers import read_testdata
+from citydata_etl_spark.util import session_tmpdir
 
 
 @register(
@@ -78,26 +79,7 @@ def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SEQ = iter(range(1_000_000))
 
-_TMP_ROOTS: dict[str, str] = {}
-
-
-def _session_tmpdir(tag: str) -> str:
-    """One temp working dir per (process, tag), removed at interpreter
-    exit. Repeated catalog invocations reuse the same root instead of
-    leaking a fresh mkdtemp per run (a bench sweep runs each query three
-    times); for the checkpointed entries the reuse also exercises the
-    real incremental contract — the second invocation's file source finds
-    no new files and the run is a checkpointed no-op."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = _TMP_ROOTS.get(tag)
-    if d is None:
-        d = tempfile.mkdtemp(prefix=f"{tag}_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _TMP_ROOTS[tag] = d
-    return d
+_session_tmpdir = session_tmpdir  # shared helper (citydata_etl_spark.util)
 
 
 @register(

@@ -24,6 +24,16 @@ Consistency contract (narrower than Delta's MERGE — stated, not implied):
     heals the table (the merge is idempotent: coalesce(update, stored)
     applied twice is the same row), but readers in between may see a
     partially-applied batch across buckets.
+  - _COMMIT marker, swapped LAST. Every completed write (init or merge)
+    finishes by swapping a `_COMMIT` marker carrying a fresh token —
+    buckets first, marker last, via a tmp-file + rename (atomic on
+    rename-capable stores; on S3-style stores the rename is copy+delete
+    and the guard weakens to read-after-write). Readers get a
+    consistent-view guard WITHOUT a Delta log: a missing marker means
+    init-in-progress or a crash mid-commit (read_bucketed_control
+    refuses by default); a token that CHANGED between the start and end
+    of a read means a writer overlapped the scan — capture it with
+    read_commit_token before, re-check after, retry on mismatch.
   - localCheckpoint is not fault-tolerant: losing an executor during the
     write fails the job (acceptable for bounded control tables; use
     reliable checkpoint/Delta where that matters).
@@ -51,10 +61,67 @@ def bucket_expr(key_col: str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+_COMMIT = "_COMMIT"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for `path` — works for any scheme the
+    session's Hadoop conf resolves (file://, hdfs://, s3a://, ...)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def write_commit_marker(spark: SparkSession, path: str) -> str:
+    """Swap the table's `_COMMIT` marker with a fresh token, LAST in the
+    write protocol: tmp file + rename (atomic where rename is). Returns
+    the token written."""
+    import uuid
+
+    jvm = spark._jvm
+    fs, _ = _fs_and_path(spark, path)
+    token = uuid.uuid4().hex
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(token.encode("ascii")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+    return token
+
+
+def read_commit_token(spark: SparkSession, path: str) -> str | None:
+    """The current `_COMMIT` token, or None when the table has never
+    completed a write (or a writer crashed mid-commit)."""
+    jvm = spark._jvm
+    fs, _ = _fs_and_path(spark, path)
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}")
+    if not fs.exists(final):
+        return None
+    stream = fs.open(final)
+    try:
+        # byte-at-a-time through py4j (Java cannot mutate a Python
+        # bytearray in place) — the token is 32 bytes, so this is a
+        # bounded handful of gateway calls
+        out = bytearray()
+        while len(out) < 128:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("ascii")
+    finally:
+        stream.close()
+
+
 def write_bucketed_control(
     df: DataFrame, path: str, key_col: str, n_buckets: int = 64
 ) -> None:
-    """Initialize (or fully replace) a bucket-partitioned control table."""
+    """Initialize (or fully replace) a bucket-partitioned control table;
+    the `_COMMIT` marker is swapped last."""
     (
         df.withColumn("bucket", bucket_expr(key_col, n_buckets))
         .repartition("bucket")
@@ -62,10 +129,26 @@ def write_bucketed_control(
         .partitionBy("bucket")
         .parquet(path)
     )
+    write_commit_marker(df.sparkSession, path)
 
 
-def read_bucketed_control(spark: SparkSession, path: str) -> DataFrame:
-    """Read the control table back without the physical bucket column."""
+def read_bucketed_control(
+    spark: SparkSession, path: str, require_commit: bool = True
+) -> DataFrame:
+    """Read the control table back without the physical bucket column.
+
+    require_commit=True (default) refuses a table with no `_COMMIT`
+    marker — either initialization never finished or a writer crashed
+    after overwriting some buckets (re-run the same merge to heal, which
+    rewrites the marker). For an overlap-detection guard, capture
+    read_commit_token before and re-check after materializing."""
+    if require_commit and read_commit_token(spark, path) is None:
+        raise RuntimeError(
+            f"bucketed control table at {path} has no {_COMMIT} marker — "
+            "initialization incomplete or a writer crashed mid-commit; "
+            "re-run the merge to heal, or pass require_commit=False to "
+            "read the possibly-inconsistent state"
+        )
     return spark.read.parquet(path).drop("bucket")
 
 
@@ -87,6 +170,11 @@ def merge_upsert(
     The affected-bucket list is collected to the driver — bounded by
     n_buckets (a layout constant, like a shuffle-partition count), never
     by data size.
+
+    Commit protocol: the marker is DROPPED before the bucket overwrites
+    and re-written (fresh token) after the last bucket lands — a crash
+    anywhere in between leaves the table visibly uncommitted
+    (read_bucketed_control refuses) instead of silently half-merged.
     """
     upd = updates.withColumn("bucket", bucket_expr(key_col, n_buckets))
     affected = [r["bucket"] for r in upd.select("bucket").distinct().collect()]
@@ -122,6 +210,13 @@ def merge_upsert(
     # path its plan is still reading. The materialized set is the merge
     # working set only — affected buckets + updates — never the table.
     merged = merged.localCheckpoint(eager=True)
+    # invalidate the marker FIRST: if the bucket overwrite below dies
+    # part-way, readers see "uncommitted", not a silently mixed table
+    jvm = spark._jvm
+    fs, _ = _fs_and_path(spark, path)
+    marker = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}")
+    if fs.exists(marker):
+        fs.delete(marker, False)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -133,3 +228,4 @@ def merge_upsert(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_commit_marker(spark, path)

@@ -315,3 +315,56 @@ def test_asof_nearest_exact_at_large_int64(spark):
         left, right, key="k", right_cols=["v"], direction="nearest"
     ).collect()
     assert out[0]["right_v"] == 1.0
+
+
+def test_merge_commit_marker_crash_recovery(spark, tmp_path, monkeypatch):
+    """The _COMMIT marker protocol: a writer that dies after overwriting
+    buckets but before the marker swap leaves the table VISIBLY
+    uncommitted (read refuses); re-running the same merge heals the data
+    and restores the marker."""
+    import pytest as _pytest
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, "pending", i * 10) for i in range(50)],
+        "id LONG, status STRING, total LONG",
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=8)
+    tok0 = M.read_commit_token(spark, path)
+    assert tok0
+
+    upd = spark.createDataFrame(
+        [(1, "completed", None), (100, "new", 5)],
+        "id LONG, status STRING, total LONG",
+    )
+    real_marker = M.write_commit_marker
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before marker swap")
+
+    monkeypatch.setattr(M, "write_commit_marker", crash)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        M.merge_upsert(spark, path, upd, "id", n_buckets=8)
+    # marker was dropped before the bucket writes and never restored
+    assert M.read_commit_token(spark, path) is None
+    with _pytest.raises(RuntimeError, match="no _COMMIT"):
+        M.read_bucketed_control(spark, path)
+    # the possibly-inconsistent state is still reachable explicitly
+    assert M.read_bucketed_control(
+        spark, path, require_commit=False
+    ).count() == 51
+
+    # re-running the SAME merge heals (idempotent) and recommits
+    monkeypatch.setattr(M, "write_commit_marker", real_marker)
+    M.merge_upsert(spark, path, upd, "id", n_buckets=8)
+    tok1 = M.read_commit_token(spark, path)
+    assert tok1 and tok1 != tok0
+    rows = {
+        r["id"]: (r["status"], r["total"])
+        for r in M.read_bucketed_control(spark, path).collect()
+    }
+    assert len(rows) == 51
+    assert rows[1] == ("completed", 10)   # NULL total preserved
+    assert rows[100] == ("new", 5)        # inserted
