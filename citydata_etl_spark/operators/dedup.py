@@ -55,15 +55,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def _spread_small_input(docs: DataFrame) -> DataFrame:
-    """Fan a 1-3-partition input out to the session's parallelism before a
-    per-doc expansion. A <128 MB file arrives as one scan partition, which
-    would serialize the whole explode/signature pipeline onto one core;
-    the round-robin shuffle is trivially cheap at that size. Inputs that
-    already have partitions (any real-scale dataset) pass through
-    untouched."""
-    if docs.rdd.getNumPartitions() >= 4:
-        return docs
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    """Fan a small input out before the per-doc explode — see
+    citydata_etl_spark.util.spread_small_input (file-size-based probe, no
+    RDD conversion on the build path)."""
+    from citydata_etl_spark.util import spread_small_input
+
+    return spread_small_input(docs)
 
 
 def tokens(docs: DataFrame, text_col: str = "text",

@@ -296,16 +296,12 @@ def _train_sample_matrix(
 
 
 def _spread(queries: DataFrame, rows_per_task: int = 256) -> DataFrame:
-    """Fan a 1-3-partition input out to the session parallelism before a
-    per-row Python kernel — a single-file parquet scan otherwise serializes
-    the whole kernel into one task. At cluster scale the input arrives
-    already partitioned and this is a no-op. (Partition count comes from
-    the plan, not a count() job.)"""
-    if queries.rdd.getNumPartitions() >= 4:
-        return queries
-    return queries.repartition(
-        queries.sparkSession.sparkContext.defaultParallelism
-    )
+    """Fan a small input out before a per-row Python kernel — see
+    citydata_etl_spark.util.spread_small_input (file-size-based probe, no
+    RDD conversion on the build path)."""
+    from citydata_etl_spark.util import spread_small_input
+
+    return spread_small_input(queries)
 
 
 def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:

@@ -5,6 +5,71 @@ from __future__ import annotations
 _TMP_ROOTS: dict[str, str] = {}
 
 
+def _parse_bytes(v: str) -> int:
+    """Lenient parse of a Spark byte-size conf value ('134217728',
+    '134217728b', '128m', '1g')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix + "b"):
+            s, mult = s[:-2], m
+            break
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    else:
+        if s.endswith("b"):
+            s = s[:-1]
+    return int(s) * mult
+
+
+def estimated_scan_splits(df) -> int:
+    """Cheap estimate of how many scan partitions `df` will get, WITHOUT
+    converting to an RDD (RDD conversion runs full physical planning,
+    ~100 ms of driver time per call — real cost when every catalog build
+    probes its input). For file-based relations: sum over input files of
+    ceil(size / maxPartitionBytes) via the Hadoop FileSystem (~10 ms).
+    Returns -1 for non-file inputs (caller falls back to the RDD probe).
+    Capped at 8 probed files — more files means plenty of splits."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return -1
+    if not files:
+        return -1
+    if len(files) >= 8:
+        return len(files)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    splits = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        size = fs.getFileStatus(p).getLen()
+        splits += max(1, -(-size // max_pb))
+    return splits
+
+
+def spread_small_input(df, min_partitions: int = 4):
+    """Fan a small input out to the session's parallelism before a
+    per-row expansion/Python kernel. A <128 MB file arrives as ONE scan
+    partition, which would serialize the whole downstream pipeline onto
+    one core; the round-robin shuffle is trivially cheap at that size.
+    Inputs that already split into >= min_partitions (any real-scale
+    dataset) pass through untouched, so at cluster scale this is a
+    plan-only no-op."""
+    splits = estimated_scan_splits(df)
+    if splits < 0:  # non-file input: fall back to the RDD probe
+        splits = df.rdd.getNumPartitions()
+    if splits >= min_partitions:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def session_tmpdir(tag: str) -> str:
     """One temp working dir per (process, tag), removed at interpreter
     exit. Catalog queries that need a scratch table/checkpoint reuse the

@@ -314,3 +314,19 @@ def test_thread_scoped_release_does_not_cross_threads(spark):
     assert a.is_cached  # thread A's cache survived B's release
     assert caching.release_thread_caches() == 1
     assert not a.is_cached
+
+
+def test_spread_probe_matches_rdd_probe(spark):
+    """The file-size-based split estimate must agree with the RDD probe's
+    spread decision on both a small parquet scan (1 split -> spread) and
+    an already-partitioned in-memory input (no spread)."""
+    from citydata_etl_spark.util import estimated_scan_splits, spread_small_input
+
+    small = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    est = estimated_scan_splits(small)
+    assert est == small.rdd.getNumPartitions() == 1
+    spread = spread_small_input(small)
+    assert spread.rdd.getNumPartitions() >= 4
+    mem = spark.range(1000).repartition(8)
+    assert estimated_scan_splits(mem) == -1  # non-file -> RDD fallback
+    assert spread_small_input(mem) is mem
