@@ -295,6 +295,108 @@ def _train_sample_matrix(
     return _unit_rows(X)
 
 
+def _kmeans_sample(X, n_centroids: int, n_iter: int):
+    """Spherical Lloyd iterations over a driver-side sample matrix
+    (rows already unit-normalized); init = first n_centroids rows."""
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                C[c] = _unit(X[m].mean(axis=0))
+    return C
+
+
+def _kmeans_distributed(
+    emb: DataFrame, C0, n_iter: int, vec_col: str,
+):
+    """Spherical Lloyd's k-means over the FULL corpus — the scale-honest
+    trainer for when even an unbiased sample is statistically thin:
+
+    per iteration, ONE Spark job:
+      1. broadcast the current k x dim centroid matrix (tiny model);
+      2. mapInPandas: each Arrow batch assigns its vectors to argmax-
+         cosine centroids and emits AT MOST k partial rows
+         (cluster, [sum_vector..., count]) — the count rides as an extra
+         trailing array element so sums and counts tree-aggregate in one
+         pass;
+      3. posexplode + groupBy (cluster, dim): partial sums combine
+         map-side, the shuffle carries k*(dim+1) rows per partition;
+      4. the driver collects k*(dim+1) doubles — bounded by the MODEL
+         size, never the corpus — renormalizes, loops.
+
+    Total driver traffic: n_iter * k * (dim+1) doubles. No corpus
+    collect at any scale. Returns the trained centroid matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    k, dim = C0.shape
+    base = _spread(emb.select(vec_col))
+    C = C0.copy()
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partial(batches, _bc=bc):
+            Cm = _bc.value
+            for pdf in batches:
+                Q = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                a = (_unit_rows(Q) @ Cm.T).argmax(axis=1)
+                rows = []
+                for c in np.unique(a):
+                    m = a == c
+                    s = _unit_rows(Q)[m].sum(axis=0)
+                    rows.append((int(c), [*s.tolist(), float(m.sum())]))
+                yield pd.DataFrame(rows, columns=["cluster", "s"])
+
+        sums = (
+            base.mapInPandas(partial, schema="cluster INT, s ARRAY<DOUBLE>")
+            .select("cluster", F.posexplode("s").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        bc.destroy()
+        S = np.zeros((k, dim))
+        N = np.zeros(k)
+        for r in sums:
+            if r["dim"] == dim:
+                N[r["cluster"]] = r["v"]
+            else:
+                S[r["cluster"], r["dim"]] = r["v"]
+        for c in range(k):
+            if N[c] > 0:
+                C[c] = _unit(S[c] / N[c])
+    return C
+
+
+def _coarse_centroids(
+    emb: DataFrame, n_centroids: int, n_iter: int, id_col: str,
+    vec_col: str, train_sample: int, train_mode: str, X=None,
+):
+    """Coarse-quantizer training dispatch shared by ivf_topk / pq_topk:
+    'sample' = Lloyd over the unbiased hash-drawn sample (the default —
+    right when the sample covers the distribution); 'distributed' =
+    full-corpus tree-aggregated Lloyd (_kmeans_distributed — the 100 TB
+    form, one job per iteration, driver traffic bounded by model size).
+    Both share the same deterministic init (first k rows of the hash
+    sample), so they converge to comparable codebooks. Pass X to reuse
+    an already-collected sample matrix."""
+    if X is None:
+        X = _train_sample_matrix(emb, id_col, vec_col, train_sample)
+    if train_mode == "sample":
+        return _kmeans_sample(X, n_centroids, n_iter)
+    if train_mode == "distributed":
+        return _kmeans_distributed(
+            emb, X[:n_centroids].copy(), n_iter, vec_col
+        )
+    raise ValueError(f"unknown train_mode: {train_mode!r}")
+
+
 def _spread(queries: DataFrame, rows_per_task: int = 256) -> DataFrame:
     """Fan a small input out before a per-row Python kernel — see
     citydata_etl_spark.util.spread_small_input (file-size-based probe, no
@@ -392,15 +494,20 @@ def ivf_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     n_iter: int = 5, train_sample: int = 4096, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
+    train_mode: str = "sample",
 ) -> DataFrame:
     """ANN cosine top-k via an IVF (inverted-file) coarse quantizer.
 
     Topology (the scale path for billion-vector corpora):
-      1. TRAIN: k-means on a bounded driver-side sample — train_sample
-         rows drawn by smallest xxhash64(id) (_train_sample_matrix:
-         deterministic AND uniform over the corpus, no ingestion-order
-         prefix bias); the centroid matrix is a tiny broadcast model,
-         exactly like any coarse quantizer.
+      1. TRAIN: k-means — train_mode='sample' (default) runs Lloyd on a
+         bounded driver-side sample of train_sample rows drawn by
+         smallest xxhash64(id) (_train_sample_matrix: deterministic AND
+         uniform over the corpus, no ingestion-order prefix bias);
+         train_mode='distributed' runs full-corpus tree-aggregated Lloyd
+         (_kmeans_distributed: one job per iteration, driver traffic
+         bounded by k*(dim+1) doubles — the form for corpora whose
+         distribution a 4096-row sample cannot cover). Either way the
+         centroid matrix is a tiny broadcast model.
       2. ASSIGN: one mapInPandas pass tags every vector with its nearest
          centroid (cluster = inverted list id). At scale this is the
          partition key: lists are written `partitionBy(cluster)`.
@@ -416,14 +523,9 @@ def ivf_topk(
     import numpy as np
 
     spark = emb.sparkSession
-    X = _train_sample_matrix(emb, id_col, vec_col, train_sample)
-    C = X[:n_centroids].copy()
-    for _ in range(n_iter):
-        assign = (X @ C.T).argmax(axis=1)
-        for c in range(n_centroids):
-            m = assign == c
-            if m.any():
-                C[c] = _unit(X[m].mean(axis=0))
+    C = _coarse_centroids(
+        emb, n_centroids, n_iter, id_col, vec_col, train_sample, train_mode
+    )
     bc = spark.sparkContext.broadcast(C)
 
     def tag(batches):
@@ -481,7 +583,7 @@ def pq_topk(
     m_subspaces: int = 4, ks: int = 16, n_iter: int = 5,
     train_sample: int = 4096, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
-    rerank_factor: int = 0,
+    rerank_factor: int = 0, train_mode: str = "sample",
 ) -> DataFrame:
     """ANN cosine top-k via IVF-PQ (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search") — the billion-vector path
@@ -532,14 +634,14 @@ def pq_topk(
         )
     sub = dim // m_subspaces
 
-    # coarse quantizer (identical shape to ivf_topk's)
-    C = X[:n_centroids].copy()
-    for _ in range(n_iter):
-        assign = (X @ C.T).argmax(axis=1)
-        for c in range(n_centroids):
-            msk = assign == c
-            if msk.any():
-                C[c] = _unit(X[msk].mean(axis=0))
+    # coarse quantizer (identical shape to ivf_topk's); PQ codebooks
+    # below always train on the sample — their per-subspace statistics
+    # stabilize at far fewer rows than the coarse partition does, and the
+    # hash-drawn sample is unbiased (train_mode affects the coarse stage)
+    C = _coarse_centroids(
+        emb, n_centroids, n_iter, id_col, vec_col, train_sample,
+        train_mode, X=X,
+    )
 
     # per-subspace PQ codebooks: deterministic init = first ks sample rows
     books = np.empty((m_subspaces, ks, sub), dtype=np.float64)

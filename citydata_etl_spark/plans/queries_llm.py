@@ -149,6 +149,26 @@ def d4_minhash_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_ivf_dist",
+    oracle=None,  # approximate by construction — recall-bounded in
+    # tests; the trainer itself is pinned against a numpy full-corpus
+    # reference (test_distributed_kmeans_matches_numpy_full_corpus)
+    doc="D4: IVF ANN with the DISTRIBUTED coarse trainer — full-corpus "
+    "tree-aggregated spherical Lloyd (one job per iteration: mapInPandas "
+    "partial sums per Arrow batch, posexplode + map-side-combined "
+    "groupBy, k*(dim+1) doubles to the driver). The 100 TB training form "
+    "for corpora whose distribution a bounded sample cannot cover; "
+    "same probe/rerank topology as d4_ann_ivf "
+    "(operators/similarity.py:_kmeans_distributed).",
+)
+def d4_ann_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, k=5, n_centroids=16, n_probe=4, train_mode="distributed"
+    )
+
+
+@register(
     "d4_simhash",
     oracle=f"""
     WITH {_TOK},

@@ -595,3 +595,45 @@ def test_zero_norm_embedding_does_not_poison_ann(spark, clustered_vecs):
         assert all(
             n == 3 for q, n in per_query.items() if q != 999
         ), per_query
+
+
+def test_distributed_kmeans_matches_numpy_full_corpus(spark, clustered_vecs):
+    """_kmeans_distributed (tree-aggregated partial sums, one job per
+    iteration) must reproduce a driver-side numpy Lloyd run over the FULL
+    corpus from the same init — the partials differ only by addition
+    order (~1e-12)."""
+    import numpy as np
+
+    X0 = S._train_sample_matrix(clustered_vecs, "vec_id", "embedding", 4096)
+    k, n_iter = 8, 4
+    ref = S._kmeans_sample(X0, k, 0)  # init only
+    got = S._kmeans_distributed(
+        clustered_vecs, ref.copy(), n_iter, "embedding"
+    )
+    # numpy reference over the full (sampled == full here) corpus
+    C = ref.copy()
+    for _ in range(n_iter):
+        a = (X0 @ C.T).argmax(axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                C[c] = S._unit(X0[m].mean(axis=0))
+    assert np.allclose(got, C, atol=1e-9)
+
+
+def test_ivf_distributed_training_recall(spark, clustered_vecs):
+    """train_mode='distributed' must match sample-mode recall on a corpus
+    the sample fully covers (identical init -> identical centroids here)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(
+            clustered_vecs, k=3, n_centroids=8, n_probe=3,
+            train_mode="distributed",
+        ).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.8, f"distributed-trained IVF recall too low: {recall}"
