@@ -443,3 +443,34 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
         F.regexp_replace(after_email, NUMBER_PATTERN, "<NUM>")
         .alias("scrubbed"),
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization — the standard pre-dedup/pre-training
+    cleanup pass (lowercase, strip non-alphanumerics to spaces, squeeze
+    whitespace runs, trim) plus a content digest:
+
+    Output: (id, norm_text, norm_sha BINARY-as-hex, n_chars_removed).
+    The digest (sha2 over the normalized form) is what exact-dedup and
+    shard-assignment key on downstream — hashing the canonical form makes
+    trivially-reformatted duplicates collide.
+
+    Scale shape: ONE codegen projection over the scan (regexp_replace /
+    lower / sha2 builtins), no exchange, no Python — the same
+    zero-exchange posture as pii_scrub. Character classes are explicit
+    ASCII ([^a-z0-9 ]) so Java and RE2 regex engines agree byte-for-byte
+    (the oracle replays the identical pipeline in DuckDB).
+    """
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    squeezed = F.regexp_replace(stripped, " +", " ")
+    norm = F.trim(squeezed)
+    return docs.select(
+        id_col,
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_sha"),
+        (F.length(text_col) - F.length(norm))
+        .cast("bigint")
+        .alias("n_chars_removed"),
+    )

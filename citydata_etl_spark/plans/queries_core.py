@@ -576,3 +576,39 @@ def u5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed_control(base, path, "id", n_buckets=16)
     merge_upsert(spark, path, upd, "id", n_buckets=16)
     return read_bucketed_control(spark, path).select("id", "status", "total")
+
+
+@register(
+    "s10_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY status
+    """,
+    doc="S10 (format widening): ORC source + sink round-trip — the orders "
+    "projection is written once per session to a columnar ORC table "
+    "(Spark-native writer), read back through the ORC vectorized reader, "
+    "and aggregated; hash-matching the parquet-side oracle proves the "
+    "round-trip is lossless. Demonstrates the engine is format-plural on "
+    "the baked-in stack (parquet/CSV/JSON/ORC).",
+)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = f"s10_orc_{os.path.basename(os.path.normpath(sf_dir))}"
+    path = session_tmpdir(tag) + "/orders_orc"
+    if not os.path.exists(path):
+        orders.write.orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total"),
+    )

@@ -800,3 +800,45 @@ def d4_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pii_scrub(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d4_text_normalize",
+    oracle="""
+    WITH noisy AS (
+      SELECT doc_id,
+             '  ' || upper(text) || ' !! ' || source || '#' || doc_id
+               AS text
+      FROM documents),
+    n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+      FROM noisy)
+    SELECT doc_id, norm_text, sha256(norm_text) AS norm_sha,
+           CAST(length(text) - length(norm_text) AS BIGINT)
+             AS n_chars_removed
+    FROM n
+    """,
+    doc="D4 (canonicalization): the standard pre-dedup text-normalize "
+    "pass — lowercase, strip non-alphanumerics, squeeze whitespace, trim, "
+    "plus a sha2 digest of the canonical form (what exact-dedup and shard "
+    "assignment key on, so trivially-reformatted duplicates collide). "
+    "Run over a deterministically-noised copy of the corpus (upper-case + "
+    "injected punctuation) so the transforms demonstrably fire. ONE "
+    "codegen projection over the scan, zero exchanges — explicit ASCII "
+    "character classes keep Java and RE2 regex semantics byte-identical "
+    "(operators/text.py:normalize_text).",
+)
+def d4_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit(" !! "),
+            F.col("source"), F.lit("#"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return TX.normalize_text(noisy)

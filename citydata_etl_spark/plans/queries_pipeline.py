@@ -600,3 +600,54 @@ def d6_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quality_funnel(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "d6_blocklist_filter",
+    oracle="""
+    WITH u AS (
+      SELECT source, n_chars,
+             'https://' || source || '.docs.example/doc/' || doc_id AS url
+      FROM documents),
+    h AS (
+      SELECT source, n_chars,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+      FROM u)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM h
+    WHERE host NOT IN ('src3.docs.example', 'src7.docs.example',
+                       'src11.docs.example')
+    GROUP BY source
+    """,
+    doc="D6 (URL/domain blocklist): the standard pretraining provenance "
+    "filter — derive each document's host (parse_url builtin over the "
+    "reconstructed source URL), drop documents whose host is on a "
+    "blocklist via a broadcast LEFT ANTI join (the blocklist is a "
+    "curated dim: bounded, broadcast by construction — never a filter "
+    "pushed through a corpus-sized IN-list), and report surviving "
+    "volume per source. Oracle replays the host parse with an anchored "
+    "regex (verified byte-identical to parse_url).",
+)
+def d6_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    blocked_hosts = [
+        "src3.docs.example", "src7.docs.example", "src11.docs.example",
+    ]
+    docs = read_testdata(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".docs.example/doc/"),
+        F.col("doc_id"),
+    )
+    blocklist = spark.createDataFrame(
+        [(h,) for h in blocked_hosts], "host STRING"
+    )
+    kept = (
+        docs.withColumn("host", F.parse_url(url, F.lit("HOST")))
+        .join(F.broadcast(blocklist), "host", "left_anti")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
