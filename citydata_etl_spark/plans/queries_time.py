@@ -389,19 +389,20 @@ ROCKSDB_STATE_STORE_PROVIDER = (
 
 
 def _await_with_state_partitions(
-    spark: SparkSession, writer, n_partitions: int = 8,
+    spark: SparkSession, writer, n_partitions: int = 4,
     state_store_provider: str | None = None,
 ) -> None:
     """Start + await a bounded streaming query with the two state-sizing
     levers every stateful query must pin:
 
     - n_partitions: shuffle partitions at the FIRST micro-batch fix the
-      number of state stores for the checkpoint's lifetime. A
-      stream-stream join commits FOUR stores per partition per batch —
-      at 32 partitions that is pure fixed overhead on a bounded run, so
-      the catalog sizes it to the load. At real scale this is sized UP
-      to key cardinality / executor count (2-4x total cores), never
-      lowered — and it cannot be changed after the first checkpoint.
+      number of state stores for the checkpoint's lifetime. Every store
+      pays commit machinery per batch (a stream-stream join commits FOUR
+      per partition), which is pure fixed overhead on a bounded run —
+      the catalog defaults to 4, measured as the knee for these loads.
+      At real scale this is sized UP to key cardinality / executor count
+      (2-4x total cores), never lowered — and it cannot be changed after
+      the first checkpoint.
     - state_store_provider: state backend for the query. Defaults to the
       session's (HDFS-backed, on-heap); pass ROCKSDB_STATE_STORE_PROVIDER
       once per-partition state outgrows tens of MB (large watermark
