@@ -369,6 +369,66 @@ def domain_mix(
     )
 
 
+def temperature_mix(
+    docs: DataFrame, alpha: float = 0.5,
+    source_col: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixing — the multilingual/domain
+    sampling rule (alpha in (0, 1] upweights low-resource domains, as in
+    multilingual pretraining): target weight w_s ~ (T_s / T)^alpha,
+    normalized, then the same water-fill as domain_mix realizes the
+    LARGEST corpus satisfying that mix exactly (N = min_s T_s / w_s,
+    keep_rate_s = N * w_s / T_s).
+
+    alpha = 1 reproduces the natural distribution (every keep_rate = 1);
+    alpha -> 0 approaches the uniform mix (domain_mix's default).
+
+    Scale shape: identical to domain_mix — ONE map-side-combinable
+    groupBy(source); temperature scaling and the water-fill run over the
+    BOUNDED per-source aggregate (n_sources rows, unpartitioned windows
+    are dimension-sized by construction). Output: (source, n_docs,
+    total_tokens, target_weight, keep_rate), rounded to 6 dp (pow is
+    transcendental — rounding absorbs last-ulp libm differences, the
+    same convention as every transcendental output in the catalog).
+    """
+    n_tokens = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
+    agg = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )
+    wspec = W.partitionBy(F.lit(1))
+    scaled = agg.select(
+        "*",
+        F.pow(
+            F.col("total_tokens")
+            / F.sum("total_tokens").over(wspec),
+            F.lit(alpha),
+        ).alias("_pa"),
+    )
+    weighted = scaled.select(
+        "*", (F.col("_pa") / F.sum("_pa").over(wspec)).alias("_w")
+    )
+    capped = weighted.select(
+        "*",
+        F.min(F.col("total_tokens") / F.col("_w")).over(wspec).alias("_cap"),
+    )
+    return capped.select(
+        source_col,
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("_w"), 6).alias("target_weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_cap") * F.col("_w") / F.col("total_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
 def stratified_fixed_sample(
     docs: DataFrame, k: int,
     strata_col: str = "source", id_col: str = "doc_id",

@@ -651,3 +651,37 @@ def d6_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "d6_temperature_mix",
+    oracle="""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                  x -> x <> ''))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source),
+    p AS (
+      SELECT t.*,
+             pow(total_tokens / (SELECT sum(total_tokens) FROM t), 0.5)
+               AS pa
+      FROM t),
+    w AS (SELECT p.*, pa / (SELECT sum(pa) FROM p) AS w FROM p),
+    m AS (SELECT w.*, (SELECT min(total_tokens / w) FROM w) AS cap FROM w)
+    SELECT source, n_docs, total_tokens,
+           round(w, 6) AS target_weight,
+           round(least(1.0, cap * w / total_tokens), 6) AS keep_rate
+    FROM m
+    """,
+    doc="D6: TEMPERATURE-scaled domain mixing (alpha = 0.5) — the "
+    "multilingual-pretraining sampling rule: target weight ~ "
+    "(T_s/T)^alpha normalized (upweights low-resource domains), then "
+    "the water-fill realizes the largest corpus with that exact mix. "
+    "Same one-shuffle scale shape as d6_domain_mix; alpha=1 is the "
+    "natural distribution, alpha->0 the uniform mix "
+    "(operators/pipeline.py:temperature_mix).",
+)
+def d6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.temperature_mix(
+        read_testdata(spark, sf_dir, "documents"), alpha=0.5
+    )

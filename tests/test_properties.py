@@ -386,3 +386,69 @@ def test_quality_funnel_matches_reference(spark, docs):
         assert out[i]["stage_name"] == names[i]
         assert out[i]["n_surviving"] == surv[i]
         assert out[i]["tokens_surviving"] == toks_surv[i]
+
+
+def test_temperature_mix_limits(spark):
+    """alpha=1 reproduces the natural distribution (every source keeps
+    everything: keep_rate == 1), and alpha < 1 upweights low-resource
+    sources (the smallest source's target weight strictly exceeds its
+    natural share)."""
+    from citydata_etl_spark.operators.pipeline import temperature_mix
+
+    sizes = {0: 5, 1: 40, 2: 200}  # tokens per doc, by source
+    docs = spark.createDataFrame(
+        [(i, "w " * sizes[i % 3], f"s{i % 3}") for i in range(90)],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    nat = {r["source"]: r for r in temperature_mix(docs, alpha=1.0).collect()}
+    assert all(abs(r["keep_rate"] - 1.0) < 1e-6 for r in nat.values())
+    total = sum(r["total_tokens"] for r in nat.values())
+    cool = {r["source"]: r for r in temperature_mix(docs, alpha=0.3).collect()}
+    smallest = min(nat, key=lambda s: nat[s]["total_tokens"])
+    assert (
+        cool[smallest]["target_weight"]
+        > nat[smallest]["total_tokens"] / total
+    )
+
+
+def test_normalize_text_idempotent_and_collides_reformats(spark):
+    """Normalization is idempotent (normalize(normalize(x)) is a fixed
+    point) and makes trivially-reformatted duplicates collide on the
+    digest — the property exact-dedup relies on downstream."""
+    from citydata_etl_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World! 42"),
+            (2, "  hello world 42  "),
+            (3, "HELLO *** world ... 42"),
+            (4, "something else"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    once = normalize_text(docs)
+    rows = {r["doc_id"]: r for r in once.collect()}
+    assert rows[1]["norm_text"] == rows[2]["norm_text"] == "hello world 42"
+    shas = {r["norm_sha"] for i, r in rows.items() if i in (1, 2, 3)}
+    assert len(shas) == 1  # reformatted duplicates collide
+    assert rows[4]["norm_sha"] not in shas
+    from pyspark.sql import functions as SF
+
+    twice = normalize_text(
+        once.select("doc_id", SF.col("norm_text").alias("text"))
+    )
+    again = {r["doc_id"]: r["norm_text"] for r in twice.collect()}
+    assert all(again[i] == rows[i]["norm_text"] for i in rows)
+
+
+def test_blocklist_filter_drops_exactly_blocked_sources(spark):
+    """The catalog blocklist entry must drop src3/src7/src11 and nothing
+    else."""
+    from citydata_etl_spark.plans.catalog import load_all
+
+    out = load_all()["d6_blocklist_filter"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    kept = {r["source"] for r in out.collect()}
+    assert not kept & {"src3", "src7", "src11"}
+    assert "src0" in kept and "src1" in kept
