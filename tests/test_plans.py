@@ -330,3 +330,18 @@ def test_spread_probe_matches_rdd_probe(spark):
     mem = spark.range(1000).repartition(8)
     assert estimated_scan_splits(mem) == -1  # non-file -> RDD fallback
     assert spread_small_input(mem) is mem
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must be a catalog entry — a typo here
+    would silently drop a query from the driver's benchmark."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in load_all()]
+    assert not missing, f"bench names not in catalog: {missing}"
