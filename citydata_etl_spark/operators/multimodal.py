@@ -112,3 +112,47 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         run, schema=media.schema
     )
+
+
+def sniff_media_format(media: DataFrame,
+                       content_col: str = "content") -> DataFrame:
+    """Content-format detection from MAGIC BYTES — entirely JVM codegen
+    (substring over BINARY + hex prefix tests), no Python, no codec
+    library: the validation/routing step that must run before any decode
+    at 100 TB, because the DECLARED media type lies (mislabeled uploads,
+    renamed extensions) while magic bytes do not.
+
+    Detects: png (89504E470D0A1A0A), jpeg (FFD8FF), gif (GIF87a/GIF89a),
+    wav (RIFF....WAVE), avi (RIFF....AVI ), mp4 (ftyp at offset 4);
+    everything else -> 'unknown'. Output adds `sniffed_format` and
+    `type_consistent` (sniffed format belongs to the declared media_type
+    family). Zero exchanges — composes into whatever scan/filter
+    surrounds it, and at scale the inconsistent rows route to quarantine
+    via an ordinary filter.
+    """
+    head = F.hex(F.substring(F.col(content_col), 1, 12))
+    riff = head.startswith("52494646")  # 'RIFF'
+    # container subtype at bytes 9-12 -> hex chars 17-24
+    sub = F.substring(head, 17, 8)
+    sniffed = (
+        F.when(head.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(head.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(
+            head.startswith("474946383761")
+            | head.startswith("474946383961"),
+            F.lit("gif"),
+        )
+        .when(riff & (sub == "57415645"), F.lit("wav"))    # 'WAVE'
+        .when(riff & (sub == "41564920"), F.lit("avi"))    # 'AVI '
+        .when(F.substring(head, 9, 8) == "66747970", F.lit("mp4"))  # 'ftyp'
+        .otherwise(F.lit("unknown"))
+    )
+    families = F.create_map(
+        F.lit("png"), F.lit("image"), F.lit("jpeg"), F.lit("image"),
+        F.lit("gif"), F.lit("image"), F.lit("wav"), F.lit("audio"),
+        F.lit("avi"), F.lit("video"), F.lit("mp4"), F.lit("video"),
+    )
+    return media.withColumn("sniffed_format", sniffed).withColumn(
+        "type_consistent",
+        families[F.col("sniffed_format")] == F.col("media_type"),
+    )

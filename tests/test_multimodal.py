@@ -49,3 +49,37 @@ def test_resize_stub_raises(spark, media):
 
     with pytest.raises(Exception):
         M.resize_stub(media, 32, 32).collect()
+
+
+def test_sniff_media_format_on_real_headers(spark):
+    """Byte-level detection against genuine file headers — png, jpeg,
+    GIF87a/GIF89a, RIFF/WAVE, RIFF/AVI, mp4 ftyp, and garbage — plus the
+    declared-type consistency flag."""
+    from citydata_etl_spark.operators.multimodal import sniff_media_format
+
+    rows = [
+        (1, "image", bytes.fromhex("89504E470D0A1A0A0000000D49484452")),
+        (2, "image", bytes.fromhex("FFD8FFE000104A46494600")),
+        (3, "image", b"GIF87a" + b"\x00" * 8),
+        (4, "image", b"GIF89a" + b"\x00" * 8),
+        (5, "audio", b"RIFF\x24\x08\x00\x00WAVEfmt "),
+        (6, "video", b"RIFF\x24\x08\x00\x00AVI LIST"),
+        (7, "video", b"\x00\x00\x00\x20ftypisom\x00\x00\x02\x00"),
+        (8, "image", b"RIFF\x24\x08\x00\x00WAVEfmt "),  # mislabeled wav
+        (9, "audio", b"not a media file at all"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, media_type STRING, content BINARY"
+    )
+    out = {r["media_id"]: r for r in sniff_media_format(df).collect()}
+    assert out[1]["sniffed_format"] == "png" and out[1]["type_consistent"]
+    assert out[2]["sniffed_format"] == "jpeg" and out[2]["type_consistent"]
+    assert out[3]["sniffed_format"] == "gif"
+    assert out[4]["sniffed_format"] == "gif"
+    assert out[5]["sniffed_format"] == "wav" and out[5]["type_consistent"]
+    assert out[6]["sniffed_format"] == "avi" and out[6]["type_consistent"]
+    assert out[7]["sniffed_format"] == "mp4" and out[7]["type_consistent"]
+    assert out[8]["sniffed_format"] == "wav"
+    assert out[8]["type_consistent"] is False  # declared image, actually wav
+    assert out[9]["sniffed_format"] == "unknown"
+    assert out[9]["type_consistent"] is None  # unknown -> no family claim
