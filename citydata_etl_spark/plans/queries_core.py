@@ -612,3 +612,152 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "total"),
     )
+
+
+@register(
+    "s11_compaction",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY priority
+    """,
+    doc="S11 (layout maintenance): small-file COMPACTION — a fragmented "
+    "copy of orders (64 sub-megabyte files, the shape a per-batch crawl "
+    "ingest produces) is rewritten by sources/layout.py:compact into "
+    "ceil(bytes/target) right-sized files, then read back and aggregated; "
+    "hash-matching the oracle on the ORIGINAL table proves the rewrite is "
+    "lossless. At 100 TB this is the maintenance job that keeps scan "
+    "split counts sane; the reference's per-run full-CSV rewrite "
+    "(process-staging.py:38-41) is the degenerate single-file form. "
+    "tests/test_layout.py asserts the file count actually drops.",
+)
+def s11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.layout import compact
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s11_compact_{tag}")
+    frag, packed = root + "/fragmented", root + "/compacted"
+    if not os.path.exists(frag):
+        # the "bad" input: one ingest batch per tiny file
+        read_testdata(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ).repartition(64).write.parquet(frag)
+    if not os.path.exists(packed):
+        compact(spark, frag, packed, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(packed)
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "s12_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<legacy>' ELSE o_orderstatus END
+             AS status_bucket,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY status_bucket
+    """,
+    doc="S12 (schema evolution): a table written in TWO generations — v1 "
+    "files lack the o_orderstatus column (even orderkeys), v2 files carry "
+    "it (odd orderkeys) — is read through mergeSchema=true: the scan "
+    "unions the footers' schemas and fills the missing column with NULL "
+    "for v1 files, no rewrite of old data. The oracle reproduces the "
+    "generation split with a CASE. This is how a 100 TB append-only table "
+    "adds a column: new files only; a backfill rewrite is a separate "
+    "(optional) compaction pass.",
+)
+def s12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s12_evolve_{tag}")
+    table = root + "/orders_evolving"
+    if not os.path.exists(table):
+        orders = read_testdata(spark, sf_dir, "orders")
+        # generation 1: no status column yet
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(table + "/gen=1")
+        # generation 2: the column exists
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.parquet(table + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        table + "/gen=1", table + "/gen=2"
+    )
+    return back.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<legacy>")).alias(
+            "status_bucket"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total"),
+    )
+
+
+@register(
+    "s13_sorted_layout",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY month
+    """,
+    doc="S13 (range-clustered layout): orders is rewritten once per "
+    "session through sources/layout.py:write_sorted_layout — "
+    "repartitionByRange(8, o_orderdate) + sortWithinPartitions — so each "
+    "file covers a DISJOINT date interval, then a 6-month range query "
+    "runs against the clustered copy. The parquet footer min/max lets "
+    "the scan skip every file outside the range before any IO (the "
+    "one-dimension exact form of Z-ordering); at 100 TB this turns a "
+    "full-table scan into reading ~6/84 months. Footer disjointness is "
+    "verified from the actual files in tests/test_layout.py.",
+)
+def s13_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.layout import write_sorted_layout
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s13_sorted_{tag}")
+    path = root + "/orders_by_date"
+    if not os.path.exists(path):
+        write_sorted_layout(
+            read_testdata(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_totalprice"
+            ),
+            path,
+            "o_orderdate",
+            8,
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01"))
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total"),
+        )
+    )

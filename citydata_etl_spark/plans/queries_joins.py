@@ -331,3 +331,61 @@ def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dec_sum("l_extendedprice", "revenue"),
     )
+
+
+@register(
+    "j8_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="J8 (co-located join extension): the fact-to-fact join over "
+    "CATALOG-BUCKETED tables — orders and customer are each written once "
+    "per session as external tables bucketed 16-ways on custkey "
+    "(sources/layout.py:write_bucketed_table), so the join sort-merges "
+    "with NO Exchange on either side: the shuffle happened at write time "
+    "and is amortized over every subsequent join on the key. This is the "
+    "scale tool for repeated big-big joins (at 100 TB, re-shuffling the "
+    "fact table per query is the single largest avoidable cost); "
+    "tests/test_plans.py::test_bucketed_join_is_shuffle_free pins the "
+    "zero-Exchange plan with broadcast disabled.",
+)
+def j8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.layout import write_bucketed_table
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"j8_bucketed_{tag}")
+    t_orders = f"j8_orders_{tag.replace('.', '_')}"
+    t_cust = f"j8_customer_{tag.replace('.', '_')}"
+    write_bucketed_table(
+        read_testdata(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        t_orders,
+        root + "/orders",
+        "o_custkey",
+        16,
+    )
+    write_bucketed_table(
+        read_testdata(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        t_cust,
+        root + "/customer",
+        "c_custkey",
+        16,
+    )
+    joined = spark.table(t_orders).join(
+        spark.table(t_cust),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "revenue"),
+    )

@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 carries NO parquet min/max statistics, which silently
+        # disables footer-level data skipping on every timestamp column —
+        # a range query over a date-clustered 100 TB table would read all
+        # of it (tests/test_layout.py pins stats presence).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.parquet stores TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects; read as long and convert in the reader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,128 @@
+"""Physical data-layout management: compaction, sorted (range-clustered)
+layouts, and catalog-bucketed tables.
+
+At 100 TB the dominant read-side costs are (a) small files — a crawl
+ingest that lands 10^6 sub-megabyte parquet files makes every scan pay
+10^6 opens and footer reads and starves the scheduler with tiny splits —
+and (b) shuffles that re-do at query time the partitioning the writer
+could have baked in once.  The three tools here attack both:
+
+- ``compact``: rewrite a fragmented directory into ceil(bytes/target)
+  right-sized files.  This is the maintenance job a 100 TB table runs on
+  recently-ingested partitions (reference grounding: the reference's
+  per-run CSV rewrite, process-staging.py — a full-file rewrite per
+  batch — is the degenerate single-file form of the same operation).
+- ``write_sorted_layout``: range-partition + sort-within-partitions so
+  each output file covers a disjoint key range; parquet footer min/max
+  then lets any engine skip files wholesale on range predicates.  The
+  poor man's Z-order — exact for one clustering dimension.
+- ``write_bucketed_table``: a Spark-catalog bucketed external table;
+  tables bucketed the same way on the join key sort-merge WITHOUT an
+  Exchange on either side — the shuffle happened once at write time
+  (guarded by tests/test_plans.py::test_bucketed_join_is_shuffle_free).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) of a directory via the Hadoop
+    FileSystem — no data read, metadata only."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, markers
+        total += st.getLen()
+        n += 1
+    return total, n
+
+
+def compact(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite ``in_path`` into ``out_path`` with files sized ~target.
+
+    The output file count is ceil(input_bytes / target) measured on the
+    INPUT's compressed size — parquet->parquet recompression keeps the
+    ratio close enough for sizing.  Uses ``repartition(n)`` (round-robin)
+    rather than ``coalesce(n)``: coalesce merges existing partitions
+    without a shuffle but inherits their skew, which for compaction —
+    whose whole point is evenly-sized output files — is the wrong trade.
+    The one round-robin shuffle is the cost of the rewrite and is
+    embarrassingly parallel at any scale.  Returns the file count.
+    """
+    total, _ = dir_stats(spark, in_path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(in_path)
+    df.repartition(n_out).write.format(fmt).mode("overwrite").save(out_path)
+    return n_out
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_ranges: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Range-cluster ``df`` on ``range_col`` into ``n_ranges`` files and
+    sort rows inside each.
+
+    ``repartitionByRange`` samples the column to compute balanced range
+    bounds (one pass, sample-sized driver cost at any scale), so each
+    output file covers a DISJOINT interval of ``range_col``; the parquet
+    footer min/max statistics then let a range predicate skip whole
+    files before any IO.  ``sortWithinPartitions`` additionally orders
+    rows inside the file so page-level (column index) statistics prune
+    within the file.  tests/test_layout.py verifies disjointness from
+    the actual parquet footers.
+    """
+    out = df.repartitionByRange(n_ranges, range_col).sortWithinPartitions(
+        *(sort_cols or [range_col])
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+) -> None:
+    """Save ``df`` as an external bucketed table (data under ``path``,
+    metadata in the session catalog).  Idempotent: a table that already
+    exists in this session is left untouched.
+
+    The ``repartition(n_buckets, bucket_col)`` before the write uses the
+    same Murmur3 hash as the bucket spec, so every write task holds
+    exactly one bucket's rows and each bucket lands in ONE file — which
+    is what lets the bucketed scan also satisfy the join's sort
+    requirement from the ``sortBy`` metadata instead of re-sorting.
+    """
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        return
+    (
+        df.repartition(n_buckets, bucket_col)
+        .write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(table)
+    )
