@@ -114,3 +114,33 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn(
         "session_id", F.sum("__new").over(w_run) - 1
     ).drop("__new")
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Heavy-hitter / shuffle-skew diagnostic: the top-k hottest keys with
+    their exact row counts, corpus share (exact integer ppm), and
+    multiple-of-average — the numbers that decide whether a join on this
+    key needs salting or AQE skew splitting BEFORE the 100 TB run hits a
+    straggler.
+
+    Plan shape: one hash aggregate on the key (map-side partial combine
+    does the heavy lifting — the shuffle carries one row per distinct
+    key, not per input row), a 1-row global total broadcast back over the
+    counts, and TakeOrderedAndProject for the top-k (no global sort).
+    Shares are exact integer arithmetic (ppm via integer division), so
+    the result is bit-stable under any partitioning.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("n_keys"),
+    )
+    enriched = counts.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        "n_rows",
+        F.expr("(n_rows * 1000000) div _total").alias("share_ppm"),
+        F.expr("(n_rows * n_keys * 100) div _total").alias("x_avg_pct"),
+    )
+    return enriched.orderBy(
+        F.desc("n_rows"), F.col(key_col)
+    ).limit(top_k)

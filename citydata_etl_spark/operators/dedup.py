@@ -817,3 +817,43 @@ def dup_passage_stats(docs: DataFrame, n: int = 4, text_col: str = "text",
             ).alias("dup_passage_frac"),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the shape
+    every production ingest actually runs (a new crawl arrives; the
+    100 TB corpus is already deduped; re-deduping the union from scratch
+    would re-shuffle the whole corpus per batch).
+
+    Both sides are canonicalized + digested (text.normalize_text: the
+    sha2 of the normalized form), then:
+      1. within-batch collapse: groupBy digest, keep min(id) — shuffle
+         sized by the BATCH, not the corpus;
+      2. cross-corpus screen: LEFT ANTI join of batch digests against
+         corpus digests — with the corpus digest table stored
+         bucketed/sorted on the digest this is a one-sided shuffle of
+         the (small) batch; plain AQE otherwise.  The corpus is never
+         re-aggregated: ``corpus`` here is the digest projection, which
+         a real deployment persists as its dedup index.
+
+    Output: one row per NEW distinct document — (norm_sha, keep id,
+    batch-copy count).
+    """
+    from citydata_etl_spark.operators.text import normalize_text
+
+    b = normalize_text(batch, text_col=text_col, id_col=id_col).select(
+        id_col, "norm_sha"
+    )
+    collapsed = b.groupBy("norm_sha").agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count("*").alias("n_batch_copies"),
+    )
+    corpus_digests = normalize_text(
+        corpus, text_col=text_col, id_col=id_col
+    ).select("norm_sha")
+    return collapsed.join(corpus_digests, "norm_sha", "left_anti")

@@ -531,3 +531,35 @@ def a10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_testdata(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"],
     )
+
+
+@register(
+    "a11_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+    tot AS (
+      SELECT sum(n_rows) AS _total, count(*) AS n_keys FROM counts)
+    SELECT l_suppkey, n_rows,
+           (n_rows * 1000000) // _total AS share_ppm,
+           (n_rows * n_keys * 100) // _total AS x_avg_pct
+    FROM counts, tot
+    ORDER BY n_rows DESC, l_suppkey
+    LIMIT 20
+    """,
+    doc="A11 (skew diagnostics extension): exact heavy-hitter profile of "
+    "the lineitem supplier key — top-20 hottest keys with row count, "
+    "exact ppm share, and multiple-of-average "
+    "(operators/aggregates.py:key_skew_profile). This is the planning "
+    "query behind j7_salted_skew_join: at 100 TB you run it on the join "
+    "key FIRST (cost: one map-side-combined aggregate whose shuffle is "
+    "one row per distinct key) and read off whether the hot key's "
+    "x_avg_pct justifies salting. Exact integer shares keep the result "
+    "hash-stable; TakeOrderedAndProject keeps the top-k sort local.",
+)
+def a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.aggregates import key_skew_profile
+
+    return key_skew_profile(
+        read_testdata(spark, sf_dir, "lineitem"), "l_suppkey", top_k=20
+    )

@@ -897,3 +897,40 @@ def d5_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sniff_media_format(blobbed)
     return out.select("media_id", "media_type", "sniffed_format",
                       "type_consistent")
+
+
+@register(
+    "d4_incremental_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_sha
+      FROM documents),
+    batch AS (SELECT * FROM n WHERE doc_id % 5 = 0),
+    corpus AS (SELECT norm_sha FROM n WHERE doc_id % 5 <> 0)
+    SELECT b.norm_sha, min(b.doc_id) AS keep_doc_id,
+           count(*) AS n_batch_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm_sha = b.norm_sha)
+    GROUP BY b.norm_sha
+    """,
+    doc="D4 (incremental ingest dedup): dedup a NEW batch (doc_id%5=0 "
+    "split) against the EXISTING corpus without touching the corpus — "
+    "canonicalize+digest both sides, collapse the batch on its digest "
+    "(shuffle sized by the batch), then LEFT ANTI against the corpus's "
+    "digest index (operators/dedup.py:incremental_exact_dedup). This is "
+    "the per-ingest shape at 100 TB: the corpus-side digest table is the "
+    "persisted dedup index (store it bucketed on norm_sha and the anti "
+    "join is one-sided); a from-scratch re-dedup of corpus+batch per "
+    "arrival would re-shuffle 100 TB per crawl drop. North-star "
+    "grounding: BASELINE.json near-dup objective; Lee et al. 2021's "
+    "dedup-before-training pipeline run incrementally.",
+)
+def d4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_exact_dedup(batch, corpus)

@@ -345,3 +345,12 @@ def test_bench_headline_names_resolve():
     spec.loader.exec_module(bench)
     missing = [n for n in bench.HEADLINE if n not in load_all()]
     assert not missing, f"bench names not in catalog: {missing}"
+
+
+def test_a11_heavy_hitters_is_take_ordered(spark):
+    """The skew profiler must not global-sort the per-key counts: top-k
+    comes from TakeOrderedAndProject, and the only join is the 1-row
+    total broadcast."""
+    plan = _plan(spark, "a11_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
