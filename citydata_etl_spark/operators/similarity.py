@@ -934,3 +934,51 @@ def semantic_dedup(
             .otherwise(F.lit(0)).cast("bigint").alias("keep"),
         )
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard storage/transport compression for embedding corpora (4x
+    smaller than float32, recall-neutral for retrieval at int8): per
+    vector, scale = max |x| and code_i = round(x_i / scale * 127), codes
+    in [-127, 127].
+
+    Output is the EXPLODED long form (id, scale_ppm, dim_idx, code) so
+    the result is engine-portable and oracle-hashable; a deployment
+    would keep the packed array form instead. All arithmetic is
+    element-order-deterministic IEEE double (array_max of exact
+    float->double casts; round via floor(x + 0.5), the engine-stable
+    convention) so codes are bit-identical in any engine. Zero vectors
+    quantize through scale=1 (all-zero codes) rather than dividing by
+    zero — the same guard ivf/pq train uses.
+
+    Scale shape: ONE codegen projection + posexplode, zero exchanges,
+    nothing driver-side; quantization is embarrassingly parallel at any
+    corpus size.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    raw = F.array_max(xd)
+    scale = F.when(raw == F.lit(0.0), F.lit(1.0)).otherwise(raw)
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        scale.alias("_scale"),
+    )
+    exploded = base.select(
+        id_col,
+        F.floor(F.col("_scale") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("scale_ppm"),
+        "_scale",
+        F.posexplode(vec_col).alias("_pos", "_x"),
+    )
+    return exploded.select(
+        id_col,
+        "scale_ppm",
+        F.col("_pos").cast("bigint").alias("dim_idx"),
+        F.floor(F.col("_x").cast("double") / F.col("_scale") * 127.0 + 0.5)
+        .cast("bigint")
+        .alias("code"),
+    )

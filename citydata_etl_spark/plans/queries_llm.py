@@ -934,3 +934,37 @@ def d4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return D.incremental_exact_dedup(batch, corpus)
+
+
+@register(
+    "d4_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS raw_scale
+      FROM embeddings),
+    g AS (
+      SELECT vec_id, embedding,
+             CASE WHEN raw_scale = 0 THEN 1.0 ELSE raw_scale END AS scale
+      FROM s)
+    SELECT vec_id,
+           CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+           CAST(i - 1 AS BIGINT) AS dim_idx,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) / scale * 127.0 + 0.5)
+                AS BIGINT) AS code
+    FROM g, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    """,
+    doc="D4 (embedding compression): symmetric int8 scalar quantization "
+    "of the embedding corpus — per-vector max-abs scale, codes in "
+    "[-127,127] (operators/similarity.py:quantize_embeddings). The "
+    "storage form for 100 TB embedding stores (4x smaller, "
+    "recall-neutral for int8 retrieval); one codegen projection + "
+    "posexplode, zero exchanges. Bit-exact across engines by "
+    "element-order-deterministic double arithmetic and the floor(x+0.5) "
+    "rounding convention; the numpy cross-check in tests/ additionally "
+    "bounds per-element reconstruction error by scale/254.",
+)
+def d4_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings(emb)

@@ -637,3 +637,39 @@ def test_ivf_distributed_training_recall(spark, clustered_vecs):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.8, f"distributed-trained IVF recall too low: {recall}"
+
+
+def test_quantize_embeddings_reconstruction_bound(spark):
+    """int8 quantization invariants against a numpy reference: codes in
+    [-127,127], per-element reconstruction error <= scale/254 (half a
+    quantization step), zero vectors quantize to all-zero codes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.similarity import quantize_embeddings
+    from citydata_etl_spark.sources.readers import read_testdata
+    from tests.conftest import SF_SMOKE
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings").limit(50)
+    # add one all-zero vector to exercise the scale=0 guard
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    out = quantize_embeddings(emb.unionByName(zero)).toPandas()
+
+    assert out["code"].between(-127, 127).all()
+    zrows = out[out.vec_id == 999_999]
+    assert len(zrows) == dim
+    assert (zrows["code"] == 0).all() and (zrows["scale_ppm"] == 1_000_000).all()
+
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+    for vid, grp in out[out.vec_id != 999_999].groupby("vec_id"):
+        x = raw[vid]
+        scale = np.abs(x).max()
+        grp = grp.sort_values("dim_idx")
+        recon = grp["code"].to_numpy() * scale / 127.0
+        assert np.abs(recon - x).max() <= scale / 254.0 + 1e-12
+        # scale is faithfully reported (ppm rounding only)
+        assert abs(grp["scale_ppm"].iloc[0] - round(scale * 1e6)) <= 1
