@@ -761,3 +761,47 @@ def s13_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", "total"),
         )
     )
+
+
+@register(
+    "s14_partition_pruned_read",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year, o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY order_year, status
+    """,
+    doc="S14 (partition pruning): orders is written once per session as a "
+    "HIVE-PARTITIONED table (partitionBy order_year — the raw-zone layout "
+    "s7 establishes), then a two-year query reads it back: the partition "
+    "filter resolves against DIRECTORY NAMES in the driver, so only the "
+    "matching partitions' files are ever listed or opened — on a 100 TB "
+    "7-year corpus that is the difference between scanning 2/7 of the "
+    "data and all of it, before any row-level pushdown applies. The plan "
+    "guard (tests/test_plans.py) asserts the pruned PartitionFilters + "
+    "partition count; this oracle proves the pruned read is lossless.",
+)
+def s14_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s14_pruned_{tag}")
+    path = root + "/orders_by_year"
+    if not os.path.exists(path):
+        read_testdata(spark, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate")
+        ).write.partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("order_year").isin(1996, 1997))
+        .groupBy("order_year", F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total"),
+        )
+    )

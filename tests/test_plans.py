@@ -354,3 +354,16 @@ def test_a11_heavy_hitters_is_take_ordered(spark):
     plan = _plan(spark, "a11_heavy_hitters")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_s14_partition_filter_prunes_directories(spark):
+    """The year filter must resolve as a PartitionFilter (directory-level
+    pruning), not a data filter: the scan lists only the two matching
+    partitions."""
+    plan = _plan(spark, "s14_partition_pruned_read")
+    scan = next(
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+    assert "order_year" in scan
+    # fully resolved at file listing: no residual row-level Filter node
+    assert "Filter (" not in plan
