@@ -588,3 +588,40 @@ def t7_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_partitions=4,  # same sizing rationale as t7_stream_stream_join
     )
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "t8_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="T8 (built-in streaming dedup): dropDuplicatesWithinWatermark on "
+    "(user_id, event_type) — Spark's native bounded-state streaming "
+    "dedup, complementing the custom applyInPandasWithState operator "
+    "(t2_streaming_dedup): per-key state is DROPPED once the watermark "
+    "passes first-seen + delay, so state is bounded by the key-arrival "
+    "rate x the dedup horizon, never by stream length — the only form "
+    "that survives an unbounded 100 TB/day stream. Output is the KEY SET "
+    "(payload projected away), which is order-invariant, so the oracle "
+    "is exact whenever every duplicate lands within the horizon — true "
+    "here by construction (the horizon exceeds the bounded input's span); "
+    "the expiry path (a key RE-EMITS after its state ages out) is pinned "
+    "by tests/test_streaming.py::test_drop_duplicates_within_watermark_expiry.",
+)
+def t8_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dd = (
+        stream.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"t8_stream_dedup_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        dd.writeStream.outputMode("append").format("memory").queryName(name),
+    )
+    return spark.sql(f"SELECT * FROM {name}")

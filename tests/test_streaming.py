@@ -473,3 +473,57 @@ def test_rocksdb_state_store_provider_matches_default(spark, events_stream_path)
         )
         == "unset"
     )
+
+
+def test_drop_duplicates_within_watermark_expiry(spark):
+    """dropDuplicatesWithinWatermark contract (t8): a duplicate arriving
+    while the key's state lives is suppressed, but once the watermark
+    passes first-seen + delay the state is evicted and the key RE-EMITS —
+    the bounded-state trade every unbounded dedup must make."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="dd_wm_")
+    mk = lambda rows, sub: spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, sub))
+    ts = lambda s: __import__("datetime").datetime.fromisoformat(s)
+    # b1: first sighting of K
+    mk([(7, ts("2026-01-01 00:00:00"))], "b1")
+    # b2: duplicate of K within the 2-minute horizon (suppressed) + a
+    # filler event far ahead that drags the watermark past K's expiry
+    mk(
+        [(7, ts("2026-01-01 00:00:30")), (99, ts("2026-01-01 10:00:00"))],
+        "b2",
+    )
+    # b3: filler batch — the advanced watermark becomes effective and the
+    # eviction sweep actually drops K's aged-out state
+    mk([(98, ts("2026-01-01 10:00:10"))], "b3")
+    # b4: K again, after its state aged out -> re-emitted
+    mk([(7, ts("2026-01-01 10:00:30"))], "b4")
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*", ""))
+    )
+    out = (
+        stream.withWatermark("ts", "2 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id", "ts")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_wm_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT user_id, ts FROM dd_wm_t ORDER BY ts").collect()
+    emitted = [(r["user_id"], str(r["ts"])) for r in rows]
+    assert emitted == [
+        (7, "2026-01-01 00:00:00"),   # first sighting
+        (99, "2026-01-01 10:00:00"),  # filler
+        (98, "2026-01-01 10:00:10"),  # filler
+        (7, "2026-01-01 10:00:30"),   # re-emitted after state expiry
+    ], emitted
