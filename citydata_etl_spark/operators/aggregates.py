@@ -144,3 +144,84 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     return enriched.orderBy(
         F.desc("n_rows"), F.col(key_col)
     ).limit(top_k)
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the timestamp at which
+    each successive step first completed, where step k must occur
+    STRICTLY AFTER step k-1 (a purchase before the first view does not
+    count).  The sequential dependency is what makes this more than a
+    pivot — step k's qualifying window depends on step k-1's result.
+
+    Plan shape: ONE shuffle (groupBy user), then a codegen fold —
+    sort_array over the user's (ts, order, type) structs gives a total
+    event order, and F.aggregate threads the per-step timestamps through
+    it; no joins, no window functions, no Python.  The per-user list is
+    bounded by that user's event count in the analyzed window; for
+    pathological single-user volumes, cascade min-aggregate joins
+    per step instead (same semantics, k shuffles on the same key).
+
+    Output: (user, <step>_ts epoch-second BIGINT per step — NULL once
+    the funnel broke, stage = number of completed steps).  Users who
+    never completed step 1 are excluded (they are the complement of the
+    funnel's entry population).
+    """
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        user_col, ts_col, order_col, type_col
+    )
+    seq = ev.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(ts_col, order_col, type_col))
+        ).alias("_seq")
+    )
+
+    nil = F.lit(None).cast("timestamp")
+    acc0 = F.struct(*[nil.alias(f"t{i}") for i in range(len(steps))])
+
+    def step_fold(acc, e):
+        fields = []
+        for i, step in enumerate(steps):
+            t_i = acc[f"t{i}"]
+            ready = (
+                F.lit(True) if i == 0 else acc[f"t{i-1}"].isNotNull()
+            )
+            after = (
+                F.lit(True)
+                if i == 0
+                else e[ts_col] > acc[f"t{i-1}"]
+            )
+            fields.append(
+                F.when(
+                    t_i.isNull()
+                    & ready
+                    & (e[type_col] == step)
+                    & after,
+                    e[ts_col],
+                )
+                .otherwise(t_i)
+                .alias(f"t{i}")
+            )
+        return F.struct(*fields)
+
+    folded = seq.select(
+        user_col, F.aggregate("_seq", acc0, step_fold).alias("_f")
+    ).filter(F.col("_f.t0").isNotNull())
+
+    stage = F.lit(1)
+    for i in range(1, len(steps)):
+        stage = stage + F.col(f"_f.t{i}").isNotNull().cast("int")
+    return folded.select(
+        user_col,
+        *[
+            F.unix_timestamp(F.col(f"_f.t{i}")).alias(f"{s}_ts")
+            for i, s in enumerate(steps)
+        ],
+        stage.alias("stage"),
+    )

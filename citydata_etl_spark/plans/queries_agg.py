@@ -563,3 +563,88 @@ def a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         read_testdata(spark, sf_dir, "lineitem"), "l_suppkey", top_k=20
     )
+
+
+@register(
+    "a3_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    doc="A3 (grouping sets): arbitrary grouping-set selection — the "
+    "general form rollup/cube specialize (exactly the three sets a "
+    "reporting layer asks for, no wasted grand-total or unwanted "
+    "combinations). Spark expands the sets through the same single-pass "
+    "Expand operator as cube: one scan, each row replicated once per "
+    "matching set, then one two-phase hash aggregate — at 100 TB that is "
+    "one shuffle for all three breakdowns instead of three separate "
+    "aggregation jobs. NULL group markers are coalesced to '<all>' on "
+    "both sides so the hash compare is total.",
+)
+def a3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    gs = orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"],
+         ["o_orderstatus", "o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+        "n_orders",
+        "total",
+    )
+
+
+@register(
+    "a12_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(floor(epoch(v.t1)) AS BIGINT) AS view_ts,
+           CAST(floor(epoch(c.t2)) AS BIGINT) AS click_ts,
+           CAST(floor(epoch(p.t3)) AS BIGINT) AS purchase_ts,
+           1 + CAST(c.user_id IS NOT NULL AS INT)
+             + CAST(p.user_id IS NOT NULL AS INT) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="A12 (ordered funnel): view -> click -> purchase completion per "
+    "user, each step strictly after the previous "
+    "(operators/aggregates.py:funnel_stages). The Spark side is ONE "
+    "shuffle + a codegen fold over each user's time-sorted event structs "
+    "— no joins, no windows; the oracle states the same semantics as "
+    "cascaded min-aggregates (first click after the first view, first "
+    "purchase after that click), which the fold provably equals because "
+    "folding a time-ordered sequence takes the minimum qualifying "
+    "timestamp at every step. The sequential dependency (step k's "
+    "window opens at step k-1's time) is what a pivot cannot express.",
+)
+def a12_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.aggregates import funnel_stages
+
+    events = read_testdata(spark, sf_dir, "events")
+    return funnel_stages(events, ["view", "click", "purchase"])

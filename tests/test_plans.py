@@ -367,3 +367,13 @@ def test_s14_partition_filter_prunes_directories(spark):
     assert "order_year" in scan
     # fully resolved at file listing: no residual row-level Filter node
     assert "Filter (" not in plan
+
+
+def test_a12_funnel_single_exchange_no_joins(spark):
+    """The funnel fold's promise: one shuffle (the user groupBy), zero
+    joins — the sequential step dependency lives in a codegen fold, not
+    in cascaded aggregate-joins."""
+    plan = _plan(spark, "a12_event_funnel")
+    # formatted explain prints each node twice (tree + details)
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan

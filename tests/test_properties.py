@@ -452,3 +452,45 @@ def test_blocklist_filter_drops_exactly_blocked_sources(spark):
     kept = {r["source"] for r in out.collect()}
     assert not kept & {"src3", "src7", "src11"}
     assert "src0" in kept and "src1" in kept
+
+
+def test_funnel_stages_ordering_edges(spark):
+    """Funnel strictness contract: steps must occur STRICTLY after the
+    previous step — purchase-before-view doesn't count, a click at
+    exactly the view's timestamp doesn't count, and row arrival order is
+    irrelevant (the fold sorts by (ts, event_id))."""
+    import datetime as dt
+
+    from citydata_etl_spark.operators.aggregates import funnel_stages
+
+    t = lambda s: dt.datetime.fromisoformat(f"2026-01-01 {s}")
+    rows = [
+        # u1: clean view -> click -> purchase (inserted out of order)
+        (30, t("00:30:00"), 1, "purchase"),
+        (10, t("00:10:00"), 1, "view"),
+        (20, t("00:20:00"), 1, "click"),
+        # u2: purchase BEFORE first view -> stage stops at view
+        (40, t("00:05:00"), 2, "purchase"),
+        (50, t("00:10:00"), 2, "view"),
+        # u3: click at EXACTLY the view ts -> not strictly after
+        (60, t("00:10:00"), 3, "view"),
+        (61, t("00:10:00"), 3, "click"),
+        (62, t("00:20:00"), 3, "purchase"),
+        # u4: never views -> excluded from the funnel population
+        (70, t("00:01:00"), 4, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_stages(
+            events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage"] == 3
+    assert out[2]["stage"] == 1 and out[2]["click_ts"] is None
+    # same-ts click rejected, so the later purchase can't qualify either
+    assert out[3]["stage"] == 1
+    assert out[3]["click_ts"] is None and out[3]["purchase_ts"] is None
