@@ -621,3 +621,56 @@ def quality_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
         f"stack({len(stages)}, {stack_args}) AS "
         "(stage, stage_name, n_surviving, tokens_surviving)"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 16,
+    stride: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window chunking step upstream of embedding / packing (window
+    tokens per chunk, stride tokens between chunk starts, so consecutive
+    chunks overlap by window - stride).
+
+    Chunk count per doc is max(ceil((n - window)/stride) + 1, 1): every
+    token is covered, the final chunk is never empty (its start is
+    strictly inside the doc), and a doc shorter than one window yields
+    exactly one chunk.  Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Scale shape: split + sequence + posexplode-free explode, all
+    codegen, zero exchanges — the same embarrassingly-parallel posture
+    as the other per-doc projections.  Output row count is
+    sum(chunks per doc) ~ corpus_tokens / stride.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        (F.ceil((n - F.lit(window)) / F.lit(float(stride)))
+         + F.lit(1)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    base = docs.select(
+        id_col, toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc")
+    )
+    c = F.col("_c")
+    start = c * stride  # 0-based chunk start
+    piece = F.slice("_toks", (start + 1).cast("int"), window)
+    return base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_nc") - 1))
+        .alias("_c"),
+        "_toks",
+        "_n",
+    ).select(
+        id_col,
+        c.alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        (F.least(start + window, F.col("_n")) - start)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

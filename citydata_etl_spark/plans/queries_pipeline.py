@@ -685,3 +685,37 @@ def d6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.temperature_mix(
         read_testdata(spark, sf_dir, "documents"), alpha=0.5
     )
+
+
+@register(
+    "d6_chunk_documents",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0,
+               greatest(CAST(ceil((len(toks) - 16) / 12.0) AS BIGINT) + 1,
+                        1))) AS c
+      FROM tokl)
+    SELECT doc_id, c AS chunk_idx,
+           array_to_string(
+             toks[CAST(c*12+1 AS INT):CAST(least(c*12+16, n) AS INT)],
+             ' ') AS chunk_text,
+           CAST(least(c*12+16, n) - c*12 AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+    doc="D6 (chunking): overlapping token-window segmentation — 16-token "
+    "windows, stride 12 (4-token overlap), the context-window chunking "
+    "step upstream of embedding generation and sequence packing "
+    "(operators/pipeline.py:chunk_documents). Pure codegen "
+    "split/sequence/explode/slice, zero exchanges; row count ~ "
+    "corpus_tokens/stride. Edge contract pinned on both sides: every "
+    "token covered, final chunk never empty, sub-window docs yield "
+    "exactly one chunk.",
+)
+def d6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, window=16, stride=12)

@@ -494,3 +494,52 @@ def test_funnel_stages_ordering_edges(spark):
     # same-ts click rejected, so the later purchase can't qualify either
     assert out[3]["stage"] == 1
     assert out[3]["click_ts"] is None and out[3]["purchase_ts"] is None
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=8),
+    st.tuples(
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=1, max_value=12),
+    ).filter(lambda t: t[1] <= t[0]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_documents_coverage(spark, lengths, wincfg):
+    """Chunking invariants vs a pure-Python reference: exact chunk count
+    max(ceil((n-w)/s)+1, 1), every chunk non-empty, stride-aligned
+    starts, and concatenating each chunk's non-overlapping suffix
+    reconstructs the document exactly."""
+    import math
+
+    from citydata_etl_spark.operators.pipeline import chunk_documents
+
+    window, stride = wincfg
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate(lengths)],
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_documents(docs, window=window, stride=stride)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    for i, n in enumerate(lengths):
+        toks = [f"t{j}" for j in range(n)]
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        want_nc = max(math.ceil(max(n - window, 0) / stride) + 1, 1)
+        assert len(chunks) == want_nc, (n, window, stride)
+        rebuilt = []
+        for r in chunks:
+            got = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            start = r["chunk_idx"] * stride
+            assert got == toks[start:start + window]
+            assert r["n_tokens"] == len(got)
+            assert len(got) > 0 or n == 0  # empty only for empty docs
+            new = got[len(rebuilt) - start:] if start < len(rebuilt) else got
+            rebuilt.extend(new)
+        assert rebuilt == toks
