@@ -805,3 +805,73 @@ def s14_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", "total"),
         )
     )
+
+
+@register(
+    "s15_corrupt_records",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN '<corrupt>'
+                ELSE o_orderstatus END AS status_bucket,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                         ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY status_bucket
+    """,
+    doc="S15 (ingest robustness): PERMISSIVE corrupt-record routing — a "
+    "JSONL feed derived from orders, with every 10th line truncated "
+    "mid-object (the shape a real crawl feed delivers), is read with an "
+    "explicit schema + columnNameOfCorruptRecord: malformed lines land "
+    "in the corrupt column with data fields NULL, well-formed lines "
+    "parse normally, and NOTHING is silently dropped — the accounting "
+    "query proves line-count conservation per bucket. At 100 TB this is "
+    "the difference between a poisoned feed failing loudly (FAILFAST), "
+    "quietly shrinking (DROPMALFORMED), and this: full-fidelity "
+    "quarantine you can route to a dead-letter sink. The oracle "
+    "reproduces the corruption rule in closed form.",
+)
+def s15_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s15_corrupt_{tag}")
+    path = root + "/orders_jsonl"
+    if not os.path.exists(path):
+        orders = read_testdata(spark, sf_dir, "orders")
+        lines = orders.select(
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                # truncated mid-object: structurally malformed JSON
+                F.concat(F.lit('{"id": '), F.col("o_orderkey"),
+                         F.lit(', "price": ')),
+            )
+            .otherwise(
+                F.to_json(
+                    F.struct(
+                        F.col("o_orderkey").alias("id"),
+                        F.col("o_totalprice").alias("price"),
+                        F.col("o_orderstatus").alias("status"),
+                    )
+                )
+            )
+            .alias("value")
+        )
+        lines.write.text(path)
+    back = (
+        spark.read.schema(
+            "id LONG, price DOUBLE, status STRING, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return back.groupBy(
+        F.when(F.col("_corrupt").isNotNull(), F.lit("<corrupt>"))
+        .otherwise(F.col("status"))
+        .alias("status_bucket")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        dec_sum("price", "total"),
+    )
