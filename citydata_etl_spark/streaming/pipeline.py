@@ -19,6 +19,7 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -106,3 +107,60 @@ def with_retry(
                 raise
             time.sleep(delay)
             delay *= backoff_rate
+
+
+def foreach_batch_upsert(
+    spark: SparkSession,
+    feed_path: str,
+    feed_schema: T.StructType,
+    table_path: str,
+    checkpoint: str,
+    key_col: str = "id",
+    version_col: str = "version",
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming CDC UPSERT: each micro-batch is reduced to its latest
+    change per key (max_by on the version column — map-side combinable),
+    then MERGEd into the bucket-partitioned table (sources/merge.py:
+    merge_upsert — only affected buckets rewritten, _COMMIT marker
+    last).  This is the lakehouse streaming-upsert loop: an unbounded
+    change feed continuously folded into a keyed table, with per-batch
+    cost proportional to the batch's key spread, not the table size.
+
+    The checkpoint makes re-invocation incremental (processed files are
+    never re-merged); exactly-once lands on the merge being atomic per
+    batch via the commit marker.  Batches apply in file order, so a feed
+    whose later files carry higher versions (every CDC log does) folds
+    to latest-version-wins.
+    """
+    from citydata_etl_spark.sources.merge import merge_upsert
+
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_path)
+    )
+    data_cols = [
+        f.name
+        for f in feed_schema.fields
+        if f.name not in (key_col, version_col)
+    ]
+
+    def handle(df: DataFrame, epoch: int) -> None:
+        latest = df.groupBy(key_col).agg(
+            F.max(version_col).alias(version_col),
+            *[
+                F.expr(f"max_by({c}, {version_col})").alias(c)
+                for c in data_cols
+            ],
+        )
+        merge_upsert(spark, table_path, latest, key_col, n_buckets=n_buckets)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
