@@ -875,3 +875,59 @@ def s15_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dec_sum("price", "total"),
     )
+
+
+@register(
+    "u6_keyed_delete",
+    oracle="""
+    SELECT o_orderkey AS id, o_orderstatus AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    doc="U6 (hard delete extension): keyed DELETE from the "
+    "bucket-partitioned control table — the GDPR/right-to-erasure "
+    "primitive (sources/merge.py:delete_keys). Every 7th key is erased: "
+    "survivors are staged fully-materialized to a hidden directory "
+    "BEFORE any old file is dropped, then affected bucket directories "
+    "swap atomically-per-bucket with the _COMMIT marker last — a crash "
+    "mid-delete leaves the table visibly uncommitted and re-running the "
+    "same delete heals AND completes the erasure. Rewrite cost scales "
+    "with the delete set's bucket spread, never table size; the "
+    "fully-emptied-bucket edge (dynamic partition overwrite would "
+    "silently keep its files) is handled and pinned by "
+    "tests/test_etl.py::test_delete_keys_empties_whole_bucket.",
+)
+def u6_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.merge import (
+        delete_keys,
+        read_bucketed_control,
+        write_bucketed_control,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u6_delete_{tag}")
+    table = root + "/control"
+    done = root + "/.delete_applied"
+    orders = read_testdata(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    if not os.path.exists(table):
+        write_bucketed_control(base, table, "id", n_buckets=16)
+    if not os.path.exists(done):
+        delete_keys(
+            spark,
+            table,
+            base.filter(F.col("id") % 7 == 0).select("id"),
+            "id",
+            n_buckets=16,
+        )
+        open(done, "w").close()
+    return read_bucketed_control(spark, table)

@@ -229,3 +229,68 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     write_commit_marker(spark, path)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Hard-DELETE the given keys from the bucket-partitioned table —
+    the GDPR/right-to-erasure primitive.  Same bucket discipline as
+    merge_upsert: only partitions whose bucket contains a requested key
+    are read (partition pruning on the bucket filter) and rewritten
+    (dynamic partition overwrite) with an ANTI join against the key set;
+    every other bucket's files are untouched, so the rewrite cost scales
+    with the delete set's bucket spread, never the table size.
+
+    A bucket whose every row is deleted is rewritten empty (zero data
+    files under its partition directory) rather than dropped — readers
+    see a consistent table either way.
+
+    Commit protocol mirrors merge_upsert: the `_COMMIT` marker is
+    dropped before the bucket overwrites and re-written after the last
+    bucket lands, so a crash mid-delete leaves the table VISIBLY
+    uncommitted (read_bucketed_control refuses) instead of silently
+    half-erased — for erasure requests, re-running the same delete
+    heals and completes the erasure.
+    """
+    k = keys.select(F.col(key_col)).distinct().withColumn(
+        "bucket", bucket_expr(key_col, n_buckets)
+    )
+    affected = [r["bucket"] for r in k.select("bucket").distinct().collect()]
+    if not affected:
+        return
+    existing = spark.read.parquet(path).filter(F.col("bucket").isin(affected))
+    kept = existing.join(k.select(key_col), key_col, "left_anti")
+
+    # Stage the survivors to a DOT-directory inside the table (hidden
+    # from parquet directory listings), fully materialized on disk
+    # BEFORE any old file is dropped — caching instead would be
+    # eviction-unsafe: a recompute after the drop would read deleted
+    # files. Then swap per bucket. Dynamic partition overwrite cannot
+    # be used here: it only touches partitions PRESENT in the written
+    # data, so a fully-emptied bucket would keep its old files.
+    fs, p = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    staging = hpath(p, ".delete_staging")
+    fs.delete(staging, True)
+    (
+        kept.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(str(staging))
+    )
+
+    fs.delete(hpath(p, _COMMIT), False)
+    for b in affected:
+        dst = hpath(p, f"bucket={b}")
+        fs.delete(dst, True)
+        src = hpath(staging, f"bucket={b}")
+        if fs.exists(src):  # absent = bucket fully erased
+            fs.rename(src, dst)
+    fs.delete(staging, True)
+    write_commit_marker(spark, path)

@@ -368,3 +368,117 @@ def test_merge_commit_marker_crash_recovery(spark, tmp_path, monkeypatch):
     assert len(rows) == 51
     assert rows[1] == ("completed", 10)   # NULL total preserved
     assert rows[100] == ("new", 5)        # inserted
+
+
+def test_delete_keys_semantics_and_partial_rewrite(spark, tmp_path):
+    """delete_keys: requested keys vanish, survivors (including ones
+    co-bucketed with deleted keys) are untouched, unaffected buckets'
+    files are byte-identical (partial rewrite), and a repeat delete is
+    an idempotent no-op on the data."""
+    import glob
+    import os
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, "pending", i * 10) for i in range(200)],
+        "id LONG, status STRING, total LONG",
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=8)
+
+    dels = spark.createDataFrame([(i,) for i in range(0, 200, 5)], "id LONG")
+    affected = {
+        r[0]
+        for r in dels.withColumn("b", M.bucket_expr("id", 8))
+        .select("b").distinct().collect()
+    }
+    untouched = set(range(8)) - affected
+    before = {
+        b: sorted(
+            (os.path.basename(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/bucket={b}/*.parquet")
+        )
+        for b in untouched
+    }
+
+    M.delete_keys(spark, path, dels, "id", n_buckets=8)
+    back = M.read_bucketed_control(spark, path)
+    ids = {r["id"] for r in back.select("id").collect()}
+    assert ids == {i for i in range(200) if i % 5 != 0}
+    for b in untouched:
+        after = sorted(
+            (os.path.basename(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/bucket={b}/*.parquet")
+        )
+        assert after == before[b], f"untouched bucket {b} was rewritten"
+
+    # repeat delete: no-op on data
+    M.delete_keys(spark, path, dels, "id", n_buckets=8)
+    assert M.read_bucketed_control(spark, path).count() == len(ids)
+
+
+def test_delete_keys_empties_whole_bucket(spark, tmp_path):
+    """The fully-emptied-bucket edge: deleting EVERY key of a bucket must
+    actually drop its files (dynamic partition overwrite would silently
+    keep them — the staged swap handles it)."""
+    import glob
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id LONG, total LONG"
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=4)
+    # erase bucket 2 completely (plus nothing else)
+    victims = base.withColumn("b", M.bucket_expr("id", 4)).filter(
+        "b = 2"
+    ).select("id")
+    n_victims = victims.count()
+    assert n_victims > 0
+
+    M.delete_keys(spark, path, victims, "id", n_buckets=4)
+    assert glob.glob(f"{path}/bucket=2/*.parquet") == []
+    back = M.read_bucketed_control(spark, path)
+    assert back.count() == 100 - n_victims
+    got_buckets = {
+        r[0]
+        for r in back.withColumn("b", M.bucket_expr("id", 4))
+        .select("b").distinct().collect()
+    }
+    assert 2 not in got_buckets
+
+
+def test_delete_keys_crash_recovery(spark, tmp_path, monkeypatch):
+    """A delete that dies before the marker swap leaves the table VISIBLY
+    uncommitted; re-running the SAME delete heals and completes the
+    erasure."""
+    import pytest as _pytest
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id LONG, total LONG"
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=8)
+    dels = spark.createDataFrame([(i,) for i in range(0, 100, 3)], "id LONG")
+
+    real_marker = M.write_commit_marker
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before marker swap")
+
+    monkeypatch.setattr(M, "write_commit_marker", crash)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        M.delete_keys(spark, path, dels, "id", n_buckets=8)
+    assert M.read_commit_token(spark, path) is None
+    with _pytest.raises(RuntimeError, match="no _COMMIT"):
+        M.read_bucketed_control(spark, path)
+
+    monkeypatch.setattr(M, "write_commit_marker", real_marker)
+    M.delete_keys(spark, path, dels, "id", n_buckets=8)
+    back = M.read_bucketed_control(spark, path)
+    ids = {r["id"] for r in back.select("id").collect()}
+    assert ids == {i for i in range(100) if i % 3 != 0}
