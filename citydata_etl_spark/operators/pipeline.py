@@ -674,3 +674,69 @@ def chunk_documents(
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+def negative_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    per_bucket: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random NEGATIVE sampling — k contrastive
+    partners per anchor document, the pair-generation step for
+    contrastive / reranker training sets.
+
+    The naive form (ORDER BY random() per anchor) is a global shuffle
+    of the corpus per probe; the scale form here is a bucketed gather:
+      1. every doc gets a pseudo-random bucket rb out of nb = max(N /
+         per_bucket, 1) buckets, so bucket occupancy ~ per_bucket at ANY
+         corpus size;
+      2. each (anchor, probe i) computes a target bucket tb and gathers
+         that bucket's docs through ONE equi-join (output ~ k *
+         per_bucket * N rows — linear, never quadratic);
+      3. per (anchor, i) the partner is the candidate minimizing an
+         injective order key (map-side-combinable min_by), self
+         excluded.
+    All arithmetic is integer LCG mod 2^31-1 (the repo's minhash
+    convention) so the DuckDB oracle reproduces the sample bit-exactly;
+    at 100 TB swap the LCGs for xxhash64 — identical topology, better
+    mixing, no oracle (the same trade minhash_lsh's id_mode makes).
+    A probe whose bucket contains only the anchor yields no pair
+    (deterministic on both sides).
+    """
+    P = 2147483647
+    n1 = docs.agg(
+        F.greatest(
+            (F.count("*") / per_bucket).cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("nb")
+    )
+    d = F.col(id_col)
+    buckets = docs.crossJoin(F.broadcast(n1)).select(
+        d.alias("cand_id"),
+        ((d * 2654435761 + 104729) % P % F.col("nb")).alias("rb"),
+        (((d * 48271 + 777) % P) * 2147483648 + F.pmod(d, 2147483648))
+        .alias("ord"),
+    )
+    probes = (
+        docs.crossJoin(F.broadcast(n1))
+        .select(
+            d.alias("anchor"),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+            "nb",
+        )
+        .select(
+            "anchor",
+            F.col("_i").cast("bigint").alias("probe_idx"),
+            (
+                (F.col("anchor") * 40503 + F.col("_i") * 69061 + 12345)
+                % P
+                % F.col("nb")
+            ).alias("tb"),
+        )
+    )
+    cand = probes.join(
+        buckets, probes.tb == buckets.rb, "inner"
+    ).filter(F.col("cand_id") != F.col("anchor"))
+    return cand.groupBy("anchor", "probe_idx").agg(
+        F.min_by("cand_id", "ord").alias("partner")
+    )

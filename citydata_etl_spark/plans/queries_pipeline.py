@@ -719,3 +719,38 @@ def d6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     return P.chunk_documents(docs, window=16, stride=12)
+
+
+@register(
+    "d6_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT greatest(count(*) // 8, 1) AS nb FROM documents),
+    b AS (
+      SELECT doc_id, (doc_id * 2654435761 + 104729) % 2147483647 % nb AS rb
+      FROM documents, n),
+    probes AS (
+      SELECT d.doc_id AS anchor, i,
+             (d.doc_id * 40503 + i * 69061 + 12345) % 2147483647 % nb AS tb
+      FROM documents d, n, unnest(range(4)) AS t(i)),
+    cand AS (
+      SELECT p.anchor, p.i AS probe_idx, b.doc_id AS cand_id,
+             ((b.doc_id * 48271 + 777) % 2147483647) * 2147483648
+               + (b.doc_id % 2147483648) AS ord
+      FROM probes p JOIN b ON b.rb = p.tb
+      WHERE b.doc_id <> p.anchor)
+    SELECT anchor, CAST(probe_idx AS BIGINT) AS probe_idx,
+           arg_min(cand_id, ord) AS partner
+    FROM cand GROUP BY anchor, probe_idx
+    """,
+    doc="D6 (contrastive negatives): k=4 deterministic pseudo-random "
+    "negative partners per anchor via BUCKETED GATHER "
+    "(operators/pipeline.py:negative_pairs) — bucket count scales with "
+    "corpus size so occupancy stays ~8 docs and the join output stays "
+    "linear (k x occupancy x N), never a per-anchor global shuffle or "
+    "cartesian. Integer-LCG derivation makes the sample bit-exact under "
+    "the oracle; production swaps LCG for xxhash64 (same topology, the "
+    "minhash id_mode trade).",
+)
+def d6_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return P.negative_pairs(docs, k=4, per_bucket=8)
