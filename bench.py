@@ -57,6 +57,14 @@ HEADLINE = [
     "d6_domain_cap",
     "d4_bigram_logprob",
     "f13_variant_json",
+    # round-4 second wave: one per new operator family. The first (cold)
+    # rep of j8/s14 includes the one-time table write; warm reps read only.
+    "j8_bucketed_join",
+    "s14_partition_pruned_read",
+    "a11_heavy_hitters",
+    "a12_event_funnel",
+    "d4_embed_quantize",
+    "d6_chunk_documents",
 ]
 
 
