@@ -648,3 +648,42 @@ def a12_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_testdata(spark, sf_dir, "events")
     return funnel_stages(events, ["view", "click", "purchase"])
+
+
+@register(
+    "a5_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0 AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="A5 (time-based window frame): per event, the trailing-1-hour "
+    "per-user event count and exact value sum through a RANGE frame over "
+    "epoch-microseconds — the VALUE-based frame (wall-clock trailing "
+    "window), distinct from the ROWS frames a5_moving_avg uses: row "
+    "frames count neighbors, range frames measure TIME, and only the "
+    "latter says 'the last hour' when event spacing is irregular. "
+    "Same one-shuffle window shape (partition by user), exact integer "
+    "cents inside the frame; ties at equal timestamps are frame PEERS "
+    "(included together) identically in both engines.",
+)
+def a5_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = read_testdata(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("sum_trailing"),
+    )
