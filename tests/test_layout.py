@@ -90,3 +90,26 @@ def test_sorted_layout_footers_are_disjoint(spark, tmp_path):
 
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    """With a target smaller than the input, compaction produces
+    ceil(bytes/target) files, not one — the right-sizing contract, not
+    just a coalesce-to-1."""
+    import math
+
+    frag = str(tmp_path / "frag")
+    packed = str(tmp_path / "packed")
+    orders = read_testdata(spark, SF_SMOKE, "orders")
+    orders.repartition(16).write.parquet(frag)
+    total, _ = dir_stats(spark, frag)
+
+    target = total // 3  # force multiple right-sized outputs
+    n_out = compact(spark, frag, packed, target_file_bytes=target)
+    assert n_out == math.ceil(total / target)
+    files = [f for f in _data_files(packed) if f.endswith(".parquet")]
+    assert len(files) == n_out
+    # round-robin repartition -> evenly sized outputs (within 2x)
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[-1] <= 2 * sizes[0]
+    assert spark.read.parquet(packed).count() == orders.count()
