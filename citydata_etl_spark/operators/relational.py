@@ -172,3 +172,56 @@ def profile_table(df: "DataFrame", cols: list[str]) -> "DataFrame":
         "n_rows",
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def contract_violations(
+    df: "DataFrame", rules: list[tuple[str, "Column"]]
+) -> "DataFrame":
+    """Data-contract gate: evaluate named row-level expectations (each a
+    boolean Column that is True when the row VIOLATES the rule) in ONE
+    aggregate pass and return (rule, n_violations, n_rows) per rule —
+    the dbt-test / Great-Expectations shape as a single codegen
+    aggregate, no per-rule scans. A NULL rule result counts as a
+    violation (an expectation that cannot be evaluated is not met).
+
+    Uniqueness and other non-row-local expectations don't fit a row
+    predicate — check those with a second aggregate (see
+    unique_key_violations below); everything row-local (non-null,
+    accepted values, ranges, regex shape) belongs here. The gate
+    pattern: run before promotion, route `n_violations > 0` to
+    quarantine instead of raising mid-pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, bad in rules:
+        aggs.append(
+            F.sum(
+                F.coalesce(bad.cast("boolean"), F.lit(True)).cast("bigint")
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
+    return one.selectExpr(
+        f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "__n AS n_rows"
+    )
+
+
+def unique_key_violations(
+    df: "DataFrame", key_cols: list[str], rule: str = "unique_key"
+) -> "DataFrame":
+    """The non-row-local expectation: number of rows carrying a
+    duplicated key (0 when the key is unique). One groupBy on the key —
+    map-side combinable; the shuffle carries one row per distinct key.
+    Output matches contract_violations' schema for unionByName.
+    """
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per_key.agg(
+        F.lit(rule).alias("rule"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c"))), F.lit(0)
+        ).cast("bigint").alias("n_violations"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_rows"),
+    )

@@ -931,3 +931,68 @@ def u6_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         open(done, "w").close()
     return read_bucketed_control(spark, table)
+
+
+@register(
+    "a13_data_contract",
+    oracle="""
+    WITH base AS (
+      SELECT
+        count(*) AS n,
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key_not_null,
+        sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                   OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v_status_domain,
+        sum(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+                 THEN 1 ELSE 0 END) AS v_price_positive,
+        sum(CASE WHEN o_orderdate > TIMESTAMP '2026-08-14 00:00:00'
+                   OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date_not_future
+      FROM orders),
+    uniq AS (
+      SELECT coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup_rows,
+             coalesce(sum(c), 0) AS n
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+    SELECT 'key_not_null' AS rule, v_key_not_null AS n_violations, n FROM base
+    UNION ALL
+    SELECT 'status_domain', v_status_domain, n FROM base
+    UNION ALL
+    SELECT 'price_positive', v_price_positive, n FROM base
+    UNION ALL
+    SELECT 'date_not_future', v_date_not_future, n FROM base
+    UNION ALL
+    SELECT 'unique_key', dup_rows, n FROM uniq
+    """,
+    doc="A13 (data contracts): the dbt-test/Great-Expectations gate as "
+    "engine operators — four row-local expectations (non-null key, "
+    "status domain, positive price, no future dates) evaluated in ONE "
+    "codegen aggregate pass (operators/relational.py:contract_violations"
+    "; NULL rule results count as violations), plus the non-row-local "
+    "unique-key expectation as one map-side-combinable groupBy "
+    "(unique_key_violations). Output is the violation ledger a "
+    "promotion gate routes on — the quality gate the reference lacks "
+    "entirely (its malformed rows surface as runtime scrape failures, "
+    "collect-data.py:177-187). At 100 TB: one scan for all row-local "
+    "rules, one key-width shuffle for uniqueness.",
+)
+def a13_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.relational import (
+        contract_violations,
+        unique_key_violations,
+    )
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    rules = [
+        ("key_not_null", F.col("o_orderkey").isNull()),
+        ("status_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ("price_positive", ~(F.col("o_totalprice") > 0)),
+        (
+            "date_not_future",
+            F.col("o_orderdate") > F.lit("2026-08-14 00:00:00").cast("timestamp"),
+        ),
+    ]
+    row_local = contract_violations(orders, rules).withColumnRenamed(
+        "n_rows", "n"
+    )
+    uniq = unique_key_violations(orders, ["o_orderkey"]).withColumnRenamed(
+        "n_rows", "n"
+    )
+    return row_local.unionByName(uniq)

@@ -482,3 +482,51 @@ def test_delete_keys_crash_recovery(spark, tmp_path, monkeypatch):
     back = M.read_bucketed_control(spark, path)
     ids = {r["id"] for r in back.select("id").collect()}
     assert ids == {i for i in range(100) if i % 3 != 0}
+
+
+def test_contract_violations_counts_and_null_semantics(spark):
+    """Contract gate semantics: violation counts are exact, a NULL rule
+    result counts as a violation (unevaluable expectation is not met),
+    and duplicated keys count ROWS carrying a duplicate, not groups."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.relational import (
+        contract_violations,
+        unique_key_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0),
+            (2, "X", -5.0),     # bad status, bad price
+            (3, None, 7.0),     # NULL status -> domain rule unevaluable
+            (None, "F", None),  # null key; NULL price -> violation
+            (1, "P", 1.0),      # duplicate key 1
+        ],
+        "id LONG, status STRING, price DOUBLE",
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["n_rows"])
+        for r in contract_violations(
+            df,
+            [
+                ("key_not_null", F.col("id").isNull()),
+                ("status_domain", ~F.col("status").isin("O", "F", "P")),
+                ("price_positive", ~(F.col("price") > 0)),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "key_not_null": (1, 5),
+        "status_domain": (2, 5),   # 'X' plus the NULL status
+        "price_positive": (2, 5),  # -5.0 plus the NULL price
+    }
+
+    u = unique_key_violations(df, ["id"]).collect()[0]
+    # key 1 appears twice -> 2 rows carry a duplicated key
+    assert (u["rule"], u["n_violations"], u["n_rows"]) == ("unique_key", 2, 5)
+
+    # empty input: zero everywhere, not NULL
+    empty = spark.createDataFrame([], "id LONG, status STRING, price DOUBLE")
+    u0 = unique_key_violations(empty, ["id"]).collect()[0]
+    assert (u0["n_violations"], u0["n_rows"]) == (0, 0)
