@@ -156,3 +156,50 @@ def sniff_media_format(media: DataFrame,
         "type_consistent",
         families[F.col("sniffed_format")] == F.col("media_type"),
     )
+
+
+def _le_uint(hex_col, pos: int, nbytes: int):
+    """Little-endian unsigned int from a hex string column: reverse the
+    byte pairs at 1-based hex position `pos`, then conv base-16. Pure
+    codegen — this is how binary header fields decode without Python."""
+    pairs = [
+        F.substring(hex_col, pos + 2 * i, 2) for i in reversed(range(nbytes))
+    ]
+    return F.conv(F.concat(*pairs), 16, 10).cast("bigint")
+
+
+def wav_header_meta(media: DataFrame,
+                    content_col: str = "content",
+                    id_col: str = "media_id") -> DataFrame:
+    """REAL audio metadata extraction with no codec dependency: parse the
+    canonical 44-byte PCM WAV header (RIFF little-endian layout) entirely
+    in JVM codegen — hex the header once, decode each field by
+    reversing its byte pairs and conv(16,10).
+
+    Fields: channels (offset 22), sample rate (24), byte rate (28), bits
+    per sample (34), data size (40); duration_ms is exact integer
+    arithmetic (data_bytes * 1000 div byte_rate). Non-WAV rows (wrong
+    RIFF/WAVE magic) yield NULLs — route them through sniff_media_format
+    first. This is the metadata pass a 100 TB audio corpus runs BEFORE
+    deciding what to decode: length/rate filters drop the bulk of a
+    crawl without touching a codec. Zero exchanges, zero Python.
+    """
+    h = F.hex(F.substring(F.col(content_col), 1, 44))
+    is_wav = h.startswith("52494646") & (F.substring(h, 17, 8) == "57415645")
+    guard = lambda c: F.when(is_wav, c)
+    byte_rate = _le_uint(h, 57, 4)       # offset 28 -> hex pos 57
+    data_bytes = _le_uint(h, 81, 4)      # offset 40 -> hex pos 81
+    return media.select(
+        id_col,
+        guard(_le_uint(h, 45, 2)).alias("n_channels"),       # offset 22
+        guard(_le_uint(h, 49, 4)).alias("sample_rate"),      # offset 24
+        guard(_le_uint(h, 69, 2)).alias("bits_per_sample"),  # offset 34
+        guard(data_bytes).alias("data_bytes"),
+        # exact integer floor-division in doubles: subtract the modulus
+        # first so the numerator divides evenly (both < 2^53 -> exact)
+        guard(
+            (data_bytes * 1000 - (data_bytes * 1000) % byte_rate) / byte_rate
+        )
+        .cast("bigint")
+        .alias("duration_ms"),
+    )

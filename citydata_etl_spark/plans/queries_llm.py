@@ -968,3 +968,90 @@ def d4_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d4_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     return S.quantize_embeddings(emb)
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an integer column (synthesis-side mirror of
+    multimodal._le_uint)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))),
+                   2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+@register(
+    "d5_wav_meta",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS ch,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000
+                  WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+             1000 + doc_id % 5000 AS n_samples,
+             doc_id % 7 = 0 AS is_png
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN is_png THEN NULL ELSE ch END AS n_channels,
+           CASE WHEN is_png THEN NULL ELSE rate END AS sample_rate,
+           CASE WHEN is_png THEN NULL ELSE 16 END AS bits_per_sample,
+           CASE WHEN is_png THEN NULL
+                ELSE n_samples * ch * 2 END AS data_bytes,
+           CASE WHEN is_png THEN NULL
+                ELSE (n_samples * ch * 2 * 1000) // (rate * ch * 2)
+           END AS duration_ms
+    FROM params
+    """,
+    doc="D5 [north-star multimodal]: WAV header metadata extraction — "
+    "REAL binary parsing with no codec dependency: the canonical 44-byte "
+    "RIFF/PCM header decodes entirely in codegen (hex the header once, "
+    "little-endian fields = byte-pair reversal + conv(16,10); "
+    "operators/multimodal.py:wav_header_meta), duration in exact integer "
+    "ms. Blobs are synthesized with genuine headers (channels/rate/"
+    "length cycling by doc_id; every 7th row is a PNG that must yield "
+    "NULLs), so the oracle states every field in closed form; the parser "
+    "itself is additionally pinned against Python's own wave-module "
+    "output on real bytes (tests/test_multimodal.py). This is the "
+    "pre-decode triage a 100 TB audio corpus runs: length/rate filters "
+    "drop the bulk of a crawl without touching a codec.",
+)
+def d5_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import wav_header_meta
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    ch = (1 + F.col("doc_id") % 2).cast("bigint")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("bigint")
+    )
+    n_samples = (1000 + F.col("doc_id") % 5000).cast("bigint")
+    data_bytes = n_samples * ch * 2
+    byte_rate = rate * ch * 2
+    wav_hex = F.concat(
+        F.lit("52494646"), _le_hex(data_bytes + 36, 4),   # 'RIFF' + size
+        F.lit("57415645"), F.lit("666D7420"),             # 'WAVE' 'fmt '
+        _le_hex(F.lit(16).cast("bigint"), 4),             # fmt chunk size
+        _le_hex(F.lit(1).cast("bigint"), 2),              # PCM
+        _le_hex(ch, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(ch * 2, 2),                               # block align
+        _le_hex(F.lit(16).cast("bigint"), 2),             # bits/sample
+        F.lit("64617461"), _le_hex(data_bytes, 4),        # 'data' + size
+    )
+    png_hex = F.lit("89504E470D0A1A0A" + "00" * 36)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.when(F.col("doc_id") % 7 == 0, png_hex).otherwise(wav_hex)
+        ).alias("content"),
+    )
+    return wav_header_meta(media)

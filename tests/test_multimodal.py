@@ -83,3 +83,38 @@ def test_sniff_media_format_on_real_headers(spark):
     assert out[8]["type_consistent"] is False  # declared image, actually wav
     assert out[9]["sniffed_format"] == "unknown"
     assert out[9]["type_consistent"] is None  # unknown -> no family claim
+
+
+def test_wav_header_meta_parses_real_wave_file(spark):
+    """The header parser must agree with Python's own wave writer on a
+    genuine WAV byte stream, and yield NULLs for non-WAV content."""
+    import io
+    import wave
+
+    from citydata_etl_spark.operators.multimodal import wav_header_meta
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01" * 2 * 22050)  # 0.5 s stereo
+    blob = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"\x89PNG\r\n\x1a\nxxxx" * 5))],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in wav_header_meta(media).collect()}
+    r = rows[1]
+    assert r["n_channels"] == 2
+    assert r["sample_rate"] == 44100
+    assert r["bits_per_sample"] == 16
+    assert r["data_bytes"] == 2 * 2 * 22050
+    assert r["duration_ms"] == 500
+    png = rows[2]
+    assert all(
+        png[c] is None
+        for c in ("n_channels", "sample_rate", "bits_per_sample",
+                  "data_bytes", "duration_ms")
+    )
