@@ -225,3 +225,35 @@ def unique_key_violations(
         ).cast("bigint").alias("n_violations"),
         F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_rows"),
     )
+
+
+def referential_violations(
+    child: "DataFrame",
+    parent: "DataFrame",
+    fk_col: str,
+    pk_col: str,
+    rule: str,
+) -> "DataFrame":
+    """The cross-table expectation: rows whose foreign key has no match
+    in the parent table (NULL FKs are orphans too — an unresolvable
+    reference is not met). One LEFT ANTI join on the key — the parent
+    side reduces to its distinct key projection, so at 100 TB this is a
+    key-width join, broadcast when the parent's key set is bounded
+    (dimension tables) and shuffle otherwise, AQE's call. Output matches
+    contract_violations' schema for unionByName.
+    """
+    from pyspark.sql import functions as F
+
+    keys = (
+        parent.select(F.col(pk_col).alias(fk_col))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = child.select(fk_col).join(keys, fk_col, "left")
+    return joined.agg(
+        F.lit(rule).alias("rule"),
+        F.coalesce(
+            F.sum(F.isnull("__hit").cast("bigint")), F.lit(0)
+        ).cast("bigint").alias("n_violations"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

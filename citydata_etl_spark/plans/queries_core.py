@@ -996,3 +996,62 @@ def a13_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n"
     )
     return row_local.unionByName(uniq)
+
+
+@register(
+    "a14_referential_integrity",
+    oracle="""
+    SELECT 'orders_customer' AS rule,
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS n_violations,
+           count(*) AS n_rows
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orders',
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+           count(*)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_supplier',
+           sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
+           count(*)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    doc="A14 (referential integrity): the cross-table expectation "
+    "completing the contract family (A13 covers row-local + uniqueness) "
+    "— orphaned-FK counts for orders->customer, lineitem->orders, "
+    "lineitem->supplier via one left join + aggregate each "
+    "(operators/relational.py:referential_violations; NULL FKs count as "
+    "orphans). The parent side reduces to its distinct key projection, "
+    "so each check is a key-width join — broadcast for bounded "
+    "dimensions, shuffle otherwise, AQE's call. The ingest-time FK "
+    "audit a 100 TB star schema runs before publishing a snapshot.",
+)
+def a14_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.relational import referential_violations
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    customer = read_testdata(spark, sf_dir, "customer")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    supplier = read_testdata(spark, sf_dir, "supplier")
+    checks = [
+        referential_violations(
+            orders, customer, "o_custkey", "c_custkey", "orders_customer"
+        ),
+        referential_violations(
+            lineitem.withColumnRenamed("l_orderkey", "fk"),
+            orders,
+            "fk",
+            "o_orderkey",
+            "lineitem_orders",
+        ),
+        referential_violations(
+            lineitem, supplier, "l_suppkey", "s_suppkey", "lineitem_supplier"
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -530,3 +530,20 @@ def test_contract_violations_counts_and_null_semantics(spark):
     empty = spark.createDataFrame([], "id LONG, status STRING, price DOUBLE")
     u0 = unique_key_violations(empty, ["id"]).collect()[0]
     assert (u0["n_violations"], u0["n_rows"]) == (0, 0)
+
+
+def test_referential_violations_orphans_and_null_fk(spark):
+    """FK check semantics: unmatched keys count, NULL FKs count as
+    orphans, duplicate parent keys don't inflate the row count."""
+    from citydata_etl_spark.operators.relational import referential_violations
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "fk LONG"
+    )
+    parent = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "pk LONG"  # dup parent key
+    )
+    r = referential_violations(child, parent, "fk", "pk", "fk_check").collect()[0]
+    # orphans: 9 (no parent) and NULL -> 2; duplicate child fk=2 rows both
+    # match ONCE each (distinct parent keys), so n_rows stays 5
+    assert (r["rule"], r["n_violations"], r["n_rows"]) == ("fk_check", 2, 5)
