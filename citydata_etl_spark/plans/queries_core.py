@@ -1055,3 +1055,42 @@ def a14_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "s16_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey AS region, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation GROUP BY region
+    """,
+    doc="S16 (format widening): XML source + sink round-trip on Spark 4's "
+    "built-in XML data source — nation is written once per session as "
+    "row-tagged XML and read back through the schema-aware XML reader; "
+    "hash-matching the parquet-side oracle proves the round-trip is "
+    "lossless. Rounds out format plurality (parquet/CSV/JSON/ORC/text/"
+    "binaryFile/XML) — the natural interchange for the reference's "
+    "markup-shaped sources (its pages ARE markup, collect-data.py:83-89).",
+)
+def s16_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = session_tmpdir(f"s16_xml_{tag}") + "/nation_xml"
+    nation = read_testdata(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    if not os.path.exists(path):
+        (
+            nation.write.format("xml")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .save(path)
+        )
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    return back.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
