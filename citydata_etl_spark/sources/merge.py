@@ -242,21 +242,41 @@ def delete_keys(
     the GDPR/right-to-erasure primitive.  Same bucket discipline as
     merge_upsert: only partitions whose bucket contains a requested key
     are read (partition pruning on the bucket filter) and rewritten
-    (dynamic partition overwrite) with an ANTI join against the key set;
-    every other bucket's files are untouched, so the rewrite cost scales
-    with the delete set's bucket spread, never the table size.
+    with an ANTI join against the key set; every other bucket's files
+    are untouched, so the rewrite cost scales with the delete set's
+    bucket spread, never the table size.  A bucket whose every row is
+    deleted loses its partition directory entirely.
 
-    A bucket whose every row is deleted is rewritten empty (zero data
-    files under its partition directory) rather than dropped — readers
-    see a consistent table either way.
-
-    Commit protocol mirrors merge_upsert: the `_COMMIT` marker is
-    dropped before the bucket overwrites and re-written after the last
-    bucket lands, so a crash mid-delete leaves the table VISIBLY
-    uncommitted (read_bucketed_control refuses) instead of silently
-    half-erased — for erasure requests, re-running the same delete
-    heals and completes the erasure.
+    Protocol: survivors are staged fully materialized to a hidden
+    `.delete_staging` directory BEFORE any live file is dropped, then
+    each affected bucket directory swaps (delete + rename); the
+    `_COMMIT` marker drops before the first swap and is re-written
+    after the last, so a crash anywhere leaves the table VISIBLY
+    uncommitted (read_bucketed_control refuses).  Re-running ANY delete
+    first completes a crashed swap from the staging directory (a staged
+    bucket whose live directory is missing renames into place), so no
+    crash window can lose a survivor: before the first swap the live
+    data is intact; mid-swap the missing bucket's survivors are staged.
     """
+    fs, p = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    staging = hpath(p, ".delete_staging")
+
+    # Heal a crashed previous swap BEFORE reading the table: a staged
+    # bucket whose live directory is missing holds that bucket's only
+    # copy of its survivors — complete its rename, then discard the
+    # rest of the stale staging.
+    if fs.exists(staging):
+        for st in fs.listStatus(staging):
+            name = st.getPath().getName()
+            if name.startswith("bucket=") and not fs.exists(hpath(p, name)):
+                fs.rename(st.getPath(), hpath(p, name))
+        fs.delete(staging, True)
+        # the heal completes the CRASHED operation — re-commit its end
+        # state now, even if this call turns out to have no work itself
+        write_commit_marker(spark, path)
+
     k = keys.select(F.col(key_col)).distinct().withColumn(
         "bucket", bucket_expr(key_col, n_buckets)
     )
@@ -273,11 +293,6 @@ def delete_keys(
     # files. Then swap per bucket. Dynamic partition overwrite cannot
     # be used here: it only touches partitions PRESENT in the written
     # data, so a fully-emptied bucket would keep its old files.
-    fs, p = _fs_and_path(spark, path)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    staging = hpath(p, ".delete_staging")
-    fs.delete(staging, True)
     (
         kept.repartition("bucket")
         .write.mode("overwrite")

@@ -547,3 +547,46 @@ def test_referential_violations_orphans_and_null_fk(spark):
     # orphans: 9 (no parent) and NULL -> 2; duplicate child fk=2 rows both
     # match ONCE each (distinct parent keys), so n_rows stays 5
     assert (r["rule"], r["n_violations"], r["n_rows"]) == ("fk_check", 2, 5)
+
+
+def test_delete_keys_mid_swap_crash_recovers_survivors(spark, tmp_path):
+    """The worst crash window: a bucket's live directory was deleted but
+    its staged survivors were not yet renamed in. The next delete_keys
+    call must FIRST complete the swap from .delete_staging — no survivor
+    is ever lost."""
+    import os
+    import shutil
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id LONG, total LONG"
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=4)
+    dels = spark.createDataFrame([(i,) for i in range(0, 100, 4)], "id LONG")
+    M.delete_keys(spark, path, dels, "id", n_buckets=4)
+    survivors = {r["id"] for r in
+                 M.read_bucketed_control(spark, path).select("id").collect()}
+
+    # simulate the crash: pick a bucket, move its live dir INTO staging
+    # (as if staged but not yet swapped), drop the marker
+    b = next(d for d in os.listdir(path) if d.startswith("bucket="))
+    os.makedirs(os.path.join(path, ".delete_staging"), exist_ok=True)
+    shutil.move(
+        os.path.join(path, b), os.path.join(path, ".delete_staging", b)
+    )
+    os.remove(os.path.join(path, M._COMMIT))
+
+    # a later (disjoint, even empty-effect) delete must heal first
+    M.delete_keys(
+        spark,
+        path,
+        spark.createDataFrame([(999_999,)], "id LONG"),
+        "id",
+        n_buckets=4,
+    )
+    healed = {r["id"] for r in
+              M.read_bucketed_control(spark, path).select("id").collect()}
+    assert healed == survivors
+    assert not os.path.exists(os.path.join(path, ".delete_staging"))
