@@ -857,3 +857,68 @@ def incremental_exact_dedup(
         corpus, text_col=text_col, id_col=id_col
     ).select("norm_sha")
     return collapsed.join(corpus_digests, "norm_sha", "left_anti")
+
+
+def incremental_minhash_neardup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-dup screening of an incoming batch against an existing
+    corpus — the production companion to incremental_exact_dedup: a new
+    crawl drop is checked for near-duplicates of the already-ingested
+    100 TB WITHOUT re-pairing the corpus against itself.
+
+    ids are ALWAYS hash mode (pmod(xxhash64(shingle), P)): cross-batch
+    stability is the whole point — rank-mode ids depend on the
+    vocabulary of the dataframe they were computed over, so a batch
+    ranked alone and a corpus ranked alone disagree, while hashed ids
+    are a pure function of the shingle text.  A real deployment
+    PERSISTS the corpus's (band, sig) table as its near-dup index and
+    only computes signatures for the batch; here both sides derive
+    fresh, but the join topology is the deployment's: batch bands JOIN
+    corpus bands on (band, sig) — cost is the batch's signature
+    pipeline plus one equi-join against the index, never corpus x
+    corpus.  Within-batch pairs are minhash_lsh_pairs(batch) — batch-
+    sized.  Output: (batch_id, corpus_id) candidate pairs, distinct.
+
+    Equivalence: the cross pairs equal minhash_lsh_pairs(batch UNION
+    corpus, id_mode='hash') restricted to (batch, corpus) pairs —
+    pinned by tests/test_dedup_similarity.py.
+    """
+    def bands_of(docs: DataFrame, out_id: str) -> DataFrame:
+        arr = minhash_signature_arrays(
+            docs, num_hashes, shingle_n, text_col, id_col, id_mode="hash"
+        )
+        n_bands = num_hashes // band_size
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("sigs", bi * band_size + 1, band_size),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    ).alias("sig"),
+                )
+                for bi in range(n_bands)
+            ]
+        )
+        return arr.select(
+            F.col(id_col).alias(out_id), F.explode(bands).alias("bs")
+        ).select(out_id, F.col("bs.band").alias("band"),
+                 F.col("bs.sig").alias("sig"))
+
+    b = bands_of(batch, "batch_id")
+    c = bands_of(corpus, "corpus_id")
+    return (
+        b.join(c, ["band", "sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )

@@ -1055,3 +1055,31 @@ def d5_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return wav_header_meta(media)
+
+
+@register(
+    "d4_incremental_neardup",
+    oracle=None,  # hash-mode ids (xxhash64) are engine-specific —
+    # rows-only; the cross-pair equivalence vs the full-union LSH run is
+    # pinned engine-side by
+    # test_incremental_minhash_matches_full_corpus_cross_pairs
+    doc="D4 (incremental ingest NEAR-dup): MinHash-LSH screening of a "
+    "new batch (doc_id%5=0 split) against the existing corpus "
+    "(operators/dedup.py:incremental_minhash_neardup) — the production "
+    "companion to d4_incremental_dedup for non-identical duplicates. "
+    "ids are hash mode BY CONSTRUCTION: cross-batch stability is the "
+    "point (rank ids depend on the vocabulary they were ranked over; "
+    "hashed ids are a pure function of the shingle), which is also why "
+    "this entry is rows-only — the engine-side property test proves the "
+    "split computation finds exactly the full-union run's cross pairs. "
+    "Deployment shape: the corpus's (band, sig) table is the persisted "
+    "near-dup index; per drop you compute batch signatures + ONE "
+    "equi-join against it — never corpus x corpus.",
+)
+def d4_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_minhash_neardup(batch, corpus)

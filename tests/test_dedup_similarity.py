@@ -673,3 +673,35 @@ def test_quantize_embeddings_reconstruction_bound(spark):
         assert np.abs(recon - x).max() <= scale / 254.0 + 1e-12
         # scale is faithfully reported (ppm rounding only)
         assert abs(grp["scale_ppm"].iloc[0] - round(scale * 1e6)) <= 1
+
+
+def test_incremental_minhash_matches_full_corpus_cross_pairs(spark):
+    """Incremental near-dup contract: screening a batch against a corpus
+    must find EXACTLY the cross (batch, corpus) candidate pairs the
+    full-union LSH run finds — hash-mode ids make signatures a pure
+    function of text, so split-computation changes nothing."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_lsh_pairs,
+    )
+    from citydata_etl_spark.sources.readers import read_testdata
+    from tests.conftest import SF_ORACLE
+
+    docs = read_testdata(spark, SF_ORACLE, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in incremental_minhash_neardup(batch, corpus).collect()
+    }
+    full = minhash_lsh_pairs(docs, id_mode="hash")
+    want = set()
+    for r in full.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 5 == 0) != (b % 5 == 0):  # cross pairs only
+            want.add((a, b) if a % 5 == 0 else (b, a))
+    assert got == want
+    assert want, "fixture produced no cross near-dup pairs — test is vacuous"
