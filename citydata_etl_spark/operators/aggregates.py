@@ -225,3 +225,33 @@ def funnel_stages(
         ],
         stage.alias("stage"),
     )
+
+
+def sessionize_dynamic(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_col: Column,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Sessionization with a DATA-DEPENDENT gap: the allowed idle time
+    before the next event depends on the PREVIOUS event (e.g. an 'error'
+    ends its session after 5 minutes of silence, a 'view' allows 30) —
+    the dynamic-gap form Structured Streaming exposes as
+    session_window(ts, gap_expression), here in its batch shape.
+
+    Same lag+cumsum topology as sessionize (ONE shuffle on the key, two
+    window passes over it): a new session starts when the gap since the
+    previous event exceeds THAT event's own threshold.  `gap_col` is the
+    per-row allowed-gap in seconds (any deterministic expression of the
+    row).  Adds session_id (0-based per key).
+    """
+    w_order = W.partitionBy(key).orderBy(ts, order_tiebreak)
+    prev_ts = F.lag(F.col(ts).cast("long")).over(w_order)
+    prev_thr = F.lag(gap_col.cast("long")).over(w_order)
+    gap = F.col(ts).cast("long") - prev_ts
+    is_new = F.when(gap.isNull() | (gap > prev_thr), 1).otherwise(0)
+    w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(w_run) - 1
+    ).drop("__new")

@@ -726,3 +726,62 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
+
+
+@register(
+    "t5_dynamic_gap_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS thr
+      FROM events),
+    l AS (
+      SELECT *,
+             lag(tsec) OVER w AS prev_ts,
+             lag(thr) OVER w AS prev_thr
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+    m AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL OR tsec - prev_ts > prev_thr
+                  THEN 1 ELSE 0 END AS is_new
+      FROM l),
+    s AS (
+      SELECT user_id, event_id, tsec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM m)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(tsec) AS session_start, max(tsec) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="T5 (dynamic-gap sessionization): per-user sessions whose idle "
+    "timeout depends on the PREVIOUS event — 5 minutes after an "
+    "'error', 30 minutes otherwise "
+    "(operators/aggregates.py:sessionize_dynamic), the batch twin of "
+    "Structured Streaming's session_window(ts, gap_expression). Same "
+    "one-shuffle lag+cumsum topology as the fixed-gap t5_session_window "
+    "(the gap threshold rides the lag window as a second lagged "
+    "column); the oracle replays the identical state machine in SQL. "
+    "Fixed timeouts mis-split real traffic — bursty flows need short "
+    "gaps, browsing flows long ones; the dynamic form is what "
+    "production sessionization actually ships.",
+)
+def t5_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.aggregates import sessionize_dynamic
+
+    events = read_testdata(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("tsec"),
+        F.when(F.col("event_type") == "error", 300)
+        .otherwise(1800)
+        .alias("thr"),
+    )
+    s = sessionize_dynamic(events, "user_id", "tsec", F.col("thr"), "event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("tsec").alias("session_start"),
+        F.max("tsec").alias("session_end"),
+    )
