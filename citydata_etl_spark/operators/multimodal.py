@@ -203,3 +203,39 @@ def wav_header_meta(media: DataFrame,
         .cast("bigint")
         .alias("duration_ms"),
     )
+
+
+def png_header_meta(media: DataFrame,
+                    content_col: str = "content",
+                    id_col: str = "media_id") -> DataFrame:
+    """Image metadata without a decoder: the PNG IHDR chunk sits at a
+    FIXED offset (signature 8 bytes + length/type 8 -> width at 17,
+    height at 21, bit depth 25, color type 26, all big-endian), so
+    dimensions parse as plain conv(hex-substring, 16, 10) in codegen.
+
+    The triage companion to wav_header_meta for the image modality:
+    resolution/aspect filters (drop icons, drop absurd aspect ratios)
+    run over a 100 TB crawl without touching a pixel codec.  Non-PNG
+    rows yield NULLs — route through sniff_media_format first.
+    """
+    h = F.hex(F.substring(F.col(content_col), 1, 26))
+    is_png = h.startswith("89504E470D0A1A0A") & (
+        F.substring(h, 25, 8) == "49484452"  # 'IHDR'
+    )
+    guard = lambda c: F.when(is_png, c)
+    be = lambda pos, nbytes: F.conv(
+        F.substring(h, pos, 2 * nbytes), 16, 10
+    ).cast("bigint")
+    width = be(33, 4)   # byte offset 16 (0-based) -> hex pos 33
+    height = be(41, 4)
+    return media.select(
+        id_col,
+        guard(width).alias("width"),
+        guard(height).alias("height"),
+        guard(be(49, 1)).alias("bit_depth"),
+        guard(be(51, 1)).alias("color_type"),
+        # integer per-mille aspect (w*1000 div h), exact in both engines
+        guard(
+            (width * 1000 - (width * 1000) % height) / height
+        ).cast("bigint").alias("aspect_pm"),
+    )

@@ -1083,3 +1083,61 @@ def d4_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return D.incremental_minhash_neardup(batch, corpus)
+
+
+@register(
+    "d5_png_meta",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             16 + doc_id % 2048 AS w,
+             16 + (doc_id * 7) % 1200 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS depth,
+             doc_id % 6 = 0 AS is_jpeg
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN is_jpeg THEN NULL ELSE w END AS width,
+           CASE WHEN is_jpeg THEN NULL ELSE h END AS height,
+           CASE WHEN is_jpeg THEN NULL ELSE depth END AS bit_depth,
+           CASE WHEN is_jpeg THEN NULL ELSE 2 END AS color_type,
+           CASE WHEN is_jpeg THEN NULL
+                ELSE (w * 1000) // h END AS aspect_pm
+    FROM params
+    """,
+    doc="D5 [north-star multimodal]: PNG IHDR metadata extraction — the "
+    "image twin of d5_wav_meta: width/height/bit-depth/color-type parse "
+    "at fixed offsets as big-endian conv(hex-substring, 16, 10), plus an "
+    "exact integer per-mille aspect ratio "
+    "(operators/multimodal.py:png_header_meta) — resolution/aspect "
+    "triage over an image crawl with no pixel codec. Headers are "
+    "synthesized in closed form (dims cycling by doc_id; every 6th row "
+    "a JPEG that must yield NULLs); the parser is separately pinned "
+    "against a genuine spec-assembled PNG byte stream in "
+    "tests/test_multimodal.py.",
+)
+def d5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import png_header_meta
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    w = (16 + F.col("doc_id") % 2048).cast("bigint")
+    h = (16 + (F.col("doc_id") * 7) % 1200).cast("bigint")
+    depth = F.when(F.col("doc_id") % 2 == 0, 8).otherwise(16).cast("bigint")
+    be = lambda col, nbytes: F.lpad(F.hex(col), 2 * nbytes, "0")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),      # signature
+        F.lit("0000000D"),              # IHDR length 13
+        F.lit("49484452"),              # 'IHDR'
+        be(w, 4), be(h, 4), be(depth, 1),
+        F.lit("02"),                    # color type 2 (RGB)
+        F.lit("000000"),                # compression/filter/interlace
+    )
+    jpeg_hex = F.lit("FFD8FFE0" + "00" * 22)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.when(F.col("doc_id") % 6 == 0, jpeg_hex).otherwise(png_hex)
+        ).alias("content"),
+    )
+    return png_header_meta(media)

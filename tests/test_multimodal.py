@@ -118,3 +118,33 @@ def test_wav_header_meta_parses_real_wave_file(spark):
         for c in ("n_channels", "sample_rate", "bits_per_sample",
                   "data_bytes", "duration_ms")
     )
+
+
+def test_png_header_meta_parses_real_png_bytes(spark):
+    """The IHDR parser must agree with a genuine PNG byte stream
+    (hand-assembled per the PNG spec: 3x2 RGB, bit depth 8)."""
+    import struct
+    import zlib
+
+    from citydata_etl_spark.operators.multimodal import png_header_meta
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"RIFFxxxxWAVExxxxxxxxxxxxxx"))],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in png_header_meta(media).collect()}
+    r = rows[1]
+    assert (r["width"], r["height"]) == (3, 2)
+    assert r["bit_depth"] == 8 and r["color_type"] == 2
+    assert r["aspect_pm"] == 1500
+    assert all(rows[2][c] is None
+               for c in ("width", "height", "bit_depth", "color_type",
+                         "aspect_pm"))
