@@ -356,3 +356,49 @@ def f12_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("query_id"),
     )
+
+
+@register(
+    "f14_entity_extract",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             lower(text || ' contact ' || source || doc_id ||
+                   '@example.org visit https://' || source ||
+                   '.docs.example/doc/' || doc_id) AS t
+      FROM documents),
+    pats AS (
+      SELECT * FROM (VALUES
+        ('email', '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'),
+        ('url',   'https?://[a-z0-9./_%-]+')) v(entity_type, pat)),
+    found AS (
+      SELECT a.doc_id, p.entity_type,
+             regexp_extract_all(a.t, p.pat) AS es
+      FROM aug a CROSS JOIN pats p)
+    SELECT doc_id, entity_type,
+           CAST(i - 1 AS BIGINT) AS pos, es[i] AS entity
+    FROM found, UNNEST(range(1, len(es) + 1)) AS r(i)
+    """,
+    doc="F14 (entity extraction extension): the inverse of d4_pii_scrub — "
+    "emit one row per found email/URL with its per-type position "
+    "(operators/text.py:entity_extract) for linking, contact-graph "
+    "building, or quarantine review. regexp_extract_all + posexplode "
+    "per type, unioned: all codegen, zero exchanges (the explode fans "
+    "out inside the scan partition). The synthetic corpus carries no "
+    "entities, so each doc is augmented with a deterministic contact "
+    "trailer derived from its own columns — identical on both sides, "
+    "same convention as pii_scrub.",
+)
+def f14_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import entity_extract
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact "), F.col("source"),
+            F.col("doc_id"), F.lit("@example.org visit https://"),
+            F.col("source"), F.lit(".docs.example/doc/"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return entity_extract(aug)
