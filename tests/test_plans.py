@@ -377,3 +377,14 @@ def test_a12_funnel_single_exchange_no_joins(spark):
     # formatted explain prints each node twice (tree + details)
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_codegen_projections_zero_exchanges(spark):
+    """Entries documented as pure codegen projections (quantization,
+    chunking, header parsers, entity extraction) must plan with ZERO
+    exchanges — a refactor that introduces a shuffle into these
+    embarrassingly-parallel passes fails here."""
+    for name in ("d4_embed_quantize", "d6_chunk_documents",
+                 "d5_wav_meta", "d5_png_meta"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
