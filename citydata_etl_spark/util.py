@@ -86,3 +86,29 @@ def session_tmpdir(tag: str) -> str:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _TMP_ROOTS[tag] = d
     return d
+
+
+def with_metrics(df, name: str, **metrics):
+    """Attach zero-cost accounting metrics to a DataFrame: returns
+    (df', observation) where df' computes `metrics` (aggregate Columns,
+    e.g. F.count(F.lit(1)), F.sum(...)) DURING the next action on df' —
+    no second scan.  At 100 TB this is how a pipeline reports "rows
+    promoted / bytes kept / nulls seen" per run without paying a
+    counting pass: `Observation` metrics ride the existing job's tasks
+    and aggregate on the driver.
+
+        out, obs = with_metrics(cleaned, "promote",
+                                n=F.count(F.lit(1)),
+                                total=F.sum("price"))
+        out.write.parquet(dst)
+        log(obs.get)          # {'n': ..., 'total': ...}
+
+    The metrics reflect the rows that FLOWED THROUGH df' in that action
+    (post-filter, pre-downstream), which is exactly the accounting
+    boundary an ETL step reports on.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    return observed, obs

@@ -590,3 +590,29 @@ def test_delete_keys_mid_swap_crash_recovers_survivors(spark, tmp_path):
               M.read_bucketed_control(spark, path).select("id").collect()}
     assert healed == survivors
     assert not os.path.exists(os.path.join(path, ".delete_staging"))
+
+
+def test_with_metrics_rides_the_action(spark):
+    """Observation metrics must report the rows that flowed through the
+    observed node during the SAME action — no extra job, correct values
+    after a downstream filter is applied upstream of the observation."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.util import with_metrics
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    kept = df.filter(F.col("id") % 4 == 0)
+    out, obs = with_metrics(
+        kept, "acct", n=F.count(F.lit(1)), total=F.sum("v")
+    )
+    n_jobs_before = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup() or []
+    )
+    assert out.count() == 250
+    got = obs.get
+    assert got["n"] == 250
+    assert got["total"] == sum(i * 2 for i in range(0, 1000, 4))
+    n_jobs_after = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup() or []
+    )
+    assert n_jobs_after - n_jobs_before <= 2  # the count's own job(s) only
