@@ -754,3 +754,70 @@ def d6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d6_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     return P.negative_pairs(docs, k=4, per_bucket=8)
+
+
+@register(
+    "d6_ppl_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS total FROM tok),
+    s AS (
+      SELECT doc_id,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+                  AS BIGINT) AS lp
+      FROM tok JOIN v USING (token) CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(lp) AS BIGINT) AS lp_sum
+      FROM s GROUP BY doc_id),
+    ranked AS (
+      SELECT d.doc_id, d.lang,
+             sc.lp_sum * 1.0 / sc.n_tokens AS avg_lp,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY sc.lp_sum * 1.0 / sc.n_tokens DESC,
+                                     d.doc_id) AS t
+      FROM documents d JOIN scored sc ON d.doc_id = sc.doc_id)
+    SELECT doc_id, lang,
+           round(avg_lp / 1000000.0, 6) AS avg_logprob,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket,
+           t <= 2 AS keep
+    FROM ranked
+    """,
+    doc="D6 (CCNet perplexity bucketing, Wenzek et al. 2020): per-LANGUAGE "
+    "LM-score terciles — head/middle/tail by average token log-prob "
+    "(higher = lower perplexity), with the paper's keep rule "
+    "(head+middle). Composes the oracled unigram LM "
+    "(operators/text.py:unigram_logprob, integer-micros exact) with one "
+    "ntile window PARTITIONED BY lang — per-language parallelism at any "
+    "corpus size, no global sort; ordering ties break on doc_id so the "
+    "tercile cut is total. This is the quality-stratification step "
+    "CCNet actually ships between LM scoring and sampling.",
+)
+def d6_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.text import unigram_logprob
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).select(
+        "doc_id",
+        (F.col("logprob_micros") * 1.0 / F.col("n_tokens")).alias("avg_lp"),
+    )
+    joined = docs.select("doc_id", "lang").join(scored, "doc_id")
+    w = W.partitionBy("lang").orderBy(F.desc("avg_lp"), F.col("doc_id"))
+    t = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("avg_lp") / 1000000.0, 6).alias("avg_logprob"),
+        F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+        .alias("ppl_bucket"),
+        (t <= 2).alias("keep"),
+    )
