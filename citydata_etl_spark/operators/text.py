@@ -502,3 +502,73 @@ def entity_extract(docs: DataFrame, text_col: str = "text",
                  "entity")
 
     return one("email", email_re).unionByName(one("url", url_re))
+
+
+#: OOV log-prob penalty in integer micros (~ln(1e-9)), a LITERAL so both
+#: engines agree bit-for-bit without evaluating a transcendental.
+OOV_PENALTY_MICROS = -20_723_266
+
+
+def crossdomain_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's ACTUAL deployment shape for LM scoring (Wenzek et al.
+    2020): the unigram model trains on a clean REFERENCE corpus
+    (`train`) and scores a different corpus (`score`) — unlike
+    unigram_logprob, whose self-trained score conflates 'fluent' with
+    'typical of itself'.  Out-of-vocabulary tokens get a fixed integer
+    penalty (OOV_PENALTY_MICROS — a literal, so no cross-engine
+    transcendental) and are counted per doc: a high OOV rate is itself
+    a quality signal.
+
+    Same determinism (integer-micros before summing) and scale shape as
+    unigram_logprob: train-side vocab is a plain equi-join probe (AQE
+    decides broadcast), the 1-row train total broadcasts, one shuffle
+    per corpus explode + the per-doc reduce.
+    """
+    t_toks = train.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("token")
+    )
+    vocab = t_toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = t_toks.agg(F.count("*").alias("total"))
+
+    s_toks = score.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("token"),
+    )
+    seen_lp = F.floor(
+        F.log(F.col("cnt").cast("double") / F.col("total")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    lp = F.when(F.col("cnt").isNull(), F.lit(OOV_PENALTY_MICROS)).otherwise(
+        seen_lp
+    )
+    return (
+        s_toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("cnt").isNull().cast("bigint")).alias("n_oov"),
+            F.sum(lp).cast("bigint").alias("logprob_micros"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            "logprob_micros",
+            F.round(
+                F.col("logprob_micros").cast("double")
+                / 1000000.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -821,3 +821,55 @@ def d6_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ppl_bucket"),
         (t <= 2).alias("keep"),
     )
+
+
+@register(
+    "d6_crossdomain_lm",
+    oracle="""
+    WITH train AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+      WHERE source IN ('src0','src1','src2','src3','src4')),
+    v AS (SELECT token, count(*) AS cnt FROM train GROUP BY token),
+    tot AS (SELECT count(*) AS total FROM train),
+    s_toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+      WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+    scored AS (
+      SELECT s.doc_id,
+             v.cnt IS NULL AS oov,
+             CASE WHEN v.cnt IS NULL THEN -20723266
+                  ELSE CAST(floor(ln(CAST(v.cnt AS DOUBLE) / t.total)
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS lp
+      FROM s_toks s LEFT JOIN v USING (token) CROSS JOIN tot t)
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(lp) AS BIGINT) AS logprob_micros,
+           round(CAST(sum(lp) AS DOUBLE) / 1000000.0 / count(*), 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="D6 (cross-domain LM scoring — CCNet's deployment shape, Wenzek "
+    "et al. 2020): the unigram model trains on a clean REFERENCE subset "
+    "(sources src0-4) and scores the REST "
+    "(operators/text.py:crossdomain_lm_score) — unlike the self-trained "
+    "d4_lm_logprob, this separates 'fluent under the reference' from "
+    "'typical of itself', which is the signal CCNet filters on. "
+    "OOV tokens get a LITERAL integer penalty (no cross-engine "
+    "transcendental) and an explicit per-doc count — high OOV rate is "
+    "itself a quality flag. Same integer-micros exactness and plain "
+    "equi-join probe (AQE decides broadcast) as the self-trained form.",
+)
+def d6_crossdomain_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.text import crossdomain_lm_score
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ref = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return crossdomain_lm_score(docs.filter(ref), docs.filter(~ref))

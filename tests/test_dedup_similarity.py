@@ -705,3 +705,31 @@ def test_incremental_minhash_matches_full_corpus_cross_pairs(spark):
             want.add((a, b) if a % 5 == 0 else (b, a))
     assert got == want
     assert want, "fixture produced no cross near-dup pairs — test is vacuous"
+
+
+def test_crossdomain_lm_oov_branch(spark):
+    """The OOV branch the catalog corpus can't reach (its 31-word
+    vocabulary is fully covered by the reference subset): unseen tokens
+    take the literal integer penalty and are counted per doc."""
+    from citydata_etl_spark.operators.text import (
+        OOV_PENALTY_MICROS,
+        crossdomain_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "aa bb aa cc")], "doc_id LONG, text STRING"
+    )
+    score = spark.createDataFrame(
+        [(10, "aa zz"), (11, "qq rr ss")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in crossdomain_lm_score(train, score).collect()}
+
+    import math
+
+    lp_aa = math.floor(math.log(2 / 4) * 1_000_000 + 0.5)
+    r10 = out[10]
+    assert (r10["n_tokens"], r10["n_oov"]) == (2, 1)
+    assert r10["logprob_micros"] == lp_aa + OOV_PENALTY_MICROS
+    r11 = out[11]
+    assert (r11["n_tokens"], r11["n_oov"]) == (3, 3)
+    assert r11["logprob_micros"] == 3 * OOV_PENALTY_MICROS
