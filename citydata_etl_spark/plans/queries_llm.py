@@ -1141,3 +1141,51 @@ def d5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return png_header_meta(media)
+
+
+@register(
+    "d4_dedup_report",
+    oracle="""
+    WITH g AS (
+      SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM documents GROUP BY text),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             g.n_copies > 1 AS is_duplicated,
+             d.doc_id <> g.canonical_id AS is_loser
+      FROM documents d JOIN g ON d.text = g.text)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN is_duplicated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CASE WHEN is_loser THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_would_drop,
+           (sum(CASE WHEN is_loser THEN 1 ELSE 0 END) * 10000)
+             // count(*) AS drop_bp
+    FROM per_doc GROUP BY source
+    """,
+    doc="D4 (dedup observability): the per-source DEDUP REPORT — how much "
+    "of each source sits in exact-duplicate groups and how much a "
+    "keep-min-id dedup would drop (exact basis points). This is the "
+    "audit that decides WHERE dedup budget goes at 100 TB (a source "
+    "with 40% drop rate is a crawler bug, not a corpus): one content "
+    "groupBy (at scale: on sha2, the d4_exact_dedup note) + one "
+    "source-keyed aggregate; exact integer shares keep it hash-stable.",
+)
+def d4_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    g = D.exact_dedup(docs)  # (text, canonical_id, n_dups)
+    per_doc = docs.select("doc_id", "source", "text").join(g, "text")
+    dup = (F.col("n_dups") > 1).cast("bigint")
+    loser = (F.col("doc_id") != F.col("canonical_id")).cast("bigint")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(dup).cast("bigint").alias("n_in_dup_groups"),
+        F.sum(loser).cast("bigint").alias("n_would_drop"),
+        F.expr(
+            "(sum(CAST(doc_id <> canonical_id AS BIGINT)) * 10000)"
+            " div count(*)"
+        ).alias("drop_bp"),
+    )
