@@ -300,11 +300,14 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
             id_col,
             "n_tokens",
             "logprob_micros",
-            F.round(
-                F.col("logprob_micros").cast("double") / 1000000.0
-                / F.col("n_tokens"),
-                6,
-            ).alias("avg_logprob"),
+            # floor of the SAME double quotient is unambiguous in any
+            # engine (no tie semantics) — round() is not: Spark's
+            # HALF_UP on the exact binary value and DuckDB's round can
+            # disagree by one ulp-digit on boundary quotients (found at
+            # sf0.1). Average stays in exact integer micros.
+            F.floor(
+                F.col("logprob_micros").cast("double") / F.col("n_tokens")
+            ).cast("bigint").alias("avg_lp_micros"),
         )
     )
 
@@ -387,11 +390,14 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
             id_col,
             "n_tokens",
             "logprob_micros",
-            F.round(
-                F.col("logprob_micros").cast("double") / 1000000.0
-                / F.col("n_tokens"),
-                6,
-            ).alias("avg_logprob"),
+            # floor of the SAME double quotient is unambiguous in any
+            # engine (no tie semantics) — round() is not: Spark's
+            # HALF_UP on the exact binary value and DuckDB's round can
+            # disagree by one ulp-digit on boundary quotients (found at
+            # sf0.1). Average stays in exact integer micros.
+            F.floor(
+                F.col("logprob_micros").cast("double") / F.col("n_tokens")
+            ).cast("bigint").alias("avg_lp_micros"),
         )
     )
 
@@ -564,11 +570,13 @@ def crossdomain_lm_score(
             "n_tokens",
             "n_oov",
             "logprob_micros",
-            F.round(
-                F.col("logprob_micros").cast("double")
-                / 1000000.0
-                / F.col("n_tokens"),
-                6,
-            ).alias("avg_logprob"),
+            # floor of the SAME double quotient is unambiguous in any
+            # engine (no tie semantics) — round() is not: Spark's
+            # HALF_UP on the exact binary value and DuckDB's round can
+            # disagree by one ulp-digit on boundary quotients (found at
+            # sf0.1). Average stays in exact integer micros.
+            F.floor(
+                F.col("logprob_micros").cast("double") / F.col("n_tokens")
+            ).cast("bigint").alias("avg_lp_micros"),
         )
     )

@@ -9,6 +9,10 @@ Conventions (they make the driver's order-insensitive value-hash stable):
   - double sums go through DECIMAL(18,2) (exact + associative);
   - transcendental outputs (trig, cosine similarity) are rounded so
     last-ulp libm differences between the JVM and DuckDB cannot flip a bit;
+  - RATIOS of exact integers (averaged micros) use floor(int/int) — never
+    round(): floor of the same double quotient is unambiguous, while
+    Spark's HALF_UP and DuckDB's round disagree on boundary quotients
+    (observed at sf0.1);
   - every LIMIT/rank has a unique-column tie-break.
 """
 

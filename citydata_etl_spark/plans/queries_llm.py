@@ -607,8 +607,8 @@ def d4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok JOIN v USING (token) CROSS JOIN tot)
     SELECT doc_id, count(*) AS n_tokens,
            CAST(sum(lp) AS BIGINT) AS logprob_micros,
-           round(CAST(sum(lp) AS DOUBLE) / 1000000.0 / count(*), 6)
-             AS avg_logprob
+           CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_lp_micros
     FROM s GROUP BY doc_id
     """,
     doc="D4: CCNet-style LM quality scoring (Wenzek et al. 2020) with a "
@@ -660,7 +660,8 @@ def d4_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            count(*) AS n_tokens,
            CAST(sum(lp) AS BIGINT) AS logprob_micros,
-           round(sum(lp) / 1000000.0 / count(*), 6) AS avg_logprob
+           CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_lp_micros
     FROM scored GROUP BY doc_id
     """,
     doc="D4: interpolated BIGRAM LM scoring — one order up from "

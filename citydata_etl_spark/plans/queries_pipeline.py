@@ -783,7 +783,7 @@ def d6_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      d.doc_id) AS t
       FROM documents d JOIN scored sc ON d.doc_id = sc.doc_id)
     SELECT doc_id, lang,
-           round(avg_lp / 1000000.0, 6) AS avg_logprob,
+           CAST(floor(avg_lp) AS BIGINT) AS avg_lp_micros,
            CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket,
            t <= 2 AS keep
@@ -816,7 +816,7 @@ def d6_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id",
         "lang",
-        F.round(F.col("avg_lp") / 1000000.0, 6).alias("avg_logprob"),
+        F.floor("avg_lp").cast("bigint").alias("avg_lp_micros"),
         F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
         .alias("ppl_bucket"),
         (t <= 2).alias("keep"),
@@ -850,8 +850,8 @@ def d6_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, count(*) AS n_tokens,
            CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            CAST(sum(lp) AS BIGINT) AS logprob_micros,
-           round(CAST(sum(lp) AS DOUBLE) / 1000000.0 / count(*), 6)
-             AS avg_logprob
+           CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_lp_micros
     FROM scored GROUP BY doc_id
     """,
     doc="D6 (cross-domain LM scoring — CCNet's deployment shape, Wenzek "
