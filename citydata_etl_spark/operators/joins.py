@@ -236,3 +236,57 @@ def salted_join(
     )
     out = left.join(right, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_col: str = "id",
+    start_col: str = "start",
+    end_col: str = "end",
+    cell_size: int = 86400,
+) -> DataFrame:
+    """All overlapping interval PAIRS within one set — [s_a, e_a] and
+    [s_b, e_b] overlap iff s_a <= e_b AND s_b <= e_a (closed ends) — via
+    GRID BINNING, never a cartesian or theta-only join.
+
+    Each interval emits one row per grid cell it touches (cell =
+    value div cell_size; an interval of length L touches at most
+    L/cell_size + 1 cells), candidates meet through ONE equi-join on the
+    cell, and the overlap predicate verifies inside the join. Pair dedup
+    costs NO distinct exchange: a pair whose overlap spans several
+    shared cells is attributed to the CANONICAL cell — the cell of
+    max(s_a, s_b), the overlap's left edge — and emitted only there
+    (the first-agreeing-chunk trick from simhash pair mining). Cost is
+    linear in intervals x cells-per-interval + true pair density per
+    cell; choose cell_size ~ the typical interval length so both factors
+    stay small. Start/end are LONGs (callers convert timestamps to
+    epoch seconds); requires start <= end.
+    """
+    cells = intervals.select(
+        F.col(id_col).alias("_id"),
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / cell_size).cast("bigint"),
+                (F.col(end_col) / cell_size).cast("bigint"),
+            )
+        ).alias("_cell"),
+    )
+    a = cells.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
+        F.col("_e").alias("e_a"), "_cell",
+    )
+    b = cells.select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),
+        F.col("_e").alias("e_b"), "_cell",
+    )
+    overlap = (F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a"))
+    canonical = F.col("_cell") == (
+        F.greatest("s_a", "s_b") / cell_size
+    ).cast("bigint")
+    return (
+        a.join(b, "_cell")
+        .filter((F.col("id_a") < F.col("id_b")) & overlap & canonical)
+        .select("id_a", "id_b")
+    )

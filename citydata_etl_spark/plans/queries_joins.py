@@ -389,3 +389,48 @@ def j8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "revenue"),
     )
+
+
+@register(
+    "j9_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS id,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               + (1 + o_orderkey % 14) * 86400 AS e
+      FROM orders WHERE o_orderkey % 50 = 0)
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM iv a JOIN iv b
+      ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="J9 (interval overlap extension): all overlapping interval pairs "
+    "within one set — the log-correlation / conflict-detection join "
+    "(operators/joins.py:interval_overlap_pairs). The naive form is a "
+    "theta-only self-join (quadratic, what this oracle states); the "
+    "engine bins intervals to week-grid cells, meets candidates through "
+    "ONE equi-join on the cell, verifies the overlap predicate in the "
+    "join, and dedups multi-cell pairs with zero distinct exchange by "
+    "attributing each pair to the canonical cell of its overlap's left "
+    "edge (the simhash first-agreeing-chunk trick). Cost: intervals x "
+    "(len/cell + 1) rows + true pair density per cell. Plan guard "
+    "pins no-cartesian.",
+)
+def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.floor(F.col("o_orderdate").cast("double"))
+            .cast("bigint")
+            .alias("start"),
+        )
+        .withColumn(
+            "end",
+            F.col("start") + (1 + F.col("id") % 14) * 86400,
+        )
+    )
+    return J.interval_overlap_pairs(
+        iv, "id", "start", "end", cell_size=7 * 86400
+    )

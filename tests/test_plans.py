@@ -388,3 +388,11 @@ def test_codegen_projections_zero_exchanges(spark):
                  "d5_wav_meta", "d5_png_meta"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
+
+
+def test_j9_interval_overlap_no_cartesian(spark):
+    """The binned interval join must meet candidates through an equi-join
+    on the grid cell — never a cartesian / theta-only nested loop."""
+    plan = _plan(spark, "j9_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

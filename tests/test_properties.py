@@ -543,3 +543,42 @@ def test_chunk_documents_coverage(spark, lengths, wincfg):
             new = got[len(rebuilt) - start:] if start < len(rebuilt) else got
             rebuilt.extend(new)
         assert rebuilt == toks
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_overlap_binned_equals_naive(spark, raw, cell):
+    """The grid-binned overlap join must emit EXACTLY the naive
+    all-pairs result, each pair once, for any cell size — the canonical
+    cell attribution cannot drop or duplicate a pair."""
+    from citydata_etl_spark.operators.joins import interval_overlap_pairs
+
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate(raw)]
+    want = {
+        (a[0], b[0])
+        for ai, a in enumerate(rows)
+        for b in rows[ai + 1:]
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    df = spark.createDataFrame(
+        rows, "id LONG, start LONG, end LONG"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_pairs(df, cell_size=cell).collect()
+    }
+    assert got == want
