@@ -85,16 +85,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (all entries, at sf0.01 via PARITY_SF_DIR).
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 3,
+    "a11_heavy_hitters": 0,
+    "a12_event_funnel": 4,
+    "a13_data_contract": 0,
+    "a14_referential_integrity": 0,
     "a1_pricing_summary": 3,
     "a2_approx_distinct": 3,
     "a2_count_distinct": 3,
     "a2_percentiles": 3,
     "a3_cube": 3,
+    "a3_grouping_sets": 4,
     "a3_rollup": 3,
     "a4_ntile": 3,
     "a4_rank_dense_rank": 3,
     "a4_topk_per_group": 3,
     "a5_moving_avg": 3,
+    "a5_time_range_frame": 4,
     "a5_window_lag": 3,
     "a6_global_topk": 3,
     "a7_set_ops": 3,
@@ -102,18 +108,24 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a8_city_score": 3,
     "a9_pivot": 3,
     "d4_ann_ivf": 3,
+    "d4_ann_ivf_dist": 0,
     "d4_ann_lsh": 3,
     "d4_ann_pq": 3,
     "d4_bigram_logprob": 3,
     "d4_bpe_tokens": 3,
     "d4_cosine_topk": 3,
     "d4_dedup_groups": 3,
+    "d4_dedup_report": 0,
     "d4_doc_fingerprint": 3,
     "d4_dup_passage": 3,
     "d4_embed_neardup": 3,
+    "d4_embed_quantize": 4,
     "d4_exact_dedup": 3,
+    "d4_incremental_dedup": 4,
+    "d4_incremental_neardup": 0,
     "d4_lang_id": 3,
     "d4_lm_logprob": 3,
+    "d4_minhash_hash": 0,
     "d4_minhash_lsh": 3,
     "d4_ngram_jaccard": 3,
     "d4_pii_scrub": 3,
@@ -122,11 +134,18 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_semantic_dedup": 3,
     "d4_simhash": 3,
     "d4_simhash_pairs": 3,
+    "d4_text_normalize": 4,
     "d4_tfidf_topk": 3,
     "d4_token_stats": 2,
+    "d5_format_sniff": 4,
     "d5_frame_sample": 2,
     "d5_media_decode": 2,
+    "d5_png_meta": 4,
+    "d5_wav_meta": 4,
+    "d6_blocklist_filter": 4,
+    "d6_chunk_documents": 4,
     "d6_contamination": 2,
+    "d6_crossdomain_lm": 4,
     "d6_curation_pipeline": 2,
     "d6_dedup_keep": 2,
     "d6_domain_cap": 3,
@@ -134,23 +153,27 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_domain_mix_apply": 3,
     "d6_fixed_sample": 3,
     "d6_label_centroid": 2,
+    "d6_negative_pairs": 4,
     "d6_pack_sequences": 2,
+    "d6_ppl_buckets": 4,
     "d6_quality_funnel": 2,
     "d6_shard_stats": 2,
     "d6_stratified_sample": 2,
+    "d6_temperature_mix": 4,
     "d6_train_split": 2,
-    "e2e_collect_run": 1,
-    "f10_conditional": 1,
+    "e2e_collect_run": 4,
+    "f10_conditional": 4,
     "f11_haversine": 3,
     "f12_url_parse": 3,
     "f13_variant_json": 3,
-    "f1_f3_dual_ts_roundtrip": 1,
-    "f2_date_parts": 1,
-    "f4_f5_split_element": 1,
-    "f6_key_building": 1,
-    "f7_json_extract": 1,
-    "f8_html_extract": 1,
-    "f9_split_explode": 1,
+    "f14_entity_extract": 4,
+    "f1_f3_dual_ts_roundtrip": 4,
+    "f2_date_parts": 4,
+    "f4_f5_split_element": 4,
+    "f6_key_building": 4,
+    "f7_json_extract": 4,
+    "f8_html_extract": 4,
+    "f9_split_explode": 4,
     "j1_broadcast_lookup": 2,
     "j2_anti_join": 2,
     "j2_semi_join": 2,
@@ -161,11 +184,20 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j6_asof_join": 2,
     "j6_asof_nearest": 2,
     "j7_salted_skew_join": 2,
-    "p1_pending_filter": 1,
-    "p2_projection": 1,
-    "p3_point_filter": 1,
-    "p4_dynamic_filter": 1,
-    "p6_first_row": 1,
+    "j8_bucketed_join": 4,
+    "j9_interval_overlap": 4,
+    "p1_pending_filter": 4,
+    "p2_projection": 4,
+    "p3_point_filter": 4,
+    "p4_dynamic_filter": 4,
+    "p6_first_row": 4,
+    "s10_orc_roundtrip": 4,
+    "s11_compaction": 4,
+    "s12_schema_evolution": 4,
+    "s13_sorted_layout": 4,
+    "s14_partition_pruned_read": 4,
+    "s15_corrupt_records": 4,
+    "s16_xml_roundtrip": 4,
     "s1_csv_scan": 1,
     "s2_typed_csv_scan": 1,
     "s3_json_scan": 1,
@@ -176,6 +208,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t1_streaming_tumbling": 2,
     "t2_streaming_dedup": 2,
     "t3_cdc_promote": 3,
+    "t5_dynamic_gap_session": 0,
     "t5_session_window": 2,
     "t5_sliding_window": 2,
     "t5_tumbling_window": 2,
@@ -183,11 +216,14 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t6_stream_enrich": 2,
     "t7_stream_left_outer_join": 3,
     "t7_stream_stream_join": 3,
+    "t8_stream_dedup_watermark": 4,
+    "t9_streaming_upsert": 4,
     "u1_keyed_update": 1,
     "u2_masked_update": 1,
     "u3_status_routing": 1,
     "u4_scd2_history": 1,
     "u5_merge_upsert": 3,
+    "u6_keyed_delete": 4,
 }
 
 

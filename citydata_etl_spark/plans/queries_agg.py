@@ -541,8 +541,8 @@ def a10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT sum(n_rows) AS _total, count(*) AS n_keys FROM counts)
     SELECT l_suppkey, n_rows,
-           (n_rows * 1000000) // _total AS share_ppm,
-           (n_rows * n_keys * 100) // _total AS x_avg_pct
+           CAST((n_rows * 1000000) // _total AS BIGINT) AS share_ppm,
+           CAST((n_rows * n_keys * 100) // _total AS BIGINT) AS x_avg_pct
     FROM counts, tot
     ORDER BY n_rows DESC, l_suppkey
     LIMIT 20

@@ -933,23 +933,33 @@ def u6_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bucketed_control(spark, table)
 
 
+#: Single pinned freshness bound shared by the a13 Spark rule list and its
+#: oracle SQL — one constant, so the contract cannot silently diverge as the
+#: fixtures age (the testdata's max o_orderdate is well before this).
+A13_FRESHNESS_BOUND = "2026-08-14 00:00:00"
+
+
 @register(
     "a13_data_contract",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT
-        count(*) AS n,
-        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key_not_null,
-        sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                   OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v_status_domain,
-        sum(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
-                 THEN 1 ELSE 0 END) AS v_price_positive,
-        sum(CASE WHEN o_orderdate > TIMESTAMP '2026-08-14 00:00:00'
-                   OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date_not_future
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_key_not_null,
+        CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                   OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_status_domain,
+        CAST(sum(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+        CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '{A13_FRESHNESS_BOUND}'
+                   OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_date_not_future
       FROM orders),
     uniq AS (
-      SELECT coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup_rows,
-             coalesce(sum(c), 0) AS n
+      SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS dup_rows,
+             CAST(coalesce(sum(c), 0) AS BIGINT) AS n
       FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
     SELECT 'key_not_null' AS rule, v_key_not_null AS n_violations, n FROM base
     UNION ALL
@@ -986,7 +996,7 @@ def a13_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("price_positive", ~(F.col("o_totalprice") > 0)),
         (
             "date_not_future",
-            F.col("o_orderdate") > F.lit("2026-08-14 00:00:00").cast("timestamp"),
+            F.col("o_orderdate") > F.lit(A13_FRESHNESS_BOUND).cast("timestamp"),
         ),
     ]
     row_local = contract_violations(orders, rules).withColumnRenamed(
@@ -1002,21 +1012,21 @@ def a13_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a14_referential_integrity",
     oracle="""
     SELECT 'orders_customer' AS rule,
-           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_violations,
-           count(*) AS n_rows
+           CAST(count(*) AS BIGINT) AS n_rows
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'lineitem_orders',
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
-           count(*)
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
     FROM lineitem l
     LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
       ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'lineitem_supplier',
-           sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END),
-           count(*)
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
     FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
     """,
     doc="A14 (referential integrity): the cross-table expectation "

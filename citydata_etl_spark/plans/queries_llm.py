@@ -1087,6 +1087,71 @@ def d4_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_incremental_neardup_rank",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    vocab AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)),
+    tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle)),
+    hp AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
+             CAST((i * 40503 + 7) % 2147483647 AS BIGINT) AS b
+      FROM (SELECT unnest(range(16)) AS i)),
+    mh AS (
+      SELECT doc_id, i, min((a * tid + b) % 2147483647) AS h
+      FROM tt CROSS JOIN hp GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS s
+      FROM mh GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS batch_id,
+           CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS corpus_id
+    FROM pairs
+    WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+    """,
+    doc="D4 (incremental NEAR-dup, oracle twin): the rank-mode form of "
+    "d4_incremental_neardup — full-union MinHash-LSH (same integer-LCG "
+    "determinism as d4_minhash_lsh) restricted to cross (batch, corpus) "
+    "pairs, batch = doc_id%5=0. This states the incremental operator's "
+    "CONTRACT in oracle-exact SQL: incremental_minhash_neardup finds "
+    "exactly these pairs (the engine-side equivalence property "
+    "test_incremental_minhash_matches_full_corpus_cross_pairs pins the "
+    "hash-mode path to the full-union run; this entry makes the same "
+    "claim driver-checkable). Production runs the hash-mode incremental "
+    "path — rank ids need a shared vocabulary, which only the union "
+    "provides — so this twin exists purely to close the oracle gap.",
+)
+def d4_incremental_neardup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, shingle_n=2)
+    a_in = F.col("doc_a") % 5 == 0
+    b_in = F.col("doc_b") % 5 == 0
+    return pairs.filter(a_in != b_in).select(
+        F.when(a_in, F.col("doc_a")).otherwise(F.col("doc_b")).alias("batch_id"),
+        F.when(a_in, F.col("doc_b")).otherwise(F.col("doc_a")).alias("corpus_id"),
+    )
+
+
+@register(
     "d5_png_meta",
     oracle="""
     WITH params AS (
@@ -1161,8 +1226,8 @@ def d5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_in_dup_groups,
            CAST(sum(CASE WHEN is_loser THEN 1 ELSE 0 END) AS BIGINT)
              AS n_would_drop,
-           (sum(CASE WHEN is_loser THEN 1 ELSE 0 END) * 10000)
-             // count(*) AS drop_bp
+           CAST((sum(CASE WHEN is_loser THEN 1 ELSE 0 END) * 10000)
+             // count(*) AS BIGINT) AS drop_bp
     FROM per_doc GROUP BY source
     """,
     doc="D4 (dedup observability): the per-source DEDUP REPORT — how much "

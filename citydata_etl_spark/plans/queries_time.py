@@ -748,8 +748,9 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM l),
     s AS (
       SELECT user_id, event_id, tsec,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec,
+                                    event_id ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
       FROM m)
     SELECT user_id, session_id,
            count(*) AS n_events,

@@ -22,9 +22,71 @@ ORACLED = [name for name, q in CATALOG.items() if q.oracle is not None]
 ROWS_ONLY = [name for name, q in CATALOG.items() if q.oracle is None]
 
 
+def _hash_class(t) -> str:
+    """Collapse an Arrow type into the class the driver's type-sensitive
+    value hash distinguishes. The round-4 driver failures proved that
+    DuckDB's HUGEINT (decimal128(38,0), surfacing as Python Decimal) hashes
+    differently from int64 even when every value is numerically equal —
+    Python `==` treats Decimal(5) == 5 as True, so a pandas-level compare
+    is blind to the whole class. Any oracle column whose Arrow class
+    differs from the Spark column's class is a driver hash-fail waiting to
+    happen, regardless of values."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_hash_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def assert_arrow_types_match(spark_tbl, duck_tbl, name):
+    """Type-strict schema audit over the Arrow representations both engines
+    actually ship to the driver (Spark toArrow() vs DuckDB
+    fetch_arrow_table()) — the layer where HUGEINT-vs-BIGINT divergence
+    lives."""
+    s_types = {f.name: f.type for f in spark_tbl.schema}
+    d_types = {f.name: f.type for f in duck_tbl.schema}
+    for col in sorted(set(s_types) & set(d_types)):
+        sc, dc = _hash_class(s_types[col]), _hash_class(d_types[col])
+        assert sc == dc, (
+            f"{name}.{col}: Arrow type class mismatch — spark "
+            f"{s_types[col]} ({sc}) vs oracle {d_types[col]} ({dc}); "
+            "the driver's type-sensitive hash WILL fail this even if "
+            "values are equal (cast the oracle column, e.g. "
+            "CAST(... AS BIGINT) for sum()-derived HUGEINTs)"
+        )
+
+
 def normalize(df):
     """Sort columns by name, then rows by all values — the driver's
-    order-insensitive compare."""
+    order-insensitive compare. tz-aware timestamp columns (Spark's
+    toArrow() stamps the session's UTC tz; DuckDB ships naive) are
+    normalized to UTC-naive — same instant, metadata-only difference,
+    and the driver verifiably hashes them equal (f1_f3/p6/j6/u4 are
+    green in its artifacts)."""
+    df = df.copy()
+    for col in df.columns:
+        if getattr(df[col].dtype, "tz", None) is not None:
+            df[col] = df[col].dt.tz_convert("UTC").dt.tz_localize(None)
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), na_position="first")
     return df.reset_index(drop=True)
@@ -60,9 +122,10 @@ def assert_frames_match(sdf, ddf, name):
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, duck, name):
     q = CATALOG[name]
-    sdf = q.spark_fn(spark, SF_ORACLE).toPandas()
-    ddf = duck.execute(q.oracle).fetchdf()
-    assert_frames_match(sdf, ddf, name)
+    s_tbl = q.spark_fn(spark, SF_ORACLE).toArrow()
+    d_tbl = duck.execute(q.oracle).fetch_arrow_table()
+    assert_arrow_types_match(s_tbl, d_tbl, name)
+    assert_frames_match(s_tbl.to_pandas(), d_tbl.to_pandas(), name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
