@@ -196,9 +196,13 @@ def wav_header_meta(media: DataFrame,
         guard(_le_uint(h, 69, 2)).alias("bits_per_sample"),  # offset 34
         guard(data_bytes).alias("data_bytes"),
         # exact integer floor-division in doubles: subtract the modulus
-        # first so the numerator divides evenly (both < 2^53 -> exact)
-        guard(
-            (data_bytes * 1000 - (data_bytes * 1000) % byte_rate) / byte_rate
+        # first so the numerator divides evenly (both < 2^53 -> exact).
+        # byte_rate > 0 guards a magic-valid but malformed header: under
+        # ANSI mode % 0 / / 0 would fail the whole job instead of
+        # yielding NULL for that one row — fatal for 100 TB crawl triage.
+        F.when(
+            is_wav & (byte_rate > 0),
+            (data_bytes * 1000 - (data_bytes * 1000) % byte_rate) / byte_rate,
         )
         .cast("bigint")
         .alias("duration_ms"),
@@ -234,8 +238,11 @@ def png_header_meta(media: DataFrame,
         guard(height).alias("height"),
         guard(be(49, 1)).alias("bit_depth"),
         guard(be(51, 1)).alias("color_type"),
-        # integer per-mille aspect (w*1000 div h), exact in both engines
-        guard(
-            (width * 1000 - (width * 1000) % height) / height
+        # integer per-mille aspect (w*1000 div h), exact in both engines;
+        # height > 0 guards a malformed IHDR — ANSI % 0 would fail the
+        # job for one bad row instead of yielding NULL
+        F.when(
+            is_png & (height > 0),
+            (width * 1000 - (width * 1000) % height) / height,
         ).cast("bigint").alias("aspect_pm"),
     )

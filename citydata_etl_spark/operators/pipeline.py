@@ -711,10 +711,15 @@ def negative_pairs(
         ).alias("nb")
     )
     d = F.col(id_col)
+    # Reduce the id mod 2^31 BEFORE the LCG multiplies: 2^31 * 2654435761
+    # < 2^63, so BIGINT arithmetic never overflows (ANSI mode would
+    # hard-fail the job on ids above ~3.4e9 otherwise); ids below 2^31
+    # are unchanged, and the oracle applies the same reduction.
+    dm = F.pmod(d, F.lit(2147483648))
     buckets = docs.crossJoin(F.broadcast(n1)).select(
         d.alias("cand_id"),
-        ((d * 2654435761 + 104729) % P % F.col("nb")).alias("rb"),
-        (((d * 48271 + 777) % P) * 2147483648 + F.pmod(d, 2147483648))
+        ((dm * 2654435761 + 104729) % P % F.col("nb")).alias("rb"),
+        (((dm * 48271 + 777) % P) * 2147483648 + F.pmod(d, 2147483648))
         .alias("ord"),
     )
     probes = (
@@ -728,7 +733,8 @@ def negative_pairs(
             "anchor",
             F.col("_i").cast("bigint").alias("probe_idx"),
             (
-                (F.col("anchor") * 40503 + F.col("_i") * 69061 + 12345)
+                (F.pmod(F.col("anchor"), F.lit(2147483648)) * 40503
+                 + F.col("_i") * 69061 + 12345)
                 % P
                 % F.col("nb")
             ).alias("tb"),

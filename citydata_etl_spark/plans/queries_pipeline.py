@@ -726,16 +726,19 @@ def d6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (SELECT greatest(count(*) // 8, 1) AS nb FROM documents),
     b AS (
-      SELECT doc_id, (doc_id * 2654435761 + 104729) % 2147483647 % nb AS rb
+      SELECT doc_id,
+             ((doc_id % 2147483648) * 2654435761 + 104729)
+               % 2147483647 % nb AS rb
       FROM documents, n),
     probes AS (
       SELECT d.doc_id AS anchor, i,
-             (d.doc_id * 40503 + i * 69061 + 12345) % 2147483647 % nb AS tb
+             ((d.doc_id % 2147483648) * 40503 + i * 69061 + 12345)
+               % 2147483647 % nb AS tb
       FROM documents d, n, unnest(range(4)) AS t(i)),
     cand AS (
       SELECT p.anchor, p.i AS probe_idx, b.doc_id AS cand_id,
-             ((b.doc_id * 48271 + 777) % 2147483647) * 2147483648
-               + (b.doc_id % 2147483648) AS ord
+             (((b.doc_id % 2147483648) * 48271 + 777) % 2147483647)
+               * 2147483648 + (b.doc_id % 2147483648) AS ord
       FROM probes p JOIN b ON b.rb = p.tb
       WHERE b.doc_id <> p.anchor)
     SELECT anchor, CAST(probe_idx AS BIGINT) AS probe_idx,

@@ -248,34 +248,61 @@ def delete_keys(
     deleted loses its partition directory entirely.
 
     Protocol: survivors are staged fully materialized to a hidden
-    `.delete_staging` directory BEFORE any live file is dropped, then
-    each affected bucket directory swaps (delete + rename); the
+    `.delete_staging` directory BEFORE any live file is touched, then
+    each affected bucket directory swaps via ATOMIC RENAMES only —
+    live renames into a `.delete_trash` sibling, staged renames into
+    place — never a delete of a directory that still holds the only
+    copy of anything (fs.delete is non-atomic on local FS and S3A, so
+    a crash mid-delete would leave a PRESENT-but-partial directory a
+    presence-based heal cannot distinguish from a whole one).  The
     `_COMMIT` marker drops before the first swap and is re-written
     after the last, so a crash anywhere leaves the table VISIBLY
-    uncommitted (read_bucketed_control refuses).  Re-running ANY delete
-    first completes a crashed swap from the staging directory (a staged
-    bucket whose live directory is missing renames into place), so no
-    crash window can lose a survivor: before the first swap the live
-    data is intact; mid-swap the missing bucket's survivors are staged.
+    uncommitted (read_bucketed_control refuses).  Re-running ANY
+    delete first heals: while the marker is absent, every bucket still
+    present in staging is authoritative — the live directory (whole or
+    partial) moves to trash and the staged copy renames into place —
+    so no crash window can lose a survivor: before the marker drops
+    the live data is intact; after it, each bucket's survivors exist
+    in staging until the instant an atomic rename publishes them.
     """
     fs, p = _fs_and_path(spark, path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     staging = hpath(p, ".delete_staging")
+    trash = hpath(p, ".delete_trash")
 
-    # Heal a crashed previous swap BEFORE reading the table: a staged
-    # bucket whose live directory is missing holds that bucket's only
-    # copy of its survivors — complete its rename, then discard the
-    # rest of the stale staging.
-    if fs.exists(staging):
-        for st in fs.listStatus(staging):
-            name = st.getPath().getName()
-            if name.startswith("bucket=") and not fs.exists(hpath(p, name)):
-                fs.rename(st.getPath(), hpath(p, name))
-        fs.delete(staging, True)
-        # the heal completes the CRASHED operation — re-commit its end
-        # state now, even if this call turns out to have no work itself
-        write_commit_marker(spark, path)
+    # Heal a crashed previous swap BEFORE reading the table.
+    if fs.exists(staging) or fs.exists(trash):
+        if not fs.exists(hpath(p, _COMMIT)):
+            # Mid-swap crash: for every bucket still staged, the staged
+            # copy is the authoritative post-delete content (the live
+            # dir may be whole, partial, or already trashed — all
+            # indistinguishable and all superseded). Trash content is
+            # always droppable: a directory only enters trash after its
+            # replacement was fully staged.
+            if fs.exists(staging):
+                for st in fs.listStatus(staging):
+                    name = st.getPath().getName()
+                    if not name.startswith("bucket="):
+                        continue
+                    dst = hpath(p, name)
+                    if fs.exists(dst):
+                        fs.mkdirs(trash)
+                        tb = hpath(trash, name)
+                        fs.delete(tb, True)
+                        fs.rename(dst, tb)
+                    fs.rename(st.getPath(), dst)
+            fs.delete(trash, True)
+            fs.delete(staging, True)
+            # the heal completes the CRASHED operation — re-commit its
+            # end state now, even if this call has no work itself
+            write_commit_marker(spark, path)
+        else:
+            # Crash BEFORE the marker dropped: the live table is still
+            # the committed pre-delete state and staging/trash are
+            # stale artifacts of an operation that never began its swap.
+            fs.delete(staging, True)
+            fs.delete(trash, True)
 
     k = keys.select(F.col(key_col)).distinct().withColumn(
         "bucket", bucket_expr(key_col, n_buckets)
@@ -301,11 +328,16 @@ def delete_keys(
     )
 
     fs.delete(hpath(p, _COMMIT), False)
+    fs.mkdirs(trash)
     for b in affected:
         dst = hpath(p, f"bucket={b}")
-        fs.delete(dst, True)
         src = hpath(staging, f"bucket={b}")
+        if fs.exists(dst):
+            tb = hpath(trash, f"bucket={b}")
+            fs.delete(tb, True)  # stale trash from a healed prior crash
+            fs.rename(dst, tb)  # atomic: live steps aside, still whole
         if fs.exists(src):  # absent = bucket fully erased
-            fs.rename(src, dst)
+            fs.rename(src, dst)  # atomic: survivors publish in one op
+    fs.delete(trash, True)
     fs.delete(staging, True)
     write_commit_marker(spark, path)

@@ -592,6 +592,52 @@ def test_delete_keys_mid_swap_crash_recovers_survivors(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, ".delete_staging"))
 
 
+def test_delete_keys_partial_live_dir_heals_from_staging(spark, tmp_path):
+    """The window the rename protocol exists for: a crash mid-removal
+    leaves a bucket's live directory PRESENT but PARTIAL (fs.delete is
+    non-atomic on local FS / S3A) while staging still holds the full
+    survivor copy. A presence-based heal would keep the partial live dir
+    and discard staging — silent survivor loss. The heal must prefer the
+    staged copy whenever the marker is absent."""
+    import glob
+    import os
+    import shutil
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id LONG, total LONG"
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=4)
+    survivors = set(range(100))
+
+    # simulate: survivors fully staged for one bucket, then a crash
+    # mid-delete of the live dir — copy live to staging, then remove ONE
+    # parquet file from live so it is present-but-partial
+    b = next(d for d in os.listdir(path) if d.startswith("bucket="))
+    os.makedirs(os.path.join(path, ".delete_staging"), exist_ok=True)
+    shutil.copytree(
+        os.path.join(path, b), os.path.join(path, ".delete_staging", b)
+    )
+    victim = glob.glob(os.path.join(path, b, "*.parquet"))[0]
+    os.remove(victim)
+    os.remove(os.path.join(path, M._COMMIT))
+
+    M.delete_keys(
+        spark,
+        path,
+        spark.createDataFrame([(999_999,)], "id LONG"),
+        "id",
+        n_buckets=4,
+    )
+    healed = {r["id"] for r in
+              M.read_bucketed_control(spark, path).select("id").collect()}
+    assert healed == survivors
+    assert not os.path.exists(os.path.join(path, ".delete_staging"))
+    assert not os.path.exists(os.path.join(path, ".delete_trash"))
+
+
 def test_with_metrics_rides_the_action(spark):
     """Observation metrics must report the rows that flowed through the
     observed node during the SAME action — no extra job, correct values

@@ -148,3 +148,41 @@ def test_png_header_meta_parses_real_png_bytes(spark):
     assert all(rows[2][c] is None
                for c in ("width", "height", "bit_depth", "color_type",
                          "aspect_pm"))
+
+
+def test_malformed_headers_yield_null_not_job_failure(spark):
+    """Magic-valid but malformed headers (WAV with byte_rate=0, PNG with
+    height=0) must yield NULL for the divided field in THAT row — under
+    ANSI mode an unguarded % 0 would fail the entire job, which is fatal
+    triaging a 100 TB crawl where one broken file is routine."""
+    import struct
+
+    from citydata_etl_spark.operators.multimodal import (
+        png_header_meta,
+        wav_header_meta,
+    )
+
+    # WAV header with byte_rate = 0 at offset 28
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 0, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id LONG, content BINARY"
+    )
+    r = wav_header_meta(media).collect()[0]
+    assert r["n_channels"] == 2 and r["sample_rate"] == 44100
+    assert r["duration_ms"] is None  # not a DIVIDE_BY_ZERO job abort
+
+    # PNG IHDR with height = 0
+    ihdr = struct.pack(">IIBBBBB", 640, 0, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id LONG, content BINARY"
+    )
+    r = png_header_meta(media).collect()[0]
+    assert r["width"] == 640 and r["height"] == 0
+    assert r["aspect_pm"] is None
