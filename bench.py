@@ -97,7 +97,16 @@ def main() -> None:
     # reported: `queries` (best warm) is method-comparable to the r1/r2
     # best-of-2 numbers, `queries_cold` is the honest single-shot cost
     # the warm method flattered.
-    from citydata_etl_spark.caching import release_caches
+    from citydata_etl_spark.caching import (
+        release_caches,
+        release_thread_caches,
+    )
+
+    # Idle probe: record the host's load average around the sweep so the
+    # artifact is self-describing — a run taken under background load
+    # (everything drifting up 10-20% together) is distinguishable from a
+    # real regression without re-running.
+    load_before = os.getloadavg()
 
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
@@ -118,8 +127,13 @@ def main() -> None:
         except Exception as ex:  # keep the JSON line intact on any failure
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
         # release this query's persisted intermediates so storage memory
-        # does not accumulate across the headline queries in this session
-        release_caches()
+        # does not accumulate across the headline queries in this session.
+        # THREAD caches only: keyed cross-query relations (the shared
+        # shingle bag) are sweep-lifetime by design and bounded (handful
+        # of keys); they drop in the final release below.
+        release_thread_caches()
+    release_caches()
+    load_after = os.getloadavg()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -132,6 +146,9 @@ def main() -> None:
         "queries_cold": timings_cold,
         "sf": sf,
         "method": "best_of_2_warm_plus_cold_single_shot",
+        "load_avg_before": [round(x, 2) for x in load_before],
+        "load_avg_after": [round(x, 2) for x in load_after],
+        "n_cpus": os.cpu_count(),
     }
     if errors:
         out["errors"] = errors

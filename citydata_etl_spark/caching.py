@@ -29,11 +29,13 @@ from __future__ import annotations
 
 import logging
 import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _TRACKED: dict[int, list[DataFrame]] = {}  # owner thread id -> persisted dfs
+_KEYED: dict[tuple, DataFrame] = {}  # cross-query persisted relations
 
 log = logging.getLogger(__name__)
 
@@ -71,10 +73,44 @@ def release_thread_caches() -> int:
     return _release(dfs)
 
 
+def keyed_persist(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    """Session-lifetime persisted relation shared ACROSS queries.
+
+    scoped_persist covers intermediates private to one query plan; this
+    covers relations several catalog queries derive identically from the
+    same source (the documents n-gram shingle bag feeds both the
+    duplicated-passage and contamination queries) — deriving it per
+    query re-runs the scan+explode each time. The registry is keyed by
+    caller-supplied identity (include the source path and the Spark
+    application id — a relation persisted under a stopped session must
+    not be served to a new one) and survives release_thread_caches();
+    only release_caches() (bench/test teardown) drops it. Bounded by the
+    number of distinct keys, which is the number of distinct (source,
+    n-gram order) combinations a sweep touches — single digits.
+
+    Dropping or losing the cache never changes results: consumers get a
+    lazy plan that recomputes from source if evicted.
+    """
+    with _LOCK:
+        df = _KEYED.get(key)
+    if df is not None:
+        return df
+    df = build().persist()
+    with _LOCK:
+        existing = _KEYED.setdefault(key, df)
+    if existing is not df:  # lost a build race — keep the winner
+        df.unpersist()
+        return existing
+    return df
+
+
 def release_caches() -> int:
-    """Unpersist every tracked DataFrame across ALL threads (sweep/test
-    teardown); returns the number released."""
+    """Unpersist every tracked DataFrame across ALL threads plus the
+    keyed cross-query relations (sweep/test teardown); returns the
+    number released."""
     with _LOCK:
         dfs = [df for lst in _TRACKED.values() for df in lst]
+        dfs += list(_KEYED.values())
         _TRACKED.clear()
+        _KEYED.clear()
     return _release(dfs)

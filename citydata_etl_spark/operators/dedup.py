@@ -266,7 +266,7 @@ def shingles(docs: DataFrame, n: int, text_col: str = "text",
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
-    prefix_filter: bool = True,
+    prefix_filter: bool = True, shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above a threshold.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
@@ -289,7 +289,11 @@ def ngram_jaccard_pairs(
     quadratic in per-shingle frequency; used in tests to cross-check the
     filtered plan's exactness.
     """
-    sh = scoped_persist(shingles(docs, n, text_col, id_col))
+    sh = (
+        shingle_rel  # precomputed SET relation, provider-persisted
+        if shingle_rel is not None
+        else scoped_persist(shingles(docs, n, text_col, id_col))
+    )
     if not prefix_filter:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
         a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -386,7 +390,7 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 
 def _doc_token_id_rows(
     docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1,
-    id_mode: str = "rank",
+    id_mode: str = "rank", shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """(id, tid) rows: distinct token/shingle ids per doc.
 
@@ -407,10 +411,18 @@ def _doc_token_id_rows(
     """
     if id_mode not in ("rank", "hash"):
         raise ValueError(f"unknown id_mode: {id_mode!r}")
+    pre_persisted = False
     if shingle_n > 1:
-        tok = shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
-            "shingle", "token"
-        )
+        if shingle_rel is not None:
+            # precomputed SET-semantics (id, shingle) relation, already
+            # persisted by its provider (caching.keyed_persist) — shared
+            # across every shingle consumer in a sweep
+            tok = shingle_rel.withColumnRenamed("shingle", "token")
+            pre_persisted = True
+        else:
+            tok = shingles(
+                docs, shingle_n, text_col, id_col
+            ).withColumnRenamed("shingle", "token")
     else:
         tok = tokens(docs, text_col, id_col)
     if id_mode == "hash":
@@ -422,7 +434,9 @@ def _doc_token_id_rows(
         )
     # persist: tok feeds BOTH the bucket-count pass and the ranking pass of
     # ranked_tokens — without the cache the corpus explode runs twice
-    tok = scoped_persist(tok)
+    # (skipped when the provider already persisted the relation)
+    if not pre_persisted:
+        tok = scoped_persist(tok)
     # fused vocabulary: the dense lexicographic token rank is computed IN
     # PLACE on the (id, token) rows (dense_rank within prefix bucket +
     # distinct-count offsets) — no separate distinct pass and no two-sided
@@ -448,7 +462,7 @@ def _doc_token_ids(
 def minhash_signature_arrays(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
-    id_mode: str = "rank",
+    id_mode: str = "rank", shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sigs ARRAY<BIGINT>): sigs[i] = min over shingle ids of
     (a_i*tid + b_i) mod P.
@@ -461,7 +475,9 @@ def minhash_signature_arrays(
     fold expressions compiled slowly). a_i*tid < 2^62 for any realistic
     vocabulary, so BIGINT arithmetic never overflows.
     """
-    tt = _doc_token_id_rows(docs, text_col, id_col, shingle_n, id_mode)
+    tt = _doc_token_id_rows(
+        docs, text_col, id_col, shingle_n, id_mode, shingle_rel
+    )
     params = _hash_params(num_hashes)
     mins = tt.groupBy(id_col).agg(
         *[
@@ -490,7 +506,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, num_hashes: int = 16, band_size: int = 4,
     shingle_n: int = 2, text_col: str = "text", id_col: str = "doc_id",
-    id_mode: str = "rank",
+    id_mode: str = "rank", shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs whose minhash signatures agree on every row
     of at least one band. Output: (doc_a, doc_b), doc_a < doc_b.
@@ -509,7 +525,7 @@ def minhash_lsh_pairs(
     with bucket collisions rather than corpus size.
     """
     arr = minhash_signature_arrays(
-        docs, num_hashes, shingle_n, text_col, id_col, id_mode
+        docs, num_hashes, shingle_n, text_col, id_col, id_mode, shingle_rel
     )
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -764,7 +780,8 @@ def dedup_groups(
 
 
 def dup_passage_stats(docs: DataFrame, n: int = 4, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      shingle_rel: DataFrame | None = None) -> DataFrame:
     """ExactSubstr-inspired duplicated-passage signals (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" — there a
     suffix array marks character spans that recur anywhere in the corpus;
@@ -782,8 +799,17 @@ def dup_passage_stats(docs: DataFrame, n: int = 4, text_col: str = "text",
     the total's shuffle), reduce per doc. No windows, no arrays held per
     doc, no driver participation — every stage is a hash agg or hash join
     on a key the data is already partitioned by at 100 TB.
+
+    shingle_rel, when given, is a precomputed BAG-semantics (id, shingle)
+    relation for the same (docs, n) — typically a caching.keyed_persist
+    shared with other shingle consumers so the explode runs once per
+    sweep instead of once per query.
     """
-    grams = shingles(docs, n, text_col, id_col, distinct=False)
+    grams = (
+        shingle_rel
+        if shingle_rel is not None
+        else shingles(docs, n, text_col, id_col, distinct=False)
+    )
     # persist: `per` feeds BOTH the gram-total aggregate and the join probe
     # side — without it Spark re-runs the whole shingle explode per branch
     per = scoped_persist(

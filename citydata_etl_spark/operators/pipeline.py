@@ -104,6 +104,7 @@ def stratified_sample_stats(
 def contamination(
     docs: DataFrame, n: int = 4, holdout_mod: int = 23,
     text_col: str = "text", id_col: str = "doc_id",
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Test-set contamination report: for every TRAIN doc sharing at least
     one word n-gram with the held-out set, (doc_id, n_hits, n_shingles,
@@ -118,8 +119,17 @@ def contamination(
     never shuffled except on (doc, shingle). The held-out set is
     benchmark-sized (bounded), hence broadcast, which is what makes n-gram
     decontam feasible at 100 TB (the corpus streams past a hash set).
+
+    shingle_rel, when given, is a precomputed SET-semantics (id, shingle)
+    relation for the same (docs, n) (caching.keyed_persist /
+    readers.read_doc_shingle_set, shared with the MinHash and Jaccard
+    consumers) — the scan+explode+distinct runs once per sweep.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    sh = (
+        shingle_rel
+        if shingle_rel is not None
+        else shingles(docs, n, text_col, id_col)
+    )
     is_held = (F.col(id_col) % holdout_mod) == 0
     held = (
         sh.filter(is_held)

@@ -12,8 +12,6 @@ reference-shaped fixtures.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -22,6 +20,7 @@ from citydata_etl_spark.operators import relational as R
 from citydata_etl_spark.operators.aggregates import dec_sum
 from citydata_etl_spark.plans.catalog import register
 from citydata_etl_spark.sources.readers import read_control_csv, read_testdata
+from citydata_etl_spark.util import session_tmpdir
 
 # A reference-shaped status column derived from orders: 'O' -> pending
 # (empty string), 'P' -> pending (NULL), 'F' -> completed. Both spellings of
@@ -56,7 +55,7 @@ def _orders_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_testdata(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="s1_csv_")
+    tmp = session_tmpdir("s1_csv")
     nation.write.mode("overwrite").option("header", True).csv(tmp)
     back = read_control_csv(spark, tmp, schemas.NATION)
     return back.groupBy("n_regionkey").agg(
@@ -82,7 +81,7 @@ def s1_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_typed_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_testdata(spark, sf_dir, "part")
-    tmp = tempfile.mkdtemp(prefix="s2_csv_")
+    tmp = session_tmpdir("s2_csv")
     part.write.mode("overwrite").option("header", True).csv(tmp)
     back = (
         spark.read.option("header", True)
@@ -430,7 +429,7 @@ def s8_csv_overwrite_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", "total"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="s8_csv_")
+    tmp = session_tmpdir("s8_csv")
     write_control_csv(agg, tmp)
     schema = T.StructType(
         [
@@ -456,7 +455,7 @@ def s8_csv_overwrite_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s7_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="s7_parquet_")
+    tmp = session_tmpdir("s7_parquet")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
     back = spark.read.parquet(tmp)
     return back.groupBy("o_orderstatus").agg(

@@ -76,8 +76,13 @@ def d4_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.py:ngram_jaccard_pairs).",
 )
 def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
     docs = read_testdata(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    return D.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.5,
+        shingle_rel=read_doc_shingle_set(spark, sf_dir, 2),
+    )
 
 
 @register(
@@ -125,8 +130,13 @@ def d4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dense-rank for xxhash64 — same topology, no global sort).",
 )
 def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
     docs = read_testdata(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, shingle_n=2)
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, shingle_n=2,
+        shingle_rel=read_doc_shingle_set(spark, sf_dir, 2),
+    )
 
 
 @register(
@@ -142,9 +152,12 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.py:_doc_token_id_rows id_mode).",
 )
 def d4_minhash_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
     docs = read_testdata(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        docs, num_hashes=16, band_size=4, shingle_n=2, id_mode="hash"
+        docs, num_hashes=16, band_size=4, shingle_n=2, id_mode="hash",
+        shingle_rel=read_doc_shingle_set(spark, sf_dir, 2),
     )
 
 
@@ -714,8 +727,12 @@ def d4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "be exactly dyadic (operators/dedup.py:dup_passage_stats).",
 )
 def d4_dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_shingle_bag
+
     return D.dup_passage_stats(
-        read_testdata(spark, sf_dir, "documents"), n=4
+        read_testdata(spark, sf_dir, "documents"),
+        n=4,
+        shingle_rel=read_doc_shingle_bag(spark, sf_dir, 4),
     )
 
 
@@ -1141,8 +1158,13 @@ def d4_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d4_incremental_neardup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
     docs = read_testdata(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, shingle_n=2)
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, shingle_n=2,
+        shingle_rel=read_doc_shingle_set(spark, sf_dir, 2),
+    )
     a_in = F.col("doc_a") % 5 == 0
     b_in = F.col("doc_b") % 5 == 0
     return pairs.filter(a_in != b_in).select(

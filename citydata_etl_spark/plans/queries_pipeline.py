@@ -95,8 +95,13 @@ def d6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pipeline.py:contamination).",
 )
 def d6_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
     return P.contamination(
-        read_testdata(spark, sf_dir, "documents"), n=4, holdout_mod=23
+        read_testdata(spark, sf_dir, "documents"),
+        n=4,
+        holdout_mod=23,
+        shingle_rel=read_doc_shingle_set(spark, sf_dir, 4),
     )
 
 

@@ -99,3 +99,56 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name, F.col(field.name).cast("timestamp")
             )
     return df
+
+
+def read_doc_shingle_bag(
+    spark: SparkSession, sf_dir: str, n: int
+) -> DataFrame:
+    """The documents table's word n-gram shingle bag (doc_id, shingle),
+    BAG semantics, persisted once per (application, sf_dir, n) via
+    caching.keyed_persist and shared by every catalog query that
+    consumes it (duplicated-passage stats, contamination) — the
+    scan+split+explode runs once per sweep, not once per query. Set
+    semantics are one .distinct() away for consumers that need them.
+
+    At 100 TB this is the same decision as materializing a shingle
+    table next to the corpus: several pipeline stages (dedup audit,
+    decontamination, n-gram LM) all start from the identical derived
+    relation, and deriving it per stage re-reads the corpus per stage.
+    """
+    from citydata_etl_spark.caching import keyed_persist
+    from citydata_etl_spark.operators.dedup import shingles
+
+    key = (
+        "doc_shingle_bag",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        n,
+    )
+    return keyed_persist(
+        key,
+        lambda: shingles(
+            read_testdata(spark, sf_dir, "documents"), n, distinct=False
+        ),
+    )
+
+
+def read_doc_shingle_set(
+    spark: SparkSession, sf_dir: str, n: int
+) -> DataFrame:
+    """SET-semantics companion to read_doc_shingle_bag: the distinct
+    (doc_id, shingle) relation, persisted once per (application, sf_dir,
+    n) and derived FROM the cached bag — so a sweep touching both
+    semantics pays one scan+explode plus one distinct, total, across all
+    consumers (MinHash, n-gram Jaccard, contamination)."""
+    from citydata_etl_spark.caching import keyed_persist
+
+    key = (
+        "doc_shingle_set",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        n,
+    )
+    return keyed_persist(
+        key, lambda: read_doc_shingle_bag(spark, sf_dir, n).distinct()
+    )

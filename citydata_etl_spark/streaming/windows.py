@@ -23,14 +23,21 @@ def read_events_stream(
     maxFilesPerTrigger paces micro-batches — the streaming analog of the
     reference's scrape_interval cadence (reference config.json:7,13).
     """
+    import hashlib
     import os
-    import tempfile
+
+    from citydata_etl_spark.util import session_tmpdir
 
     # the file stream source requires a directory; wrap a single parquet
-    # file in a temp dir (symlink — no copy)
+    # file in a temp dir (symlink — no copy). Session-scoped and keyed by
+    # the target path so a bench sweep re-running the query reuses one
+    # dir instead of leaking a fresh mkdtemp per invocation.
     if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(os.path.abspath(path), os.path.join(d, "part-0.parquet"))
+        tag = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        d = session_tmpdir(f"events_stream_{tag}")
+        link = os.path.join(d, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(path), link)
         path = d
 
     nanos = (

@@ -137,6 +137,22 @@ def test_dup_passage_single_explode_and_cache_reuse(spark):
     assert plan.count("documents.parquet") == 1
 
 
+def test_shingle_bag_shared_across_queries(spark):
+    """d4_dup_passage and d6_contamination must consume ONE shared
+    persisted shingle relation (caching.keyed_persist) instead of each
+    re-running the documents scan+explode: the provider returns the
+    identical DataFrame across calls, and both query plans scan the
+    cache."""
+    from citydata_etl_spark.sources.readers import read_doc_shingle_bag
+
+    a = read_doc_shingle_bag(spark, SF_ORACLE, 4)
+    b = read_doc_shingle_bag(spark, SF_ORACLE, 4)
+    assert a is b
+    assert read_doc_shingle_bag(spark, SF_ORACLE, 3) is not a  # keyed by n
+    for name in ("d4_dup_passage", "d6_contamination"):
+        assert "InMemoryTableScan" in _plan(spark, name), name
+
+
 def test_semantic_dedup_no_corpus_cartesian(spark):
     """The only nested-loop join allowed is vector x k-row seed broadcast;
     the pairwise stage must be an equi-join on cluster, and the cluster
