@@ -109,3 +109,44 @@ def haversine_km(
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlng / 2) ** 2
     )
     return 2 * r * F.asin(F.sqrt(a))
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Crawl-grade URL canonicalization, entirely in codegen — the key
+    under which a crawl frontier and the URL-level dedup stage collapse
+    re-fetches of the same resource:
+
+      - drop the fragment (never sent to the server);
+      - lowercase the authority, strip a leading ``www.`` and an
+        explicit default port (``:443`` — scheme is https throughout
+        this corpus; non-default ports are preserved);
+      - drop ``utm_*`` tracking parameters and sort the remaining query
+        parameters byte-lexicographically (param order is not
+        semantic).
+
+    Pure Column expression (regexp + array HOFs), so it folds into the
+    scan projection: at 100 TB the canonical key is computed in the same
+    codegen stage that reads the URL column — no shuffle, no Python.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    nofrag = F.regexp_replace(u, "#.*$", "")
+    auth = F.lower(F.regexp_extract(nofrag, "^https://([^/?#]+)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.regexp_replace(auth, ":443$", "")
+    path = F.regexp_extract(nofrag, "^https://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & (F.substring(p, 1, 4) != "utm_"),
+        )
+    )
+    qjoined = F.array_join(params, "&")
+    return F.concat(
+        F.lit("https://"),
+        auth,
+        path,
+        F.when(qjoined != "", F.concat(F.lit("?"), qjoined)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -1277,3 +1277,88 @@ def d4_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("drop_bp"),
     )
+
+
+@register(
+    "d4_url_dedup",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'WWW.News' || (doc_id % 40) || '.Example.COM'
+                  ELSE 'news' || (doc_id % 40) || '.example.com' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+             '/article/' || (doc_id % 25) || '?' ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'utm_source=feed&id=' || (doc_id % 25) || '&ref=home'
+                  ELSE 'id=' || (doc_id % 25) || '&ref=home' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '#sec' || (doc_id % 7) ELSE '' END
+               AS url
+      FROM documents),
+    nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+    parts AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(nofrag, '^https://([^/?#]+)', 1)),
+               '^www\.', ''), ':443$', '') AS auth,
+             regexp_extract(nofrag, '^https://[^/?#]+([^?#]*)', 1) AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+               x -> x <> '' AND x[1:4] <> 'utm_')), '&') AS q
+      FROM nf)
+    SELECT 'https://' || auth || path ||
+           CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM parts
+    GROUP BY 1
+    """,
+    doc="D4 (crawl URL dedup): canonical-URL deduplication — the stage "
+    "BEFORE content dedup in a crawl pipeline: the same resource "
+    "re-fetched under case-variant hosts, www prefixes, explicit "
+    "default ports, utm_* tracking params, reordered query params, or "
+    "fragments collapses to one canonical key "
+    "(functions/scalar.py:canonicalize_url — pure codegen regexp/array "
+    "HOFs, folded into the scan projection). URLs are synthesized "
+    "deterministically from doc_id with all six noise classes so the "
+    "oracle replays the identical canonicalization in SQL; dedup is "
+    "then one hash groupBy on the canonical key — at 100 TB the "
+    "cheapest dedup pass there is (key width ~100 bytes, no content "
+    "reads), which is why crawlers run it FIRST.",
+)
+def d4_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.functions.scalar import canonicalize_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("WWW.News"), d % 40, F.lit(".Example.COM")),
+        ).otherwise(
+            F.concat(F.lit("news"), d % 40, F.lit(".example.com"))
+        ),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/article/"), d % 25, F.lit("?"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("utm_source=feed&id="), d % 25, F.lit("&ref=home")),
+        ).otherwise(F.concat(F.lit("id="), d % 25, F.lit("&ref=home"))),
+        F.when(
+            d % 5 == 0, F.concat(F.lit("#sec"), d % 7)
+        ).otherwise(F.lit("")),
+    )
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    return (
+        docs.select("doc_id", canonicalize_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )

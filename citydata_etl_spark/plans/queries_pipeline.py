@@ -727,6 +727,52 @@ def d6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d6_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents)
+    SELECT source,
+           CAST(length(bin(greatest(n_tokens, 1))) - 1 AS BIGINT)
+             AS len_bucket_log2,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source, len_bucket_log2
+    """,
+    doc="D6 (sequence-length profile): per-source histogram of document "
+    "token counts in power-of-two buckets — the distribution that sizes "
+    "pack_sequences' window, sets truncation budgets, and flags "
+    "length-outlier sources before training. The log2 bucket is "
+    "INTEGER-exact on both engines via binary-representation length "
+    "(length(bin(n)) - 1 == floor(log2 n)) — float log2 at exact powers "
+    "of two is engine-dependent in the last ulp and would flip buckets. "
+    "One codegen projection + one map-side-combined aggregate; at "
+    "100 TB this is a metadata-cost pass over the corpus.",
+)
+def d6_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    ).cast("bigint")
+    t = docs.select("source", n_tokens.alias("n_tokens"))
+    bucket = (
+        F.length(F.bin(F.greatest(F.col("n_tokens"), F.lit(1)))) - 1
+    ).cast("bigint")
+    return t.groupBy("source", bucket.alias("len_bucket_log2")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+@register(
     "d6_negative_pairs",
     oracle="""
     WITH n AS (SELECT greatest(count(*) // 8, 1) AS nb FROM documents),

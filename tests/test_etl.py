@@ -662,3 +662,29 @@ def test_with_metrics_rides_the_action(spark):
         spark.sparkContext.statusTracker().getJobIdsForGroup() or []
     )
     assert n_jobs_after - n_jobs_before <= 2  # the count's own job(s) only
+
+
+def test_canonicalize_url_noise_classes(spark):
+    """Every noise class collapses; distinct resources stay distinct."""
+    from citydata_etl_spark.functions.scalar import canonicalize_url
+
+    urls = [
+        ("https://WWW.Site.COM:443/a/b?z=1&utm_source=x&a=2#frag",
+         "https://site.com/a/b?a=2&z=1"),
+        ("https://site.com/a/b?a=2&z=1",
+         "https://site.com/a/b?a=2&z=1"),
+        # non-default port preserved; no query -> no '?'
+        ("https://site.com:8080/a?utm_campaign=s#x",
+         "https://site.com:8080/a"),
+        ("https://other.com/a/b?a=2&z=1",
+         "https://other.com/a/b?a=2&z=1"),
+        # utm must match as a PREFIX of the param, not anywhere
+        ("https://site.com/p?xutm_source=1&b=2",
+         "https://site.com/p?b=2&xutm_source=1"),
+    ]
+    df = spark.createDataFrame(urls, "url STRING, want STRING")
+    rows = df.select(
+        canonicalize_url("url").alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
