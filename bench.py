@@ -65,6 +65,12 @@ HEADLINE = [
     "a12_event_funnel",
     "d4_embed_quantize",
     "d6_chunk_documents",
+    # round-5 additions: one per new family (URL canonicalization dedup,
+    # Arrow-batched JPEG marker walk, length histogram, the incremental
+    # near-dup oracle twin's production-shape hash path is d4_minhash_hash)
+    "d4_url_dedup",
+    "d5_jpeg_meta",
+    "d6_length_histogram",
 ]
 
 

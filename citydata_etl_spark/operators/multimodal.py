@@ -246,3 +246,94 @@ def png_header_meta(media: DataFrame,
             (width * 1000 - (width * 1000) % height) / height,
         ).cast("bigint").alias("aspect_pm"),
     )
+
+
+_JPEG_META_SCHEMA = (
+    "media_id BIGINT, width BIGINT, height BIGINT, precision BIGINT, "
+    "n_components BIGINT, progressive BOOLEAN"
+)
+
+#: SOF markers that carry frame dimensions. C4/C8/CC are NOT frames
+#: (DHT/JPG/DAC) — the classic off-by-one in naive parsers.
+_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg_sof(blob) -> tuple | None:
+    """Walk the JPEG segment chain to the first SOFn frame header.
+
+    Unlike PNG's IHDR (fixed offset — pure codegen in png_header_meta),
+    a JPEG's SOF sits behind a VARIABLE number of length-prefixed
+    segments (APPn/COM/DQT/...), so the walk is imperative by nature:
+    this is the honest boundary where the engine drops from codegen to
+    an Arrow-batched Python parser. The walk is bounded (64 segments)
+    and total — any malformed structure returns None, never raises.
+    """
+    if blob is None or len(blob) < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
+        return None
+    pos = 2
+    for _ in range(64):
+        if pos + 4 > len(blob) or blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+            return None
+        seg_len = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(blob):
+            return None
+        if marker in _SOF_MARKERS:
+            if seg_len < 8:
+                return None
+            p = pos + 4
+            precision = blob[p]
+            height = int.from_bytes(blob[p + 1 : p + 3], "big")
+            width = int.from_bytes(blob[p + 3 : p + 5], "big")
+            n_comp = blob[p + 5]
+            return (width, height, precision, n_comp, marker == 0xC2)
+        pos += 2 + seg_len
+    return None
+
+
+def jpeg_header_meta(media: DataFrame,
+                     content_col: str = "content",
+                     id_col: str = "media_id") -> DataFrame:
+    """Image metadata for JPEG blobs — dimensions, sample precision,
+    component count, baseline-vs-progressive — without a pixel codec.
+
+    The triage companion to png_header_meta for the dominant web image
+    format: resolution/aspect/progressive filters over a 100 TB crawl
+    before any decode. Arrow-batched mapInPandas (one Python call per
+    record batch, not per row); non-JPEG or malformed rows yield NULL
+    metadata. At scale: repartition to saturate executors; the parser
+    reads only the header segments of each blob.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_parse_jpeg_sof(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(
+                        [m[0] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "precision": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "n_components": pd.array(
+                        [m[3] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "progressive": pd.array(
+                        [m[4] if m else None for m in metas],
+                        dtype="boolean",
+                    ),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_JPEG_META_SCHEMA)

@@ -1232,6 +1232,72 @@ def d5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_jpeg_meta",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id AS media_id,
+             16 + doc_id % 2000 AS w,
+             16 + (doc_id * 13) % 1000 AS h,
+             doc_id % 4 = 0 AS prog,
+             doc_id % 6 = 0 AS is_png
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN is_png THEN NULL ELSE w END AS width,
+           CASE WHEN is_png THEN NULL ELSE h END AS height,
+           CASE WHEN is_png THEN NULL ELSE CAST(8 AS BIGINT) END
+             AS precision,
+           CASE WHEN is_png THEN NULL ELSE CAST(3 AS BIGINT) END
+             AS n_components,
+           CASE WHEN is_png THEN NULL ELSE prog END AS progressive
+    FROM params
+    """,
+    doc="D5 [north-star multimodal]: JPEG frame-header extraction — "
+    "unlike PNG's fixed-offset IHDR (d5_png_meta, pure codegen), a "
+    "JPEG's SOF marker sits behind a VARIABLE number of length-prefixed "
+    "segments, so the parser is a bounded marker walk in an "
+    "Arrow-batched mapInPandas (operators/multimodal.py:jpeg_header_"
+    "meta) — the honest boundary where codegen ends. Blobs are "
+    "synthesized with genuine JPEG syntax (SOI, JFIF APP0, a COM "
+    "segment whose doc_id-dependent length SHIFTS the SOF offset, then "
+    "SOF0 or SOF2) so the oracle states every field in closed form; "
+    "every 6th row is a PNG that must yield NULLs. The dominant-web-"
+    "format triage: resolution / progressive filters over a 100 TB "
+    "crawl with zero codec dependencies.",
+)
+def d5_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import jpeg_header_meta
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w = (16 + d % 2000).cast("bigint")
+    h = (16 + (d * 13) % 1000).cast("bigint")
+
+    def be2(c):  # 2-byte big-endian hex
+        return F.lpad(F.hex(c), 4, "0")
+
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                                    # SOI
+        F.lit("FFE00010" "4A46494600" "0101" "00"
+              "0001" "0001" "0000"),                      # JFIF APP0
+        F.lit("FFFE"), be2(d % 9 + 2),                    # COM, variable len
+        F.expr("repeat('41', CAST(doc_id % 9 AS INT))"),  # COM filler
+        F.when(d % 4 == 0, F.lit("FFC2")).otherwise(F.lit("FFC0")),
+        F.lit("0011"), F.lit("08"), be2(h), be2(w), F.lit("03"),
+        F.lit("011100" "021101" "031101"),                # component specs
+    )
+    png_hex = F.lit("89504E470D0A1A0A" + "00" * 40)
+    media = docs.select(
+        d.alias("media_id"),
+        F.unhex(
+            F.when(d % 6 == 0, png_hex).otherwise(jpeg_hex)
+        ).alias("content"),
+    )
+    return jpeg_header_meta(media)
+
+
+@register(
     "d4_dedup_report",
     oracle="""
     WITH g AS (

@@ -186,3 +186,44 @@ def test_malformed_headers_yield_null_not_job_failure(spark):
     r = png_header_meta(media).collect()[0]
     assert r["width"] == 640 and r["height"] == 0
     assert r["aspect_pm"] is None
+
+
+def test_jpeg_header_meta_marker_walk(spark):
+    """The SOF walk must skip arbitrary-length leading segments, must NOT
+    treat DHT (FFC4) as a frame header, must flag SOF2 as progressive,
+    and must yield NULLs (not errors) for truncated/malformed blobs."""
+    import struct
+
+    from citydata_etl_spark.operators.multimodal import jpeg_header_meta
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    sof = struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3
+    base = b"\xFF\xD8" + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+    # DHT before SOF: C4 must be skipped, not parsed as a frame
+    dht_first = base + seg(0xC4, b"\x00" * 16) + seg(0xC0, sof)
+    long_com = base + seg(0xFE, b"x" * 123) + seg(0xC2, sof)
+    truncated = base[:6]
+    not_jpeg = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(dht_first)),
+            (2, bytearray(long_com)),
+            (3, bytearray(truncated)),
+            (4, bytearray(not_jpeg)),
+        ],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in jpeg_header_meta(media).collect()}
+    for mid, prog in ((1, False), (2, True)):
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (640, 480)
+        assert r["precision"] == 8 and r["n_components"] == 3
+        assert r["progressive"] is prog
+    for mid in (3, 4):
+        assert all(
+            rows[mid][c] is None
+            for c in ("width", "height", "precision", "n_components",
+                      "progressive")
+        )

@@ -582,3 +582,66 @@ def test_interval_overlap_binned_equals_naive(spark, raw, cell):
         for r in interval_overlap_pairs(df, cell_size=cell).collect()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["site.com", "WWW.Site.COM", "a.b.example"]),
+            st.sampled_from(["", ":443", ":8080"]),
+            st.sampled_from(["/", "/p", "/p/q.html"]),
+            st.lists(
+                st.sampled_from(
+                    ["a=1", "z=9", "utm_source=x", "utm_medium=y", "b="]
+                ),
+                max_size=4,
+            ),
+            st.sampled_from(["", "#frag", "#a/b?c=1"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_canonicalize_url_idempotent_and_matches_reference(spark, parts):
+    """canonicalize_url must be IDEMPOTENT (a canonical URL canonicalizes
+    to itself — the property that makes it usable as a frontier key) and
+    agree with a pure-Python reference on randomized host/port/path/
+    query/fragment combinations."""
+    from urllib.parse import urlsplit
+
+    from citydata_etl_spark.functions.scalar import canonicalize_url
+
+    def ref(url):
+        sp = urlsplit(url)
+        auth = sp.netloc.lower()
+        if auth.startswith("www."):
+            auth = auth[4:]
+        if auth.endswith(":443"):
+            auth = auth[:-4]
+        params = sorted(
+            p for p in sp.query.split("&")
+            if p != "" and not p.startswith("utm_")
+        )
+        q = "&".join(params)
+        return f"https://{auth}{sp.path}" + (f"?{q}" if q else "")
+
+    urls = [
+        f"https://{h}{port}{path}"
+        + (("?" + "&".join(qs)) if qs else "")
+        + frag
+        for h, port, path, qs, frag in parts
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got == [ref(u) for u in urls]
+    # idempotence: canonical(canonical(u)) == canonical(u)
+    df2 = spark.createDataFrame([(c,) for c in got], "url STRING")
+    got2 = [
+        r["c"]
+        for r in df2.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got2 == got
