@@ -391,6 +391,7 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 def _doc_token_id_rows(
     docs: DataFrame, text_col: str, id_col: str, shingle_n: int = 1,
     id_mode: str = "rank", shingle_rel: DataFrame | None = None,
+    token_rel: DataFrame | None = None,
 ) -> DataFrame:
     """(id, tid) rows: distinct token/shingle ids per doc.
 
@@ -423,6 +424,11 @@ def _doc_token_id_rows(
             tok = shingles(
                 docs, shingle_n, text_col, id_col
             ).withColumnRenamed("shingle", "token")
+    elif token_rel is not None:
+        # precomputed SET-semantics (id, token) relation, already
+        # persisted by its provider (readers.read_doc_token_set)
+        tok = token_rel
+        pre_persisted = True
     else:
         tok = tokens(docs, text_col, id_col)
     if id_mode == "hash":
@@ -577,7 +583,7 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     docs: DataFrame, bits: int = 31,
     text_col: str = "text", id_col: str = "doc_id",
-    id_mode: str = "rank",
+    id_mode: str = "rank", token_rel: DataFrame | None = None,
 ) -> DataFrame:
     """31-bit SimHash from token-id LCG hashes: bit j of the fingerprint is
     set iff sum over tokens of (2*bit_j(h(tid)) - 1) > 0.
@@ -592,7 +598,9 @@ def simhash_fingerprints(
     `bits` independent fold expressions — shipped whole arrays through
     the exchange and compiled a pathologically large codegen method.
     """
-    tt = _doc_token_id_rows(docs, text_col, id_col, id_mode=id_mode)
+    tt = _doc_token_id_rows(
+        docs, text_col, id_col, id_mode=id_mode, token_rel=token_rel
+    )
     h = (F.col("tid") * F.lit(2654435761) + F.lit(104729)) % HASH_PRIME
     votes = tt.groupBy(id_col).agg(
         F.count("*").alias("__n"),
@@ -697,6 +705,7 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
     bits: int = 31, blocked: bool = True, id_mode: str = "rank",
+    token_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -707,7 +716,8 @@ def simhash_pairs(
     """
     fp = scoped_persist(
         simhash_fingerprints(
-            docs, bits, text_col=text_col, id_col=id_col, id_mode=id_mode
+            docs, bits, text_col=text_col, id_col=id_col, id_mode=id_mode,
+            token_rel=token_rel,
         )
     )
     if blocked:

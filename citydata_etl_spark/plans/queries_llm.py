@@ -202,8 +202,12 @@ def d4_ann_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming distance is simhash_pairs (tested in tests/test_dedup.py).",
 )
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_token_set
+
     docs = read_testdata(spark, sf_dir, "documents")
-    return D.simhash_fingerprints(docs)
+    return D.simhash_fingerprints(
+        docs, token_rel=read_doc_token_set(spark, sf_dir)
+    )
 
 
 @register(
@@ -238,8 +242,12 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer fingerprints and pairs them all-pairs (exact at sf0.01).",
 )
 def d4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_token_set
+
     docs = read_testdata(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    return D.simhash_pairs(
+        docs, max_hamming=3, token_rel=read_doc_token_set(spark, sf_dir)
+    )
 
 
 @register(

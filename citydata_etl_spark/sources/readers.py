@@ -152,3 +152,17 @@ def read_doc_shingle_set(
     return keyed_persist(
         key, lambda: read_doc_shingle_bag(spark, sf_dir, n).distinct()
     )
+
+
+def read_doc_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table's distinct (doc_id, token) relation, persisted
+    once per (application, sf_dir) via caching.keyed_persist — the unigram
+    companion to read_doc_shingle_set, shared by the SimHash consumers."""
+    from citydata_etl_spark.caching import keyed_persist
+    from citydata_etl_spark.operators.dedup import tokens
+
+    key = ("doc_token_set", spark.sparkContext.applicationId, sf_dir)
+    return keyed_persist(
+        key,
+        lambda: tokens(read_testdata(spark, sf_dir, "documents")),
+    )
