@@ -71,6 +71,7 @@ HEADLINE = [
     "d4_url_dedup",
     "d5_jpeg_meta",
     "d6_length_histogram",
+    "d4_embed_project",
 ]
 
 

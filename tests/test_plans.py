@@ -137,6 +137,29 @@ def test_dup_passage_single_explode_and_cache_reuse(spark):
     assert plan.count("documents.parquet") == 1
 
 
+def test_url_dedup_single_exchange_codegen_canonicalization(spark):
+    """Canonical-URL dedup must be ONE map-side-combined aggregate over a
+    codegen canonicalization projection: exactly one Exchange, no
+    Generate/explode, no join — the cheapest dedup pass shape."""
+    plan = _plan(spark, "d4_url_dedup")
+    # one Exchange NODE (formatted plans print each node once in the tree
+    # as "Exchange (n)" and once in the detail section as "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_embed_project_zero_exchange(spark):
+    """The JL sign projection must be pure per-row codegen — no Exchange,
+    no Join, no Python: the projection matrix is a function of indices,
+    so nothing needs to be shared or shuffled."""
+    plan = _plan(spark, "d4_embed_project")
+    assert "Exchange (" not in plan
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+
+
 def test_shingle_bag_shared_across_queries(spark):
     """d4_dup_passage and d6_contamination must consume ONE shared
     persisted shingle relation (caching.keyed_persist) instead of each
