@@ -72,6 +72,7 @@ HEADLINE = [
     "d5_jpeg_meta",
     "d6_length_histogram",
     "d4_embed_project",
+    "s17_zorder_layout",
 ]
 
 

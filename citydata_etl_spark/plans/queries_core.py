@@ -763,6 +763,67 @@ def s13_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s17_zorder_layout",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 2000
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY status
+    """,
+    doc="S17 (Z-order layout): orders is rewritten once per session "
+    "clustered on the MORTON interleave of (customer key, order date) "
+    "— sources/layout.py:write_zorder_layout, the same layout decision "
+    "as Delta/Iceberg OPTIMIZE ZORDER expressed as ~five codegen "
+    "bit-spread expressions + repartitionByRange, no table format "
+    "needed — then a 2-D box query (customer range AND date range) "
+    "runs against the clustered copy. The 1-D sorted layout (s13) "
+    "makes footer min/max tight on one column and useless on every "
+    "other; the Z-curve gives every file a small 2-D bounding box, so "
+    "the box predicate skips files on BOTH bounds — at 100 TB the "
+    "difference between reading a thin customer band and scanning the "
+    "whole table. tests/test_layout.py proves from real footers that "
+    "a thin-band query skips most z-files while skipping ZERO "
+    "date-sorted files.",
+)
+def s17_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.layout import write_zorder_layout
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s17_zorder_{tag}")
+    path = root + "/orders_zorder"
+    if not os.path.exists(path):
+        orders = read_testdata(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
+            "o_totalprice",
+        )
+        df = orders.withColumn(
+            "zx", F.pmod(F.col("o_custkey"), F.lit(65536))
+        ).withColumn(
+            "zy", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        )
+        write_zorder_layout(df, path, "zx", "zy", n_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("o_custkey").between(100, 2000)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "total"),
+        )
+    )
+
+
+@register(
     "s14_partition_pruned_read",
     oracle="""
     SELECT year(o_orderdate) AS order_year, o_orderstatus AS status,

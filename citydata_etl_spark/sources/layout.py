@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -126,3 +127,89 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(table)
     )
+
+
+def morton_interleave(x, y, bits: int = 16):
+    """Z-order (Morton) curve value from two non-negative integer
+    columns, each truncated to ``bits`` bits — pure codegen: the classic
+    bit-spreading magic-number sequence (each step doubles the gap
+    between occupied bit positions), so the interleave costs a handful
+    of shift/and/or expressions per row, no UDF.
+
+    z = spread(x) | spread(y) << 1; nearby (x, y) points get nearby z
+    values, which is what gives a z-sorted layout locality in BOTH
+    dimensions at once.
+    """
+    masks = [
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ]
+
+    def spread(c):
+        c = c.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+        for shift, mask in masks:
+            c = (
+                c.bitwiseOR(F.shiftleft(c, shift))
+            ).bitwiseAND(F.lit(mask))
+        return c
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-cluster ``df`` on TWO dimensions: compute the Morton
+    value of (col_x, col_y), range-partition and sort on it, write, and
+    drop the helper column.
+
+    The one-dimensional sorted layout (write_sorted_layout) makes footer
+    min/max tight on ONE column and useless on every other; the Z-curve
+    trades a little of that tightness for locality in BOTH dimensions,
+    so a 2-D box predicate (customer range AND date range) skips files
+    on both bounds. This is the same layout decision Delta/Iceberg's
+    OPTIMIZE ZORDER makes; here it is ~five codegen expressions and a
+    repartitionByRange — no table format required. Verified from real
+    parquet footers in tests/test_layout.py (a thin band in one
+    dimension skips most z-files and zero 1-D-sorted files).
+
+    Both columns must be integers. Each dimension is NORMALIZED to the
+    ``bits``-bit domain from its observed min/max first — without this,
+    the dimension with the larger magnitude owns all the high z bits
+    and the interleave degenerates to a 1-D sort on it. The min/max
+    probe is one aggregate returning four scalars (same driver-cost
+    class as repartitionByRange's range sampling).
+    """
+    lo_x, hi_x, lo_y, hi_y = (
+        int(v)
+        for v in df.agg(
+            F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+        ).first()
+    )
+    domain = 1 << bits
+
+    def norm(col: str, lo: int, hi: int):
+        span = max(hi - lo + 1, 1)
+        return F.floor(
+            (F.col(col).cast("bigint") - F.lit(lo))
+            * F.lit(domain)
+            / F.lit(span)
+        ).cast("bigint")
+
+    z = morton_interleave(
+        norm(col_x, lo_x, hi_x), norm(col_y, lo_y, hi_y), bits
+    )
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode("overwrite").parquet(path)
