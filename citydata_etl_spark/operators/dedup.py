@@ -958,3 +958,49 @@ def incremental_minhash_neardup(
         .select("batch_id", "corpus_id")
         .distinct()
     )
+
+
+def update_dedup_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    batch_no: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Maintain the PERSISTED exact-dedup digest index on disk — the
+    deployment shape incremental_exact_dedup's docstring describes, made
+    real: the index is a bucketed control table (sources/merge.py —
+    xxhash64 buckets, `_COMMIT` marker, partial rewrites) keyed on the
+    normalized-content digest, holding one row per distinct content ever
+    ingested: (norm_sha, keep_doc_id, first_seen_batch).
+
+    Per ingest: normalize+digest the batch (codegen projection),
+    collapse it on the digest (shuffle sized by the batch), LEFT ANTI
+    against the index's digest column (one-sided — only index buckets
+    containing batch digests are read, via the bucket equi-join inside
+    merge_upsert's partial rewrite), and MERGE exactly the genuinely-new
+    digests in. First-arrival-wins: a digest already indexed is never
+    touched again, so rewrite cost per drop follows the NEW content in
+    the batch, never the index size — the property that makes per-crawl
+    dedup affordable against a 100 TB corpus.
+    """
+    from citydata_etl_spark.operators.text import normalize_text
+    from citydata_etl_spark.sources import merge as M
+
+    b = normalize_text(batch, text_col=text_col, id_col=id_col).select(
+        id_col, "norm_sha"
+    )
+    collapsed = b.groupBy("norm_sha").agg(
+        F.min(id_col).alias("keep_doc_id")
+    ).withColumn("first_seen_batch", F.lit(batch_no).cast("bigint"))
+    # scheme-agnostic existence probe (file://, hdfs://, s3a://)
+    if M.read_commit_token(spark, index_path) is None:
+        M.write_bucketed_control(
+            collapsed, index_path, "norm_sha", n_buckets=n_buckets
+        )
+        return
+    existing = M.read_bucketed_control(spark, index_path).select("norm_sha")
+    new = collapsed.join(existing, "norm_sha", "left_anti")
+    M.merge_upsert(spark, index_path, new, "norm_sha", n_buckets=n_buckets)

@@ -1240,6 +1240,64 @@ def d5_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_dedup_index_ingest",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_sha,
+             doc_id % 3 AS b
+      FROM documents),
+    fb AS (
+      SELECT norm_sha, min(b) AS first_seen_batch FROM n GROUP BY norm_sha)
+    SELECT n.norm_sha,
+           CAST(min(n.doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(fb.first_seen_batch AS BIGINT) AS first_seen_batch
+    FROM n JOIN fb
+      ON n.norm_sha = fb.norm_sha AND n.b = fb.first_seen_batch
+    GROUP BY n.norm_sha, fb.first_seen_batch
+    """,
+    doc="D4 (persisted dedup index): the incremental-ingest deployment "
+    "shape MADE REAL — a bucketed on-disk digest index "
+    "(operators/dedup.py:update_dedup_index over sources/merge.py's "
+    "xxhash64-bucketed table with `_COMMIT` marker) is built by "
+    "ingesting the corpus in THREE successive batches (doc_id%3 in "
+    "order 0,1,2): per drop, the batch is digested and collapsed "
+    "(shuffle sized by the batch), LEFT-ANTI-screened against the "
+    "index, and only genuinely-new digests MERGE in — rewrite cost "
+    "follows new content, never index size. The oracle states the "
+    "first-arrival-wins invariant in closed form (earliest batch "
+    "containing a digest contributes its keeper), so the driver "
+    "verifies the MULTI-STEP stateful sequence end-to-end, not one "
+    "query: any crash-healing or merge bug that corrupted the index "
+    "across ingests would hash-mismatch here.",
+)
+def d4_dedup_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.merge import read_bucketed_control
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"d4_dedupidx_{tag}")
+    path = root + "/index"
+    done = root + "/.ingested"
+    if not os.path.exists(done):
+        docs = read_testdata(spark, sf_dir, "documents")
+        for b in range(3):
+            D.update_dedup_index(
+                spark, path, docs.filter(F.col("doc_id") % 3 == b),
+                batch_no=b,
+            )
+        open(done, "w").close()
+    return read_bucketed_control(spark, path).select(
+        "norm_sha", "keep_doc_id", "first_seen_batch"
+    )
+
+
+@register(
     "d4_embed_project",
     oracle="""
     WITH x AS (

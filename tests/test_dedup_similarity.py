@@ -768,3 +768,59 @@ def test_project_embeddings_matches_numpy_and_preserves_geometry(spark):
     for i in range(n):
         for j in range(k):
             assert got[(i, j)] == want[i, j], (i, j)
+
+
+def test_update_dedup_index_incremental_semantics(spark, tmp_path):
+    """The persisted digest index must (a) equal first-arrival-wins
+    semantics across successive ingests, (b) be IDEMPOTENT under batch
+    replay (a crashed-and-retried drop adds nothing), and (c) leave
+    untouched buckets' files alone when a batch brings no new content
+    for them."""
+    import glob
+    import os
+
+    from citydata_etl_spark.operators.dedup import update_dedup_index
+    from citydata_etl_spark.sources.merge import read_bucketed_control
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "Alpha  beta!"),     # normalizes to the same as doc 1
+            (3, "gamma"),
+            (4, "delta"),
+            (5, "gamma"),            # dup of 3, later batch
+            (6, "epsilon"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    update_dedup_index(spark, path, docs.filter("doc_id <= 2"), batch_no=0)
+    update_dedup_index(
+        spark, path, docs.filter("doc_id IN (3, 4)"), batch_no=1
+    )
+    files_after_b1 = set(glob.glob(os.path.join(path, "bucket=*", "*")))
+    update_dedup_index(
+        spark, path, docs.filter("doc_id IN (5, 6)"), batch_no=2
+    )
+    idx = {
+        r["keep_doc_id"]: r["first_seen_batch"]
+        for r in read_bucketed_control(spark, path).collect()
+    }
+    # 1&2 collapse in batch 0 (keeper 1); 3 wins over 5; 4 and 6 new
+    assert idx == {1: 0, 3: 1, 4: 1, 6: 2}
+
+    # replaying batch 1 must change nothing (pure no-op merge)
+    update_dedup_index(
+        spark, path, docs.filter("doc_id IN (3, 4)"), batch_no=1
+    )
+    idx2 = {
+        r["keep_doc_id"]: r["first_seen_batch"]
+        for r in read_bucketed_control(spark, path).collect()
+    }
+    assert idx2 == idx
+
+    # batch 2 brought one new digest -> only ITS bucket was rewritten:
+    # every pre-batch-2 file not in that bucket must still exist
+    files_now = set(glob.glob(os.path.join(path, "bucket=*", "*")))
+    untouched = files_after_b1 & files_now
+    assert len(untouched) >= len(files_after_b1) - 1
