@@ -73,6 +73,8 @@ HEADLINE = [
     "d6_length_histogram",
     "d4_embed_project",
     "s17_zorder_layout",
+    "d4_dedup_index_ingest",
+    "d4_bpe_pair_counts",
 ]
 
 

@@ -532,6 +532,61 @@ def d4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_bpe_pair_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS token
+      FROM documents),
+    tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    p AS (
+      SELECT substr(token, CAST(i AS INT), 2) AS pair, cnt
+      FROM tc, UNNEST(range(1, len(token))) AS t(i))
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    doc="D4 (tokenizer training): the first BPE merge-learning iteration "
+    "— corpus-weighted adjacent character-pair frequencies, top 50 "
+    "(the pair a BPE trainer would merge first is row one). The scale "
+    "trick is aggregating over the DISTINCT-token vocabulary weighted "
+    "by token counts instead of exploding pairs per occurrence: the "
+    "pair explode runs over vocabulary-sized input (bounded) while the "
+    "corpus-sized work is one map-side-combined token count — at "
+    "100 TB that's the difference between exploding ~10^13 token "
+    "occurrences and ~10^6 vocabulary entries. Deterministic "
+    "(n DESC, pair) tie-break; TakeOrderedAndProject keeps the top-50 "
+    "local.",
+)
+def d4_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    tc = (
+        D.tokens(docs, distinct=False)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    idx = F.when(
+        F.length("token") >= 2,
+        F.sequence(F.lit(1), F.length("token") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = tc.select(
+        F.explode(
+            F.transform(idx, lambda i: F.col("token").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+@register(
     "d4_quality_score",
     oracle="""
     WITH s AS (
