@@ -75,6 +75,7 @@ HEADLINE = [
     "s17_zorder_layout",
     "d4_dedup_index_ingest",
     "d4_bpe_pair_counts",
+    "t10_stream_dynamic_sessions",
 ]
 
 

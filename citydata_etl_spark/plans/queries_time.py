@@ -786,3 +786,118 @@ def t5_dynamic_gap_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tsec").alias("session_start"),
         F.max("tsec").alias("session_end"),
     )
+
+
+def _events_dir_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """A session-scoped stream-feed directory holding the events table
+    plus ONE far-future sentinel row (user_id = -1, schema-identical,
+    written via pyarrow with the same TIMESTAMP(NANOS) physical type).
+
+    The sentinel is the bounded-run analog of time passing on an
+    unbounded stream: it advances the event-time watermark past every
+    open session's horizon, so the final timeout micro-batch flushes
+    ALL trailing sessions — without it, a user whose last event sits
+    near the global max would stay open when the run ends (correct
+    stream semantics, but not end-to-end checkable)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = _session_tmpdir(
+        f"events_dynsess_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    link = os.path.join(d, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    sentinel = os.path.join(d, "part-1-sentinel.parquet")
+    if not os.path.exists(sentinel):
+        src = pq.read_table(f"{sf_dir}/events.parquet")
+        row = src.slice(0, 1).to_pylist()[0]
+        ts_field = src.schema.field("ts")
+        max_ts = pa.compute.max(src["ts"]).as_py()
+        import datetime
+
+        if isinstance(max_ts, datetime.datetime):
+            far = max_ts + datetime.timedelta(days=3650)
+        else:  # physical int64 nanos
+            far = max_ts + 3650 * 86400 * 10**9
+        row["ts"] = far
+        row["user_id"] = -1
+        row["event_id"] = -1
+        pq.write_table(
+            pa.Table.from_pylist([row], schema=src.schema), sentinel
+        )
+    return d
+
+
+@register(
+    "t10_stream_dynamic_sessions",
+    # identical contract to the batch twin: on the sentinel-closed bounded
+    # stream, every session flushes (in-data closure or event-time
+    # timeout), so the streaming operator must reproduce batch
+    # sessionization EXACTLY
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS thr
+      FROM events),
+    l AS (
+      SELECT *,
+             lag(tsec) OVER w AS prev_ts,
+             lag(thr) OVER w AS prev_thr
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+    m AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL OR tsec - prev_ts > prev_thr
+                  THEN 1 ELSE 0 END AS is_new
+      FROM l),
+    s AS (
+      SELECT user_id, event_id, tsec,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec,
+                                    event_id ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
+      FROM m)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(tsec) AS session_start, max(tsec) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="T10 (streaming dynamic-gap sessionization): the STREAMING twin "
+    "of t5_dynamic_gap_session via a second applyInPandasWithState "
+    "operator with EVENT-TIME timeouts (streaming/stateful.py:"
+    "streaming_dynamic_gap_sessions; the processing-time companion is "
+    "t2's dedup). A session emits the moment it provably closed: a "
+    "later in-order event opened the next one, or the watermark passed "
+    "session_end + the previous event's gap ('error' 300 s, else "
+    "1800 s) — so per-user state is ONE open session (5 ints), bounded "
+    "by active users, never by history. The bounded feed carries a "
+    "far-future sentinel row (filtered from the output) that advances "
+    "the watermark past every horizon — the bounded-run analog of time "
+    "passing — making the stream output equal batch sessionization "
+    "EXACTLY, which the oracle checks; the cross-micro-batch state "
+    "path (sessions spanning batches) is pinned in "
+    "tests/test_streaming.py.",
+)
+def t10_stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_testdata as _rt
+    from citydata_etl_spark.streaming.stateful import (
+        streaming_dynamic_gap_sessions,
+    )
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    _rt(spark, sf_dir, "events")  # side effects only (confs, ship)
+    d = _events_dir_with_sentinel(spark, sf_dir)
+    stream = read_events_stream(spark, d, max_files_per_trigger=2)
+    out = streaming_dynamic_gap_sessions(
+        stream.select("event_id", "ts", "user_id", "event_type")
+    )
+    name = f"t10_stream_dynsess_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name),
+    )
+    return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")

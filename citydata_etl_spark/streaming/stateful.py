@@ -118,3 +118,126 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def make_session_group(error_gap_s: int, default_gap_s: int):
+    """Build the per-user dynamic-gap sessionization function
+    (module-level factory so tests can drive it with a fake GroupState).
+
+    State per user: (next_session_id, start, end, n_events, prev_thr) —
+    the OPEN session plus the previous event's gap threshold (the gap
+    depends on the PREVIOUS event: 'error' shortens it). Events inside
+    one invocation are processed in (tsec, event_id) order; a gap
+    larger than the previous event's threshold CLOSES the open session
+    (emitted) and starts the next. The trailing open session stays in
+    state and emits on event-time timeout (watermark passes
+    end + prev_thr) — exactly when no future event could extend it.
+    """
+
+    def session_group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+
+        def frame(rows):
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "session_id", "n_events",
+                    "session_start", "session_end",
+                ],
+            )
+
+        if state.hasTimedOut:
+            # watermark passed end + prev_thr: no event can extend the
+            # open session any more — flush it
+            if state.exists:
+                sid, start, end, n, _thr = state.get
+                state.remove()
+                yield frame([(user_id, sid, n, start, end)])
+            return
+
+        if state.exists:
+            sid, start, end, n, prev_thr = state.get
+        else:
+            sid, start, end, n, prev_thr = -1, None, None, 0, 0
+
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["tsec", "event_id"]
+        )
+        closed = []
+        for tsec, etype in zip(events["tsec"], events["event_type"]):
+            thr = error_gap_s if etype == "error" else default_gap_s
+            if start is None or tsec - end > prev_thr:
+                if start is not None:
+                    closed.append((user_id, sid, n, start, end))
+                sid += 1
+                start = tsec
+                n = 0
+            end = tsec
+            n += 1
+            prev_thr = thr
+        state.update((int(sid), int(start), int(end), int(n), int(prev_thr)))
+        # event-time timeout at the open session's horizon (ms). The
+        # horizon can sit BEHIND the current watermark — a group whose
+        # events arrived later than other groups' (the engine rejects a
+        # timeout <= watermark) — in which case the session already
+        # provably closed: schedule the flush for the very next batch.
+        horizon_ms = (int(end) + int(prev_thr)) * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
+        if closed:
+            yield frame(closed)
+
+    return session_group
+
+
+def streaming_dynamic_gap_sessions(
+    events_stream: DataFrame,
+    error_gap_s: int = 300,
+    default_gap_s: int = 1800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Dynamic-gap sessionization over an unbounded event stream — the
+    STREAMING twin of operators/aggregates.py:sessionize_dynamic (the
+    oracled batch form, t5_dynamic_gap_session): the idle timeout
+    depends on the PREVIOUS event ('error' -> error_gap_s, else
+    default_gap_s), which session_window(ts, expr) cannot express when
+    the gap must ride the lag — hence applyInPandasWithState with
+    EVENT-TIME timeouts (the processing-time-timeout companion is
+    streaming_exact_dedup).
+
+    Emission contract: a session emits the moment it PROVABLY closed —
+    either a later in-order event opened the next session, or the
+    watermark passed end + gap (no admissible event can extend it).
+    State per user is one open session (5 ints): bounded by active
+    users, not history — the property that makes sessionization run
+    forever. Input needs (event_id, ts TIMESTAMP, user_id, event_type).
+
+    Output: (user_id, session_id, n_events, session_start, session_end)
+    with epoch-second BIGINTs, identical to the batch twin's schema.
+    """
+    prepared = (
+        events_stream.withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("tsec"),
+            F.col("event_type"),
+            F.col("ts"),
+        )
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_session_group(error_gap_s, default_gap_s),
+        outputStructType=(
+            "user_id LONG, session_id LONG, n_events LONG, "
+            "session_start LONG, session_end LONG"
+        ),
+        stateStructType=(
+            "sid LONG, start LONG, end LONG, n LONG, prev_thr LONG"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -527,3 +527,95 @@ def test_drop_duplicates_within_watermark_expiry(spark):
         (98, "2026-01-01 10:00:10"),  # filler
         (7, "2026-01-01 10:00:30"),   # re-emitted after state expiry
     ], emitted
+
+
+def test_streaming_dynamic_sessions_across_microbatches(spark, tmp_path):
+    """Sessions spanning micro-batch boundaries must merge through state:
+    feed the events in FOUR time-ordered files (maxFilesPerTrigger=1 ->
+    four batches) plus a far-future sentinel, and require exact equality
+    with the batch dynamic-gap sessionizer. This is the path the
+    single-file catalog entry cannot exercise."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from citydata_etl_spark.operators.aggregates import sessionize_dynamic
+    from citydata_etl_spark.plans.queries_time import (
+        _await_with_state_partitions,
+    )
+    from citydata_etl_spark.sources.readers import read_testdata
+    from citydata_etl_spark.streaming.stateful import (
+        streaming_dynamic_gap_sessions,
+    )
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    src = pq.read_table(f"{SF_ORACLE}/events.parquet")
+    # time-ordered quarter files: a user's session can span several
+    sorted_tbl = src.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    n = sorted_tbl.num_rows
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    import time
+
+    base = time.time() - 1000
+    for i in range(4):
+        part = sorted_tbl.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4)
+        p = os.path.join(d, f"part-{i}.parquet")
+        pq.write_table(part, p)
+        # strictly increasing mtimes pin the file-source processing order
+        # (it sorts by modification time): data files in time order, the
+        # sentinel last
+        os.utime(p, (base + i, base + i))
+    row = sorted_tbl.slice(0, 1).to_pylist()[0]
+    max_ts = pa.compute.max(src["ts"]).as_py()
+    import datetime
+
+    row["ts"] = (
+        max_ts + datetime.timedelta(days=3650)
+        if isinstance(max_ts, datetime.datetime)
+        else max_ts + 3650 * 86400 * 10**9
+    )
+    row["user_id"] = -1
+    row["event_id"] = -1
+    sentinel_path = os.path.join(d, "part-9-sentinel.parquet")
+    pq.write_table(
+        pa.Table.from_pylist([row], schema=src.schema), sentinel_path
+    )
+    os.utime(sentinel_path, (base + 9, base + 9))
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    out = streaming_dynamic_gap_sessions(
+        stream.select("event_id", "ts", "user_id", "event_type")
+    )
+    name = "t10_xbatch_test"
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name),
+    )
+    got = _rows(
+        spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0"),
+        ["user_id", "session_id", "n_events", "session_start",
+         "session_end"],
+    )
+
+    events = read_testdata(spark, SF_ORACLE, "events").select(
+        "user_id", "event_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("tsec"),
+        F.when(F.col("event_type") == "error", 300).otherwise(1800)
+        .alias("thr"),
+    )
+    s = sessionize_dynamic(events, "user_id", "tsec", F.col("thr"),
+                           "event_id")
+    batch = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("tsec").alias("session_start"),
+        F.max("tsec").alias("session_end"),
+    )
+    want = _rows(
+        batch,
+        ["user_id", "session_id", "n_events", "session_start",
+         "session_end"],
+    )
+    assert got == want
