@@ -73,6 +73,15 @@ def release_thread_caches() -> int:
     return _release(dfs)
 
 
+def keyed_get(key: tuple) -> DataFrame | None:
+    """Peek the keyed registry without building: lets a derived-relation
+    provider reuse an ALREADY-cached upstream (e.g. the shingle set
+    derives from the bag iff some consumer pinned the bag) without
+    forcing the upstream into storage memory when nobody else wants it."""
+    with _LOCK:
+        return _KEYED.get(key)
+
+
 def keyed_persist(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     """Session-lifetime persisted relation shared ACROSS queries.
 
@@ -98,10 +107,13 @@ def keyed_persist(key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
     df = build().persist()
     with _LOCK:
         existing = _KEYED.setdefault(key, df)
-    if existing is not df:  # lost a build race — keep the winner
-        df.unpersist()
-        return existing
-    return df
+    # On a lost build race, do NOT unpersist the loser: Spark's
+    # CacheManager keys cache entries by LOGICAL PLAN, and the loser's
+    # plan equals the winner's — unpersisting it would drop the single
+    # shared cache entry out from under every future caller (results
+    # stay correct, the sharing is silently lost). The loser's second
+    # persist() was a no-op on the same entry; just return the winner.
+    return existing
 
 
 def release_caches() -> int:

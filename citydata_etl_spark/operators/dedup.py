@@ -995,8 +995,27 @@ def update_dedup_index(
     collapsed = b.groupBy("norm_sha").agg(
         F.min(id_col).alias("keep_doc_id")
     ).withColumn("first_seen_batch", F.lit(batch_no).cast("bigint"))
-    # scheme-agnostic existence probe (file://, hdfs://, s3a://)
+    # scheme-agnostic probes (file://, hdfs://, s3a://). An absent
+    # marker means "never initialized" ONLY when the directory holds no
+    # table data — an absent marker OVER existing buckets is a crashed
+    # prior ingest, and re-initializing would OVERWRITE the whole index
+    # (silently losing every earlier batch's digests). That crash heals
+    # by re-running the ingest that died (merge_upsert's contract); this
+    # function cannot reconstruct that batch, so it refuses loudly.
     if M.read_commit_token(spark, index_path) is None:
+        fs, p = M._fs_and_path(spark, index_path)
+        has_data = fs.exists(p) and any(
+            st.getPath().getName().startswith("bucket=")
+            for st in fs.listStatus(p)
+        )
+        if has_data:
+            raise RuntimeError(
+                f"dedup index at {index_path} has bucket data but no "
+                "_COMMIT marker — a prior ingest crashed mid-merge. "
+                "Re-run THAT batch's update_dedup_index first (the merge "
+                "heals and re-commits); initializing here would overwrite "
+                "the index and lose every earlier batch's digests."
+            )
         M.write_bucketed_control(
             collapsed, index_path, "norm_sha", n_buckets=n_buckets
         )

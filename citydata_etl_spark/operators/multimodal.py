@@ -276,6 +276,12 @@ def _parse_jpeg_sof(blob) -> tuple | None:
     for _ in range(64):
         if pos + 4 > len(blob) or blob[pos] != 0xFF:
             return None
+        # consume 0xFF fill (padding) bytes — spec-valid between
+        # segments; the marker is the first non-FF byte after them
+        while pos + 4 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(blob):
+            return None
         marker = blob[pos + 1]
         if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
             return None

@@ -1008,10 +1008,19 @@ def project_embeddings(
     driver-side — embarrassingly parallel like quantize_embeddings.
     """
     P = 2147483647
-    xi = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("bigint"),
+    # Materialize the micros conversion ONCE in its own Project below the
+    # k aggregate lambdas: Catalyst does not common-subexpression-
+    # eliminate inside HOF lambdas (the shingles() lesson), so inlining
+    # the conversion would re-run floor(x*1e6+0.5) k times per element.
+    base = emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5)
+            .cast("bigint"),
+        ).alias("__xi"),
     )
+    xi = F.col("__xi")
 
     def proj(j: int):
         # s(i,j) = 1 - 2*(((i*2654435761 + j*40503 + 7) mod P) mod 2)
@@ -1037,7 +1046,7 @@ def project_embeddings(
         )
 
     ys = F.array(*[proj(j) for j in range(k)])
-    return emb.select(
+    return base.select(
         F.col(id_col), F.posexplode(ys).alias("proj_idx", "y_micros")
     ).select(
         id_col,

@@ -41,6 +41,23 @@ def _orders_with_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_once(root: str, build) -> None:
+    """Session-scoped build-once guard that survives partial writes: the
+    `.done` marker under `root` is written only AFTER `build()` returns,
+    so a directory left behind by a failed/interrupted write does not
+    satisfy the guard (a bare exists(dir) check would silently serve the
+    partial table forever after). Builds must use overwrite-mode writes
+    so a retry after a partial failure heals instead of erroring on the
+    leftover directory."""
+    import os
+
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return
+    build()
+    open(done, "w").close()
+
+
 @register(
     "s1_csv_scan",
     oracle="""
@@ -601,9 +618,9 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     tag = f"s10_orc_{os.path.basename(os.path.normpath(sf_dir))}"
-    path = session_tmpdir(tag) + "/orders_orc"
-    if not os.path.exists(path):
-        orders.write.orc(path)
+    root = session_tmpdir(tag)
+    path = root + "/orders_orc"
+    _build_once(root, lambda: orders.write.mode("overwrite").orc(path))
     back = spark.read.orc(path)
     return back.groupBy(
         F.col("o_orderstatus").alias("status")
@@ -640,13 +657,15 @@ def s11_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"s11_compact_{tag}")
     frag, packed = root + "/fragmented", root + "/compacted"
-    if not os.path.exists(frag):
+
+    def _build():
         # the "bad" input: one ingest batch per tiny file
         read_testdata(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority", "o_totalprice"
-        ).repartition(64).write.parquet(frag)
-    if not os.path.exists(packed):
+        ).repartition(64).write.mode("overwrite").parquet(frag)
         compact(spark, frag, packed, target_file_bytes=64 * 1024 * 1024)
+
+    _build_once(root, _build)
     back = spark.read.parquet(packed)
     return back.groupBy(
         F.col("o_orderpriority").alias("priority")
@@ -683,16 +702,19 @@ def s12_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"s12_evolve_{tag}")
     table = root + "/orders_evolving"
-    if not os.path.exists(table):
+
+    def _build():
         orders = read_testdata(spark, sf_dir, "orders")
         # generation 1: no status column yet
         orders.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
-        ).write.parquet(table + "/gen=1")
+        ).write.mode("overwrite").parquet(table + "/gen=1")
         # generation 2: the column exists
         orders.filter(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey", "o_totalprice", "o_orderstatus"
-        ).write.parquet(table + "/gen=2")
+        ).write.mode("overwrite").parquet(table + "/gen=2")
+
+    _build_once(root, _build)
     back = spark.read.option("mergeSchema", "true").parquet(
         table + "/gen=1", table + "/gen=2"
     )
@@ -737,15 +759,14 @@ def s13_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"s13_sorted_{tag}")
     path = root + "/orders_by_date"
-    if not os.path.exists(path):
-        write_sorted_layout(
-            read_testdata(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderdate", "o_totalprice"
-            ),
-            path,
-            "o_orderdate",
-            8,
-        )
+    _build_once(root, lambda: write_sorted_layout(
+        read_testdata(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ),
+        path,
+        "o_orderdate",
+        8,
+    ))
     back = spark.read.parquet(path)
     return (
         back.filter(
@@ -797,7 +818,8 @@ def s17_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"s17_zorder_{tag}")
     path = root + "/orders_zorder"
-    if not os.path.exists(path):
+
+    def _build():
         orders = read_testdata(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus",
             "o_totalprice",
@@ -808,6 +830,8 @@ def s17_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zy", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
         )
         write_zorder_layout(df, path, "zx", "zy", n_files=16)
+
+    _build_once(root, _build)
     back = spark.read.parquet(path)
     return (
         back.filter(
@@ -852,10 +876,10 @@ def s14_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"s14_pruned_{tag}")
     path = root + "/orders_by_year"
-    if not os.path.exists(path):
-        read_testdata(spark, sf_dir, "orders").withColumn(
-            "order_year", F.year("o_orderdate")
-        ).write.partitionBy("order_year").parquet(path)
+    _build_once(root, lambda: read_testdata(spark, sf_dir, "orders")
+                .withColumn("order_year", F.year("o_orderdate"))
+                .write.mode("overwrite")
+                .partitionBy("order_year").parquet(path))
     back = spark.read.parquet(path)
     return (
         back.filter(F.col("order_year").isin(1996, 1997))
@@ -898,7 +922,7 @@ def s15_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"s15_corrupt_{tag}")
     path = root + "/orders_jsonl"
-    if not os.path.exists(path):
+    def _build():
         orders = read_testdata(spark, sf_dir, "orders")
         lines = orders.select(
             F.when(
@@ -918,7 +942,9 @@ def s15_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("value")
         )
-        lines.write.text(path)
+        lines.write.mode("overwrite").text(path)
+
+    _build_once(root, _build)
     back = (
         spark.read.schema(
             "id LONG, price DOUBLE, status STRING, _corrupt STRING"

@@ -228,8 +228,14 @@ def t3_cdc_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = os.path.join(d, "staging")
     curated = os.path.join(d, "curated")
     ckpt = os.path.join(d, "ckpt")
-    if not os.path.exists(staging):
-        keys.coalesce(2).write.option("header", True).csv(staging)
+    staged_done = os.path.join(d, ".staging_done")
+    if not os.path.exists(staged_done):
+        # marker AFTER the write: a partial fixture must not be served
+        # (overwrite on retry is safe — promotion has not run yet)
+        keys.coalesce(2).write.mode("overwrite").option(
+            "header", True
+        ).csv(staging)
+        open(staged_done, "w").close()
     foreach_batch_promote(
         spark,
         staging,
@@ -676,9 +682,11 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
     )
-    if not os.path.exists(feed):
+    feed_done = feed + ".done"
+    if not os.path.exists(feed_done):
         # three ascending-version slices, written in feed order (a CDC
-        # log's later files always carry higher versions)
+        # log's later files always carry higher versions); marker AFTER
+        # the writes so a partial feed is rebuilt, not served
         hi = orders.agg(F.max("o_orderkey")).first()[0]
         cut1, cut2 = hi // 3, 2 * hi // 3
         slices = [
@@ -689,7 +697,10 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdc.filter(F.col("version") > cut2),
         ]
         for i, sl in enumerate(slices, start=1):
-            sl.coalesce(1).write.parquet(os.path.join(feed, f"b{i}"))
+            sl.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(feed, f"b{i}")
+            )
+        open(feed_done, "w").close()
     if not os.path.exists(table):
         # initial table state: every key unseen (version -1)
         init = cdc.select("id").distinct().select(
@@ -799,22 +810,25 @@ def _events_dir_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     ALL trailing sessions — without it, a user whose last event sits
     near the global max would stay open when the run ends (correct
     stream semantics, but not end-to-end checkable)."""
+    import hashlib
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = _session_tmpdir(
-        f"events_dynsess_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    # keyed by the TARGET PATH hash, not the dir basename — two corpora
+    # named sf0.1 under different roots must not share one feed (the
+    # read_events_stream wrapper made the same choice)
+    src_path = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src_path.encode()).hexdigest()[:12]
+    d = _session_tmpdir(f"events_dynsess_{tag}")
     link = os.path.join(d, "part-0.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        os.symlink(src_path, link)
     sentinel = os.path.join(d, "part-1-sentinel.parquet")
     if not os.path.exists(sentinel):
-        src = pq.read_table(f"{sf_dir}/events.parquet")
+        src = pq.read_table(src_path)
         row = src.slice(0, 1).to_pylist()[0]
-        ts_field = src.schema.field("ts")
         max_ts = pa.compute.max(src["ts"]).as_py()
         import datetime
 
@@ -825,9 +839,11 @@ def _events_dir_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
         row["ts"] = far
         row["user_id"] = -1
         row["event_id"] = -1
-        pq.write_table(
-            pa.Table.from_pylist([row], schema=src.schema), sentinel
-        )
+        # write-then-rename: the guard above must never see (and then
+        # forever serve) a partially-written sentinel
+        tmp = sentinel + ".tmp"
+        pq.write_table(pa.Table.from_pylist([row], schema=src.schema), tmp)
+        os.replace(tmp, sentinel)
     return d
 
 

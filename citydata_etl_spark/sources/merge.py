@@ -274,24 +274,50 @@ def delete_keys(
     # Heal a crashed previous swap BEFORE reading the table.
     if fs.exists(staging) or fs.exists(trash):
         if not fs.exists(hpath(p, _COMMIT)):
-            # Mid-swap crash: for every bucket still staged, the staged
-            # copy is the authoritative post-delete content (the live
-            # dir may be whole, partial, or already trashed — all
-            # indistinguishable and all superseded). Trash content is
-            # always droppable: a directory only enters trash after its
-            # replacement was fully staged.
+            # Mid-swap crash: for every AFFECTED bucket (the `_AFFECTED`
+            # manifest written with the staging), the staged copy is the
+            # authoritative post-delete content — and a manifest bucket
+            # with NO staged directory was fully erased, so its live
+            # directory must go too (without the manifest, a crash
+            # before a fully-erased bucket's removal would silently keep
+            # its deleted keys and the heal would re-commit them). The
+            # live dir may be whole, partial, or already trashed — all
+            # superseded. Trash content is always droppable: a directory
+            # only enters trash after its replacement (or erasure) was
+            # fully staged/recorded.
             if fs.exists(staging):
+                manifest = hpath(staging, "_AFFECTED")
+                names = set()
+                if fs.exists(manifest):
+                    stream = fs.open(manifest)
+                    try:
+                        data = bytearray()
+                        while True:
+                            b = stream.read()
+                            if b < 0:
+                                break
+                            data.append(b)
+                    finally:
+                        stream.close()
+                    names = {
+                        f"bucket={line}"
+                        for line in bytes(data).decode().split()
+                        if line
+                    }
                 for st in fs.listStatus(staging):
-                    name = st.getPath().getName()
-                    if not name.startswith("bucket="):
-                        continue
+                    n_ = st.getPath().getName()
+                    if n_.startswith("bucket="):
+                        names.add(n_)
+                for name in sorted(names):
                     dst = hpath(p, name)
+                    src = hpath(staging, name)
                     if fs.exists(dst):
                         fs.mkdirs(trash)
                         tb = hpath(trash, name)
                         fs.delete(tb, True)
                         fs.rename(dst, tb)
-                    fs.rename(st.getPath(), dst)
+                    if fs.exists(src):  # absent = bucket fully erased
+                        fs.rename(src, dst)
             fs.delete(trash, True)
             fs.delete(staging, True)
             # the heal completes the CRASHED operation — re-commit its
@@ -326,6 +352,14 @@ def delete_keys(
         .partitionBy("bucket")
         .parquet(str(staging))
     )
+    # Affected-bucket manifest: a fully-erased bucket stages NO survivor
+    # directory, so without this record a crashed swap could not know the
+    # bucket still needs its live directory removed (heal reads it).
+    out = fs.create(hpath(staging, "_AFFECTED"), True)
+    try:
+        out.write(bytearray("\n".join(str(b) for b in affected).encode()))
+    finally:
+        out.close()
 
     fs.delete(hpath(p, _COMMIT), False)
     fs.mkdirs(trash)

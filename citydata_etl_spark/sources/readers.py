@@ -138,20 +138,25 @@ def read_doc_shingle_set(
 ) -> DataFrame:
     """SET-semantics companion to read_doc_shingle_bag: the distinct
     (doc_id, shingle) relation, persisted once per (application, sf_dir,
-    n) and derived FROM the cached bag — so a sweep touching both
-    semantics pays one scan+explode plus one distinct, total, across all
-    consumers (MinHash, n-gram Jaccard, contamination)."""
-    from citydata_etl_spark.caching import keyed_persist
+    n). If some consumer already pinned the BAG for this (sf_dir, n)
+    (dup_passage does, for n=4), the set derives from that cache —
+    one scan+explode total across both semantics; otherwise it builds
+    standalone so a strictly-larger bag relation is never pinned in
+    storage memory purely as a build intermediate (the n=2 consumers
+    only ever want the set)."""
+    from citydata_etl_spark.caching import keyed_get, keyed_persist
+    from citydata_etl_spark.operators.dedup import shingles
 
-    key = (
-        "doc_shingle_set",
-        spark.sparkContext.applicationId,
-        sf_dir,
-        n,
-    )
-    return keyed_persist(
-        key, lambda: read_doc_shingle_bag(spark, sf_dir, n).distinct()
-    )
+    app = spark.sparkContext.applicationId
+    key = ("doc_shingle_set", app, sf_dir, n)
+
+    def build():
+        bag = keyed_get(("doc_shingle_bag", app, sf_dir, n))
+        if bag is not None:
+            return bag.distinct()
+        return shingles(read_testdata(spark, sf_dir, "documents"), n)
+
+    return keyed_persist(key, build)
 
 
 def read_doc_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:

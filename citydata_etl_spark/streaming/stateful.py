@@ -152,15 +152,32 @@ def make_session_group(error_gap_s: int, default_gap_s: int):
 
         if state.hasTimedOut:
             # watermark passed end + prev_thr: no event can extend the
-            # open session any more — flush it
+            # open session any more — flush it. The state is NOT removed:
+            # it becomes a TOMBSTONE (start = -1, no open session) so the
+            # session counter survives — removing it would restart a
+            # returning user at session_id 0, duplicating an emitted id
+            # and diverging from the batch twin's cumulative numbering.
+            # The tombstone is 5 ints; it garbage-collects via a far
+            # timeout (counter-reset after ~1000 days of total silence
+            # is the documented boundary of batch equivalence).
             if state.exists:
-                sid, start, end, n, _thr = state.get
-                state.remove()
-                yield frame([(user_id, sid, n, start, end)])
+                sid, start, end, n, prev_thr = state.get
+                if start != -1:
+                    state.update((int(sid), -1, int(end), 0,
+                                  int(prev_thr)))
+                    state.setTimeoutTimestamp(
+                        state.getCurrentWatermarkMs()
+                        + 1000 * 86400 * 1000
+                    )
+                    yield frame([(user_id, sid, n, start, end)])
+                else:
+                    state.remove()  # tombstone expired: full gc
             return
 
         if state.exists:
             sid, start, end, n, prev_thr = state.get
+            if start == -1:  # tombstone: counter preserved, nothing open
+                start, end, n, prev_thr = None, None, 0, 0
         else:
             sid, start, end, n, prev_thr = -1, None, None, 0, 0
 

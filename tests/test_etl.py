@@ -688,3 +688,63 @@ def test_canonicalize_url_noise_classes(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_delete_keys_heal_completes_fully_erased_bucket(spark, tmp_path):
+    """A fully-erased bucket stages NO survivor directory; only the
+    `_AFFECTED` manifest records that its live directory must go. A crash
+    before that bucket's removal used to leave its deleted keys live —
+    and the heal then re-committed them. The heal must honor the
+    manifest: staged buckets swap, manifest-only buckets are erased."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id LONG, total LONG"
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=4)
+
+    # pick a victim bucket to fully erase and another to partially erase
+    with_b = base.withColumn("b", M.bucket_expr("id", 4))
+    by_bucket = {
+        r["b"]: r["ids"]
+        for r in with_b.groupBy("b")
+        .agg(F.collect_list("id").alias("ids"))
+        .collect()
+    }
+    full_b = min(by_bucket)                       # erase every key
+    part_b = max(by_bucket)                       # erase one key
+    erased = set(by_bucket[full_b]) | {by_bucket[part_b][0]}
+
+    # simulate the crashed swap state by hand: survivors of part_b staged,
+    # manifest listing BOTH buckets, marker absent, live dirs untouched
+    staging = os.path.join(path, ".delete_staging")
+    os.makedirs(staging)
+    kept_ids = [i for i in by_bucket[part_b] if i not in erased]
+    kept = base.filter(F.col("id").isin(kept_ids)).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(staging, f"bucket={part_b}"))
+    pq.write_table(
+        pa.Table.from_pandas(kept, preserve_index=False),
+        os.path.join(staging, f"bucket={part_b}", "part-0.parquet"),
+    )
+    with open(os.path.join(staging, "_AFFECTED"), "w") as f:
+        f.write(f"{full_b}\n{part_b}\n")
+    os.remove(os.path.join(path, M._COMMIT))
+
+    # any later delete must heal first
+    M.delete_keys(
+        spark, path,
+        spark.createDataFrame([(999_999,)], "id LONG"), "id", n_buckets=4,
+    )
+    back = {r["id"] for r in
+            M.read_bucketed_control(spark, path).select("id").collect()}
+    assert back == set(range(100)) - erased
+    assert not os.path.exists(os.path.join(path, f"bucket={full_b}"))

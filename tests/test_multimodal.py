@@ -204,6 +204,8 @@ def test_jpeg_header_meta_marker_walk(spark):
     # DHT before SOF: C4 must be skipped, not parsed as a frame
     dht_first = base + seg(0xC4, b"\x00" * 16) + seg(0xC0, sof)
     long_com = base + seg(0xFE, b"x" * 123) + seg(0xC2, sof)
+    # spec-valid 0xFF fill (padding) bytes before the SOF marker
+    fill_padded = base + b"\xFF\xFF\xFF" + seg(0xC0, sof)[1:]
     truncated = base[:6]
     not_jpeg = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
     media = spark.createDataFrame(
@@ -212,11 +214,12 @@ def test_jpeg_header_meta_marker_walk(spark):
             (2, bytearray(long_com)),
             (3, bytearray(truncated)),
             (4, bytearray(not_jpeg)),
+            (5, bytearray(fill_padded)),
         ],
         "media_id LONG, content BINARY",
     )
     rows = {r["media_id"]: r for r in jpeg_header_meta(media).collect()}
-    for mid, prog in ((1, False), (2, True)):
+    for mid, prog in ((1, False), (2, True), (5, False)):
         r = rows[mid]
         assert (r["width"], r["height"]) == (640, 480)
         assert r["precision"] == 8 and r["n_components"] == 3
