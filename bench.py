@@ -76,6 +76,11 @@ HEADLINE = [
     "d4_dedup_index_ingest",
     "d4_bpe_pair_counts",
     "t10_stream_dynamic_sessions",
+    # round-5 second wave: composed multi-join workload (the 6-table Q5
+    # star join), the bloom runtime-filter semi-join, corpus line dedup
+    "q5_regional_volume",
+    "j10_bloom_prefilter_join",
+    "d4_line_dedup",
 ]
 
 

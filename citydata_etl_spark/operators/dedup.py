@@ -1023,3 +1023,54 @@ def update_dedup_index(
     existing = M.read_bucketed_control(spark, index_path).select("norm_sha")
     new = collapsed.join(existing, "norm_sha", "left_anti")
     M.merge_upsert(spark, index_path, new, "norm_sha", n_buckets=n_buckets)
+
+
+def dedup_lines(docs: DataFrame, words_per_line: int = 4,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level duplicate-LINE removal with document reassembly — the
+    CCNet/RefinedWeb line-dedup stage (Wenzek et al. 2020 §4.1; Penedo et
+    al. 2023 run it before MinHash): every occurrence of a line beyond its
+    first across the WHOLE corpus is dropped, and surviving lines are
+    stitched back into per-document text.
+
+    Lines here are fixed `words_per_line` word windows (the fixtures' text
+    has no newlines); a real corpus splits on '\\n' instead — everything
+    after segmentation is identical. First-occurrence is deterministic:
+    the minimum (id, position) per distinct line wins, via ONE
+    row_number window partitioned by the line itself. Cost at 100 TB: one
+    segmentation explode (codegen), one shuffle on the line hash for the
+    window, one shuffle back on doc id for reassembly — the same
+    two-exchange shape as the dup-passage profiler, with no joins. Docs
+    whose every line is a duplicate still emit (n_kept = 0, empty text):
+    the aggregation is over ALL segments, so the output is total over
+    input docs.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(words_per_line)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_line + 1, words_per_line), " "
+        ),
+    )
+    seg = _spread_small_input(docs).select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    first = W.partitionBy("line").orderBy(id_col, "pos")
+    flagged = seg.withColumn("_keep", F.row_number().over(first) == 1)
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )

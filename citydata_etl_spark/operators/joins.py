@@ -238,6 +238,99 @@ def salted_join(
     return out.drop("__salt")
 
 
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi-join with a BLOOM-FILTER runtime prefilter — the manual form of
+    the runtime row-group filter Spark injects for shuffle joins
+    (spark.sql.optimizer.runtime.bloomFilter), usable where the optimizer
+    won't inject one (DataFrame-composed plans, pre-shuffle source pruning,
+    feeding the filter into a DIFFERENT job than the one that built it).
+
+    Build phase: each build key sets n_hashes bit positions
+    (pmod(xxhash64(key, seed_i), n_bits)); positions aggregate into 64-bit
+    words via bit_or, so the build is ONE map-side-combined aggregate whose
+    shuffle volume is <= n_bits/64 rows — never proportional to build-side
+    cardinality. The collected bitmap (n_bits/64 longs, e.g. 32 KiB at the
+    2^18 default) is embedded as a single array literal in the probe plan:
+    the probe is a zero-shuffle, zero-join codegen projection that ANDs
+    n_hashes word lookups. Driver traffic is bounded by the bitmap size, by
+    construction, at any build-side cardinality.
+
+    With exact=True (default) a real left_semi join runs AFTER the bloom
+    filter to kill false positives, so results are exactly the semi-join —
+    the bloom's only job is to prune the probe side's shuffle (at 100 TB
+    that's the difference between shuffling every probe row and shuffling
+    the ~|matches| survivors). exact=False returns the raw bloom survivors
+    (superset semantics) for pipelines that tolerate the documented false-
+    positive rate ~(1 - e^(-k*n/m))^k.
+
+    Scale guidance: size n_bits ~ 10x build cardinality for ~1% fpp. The
+    bitmap literal ships with every task closure; keep n_bits <= ~2^24
+    (2 MiB) — beyond that, prefer the word-table broadcast-join form.
+    """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(f"n_bits must be a positive multiple of 64: {n_bits}")
+    n_words = n_bits // 64
+
+    def positions(key_col):
+        return [
+            F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+
+    def one_shifted_by(pos):
+        # shiftleft with a COLUMN shift amount (the PySpark wrapper's
+        # numBits parameter is a Python int only)
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), pos.cast("int") % 64
+        )
+
+    bits = build.select(
+        F.explode(F.array(*positions(F.col(build_key)))).alias("_pos")
+    ).select(
+        (F.col("_pos") / 64).cast("int").alias("_word"),
+        one_shifted_by(F.col("_pos")).alias("_mask"),
+    )
+    # ONE aggregate: <= n_words grouped rows cross the shuffle; the collect
+    # is bounded by the bitmap size regardless of build-side row count.
+    agg = bits.groupBy("_word").agg(F.bit_or("_mask").alias("_bits")).collect()
+    words = [0] * n_words
+    for row in agg:
+        words[row["_word"]] = row["_bits"]
+
+    # ONE foldable literal: F.lit(list) would expand to a CreateArray of
+    # n_words literal NODES (4096 expressions at the default size — a
+    # measured ~2 s/invocation codegen+analysis tax); from_json over a
+    # string literal constant-folds to a single ArrayType Literal instead.
+    import json as _json
+
+    bloom = F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
+    checks = [
+        (
+            F.element_at(bloom, (pos / 64).cast("int") + 1)
+            .bitwiseAND(one_shifted_by(pos))
+        )
+        != 0
+        for pos in positions(F.col(probe_key))
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    pruned = probe.filter(cond)
+    if not exact:
+        return pruned
+    return pruned.join(
+        build.select(F.col(build_key).alias(probe_key)), probe_key, "left_semi"
+    )
+
+
 def interval_overlap_pairs(
     intervals: DataFrame,
     id_col: str = "id",

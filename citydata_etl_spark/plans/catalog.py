@@ -240,6 +240,7 @@ def load_all() -> dict[str, Query]:
         queries_agg,
         queries_core,
         queries_functions,
+        queries_workload,
     )
 
     ordered = sorted(

@@ -434,3 +434,45 @@ def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.interval_overlap_pairs(
         iv, "id", "start", "end", cell_size=7 * 86400
     )
+
+
+@register(
+    "j10_bloom_prefilter_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(floor((o_totalprice) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    doc="J10 (runtime-filter extension): semi-join behind a BLOOM-FILTER "
+    "prefilter (operators/joins.py:bloom_semi_join) — the manual form of "
+    "Spark's runtime bloom injection, for plans the optimizer won't "
+    "rewrite (cross-job filters, pre-shuffle source pruning). The bloom "
+    "builds in ONE map-side-combined bit_or aggregate whose shuffle and "
+    "driver traffic are bounded by the BITMAP size (n_bits/64 longs, "
+    "32 KiB here) — never by build-side cardinality; the probe is a "
+    "zero-shuffle codegen projection ANDing k word lookups in an array "
+    "literal. A real left_semi join then kills false positives, so the "
+    "result is EXACTLY the semi-join (the oracle's IN form) — the bloom "
+    "only prunes the probe side's shuffle, which at 100 TB is the "
+    "difference between shuffling every probe row and shuffling the "
+    "survivors. Prune effectiveness + exactness pinned in "
+    "tests/test_plans.py.",
+)
+def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        read_testdata(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = read_testdata(spark, sf_dir, "orders")
+    matched = J.bloom_semi_join(
+        orders, keys, probe_key="o_custkey", build_key="c_custkey"
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "revenue"),
+    )

@@ -1584,3 +1584,46 @@ def d4_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
+
+
+@register(
+    "d4_line_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    seg AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(
+               words[(CAST(i AS INTEGER)*4+1):(CAST(i AS INTEGER)*4+4)],
+               ' ') AS line
+      FROM w, UNNEST(range(0, CAST(ceil(len(words)/4.0) AS BIGINT))) AS t(i)),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+               AS keep
+      FROM seg)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="D4 (corpus line dedup): duplicate-LINE removal with document "
+    "reassembly — the CCNet/RefinedWeb stage that runs BEFORE document "
+    "MinHash (Wenzek 2020 §4.1; Penedo 2023): every occurrence of a line "
+    "beyond its first across the WHOLE corpus is dropped and survivors "
+    "are stitched back per document (operators/dedup.py:dedup_lines). "
+    "Lines are fixed 4-word windows (fixture text has no newlines; a "
+    "real corpus splits on newline — the pipeline after segmentation is "
+    "identical). First occurrence = min (doc_id, pos) via ONE row_number "
+    "window partitioned by the line; reassembly sorts kept (pos, line) "
+    "structs inside the per-doc aggregate. Two exchanges total (line "
+    "hash, then doc id), zero joins; docs losing every line still emit "
+    "n_kept=0 with empty text, so the output is total over input docs.",
+)
+def d4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.dedup import dedup_lines
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_lines(docs, words_per_line=4)

@@ -435,3 +435,91 @@ def test_j9_interval_overlap_no_cartesian(spark):
     plan = _plan(spark, "j9_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_workload_plans(spark):
+    """The composed TPC-H-shaped queries keep their scale posture: top-k
+    plans as TakeOrderedAndProject (no global sort), the fixed-cardinality
+    dims broadcast in q5/q10, and the selective filters reach the scans."""
+    p3 = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p3
+    assert "PushedFilters" in p3 and "c_mktsegment" in p3
+
+    p5 = _plan(spark, "q5_regional_volume")
+    assert "BroadcastHashJoin" in p5  # nation x region dims
+    assert "CartesianProduct" not in p5 and "BroadcastNestedLoop" not in p5
+
+    p10 = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p10
+    assert "EqualTo(l_returnflag,R)" in p10  # pushed into the lineitem scan
+
+
+def test_bloom_semi_join_prunes_and_is_exact(spark):
+    """The bloom prefilter must (a) pass every true match, (b) actually
+    prune non-matching probe rows, (c) with exact=True equal the plain
+    semi-join bit-for-bit, and (d) probe with a zero-shuffle, zero-join
+    plan (the bitmap is an array literal, not a joined relation)."""
+    from citydata_etl_spark.operators.joins import bloom_semi_join, semi_join
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, SF_ORACLE, "orders")
+    keys = (
+        read_testdata(spark, SF_ORACLE, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    exact = semi_join(
+        orders, keys.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+    )
+    n_exact = exact.count()
+    n_probe = orders.count()
+
+    survivors = bloom_semi_join(
+        orders, keys, "o_custkey", "c_custkey", exact=False
+    )
+    n_surv = survivors.count()
+    assert n_exact <= n_surv < n_probe  # superset, but genuinely pruning
+    # ~80% of customers are non-BUILDING; a 2^18-bit / 5-hash bloom over
+    # ~300 keys has fpp << 1%, so survivors should sit near the true count
+    assert n_surv < n_exact + 0.05 * n_probe
+
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    checked = bloom_semi_join(orders, keys, "o_custkey", "c_custkey")
+    assert checked.count() == n_exact
+    assert checked.exceptAll(exact).count() == 0
+
+
+def test_bloom_semi_join_validates_bits():
+    from citydata_etl_spark.operators.joins import bloom_semi_join
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_semi_join(None, None, "a", "b", n_bits=100)
+
+
+def test_dedup_lines_first_occurrence_and_total_output(spark):
+    """Line dedup keeps exactly the first (doc_id, pos) occurrence of each
+    line — including within-doc repeats — and stays total over input docs
+    (a doc losing every line emits n_kept=0, empty text)."""
+    from citydata_etl_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # lines: "a b c d", "e f g h"
+            (2, "a b c d x y z w"),        # first line duplicates doc 1
+            (3, "a b c d e f g h"),        # loses both lines
+            (4, "p q r s p q r s"),        # within-doc repeat: keep first
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, words_per_line=4).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["n_kept"] == 2 and out[1]["kept_text"] == "a b c d\ne f g h"
+    assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == "x y z w"
+    assert out[3]["n_kept"] == 0 and out[3]["kept_text"] == ""
+    assert out[4]["n_kept"] == 1 and out[4]["kept_text"] == "p q r s"
+    assert all(out[i]["n_lines"] == 2 for i in out)
