@@ -81,6 +81,8 @@ HEADLINE = [
     "q5_regional_volume",
     "j10_bloom_prefilter_join",
     "d4_line_dedup",
+    "d5_audio_energy",
+    "g1_host_pagerank",
 ]
 
 

@@ -248,6 +248,79 @@ def png_header_meta(media: DataFrame,
     )
 
 
+_ENERGY_SCHEMA = (
+    "media_id BIGINT, win_idx INT, n_samples INT, energy BIGINT"
+)
+
+
+def audio_energy_windows(
+    media: DataFrame,
+    window_samples: int = 128,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-window audio ENERGY from raw 16-bit PCM WAV bytes — the first
+    feature-extraction step past header triage (silence detection, voice-
+    activity gating, loudness filters run on exactly this signal before
+    any model sees the audio).
+
+    REAL byte-level signal processing with no codec dependency: each blob's
+    44-byte canonical PCM header is validated (RIFF/WAVE magic, 16-bit),
+    the payload decodes via numpy frombuffer('<i2') — one vectorized call
+    per blob, inside Arrow-batched mapInPandas (one Python invocation per
+    record batch) — and windows of `window_samples` samples emit their
+    exact integer energy sum(s^2) (int64: fits 2^53-scale windows of
+    16-bit samples with room to spare). Integer energies make the output
+    engine-exact — no float summation order to disagree about. The final
+    partial window emits with its true n_samples.
+
+    Non-WAV / malformed rows emit NO windows (route blobs through
+    sniff_media_format + wav_header_meta first at scale). Fan-out is
+    payload_bytes/2/window rows per blob; at 100 TB repartition before
+    this call so partitions stay memory-bounded.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            wins: list[int] = []
+            ns: list[int] = []
+            energies: list[int] = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if (
+                    blob is None
+                    or len(blob) < 44
+                    or blob[0:4] != b"RIFF"
+                    or blob[8:12] != b"WAVE"
+                    or int.from_bytes(blob[34:36], "little") != 16
+                ):
+                    continue
+                data_bytes = int.from_bytes(blob[40:44], "little")
+                payload = blob[44 : 44 + data_bytes]
+                samples = np.frombuffer(
+                    payload[: len(payload) // 2 * 2], dtype="<i2"
+                ).astype(np.int64)
+                for w in range(0, len(samples), window_samples):
+                    chunk = samples[w : w + window_samples]
+                    ids.append(int(mid))
+                    wins.append(w // window_samples)
+                    ns.append(len(chunk))
+                    energies.append(int(np.dot(chunk, chunk)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "win_idx": pd.array(wins, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "energy": pd.array(energies, dtype="int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_ENERGY_SCHEMA)
+
+
 _JPEG_META_SCHEMA = (
     "media_id BIGINT, width BIGINT, height BIGINT, precision BIGINT, "
     "n_components BIGINT, progressive BOOLEAN"

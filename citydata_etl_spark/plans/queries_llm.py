@@ -1627,3 +1627,82 @@ def d4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup_lines(docs, words_per_line=4)
+
+
+@register(
+    "d5_audio_energy",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id AS media_id, 200 + doc_id % 300 AS n
+      FROM documents WHERE doc_id % 9 <> 0),
+    samp AS (
+      SELECT media_id, CAST(i AS BIGINT) AS si,
+             (media_id * 31 + CAST(i AS BIGINT) * 17) % 4096 AS s
+      FROM params, UNNEST(range(0, n)) AS t(i))
+    SELECT media_id, CAST(si // 128 AS INT) AS win_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy
+    FROM samp GROUP BY media_id, si // 128
+    """,
+    doc="D5 [north-star multimodal]: per-window audio ENERGY from raw "
+    "16-bit PCM WAV payloads — the step PAST header triage: silence/"
+    "loudness gating runs on exactly this signal before any model sees "
+    "the audio (operators/multimodal.py:audio_energy_windows). The "
+    "operator genuinely PARSES bytes: header validation, then "
+    "numpy.frombuffer('<i2') over the payload inside Arrow-batched "
+    "mapInPandas, exact integer sum(s^2) per 128-sample window (int64 "
+    "— no float summation order to disagree about). Blobs are complete "
+    "WAV files synthesized in codegen (canonical 44-byte header + LE "
+    "PCM samples s_i = (doc_id*31 + i*17) % 4096; every 9th row a PNG "
+    "stub that must emit NO windows), so the oracle states every "
+    "window's energy in closed form — the parse-and-compute path must "
+    "reproduce the generator formula bit-exactly, partial final window "
+    "included. The parser is additionally pinned against Python's wave "
+    "module on real bytes in tests/test_multimodal.py.",
+)
+def d5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import audio_energy_windows
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n_samples = (200 + d % 300).cast("bigint")
+    data_bytes = n_samples * 2
+    wav_header_hex = F.concat(
+        F.lit("52494646"), _le_hex(data_bytes + 36, 4),   # 'RIFF' + size
+        F.lit("57415645"), F.lit("666D7420"),             # 'WAVE' 'fmt '
+        _le_hex(F.lit(16).cast("bigint"), 4),             # fmt chunk size
+        _le_hex(F.lit(1).cast("bigint"), 2),              # PCM
+        _le_hex(F.lit(1).cast("bigint"), 2),              # mono
+        _le_hex(F.lit(8000).cast("bigint"), 4),           # sample rate
+        _le_hex(F.lit(16000).cast("bigint"), 4),          # byte rate
+        _le_hex(F.lit(2).cast("bigint"), 2),              # block align
+        _le_hex(F.lit(16).cast("bigint"), 2),             # bits/sample
+        F.lit("64617461"), _le_hex(data_bytes, 4),        # 'data' + size
+    )
+    payload_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_samples - 1),
+            lambda i: F.concat(
+                F.lpad(
+                    F.hex(((d * 31 + i * 17) % 4096).bitwiseAND(F.lit(255))),
+                    2, "0",
+                ),
+                F.lpad(
+                    F.hex(F.shiftright((d * 31 + i * 17) % 4096, 8)), 2, "0"
+                ),
+            ),
+        ),
+        "",
+    )
+    png_hex = F.lit("89504E470D0A1A0A" + "00" * 36)
+    media = docs.select(
+        d.alias("media_id"),
+        F.unhex(
+            F.when(d % 9 == 0, png_hex).otherwise(
+                F.concat(wav_header_hex, payload_hex)
+            )
+        ).alias("content"),
+    )
+    return audio_energy_windows(media, window_samples=128)

@@ -194,3 +194,67 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "g1_host_pagerank",
+    oracle="""
+    WITH ev AS (
+      SELECT (doc_id * 2654435761) % 2147483648 AS e FROM documents),
+    edges AS (
+      SELECT DISTINCT e % 40 AS src, (e // 40) % 40 AS dst
+      FROM ev WHERE e % 40 <> (e // 40) % 40),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1000000 // n AS pr FROM nodes, nn),
+    it1 AS (
+      SELECT nd.node, 150000 // nn.n
+               + 85 * coalesce(sum(p.pr // d.outdeg), 0) // 100 AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN pr0 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY nd.node, nn.n),
+    it2 AS (
+      SELECT nd.node, 150000 // nn.n
+               + 85 * coalesce(sum(p.pr // d.outdeg), 0) // 100 AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN it1 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY nd.node, nn.n),
+    it3 AS (
+      SELECT nd.node, 150000 // nn.n
+               + 85 * coalesce(sum(p.pr // d.outdeg), 0) // 100 AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN edges e ON e.dst = nd.node
+      LEFT JOIN it2 p ON p.node = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY nd.node, nn.n)
+    SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr FROM it3
+    """,
+    doc="G1 (iterative graph extension): PageRank over a host link graph "
+    "in EXACT integer micros (operators/graph.py:pagerank) — the "
+    "authority signal crawl pipelines rank seed hosts with. Edges are "
+    "synthesized deterministically from doc_id through an integer LCG "
+    "(40 hosts, self-loops dropped, deduplicated), so three unrolled "
+    "power iterations are stated verbatim in SQL and the driver checks "
+    "the ITERATIVE computation bit-exactly — integer floor division "
+    "everywhere means no float accumulation order to disagree about. "
+    "Engine shape per iteration: edges x ranks equi-join, one hash "
+    "aggregate on the destination, left join back to the node set; the "
+    "edge+outdegree relation persists once across iterations and each "
+    "iteration localCheckpoints to truncate lineage (the dedup_groups "
+    "discipline). Only N (one count) ever reaches the driver.",
+)
+def g1_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.graph import pagerank
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    ev = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+    edges = docs.select(
+        (ev % 40).alias("src"),
+        ((ev / 40).cast("bigint") % 40).alias("dst"),
+    )
+    return pagerank(edges, n_iter=3)

@@ -230,3 +230,40 @@ def test_jpeg_header_meta_marker_walk(spark):
             for c in ("width", "height", "precision", "n_components",
                       "progressive")
         )
+
+
+def test_audio_energy_matches_wave_module_bytes(spark):
+    """Energy windows computed from bytes assembled by Python's own wave
+    module must equal a direct numpy reference — including the partial
+    final window — and non-WAV blobs must emit no windows at all."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    blobs = []
+    expected = {}
+    for mid in range(3):
+        samples = rng.integers(-32768, 32767, size=300 + 17 * mid,
+                               dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        blobs.append((mid, bytearray(buf.getvalue())))
+        s64 = samples.astype(np.int64)
+        for wi in range(0, len(s64), 128):
+            chunk = s64[wi : wi + 128]
+            expected[(mid, wi // 128)] = (len(chunk), int(np.dot(chunk, chunk)))
+    blobs.append((99, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)))
+    blobs.append((98, bytearray(b"RIFFxxxxJUNK" + b"\x00" * 64)))
+    media = spark.createDataFrame(
+        blobs, "media_id LONG, content BINARY"
+    )
+    rows = M.audio_energy_windows(media, window_samples=128).collect()
+    got = {(r["media_id"], r["win_idx"]): (r["n_samples"], r["energy"])
+           for r in rows}
+    assert got == expected  # 99/98 absent: no windows for non-WAV blobs

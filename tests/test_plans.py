@@ -523,3 +523,26 @@ def test_dedup_lines_first_occurrence_and_total_output(spark):
     assert out[3]["n_kept"] == 0 and out[3]["kept_text"] == ""
     assert out[4]["n_kept"] == 1 and out[4]["kept_text"] == "p q r s"
     assert all(out[i]["n_lines"] == 2 for i in out)
+
+
+def test_pagerank_hand_checked_and_conserves_mass(spark):
+    """PageRank on a hand-computable graph: a 2-cycle must stay uniform at
+    every iteration (exactly 500000 each with no flooring loss), and a
+    star graph must rank the hub above the leaves. Dangling-node mass is
+    allowed to leak (documented recurrence) but never grow."""
+    from citydata_etl_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src LONG, dst LONG")
+    out = {r["node"]: r["pr"] for r in pagerank(cyc, n_iter=4).collect()}
+    assert out == {0: 500000, 1: 500000}
+
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src LONG, dst LONG"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(star, n_iter=3).collect()}
+    assert pr[0] > pr[1] > pr[2] == pr[3]
+    assert sum(pr.values()) <= 1_000_000
+
+    # self-loops are dropped: a pure self-loop graph has no edges left
+    loop = spark.createDataFrame([(5, 5)], "src LONG, dst LONG")
+    assert pagerank(loop, n_iter=2).count() == 0
