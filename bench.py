@@ -83,6 +83,7 @@ HEADLINE = [
     "d4_line_dedup",
     "d5_audio_energy",
     "g1_host_pagerank",
+    "d4_containment",
 ]
 
 

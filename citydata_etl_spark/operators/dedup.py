@@ -379,6 +379,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6,
+    text_col: str = "text", id_col: str = "doc_id",
+    shingle_rel: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram set-CONTAINMENT pairs: |A ∩ B| / min(|A|, |B|) >= t,
+    output (doc_a, doc_b, containment) with doc_a < doc_b.
+
+    Containment is the ASYMMETRIC dedup signal Jaccard misses: a short
+    quote or boilerplate block fully embedded in a much longer document
+    has near-zero Jaccard but containment ~1 — it's the measure behind
+    quote detection and subset-document screening (Broder 1997 defines
+    both; containment is his C(A,B)).
+
+    Blocking is lossless by pigeonhole on the SMALLER side: overlap >=
+    t * min(|A|,|B|) = t * |S| forces S to share one of its
+    |S| - ceil(t*|S|) + 1 globally-rarest shingles, so candidates come
+    from joining every doc's rarity PREFIX against the FULL inverted
+    index (not prefix x prefix as in ngram_jaccard_pairs — inherent to
+    containment, since the long side's own prefix bound only covers
+    t * |L|, which a small overlap never reaches). Verification is one
+    array_intersect over the persisted per-doc sorted shingle-id arrays.
+    Cost: prefix x full-index candidate rows, bounded by per-shingle
+    document frequency over the prefix vocabulary, where hot shingles
+    never appear.
+    """
+    sh = (
+        shingle_rel
+        if shingle_rel is not None
+        else scoped_persist(shingles(docs, n, text_col, id_col))
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(
+        "shingle", "rid"
+    )
+    shr = sh.join(ranked, "shingle").select(id_col, "rid")
+    arr = scoped_persist(
+        shr.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("rid")).alias("rids"))
+        .withColumn("sz", F.size("rids"))
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    pref = arr.select(
+        F.col(id_col).alias("p_id"),
+        F.explode(F.slice("rids", 1, prefix_len.cast("int"))).alias("rid"),
+    )
+    cand = (
+        pref.join(shr.select(F.col(id_col).alias("f_id"), "rid"), "rid")
+        .filter(F.col("p_id") != F.col("f_id"))
+        .select(
+            F.least("p_id", "f_id").alias("doc_a"),
+            F.greatest("p_id", "f_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a_side = arr.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("rids").alias("rids_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b_side = arr.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("rids").alias("rids_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    ver = (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("rids_a", "rids_b")))
+        .withColumn(
+            "containment",
+            F.col("i").cast("double") / F.least("sz_a", "sz_b"),
+        )
+    )
+    return ver.filter(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )
+
+
 def _hash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     """num_hashes integer LCG hash functions h_i(x) = (a_i*x + b_i) mod P
     — driver-side constants folded into the plan as literals."""

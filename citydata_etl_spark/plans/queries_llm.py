@@ -1706,3 +1706,52 @@ def d5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return audio_energy_windows(media, window_samples=128)
+
+
+@register(
+    "d4_containment",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
+    """,
+    doc="D4 (asymmetric containment): exact bigram set-CONTAINMENT pairs "
+    "|A∩B| / min(|A|,|B|) >= 0.6 (Broder 1997's C(A,B)) — the signal "
+    "Jaccard misses: a short quote or boilerplate block embedded in a "
+    "much longer doc has near-zero Jaccard but containment ~1 "
+    "(operators/dedup.py:containment_pairs). Blocking is lossless by "
+    "pigeonhole on the SMALLER side: its rarity prefix must hit the "
+    "other side's FULL inverted index (prefix x prefix, Jaccard's "
+    "trick, is unsound here — the long side's prefix bound never "
+    "reaches a small overlap); exact array_intersect verify. Consumes "
+    "the sweep-shared bigram shingle set; equality to the naive "
+    "inverted-index join pinned by a property test.",
+)
+def d4_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, n=2, threshold=0.6,
+        shingle_rel=read_doc_shingle_set(spark, sf_dir, 2),
+    )

@@ -645,3 +645,46 @@ def test_canonicalize_url_idempotent_and_matches_reference(spark, parts):
         for r in df2.select(canonicalize_url("url").alias("c")).collect()
     ]
     assert got2 == got
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.4, 0.6, 0.9]),
+)
+def test_containment_blocking_is_lossless(spark, docs, threshold):
+    """The prefix-vs-full-index containment join must return EXACTLY the
+    pairs a pure-Python all-pairs reference finds — the smaller-side
+    pigeonhole blocking prunes, never loses (including total-containment
+    pairs where one doc's grams are a strict subset of the other's)."""
+    from citydata_etl_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, n=2, threshold=threshold).collect()
+    }
+
+    def grams(toks):
+        if len(toks) == 1:
+            return {toks[0]}
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        ga, gb = grams(ta.split(" ")), grams(tb.split(" "))
+        c = len(ga & gb) / min(len(ga), len(gb))
+        if c >= threshold:
+            want[(ia, ib)] = round(c, 6)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
