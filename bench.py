@@ -84,6 +84,8 @@ HEADLINE = [
     "d5_audio_energy",
     "g1_host_pagerank",
     "d4_containment",
+    "j11_geo_radius_join",
+    "f15_geo_cell",
 ]
 
 

@@ -150,3 +150,63 @@ def canonicalize_url(url: Column | str) -> Column:
             F.lit("")
         ),
     )
+
+
+#: Geohash's base-32 alphabet (no a/i/l/o).
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geo_cell_bits(lat_md: Column, lng_md: Column, bits_per_dim: int = 15):
+    """Geohash-style interleaved cell id from INTEGER millidegree
+    coordinates — lat_md in [-90000, 90000), lng_md in [-180000, 180000).
+
+    Quantization is pure integer arithmetic (no doubles anywhere, so two
+    engines can state the identical value): each dimension maps to a
+    2^bits_per_dim grid via (offset * 2^bits) div span, then the 2*bits
+    cell id interleaves bits geohash-wise — longitude first, from the
+    most significant bit down. 15 bits/dim = the 30-bit prefix behind a
+    6-character geohash (~±0.0027 deg cell, ~600 m at the equator).
+
+    This is the spatial bucketing primitive: equal cell ids co-locate
+    nearby points for grid joins, and the id's PREFIX structure means
+    truncating low bits coarsens the cell — the property range scans and
+    Z-order layouts exploit. Codegen only: 4*bits shift/and/or ops.
+    """
+    span_lat, span_lng = 180_000, 360_000
+    n = F.lit(1 << bits_per_dim)
+    qlat = ((lat_md + 90_000) * n - ((lat_md + 90_000) * n) % span_lat) / span_lat
+    qlng = ((lng_md + 180_000) * n - ((lng_md + 180_000) * n) % span_lng) / span_lng
+    qlat = qlat.cast("bigint")
+    qlng = qlng.cast("bigint")
+    g = F.lit(0).cast("bigint")
+    for i in range(bits_per_dim):
+        g = g.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(qlng, bits_per_dim - 1 - i).bitwiseAND(F.lit(1)),
+                2 * bits_per_dim - 1 - 2 * i,
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(qlat, bits_per_dim - 1 - i).bitwiseAND(F.lit(1)),
+                2 * bits_per_dim - 2 - 2 * i,
+            )
+        )
+    return qlat, qlng, g
+
+
+def geo_cell_token(cell: Column, n_chars: int = 6) -> Column:
+    """Base-32 token for a 5*n_chars-bit interleaved cell id — the
+    geohash string form, for partition directories and human-readable
+    bucketing. Character k takes bits (5*n_chars - 5k - 5 ..)."""
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (
+                F.shiftright(cell, 5 * (n_chars - 1 - k)).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for k in range(n_chars)
+    ]
+    return F.concat(*chars)

@@ -331,6 +331,97 @@ def bloom_semi_join(
     )
 
 
+def geo_radius_join(
+    probe: DataFrame,
+    build: DataFrame,
+    radius_km: float,
+    probe_lat: str = "lat",
+    probe_lng: str = "lng",
+    build_lat: str = "lat",
+    build_lng: str = "lng",
+    cell_deg_lat: float = 1.5,
+    cell_deg_lng: float = 3.0,
+) -> DataFrame:
+    """All (probe, build) point pairs within `radius_km` great-circle
+    distance — via GRID-CELL BLOCKING, never a cross join: the 2-D analog
+    of interval_overlap_pairs' binning.
+
+    Each build point lands in ONE (lat_cell, lng_cell) grid cell; each
+    probe point fans out to its 3x3 cell NEIGHBORHOOD (a 9x explode —
+    constant, not data-dependent); candidates meet through one equi-join
+    on the cell pair and verify with the exact haversine predicate inside
+    the join. Because the build side appears in exactly one cell, every
+    qualifying pair is emitted exactly once — no distinct exchange.
+
+    LOSSLESSNESS CONTRACT (caller-checked): a pair within radius_km must
+    differ by less than one cell in each dimension, i.e.
+      cell_deg_lat * 111.195 >= radius_km, and
+      cell_deg_lng * 111.195 * cos(max |lat|) >= radius_km.
+    The defaults (1.5 deg / 3.0 deg) cover radius <= 150 km for points
+    within +-60 deg latitude; outside that band, widen cell_deg_lng (at
+    the poles, switch to a polar-cap scheme). Cost: 9x probe rows +
+    true pair density per cell — linear, and the cells shuffle-partition
+    evenly unless the points themselves are pathologically clustered
+    (then: finer cells + AQE skew handling).
+
+    Output: every probe column, every build column, `dist_km` rounded to
+    4 decimals (transcendental-output convention); the radius filter also
+    applies to the ROUNDED value so engine last-ulp differences cannot
+    flip boundary membership.
+    """
+    from citydata_etl_spark.functions.scalar import haversine_km
+
+    overlap = set(probe.columns) & set(build.columns)
+    if overlap:
+        raise ValueError(
+            "geo_radius_join: probe and build column names must be "
+            f"disjoint (both sides surface in the output): {sorted(overlap)}"
+        )
+
+    def cells(lat, lng):
+        return (
+            F.floor((lat + 90.0) / cell_deg_lat).cast("int"),
+            F.floor((lng + 180.0) / cell_deg_lng).cast("int"),
+        )
+
+    b_lat_cell, b_lng_cell = cells(F.col(build_lat), F.col(build_lng))
+    b = build.withColumn("__clat", b_lat_cell).withColumn(
+        "__clng", b_lng_cell
+    )
+    p_lat_cell, p_lng_cell = cells(F.col(probe_lat), F.col(probe_lng))
+    p = (
+        probe.withColumn(
+            "__dlat", F.explode(F.sequence(F.lit(-1), F.lit(1)))
+        )
+        .withColumn("__dlng", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__clat", (p_lat_cell + F.col("__dlat")).cast("int"))
+        .withColumn("__clng", (p_lng_cell + F.col("__dlng")).cast("int"))
+        .drop("__dlat", "__dlng")
+    )
+    dist = F.round(
+        haversine_km(
+            F.col(f"p.{probe_lat}"), F.col(f"p.{probe_lng}"),
+            F.col(f"b.{build_lat}"), F.col(f"b.{build_lng}"),
+        ),
+        4,
+    )
+    joined = (
+        p.alias("p")
+        .join(
+            b.alias("b"),
+            (F.col("p.__clat") == F.col("b.__clat"))
+            & (F.col("p.__clng") == F.col("b.__clng")),
+        )
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+    )
+    return joined.select(
+        *[F.col(f"p.{c}") for c in probe.columns],
+        *[F.col(f"b.{c}") for c in build.columns],
+        "dist_km",
+    )
+
+
 def interval_overlap_pairs(
     intervals: DataFrame,
     id_col: str = "id",

@@ -402,3 +402,84 @@ def f14_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return entity_extract(aug)
+
+
+def _geo_interleave_sql(qlng: str, qlat: str, bits: int = 15) -> str:
+    """The geohash bit-interleave as a closed-form SQL sum — longitude
+    first from the MSB down, the exact twin of scalar.geo_cell_bits."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(({qlng} >> {bits - 1 - i}) & 1) * {1 << (2 * bits - 1 - 2 * i)}"
+        )
+        terms.append(
+            f"(({qlat} >> {bits - 1 - i}) & 1) * {1 << (2 * bits - 2 - 2 * i)}"
+        )
+    return " + ".join(terms)
+
+
+def _geo_token_sql(cell: str, n_chars: int = 6) -> str:
+    parts = [
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((({cell}) >> {5 * (n_chars - 1 - k)}) & 31 AS INT) + 1, 1)"
+        for k in range(n_chars)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "f15_geo_cell",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 2654435761) % 2147483648 % 120000 - 60000
+               AS lat_md,
+             (c_custkey * 40503 + 7) % 2147483648 % 360000 - 180000
+               AS lng_md
+      FROM customer),
+    q AS (
+      SELECT c_custkey,
+             ((lat_md + 90000) * 32768) // 180000 AS qlat,
+             ((lng_md + 180000) * 32768) // 360000 AS qlng
+      FROM pts),
+    g AS (
+      SELECT c_custkey, qlat, qlng,
+             {_geo_interleave_sql('qlng', 'qlat')} AS cell
+      FROM q)
+    SELECT c_custkey, CAST(qlat AS BIGINT) AS qlat,
+           CAST(qlng AS BIGINT) AS qlng, CAST(cell AS BIGINT) AS cell,
+           {_geo_token_sql('cell')} AS token
+    FROM g
+    """,
+    doc="F15 (spatial extension): geohash-style cell id + base-32 token "
+    "from integer millidegree coordinates "
+    "(functions/scalar.py:geo_cell_bits/geo_cell_token) — the spatial "
+    "bucketing primitive: equal cells co-locate nearby points for grid "
+    "joins, and the id's PREFIX structure coarsens the cell by "
+    "truncating low bits (what range scans and Z-order layouts "
+    "exploit). Quantization is PURE INTEGER arithmetic — no doubles "
+    "anywhere — so the 30-bit interleave and its 6-char token are "
+    "engine-exact by construction (the oracle states all 30 bit terms "
+    "in closed form). Codegen only, zero exchanges; coordinates are "
+    "LCG-synthesized from c_custkey (the reference's greatschools "
+    "control table carries real lat/lng columns, "
+    "data/greatschools_control.csv:1).",
+)
+def f15_geo_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.scalar import (
+        geo_cell_bits,
+        geo_cell_token,
+    )
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    lat_md = (k * 2654435761) % 2147483648 % 120000 - 60000
+    lng_md = (k * 40503 + 7) % 2147483648 % 360000 - 180000
+    qlat, qlng, cell = geo_cell_bits(lat_md, lng_md)
+    return cust.select(
+        "c_custkey",
+        qlat.alias("qlat"),
+        qlng.alias("qlng"),
+        cell.alias("cell"),
+        geo_cell_token(cell).alias("token"),
+    )

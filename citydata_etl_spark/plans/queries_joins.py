@@ -476,3 +476,69 @@ def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice", "revenue"),
     )
+
+
+@register(
+    "j11_geo_radius_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 2654435761) % 2147483648 % 120000 - 60000
+                  AS DOUBLE) / 1000.0 AS c_lat,
+             CAST((c_custkey * 40503 + 7) % 2147483648 % 360000 - 180000
+                  AS DOUBLE) / 1000.0 AS c_lng
+      FROM customer),
+    s AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 1103515245 + 12345) % 2147483648 % 120000
+                  - 60000 AS DOUBLE) / 1000.0 AS s_lat,
+             CAST((s_suppkey * 69069 + 1) % 2147483648 % 360000 - 180000
+                  AS DOUBLE) / 1000.0 AS s_lng
+      FROM supplier),
+    d AS (
+      SELECT c_custkey, c_lat, c_lng, s_suppkey, s_lat, s_lng,
+             round(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(s_lat - c_lat) / 2), 2)
+               + cos(radians(c_lat)) * cos(radians(s_lat))
+                 * pow(sin(radians(s_lng - c_lng) / 2), 2))), 4) AS dist_km
+      FROM c, s)
+    SELECT * FROM d WHERE dist_km <= 150.0
+    """,
+    doc="J11 (spatial radius join extension): all (customer, supplier) "
+    "point pairs within 150 km great-circle distance "
+    "(operators/joins.py:geo_radius_join) — the 2-D analog of j9's "
+    "grid-binned interval join. The oracle states the naive cross join "
+    "(what a theta-only plan would execute); the engine blocks on a "
+    "1.5x3.0-degree grid — build side in ONE cell, probe side fanned "
+    "to its 3x3 neighborhood (constant 9x, not data-dependent) — so "
+    "candidates meet through one equi-join and verify with the exact "
+    "haversine inside it; build-side cell uniqueness means no distinct "
+    "exchange. Losslessness is a stated contract: cell spans >= the "
+    "radius in both dimensions for points within +-60 deg latitude "
+    "(the synthesized band). The radius filter applies to the ROUNDED "
+    "distance (4 decimals, the transcendental convention) so JVM/libm "
+    "last-ulp differences cannot flip boundary membership. Plan guard "
+    "pins no-cartesian.",
+)
+def j11_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ck = F.col("c_custkey")
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((ck * 2654435761) % 2147483648 % 120000 - 60000).cast("double")
+         / 1000.0).alias("c_lat"),
+        (((ck * 40503 + 7) % 2147483648 % 360000 - 180000).cast("double")
+         / 1000.0).alias("c_lng"),
+    )
+    sk = F.col("s_suppkey")
+    supp = read_testdata(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((sk * 1103515245 + 12345) % 2147483648 % 120000 - 60000)
+         .cast("double") / 1000.0).alias("s_lat"),
+        (((sk * 69069 + 1) % 2147483648 % 360000 - 180000).cast("double")
+         / 1000.0).alias("s_lng"),
+    )
+    return J.geo_radius_join(
+        cust, supp, radius_km=150.0,
+        probe_lat="c_lat", probe_lng="c_lng",
+        build_lat="s_lat", build_lng="s_lng",
+    )

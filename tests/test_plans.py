@@ -546,3 +546,81 @@ def test_pagerank_hand_checked_and_conserves_mass(spark):
     # self-loops are dropped: a pure self-loop graph has no edges left
     loop = spark.createDataFrame([(5, 5)], "src LONG, dst LONG")
     assert pagerank(loop, n_iter=2).count() == 0
+
+
+def test_j11_geo_join_no_cartesian(spark):
+    plan = _plan(spark, "j11_geo_radius_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geo_radius_join_matches_naive_cross(spark):
+    """Grid blocking must find EXACTLY the pairs a naive cross join +
+    haversine filter finds — including pairs straddling a cell boundary
+    (the +-1 neighborhood case) — and refuse colliding column names."""
+    import itertools
+    import math
+
+    from citydata_etl_spark.operators.joins import geo_radius_join
+
+    pts_a = [(i, -59.9 + 13.7 * i, -179.5 + 36.1 * i) for i in range(9)]
+    pts_b = [(j, -59.2 + 13.3 * j, -179.9 + 36.7 * j) for j in range(9)]
+    # plant a straddling near-pair on each side of a 1.5-deg cell edge
+    pts_a.append((100, 1.499, 10.0))
+    pts_b.append((200, 1.501, 10.2))
+    a = spark.createDataFrame(pts_a, "a_id LONG, a_lat DOUBLE, a_lng DOUBLE")
+    b = spark.createDataFrame(pts_b, "b_id LONG, b_lat DOUBLE, b_lng DOUBLE")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist_km"]
+        for r in geo_radius_join(
+            a, b, 150.0, "a_lat", "a_lng", "b_lat", "b_lng"
+        ).collect()
+    }
+
+    def hav(la1, lo1, la2, lo2):
+        rl1, rl2 = math.radians(la1), math.radians(la2)
+        x = (
+            math.sin(math.radians(la2 - la1) / 2) ** 2
+            + math.cos(rl1) * math.cos(rl2)
+            * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+        )
+        return round(2 * 6371.0 * math.asin(math.sqrt(x)), 4)
+
+    want = {}
+    for (ia, la, lo), (ib, lb, lob) in itertools.product(pts_a, pts_b):
+        d = hav(la, lo, lb, lob)
+        if d <= 150.0:
+            want[(ia, ib)] = d
+    assert got == want
+    assert (100, 200) in want  # the straddling pair was actually exercised
+
+    with pytest.raises(ValueError, match="disjoint"):
+        geo_radius_join(a, a, 10.0, "a_lat", "a_lng", "a_lat", "a_lng")
+
+
+def test_geo_cell_token_known_values(spark):
+    """The cell token must be a pure function of the interleave: cell 0
+    -> '000000', all-ones 30-bit cell -> 'zzzzzz', and the quantization
+    must be integer-exact at the domain edges."""
+    from citydata_etl_spark.functions.scalar import (
+        geo_cell_bits,
+        geo_cell_token,
+    )
+
+    df = spark.createDataFrame(
+        [(-90000, -180000), (89999, 179999), (0, 0)],
+        "lat_md LONG, lng_md LONG",
+    )
+    qlat, qlng, cell = geo_cell_bits(F.col("lat_md"), F.col("lng_md"))
+    rows = df.select(
+        "lat_md", qlat.alias("qlat"), qlng.alias("qlng"),
+        cell.alias("cell"), geo_cell_token(cell).alias("tok"),
+    ).collect()
+    by_lat = {r["lat_md"]: r for r in rows}
+    assert by_lat[-90000]["qlat"] == 0 and by_lat[-90000]["cell"] == 0
+    assert by_lat[-90000]["tok"] == "000000"
+    assert by_lat[89999]["qlat"] == 32767 and by_lat[89999]["qlng"] == 32767
+    assert by_lat[89999]["cell"] == (1 << 30) - 1
+    assert by_lat[89999]["tok"] == "zzzzzz"
+    # (0,0) quantizes to the exact midpoint cell: qlat = qlng = 2^14
+    assert by_lat[0]["qlat"] == 16384 and by_lat[0]["qlng"] == 16384
