@@ -86,6 +86,10 @@ HEADLINE = [
     "d4_containment",
     "j11_geo_radius_join",
     "f15_geo_cell",
+    "a15_outlier_flags",
+    "a16_cohort_retention",
+    "d4_collocations",
+    "a4_distribution",
 ]
 
 

@@ -687,3 +687,149 @@ def a5_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         (F.sum(cents).over(w).cast("double") / 100.0).alias("sum_trailing"),
     )
+
+
+@register(
+    "a15_outlier_flags",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS grp,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(floor(o_totalprice) AS BIGINT) AS v
+      FROM orders),
+    st AS (
+      SELECT grp, yr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2
+      FROM x GROUP BY grp, yr)
+    SELECT x.grp, x.yr, st.n AS n_rows,
+           CAST(sum(CASE WHEN (st.n * x.v - st.s1) * (st.n * x.v - st.s1)
+                              > 9 * (st.n * st.s2 - st.s1 * st.s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM x JOIN st ON x.grp = st.grp AND x.yr = st.yr
+    GROUP BY x.grp, x.yr, st.n
+    """,
+    doc="A15 (anomaly extension): per-group 3-sigma outlier counts with "
+    "EXACT integer arithmetic — the z-score test |x - mean| > 3*stddev "
+    "cross-multiplied to (n*x - S1)^2 > 9*(n*S2 - S1^2), so no float "
+    "mean/variance (whose summation ORDER differs by partitioning and "
+    "between engines) ever exists: S1/S2 are exact integer sums of "
+    "floor-dollar values and the comparison is bigint-vs-bigint "
+    "(operators/aggregates.py conventions). Engine shape: one window "
+    "over the group computes the per-row flag with no self-join, then "
+    "one aggregate — two exchanges on the same key, which AQE reuses. "
+    "Overflow bound is explicit: |n*x|, n*S2 stay under 2^63 for group "
+    "sizes up to ~2*10^4 at these value magnitudes; past that, "
+    "pre-aggregate per sub-bucket or move S2 to DECIMAL(38,0).",
+)
+def a15_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    x = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.year("o_orderdate").alias("yr"),
+        F.floor("o_totalprice").cast("bigint").alias("v"),
+    )
+    w = W.partitionBy("grp", "yr")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("v").over(w)
+    s2 = F.sum(F.col("v") * F.col("v")).over(w)
+    dev = n * F.col("v") - s1
+    flagged = x.select(
+        "grp", "yr",
+        n.alias("n"),
+        (dev * dev > 9 * (n * s2 - s1 * s1)).alias("is_outlier"),
+    )
+    return flagged.groupBy("grp", "yr", "n").agg(
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers")
+    ).select(
+        "grp", "yr", F.col("n").alias("n_rows"), "n_outliers"
+    )
+
+
+@register(
+    "a16_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS cohort_wk
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_wk,
+             CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 - f.cohort_wk
+               AS wk_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(wk_offset AS BIGINT) AS wk_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_wk, wk_offset
+    """,
+    doc="A16 (product-analytics extension): weekly cohort retention — "
+    "users grouped by first-seen epoch week, counted once per "
+    "(cohort, week-offset) they return in. The classic retention "
+    "triangle every analytics stack ships. Engine shape: ONE window "
+    "(min over user partition) replaces the self-join the SQL states — "
+    "first-seen derives in the same exchange that the distinct then "
+    "reuses (partitioning on user_id), so the whole query is two "
+    "exchanges: user_id, then the cohort key. Epoch-week integer "
+    "division keeps bucket edges engine-exact.",
+)
+def a16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = read_testdata(spark, sf_dir, "events")
+    wk = F.floor(F.col("ts").cast("double")).cast("bigint") / 604800
+    ev = events.select(
+        "user_id", wk.cast("bigint").alias("wk")
+    )
+    w = W.partitionBy("user_id")
+    act = (
+        ev.withColumn("cohort_wk", F.min("wk").over(w))
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_wk", "wk_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@register(
+    "a4_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    doc="A4 (distribution windows): percent_rank / cume_dist / rank over "
+    "value order within each priority class — the empirical-CDF windows "
+    "reporting layers use for percentile badges. Both are exact "
+    "rationals ((rank-1)/(n-1), peers/n) computed from the same "
+    "integers in both engines, so the doubles compare bit-exact with "
+    "no rounding step; ties on the ordering value are frame peers "
+    "identically by SQL window semantics. One exchange on the "
+    "partition key.",
+)
+def a4_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+    )

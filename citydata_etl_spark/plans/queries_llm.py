@@ -1760,3 +1760,88 @@ def d4_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=4, threshold=0.6,
         shingle_rel=read_doc_shingle_set(spark, sf_dir, 4),
     )
+
+
+@register(
+    "d4_collocations",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    uni AS (
+      SELECT t.tok AS w, count(*) AS c
+      FROM tokl, UNNEST(toks) AS t(tok) GROUP BY t.tok),
+    bi AS (
+      SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2,
+             count(*) AS c_xy
+      FROM tokl, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+      GROUP BY w1, w2),
+    tot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM bi)
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST((c_xy * n * 1000000) // (u1.c * u2.c) AS BIGINT) AS lift_ppm
+    FROM bi, tot
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    WHERE c_xy >= 5
+    ORDER BY lift_ppm DESC, w1, w2
+    LIMIT 50
+    """,
+    doc="D4 (collocation mining): top bigram collocations by exact "
+    "integer LIFT — P(xy)/(P(x)P(y)) stated as (c_xy * N * 10^6) div "
+    "(c_x * c_y), so the association score is engine-exact with no "
+    "logarithm (PMI's log only monotonically rescales lift; ranking is "
+    "identical and the transcendental ulp hazard disappears). The "
+    "phrase-detection pass tokenizer pipelines run before merging "
+    "multiword units. Engine shape: two map-side-combined counts "
+    "(unigram, bigram), two equi-joins of the bigram relation against "
+    "the unigram counts (AQE broadcasts when the vocabulary is small), "
+    "one bounded 1-row total broadcast, TakeOrderedAndProject top-50 "
+    "with full tie-break. Overflow bound: c_xy * N * 10^6 < 2^63 up to "
+    "~10^9 total bigrams; shard the count beyond that.",
+)
+def d4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda w: w != "").alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("toks") - 2, F.lit(-1)))
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.get("toks", i).alias("w1"),
+                        F.get("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    tot = bi.agg(F.sum("c_xy").cast("bigint").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    num = F.col("c_xy") * F.col("n") * 1000000
+    den = F.col("c1") * F.col("c2")
+    return (
+        bi.filter(F.col("c_xy") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"),
+            ((num - num % den) / den).cast("bigint").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(50)
+    )
