@@ -90,6 +90,8 @@ HEADLINE = [
     "a16_cohort_retention",
     "d4_collocations",
     "a4_distribution",
+    "t11_stream_geofence",
+    "f16_number_normalize",
 ]
 
 

@@ -210,3 +210,26 @@ def geo_cell_token(cell: Column, n_chars: int = 6) -> Column:
         for k in range(n_chars)
     ]
     return F.concat(*chars)
+
+
+def parse_money_cents(col: Column | str) -> Column:
+    """Normalize a formatted money/number STRING to exact integer cents —
+    the cleanup step for scraped numeric fields (the reference's city
+    pages carry '$1,234'-style populations and home values;
+    lambda/collect-data.py stores them as raw text). Handles currency
+    symbols ($ prefix / 'USD' suffix), thousands separators, surrounding
+    whitespace, and an optional 2-decimal fraction; anything else -> NULL
+    (route to quarantine), never a parse error. Pure codegen: two
+    regexps + integer arithmetic — no doubles, so '\\$1,234.56' -> 123456
+    exactly (a double round-trip would be off-by-one on some cents).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(
+        F.trim(c), r"^\$|\s*USD$|,", ""
+    )
+    ok = cleaned.rlike(r"^[0-9]+(\.[0-9]{2})?$")
+    dollars = F.split(cleaned, r"\.").getItem(0).cast("bigint")
+    frac = F.coalesce(
+        F.split(cleaned, r"\.").getItem(1).cast("bigint"), F.lit(0)
+    )
+    return F.when(ok, dollars * 100 + frac)

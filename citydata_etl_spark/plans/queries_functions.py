@@ -483,3 +483,94 @@ def f15_geo_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell.alias("cell"),
         geo_cell_token(cell).alias("token"),
     )
+
+
+@register(
+    "f16_number_normalize",
+    oracle=r"""
+    WITH cents0 AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+      FROM orders),
+    fmt AS (
+      SELECT *, format('{:,}', tc // 100) || '.'
+                || lpad(CAST(tc % 100 AS VARCHAR), 2, '0') AS g
+      FROM cents0),
+    raw AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE CAST(o_orderkey % 5 AS INT)
+               WHEN 0 THEN g
+               WHEN 1 THEN '$' || g
+               WHEN 2 THEN g || ' USD'
+               WHEN 3 THEN '  ' || g || '  '
+               ELSE 'N/A'
+             END AS raw_value
+      FROM fmt),
+    cleaned AS (
+      SELECT o_orderkey, o_totalprice, raw_value,
+             regexp_replace(regexp_replace(trim(raw_value),
+               '^\$|\s*USD$', '', 'g'), ',', '', 'g') AS c
+      FROM raw)
+    SELECT o_orderkey, raw_value,
+           CASE WHEN regexp_matches(c, '^[0-9]+(\.[0-9]{2})?$')
+                THEN CAST(string_split(c, '.')[1] AS BIGINT) * 100
+                     + coalesce(TRY_CAST(string_split(c, '.')[2] AS BIGINT), 0)
+           END AS cents,
+           CASE WHEN regexp_matches(c, '^[0-9]+(\.[0-9]{2})?$')
+                THEN CAST(string_split(c, '.')[1] AS BIGINT) * 100
+                     + coalesce(TRY_CAST(string_split(c, '.')[2] AS BIGINT), 0)
+                     = CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           END AS parse_exact
+    FROM cleaned
+    """,
+    doc="F16 (number normalization): formatted money/number strings -> "
+    "exact integer cents (functions/scalar.py:parse_money_cents) — the "
+    "cleanup the reference's scraped city pages need ('$1,234'-style "
+    "populations and home values stored as raw text, "
+    "lambda/collect-data.py:186). Five synthesized formats cycle by "
+    "key: comma-grouped, $-prefixed, 'USD'-suffixed, "
+    "whitespace-padded, and an unparseable 'N/A' that must yield NULL "
+    "(quarantine routing), never a job error. Parsing is pure codegen "
+    "integer arithmetic — no double round-trip, so every cent is "
+    "exact, pinned by the parse_exact column being TRUE on every "
+    "parseable row (both engines recompute it independently). The "
+    "synthesis itself also runs on exact integer cents — grouping the "
+    "integer dollars and appending the 2-digit fraction — because "
+    "double->decimal FORMATTERS are an engine divergence surface "
+    "(DuckDB's fmt refuses grouped floats outright, and HALF_UP vs "
+    "shortest-round-trip can disagree in the last cent).",
+)
+def f16_number_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.scalar import parse_money_cents
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    tc = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    # group the integer-dollar part, append the exact 2-digit fraction:
+    # BOTH engines derive the string from the identical integer cents,
+    # sidestepping any double->decimal formatter rounding divergence
+    grouped = F.concat(
+        F.format_number((tc / 100).cast("bigint"), 0),
+        F.lit("."),
+        F.lpad((tc % 100).cast("string"), 2, "0"),
+    )
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, grouped)
+        .when(F.col("o_orderkey") % 5 == 1, F.concat(F.lit("$"), grouped))
+        .when(F.col("o_orderkey") % 5 == 2, F.concat(grouped, F.lit(" USD")))
+        .when(
+            F.col("o_orderkey") % 5 == 3,
+            F.concat(F.lit("  "), grouped, F.lit("  ")),
+        )
+        .otherwise(F.lit("N/A"))
+    )
+    base = orders.select("o_orderkey", raw.alias("raw_value"), "o_totalprice")
+    cents = parse_money_cents("raw_value")
+    return base.select(
+        "o_orderkey",
+        "raw_value",
+        cents.alias("cents"),
+        F.when(
+            cents.isNotNull(),
+            cents == F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"),
+        ).alias("parse_exact"),
+    )

@@ -917,3 +917,90 @@ def t10_stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name),
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
+
+
+@register(
+    "t11_stream_geofence",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, ts, user_id,
+             CAST((event_id * 2654435761) % 2147483648 % 120000 - 60000
+                  AS DOUBLE) / 1000.0 AS e_lat,
+             CAST((event_id * 40503 + 7) % 2147483648 % 360000 - 180000
+                  AS DOUBLE) / 1000.0 AS e_lng
+      FROM events),
+    fences AS (
+      SELECT r_name AS fence,
+             CAST(r_regionkey * 20 - 40 AS DOUBLE) AS f_lat,
+             CAST(r_regionkey * 60 - 120 AS DOUBLE) AS f_lng
+      FROM region),
+    hits AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+             fence, user_id
+      FROM pts, fences
+      WHERE round(2 * 6371.0 * asin(sqrt(
+              pow(sin(radians(f_lat - e_lat) / 2), 2)
+              + cos(radians(e_lat)) * cos(radians(f_lat))
+                * pow(sin(radians(f_lng - e_lng) / 2), 2))), 4) <= 1000.0)
+    SELECT window_start, fence, count(*) AS n_hits
+    FROM hits GROUP BY window_start, fence
+    """,
+    doc="T11 (streaming geofence, extension): per-window counts of "
+    "events inside each geofence — the location-alerting shape "
+    "(asset tracking, store-visit attribution): file-source readStream "
+    "over events with LCG-synthesized coordinates (codegen, zero "
+    "Python), a stream-static join against the BROADCAST fence table "
+    "on the rounded-haversine radius predicate, then a tumbling "
+    "event-time aggregate per fence. The fence side is a "
+    "broadcast-nested-loop by construction — correct here because the "
+    "inner side is the bounded fence dimension (5 rows at any data "
+    "scale; the same rationale as range_join's band table). At real "
+    "fence cardinality swap in the j11 grid-cell blocking before the "
+    "exact predicate. Radius applies to the ROUNDED distance (the "
+    "transcendental convention) so stream and oracle agree bit-exactly "
+    "in complete mode over Trigger.AvailableNow.",
+)
+def t11_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.scalar import haversine_km
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    pts = stream.select(
+        "event_id", "ts", "user_id",
+        (((eid * 2654435761) % 2147483648 % 120000 - 60000).cast("double")
+         / 1000.0).alias("e_lat"),
+        (((eid * 40503 + 7) % 2147483648 % 360000 - 180000).cast("double")
+         / 1000.0).alias("e_lng"),
+    )
+    fences = read_testdata(spark, sf_dir, "region").select(
+        F.col("r_name").alias("fence"),
+        (F.col("r_regionkey") * 20 - 40).cast("double").alias("f_lat"),
+        (F.col("r_regionkey") * 60 - 120).cast("double").alias("f_lng"),
+    )
+    dist = F.round(
+        haversine_km(
+            F.col("e_lat"), F.col("e_lng"), F.col("f_lat"), F.col("f_lng")
+        ),
+        4,
+    )
+    agg = (
+        pts.join(F.broadcast(fences), dist <= 1000.0)
+        .groupBy(F.window("ts", "10 minutes"), "fence")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "fence",
+            "n_hits",
+        )
+    )
+    name = f"t11_geofence_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name),
+    )
+    return spark.sql(f"SELECT * FROM {name}")
