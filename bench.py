@@ -92,6 +92,8 @@ HEADLINE = [
     "a4_distribution",
     "t11_stream_geofence",
     "f16_number_normalize",
+    "g2_triangle_count",
+    "u7_evolving_merge",
 ]
 
 

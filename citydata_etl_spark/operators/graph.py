@@ -104,3 +104,83 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the classic
+    cohesion signal (clustering coefficients, spam-farm detection in
+    crawl host graphs) — via the DEGREE-ORIENTED wedge join, never the
+    naive triple self-join the oracle states.
+
+    Edges are canonicalized undirected (self-loops dropped, both
+    directions collapsed), then each edge orients from its LOWER
+    (degree, node) endpoint to the higher — a total order, compared as
+    a struct. Wedges form by joining a node's out-edges pairwise
+    (u->v, u->w with v before w), and a wedge closes into a triangle
+    iff the oriented edge v->w exists — one more equi-join. Every
+    triangle is found exactly once (its unique orientation-ordered
+    form), so there is no dedup exchange.
+
+    Why orientation matters at 100 TB: out-degree under degree
+    orientation is bounded by O(sqrt(|E|)) for any graph, so the wedge
+    join's fanout is sum(outdeg^2) <= |E|^(3/2) — a hub with degree
+    10^6 contributes NOTHING quadratic because all its edges point
+    INTO it. The naive form explodes on exactly those hubs. Output is
+    total over nodes: (node, n_triangles), zero included.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("_a"), b.alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    both = und.select(F.col("_a").alias("node")).union(
+        und.select(F.col("_b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count("*").alias("_deg"))
+    nodes = scoped_persist(deg.select("node"))
+    da = deg.select(
+        F.col("node").alias("_a"), F.struct("_deg", "node").alias("_ra")
+    )
+    db = deg.select(
+        F.col("node").alias("_b"), F.struct("_deg", "node").alias("_rb")
+    )
+    oriented = scoped_persist(
+        und.join(da, "_a")
+        .join(db, "_b")
+        .select(
+            F.when(F.col("_ra") < F.col("_rb"), F.col("_a"))
+            .otherwise(F.col("_b"))
+            .alias("lo"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("_b"))
+            .otherwise(F.col("_a"))
+            .alias("hi"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("_rb"))
+            .otherwise(F.col("_ra"))
+            .alias("hi_rank"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"),
+        F.col("hi_rank").alias("rv"),
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"),
+        F.col("hi_rank").alias("rw"),
+    )
+    wedges = e1.join(e2, "u").filter(F.col("rv") < F.col("rw"))
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("_c"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )

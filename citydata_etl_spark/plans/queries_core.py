@@ -1190,3 +1190,65 @@ def s16_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "u7_evolving_merge",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN 'upd-' || o_orderkey END AS note
+    FROM orders
+    """,
+    doc="U7 (additive schema evolution on MERGE): an update batch whose "
+    "rows carry a column the stored bucketed control table has never "
+    "seen (`note`) — plus only a SUBSET of the existing columns — "
+    "merges in place (sources/merge.py:merge_upsert): the new column "
+    "lands in the rewritten buckets, existing rows there backfill "
+    "NULL, untouched buckets keep their old files and reconcile at "
+    "READ time via parquet mergeSchema (read_bucketed_control), and "
+    "the omitted price_cents column preserves stored values under the "
+    "implicit-NULL partial-update rule — the reference's actual event "
+    "shape (update-control.py events carry only status + timestamp, "
+    "never whole rows). Rewrite cost still follows the update set's "
+    "bucket spread, never table width x table size — the evolution "
+    "costs NOTHING on untouched buckets, which is the point vs a "
+    "full-table rewrite. Drop/retype stays unsupported (irreconcilable "
+    "under mergeSchema; module docstring states the boundary).",
+)
+def u7_evolving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.merge import (
+        merge_upsert,
+        read_bucketed_control,
+        write_bucketed_control,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u7_evolve_{tag}")
+    table = root + "/control"
+    done = root + "/.merged"
+    orders = read_testdata(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    if not os.path.exists(table):
+        write_bucketed_control(base, table, "id", n_buckets=16)
+    if not os.path.exists(done):
+        updates = base.filter(F.col("id") % 10 == 0).select(
+            "id",
+            F.lit("X").alias("status"),
+            F.concat(F.lit("upd-"), F.col("id")).alias("note"),
+        )
+        merge_upsert(spark, table, updates, "id", n_buckets=16)
+        open(done, "w").close()
+    return read_bucketed_control(spark, table)

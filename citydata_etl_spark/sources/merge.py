@@ -149,7 +149,12 @@ def read_bucketed_control(
             "re-run the merge to heal, or pass require_commit=False to "
             "read the possibly-inconsistent state"
         )
-    return spark.read.parquet(path).drop("bucket")
+    # mergeSchema reconciles buckets written before an additive schema
+    # evolution (merge_upsert widening) with buckets written after it:
+    # old files simply lack the new columns and read back as NULL.
+    return (
+        spark.read.option("mergeSchema", "true").parquet(path).drop("bucket")
+    )
 
 
 def merge_upsert(
@@ -183,10 +188,38 @@ def merge_upsert(
     existing = spark.read.parquet(path).filter(F.col("bucket").isin(affected))
 
     data_cols = [c for c in existing.columns if c not in (key_col, "bucket")]
+    # SCHEMA EVOLUTION (additive): update columns absent from the stored
+    # table widen it — existing rows in the affected buckets backfill
+    # NULL, untouched buckets keep their old files and reconcile at read
+    # time via mergeSchema (read_bucketed_control sets it). Dropping or
+    # retyping columns is NOT supported here: a type change would make
+    # old and new bucket files irreconcilable under parquet mergeSchema,
+    # so it must go through a full-table rewrite instead.
+    new_cols = [
+        c for c in updates.columns
+        if c != key_col and c not in data_cols and c != "bucket"
+    ]
+    for c in new_cols:
+        existing = existing.withColumn(
+            c, F.lit(None).cast(updates.schema[c].dataType)
+        )
+    data_cols += new_cols
+    # A data column absent from the update set is an implicit NULL —
+    # "preserve the stored value" under the coalesce rule below. This is
+    # what lets callers send PARTIAL updates (just the columns they
+    # touch) instead of whole rows, the reference's actual event shape
+    # (update-control.py events carry only status/date_completed).
     upd_sel = upd.select(
         F.col(key_col),
         F.col("bucket").alias("__u_bucket"),
-        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+        *[
+            (
+                F.col(c)
+                if c in updates.columns
+                else F.lit(None).cast(existing.schema[c].dataType)
+            ).alias(f"__u_{c}")
+            for c in data_cols
+        ],
         F.lit(1).alias("__is_upd"),
     )
     merged = (

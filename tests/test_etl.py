@@ -748,3 +748,36 @@ def test_delete_keys_heal_completes_fully_erased_bucket(spark, tmp_path):
             M.read_bucketed_control(spark, path).select("id").collect()}
     assert back == set(range(100)) - erased
     assert not os.path.exists(os.path.join(path, f"bucket={full_b}"))
+
+
+def test_merge_upsert_schema_evolution_and_partial_updates(spark, tmp_path):
+    """An update batch may carry a brand-new column (additive evolution:
+    rewritten buckets get it, untouched buckets reconcile to NULL via
+    mergeSchema at read) and may OMIT existing columns (implicit NULL =
+    preserve stored value)."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.merge import (
+        merge_upsert,
+        read_bucketed_control,
+        write_bucketed_control,
+    )
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, "old", i * 10) for i in range(40)],
+        "id LONG, status STRING, amount LONG",
+    )
+    write_bucketed_control(base, path, "id", n_buckets=8)
+    updates = spark.createDataFrame(
+        [(3, "new", "n3"), (7, "new", "n7"), (999, "ins", "n999")],
+        "id LONG, status STRING, note STRING",
+    )
+    merge_upsert(spark, path, updates, "id", n_buckets=8)
+    out = {r["id"]: r for r in read_bucketed_control(spark, path).collect()}
+    assert len(out) == 41
+    assert out[3]["status"] == "new" and out[3]["note"] == "n3"
+    assert out[3]["amount"] == 30          # omitted column preserved
+    assert out[999]["status"] == "ins" and out[999]["amount"] is None
+    untouched = [r for i, r in out.items() if i not in (3, 7, 999)]
+    assert all(r["status"] == "old" and r["note"] is None for r in untouched)

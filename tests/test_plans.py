@@ -624,3 +624,16 @@ def test_geo_cell_token_known_values(spark):
     assert by_lat[89999]["tok"] == "zzzzzz"
     # (0,0) quantizes to the exact midpoint cell: qlat = qlng = 2^14
     assert by_lat[0]["qlat"] == 16384 and by_lat[0]["qlng"] == 16384
+
+
+def test_triangle_counts_hand_checked(spark):
+    """Triangles on hand-built graphs: K4 has 4 triangles, every node in
+    3; adding a pendant edge leaves counts unchanged except the new
+    zero-count node; direction and duplicate edges must not matter."""
+    from citydata_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 1), (3, 9), (5, 5)]
+    df = spark.createDataFrame(noisy, "src LONG, dst LONG")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
