@@ -94,6 +94,8 @@ HEADLINE = [
     "f16_number_normalize",
     "g2_triangle_count",
     "u7_evolving_merge",
+    "d6_global_shuffle",
+    "f17_useragent_parse",
 ]
 
 

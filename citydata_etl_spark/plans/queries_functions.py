@@ -574,3 +574,118 @@ def f16_number_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents == F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"),
         ).alias("parse_exact"),
     )
+
+
+@register(
+    "f17_useragent_parse",
+    oracle=r"""
+    WITH ua AS (
+      SELECT event_id,
+             CASE CAST(event_id % 5 AS INT)
+               WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/'
+                           || (90 + event_id % 30) || '.0.0 Safari/537.36'
+               WHEN 1 THEN 'Mozilla/5.0 (Macintosh) Version/'
+                           || (12 + event_id % 6) || '.1 Safari/605.1.15'
+               WHEN 2 THEN 'Mozilla/5.0 (compatible; Googlebot/2.1; '
+                           || '+http://www.google.com/bot.html)'
+               WHEN 3 THEN 'curl/8.' || (event_id % 10)
+               ELSE 'python-requests/2.' || (event_id % 32)
+             END AS user_agent
+      FROM events),
+    cls AS (
+      SELECT event_id, user_agent,
+             CASE
+               WHEN user_agent LIKE '%Googlebot%' THEN 'googlebot'
+               WHEN user_agent LIKE 'curl/%' THEN 'curl'
+               WHEN user_agent LIKE 'python-requests/%' THEN 'requests'
+               WHEN user_agent LIKE '%Chrome/%' THEN 'chrome'
+               WHEN user_agent LIKE '%Safari/%' THEN 'safari'
+               ELSE 'unknown'
+             END AS family
+      FROM ua)
+    SELECT event_id, user_agent, family,
+           family IN ('googlebot', 'curl', 'requests') AS is_bot,
+           CAST(CASE family
+             WHEN 'chrome' THEN regexp_extract(user_agent,
+                                               'Chrome/([0-9]+)', 1)
+             WHEN 'safari' THEN regexp_extract(user_agent,
+                                               'Version/([0-9]+)', 1)
+             WHEN 'googlebot' THEN regexp_extract(user_agent,
+                                                  'Googlebot/([0-9]+)', 1)
+             WHEN 'curl' THEN regexp_extract(user_agent,
+                                             'curl/([0-9]+)', 1)
+             WHEN 'requests' THEN regexp_extract(
+                 user_agent, 'python-requests/([0-9]+)', 1)
+           END AS BIGINT) AS major_version
+    FROM cls
+    """,
+    doc="F17 (crawl metadata): user-agent classification — family, "
+    "bot-vs-browser, major version — the request-log triage every "
+    "crawl pipeline runs before traffic analysis (bot filtering is "
+    "the reference's own operating reality: it scrapes with a "
+    "headless browser UA, lambda/collect-data.py:66-80). Five "
+    "synthesized UA shapes cycle by event_id (Chrome, Safari, "
+    "Googlebot, curl, python-requests); classification is pure "
+    "codegen LIKE/regexp with RE2-compatible patterns (no lookahead) "
+    "so both engines state identical extraction. Zero exchanges — "
+    "folds into whatever scan surrounds it.",
+)
+def f17_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events").select("event_id")
+    k = F.col("event_id")
+    ua = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/"),
+                (90 + k % 30), F.lit(".0.0 Safari/537.36"),
+            ),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("Mozilla/5.0 (Macintosh) Version/"),
+                (12 + k % 6), F.lit(".1 Safari/605.1.15"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.lit(
+                "Mozilla/5.0 (compatible; Googlebot/2.1; "
+                "+http://www.google.com/bot.html)"
+            ),
+        )
+        .when(k % 5 == 3, F.concat(F.lit("curl/8."), k % 10))
+        .otherwise(F.concat(F.lit("python-requests/2."), k % 32))
+    )
+    base = ev.select("event_id", ua.alias("user_agent"))
+    u = F.col("user_agent")
+    family = (
+        F.when(u.contains("Googlebot"), F.lit("googlebot"))
+        .when(u.startswith("curl/"), F.lit("curl"))
+        .when(u.startswith("python-requests/"), F.lit("requests"))
+        .when(u.contains("Chrome/"), F.lit("chrome"))
+        .when(u.contains("Safari/"), F.lit("safari"))
+        .otherwise(F.lit("unknown"))
+    )
+    pat = {
+        "chrome": "Chrome/([0-9]+)",
+        "safari": "Version/([0-9]+)",
+        "googlebot": "Googlebot/([0-9]+)",
+        "curl": "curl/([0-9]+)",
+        "requests": "python-requests/([0-9]+)",
+    }
+    ver = F.lit(None).cast("string")
+    for fam, rx in pat.items():
+        ver = F.when(
+            F.col("family") == fam, F.regexp_extract(u, rx, 1)
+        ).otherwise(ver)
+    return base.withColumn("family", family).select(
+        "event_id",
+        "user_agent",
+        "family",
+        F.col("family")
+        .isin("googlebot", "curl", "requests")
+        .alias("is_bot"),
+        F.nullif(ver, F.lit("")).cast("bigint").alias("major_version"),
+    )

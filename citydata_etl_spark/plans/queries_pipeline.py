@@ -927,3 +927,42 @@ def d6_crossdomain_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     ref = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     return crossdomain_lm_score(docs.filter(ref), docs.filter(~ref))
+
+
+@register(
+    "d6_global_shuffle",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             (doc_id * 2654435761 + 40503) % 2147483648 AS perm
+      FROM documents)
+    SELECT doc_id, CAST(perm % 64 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY perm % 64 ORDER BY perm)
+                AS BIGINT) AS pos
+    FROM p
+    """,
+    doc="D6 (training-order shuffle): deterministic GLOBAL SHUFFLE of "
+    "the corpus into 64 shards with a pseudorandom within-shard order — "
+    "the step between curation and training (data order is a training "
+    "hyperparameter; it must be reproducible). The permutation key is "
+    "an odd-multiplier LCG mod 2^31 — injective by construction (odd "
+    "multiplier, power-of-two modulus), so the order is total with no "
+    "tie-break needed, and any engine states the identical shuffle. "
+    "Engine shape: ONE window partitioned by shard (64-way parallel "
+    "row_number, never a global sort) — at 100 TB the shuffle order "
+    "materializes shard-by-shard with bounded per-task state, which a "
+    "true random sort cannot do reproducibly.",
+)
+def d6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    perm = (F.col("doc_id") * 2654435761 + 40503) % F.lit(2147483648)
+    p = docs.select("doc_id", perm.alias("perm"))
+    w = W.partitionBy(F.col("perm") % 64).orderBy("perm")
+    return p.select(
+        "doc_id",
+        (F.col("perm") % 64).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
