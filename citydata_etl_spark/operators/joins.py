@@ -277,6 +277,8 @@ def bloom_semi_join(
     """
     if n_bits % 64 != 0 or n_bits <= 0:
         raise ValueError(f"n_bits must be a positive multiple of 64: {n_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1: {n_hashes}")
     n_words = n_bits // 64
 
     def positions(key_col):
@@ -320,7 +322,11 @@ def bloom_semi_join(
         != 0
         for pos in positions(F.col(probe_key))
     ]
-    cond = checks[0]
+    # NULL probe keys can never match a semi-join; dropping them here is
+    # lossless for exact mode and keeps the approximate mode's survivors
+    # a genuine candidate set (xxhash64 of a NULL degenerates to a
+    # seed-only hash that could otherwise sneak through the bloom).
+    cond = F.col(probe_key).isNotNull() & checks[0]
     for c in checks[1:]:
         cond = cond & c
     pruned = probe.filter(cond)
