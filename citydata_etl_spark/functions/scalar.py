@@ -117,12 +117,17 @@ def canonicalize_url(url: Column | str) -> Column:
     re-fetches of the same resource:
 
       - drop the fragment (never sent to the server);
-      - lowercase the authority, strip a leading ``www.`` and an
-        explicit default port (``:443`` — scheme is https throughout
-        this corpus; non-default ports are preserved);
+      - lowercase the scheme and authority, strip a leading ``www.``
+        and the scheme's explicit DEFAULT port (``:443`` for https,
+        ``:80`` for http; non-default ports are preserved);
       - drop ``utm_*`` tracking parameters and sort the remaining query
         parameters byte-lexicographically (param order is not
         semantic).
+
+    A value with no recognizable ``scheme://authority`` yields NULL —
+    quarantine routing — never a shared garbage key (an earlier
+    https-anchored form silently collapsed every non-https URL into one
+    'https://?query' bucket, which a dedup stage would then "dedup").
 
     Pure Column expression (regexp + array HOFs), so it folds into the
     scan projection: at 100 TB the canonical key is computed in the same
@@ -130,10 +135,16 @@ def canonicalize_url(url: Column | str) -> Column:
     """
     u = F.col(url) if isinstance(url, str) else url
     nofrag = F.regexp_replace(u, "#.*$", "")
-    auth = F.lower(F.regexp_extract(nofrag, "^https://([^/?#]+)", 1))
+    _s = "[A-Za-z][A-Za-z0-9+.-]*"
+    scheme = F.lower(F.regexp_extract(nofrag, f"^({_s})://", 1))
+    auth = F.lower(F.regexp_extract(nofrag, f"^{_s}://([^/?#]+)", 1))
     auth = F.regexp_replace(auth, r"^www\.", "")
-    auth = F.regexp_replace(auth, ":443$", "")
-    path = F.regexp_extract(nofrag, "^https://[^/?#]+([^?#]*)", 1)
+    auth = (
+        F.when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(nofrag, f"^{_s}://[^/?#]+([^?#]*)", 1)
     q = F.regexp_extract(nofrag, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
@@ -142,12 +153,16 @@ def canonicalize_url(url: Column | str) -> Column:
         )
     )
     qjoined = F.array_join(params, "&")
-    return F.concat(
-        F.lit("https://"),
-        auth,
-        path,
-        F.when(qjoined != "", F.concat(F.lit("?"), qjoined)).otherwise(
-            F.lit("")
+    return F.when(
+        (scheme != "") & (auth != ""),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            auth,
+            path,
+            F.when(qjoined != "", F.concat(F.lit("?"), qjoined)).otherwise(
+                F.lit("")
+            ),
         ),
     )
 
@@ -174,6 +189,11 @@ def geo_cell_bits(lat_md: Column, lng_md: Column, bits_per_dim: int = 15):
     """
     span_lat, span_lng = 180_000, 360_000
     n = F.lit(1 << bits_per_dim)
+    # widen BEFORE multiplying: with IntegerType millidegree inputs the
+    # product reaches ~6e9, past 2^31 — silent wrap (non-ANSI) or a job
+    # failure (ANSI) without the cast
+    lat_md = lat_md.cast("bigint")
+    lng_md = lng_md.cast("bigint")
     qlat = ((lat_md + 90_000) * n - ((lat_md + 90_000) * n) % span_lat) / span_lat
     qlng = ((lng_md + 180_000) * n - ((lng_md + 180_000) * n) % span_lng) / span_lng
     qlat = qlat.cast("bigint")

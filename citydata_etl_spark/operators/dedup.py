@@ -414,7 +414,10 @@ def containment_pairs(
     ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(
         "shingle", "rid"
     )
-    shr = sh.join(ranked, "shingle").select(id_col, "rid")
+    # persisted: shr embeds the frequency aggregate + global-rank window
+    # and feeds BOTH the arr aggregate and the candidate-join inverted
+    # index — without the pin that sort-heavy stage executes twice
+    shr = scoped_persist(sh.join(ranked, "shingle").select(id_col, "rid"))
     arr = scoped_persist(
         shr.groupBy(id_col)
         .agg(F.array_sort(F.collect_list("rid")).alias("rids"))

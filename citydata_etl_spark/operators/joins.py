@@ -365,10 +365,13 @@ def geo_radius_join(
       cell_deg_lng * 111.195 * cos(max |lat|) >= radius_km.
     The defaults (1.5 deg / 3.0 deg) cover radius <= 150 km for points
     within +-60 deg latitude; outside that band, widen cell_deg_lng (at
-    the poles, switch to a polar-cap scheme). Cost: 9x probe rows +
-    true pair density per cell — linear, and the cells shuffle-partition
-    evenly unless the points themselves are pathologically clustered
-    (then: finer cells + AQE skew handling).
+    the poles, switch to a polar-cap scheme). Longitude cells WRAP at
+    the antimeridian (probe neighborhoods are taken modulo the cell
+    count), so in-radius pairs straddling lng = +-180 still meet;
+    latitude needs no wrap inside the stated band. Cost: 9x probe rows
+    + true pair density per cell — linear, and the cells
+    shuffle-partition evenly unless the points themselves are
+    pathologically clustered (then: finer cells + AQE skew handling).
 
     Output: every probe column, every build column, `dist_km` rounded to
     4 decimals (transcendental-output convention); the radius filter also
@@ -384,10 +387,20 @@ def geo_radius_join(
             f"disjoint (both sides surface in the output): {sorted(overlap)}"
         )
 
+    import math
+
+    n_lng_cells = int(math.ceil(360.0 / cell_deg_lng))
+
     def cells(lat, lng):
         return (
             F.floor((lat + 90.0) / cell_deg_lat).cast("int"),
-            F.floor((lng + 180.0) / cell_deg_lng).cast("int"),
+            # pmod folds a point AT lng=180 into cell 0 (same wrap the
+            # probe neighborhood uses), keeping the cell id in
+            # [0, n_lng_cells) for any in-domain longitude
+            F.pmod(
+                F.floor((lng + 180.0) / cell_deg_lng).cast("int"),
+                F.lit(n_lng_cells),
+            ),
         )
 
     b_lat_cell, b_lng_cell = cells(F.col(build_lat), F.col(build_lng))
@@ -401,7 +414,12 @@ def geo_radius_join(
         )
         .withColumn("__dlng", F.explode(F.sequence(F.lit(-1), F.lit(1))))
         .withColumn("__clat", (p_lat_cell + F.col("__dlat")).cast("int"))
-        .withColumn("__clng", (p_lng_cell + F.col("__dlng")).cast("int"))
+        .withColumn(
+            "__clng",
+            F.pmod(
+                p_lng_cell + F.col("__dlng"), F.lit(n_lng_cells)
+            ).cast("int"),
+        )
         .drop("__dlat", "__dlng")
     )
     dist = F.round(

@@ -393,7 +393,9 @@ def jpeg_header_meta(media: DataFrame,
             metas = [_parse_jpeg_sof(b) for b in pdf[content_col]]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
+                    # the pre-select below aliased id_col to media_id —
+                    # index the POST-alias name or a custom id_col KeyErrors
+                    "media_id": pdf["media_id"].astype("int64"),
                     "width": pd.array(
                         [m[0] if m else None for m in metas], dtype="Int64"
                     ),

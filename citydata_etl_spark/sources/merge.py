@@ -320,7 +320,16 @@ def delete_keys(
             # fully staged/recorded.
             if fs.exists(staging):
                 manifest = hpath(staging, "_AFFECTED")
-                names = set()
+                # bucket-name -> 'e' (fully erased: live dir must go) or
+                # 's' (staged survivors: the staged copy is
+                # authoritative). The DISTINCTION must come from the
+                # manifest, not from staged-dir presence: after a
+                # PARTIAL swap a staged dir is absent either because the
+                # bucket was erased OR because its rename already
+                # published it — and treating a published bucket as
+                # erased would trash its survivors (the exact data-loss
+                # window this typed manifest closes).
+                states: dict[str, str] = {}
                 if fs.exists(manifest):
                     stream = fs.open(manifest)
                     try:
@@ -332,25 +341,37 @@ def delete_keys(
                             data.append(b)
                     finally:
                         stream.close()
-                    names = {
-                        f"bucket={line}"
-                        for line in bytes(data).decode().split()
-                        if line
-                    }
+                    for line in bytes(data).decode().split():
+                        if not line:
+                            continue
+                        bucket, _, state = line.partition(":")
+                        # untyped legacy line: default to the
+                        # NON-destructive interpretation
+                        states[f"bucket={bucket}"] = state or "s"
                 for st in fs.listStatus(staging):
                     n_ = st.getPath().getName()
                     if n_.startswith("bucket="):
-                        names.add(n_)
-                for name in sorted(names):
+                        states.setdefault(n_, "s")
+                for name in sorted(states):
                     dst = hpath(p, name)
                     src = hpath(staging, name)
-                    if fs.exists(dst):
-                        fs.mkdirs(trash)
-                        tb = hpath(trash, name)
-                        fs.delete(tb, True)
-                        fs.rename(dst, tb)
-                    if fs.exists(src):  # absent = bucket fully erased
+                    if states[name] == "e":
+                        # fully erased: any live dir is superseded
+                        if fs.exists(dst):
+                            fs.mkdirs(trash)
+                            tb = hpath(trash, name)
+                            fs.delete(tb, True)
+                            fs.rename(dst, tb)
+                    elif fs.exists(src):
+                        # staged survivors not yet published: swap now
+                        if fs.exists(dst):
+                            fs.mkdirs(trash)
+                            tb = hpath(trash, name)
+                            fs.delete(tb, True)
+                            fs.rename(dst, tb)
                         fs.rename(src, dst)
+                    # else: staged bucket whose rename already
+                    # published — dst IS the survivors; leave it alone
             fs.delete(trash, True)
             fs.delete(staging, True)
             # the heal completes the CRASHED operation — re-commit its
@@ -385,12 +406,19 @@ def delete_keys(
         .partitionBy("bucket")
         .parquet(str(staging))
     )
-    # Affected-bucket manifest: a fully-erased bucket stages NO survivor
-    # directory, so without this record a crashed swap could not know the
-    # bucket still needs its live directory removed (heal reads it).
+    # Affected-bucket manifest, TYPED per bucket: 'e' = fully erased (no
+    # survivors staged; the live dir must be removed), 's' = survivors
+    # staged. The type must be recorded here, while it is still
+    # knowable: during a heal after a partial swap, a missing staged dir
+    # is ambiguous (erased vs already-published) and guessing 'erased'
+    # would trash published survivors.
+    lines = [
+        f"{b}:{'s' if fs.exists(hpath(staging, f'bucket={b}')) else 'e'}"
+        for b in affected
+    ]
     out = fs.create(hpath(staging, "_AFFECTED"), True)
     try:
-        out.write(bytearray("\n".join(str(b) for b in affected).encode()))
+        out.write(bytearray("\n".join(lines).encode()))
     finally:
         out.close()
 

@@ -235,7 +235,29 @@ def streaming_dynamic_gap_sessions(
 
     Output: (user_id, session_id, n_events, session_start, session_end)
     with epoch-second BIGINTs, identical to the batch twin's schema.
+
+    watermark_delay MUST be '0 seconds' (validated): delay 0 makes
+    admitted events per-user monotone (an event only passes the
+    watermark filter if its ts >= the global max ts of every earlier
+    batch >= this user's stored session end), which is what lets state
+    hold ONE open session instead of an event buffer. A positive delay
+    admits out-of-order events that can land BEHIND the stored session
+    end — correct handling then requires buffering events in state
+    until the watermark passes and folding the sorted buffer (bounded
+    by delay + gap horizon). That buffered variant is a different
+    operator, deliberately not silently approximated here: a regressed
+    `end` would mis-split sessions and diverge from the batch twin
+    without any error.
     """
+    delay = watermark_delay.strip().lower()
+    if delay not in ("0 seconds", "0 second", "0 minutes", "0 hours"):
+        raise ValueError(
+            "streaming_dynamic_gap_sessions requires watermark_delay="
+            "'0 seconds': a positive delay admits out-of-order events "
+            "behind the stored session end, which the one-open-session "
+            "state cannot sessionize correctly (see docstring; a "
+            "buffered-state variant is the right tool there)"
+        )
     prepared = (
         events_stream.withWatermark("ts", watermark_delay)
         .select(

@@ -736,7 +736,7 @@ def test_delete_keys_heal_completes_fully_erased_bucket(spark, tmp_path):
         os.path.join(staging, f"bucket={part_b}", "part-0.parquet"),
     )
     with open(os.path.join(staging, "_AFFECTED"), "w") as f:
-        f.write(f"{full_b}\n{part_b}\n")
+        f.write(f"{full_b}:e\n{part_b}:s\n")
     os.remove(os.path.join(path, M._COMMIT))
 
     # any later delete must heal first
@@ -781,3 +781,70 @@ def test_merge_upsert_schema_evolution_and_partial_updates(spark, tmp_path):
     assert out[999]["status"] == "ins" and out[999]["amount"] is None
     untouched = [r for i, r in out.items() if i not in (3, 7, 999)]
     assert all(r["status"] == "old" and r["note"] is None for r in untouched)
+
+
+def test_delete_keys_heal_keeps_already_published_bucket(spark, tmp_path):
+    """The window the TYPED manifest closes: a crash AFTER one bucket's
+    swap completed (staged dir renamed into place, so it is absent from
+    staging) but before the marker re-write. That bucket's live dir now
+    IS the survivors; a presence-based heal that read 'in manifest, no
+    staged dir' as 'fully erased' would trash it — permanent loss of
+    every surviving row in the bucket."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources import merge as M
+
+    path = str(tmp_path / "ctl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id LONG, total LONG"
+    )
+    M.write_bucketed_control(base, path, "id", n_buckets=4)
+
+    with_b = base.withColumn("b", M.bucket_expr("id", 4))
+    by_bucket = {
+        r["b"]: r["ids"]
+        for r in with_b.groupBy("b")
+        .agg(F.collect_list("id").alias("ids"))
+        .collect()
+    }
+    b1, b2 = sorted(by_bucket)[:2]
+    # delete one key from each of two buckets
+    erased = {by_bucket[b1][0], by_bucket[b2][0]}
+
+    # run the REAL delete to get a correct end state, then rewind to the
+    # mid-crash point: restore the marker-absent, b1-published,
+    # b2-still-staged state by hand
+    M.delete_keys(
+        spark, path,
+        spark.createDataFrame([(i,) for i in erased], "id LONG"),
+        "id", n_buckets=4,
+    )
+    survivors = {r["id"] for r in
+                 M.read_bucketed_control(spark, path).select("id").collect()}
+    assert survivors == set(range(100)) - erased
+
+    staging = os.path.join(path, ".delete_staging")
+    os.makedirs(staging)
+    # b2's post-delete content goes BACK to staging (swap not yet done
+    # for it); its live dir reverts to "whatever was there" — here we
+    # just copy it, content irrelevant since the heal must replace it
+    shutil.copytree(
+        os.path.join(path, f"bucket={b2}"),
+        os.path.join(staging, f"bucket={b2}"),
+    )
+    # b1 stays published: in the manifest as staged, NOT in staging
+    with open(os.path.join(staging, "_AFFECTED"), "w") as f:
+        f.write(f"{b1}:s\n{b2}:s\n")
+    os.remove(os.path.join(path, M._COMMIT))
+
+    M.delete_keys(
+        spark, path,
+        spark.createDataFrame([(999_999,)], "id LONG"), "id", n_buckets=4,
+    )
+    healed = {r["id"] for r in
+              M.read_bucketed_control(spark, path).select("id").collect()}
+    assert healed == survivors          # b1's survivors NOT trashed
+    assert not os.path.exists(staging)

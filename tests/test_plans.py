@@ -568,6 +568,10 @@ def test_geo_radius_join_matches_naive_cross(spark):
     # plant a straddling near-pair on each side of a 1.5-deg cell edge
     pts_a.append((100, 1.499, 10.0))
     pts_b.append((200, 1.501, 10.2))
+    # and a pair straddling the ANTIMERIDIAN: ~4 km apart across lng=180,
+    # grid cells 119 and 0 — only the modulo neighborhood wrap finds it
+    pts_a.append((101, 5.0, 179.98))
+    pts_b.append((201, 5.0, -179.98))
     a = spark.createDataFrame(pts_a, "a_id LONG, a_lat DOUBLE, a_lng DOUBLE")
     b = spark.createDataFrame(pts_b, "b_id LONG, b_lat DOUBLE, b_lng DOUBLE")
     got = {
@@ -593,6 +597,7 @@ def test_geo_radius_join_matches_naive_cross(spark):
             want[(ia, ib)] = d
     assert got == want
     assert (100, 200) in want  # the straddling pair was actually exercised
+    assert (101, 201) in want  # the antimeridian pair was actually found
 
     with pytest.raises(ValueError, match="disjoint"):
         geo_radius_join(a, a, 10.0, "a_lat", "a_lng", "a_lat", "a_lng")
@@ -637,3 +642,49 @@ def test_triangle_counts_hand_checked(spark):
     df = spark.createDataFrame(noisy, "src LONG, dst LONG")
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_new_entry_plan_guards(spark):
+    """Scale-shape guards for the newest entries: the global shuffle must
+    have no single-partition global sort (its windows partition by
+    shard), collocations must plan its top-50 as TakeOrderedAndProject
+    with no data-derived broadcast beyond the bounded 1-row total, and
+    the codegen-only entries must carry zero exchanges."""
+    p = _plan(spark, "d6_global_shuffle")
+    # a window with an empty partitionBy would show 'Sort [perm ...], false'
+    # after an Exchange SinglePartition — pin its absence
+    assert "SinglePartition" not in p
+
+    p = _plan(spark, "d4_collocations")
+    assert "TakeOrderedAndProject" in p
+
+    for name in ("f15_geo_cell", "f16_number_normalize",
+                 "f17_useragent_parse"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, f"{name} should be a pure projection"
+
+
+def test_canonicalize_url_schemes_and_quarantine(spark):
+    """Non-https URLs keep their scheme (with the scheme's own default
+    port stripped); values with no scheme://authority yield NULL for
+    quarantine routing — never a shared garbage key."""
+    from citydata_etl_spark.functions.scalar import canonicalize_url
+
+    rows = [
+        ("https://WWW.A.com:443/x?b=2&utm_s=1&a=1#f",),
+        ("http://b.org:80/y?id=1",),
+        ("http://b.org:8080/y",),
+        ("ftp://files.example.com/pub",),
+        ("not a url at all",),
+        ("/relative/path?id=1",),
+    ]
+    df = spark.createDataFrame(rows, "url STRING")
+    out = [
+        r["c"]
+        for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert out[0] == "https://a.com/x?a=1&b=2"
+    assert out[1] == "http://b.org/y?id=1"
+    assert out[2] == "http://b.org:8080/y"     # non-default port kept
+    assert out[3] == "ftp://files.example.com/pub"
+    assert out[4] is None and out[5] is None   # quarantine, not collapse

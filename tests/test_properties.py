@@ -688,3 +688,84 @@ def test_containment_blocking_is_lossless(spark, docs, threshold):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, raw_edges):
+    """Degree-oriented wedge counting equals brute-force triangle
+    enumeration on random multigraphs with self-loops and duplicate /
+    reversed edges."""
+    from citydata_etl_spark.operators.graph import triangle_counts
+
+    und = {tuple(sorted(e)) for e in raw_edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    want = dict.fromkeys(nodes, 0)
+    for tri in itertools.combinations(sorted(nodes), 3):
+        a, b, c = tri
+        if (
+            (a, b) in und and (a, c) in und and (b, c) in und
+        ):
+            for n in tri:
+                want[n] += 1
+
+    if not raw_edges:
+        raw_edges = [(0, 0)]  # createDataFrame needs >= 1 row
+    df = spark.createDataFrame(raw_edges, "src LONG, dst LONG")
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_matches_python_reference(spark, raw_edges, n_iter):
+    """The distributed PageRank recurrence equals a pure-Python integer
+    implementation of the same stated formula on random graphs —
+    including dangling nodes and mass-leak flooring."""
+    from citydata_etl_spark.operators.graph import pagerank
+
+    edges = {(s, d) for s, d in raw_edges if s != d}
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    base = (1_000_000 * 15 // 100) // n
+    pr = {v: 1_000_000 // n for v in nodes}
+    for _ in range(n_iter):
+        nxt = {}
+        for v in nodes:
+            s = sum(
+                pr[u] // outdeg[u] for (u, w) in edges if w == v
+            )
+            nxt[v] = base + (85 * s) // 100
+        pr = nxt
+
+    df = spark.createDataFrame(sorted(edges), "src LONG, dst LONG")
+    got = {
+        r["node"]: r["pr"] for r in pagerank(df, n_iter=n_iter).collect()
+    }
+    assert got == pr

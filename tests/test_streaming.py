@@ -619,3 +619,25 @@ def test_streaming_dynamic_sessions_across_microbatches(spark, tmp_path):
          "session_end"],
     )
     assert got == want
+
+
+def test_dynamic_gap_sessions_rejects_positive_watermark_delay(spark):
+    """A positive watermark delay admits out-of-order events behind the
+    stored session end, which one-open-session state cannot sessionize
+    correctly — the operator must refuse loudly, not silently diverge
+    from its batch twin."""
+    import pytest
+
+    from citydata_etl_spark.streaming.stateful import (
+        streaming_dynamic_gap_sessions,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value AS event_id", "timestamp AS ts", "value AS user_id",
+            "'view' AS event_type",
+        )
+    )
+    with pytest.raises(ValueError, match="watermark_delay"):
+        streaming_dynamic_gap_sessions(stream, watermark_delay="10 minutes")
