@@ -96,6 +96,7 @@ HEADLINE = [
     "u7_evolving_merge",
     "d6_global_shuffle",
     "f17_useragent_parse",
+    "t12_stream_late_sessions",
 ]
 
 

@@ -1004,3 +1004,168 @@ def t11_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name),
     )
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def _events_dir_late_blocks(
+    spark: SparkSession, sf_dir: str, n_blocks: int = 5,
+    straggler_mod: int = 5,
+) -> tuple[str, int]:
+    """A stream-feed directory that delivers the events table GENUINELY
+    OUT OF ORDER with bounded lateness, plus the far-future sentinel:
+    events split into `n_blocks` time blocks (one file each, arrival
+    order forced by ascending names AND mtimes), with every
+    `straggler_mod`-th event DEFERRED one file — it arrives a whole
+    block later than its event time, the shape multi-region collectors
+    and retried uploads produce (the reference's Step Functions retries,
+    stepfunction/definition.json:13-23). Returns (dir, block_span_s):
+    lateness is bounded by one block span, so a watermark delay of
+    block_span + slack admits every straggler.
+    """
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src_path = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src_path.encode()).hexdigest()[:12]
+    d = _session_tmpdir(f"events_late_{tag}")
+    marker = os.path.join(d, ".done")
+    src = pq.read_table(src_path)
+    ts = src["ts"].cast(pa.int64())  # physical nanos
+    t0 = pc.min(ts).as_py()
+    t1 = pc.max(ts).as_py()
+    span_ns = max(t1 - t0, 1)
+    block_span_s = span_ns // n_blocks // 10**9 + 1
+    if not os.path.exists(marker):
+        block = pc.floor(
+            pc.divide(
+                pc.subtract(ts, pa.scalar(t0, pa.int64())).cast(
+                    pa.float64()
+                ),
+                float(block_span_s * 10**9),
+            )
+        ).cast(pa.int64())
+        block = pc.min_element_wise(
+            block, pa.scalar(n_blocks - 1, pa.int64())
+        )
+        # stragglers: event_id % straggler_mod == 0, deferred one block
+        rem = pc.subtract(
+            src["event_id"],
+            pc.multiply(
+                pc.floor(
+                    pc.divide(
+                        src["event_id"].cast(pa.float64()),
+                        float(straggler_mod),
+                    )
+                ).cast(pa.int64()),
+                pa.scalar(straggler_mod, pa.int64()),
+            ),
+        )
+        deferred = pc.add(block, pa.scalar(1, pa.int64()))
+        deferred = pc.min_element_wise(
+            deferred, pa.scalar(n_blocks - 1, pa.int64())
+        )
+        arrival = pc.if_else(
+            pc.equal(rem, pa.scalar(0, pa.int64())), deferred, block
+        )
+        now = 1_700_000_000
+        for b in range(n_blocks):
+            part = src.filter(pc.equal(arrival, pa.scalar(b, pa.int64())))
+            f = os.path.join(d, f"part-{b:03d}.parquet")
+            tmp = f + ".tmp"
+            pq.write_table(part, tmp)
+            os.rename(tmp, f)
+            os.utime(f, (now + b, now + b))
+        # sentinel: one schema-identical far-future row, arriving LAST
+        row = src.slice(0, 1).to_pylist()[0]
+        mx = pc.max(src["ts"]).as_py()
+        import datetime
+
+        if isinstance(mx, datetime.datetime):
+            row["ts"] = mx + datetime.timedelta(days=3650)
+        else:
+            row["ts"] = mx + 3650 * 86400 * 10**9
+        row["user_id"] = -1
+        row["event_id"] = -1
+        sent = os.path.join(d, f"part-{n_blocks:03d}-sentinel.parquet")
+        tmp = sent + ".tmp"
+        pq.write_table(pa.Table.from_pylist([row], schema=src.schema), tmp)
+        os.rename(tmp, sent)
+        os.utime(sent, (now + n_blocks, now + n_blocks))
+        open(marker, "w").close()
+    return d, int(block_span_s)
+
+
+@register(
+    "t12_stream_late_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS thr
+      FROM events),
+    l AS (
+      SELECT *,
+             lag(tsec) OVER w AS prev_ts,
+             lag(thr) OVER w AS prev_thr
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+    m AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL OR tsec - prev_ts > prev_thr
+                  THEN 1 ELSE 0 END AS is_new
+      FROM l),
+    s AS (
+      SELECT user_id, event_id, tsec,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec,
+                                    event_id ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
+      FROM m)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(tsec) AS session_start, max(tsec) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="T12 (late-data sessionization): dynamic-gap sessions computed "
+    "CORRECTLY over an out-of-order stream — the buffered-state "
+    "operator streaming_dynamic_gap_sessions' zero-delay contract "
+    "points to (streaming/stateful.py:streaming_late_sessions). The "
+    "feed genuinely reorders: every 5th event arrives one time-block "
+    "late (bounded lateness, the multi-region-collector / retry shape "
+    "— the reference's own Step Functions retries produce exactly "
+    "this), one file per micro-batch; a positive watermark delay "
+    "admits the stragglers, they land in a per-user EVENT BUFFER in "
+    "the state store, sort into place, and sessions emit only once "
+    "the watermark passes their gap horizon (provably final — no "
+    "admissible event can extend or split them). Every event is "
+    "eventually admitted and the sentinel flushes the tail, so the "
+    "stream equals the batch twin EXACTLY — the oracle is the same "
+    "SQL as t5_dynamic_gap_session; the driver hash-checks an "
+    "out-of-order stateful streaming computation against batch "
+    "semantics. State per user is bounded by the delay + gap window "
+    "(the price of reordering); the cross-batch straggler path is "
+    "additionally pinned in tests/test_streaming.py.",
+)
+def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_testdata as _rt
+    from citydata_etl_spark.streaming.stateful import (
+        streaming_late_sessions,
+    )
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    _rt(spark, sf_dir, "events")  # side effects only (confs, ship)
+    d, block_span_s = _events_dir_late_blocks(spark, sf_dir)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    out = streaming_late_sessions(
+        stream.select("event_id", "ts", "user_id", "event_type"),
+        watermark_delay=f"{block_span_s + 3600} seconds",
+    )
+    name = f"t12_late_sess_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name),
+    )
+    return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")

@@ -641,3 +641,117 @@ def test_dynamic_gap_sessions_rejects_positive_watermark_delay(spark):
     )
     with pytest.raises(ValueError, match="watermark_delay"):
         streaming_dynamic_gap_sessions(stream, watermark_delay="10 minutes")
+
+
+def test_buffered_session_group_merges_late_event():
+    """The buffered sessionizer's core contract, driven directly: a LATE
+    event arriving a batch later must merge into the session it belongs
+    to by EVENT time (splitting what naive one-open-session state would
+    have already decided), sessions emit only once the watermark passes
+    their gap horizon, and ids stay sequential."""
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import (
+        make_buffered_session_group,
+    )
+
+    class _FakeSessionState:
+        def __init__(self):
+            self._value = None
+            self.hasTimedOut = False
+            self.wm_ms = 0
+            self.timeout_ts = None
+
+        @property
+        def exists(self):
+            return self._value is not None
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._value = v
+
+        def remove(self):
+            self._value = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_ts = ts
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["tsec", "event_id", "event_type"]
+        )
+
+    fn = make_buffered_session_group(error_gap_s=300, default_gap_s=1800)
+    state = _FakeSessionState()
+
+    # batch 1: two events 4000s apart -> would fold to two sessions, but
+    # nothing is final yet (watermark 0)
+    out = list(fn((7,), iter([batch([(1000, 1, "view"), (5000, 2, "view")])]),
+                  state))
+    assert out == []
+    assert state.get[0] == -1 and len(state.get[1]) == 2
+
+    # batch 2: a LATE event at t=2000 arrives; watermark has advanced to
+    # 4000s. Sorted buffer folds (1000,2000)(5000): the late event MERGED
+    # into session 0, whose horizon 2000+1800 < 4000 makes it final.
+    state.wm_ms = 4000 * 1000
+    out = list(fn((7,), iter([batch([(2000, 3, "view")])]), state))
+    rows = [tuple(r) for r in out[0].itertuples(index=False)]
+    assert rows == [(7, 0, 2, 1000, 2000)]
+    assert list(state.get[1]) == [5000]  # trailing session still buffered
+    # timeout armed at the remaining session's horizon
+    assert state.timeout_ts == (5000 + 1800) * 1000
+
+    # batch 3: pure timeout past the horizon flushes the tail with the
+    # NEXT sequential id
+    state.wm_ms = 10_000 * 1000
+    state.hasTimedOut = True
+    out = list(fn((7,), iter([]), state))
+    rows = [tuple(r) for r in out[0].itertuples(index=False)]
+    assert rows == [(7, 1, 1, 5000, 5000)]
+    assert list(state.get[1]) == []     # tombstone keeps the counter
+    assert state.get[0] == 1
+
+
+def test_late_feed_is_genuinely_out_of_order(spark):
+    """The t12 feed must actually deliver stragglers late: some file k+1
+    must contain an event OLDER than file k's maximum event time (else
+    the buffered path is never exercised and the entry proves nothing)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from citydata_etl_spark.plans.queries_time import (
+        _events_dir_late_blocks,
+    )
+
+    d, span = _events_dir_late_blocks(spark, SF_ORACLE)
+    parts = sorted(
+        p for p in glob.glob(os.path.join(d, "part-*.parquet"))
+        if "sentinel" not in p
+    )
+    assert len(parts) >= 3
+    reordered = 0
+    prev_max = None
+    import pyarrow.compute as pc
+
+    for p in parts:
+        t = pq.read_table(p)
+        if t.num_rows == 0:
+            continue
+        ts = t["ts"].cast("int64")
+        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+        if prev_max is not None and lo < prev_max:
+            reordered += 1
+            # lateness bounded by one block span (the watermark-delay
+            # contract the catalog entry relies on)
+            assert prev_max - lo <= (span + 1) * 10**9
+        prev_max = hi if prev_max is None else max(prev_max, hi)
+    assert reordered >= 1
