@@ -769,3 +769,107 @@ def test_pagerank_matches_python_reference(spark, raw_edges, n_iter):
         r["node"]: r["pr"] for r in pagerank(df, n_iter=n_iter).collect()
     }
     assert got == pr
+
+
+# pure-Python state-machine simulation — no Spark job per example, so it
+# can afford two orders of magnitude more examples than the Spark-backed
+# properties (a 2000-example stress run also passed during development)
+@settings(**{**SETTINGS, "max_examples": 300})
+@given(
+    st.lists(  # (tsec in a small range, is_error) — dense ties + gaps
+        st.tuples(
+            st.integers(min_value=0, max_value=12000),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3000),   # watermark delay (s)
+    st.integers(min_value=1, max_value=4),      # number of batches
+)
+def test_buffered_sessions_equal_batch_fold_under_reordering(
+    events, delay_s, n_batches
+):
+    """Pure state-machine simulation of the buffered sessionizer: events
+    are dealt into arrival batches ARBITRARILY (any order), the watermark
+    advances as the engine's would (max event time seen - delay, never
+    retreating), late events BELOW the watermark are dropped exactly as
+    the engine drops them, and a final far-future watermark flushes the
+    tail. The concatenated emissions must equal the batch dynamic-gap
+    fold over the admitted events — for every random interleaving."""
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import (
+        make_buffered_session_group,
+    )
+
+    class _S:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.wm_ms = 0
+
+        exists = property(lambda s: s._v is not None)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    rows = [
+        (t, i, "error" if err else "view")
+        for i, (t, err) in enumerate(events)
+    ]
+    # deal rows round-robin into arrival batches (arbitrary disorder)
+    batches = [rows[i::n_batches] for i in range(n_batches)]
+    fn = make_buffered_session_group(error_gap_s=300, default_gap_s=1800)
+    state = _S()
+    emitted = []
+    admitted = []
+    wm_s = 0
+    for b in batches:
+        # engine contract: rows at/after the watermark are admitted; the
+        # watermark then advances to max(event time) - delay AFTER the
+        # batch, never retreating
+        live = [r for r in b if r[0] >= wm_s]
+        admitted += live
+        state.wm_ms = wm_s * 1000
+        if live:
+            pdf = pd.DataFrame(
+                live, columns=["tsec", "event_id", "event_type"]
+            )
+            for out in fn((1,), iter([pdf]), state):
+                emitted += [tuple(r) for r in out.itertuples(index=False)]
+        wm_s = max([wm_s] + [r[0] - delay_s for r in b])
+    # final flush: watermark far past every horizon
+    state.wm_ms = 10**9 * 1000
+    state.hasTimedOut = True
+    for out in fn((1,), iter([]), state):
+        emitted += [tuple(r) for r in out.itertuples(index=False)]
+
+    # reference: batch fold over the admitted events in (tsec, id) order
+    want = []
+    sid = -1
+    start = end = prev_thr = None
+    n = 0
+    for t, eid, etype in sorted(admitted, key=lambda r: (r[0], r[1])):
+        thr = 300 if etype == "error" else 1800
+        if start is None or t - end > prev_thr:
+            if start is not None:
+                want.append((1, sid, n, start, end))
+            sid += 1
+            start, n = t, 0
+        end = t
+        n += 1
+        prev_thr = thr
+    if start is not None:
+        want.append((1, sid, n, start, end))
+    assert emitted == want
