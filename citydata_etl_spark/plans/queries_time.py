@@ -1036,69 +1036,76 @@ def _events_dir_late_blocks(
     ).hexdigest()[:12]
     d = _session_tmpdir(f"events_late_{tag}")
     marker = os.path.join(d, ".done")
+    if os.path.exists(marker):
+        # the marker carries the computed span: a warm call must not
+        # re-read the whole events table just to recompute it
+        with open(marker) as f:
+            return d, int(f.read().strip())
     src = pq.read_table(src_path)
     ts = src["ts"].cast(pa.int64())  # physical nanos
     t0 = pc.min(ts).as_py()
     t1 = pc.max(ts).as_py()
     span_ns = max(t1 - t0, 1)
     block_span_s = span_ns // n_blocks // 10**9 + 1
-    if not os.path.exists(marker):
-        block = pc.floor(
-            pc.divide(
-                pc.subtract(ts, pa.scalar(t0, pa.int64())).cast(
-                    pa.float64()
-                ),
-                float(block_span_s * 10**9),
-            )
-        ).cast(pa.int64())
-        block = pc.min_element_wise(
-            block, pa.scalar(n_blocks - 1, pa.int64())
-        )
-        # stragglers: event_id % straggler_mod == 0, deferred one block
-        rem = pc.subtract(
-            src["event_id"],
-            pc.multiply(
-                pc.floor(
-                    pc.divide(
-                        src["event_id"].cast(pa.float64()),
-                        float(straggler_mod),
-                    )
-                ).cast(pa.int64()),
-                pa.scalar(straggler_mod, pa.int64()),
+    block = pc.floor(
+        pc.divide(
+            pc.subtract(ts, pa.scalar(t0, pa.int64())).cast(
+                pa.float64()
             ),
+            float(block_span_s * 10**9),
         )
-        deferred = pc.add(block, pa.scalar(1, pa.int64()))
-        deferred = pc.min_element_wise(
-            deferred, pa.scalar(n_blocks - 1, pa.int64())
-        )
-        arrival = pc.if_else(
-            pc.equal(rem, pa.scalar(0, pa.int64())), deferred, block
-        )
-        now = 1_700_000_000
-        for b in range(n_blocks):
-            part = src.filter(pc.equal(arrival, pa.scalar(b, pa.int64())))
-            f = os.path.join(d, f"part-{b:03d}.parquet")
-            tmp = f + ".tmp"
-            pq.write_table(part, tmp)
-            os.rename(tmp, f)
-            os.utime(f, (now + b, now + b))
-        # sentinel: one schema-identical far-future row, arriving LAST
-        row = src.slice(0, 1).to_pylist()[0]
-        mx = pc.max(src["ts"]).as_py()
-        import datetime
+    ).cast(pa.int64())
+    block = pc.min_element_wise(
+        block, pa.scalar(n_blocks - 1, pa.int64())
+    )
+    # stragglers: event_id % straggler_mod == 0, deferred one block
+    rem = pc.subtract(
+        src["event_id"],
+        pc.multiply(
+            pc.floor(
+                pc.divide(
+                    src["event_id"].cast(pa.float64()),
+                    float(straggler_mod),
+                )
+            ).cast(pa.int64()),
+            pa.scalar(straggler_mod, pa.int64()),
+        ),
+    )
+    deferred = pc.add(block, pa.scalar(1, pa.int64()))
+    deferred = pc.min_element_wise(
+        deferred, pa.scalar(n_blocks - 1, pa.int64())
+    )
+    arrival = pc.if_else(
+        pc.equal(rem, pa.scalar(0, pa.int64())), deferred, block
+    )
+    now = 1_700_000_000
+    for b in range(n_blocks):
+        part = src.filter(pc.equal(arrival, pa.scalar(b, pa.int64())))
+        f = os.path.join(d, f"part-{b:03d}.parquet")
+        tmp = f + ".tmp"
+        pq.write_table(part, tmp)
+        os.rename(tmp, f)
+        os.utime(f, (now + b, now + b))
+    # sentinel: one schema-identical far-future row, arriving LAST
+    row = src.slice(0, 1).to_pylist()[0]
+    mx = pc.max(src["ts"]).as_py()
+    import datetime
 
-        if isinstance(mx, datetime.datetime):
-            row["ts"] = mx + datetime.timedelta(days=3650)
-        else:
-            row["ts"] = mx + 3650 * 86400 * 10**9
-        row["user_id"] = -1
-        row["event_id"] = -1
-        sent = os.path.join(d, f"part-{n_blocks:03d}-sentinel.parquet")
-        tmp = sent + ".tmp"
-        pq.write_table(pa.Table.from_pylist([row], schema=src.schema), tmp)
-        os.rename(tmp, sent)
-        os.utime(sent, (now + n_blocks, now + n_blocks))
-        open(marker, "w").close()
+    if isinstance(mx, datetime.datetime):
+        row["ts"] = mx + datetime.timedelta(days=3650)
+    else:
+        row["ts"] = mx + 3650 * 86400 * 10**9
+    row["user_id"] = -1
+    row["event_id"] = -1
+    sent = os.path.join(d, f"part-{n_blocks:03d}-sentinel.parquet")
+    tmp = sent + ".tmp"
+    pq.write_table(pa.Table.from_pylist([row], schema=src.schema), tmp)
+    os.rename(tmp, sent)
+    os.utime(sent, (now + n_blocks, now + n_blocks))
+    tmpm = marker + ".tmp"
+    with open(tmpm, "w") as f:
+        f.write(str(int(block_span_s)))
+    os.rename(tmpm, marker)
     return d, int(block_span_s)
 
 
