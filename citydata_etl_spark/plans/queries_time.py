@@ -739,9 +739,12 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t5_dynamic_gap_session",
-    oracle="""
+#: The dynamic-gap sessionization contract stated ONCE in SQL — the
+#: single source of truth the batch entry (t5) and BOTH streaming
+#: twins (t10 zero-delay, t12 buffered late-data) must equal;
+#: editing one entry's contract without the others is impossible
+#: by construction.
+_DYN_SESSION_ORACLE = """
     WITH o AS (
       SELECT user_id, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
@@ -767,7 +770,12 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            min(tsec) AS session_start, max(tsec) AS session_end
     FROM s GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "t5_dynamic_gap_session",
+    oracle=_DYN_SESSION_ORACLE,
     doc="T5 (dynamic-gap sessionization): per-user sessions whose idle "
     "timeout depends on the PREVIOUS event — 5 minutes after an "
     "'error', 30 minutes otherwise "
@@ -853,33 +861,7 @@ def _events_dir_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     # stream, every session flushes (in-data closure or event-time
     # timeout), so the streaming operator must reproduce batch
     # sessionization EXACTLY
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
-             CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS thr
-      FROM events),
-    l AS (
-      SELECT *,
-             lag(tsec) OVER w AS prev_ts,
-             lag(thr) OVER w AS prev_thr
-      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
-    m AS (
-      SELECT *,
-             CASE WHEN prev_ts IS NULL OR tsec - prev_ts > prev_thr
-                  THEN 1 ELSE 0 END AS is_new
-      FROM l),
-    s AS (
-      SELECT user_id, event_id, tsec,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec,
-                                    event_id ROWS UNBOUNDED PRECEDING) - 1
-                  AS BIGINT) AS session_id
-      FROM m)
-    SELECT user_id, session_id,
-           count(*) AS n_events,
-           min(tsec) AS session_start, max(tsec) AS session_end
-    FROM s GROUP BY user_id, session_id
-    """,
+    oracle=_DYN_SESSION_ORACLE,
     doc="T10 (streaming dynamic-gap sessionization): the STREAMING twin "
     "of t5_dynamic_gap_session via a second applyInPandasWithState "
     "operator with EVENT-TIME timeouts (streaming/stateful.py:"
@@ -1111,33 +1093,7 @@ def _events_dir_late_blocks(
 
 @register(
     "t12_stream_late_sessions",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
-             CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS thr
-      FROM events),
-    l AS (
-      SELECT *,
-             lag(tsec) OVER w AS prev_ts,
-             lag(thr) OVER w AS prev_thr
-      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
-    m AS (
-      SELECT *,
-             CASE WHEN prev_ts IS NULL OR tsec - prev_ts > prev_thr
-                  THEN 1 ELSE 0 END AS is_new
-      FROM l),
-    s AS (
-      SELECT user_id, event_id, tsec,
-             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec,
-                                    event_id ROWS UNBOUNDED PRECEDING) - 1
-                  AS BIGINT) AS session_id
-      FROM m)
-    SELECT user_id, session_id,
-           count(*) AS n_events,
-           min(tsec) AS session_start, max(tsec) AS session_end
-    FROM s GROUP BY user_id, session_id
-    """,
+    oracle=_DYN_SESSION_ORACLE,
     doc="T12 (late-data sessionization): dynamic-gap sessions computed "
     "CORRECTLY over an out-of-order stream — the buffered-state "
     "operator streaming_dynamic_gap_sessions' zero-delay contract "

@@ -351,6 +351,15 @@ def make_buffered_session_group(error_gap_s: int, default_gap_s: int):
                     th_buf.append(
                         error_gap_s if et == "error" else default_gap_s
                     )
+        elif not ts_buf:
+            # the empty-buffer tombstone's far timeout expired with no
+            # new events: full gc (mirrors make_session_group's
+            # tombstone expiry — without this, the state would re-arm
+            # the far timeout forever and leak one entry per user ever
+            # seen; counter reset after ~1000 days of total silence is
+            # the documented boundary of batch equivalence)
+            state.remove()
+            return
 
         w_s = state.getCurrentWatermarkMs() // 1000
         order = sorted(

@@ -718,6 +718,14 @@ def test_buffered_session_group_merges_late_event():
     assert list(state.get[1]) == []     # tombstone keeps the counter
     assert state.get[0] == 1
 
+    # batch 4: the empty-buffer tombstone's far timeout expires with no
+    # new events -> full gc (without it, per-user state would re-arm and
+    # leak forever on an unbounded stream)
+    state.hasTimedOut = True
+    out = list(fn((7,), iter([]), state))
+    assert out == []
+    assert state.get is None
+
 
 def test_late_feed_is_genuinely_out_of_order(spark):
     """The t12 feed must actually deliver stragglers late: some file k+1
