@@ -255,3 +255,70 @@ def sessionize_dynamic(
     return df.withColumn("__new", is_new).withColumn(
         "session_id", F.sum("__new").over(w_run) - 1
     ).drop("__new")
+
+
+def resample_locf(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    tiebreak: str,
+    step_s: int,
+) -> DataFrame:
+    """Resample an irregular event series onto a fixed `step_s`-second
+    grid per key, filling empty buckets by LAST-OBSERVATION-CARRIED-
+    FORWARD — the hypertable `time_bucket_gapfill + locf` shape
+    (TimescaleDB / InfluxDB `fill(previous)`), which neither Spark nor
+    the reference exposes as a builtin.
+
+    Per bucket the representative observation is max_by(value, tiebreak)
+    (`tiebreak` must be unique per row, so the pick is total-order
+    deterministic); the carried value is the stored double itself — no
+    arithmetic touches it, so results are hash-exact across engines.
+    Output: (key, bucket_ts epoch-seconds, n_events, value, is_filled).
+
+    Topology (and why it holds at 100 TB): one map-side-combined
+    aggregate to (key, bucket) — the only corpus-sized shuffle; the grid
+    is exploded DISTRIBUTEDLY from a per-key [min, max] span (sequence +
+    explode — grid size rows, never collected); one left join on
+    (key, bucket) between two relations already small relative to the
+    input; one running window per key for the carry. The window's
+    partition is a whole key's grid — at 100 TB with multi-year spans,
+    range-chunk the grid (coarse time bucket in the partition key) and
+    carry across chunks with a second pass over per-chunk LAST values,
+    the same two-pass trick the pipeline's pack/water-fill operators use.
+    First grid bucket per key is observed by construction (the span's
+    min), so no leading-NULL seed is needed.
+    """
+    b = (F.floor(F.unix_timestamp(F.col(ts)) / step_s) * step_s).cast(
+        "bigint"
+    )
+    obs = df.groupBy(F.col(key), b.alias("bucket_ts")).agg(
+        F.count("*").alias("n_events"),
+        F.max_by(value, tiebreak).alias("__obs"),
+    )
+    span = df.groupBy(key).agg(
+        F.min(b).alias("__lo"),
+        F.max(b).alias("__hi"),
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_s).cast("bigint"))
+        ).alias("bucket_ts"),
+    )
+    w = (
+        W.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(obs, [key, "bucket_ts"], "left")
+        .select(
+            key,
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+            F.last("__obs", ignorenulls=True).over(w).alias(value),
+            F.col("__obs").isNull().alias("is_filled"),
+        )
+    )

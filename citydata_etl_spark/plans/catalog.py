@@ -83,6 +83,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: the reorder is disclosed in the round notes. Every entry is ALSO
 #: verified every round regardless of position by tests/test_parity.py
 #: (all entries, at sf0.01 via PARITY_SF_DIR).
+#:
+#: Refresh rule (round 5 refinement, disclosed): an entry's rank is the
+#: round of its latest driver ROW when that row is green OR rows-only by
+#: construction (oracle=None — the driver can never mark it green, so
+#: re-queuing it every round would burn window slots for zero new
+#: information; its rows-only smoke still recurs on the normal cycle). A
+#: hash-FAIL resets the rank to 0: the contract was broken there, and the
+#: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 3,
     "a11_heavy_hitters": 0,
@@ -108,7 +116,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a8_city_score": 3,
     "a9_pivot": 3,
     "d4_ann_ivf": 3,
-    "d4_ann_ivf_dist": 0,
+    "d4_ann_ivf_dist": 4,  # rows-only by construction (r4 row)
     "d4_ann_lsh": 3,
     "d4_ann_pq": 3,
     "d4_bigram_logprob": 3,
@@ -122,10 +130,10 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_embed_quantize": 4,
     "d4_exact_dedup": 3,
     "d4_incremental_dedup": 4,
-    "d4_incremental_neardup": 0,
+    "d4_incremental_neardup": 4,  # rows-only by construction (r4 row)
     "d4_lang_id": 3,
     "d4_lm_logprob": 3,
-    "d4_minhash_hash": 0,
+    "d4_minhash_hash": 4,  # rows-only by construction (r4 row)
     "d4_minhash_lsh": 3,
     "d4_ngram_jaccard": 3,
     "d4_pii_scrub": 3,

@@ -1145,3 +1145,52 @@ def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name),
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
+
+
+@register(
+    "t13_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_ts,
+             event_id, value
+      FROM events),
+    obs AS (
+      SELECT event_type, bucket_ts, count(*) AS n_events,
+             arg_max(value, event_id) AS obs_value
+      FROM b GROUP BY event_type, bucket_ts),
+    span AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM b GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(range(lo, hi + 900, 900)) AS bucket_ts
+      FROM span)
+    SELECT g.event_type, g.bucket_ts,
+           coalesce(o.n_events, 0) AS n_events,
+           last_value(o.obs_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.obs_value IS NULL AS is_filled
+    FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts)
+    """,
+    doc="T13 (time-series extension): gap-filled 15-minute resample of the "
+    "event stream with last-observation-carried-forward — the hypertable "
+    "`time_bucket_gapfill + locf` operation (TimescaleDB; InfluxDB "
+    "fill(previous)), the standard dashboarding/feature-engineering shape "
+    "for irregular telemetry like the reference's scrape cadence "
+    "(operators/aggregates.py:resample_locf; reference "
+    "lambda/collect-data.py polls on a timer, so its series has exactly "
+    "these holes). ~50% of grid buckets are genuinely empty at this "
+    "cadence, so the LOCF path is exercised, not decorative. One "
+    "map-side-combined aggregate + a distributed sequence-explode grid + "
+    "one per-key running window; the carried value is the stored double "
+    "untouched by arithmetic, so the result is hash-exact.",
+)
+def t13_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.aggregates import resample_locf
+
+    events = read_testdata(spark, sf_dir, "events")
+    return resample_locf(
+        events, key="event_type", ts="ts", value="value",
+        tiebreak="event_id", step_s=900,
+    )

@@ -763,3 +763,35 @@ def test_late_feed_is_genuinely_out_of_order(spark):
             assert prev_max - lo <= (span + 1) * 10**9
         prev_max = hi if prev_max is None else max(prev_max, hi)
     assert reordered >= 1
+
+
+def test_resample_locf_semantics(spark):
+    """LOCF carry across consecutive empty buckets, deterministic
+    max_by(tiebreak) pick inside a multi-event bucket, and the
+    observed-by-construction first bucket per key."""
+    from citydata_etl_spark.operators.aggregates import resample_locf
+
+    rows = [
+        ("a", 0, 1, 10.0),
+        ("a", 5, 2, 20.0),   # same bucket as id=1; tiebreak keeps 20.0
+        ("a", 31, 3, 30.0),  # two empty buckets in between
+        ("b", 12, 4, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, tsec long, id long, value double"
+    ).select(
+        "k", F.timestamp_seconds("tsec").alias("ts"), "id", "value"
+    )
+    out = [
+        tuple(r)
+        for r in resample_locf(df, "k", "ts", "value", "id", 10)
+        .orderBy("k", "bucket_ts")
+        .collect()
+    ]
+    assert out == [
+        ("a", 0, 2, 20.0, False),
+        ("a", 10, 0, 20.0, True),
+        ("a", 20, 0, 20.0, True),
+        ("a", 30, 1, 30.0, False),
+        ("b", 10, 1, 5.0, False),
+    ]
