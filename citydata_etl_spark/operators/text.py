@@ -580,3 +580,57 @@ def crossdomain_lm_score(
             ).cast("bigint").alias("avg_lp_micros"),
         )
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """FastText-style hashed linear document classifier (Joulin 2016 —
+    the model class behind GPT-3's quality filter and FineWeb-Edu's
+    educational scorer): token -> hashing-trick bucket -> weight, score
+    = sum of weights, keep = score >= 0. The deployment-side half of
+    that pipeline — training happens offline; scoring 100 TB is this
+    operator's job.
+
+    Weights here are a deterministic integer-LCG function of the bucket
+    (a stand-in for trained weights, same decoupling as multimodal's
+    deterministic fake decode: the Spark-side plumbing — hashing trick,
+    per-row fold, integer scoring — is real and oracle-exact; swapping
+    in trained weights is a broadcast join or a literal array lookup).
+    Token hash is the engine-portable rolling char fold
+    ((acc*31 + ascii) % FINGERPRINT_MOD, the doc_fingerprint
+    convention); weight(b) = ((b*2654435761 + 12345) % 2147483647) % 7
+    - 3, in [-3, 3]. Everything stays in one zero-exchange codegen
+    projection: nested higher-order functions, no explode, no shuffle —
+    the per-row cost profile you want when scoring a crawl.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+    def tok_hash(t):
+        return F.aggregate(
+            F.transform(
+                F.filter(F.split(t, ""), lambda c: c != ""),
+                lambda c: F.ascii(c).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+        )
+
+    def weight(t):
+        b = tok_hash(t) % n_buckets
+        return ((b * 2654435761 + 12345) % 2147483647) % 7 - 3
+
+    score = F.aggregate(
+        F.transform(toks, weight),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score_sum"),
+        (score >= 0).alias("keep"),
+    )

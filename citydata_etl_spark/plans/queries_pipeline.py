@@ -966,3 +966,48 @@ def d6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("perm") % 64).cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "d6_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+                 tok -> ((list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                              list_transform(
+                                list_filter(string_split(tok, ''),
+                                            c -> c <> ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                            (acc, c) -> (acc * 31 + c) % 1000000007)
+                           % 512) * 2654435761 + 12345)
+                        % 2147483647 % 7 - 3)),
+               (a, x) -> a + x) AS score_sum
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           score_sum, score_sum >= 0 AS keep
+    FROM w
+    """,
+    doc="D6 (model-based quality filter): fastText-style hashed linear "
+    "classifier scoring — the GPT-3 / FineWeb-Edu quality-filter "
+    "deployment shape (operators/text.py:hashed_linear_score): token -> "
+    "hashing-trick bucket -> weight, keep = score >= 0. Weights are a "
+    "deterministic LCG of the bucket (trained weights swap in as a "
+    "broadcast lookup; the scoring plumbing is what's exercised). The "
+    "whole scorer is ONE zero-exchange codegen projection via nested "
+    "higher-order functions — no explode, no vocabulary join, no "
+    "shuffle — the only plan shape whose cost stays per-row when the "
+    "corpus is 100 TB. Both engines state the identical integer fold, "
+    "so the driver check is bit-exact.",
+)
+def d6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import hashed_linear_score
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, n_buckets=512)

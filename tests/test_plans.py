@@ -688,3 +688,14 @@ def test_canonicalize_url_schemes_and_quarantine(spark):
     assert out[2] == "http://b.org:8080/y"     # non-default port kept
     assert out[3] == "ftp://files.example.com/pub"
     assert out[4] is None and out[5] is None   # quarantine, not collapse
+
+
+def test_quality_classifier_zero_exchange(spark):
+    """The hashed linear scorer must be ONE per-row codegen projection —
+    no Exchange, no Join, no explode (Generate), no Python: the hashing
+    trick plus LCG weights keep everything a function of the row."""
+    plan = _plan(spark, "d6_quality_classifier")
+    assert "Exchange (" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "InPandas" not in plan and "PythonUDF" not in plan
