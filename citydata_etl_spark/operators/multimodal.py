@@ -418,3 +418,131 @@ def jpeg_header_meta(media: DataFrame,
     return media.select(
         F.col(id_col).alias("media_id"), F.col(content_col).alias(content_col)
     ).mapInPandas(run, schema=_JPEG_META_SCHEMA)
+
+
+_MP4_META_SCHEMA = (
+    "media_id BIGINT, major_brand STRING, timescale BIGINT, "
+    "duration BIGINT, duration_ms BIGINT"
+)
+
+
+def _box(blob, pos, end):
+    """Decode one ISO-BMFF box header at `pos`: (payload_start, box_end,
+    type) or None. Handles the three size encodings — 32-bit, 64-bit
+    largesize (size==1), and to-end-of-enclosure (size==0)."""
+    if pos + 8 > end:
+        return None
+    size = int.from_bytes(blob[pos:pos + 4], "big")
+    btype = bytes(blob[pos + 4:pos + 8])
+    hdr = 8
+    if size == 1:
+        if pos + 16 > end:
+            return None
+        size = int.from_bytes(blob[pos + 8:pos + 16], "big")
+        hdr = 16
+    elif size == 0:
+        size = end - pos
+    if size < hdr or pos + size > end:
+        return None
+    return pos + hdr, pos + size, btype
+
+
+def _parse_mp4_mvhd(blob) -> tuple | None:
+    """Walk the top-level ISO-BMFF box chain for ftyp + moov, then the
+    moov children for mvhd; return (major_brand, timescale, duration).
+
+    Like the JPEG SOF walk, box offsets are data-dependent (boxes are
+    length-prefixed and moov commonly sits AFTER an arbitrarily large
+    mdat in non-faststart files), so the walk is imperative by nature.
+    Bounded (64 boxes per level) and total — malformed input returns
+    None, never raises. Both mvhd versions are handled (v0: 32-bit
+    times; v1: 64-bit creation/modification/duration)."""
+    if blob is None or len(blob) < 16:
+        return None
+    n = len(blob)
+    pos, brand, moov = 0, None, None
+    for _ in range(64):
+        b = _box(blob, pos, n)
+        if b is None:
+            break
+        payload, box_end, btype = b
+        if btype == b"ftyp":
+            if payload + 8 > box_end:
+                return None
+            brand = bytes(blob[payload:payload + 4]).decode("ascii", "replace")
+        elif btype == b"moov":
+            moov = (payload, box_end)
+        pos = box_end
+        if pos >= n:
+            break
+    if brand is None or moov is None:
+        return None
+    pos, end = moov
+    for _ in range(64):
+        b = _box(blob, pos, end)
+        if b is None:
+            return None
+        payload, box_end, btype = b
+        if btype == b"mvhd":
+            p = payload
+            if p + 1 > end:
+                return None
+            version = blob[p]
+            if version == 0:
+                if p + 20 > box_end:
+                    return None
+                ts = int.from_bytes(blob[p + 12:p + 16], "big")
+                dur = int.from_bytes(blob[p + 16:p + 20], "big")
+            elif version == 1:
+                if p + 32 > box_end:
+                    return None
+                ts = int.from_bytes(blob[p + 20:p + 24], "big")
+                dur = int.from_bytes(blob[p + 24:p + 32], "big")
+            else:
+                return None
+            return (brand, ts, dur)
+        pos = box_end
+    return None
+
+
+def mp4_header_meta(media: DataFrame,
+                    content_col: str = "content",
+                    id_col: str = "media_id") -> DataFrame:
+    """Video metadata for MP4/ISO-BMFF blobs — container brand, movie
+    timescale, duration (and derived milliseconds) — without a codec.
+
+    Completes the image (png/jpeg) / audio (wav) / VIDEO triage triad:
+    duration and brand filters over a 100 TB crawl before any decode or
+    frame sampling. Arrow-batched mapInPandas; non-MP4 or malformed rows
+    yield NULL metadata. duration_ms = duration*1000 // timescale is
+    computed in the parser (Python ints — no ANSI division-by-zero
+    surface; a zero timescale yields NULL)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_parse_mp4_mvhd(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "major_brand": pd.array(
+                        [m[0] if m else None for m in metas], dtype="string"
+                    ),
+                    "timescale": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "duration": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [
+                            m[2] * 1000 // m[1] if m and m[1] > 0 else None
+                            for m in metas
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_MP4_META_SCHEMA)

@@ -1852,3 +1852,96 @@ def d4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "d5_mp4_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             1000 + doc_id % 9000 AS ts,
+             (doc_id * 37) % 100000 AS dur,
+             doc_id % 6 = 0 AS not_mp4,
+             CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                             ELSE 'avc1' END AS brand
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN not_mp4 THEN NULL ELSE brand END AS major_brand,
+           CASE WHEN not_mp4 THEN NULL ELSE CAST(ts AS BIGINT) END
+             AS timescale,
+           CASE WHEN not_mp4 THEN NULL ELSE CAST(dur AS BIGINT) END
+             AS duration,
+           CASE WHEN not_mp4 THEN NULL
+                ELSE CAST(dur * 1000 // ts AS BIGINT) END AS duration_ms
+    FROM p
+    """,
+    doc="D5 [north-star multimodal]: MP4/ISO-BMFF container metadata — "
+    "major brand, movie timescale, duration — completing the "
+    "image (d5_png_meta, d5_jpeg_meta) / audio (d5_wav_meta, "
+    "d5_audio_energy) / VIDEO triage triad. Boxes are length-prefixed "
+    "with three size encodings (32-bit, largesize, to-EOF) and moov "
+    "commonly trails an arbitrarily large mdat, so the parser is a "
+    "bounded two-level box walk in Arrow-batched mapInPandas "
+    "(operators/multimodal.py:mp4_header_meta), not codegen. Blobs are "
+    "synthesized with genuine BMFF syntax: ftyp, a doc_id-dependent "
+    "free box that SHIFTS the moov offset (the walk is provably real), "
+    "then moov>mvhd alternating version 0 (32-bit) and version 1 "
+    "(64-bit) layouts; every 6th row is a PNG that must yield NULLs. "
+    "The oracle states every field in closed form. At 100 TB this is "
+    "the duration/brand prefilter before frame sampling — header-only "
+    "reads, zero codec dependencies.",
+)
+def d5_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import mp4_header_meta
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ts = (1000 + d % 9000).cast("bigint")
+    dur = ((d * 37) % 100000).cast("bigint")
+
+    def be4(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def be8(c):
+        return F.lpad(F.hex(c), 16, "0")
+
+    brand = (
+        F.when(d % 3 == 0, F.lit("isom"))
+        .when(d % 3 == 1, F.lit("mp42"))
+        .otherwise(F.lit("avc1"))
+    )
+    ftyp = F.concat(
+        be4(F.lit(24)), F.hex(F.lit("ftyp")), F.hex(brand),
+        be4(F.lit(0)), F.hex(F.lit("isommp41")),
+    )
+    pad = (d % 13).cast("int")
+    free = F.concat(
+        be4(F.lit(8) + pad), F.hex(F.lit("free")),
+        F.expr("repeat('00', CAST(doc_id % 13 AS INT))"),
+    )
+    mvhd0 = F.concat(
+        be4(F.lit(108)), F.hex(F.lit("mvhd")), F.lit("00000000"),
+        be4(F.lit(0)), be4(F.lit(0)), be4(ts), be4(dur),
+        F.lit("00" * 80),
+    )
+    mvhd1 = F.concat(
+        be4(F.lit(120)), F.hex(F.lit("mvhd")), F.lit("01000000"),
+        be8(F.lit(0)), be8(F.lit(0)), be4(ts), be8(dur),
+        F.lit("00" * 80),
+    )
+    moov = F.when(
+        d % 5 == 0, F.concat(be4(F.lit(8 + 120)), F.hex(F.lit("moov")), mvhd1)
+    ).otherwise(
+        F.concat(be4(F.lit(8 + 108)), F.hex(F.lit("moov")), mvhd0)
+    )
+    mp4_hex = F.concat(ftyp, free, moov)
+    png_hex = F.lit("89504E470D0A1A0A" + "00" * 16)
+    media = docs.select(
+        d.alias("media_id"),
+        F.unhex(F.when(d % 6 == 0, png_hex).otherwise(mp4_hex)).alias(
+            "content"
+        ),
+    )
+    return mp4_header_meta(media)

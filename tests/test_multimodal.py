@@ -267,3 +267,49 @@ def test_audio_energy_matches_wave_module_bytes(spark):
     got = {(r["media_id"], r["win_idx"]): (r["n_samples"], r["energy"])
            for r in rows}
     assert got == expected  # 99/98 absent: no windows for non-WAV blobs
+
+
+def test_mp4_box_walk_edge_cases():
+    """Size encodings (32-bit, largesize, to-EOF), mvhd v0 vs v1,
+    moov-after-mdat ordering, and totality on malformed input."""
+    from citydata_etl_spark.operators.multimodal import _parse_mp4_mvhd
+
+    def be4(x):
+        return x.to_bytes(4, "big")
+
+    def be8(x):
+        return x.to_bytes(8, "big")
+
+    ftyp = be4(24) + b"ftypisom" + be4(0) + b"isommp41"
+    mvhd0 = (be4(108) + b"mvhd" + bytes([0, 0, 0, 0]) + be4(0) + be4(0)
+             + be4(1000) + be4(45678) + b"\x00" * 80)
+    mvhd1 = (be4(120) + b"mvhd" + bytes([1, 0, 0, 0]) + be8(0) + be8(0)
+             + be4(600) + be8(99999) + b"\x00" * 80)
+    moov0 = be4(8 + 108) + b"moov" + mvhd0
+    mdat = be4(8 + 32) + b"mdat" + b"\xab" * 32
+
+    assert _parse_mp4_mvhd(ftyp + moov0) == ("isom", 1000, 45678)
+    # 64-bit duration via mvhd version 1
+    assert _parse_mp4_mvhd(
+        ftyp + be4(8 + 120) + b"moov" + mvhd1
+    ) == ("isom", 600, 99999)
+    # non-faststart: moov AFTER an mdat payload
+    assert _parse_mp4_mvhd(ftyp + mdat + moov0) == ("isom", 1000, 45678)
+    # largesize (size==1 + 64-bit size) and size==0 (extends to EOF)
+    assert _parse_mp4_mvhd(
+        ftyp + be4(1) + b"moov" + be8(16 + 108) + mvhd0
+    ) == ("isom", 1000, 45678)
+    assert _parse_mp4_mvhd(
+        ftyp + be4(0) + b"moov" + mvhd0
+    ) == ("isom", 1000, 45678)
+    # totality: not BMFF, missing moov, truncated mid-box, bad version,
+    # size lies past EOF
+    assert _parse_mp4_mvhd(b"\x89PNG\r\n\x1a\x0a" + b"\x00" * 16) is None
+    assert _parse_mp4_mvhd(ftyp) is None
+    assert _parse_mp4_mvhd((ftyp + moov0)[:40]) is None
+    bad_ver = bytearray(ftyp + moov0)
+    bad_ver[len(ftyp) + 16] = 7
+    assert _parse_mp4_mvhd(bytes(bad_ver)) is None
+    lying = be4(10_000) + b"moov" + mvhd0
+    assert _parse_mp4_mvhd(ftyp + lying) is None
+    assert _parse_mp4_mvhd(None) is None
