@@ -157,6 +157,67 @@ def read_bucketed_control(
     )
 
 
+def merged_relation(
+    existing: DataFrame, upd: DataFrame, key_col: str
+) -> DataFrame:
+    """The MERGE output relation shared by merge_upsert and the
+    snapshot writer (sources/snapshots.py): `existing` and `upd` both
+    carry a `bucket` column; matched keys take each non-NULL update
+    value (NULL preserves the stored one), unmatched keys insert.
+
+    SCHEMA EVOLUTION (additive): update columns absent from the stored
+    table widen it — existing rows in the affected buckets backfill
+    NULL, untouched buckets keep their old files and reconcile at read
+    time via mergeSchema (read_bucketed_control sets it). Dropping or
+    retyping columns is NOT supported here: a type change would make
+    old and new bucket files irreconcilable under parquet mergeSchema,
+    so it must go through a full-table rewrite instead.
+
+    A data column absent from the update set is an implicit NULL —
+    "preserve the stored value" under the coalesce rule. This is what
+    lets callers send PARTIAL updates (just the columns they touch)
+    instead of whole rows, the reference's actual event shape
+    (update-control.py events carry only status/date_completed)."""
+    data_cols = [c for c in existing.columns if c not in (key_col, "bucket")]
+    upd_data = [c for c in upd.columns if c not in (key_col, "bucket")]
+    new_cols = [c for c in upd_data if c not in data_cols]
+    for c in new_cols:
+        existing = existing.withColumn(
+            c, F.lit(None).cast(upd.schema[c].dataType)
+        )
+    data_cols += new_cols
+    upd_sel = upd.select(
+        F.col(key_col),
+        F.col("bucket").alias("__u_bucket"),
+        *[
+            (
+                F.col(c)
+                if c in upd_data
+                else F.lit(None).cast(existing.schema[c].dataType)
+            ).alias(f"__u_{c}")
+            for c in data_cols
+        ],
+        F.lit(1).alias("__is_upd"),
+    )
+    return (
+        existing.join(upd_sel, key_col, "full_outer")
+        .select(
+            F.col(key_col),
+            # insert rows have no existing bucket; recompute = same expr
+            F.coalesce(F.col("bucket"), F.col("__u_bucket")).alias("bucket"),
+            *[
+                F.when(
+                    F.col("__is_upd").isNotNull(),
+                    F.coalesce(F.col(f"__u_{c}"), F.col(c)),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -186,59 +247,7 @@ def merge_upsert(
     if not affected:
         return
     existing = spark.read.parquet(path).filter(F.col("bucket").isin(affected))
-
-    data_cols = [c for c in existing.columns if c not in (key_col, "bucket")]
-    # SCHEMA EVOLUTION (additive): update columns absent from the stored
-    # table widen it — existing rows in the affected buckets backfill
-    # NULL, untouched buckets keep their old files and reconcile at read
-    # time via mergeSchema (read_bucketed_control sets it). Dropping or
-    # retyping columns is NOT supported here: a type change would make
-    # old and new bucket files irreconcilable under parquet mergeSchema,
-    # so it must go through a full-table rewrite instead.
-    new_cols = [
-        c for c in updates.columns
-        if c != key_col and c not in data_cols and c != "bucket"
-    ]
-    for c in new_cols:
-        existing = existing.withColumn(
-            c, F.lit(None).cast(updates.schema[c].dataType)
-        )
-    data_cols += new_cols
-    # A data column absent from the update set is an implicit NULL —
-    # "preserve the stored value" under the coalesce rule below. This is
-    # what lets callers send PARTIAL updates (just the columns they
-    # touch) instead of whole rows, the reference's actual event shape
-    # (update-control.py events carry only status/date_completed).
-    upd_sel = upd.select(
-        F.col(key_col),
-        F.col("bucket").alias("__u_bucket"),
-        *[
-            (
-                F.col(c)
-                if c in updates.columns
-                else F.lit(None).cast(existing.schema[c].dataType)
-            ).alias(f"__u_{c}")
-            for c in data_cols
-        ],
-        F.lit(1).alias("__is_upd"),
-    )
-    merged = (
-        existing.join(upd_sel, key_col, "full_outer")
-        .select(
-            F.col(key_col),
-            # insert rows have no existing bucket; recompute = same expr
-            F.coalesce(F.col("bucket"), F.col("__u_bucket")).alias("bucket"),
-            *[
-                F.when(
-                    F.col("__is_upd").isNotNull(),
-                    F.coalesce(F.col(f"__u_{c}"), F.col(c)),
-                )
-                .otherwise(F.col(c))
-                .alias(c)
-                for c in data_cols
-            ],
-        )
-    )
+    merged = merged_relation(existing, upd, key_col)
     # materialize before writing: Spark (correctly) refuses to overwrite a
     # path its plan is still reading. The materialized set is the merge
     # working set only — affected buckets + updates — never the table.

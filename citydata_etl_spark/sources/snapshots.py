@@ -1,0 +1,295 @@
+"""Snapshot-versioned control tables — time travel over the bucketed
+MERGE (SURVEY.md §2.3 extension; the capability class of Delta/Iceberg
+`VERSION AS OF`, parquet-native so it runs on the baked-in stack).
+
+Where sources/merge.py overwrites affected buckets in place (one live
+version, `_COMMIT` marker for crash visibility), this module never
+mutates a written file — COPY-ON-WRITE at bucket granularity:
+
+  layout    {path}/v={N}/bucket={B}/part-*.parquet   (immutable once written)
+  manifest  {path}/_manifests/{N}.json  = for every bucket, the version
+            directory holding its CURRENT files — {"buckets": {B: ver}}.
+            Size is bounded by n_buckets (a layout constant), never by
+            data or history size.
+  latest    {path}/_manifests/_LATEST  (tmp + atomic rename, swapped LAST)
+
+A merge writes ONLY the affected buckets into a fresh v={N+1} directory
+and records every other bucket's unchanged pointer in manifest N+1 — the
+Iceberg snapshot idea with the manifest flattened to one bucket->version
+map. Readers resolve one manifest and read exactly the files it names:
+
+  - snapshot isolation: a reader holding manifest N sees version N's
+    bytes forever — no overlapping writer can disturb it (merge.py's
+    token-recheck dance is unnecessary here);
+  - time travel: snapshot_read(version=K) reproduces any retained
+    version bit-exactly;
+  - crash safety: v-dir first, manifest second, _LATEST swap LAST. A
+    crash anywhere before the swap leaves orphan files that no manifest
+    references and the OLD version current; the next merge re-derives
+    N+1 from the last committed manifest and overwrites the orphans.
+
+Same single-writer contract as merge.py (no lock; serialize writers
+externally). Update semantics are merge.py's exactly — the merged
+relation is built by the SHARED merge.merged_relation (non-NULL update
+wins, NULL preserves, unmatched keys insert, additive schema evolution).
+
+Cost at 100 TB: a merge touching u keys reads+writes min(u, B) buckets
+regardless of table size or history depth; a snapshot read opens B
+directories (one listing each); vacuum deletes whole version dirs that
+no retained manifest references. History cost is bounded by
+(versions retained) x (buckets rewritten per version) — the same bound
+a Delta log compaction gives, without the log.
+
+The column names `v` and `bucket` are reserved by the layout (they come
+back as partition columns and are dropped on read).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citydata_etl_spark.sources.merge import (
+    _fs_and_path,
+    bucket_expr,
+    merged_relation,
+)
+
+_MANIFESTS = "_manifests"
+_LATEST = "_LATEST"
+
+
+def _hpath(spark: SparkSession, p: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+    """tmp + rename small-file write (atomic on rename-capable stores)."""
+    fs, _ = _fs_and_path(spark, path)
+    tmp = _hpath(spark, path + ".tmp")
+    final = _hpath(spark, path)
+    out = fs.create(tmp, True)
+    out.write(bytearray(data))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _read_small_file(spark: SparkSession, path: str) -> bytes | None:
+    """Read a bounded metadata file through the Hadoop FS API (scheme-
+    portable); streamed via IOUtils into one gateway transfer, not
+    byte-at-a-time py4j calls."""
+    jvm = spark._jvm
+    fs, _ = _fs_and_path(spark, path)
+    p = _hpath(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{path}/{_MANIFESTS}/{version}.json"
+
+
+def _load_manifest(
+    spark: SparkSession, path: str, version: int | None
+) -> dict:
+    """Manifest for `version` (None = the committed latest)."""
+    if version is None:
+        raw = _read_small_file(spark, f"{path}/{_MANIFESTS}/{_LATEST}")
+        if raw is None:
+            raise RuntimeError(
+                f"snapshot table at {path} has no committed version"
+            )
+        version = int(raw.decode("ascii"))
+    raw = _read_small_file(spark, _manifest_path(path, version))
+    if raw is None:
+        raise RuntimeError(
+            f"snapshot table at {path} has no manifest for version "
+            f"{version} (never written, or vacuumed away)"
+        )
+    return json.loads(raw.decode("utf-8"))
+
+
+def _commit(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Manifest file first, `_LATEST` pointer swap LAST."""
+    v = manifest["version"]
+    _write_small_file(
+        spark,
+        _manifest_path(path, v),
+        json.dumps(manifest, sort_keys=True).encode("utf-8"),
+    )
+    _write_small_file(
+        spark, f"{path}/{_MANIFESTS}/{_LATEST}", str(v).encode("ascii")
+    )
+
+
+def _write_version(
+    df: DataFrame, path: str, version: int
+) -> list[int]:
+    """Write `df` (carrying a bucket column) as the immutable v-dir for
+    `version`; returns the bucket ids written (bounded by n_buckets)."""
+    df = df.localCheckpoint(eager=True)  # never overwrite what we read
+    (
+        df.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/v={version}")
+    )
+    return [r["bucket"] for r in df.select("bucket").distinct().collect()]
+
+
+def snapshot_init(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = 16
+) -> int:
+    """Create version 1 of a snapshot table from `df`. Returns 1."""
+    reserved = {"v", "bucket"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by the snapshot "
+            "layout (they return as partition columns) — rename them"
+        )
+    spark = df.sparkSession
+    with_bucket = df.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    buckets = _write_version(with_bucket, path, 1)
+    _commit(
+        spark,
+        path,
+        {
+            "version": 1,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "buckets": {str(b): 1 for b in buckets},
+        },
+    )
+    return 1
+
+
+def snapshot_merge(
+    spark: SparkSession, path: str, updates: DataFrame, key_col: str
+) -> int:
+    """MERGE `updates` into the snapshot table as a NEW version; every
+    prior version stays readable. Returns the new version number.
+
+    Only buckets containing an updated key are read (from the exact
+    files the latest manifest names) and written (into the new v-dir);
+    the manifest carries every other bucket's pointer forward. merge
+    semantics are shared with merge_upsert via merged_relation."""
+    man = _load_manifest(spark, path, None)
+    if key_col != man["key_col"]:
+        raise ValueError(
+            f"snapshot table at {path} is keyed by {man['key_col']!r}, "
+            f"not {key_col!r}"
+        )
+    n_buckets = int(man["n_buckets"])
+    upd = updates.withColumn("bucket", bucket_expr(key_col, n_buckets))
+    affected = sorted(
+        r["bucket"] for r in upd.select("bucket").distinct().collect()
+    )
+    if not affected:
+        return int(man["version"])
+    cur = [
+        f"{path}/v={man['buckets'][str(b)]}/bucket={b}"
+        for b in affected
+        if str(b) in man["buckets"]
+    ]
+    if cur:
+        existing = (
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*cur)
+            .drop("v")
+        )
+    else:  # every affected bucket is brand new — pure insert
+        existing = spark.createDataFrame([], upd.schema)
+    merged = merged_relation(existing, upd, key_col)
+    new_version = int(man["version"]) + 1
+    written = _write_version(merged, path, new_version)
+    buckets = dict(man["buckets"])
+    buckets.update({str(b): new_version for b in written})
+    _commit(
+        spark,
+        path,
+        {
+            "version": new_version,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+        },
+    )
+    return new_version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the snapshot table AS OF `version` (None = committed
+    latest) — exactly the files that version's manifest names, so the
+    result is immune to concurrent/later writers."""
+    man = _load_manifest(spark, path, version)
+    paths = [
+        f"{path}/v={ver}/bucket={b}" for b, ver in man["buckets"].items()
+    ]
+    return (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+        .drop("v", "bucket")
+    )
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed, still-retained version numbers, ascending."""
+    fs, _ = _fs_and_path(spark, path)
+    d = _hpath(spark, f"{path}/{_MANIFESTS}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def snapshot_vacuum(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> list[int]:
+    """Drop history: retain the latest `keep_last` manifests, delete
+    every v-dir no retained manifest references (and the expired
+    manifests). Returns the deleted version-dir numbers.
+
+    Deletion order is safe-by-construction: expired MANIFESTS go first,
+    so a crash mid-vacuum can only leave unreferenced v-dirs behind
+    (re-run to finish), never a manifest pointing at deleted files."""
+    latest = int(
+        _read_small_file(spark, f"{path}/{_MANIFESTS}/{_LATEST}")
+        .decode("ascii")
+    )
+    versions = snapshot_versions(spark, path)
+    keep = [v for v in versions if v > latest - keep_last]
+    referenced: set[int] = set()
+    for v in keep:
+        man = _load_manifest(spark, path, v)
+        referenced.update(int(x) for x in man["buckets"].values())
+    fs, _ = _fs_and_path(spark, path)
+    for v in versions:
+        if v not in keep:
+            fs.delete(_hpath(spark, _manifest_path(path, v)), False)
+    dropped = []
+    for v in versions:
+        if v not in referenced and v <= latest:
+            p = _hpath(spark, f"{path}/v={v}")
+            if fs.exists(p):
+                fs.delete(p, True)
+                dropped.append(v)
+    return dropped

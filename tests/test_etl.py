@@ -848,3 +848,119 @@ def test_delete_keys_heal_keeps_already_published_bucket(spark, tmp_path):
               M.read_bucketed_control(spark, path).select("id").collect()}
     assert healed == survivors          # b1's survivors NOT trashed
     assert not os.path.exists(staging)
+
+
+def _snapshot_base(spark):
+    return spark.createDataFrame(
+        [(i, "A", i * 10) for i in range(20)],
+        "k long, status string, val long",
+    )
+
+
+def test_snapshot_time_travel_semantics(spark, tmp_path):
+    """Every committed version stays bit-exactly readable after later
+    merges: partial updates preserve untouched columns, NULL preserves
+    the stored value, unmatched keys insert (possibly into brand-new
+    buckets)."""
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    assert snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4) == 1
+    u2 = spark.createDataFrame(
+        [(i, "B") for i in range(0, 20, 7)], "k long, status string"
+    )
+    assert snapshot_merge(spark, path, u2, "k") == 2
+    u3 = spark.createDataFrame(
+        [(3, "C", None), (100, "NEW", 999)],
+        "k long, status string, val long",
+    )
+    assert snapshot_merge(spark, path, u3, "k") == 3
+    assert snapshot_versions(spark, path) == [1, 2, 3]
+
+    def snap(v):
+        return {
+            r.k: (r.status, r.val)
+            for r in snapshot_read(spark, path, v).collect()
+        }
+
+    s1, s2, s3 = snap(1), snap(2), snap(3)
+    assert s1[7] == ("A", 70) and len(s1) == 20
+    assert s2[7] == ("B", 70) and s2[3] == ("A", 30)
+    # NULL val in u3 preserved the stored 30; insert landed
+    assert s3[3] == ("C", 30) and s3[100] == ("NEW", 999) and len(s3) == 21
+    assert snap(None) == s3
+
+
+def test_snapshot_crash_before_latest_swap_is_invisible(spark, tmp_path):
+    """A writer that dies after writing its v-dir and manifest but
+    BEFORE the _LATEST swap leaves the old version current; the next
+    merge re-derives the same version number and overwrites the
+    orphans."""
+    from citydata_etl_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    S.snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    # simulate the crash: do everything snapshot_merge does except the
+    # final _LATEST swap
+    man = S._load_manifest(spark, path, None)
+    orphan = dict(man, version=2)
+    bad = _snapshot_base(spark).withColumn(
+        "bucket", F.lit(0)
+    ).limit(1).withColumn("status", F.lit("ORPHAN"))
+    S._write_version(bad, path, 2)
+    S._write_small_file(
+        spark, S._manifest_path(path, 2),
+        __import__("json").dumps(orphan).encode(),
+    )
+    # reader still sees version 1
+    cur = {r.k: r.status for r in S.snapshot_read(spark, path).collect()}
+    assert set(cur.values()) == {"A"}
+    # the next merge claims version 2 for itself and commits over the orphan
+    u = spark.createDataFrame([(0, "B")], "k long, status string")
+    assert S.snapshot_merge(spark, path, u, "k") == 2
+    cur = {r.k: r.status for r in S.snapshot_read(spark, path).collect()}
+    assert cur[0] == "B" and "ORPHAN" not in cur.values()
+
+
+def test_snapshot_vacuum_drops_only_unreferenced(spark, tmp_path):
+    """Vacuum deletes v-dirs no retained manifest references: v1 files
+    survive (untouched buckets still point there) while a fully
+    superseded v2 is dropped; expired versions refuse to read."""
+    import pytest
+
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    one = spark.createDataFrame([(0, "B")], "k long, status string")
+    snapshot_merge(spark, path, one, "k")                      # v2: bucket of k=0
+    snapshot_merge(
+        spark, path, one.withColumn("status", F.lit("C")), "k"
+    )                                                          # v3: same bucket
+    dropped = snapshot_vacuum(spark, path, keep_last=1)
+    assert dropped == [2]  # v1 still referenced for untouched buckets
+    s3 = {r.k: r.status for r in snapshot_read(spark, path, 3).collect()}
+    assert s3[0] == "C" and s3[7] == "A" and len(s3) == 20
+    for gone in (1, 2):
+        with pytest.raises(RuntimeError, match="vacuumed|no manifest"):
+            snapshot_read(spark, path, gone)
+
+
+def test_snapshot_reserved_columns_refused(spark, tmp_path):
+    import pytest
+
+    from citydata_etl_spark.sources.snapshots import snapshot_init
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_init(df, str(tmp_path / "t"), "k")
