@@ -97,6 +97,13 @@ HEADLINE = [
     "d6_global_shuffle",
     "f17_useragent_parse",
     "t12_stream_late_sessions",
+    # round-5 third wave: gap-filled LOCF resample, hashed linear quality
+    # classifier (zero-exchange scorer), MP4 box-walk metadata, snapshot
+    # time travel (cold rep includes the three-version table build)
+    "t13_gap_fill",
+    "d6_quality_classifier",
+    "d5_mp4_meta",
+    "u8_time_travel",
 ]
 
 
