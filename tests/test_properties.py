@@ -873,3 +873,75 @@ def test_buffered_sessions_equal_batch_fold_under_reordering(
     if start is not None:
         want.append((1, sid, n, start, end))
     assert emitted == want
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(st.sampled_from("AB"), st.integers(0, 99)),
+        min_size=1,
+        max_size=8,
+    ),
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(0, 14),
+            st.tuples(
+                st.one_of(st.none(), st.sampled_from("CD")),
+                st.one_of(st.none(), st.integers(100, 199)),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_snapshot_history_equals_model_fold(spark, tmp_path_factory, base, batches):
+    """Random merge sequences against a pure-Python fold: the latest
+    snapshot equals the folded state, and EVERY earlier version still
+    reads back as the state it was committed with (isolation under
+    later writes). NULL update fields preserve stored values; unmatched
+    keys insert."""
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path_factory.mktemp("snapprop") / "tbl")
+    state = {k: (s, v) for k, (s, v) in base.items()}
+    history = [dict(state)]
+    snapshot_init(
+        spark.createDataFrame(
+            [(k, s, v) for k, (s, v) in sorted(base.items())],
+            "k long, status string, val long",
+        ),
+        path,
+        "k",
+        n_buckets=4,
+    )
+    for batch in batches:
+        for k, (s, v) in batch.items():
+            if k in state:
+                cs, cv = state[k]
+                state[k] = (s if s is not None else cs,
+                            v if v is not None else cv)
+            else:
+                state[k] = (s, v)
+        history.append(dict(state))
+        snapshot_merge(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(k, s, v) for k, (s, v) in sorted(batch.items())],
+                "k long, status string, val long",
+            ),
+            "k",
+        )
+    for i, expect in enumerate(history):
+        got = {
+            r.k: (r.status, r.val)
+            for r in snapshot_read(spark, path, i + 1).collect()
+        }
+        assert got == expect, f"version {i + 1} diverged"
