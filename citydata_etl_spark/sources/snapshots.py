@@ -137,15 +137,27 @@ def _write_version(
     df: DataFrame, path: str, version: int
 ) -> list[int]:
     """Write `df` (carrying a bucket column) as the immutable v-dir for
-    `version`; returns the bucket ids written (bounded by n_buckets)."""
-    df = df.localCheckpoint(eager=True)  # never overwrite what we read
+    `version`; returns the bucket ids written (bounded by n_buckets).
+
+    No checkpoint and ONE action: v-dirs are immutable, so unlike
+    merge_upsert this write never overwrites files its own plan reads,
+    and the written-bucket list comes from a directory listing of the
+    fresh v-dir (bounded by n_buckets) instead of a second pass over
+    the data — an init of an arbitrarily large table stays one job."""
+    spark = df.sparkSession
     (
         df.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/v={version}")
     )
-    return [r["bucket"] for r in df.select("bucket").distinct().collect()]
+    fs, _ = _fs_and_path(spark, path)
+    out = []
+    for st in fs.listStatus(_hpath(spark, f"{path}/v={version}")):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("bucket="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def snapshot_init(
@@ -189,6 +201,12 @@ def snapshot_merge(
         raise ValueError(
             f"snapshot table at {path} is keyed by {man['key_col']!r}, "
             f"not {key_col!r}"
+        )
+    reserved = {"v", "bucket"} & set(updates.columns)
+    if reserved:
+        raise ValueError(
+            f"update column names {sorted(reserved)} are reserved by the "
+            "snapshot layout — rename them"
         )
     n_buckets = int(man["n_buckets"])
     upd = updates.withColumn("bucket", bucket_expr(key_col, n_buckets))
@@ -271,10 +289,12 @@ def snapshot_vacuum(
     Deletion order is safe-by-construction: expired MANIFESTS go first,
     so a crash mid-vacuum can only leave unreferenced v-dirs behind
     (re-run to finish), never a manifest pointing at deleted files."""
-    latest = int(
-        _read_small_file(spark, f"{path}/{_MANIFESTS}/{_LATEST}")
-        .decode("ascii")
-    )
+    raw = _read_small_file(spark, f"{path}/{_MANIFESTS}/{_LATEST}")
+    if raw is None:
+        raise RuntimeError(
+            f"snapshot table at {path} has no committed version"
+        )
+    latest = int(raw.decode("ascii"))
     versions = snapshot_versions(spark, path)
     keep = [v for v in versions if v > latest - keep_last]
     referenced: set[int] = set()

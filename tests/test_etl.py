@@ -964,3 +964,18 @@ def test_snapshot_reserved_columns_refused(spark, tmp_path):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with pytest.raises(ValueError, match="reserved"):
         snapshot_init(df, str(tmp_path / "t"), "k")
+
+
+def test_snapshot_merge_refuses_reserved_update_columns(spark, tmp_path):
+    import pytest
+
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    bad = spark.createDataFrame([(1, 5)], "k long, v long")
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_merge(spark, path, bad, "k")
