@@ -1280,7 +1280,7 @@ def u7_evolving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              price_cents
       FROM base
       UNION ALL
-      SELECT CAST(3 AS BIGINT), id + 100000000, 'NEW', CAST(0 AS BIGINT)
+      SELECT CAST(3 AS BIGINT), -id - 1, 'NEW', CAST(0 AS BIGINT)
       FROM base WHERE id % 13 = 0)
     SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
     """,
@@ -1312,7 +1312,6 @@ def u8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = session_tmpdir(f"u8_snapshots_{tag}")
     table = root + "/control"
-    done = root + "/.v3_written"
     orders = read_testdata(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey") % 100 < 10).select(
         F.col("o_orderkey").alias("id"),
@@ -1321,14 +1320,18 @@ def u8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("price_cents"),
     )
-    if not os.path.exists(done):
+
+    def _build() -> None:
         snapshot_init(base, table, "id", n_buckets=16)
         upd2 = base.filter(F.col("id") % 7 == 0).select(
             "id", F.lit("V2").alias("status")
         )
         snapshot_merge(spark, table, upd2, "id")
+        # insert ids are NEGATIVE (-id - 1): o_orderkey is positive at
+        # every scale factor, so synthetic inserts can never collide
+        # with a real key no matter the SF
         ins3 = base.filter(F.col("id") % 13 == 0).select(
-            (F.col("id") + 100000000).alias("id"),
+            (-F.col("id") - 1).alias("id"),
             F.lit("NEW").alias("status"),
             F.lit(0).cast("bigint").alias("price_cents"),
         )
@@ -1338,7 +1341,8 @@ def u8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("price_cents"),
         ).unionByName(ins3)
         snapshot_merge(spark, table, upd3, "id")
-        open(done, "w").close()
+
+    _build_once(root, _build)
     reads = [
         snapshot_read(spark, table, v).select(
             F.lit(v).cast("bigint").alias("version"),

@@ -73,48 +73,70 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath
 
 
-def write_commit_marker(spark: SparkSession, path: str) -> str:
-    """Swap the table's `_COMMIT` marker with a fresh token, LAST in the
-    write protocol: tmp file + rename (atomic where rename is). Returns
-    the token written."""
-    import uuid
-
+def write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+    """Write a bounded metadata file via tmp + rename, ATOMICALLY
+    replacing any live copy: the rename goes through FileContext with
+    Options.Rename.OVERWRITE (atomic on local FS and HDFS), so no
+    reader or crash can observe a missing-file window during a swap.
+    Stores without FileContext bindings fall back to delete + rename —
+    a read-after-write window no smaller primitive exists for there
+    (S3A's rename is copy + delete regardless)."""
     jvm = spark._jvm
     fs, _ = _fs_and_path(spark, path)
-    token = uuid.uuid4().hex
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}")
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    final = jvm.org.apache.hadoop.fs.Path(path)
     out = fs.create(tmp, True)
-    out.write(bytearray(token.encode("ascii")))
+    out.write(bytearray(data))
     out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            final.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        arr = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        arr[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, arr)
+    except Exception:
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)
+
+
+def read_small_file(spark: SparkSession, path: str) -> bytes | None:
+    """Read a bounded metadata file through the Hadoop FS API (scheme-
+    portable), or None if absent; streamed via IOUtils into one gateway
+    transfer, not byte-at-a-time py4j calls."""
+    jvm = spark._jvm
+    fs, _ = _fs_and_path(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
+
+
+def write_commit_marker(spark: SparkSession, path: str) -> str:
+    """Swap the table's `_COMMIT` marker with a fresh token, LAST in the
+    write protocol (atomic replace — see write_small_file). Returns the
+    token written."""
+    import uuid
+
+    token = uuid.uuid4().hex
+    write_small_file(spark, f"{path}/{_COMMIT}", token.encode("ascii"))
     return token
 
 
 def read_commit_token(spark: SparkSession, path: str) -> str | None:
     """The current `_COMMIT` token, or None when the table has never
     completed a write (or a writer crashed mid-commit)."""
-    jvm = spark._jvm
-    fs, _ = _fs_and_path(spark, path)
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMMIT}")
-    if not fs.exists(final):
-        return None
-    stream = fs.open(final)
-    try:
-        # byte-at-a-time through py4j (Java cannot mutate a Python
-        # bytearray in place) — the token is 32 bytes, so this is a
-        # bounded handful of gateway calls
-        out = bytearray()
-        while len(out) < 128:
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b)
-        return out.decode("ascii")
-    finally:
-        stream.close()
+    raw = read_small_file(spark, f"{path}/{_COMMIT}")
+    return None if raw is None else raw.decode("ascii")
 
 
 def write_bucketed_control(
@@ -339,18 +361,9 @@ def delete_keys(
                 # erased would trash its survivors (the exact data-loss
                 # window this typed manifest closes).
                 states: dict[str, str] = {}
-                if fs.exists(manifest):
-                    stream = fs.open(manifest)
-                    try:
-                        data = bytearray()
-                        while True:
-                            b = stream.read()
-                            if b < 0:
-                                break
-                            data.append(b)
-                    finally:
-                        stream.close()
-                    for line in bytes(data).decode().split():
+                raw = read_small_file(spark, manifest.toString())
+                if raw is not None:
+                    for line in raw.decode().split():
                         if not line:
                             continue
                         bucket, _, state = line.partition(":")

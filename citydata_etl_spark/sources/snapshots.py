@@ -55,6 +55,8 @@ from citydata_etl_spark.sources.merge import (
     _fs_and_path,
     bucket_expr,
     merged_relation,
+    read_small_file as _read_small_file,
+    write_small_file as _write_small_file,
 )
 
 _MANIFESTS = "_manifests"
@@ -63,37 +65,6 @@ _LATEST = "_LATEST"
 
 def _hpath(spark: SparkSession, p: str):
     return spark._jvm.org.apache.hadoop.fs.Path(p)
-
-
-def _write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
-    """tmp + rename small-file write (atomic on rename-capable stores)."""
-    fs, _ = _fs_and_path(spark, path)
-    tmp = _hpath(spark, path + ".tmp")
-    final = _hpath(spark, path)
-    out = fs.create(tmp, True)
-    out.write(bytearray(data))
-    out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
-
-
-def _read_small_file(spark: SparkSession, path: str) -> bytes | None:
-    """Read a bounded metadata file through the Hadoop FS API (scheme-
-    portable); streamed via IOUtils into one gateway transfer, not
-    byte-at-a-time py4j calls."""
-    jvm = spark._jvm
-    fs, _ = _fs_and_path(spark, path)
-    p = _hpath(spark, path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        baos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
-        return bytes(baos.toByteArray())
-    finally:
-        stream.close()
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -143,14 +114,26 @@ def _write_version(
     merge_upsert this write never overwrites files its own plan reads,
     and the written-bucket list comes from a directory listing of the
     fresh v-dir (bounded by n_buckets) instead of a second pass over
-    the data — an init of an arbitrarily large table stays one job."""
+    the data — an init of an arbitrarily large table stays one job.
+
+    Overwrite mode is pinned STATIC for the write: a crashed previous
+    writer may have left a partial v-dir for this same version, and
+    static overwrite truncates the whole directory first — under a
+    session-level dynamic mode those orphan buckets would survive, be
+    picked up by the listing below, and get committed into the new
+    manifest as stale data."""
     spark = df.sparkSession
-    (
-        df.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/v={version}")
-    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        (
+            df.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/v={version}")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     fs, _ = _fs_and_path(spark, path)
     out = []
     for st in fs.listStatus(_hpath(spark, f"{path}/v={version}")):
@@ -181,6 +164,10 @@ def snapshot_init(
             "key_col": key_col,
             "n_buckets": n_buckets,
             "buckets": {str(b): 1 for b in buckets},
+            # data schema (bucket excluded) — lets a zero-bucket
+            # snapshot (empty init, or all rows deleted upstream) read
+            # back as a typed empty relation instead of a scan error
+            "schema": df.schema.json(),
         },
     )
     return 1
@@ -242,6 +229,7 @@ def snapshot_merge(
             "key_col": key_col,
             "n_buckets": n_buckets,
             "buckets": buckets,
+            "schema": merged.drop("bucket").schema.json(),
         },
     )
     return new_version
@@ -257,6 +245,12 @@ def snapshot_read(
     paths = [
         f"{path}/v={ver}/bucket={b}" for b, ver in man["buckets"].items()
     ]
+    if not paths:  # zero-bucket snapshot (e.g. empty init): typed empty
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(man["schema"]))
+        )
     return (
         spark.read.option("basePath", path)
         .option("mergeSchema", "true")
@@ -288,7 +282,13 @@ def snapshot_vacuum(
 
     Deletion order is safe-by-construction: expired MANIFESTS go first,
     so a crash mid-vacuum can only leave unreferenced v-dirs behind
-    (re-run to finish), never a manifest pointing at deleted files."""
+    (re-run to finish), never a manifest pointing at deleted files.
+
+    Candidate v-dirs come from the DIRECTORY listing, not the surviving
+    manifests: a version whose manifest an earlier vacuum expired
+    (while its files were still referenced) must still be deletable
+    once later rewrites drop the last reference — deriving candidates
+    from manifests would leak that directory forever."""
     raw = _read_small_file(spark, f"{path}/{_MANIFESTS}/{_LATEST}")
     if raw is None:
         raise RuntimeError(
@@ -301,15 +301,18 @@ def snapshot_vacuum(
     for v in keep:
         man = _load_manifest(spark, path, v)
         referenced.update(int(x) for x in man["buckets"].values())
-    fs, _ = _fs_and_path(spark, path)
+    fs, root = _fs_and_path(spark, path)
     for v in versions:
         if v not in keep:
             fs.delete(_hpath(spark, _manifest_path(path, v)), False)
+    vdirs = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            vdirs.append(int(name.split("=", 1)[1]))
     dropped = []
-    for v in versions:
+    for v in sorted(vdirs):
         if v not in referenced and v <= latest:
-            p = _hpath(spark, f"{path}/v={v}")
-            if fs.exists(p):
-                fs.delete(p, True)
-                dropped.append(v)
+            fs.delete(_hpath(spark, f"{path}/v={v}"), True)
+            dropped.append(v)
     return dropped

@@ -979,3 +979,82 @@ def test_snapshot_merge_refuses_reserved_update_columns(spark, tmp_path):
     bad = spark.createDataFrame([(1, 5)], "k long, v long")
     with pytest.raises(ValueError, match="reserved"):
         snapshot_merge(spark, path, bad, "k")
+
+
+def test_snapshot_vacuum_reclaims_after_manifest_expiry(spark, tmp_path):
+    """A v-dir whose manifest an earlier vacuum expired (files still
+    referenced then) must still be reclaimed once later rewrites drop
+    the last reference — candidates come from the directory listing,
+    not surviving manifests."""
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_vacuum,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    one = spark.createDataFrame([(0, "B")], "k long, status string")
+    snapshot_merge(spark, path, one, "k")                     # v2
+    # expires manifest 1; v1 files survive (still referenced by v2)
+    assert snapshot_vacuum(spark, path, keep_last=1) == []
+    # v3 rewrites EVERY bucket -> nothing references v1 or v2 anymore
+    allk = _snapshot_base(spark).select(
+        "k", F.lit("C").alias("status")
+    )
+    snapshot_merge(spark, path, allk, "k")                    # v3
+    assert snapshot_vacuum(spark, path, keep_last=1) == [1, 2]
+    s3 = {r.k: (r.status, r.val) for r in snapshot_read(spark, path).collect()}
+    assert len(s3) == 20 and s3[5] == ("C", 50)
+
+
+def test_snapshot_empty_init_reads_typed_and_accepts_merge(spark, tmp_path):
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "k long, status string")
+    snapshot_init(empty, path, "k", n_buckets=4)
+    out = snapshot_read(spark, path)
+    assert out.columns == ["k", "status"] and out.count() == 0
+    snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(1, "A")], "k long, status string"),
+        "k",
+    )
+    assert [tuple(r) for r in snapshot_read(spark, path).collect()] == [
+        (1, "A")
+    ]
+
+
+def test_snapshot_recovery_under_dynamic_overwrite_mode(spark, tmp_path):
+    """Crash recovery must not commit a failed writer's orphan buckets:
+    even when the SESSION sets partitionOverwriteMode=dynamic, the
+    version write pins static so the retried version's directory is
+    truncated whole."""
+    from citydata_etl_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    S.snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    # crashed writer: a v=2 dir with data in SOME bucket, no commit
+    orphan = _snapshot_base(spark).limit(3).withColumn(
+        "status", F.lit("ORPHAN")
+    ).withColumn("bucket", F.lit(3))
+    S._write_version(orphan, path, 2)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        one = spark.createDataFrame([(0, "B")], "k long, status string")
+        assert S.snapshot_merge(spark, path, one, "k") == 2
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    cur = {r.status for r in S.snapshot_read(spark, path).collect()}
+    assert "ORPHAN" not in cur
+    man = S._load_manifest(spark, path, None)
+    # only the genuinely rewritten bucket points at v2
+    assert sorted(set(man["buckets"].values())) in ([1, 2], [2])
+    assert sum(1 for v in man["buckets"].values() if v == 2) >= 1
