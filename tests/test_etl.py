@@ -1058,3 +1058,50 @@ def test_snapshot_recovery_under_dynamic_overwrite_mode(spark, tmp_path):
     # only the genuinely rewritten bucket points at v2
     assert sorted(set(man["buckets"].values())) in ([1, 2], [2])
     assert sum(1 for v in man["buckets"].values() if v == 2) >= 1
+
+
+def test_snapshot_changes_feed(spark, tmp_path):
+    """Change data feed between versions: updates carry before/after
+    images, inserts old-NULL, unchanged keys inside rewritten buckets
+    are excluded, transitive diffs compose, and a self-diff is empty."""
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_init,
+        snapshot_merge,
+    )
+
+    path = str(tmp_path / "tbl")
+    snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    snapshot_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(i, "B") for i in range(0, 20, 7)], "k long, status string"
+        ),
+        "k",
+    )
+    snapshot_merge(
+        spark, path,
+        spark.createDataFrame(
+            [(3, "C", None), (100, "NEW", 999)],
+            "k long, status string, val long",
+        ),
+        "k",
+    )
+
+    def feed(a, b):
+        return {
+            r.k: (r._change, r.old_status, r.old_val, r.new_status, r.new_val)
+            for r in snapshot_changes(spark, path, a, b).collect()
+        }
+
+    c12 = feed(1, 2)
+    assert set(c12) == {0, 7, 14}
+    assert c12[7] == ("update", "A", 70, "B", 70)
+    c23 = feed(2, 3)
+    assert c23 == {
+        3: ("update", "A", 30, "C", 30),
+        100: ("insert", None, None, "NEW", 999),
+    }
+    c13 = feed(1, 3)
+    assert set(c13) == {0, 7, 14, 3, 100}
+    assert feed(2, 2) == {}
