@@ -411,3 +411,29 @@ def snapshot_changes(
             *[F.col(f"new_{c}") for c in data_cols],
         )
     )
+
+
+def snapshot_restore(
+    spark: SparkSession, path: str, version: int
+) -> int:
+    """Roll the table back to `version` by committing its bucket map as
+    a NEW version (Delta RESTORE): zero data movement — the restored
+    version's manifest pointers are re-published under version N+1, so
+    the rollback itself stays in the history (a restore of a restore is
+    well-defined, and the bad intermediate versions remain readable
+    until vacuumed). Returns the new version number."""
+    src = _load_manifest(spark, path, version)
+    cur = _load_manifest(spark, path, None)
+    new_version = int(cur["version"]) + 1
+    _commit(
+        spark,
+        path,
+        {
+            "version": new_version,
+            "key_col": cur["key_col"],
+            "n_buckets": int(cur["n_buckets"]),
+            "buckets": dict(src["buckets"]),
+            "schema": src["schema"],
+        },
+    )
+    return new_version

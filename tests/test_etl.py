@@ -1105,3 +1105,42 @@ def test_snapshot_changes_feed(spark, tmp_path):
     c13 = feed(1, 3)
     assert set(c13) == {0, 7, 14, 3, 100}
     assert feed(2, 2) == {}
+
+
+def test_snapshot_restore_rolls_back_without_data_movement(spark, tmp_path):
+    """RESTORE re-publishes an old manifest as a new version: the table
+    reads as the restored state, the rollback is itself a version, and
+    no v-dir is written (zero data movement)."""
+    from citydata_etl_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    S.snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    S.snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(0, "BAD")], "k long, status string"),
+        "k",
+    )
+    fs, root = S._fs_and_path(spark, path)
+    dirs_before = sorted(
+        st.getPath().getName() for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("v=")
+    )
+    assert S.snapshot_restore(spark, path, 1) == 3
+    dirs_after = sorted(
+        st.getPath().getName() for st in fs.listStatus(root)
+        if st.getPath().getName().startswith("v=")
+    )
+    assert dirs_after == dirs_before  # no new v-dir
+    cur = {r.k: r.status for r in S.snapshot_read(spark, path).collect()}
+    assert cur[0] == "A" and len(cur) == 20
+    # the bad version stays readable until vacuumed; a merge on top of
+    # the restore builds on the restored state
+    bad = {r.k: r.status for r in S.snapshot_read(spark, path, 2).collect()}
+    assert bad[0] == "BAD"
+    S.snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(1, "X")], "k long, status string"),
+        "k",
+    )
+    cur = {r.k: r.status for r in S.snapshot_read(spark, path).collect()}
+    assert cur[0] == "A" and cur[1] == "X"

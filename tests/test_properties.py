@@ -945,3 +945,21 @@ def test_snapshot_history_equals_model_fold(spark, tmp_path_factory, base, batch
             for r in snapshot_read(spark, path, i + 1).collect()
         }
         assert got == expect, f"version {i + 1} diverged"
+
+
+@settings(max_examples=300, deadline=None)
+@given(blob=st.binary(max_size=220))
+def test_binary_parsers_are_total_on_fuzz(blob):
+    """Every byte-level parser must be TOTAL on arbitrary input — None,
+    never an exception — including inputs that start with the right
+    magic and then lie about lengths (crawl triage over 100 TB of
+    untrusted bytes cannot abort a job on one malformed blob)."""
+    from citydata_etl_spark.operators.multimodal import (
+        _parse_jpeg_sof,
+        _parse_mp4_mvhd,
+    )
+
+    for prefix in (b"", b"\xff\xd8", b"\x00\x00\x00\x14ftypisom"):
+        for parser in (_parse_jpeg_sof, _parse_mp4_mvhd):
+            out = parser(prefix + blob)
+            assert out is None or isinstance(out, tuple)
