@@ -84,6 +84,12 @@ def asof_join(
     Right-side ties on (key, ts) must be pre-deduplicated by the caller for
     deterministic output (as pd.merge_asof requires sorted unique keys).
 
+    The carry is ROW-ATOMIC: the matched right row travels as one struct,
+    so a right row whose attribute is genuinely NULL yields NULL — it is
+    never silently backfilled from an older row (per-column ignorenulls
+    carries would do exactly that; temporal_join's open-ended valid_to
+    depends on this).
+
     The ts columns must be orderable by a RANGE frame: numeric, timestamp,
     or date (validated up front — a string ts would only fail deep in
     analysis with an opaque frame-type error). 'nearest' compares integral
@@ -111,15 +117,22 @@ def asof_join(
                 "with to_timestamp first)"
             )
 
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
     ts_type = right.schema[right_ts].dataType
+    # the matched right row travels as ONE struct (row-atomic carry —
+    # see docstring); "__rowts" rides inside it for 'nearest'
+    r_row_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_cols]
+        + [StructField("__rowts", ts_type, True)]
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(ts_type).alias("__rts"),
+        F.lit(None).cast(r_row_type).alias("__rrow"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -128,8 +141,10 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["__left"].dataType
         ).alias("__left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__rts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_ts).alias("__rowts"),
+        ).alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w_back = (
@@ -150,16 +165,12 @@ def asof_join(
         return F.first(c, ignorenulls=True).over(w_fwd)
 
     if direction == "backward":
-        carried_cols = [
-            back(f"__r_{c}").alias(f"__rv_{c}") for c in right_cols
-        ]
+        rv = back("__rrow")
     elif direction == "forward":
-        carried_cols = [
-            fwd(f"__r_{c}").alias(f"__rv_{c}") for c in right_cols
-        ]
-    else:  # nearest: carry both candidates + their event times, pick the
-        # closer one per row (ties and missing-forward fall back to
-        # backward, missing-backward falls forward)
+        rv = fwd("__rrow")
+    else:  # nearest: carry both candidate rows, pick the closer one per
+        # row (ties and missing-forward fall back to backward,
+        # missing-backward falls forward)
         from pyspark.sql.types import IntegralType
 
         def num(c):
@@ -176,7 +187,8 @@ def asof_join(
                 return c.cast("bigint")
             return c.cast("double")
 
-        bts, fts = back("__rts"), fwd("__rts")
+        brow, frow = back("__rrow"), fwd("__rrow")
+        bts, fts = brow["__rowts"], frow["__rowts"]
         use_back = fts.isNull() | (
             bts.isNotNull()
             & (
@@ -184,16 +196,11 @@ def asof_join(
                 <= (num(fts) - num(F.col("__ts")))
             )
         )
-        carried_cols = [
-            F.when(use_back, back(f"__r_{c}"))
-            .otherwise(fwd(f"__r_{c}"))
-            .alias(f"__rv_{c}")
-            for c in right_cols
-        ]
-    carried = unioned.select("__side", "__left", *carried_cols)
+        rv = F.when(use_back, brow).otherwise(frow)
+    carried = unioned.select("__side", "__left", rv.alias("__rv"))
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col("__left")[c].alias(c) for c in lcols],
-        *[F.col(f"__rv_{c}").alias(f"right_{c}") for c in right_cols],
+        *[F.col("__rv")[c].alias(f"right_{c}") for c in right_cols],
     )
     return out
 
@@ -497,4 +504,52 @@ def interval_overlap_pairs(
         a.join(b, "_cell")
         .filter((F.col("id_a") < F.col("id_b")) & overlap & canonical)
         .select("id_a", "id_b")
+    )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    dim_cols: Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (SCD2) dimension lookup: for every fact row, the
+    dimension VERSION that was valid at the fact's event time —
+    `valid_from <= fact_ts < valid_to` (NULL valid_to = still current).
+    The warehouse pattern behind "price as of the order date" and every
+    feature-store training join (leakage-free: a fact can never see a
+    dimension version from its future).
+
+    Spark-first shape: a theta-join on the interval condition is a
+    BroadcastNestedLoop/cartesian trap; because SCD2 versions are
+    non-overlapping per key, the valid version is exactly the LAST one
+    with valid_from <= fact_ts — a backward as-of join (asof_join: one
+    shuffle on the key, one sort, window carry), followed by a codegen
+    validity check that NULLs out matches falling in a coverage hole
+    (fact_ts past a closed version's valid_to with no successor yet).
+    Scales linearly in facts + dim versions, same as j6.
+
+    Output: every fact column, plus each requested dimension attribute
+    as `dim_<col>` (NULL where no version covers the fact).
+    """
+    j = asof_join(
+        facts,
+        dim,
+        key,
+        left_ts=fact_ts,
+        right_ts=valid_from,
+        right_cols=[*dim_cols, valid_to],
+        direction="backward",
+    )
+    vt = F.col(f"right_{valid_to}")
+    covered = vt.isNull() | (F.col(fact_ts) < vt)
+    return j.select(
+        *[F.col(c) for c in facts.columns],
+        *[
+            F.when(covered, F.col(f"right_{c}")).alias(f"dim_{c}")
+            for c in dim_cols
+        ],
     )

@@ -1144,3 +1144,69 @@ def test_snapshot_restore_rolls_back_without_data_movement(spark, tmp_path):
     )
     cur = {r.k: r.status for r in S.snapshot_read(spark, path).collect()}
     assert cur[0] == "A" and cur[1] == "X"
+
+
+def test_temporal_join_scd2_lookup(spark):
+    """Point-in-time semantics: before-first-version and coverage-hole
+    facts get NULL, closed versions match half-open [from, to), the
+    open current version matches onward, and boundary facts land on
+    the NEW version (valid_to exclusive)."""
+    from citydata_etl_spark.operators.joins import temporal_join
+
+    dim = spark.createDataFrame(
+        [
+            ("x", 100, 200, "v1"),   # closed
+            ("x", 300, None, "v2"),  # hole [200,300), then current
+            ("y", 50, 80, "w1"),     # closed, never superseded
+        ],
+        "k string, valid_from long, valid_to long, attr string",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("x", 1, 90),    # before first version
+            ("x", 2, 100),   # inclusive lower bound of v1
+            ("x", 3, 199),   # last covered second of v1
+            ("x", 4, 200),   # valid_to exclusive -> hole
+            ("x", 5, 250),   # hole
+            ("x", 6, 300),   # v2 starts
+            ("x", 7, 9999),  # open version continues
+            ("y", 8, 85),    # past w1's close, no successor
+            ("z", 9, 10),    # key never in dim
+        ],
+        "k string, fid long, ts long",
+    )
+    out = {
+        r.fid: r.dim_attr
+        for r in temporal_join(
+            facts, dim, "k", "ts", ["attr"]
+        ).collect()
+    }
+    assert out == {
+        1: None, 2: "v1", 3: "v1", 4: None, 5: None,
+        6: "v2", 7: "v2", 8: None, 9: None,
+    }
+
+
+def test_asof_join_carries_matched_rows_null_attribute(spark):
+    """The as-of carry is row-atomic: when the matched right row's
+    attribute is genuinely NULL, the join must yield NULL — not borrow
+    the attribute from an older right row (the per-column ignorenulls
+    trap temporal_join's open-ended valid_to would fall into)."""
+    from citydata_etl_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 10, "old"), ("k", 20, None)],
+        "g string, ts long, attr string",
+    )
+    left = spark.createDataFrame([("k", 25)], "g string, ts long")
+    out = asof_join(
+        left, right, "g", left_ts="ts", right_ts="ts",
+        right_cols=["attr"], direction="backward",
+    ).collect()
+    assert len(out) == 1 and out[0]["right_attr"] is None
+    # nearest must also pick the row atomically
+    out = asof_join(
+        left, right, "g", left_ts="ts", right_ts="ts",
+        right_cols=["attr"], direction="nearest",
+    ).collect()
+    assert out[0]["right_attr"] is None
