@@ -699,3 +699,15 @@ def test_quality_classifier_zero_exchange(spark):
     assert "Join" not in plan
     assert "Generate" not in plan
     assert "InPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_gap_fill_plan_shape(spark):
+    """resample_locf: the grid is exploded DISTRIBUTEDLY (exactly one
+    Generate, no collect-rebroadcast), no cartesian, and the exchange
+    count stays at the documented three (obs aggregate, span aggregate,
+    join/window) — a fourth would mean a lost co-partitioning."""
+    plan = _plan(spark, "t13_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Generate (") == 1
+    assert plan.count("Exchange (") <= 3
