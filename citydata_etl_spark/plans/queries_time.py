@@ -405,7 +405,9 @@ def _await_with_state_partitions(
       number of state stores for the checkpoint's lifetime. Every store
       pays commit machinery per batch (a stream-stream join commits FOUR
       per partition), which is pure fixed overhead on a bounded run —
-      the catalog defaults to 4, measured as the knee for these loads.
+      the catalog defaults to 4, measured as the knee for these loads
+      (exception: t12's buffered sessionizer pins 16 — heavy per-group
+      Python shifts the knee; see its call site).
       At real scale this is sized UP to key cardinality / executor count
       (2-4x total cores), never lowered — and it cannot be changed after
       the first checkpoint.
@@ -1138,11 +1140,19 @@ def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay=f"{block_span_s + 60} seconds",
     )
     name = f"t12_late_sess_{next(_STREAM_SEQ)}"
+    # 16 state partitions, not the catalog's 4: the buffered sessionizer
+    # does real Python work per user per batch (sort + session fold over
+    # the event buffer), so the knee shifts — measured on this load, 4 ->
+    # 16 partitions is ~7.6-9.9 s -> ~4.9-5.7 s (group work parallelizes
+    # across cores) while 32 regresses (store-commit overhead wins).
+    # t10 keeps the default: its per-user state is 5 ints, group work is
+    # negligible, and extra partitions only add commit machinery.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(name),
+        n_partitions=16,
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
 
