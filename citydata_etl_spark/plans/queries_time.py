@@ -1115,10 +1115,11 @@ def _events_dir_late_blocks(
     "semantics. State per user is bounded by the delay + gap window "
     "(the price of reordering); the cross-batch straggler path is "
     "additionally pinned in tests/test_streaming.py. Honest cost note: "
-    "this is the sweep's most expensive entry (~2x the zero-delay t10) "
-    "— array-state serialization plus per-batch buffer folds over every "
-    "active user IS the buffering price; pay it only where upstream "
-    "delivery is genuinely out of order.",
+    "array-state serialization plus per-batch buffer folds over every "
+    "active user IS the buffering price (~5 s warm at sf0.1 with state "
+    "partitions sized to the Python load — see the call-site comment; "
+    "still the sweep's priciest entry alongside t10); pay it only "
+    "where upstream delivery is genuinely out of order.",
 )
 def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.sources.readers import read_testdata as _rt
