@@ -963,3 +963,66 @@ def test_binary_parsers_are_total_on_fuzz(blob):
         for parser in (_parse_jpeg_sof, _parse_mp4_mvhd):
             out = parser(prefix + blob)
             assert out is None or isinstance(out, tuple)
+
+
+@settings(**SETTINGS)
+@given(
+    dim=st.lists(
+        st.tuples(
+            st.sampled_from("pq"),            # key
+            st.integers(0, 8),                # version slot
+            st.integers(1, 4),                # duration in slots
+            st.one_of(st.none(), st.sampled_from("AB")),  # attr (can be NULL)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    facts=st.lists(
+        st.tuples(st.sampled_from("pqr"), st.integers(-5, 130)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_temporal_join_equals_model_lookup(spark, dim, facts):
+    """temporal_join vs a brute-force Python lookup over random
+    non-overlapping SCD2 versions (last one per key open-ended) and
+    random fact times — including NULL dimension attributes, which the
+    row-atomic as-of carry must NOT backfill from older versions."""
+    from citydata_etl_spark.operators.joins import temporal_join
+
+    # build non-overlapping versions per key from (slot, duration) runs;
+    # the LAST version per key becomes open-ended (valid_to NULL)
+    rows = []
+    by_key: dict[str, list] = {}
+    for k, slot, dur, attr in dim:
+        by_key.setdefault(k, []).append((slot, dur, attr))
+    for k, vs in by_key.items():
+        t = 0
+        for i, (slot, dur, attr) in enumerate(sorted(vs)):
+            start = t + slot * 10
+            end = start + dur * 10
+            rows.append(
+                (k, start, None if i == len(vs) - 1 else end, attr)
+            )
+            t = end
+    dimdf = spark.createDataFrame(
+        rows, "k string, valid_from long, valid_to long, attr string"
+    )
+    factdf = spark.createDataFrame(
+        [(k, i, ts) for i, (k, ts) in enumerate(facts)],
+        "k string, fid long, ts long",
+    )
+
+    def model(k, ts):
+        best = None
+        for rk, vf, vt, attr in rows:
+            if rk == k and vf <= ts and (vt is None or ts < vt):
+                best = attr
+        return best
+
+    got = {
+        r.fid: r.dim_attr
+        for r in temporal_join(factdf, dimdf, "k", "ts", ["attr"]).collect()
+    }
+    want = {i: model(k, ts) for i, (k, ts) in enumerate(facts)}
+    assert got == want
