@@ -600,10 +600,14 @@ def hashed_linear_score(
     deterministic fake decode: the Spark-side plumbing — hashing trick,
     per-row fold, integer scoring — is real and oracle-exact; swapping
     in trained weights is a broadcast join or a literal array lookup).
-    Token hash is the engine-portable rolling char fold
-    ((acc*31 + ascii) % FINGERPRINT_MOD, the doc_fingerprint
-    convention); weight(b) = ((b*2654435761 + 12345) % 2147483647) % 7
-    - 3, in [-3, 3]. Everything stays in one zero-exchange codegen
+    Token hash is a rolling fold (acc*31 + c) % FINGERPRINT_MOD over
+    the chars of hex(utf8_bytes(token)) — hashing the HEX SPELLING of
+    the token's UTF-8 bytes rather than raw chars, because raw-char
+    folds diverge across engines on supplementary-plane input (Spark
+    iterates UTF-16 code units, so ascii() yields a surrogate where
+    DuckDB yields the codepoint); hex chars are pure ASCII, where every
+    engine agrees. weight(b) = ((b*2654435761 + 12345) % 2147483647)
+    % 7 - 3, in [-3, 3]. Everything stays in one zero-exchange codegen
     projection: nested higher-order functions, no explode, no shuffle —
     the per-row cost profile you want when scoring a crawl.
     """
@@ -612,7 +616,8 @@ def hashed_linear_score(
     def tok_hash(t):
         return F.aggregate(
             F.transform(
-                F.filter(F.split(t, ""), lambda c: c != ""),
+                F.filter(F.split(F.hex(F.encode(t, "UTF-8")), ""),
+                         lambda c: c != ""),
                 lambda c: F.ascii(c).cast("bigint"),
             ),
             F.lit(0).cast("bigint"),

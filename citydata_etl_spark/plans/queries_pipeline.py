@@ -982,8 +982,9 @@ def d6_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tok -> ((list_reduce(
                             list_prepend(CAST(0 AS BIGINT),
                               list_transform(
-                                list_filter(string_split(tok, ''),
-                                            c -> c <> ''),
+                                list_filter(
+                                  string_split(hex(encode(tok)), ''),
+                                  c -> c <> ''),
                                 c -> CAST(ascii(c) AS BIGINT))),
                             (acc, c) -> (acc * 31 + c) % 1000000007)
                            % 512) * 2654435761 + 12345)

@@ -97,10 +97,18 @@ def write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
         )
         arr[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, final, arr)
-    except Exception:
+    except Exception as fc_err:
         if fs.exists(final):
             fs.delete(final, False)
-        fs.rename(tmp, final)
+        # fs.rename signals failure by RETURN VALUE, not exception — a
+        # silently-failed rename here would leave the marker missing
+        # (readers see an uncommitted table) with no error surfaced.
+        if not fs.rename(tmp, final):
+            raise IOError(
+                f"atomic-replace fallback failed: rename {path}.tmp -> "
+                f"{path} returned false after the live copy was deleted "
+                f"(FileContext path failed with: {fc_err})"
+            ) from fc_err
 
 
 def read_small_file(spark: SparkSession, path: str) -> bytes | None:

@@ -91,6 +91,26 @@ def _load_manifest(
     return json.loads(raw.decode("utf-8"))
 
 
+def _union_schema_json(prior_json: str, new_schema) -> str:
+    """The table's TRUE schema after a merge: the merged working set's
+    schema plus any prior-manifest column the merge's buckets never
+    touched. Without the union, a merge that misses the buckets holding
+    a previously-evolved column would commit a manifest whose `schema`
+    omits it, and typed-empty reads (zero-bucket snapshot, empty change
+    feed) would come back narrower than what mergeSchema reconciles
+    from the files. Types are taken as-is on name match — drop/retype
+    is unsupported by the layout (merge.py module docstring)."""
+    from pyspark.sql.types import StructType
+
+    prior = StructType.fromJson(json.loads(prior_json))
+    have = {f.name for f in new_schema.fields}
+    out = StructType(list(new_schema.fields))
+    for f in prior.fields:
+        if f.name not in have:
+            out.add(f)
+    return out.json()
+
+
 def _commit(spark: SparkSession, path: str, manifest: dict) -> None:
     """Manifest file first, `_LATEST` pointer swap LAST."""
     v = manifest["version"]
@@ -229,7 +249,9 @@ def snapshot_merge(
             "key_col": key_col,
             "n_buckets": n_buckets,
             "buckets": buckets,
-            "schema": merged.drop("bucket").schema.json(),
+            "schema": _union_schema_json(
+                man["schema"], merged.drop("bucket").schema
+            ),
         },
     )
     return new_version
@@ -296,7 +318,14 @@ def snapshot_vacuum(
         )
     latest = int(raw.decode("ascii"))
     versions = snapshot_versions(spark, path)
-    keep = [v for v in versions if v > latest - keep_last]
+    # keep = the latest keep_last SURVIVING manifests (plus any orphan
+    # manifests above _LATEST from a crashed writer — never collect
+    # those), not a version-number threshold: manifest numbering can
+    # have gaps (prior vacuums, restores), and `v > latest - keep_last`
+    # would then retain FEWER manifests than keep_last promises.
+    committed = [v for v in versions if v <= latest]
+    keep = sorted(set(committed[-keep_last:]) |
+                  {v for v in versions if v > latest})
     referenced: set[int] = set()
     for v in keep:
         man = _load_manifest(spark, path, v)
@@ -375,23 +404,35 @@ def snapshot_changes(
         new = spark.createDataFrame([], old.schema)
     elif old is None:
         old = spark.createDataFrame([], new.schema)
-    data_cols = [c for c in new.columns if c != key_col]
+    # data_cols is the UNION of both sides' columns: after a restore
+    # re-publishes an older, narrower schema, a column can exist only on
+    # the OLD side — diffing new.columns alone would compare such rows
+    # equal and silently drop them from the feed. Whichever side lacks a
+    # column is backfilled with a typed NULL from the other's schema.
+    new_cols = [c for c in new.columns if c != key_col]
+    data_cols = new_cols + [
+        c for c in old.columns if c != key_col and c not in new_cols
+    ]
     o = old.select(
         F.col(key_col),
         F.lit(1).alias("__in_old"),
-        *[F.col(c).alias(f"old_{c}") for c in data_cols
-          if c in old.columns],
+        *[F.col(c).alias(f"old_{c}") for c in old.columns
+          if c != key_col],
     )
     n = new.select(
         F.col(key_col),
         F.lit(1).alias("__in_new"),
-        *[F.col(c).alias(f"new_{c}") for c in data_cols],
+        *[F.col(c).alias(f"new_{c}") for c in new_cols],
     )
     j = o.join(n, key_col, "full_outer")
-    for c in data_cols:  # schema evolution: old side may lack new columns
+    for c in data_cols:  # schema evolution / restore: either side may lack c
         if f"old_{c}" not in j.columns:
             j = j.withColumn(f"old_{c}", F.lit(None).cast(
                 new.schema[c].dataType
+            ))
+        if f"new_{c}" not in j.columns:
+            j = j.withColumn(f"new_{c}", F.lit(None).cast(
+                old.schema[c].dataType
             ))
     differs = F.lit(False)
     for c in data_cols:

@@ -1146,6 +1146,94 @@ def test_snapshot_restore_rolls_back_without_data_movement(spark, tmp_path):
     assert cur[0] == "A" and cur[1] == "X"
 
 
+def test_snapshot_manifest_schema_survives_untouching_merge(spark, tmp_path):
+    """ADVICE r5: a merge that does NOT touch the buckets holding a
+    previously-evolved column must still commit a manifest whose
+    `schema` carries that column — the manifest schema is the union of
+    the merged working set and the prior manifest, so typed-empty reads
+    and the change feed's empty fallback never narrow."""
+    import json
+
+    from citydata_etl_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    S.snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    # v2 evolves the schema: `note` lands only in key 0's bucket
+    S.snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(0, "n0")], "k long, note string"),
+        "k",
+    )
+    # v3 touches a DIFFERENT bucket and carries no `note`
+    S.snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(1, "B")], "k long, status string"),
+        "k",
+    )
+    man = S._load_manifest(spark, path, 3)
+    fields = {f["name"] for f in json.loads(man["schema"])["fields"]}
+    assert "note" in fields, "manifest schema narrowed by an untouching merge"
+    # and the live read still reconciles the column
+    assert "note" in S.snapshot_read(spark, path).columns
+
+
+def test_snapshot_changes_sees_old_side_only_columns(spark, tmp_path):
+    """ADVICE r5: after a restore re-publishes an older, NARROWER
+    schema, a row whose only difference is in a column absent from the
+    to-side must still appear in the change feed (diff columns are the
+    union of both sides, with typed-NULL backfill on whichever side
+    lacks one)."""
+    from citydata_etl_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    S.snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    # v2: key 5 gains a value in a brand-new column ONLY (status/val kept)
+    S.snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(5, "added")], "k long, note string"),
+        "k",
+    )
+    # v3 = restore to v1 (narrow schema, no `note`)
+    assert S.snapshot_restore(spark, path, 1) == 3
+    feed = {
+        r.k: r._change
+        for r in S.snapshot_changes(spark, path, 2, 3).collect()
+    }
+    # key 5's only v2->v3 difference lives in the old-side-only column
+    assert feed.get(5) == "update"
+    chg = S.snapshot_changes(spark, path, 2, 3)
+    row = chg.filter(chg.k == 5).collect()[0]
+    assert row.old_note == "added" and row.new_note is None
+
+
+def test_snapshot_vacuum_keeps_last_k_surviving_manifests(spark, tmp_path):
+    """ADVICE r5: vacuum retains the latest keep_last SURVIVING
+    manifests, not 'version number > latest - keep_last' — with a gap
+    in manifest numbering (crashed prior vacuum) the threshold rule
+    would retain fewer than keep_last promises."""
+    from citydata_etl_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    S.snapshot_init(_snapshot_base(spark), path, "k", n_buckets=4)
+    for v in (2, 3, 4):
+        S.snapshot_merge(
+            spark, path,
+            spark.createDataFrame([(0, f"S{v}")], "k long, status string"),
+            "k",
+        )
+    # simulate a crashed earlier vacuum that expired manifest 3 only
+    fs, _ = S._fs_and_path(spark, path)
+    fs.delete(S._hpath(spark, S._manifest_path(path, 3)), False)
+    assert S.snapshot_versions(spark, path) == [1, 2, 4]
+    S.snapshot_vacuum(spark, path, keep_last=2)
+    # latest 2 SURVIVING manifests are 2 and 4 — both stay readable
+    assert S.snapshot_versions(spark, path) == [2, 4]
+    assert {r.k: r.status for r in
+            S.snapshot_read(spark, path, 2).collect()}[0] == "S2"
+    assert {r.k: r.status for r in
+            S.snapshot_read(spark, path, 4).collect()}[0] == "S4"
+
+
 def test_temporal_join_scd2_lookup(spark):
     """Point-in-time semantics: before-first-version and coverage-hole
     facts get NULL, closed versions match half-open [from, to), the

@@ -144,6 +144,63 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
 
 
+def test_hashed_score_supplementary_plane_parity(spark, duck):
+    """ADVICE r5: the quality scorer's token hash must agree across
+    engines on NON-BMP input (emoji, rare CJK) — Spark iterates UTF-16
+    code units while DuckDB iterates codepoints, so any raw-char fold
+    silently diverges there and the ASCII sf corpora can never catch
+    it. The hash therefore folds over hex(utf8_bytes(token)) — pure
+    ASCII in both engines — and this test pins that on a corpus of
+    supplementary-plane tokens (U+1F600 emoji, U+20000 CJK-B, Deseret),
+    running the REAL operator against the REAL oracle expression on
+    identical literal rows."""
+    from citydata_etl_spark.operators.text import hashed_linear_score
+
+    texts = [
+        "\U0001f600 grin \U0001f680\U0001f680 rocket",
+        "\U00020000 cjk-ext-b \U00010400 deseret mix\U0001f600ed",
+        "plain ascii control row",
+        "\U0001f9ea\U0001f9ec \U0001f9ea",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    s_tbl = hashed_linear_score(sdf, n_buckets=512).toArrow()
+    values = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(texts)
+    )
+    d_tbl = duck.execute(f"""
+    WITH docs(doc_id, text) AS (VALUES {values}),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM docs),
+    w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+                 tok -> ((list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                              list_transform(
+                                list_filter(
+                                  string_split(hex(encode(tok)), ''),
+                                  c -> c <> ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+                            (acc, c) -> (acc * 31 + c) % 1000000007)
+                           % 512) * 2654435761 + 12345)
+                        % 2147483647 % 7 - 3)),
+               (a, x) -> a + x) AS score_sum
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           score_sum, score_sum >= 0 AS keep
+    FROM w
+    """).fetch_arrow_table()
+    assert_arrow_types_match(s_tbl, d_tbl, "hashed_score_nonbmp")
+    assert_frames_match(
+        s_tbl.to_pandas(), d_tbl.to_pandas(), "hashed_score_nonbmp"
+    )
+
+
 def test_contract_shapes():
     import __spark_entry__ as e
 
