@@ -93,10 +93,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 3,
-    "a11_heavy_hitters": 0,
+    "a11_heavy_hitters": 5,
     "a12_event_funnel": 4,
-    "a13_data_contract": 0,
-    "a14_referential_integrity": 0,
+    "a13_data_contract": 5,
+    "a14_referential_integrity": 5,
+    "a15_outlier_flags": 5,
+    "a16_cohort_retention": 5,
     "a1_pricing_summary": 3,
     "a2_approx_distinct": 3,
     "a2_count_distinct": 3,
@@ -104,6 +106,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a3_cube": 3,
     "a3_grouping_sets": 4,
     "a3_rollup": 3,
+    "a4_distribution": 5,
     "a4_ntile": 3,
     "a4_rank_dense_rank": 3,
     "a4_topk_per_group": 3,
@@ -120,18 +123,25 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_ann_lsh": 3,
     "d4_ann_pq": 3,
     "d4_bigram_logprob": 3,
+    "d4_bpe_pair_counts": 5,
     "d4_bpe_tokens": 3,
+    "d4_collocations": 5,
+    "d4_containment": 5,
     "d4_cosine_topk": 3,
     "d4_dedup_groups": 3,
-    "d4_dedup_report": 0,
+    "d4_dedup_index_ingest": 5,
+    "d4_dedup_report": 5,
     "d4_doc_fingerprint": 3,
     "d4_dup_passage": 3,
     "d4_embed_neardup": 3,
+    "d4_embed_project": 5,
     "d4_embed_quantize": 4,
     "d4_exact_dedup": 3,
     "d4_incremental_dedup": 4,
     "d4_incremental_neardup": 4,  # rows-only by construction (r4 row)
+    "d4_incremental_neardup_rank": 5,
     "d4_lang_id": 3,
+    "d4_line_dedup": 5,
     "d4_lm_logprob": 3,
     "d4_minhash_hash": 4,  # rows-only by construction (r4 row)
     "d4_minhash_lsh": 3,
@@ -145,9 +155,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_text_normalize": 4,
     "d4_tfidf_topk": 3,
     "d4_token_stats": 2,
+    "d4_url_dedup": 5,
+    "d5_audio_energy": 5,
     "d5_format_sniff": 4,
     "d5_frame_sample": 2,
+    "d5_jpeg_meta": 5,
     "d5_media_decode": 2,
+    "d5_mp4_meta": 5,
     "d5_png_meta": 4,
     "d5_wav_meta": 4,
     "d6_blocklist_filter": 4,
@@ -160,10 +174,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_domain_mix": 2,
     "d6_domain_mix_apply": 3,
     "d6_fixed_sample": 3,
+    "d6_global_shuffle": 5,
     "d6_label_centroid": 2,
+    "d6_length_histogram": 5,
     "d6_negative_pairs": 4,
     "d6_pack_sequences": 2,
     "d6_ppl_buckets": 4,
+    "d6_quality_classifier": 5,
     "d6_quality_funnel": 2,
     "d6_shard_stats": 2,
     "d6_stratified_sample": 2,
@@ -175,6 +192,9 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f12_url_parse": 3,
     "f13_variant_json": 3,
     "f14_entity_extract": 4,
+    "f15_geo_cell": 5,
+    "f16_number_normalize": 5,
+    "f17_useragent_parse": 5,
     "f1_f3_dual_ts_roundtrip": 4,
     "f2_date_parts": 4,
     "f4_f5_split_element": 4,
@@ -182,6 +202,10 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f7_json_extract": 4,
     "f8_html_extract": 4,
     "f9_split_explode": 4,
+    "g1_host_pagerank": 5,
+    "g2_triangle_count": 5,
+    "j10_bloom_prefilter_join": 5,
+    "j11_geo_radius_join": 5,
     "j1_broadcast_lookup": 2,
     "j2_anti_join": 2,
     "j2_semi_join": 2,
@@ -199,6 +223,9 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "p3_point_filter": 4,
     "p4_dynamic_filter": 4,
     "p6_first_row": 4,
+    "q10_returned_items": 5,
+    "q3_shipping_priority": 5,
+    "q5_regional_volume": 5,
     "s10_orc_roundtrip": 4,
     "s11_compaction": 4,
     "s12_schema_evolution": 4,
@@ -206,17 +233,22 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s14_partition_pruned_read": 4,
     "s15_corrupt_records": 4,
     "s16_xml_roundtrip": 4,
-    "s1_csv_scan": 1,
-    "s2_typed_csv_scan": 1,
-    "s3_json_scan": 1,
-    "s6_object_listing": 1,
-    "s7_partitioned_sink": 1,
-    "s8_csv_overwrite_sink": 1,
-    "s9_staging_rekey": 1,
+    "s17_zorder_layout": 5,
+    "s1_csv_scan": 5,
+    "s2_typed_csv_scan": 5,
+    "s3_json_scan": 5,
+    "s6_object_listing": 5,
+    "s7_partitioned_sink": 5,
+    "s8_csv_overwrite_sink": 5,
+    "s9_staging_rekey": 5,
+    "t10_stream_dynamic_sessions": 5,
+    "t11_stream_geofence": 5,
+    "t12_stream_late_sessions": 5,
+    "t13_gap_fill": 5,
     "t1_streaming_tumbling": 2,
     "t2_streaming_dedup": 2,
     "t3_cdc_promote": 3,
-    "t5_dynamic_gap_session": 0,
+    "t5_dynamic_gap_session": 5,
     "t5_session_window": 2,
     "t5_sliding_window": 2,
     "t5_tumbling_window": 2,
@@ -226,12 +258,14 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t7_stream_stream_join": 3,
     "t8_stream_dedup_watermark": 4,
     "t9_streaming_upsert": 4,
-    "u1_keyed_update": 1,
-    "u2_masked_update": 1,
-    "u3_status_routing": 1,
-    "u4_scd2_history": 1,
+    "u1_keyed_update": 5,
+    "u2_masked_update": 5,
+    "u3_status_routing": 5,
+    "u4_scd2_history": 5,
     "u5_merge_upsert": 3,
     "u6_keyed_delete": 4,
+    "u7_evolving_merge": 5,
+    "u8_time_travel": 5,
 }
 
 

@@ -1258,6 +1258,58 @@ def u7_evolving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bucketed_control(spark, table)
 
 
+def _u8_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once (per session, per sf) the three-version snapshot table
+    shared by u8 (time travel) and u9 (change data feed): v1 = init from
+    orders (keys % 100 < 10), v2 = partial status update on id % 7 == 0,
+    v3 = updates on id % 11 == 0 (NULL price preserves) plus NEGATIVE-id
+    inserts for id % 13 == 0 (o_orderkey is positive at every scale
+    factor, so synthetic inserts can never collide with a real key).
+    Returns the table path. Sharing the build keeps the CDF entry's cold
+    cost at one table build, and means the driver's u8+u9 rows verify
+    the SAME physical table from two angles (reads vs diffs)."""
+    import os
+
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u8_snapshots_{tag}")
+    table = root + "/control"
+    orders = read_testdata(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 100 < 10).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+    def _build() -> None:
+        snapshot_init(base, table, "id", n_buckets=16)
+        upd2 = base.filter(F.col("id") % 7 == 0).select(
+            "id", F.lit("V2").alias("status")
+        )
+        snapshot_merge(spark, table, upd2, "id")
+        ins3 = base.filter(F.col("id") % 13 == 0).select(
+            (-F.col("id") - 1).alias("id"),
+            F.lit("NEW").alias("status"),
+            F.lit(0).cast("bigint").alias("price_cents"),
+        )
+        upd3 = base.filter(F.col("id") % 11 == 0).select(
+            "id",
+            F.lit("V3").alias("status"),
+            F.lit(None).cast("bigint").alias("price_cents"),
+        ).unionByName(ins3)
+        snapshot_merge(spark, table, upd3, "id")
+
+    _build_once(root, _build)
+    return table
+
+
 @register(
     "u8_time_travel",
     oracle="""
@@ -1300,20 +1352,132 @@ def u7_evolving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_etl.py.",
 )
 def u8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.snapshots import snapshot_read
+
+    table = _u8_snapshot_table(spark, sf_dir)
+    reads = [
+        snapshot_read(spark, table, v).select(
+            F.lit(v).cast("bigint").alias("version"),
+            "id",
+            "status",
+            "price_cents",
+        )
+        for v in (1, 2, 3)
+    ]
+    return reads[0].unionByName(reads[1]).unionByName(reads[2])
+
+
+@register(
+    "u9_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 100 < 10),
+    s1 AS (
+      SELECT CAST(1 AS BIGINT) AS step, id, 'update' AS change_kind,
+             status AS old_status, price_cents AS old_price_cents,
+             'V2' AS new_status, price_cents AS new_price_cents
+      FROM base WHERE id % 7 = 0),
+    s2u AS (
+      SELECT CAST(2 AS BIGINT) AS step, id, 'update' AS change_kind,
+             CASE WHEN id % 7 = 0 THEN 'V2' ELSE status END AS old_status,
+             price_cents AS old_price_cents,
+             'V3' AS new_status, price_cents AS new_price_cents
+      FROM base WHERE id % 11 = 0),
+    s2i AS (
+      SELECT CAST(2 AS BIGINT) AS step, -id - 1 AS id,
+             'insert' AS change_kind,
+             CAST(NULL AS VARCHAR) AS old_status,
+             CAST(NULL AS BIGINT) AS old_price_cents,
+             'NEW' AS new_status, CAST(0 AS BIGINT) AS new_price_cents
+      FROM base WHERE id % 13 = 0)
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2u UNION ALL SELECT * FROM s2i
+    """,
+    doc="U9 (change data feed extension): the Delta-CDF / Iceberg-"
+    "changelog capability over the snapshot store "
+    "(sources/snapshots.py:snapshot_changes) — one row per key whose "
+    "content differs between two committed versions, with full "
+    "before/after images. Runs both steps of the SAME three-version "
+    "table u8 reads (shared build-once helper), so the driver verifies "
+    "the diffs and the reads against one physical table. The oracle "
+    "states every step's feed in closed form: step 1 = the v1->v2 "
+    "partial status updates (price image carried through unchanged — "
+    "the partial-update rule's before/after), step 2 = the v2->v3 "
+    "updates (old_status reflects v2's fold) plus the negative-id "
+    "inserts with NULL before-images. Cost at scale: a bucket whose "
+    "manifest pointer is unchanged is never read (v-dirs are "
+    "immutable), so the diff is bounded by REWRITTEN buckets, not "
+    "table size — the property that makes incremental downstream "
+    "refresh affordable at 100 TB.",
+)
+def u9_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.snapshots import snapshot_changes
+
+    table = _u8_snapshot_table(spark, sf_dir)
+    feeds = [
+        snapshot_changes(spark, table, a, b)
+        .withColumnRenamed("_change", "change_kind")
+        .select(
+            F.lit(step).cast("bigint").alias("step"),
+            "id",
+            "change_kind",
+            "old_status",
+            "old_price_cents",
+            "new_status",
+            "new_price_cents",
+        )
+        for step, (a, b) in enumerate([(1, 2), (2, 3)], start=1)
+    ]
+    return feeds[0].unionByName(feeds[1])
+
+
+@register(
+    "u10_restore",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 100 < 5)
+    SELECT CAST(1 AS BIGINT) AS version, id, status, price_cents FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), id,
+           CASE WHEN id % 3 = 0 THEN 'BAD' ELSE status END,
+           CASE WHEN id % 3 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE price_cents END
+    FROM base
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), id, status, price_cents FROM base
+    """,
+    doc="U10 (RESTORE extension): Delta-style rollback over the "
+    "snapshot store (sources/snapshots.py:snapshot_restore) — "
+    "re-publishing version 1's bucket map as a NEW version 3, with "
+    "ZERO data movement (no v-dir is written; the rollback is itself "
+    "history). The entry builds init -> corrupting merge (id % 3 == 0 "
+    "poisoned) -> restore inside one build-once guard, then reads all "
+    "three versions after the restore. The oracle states v3 = v1 in "
+    "closed form, so the driver hash-checks the restore's exactness "
+    "AND that the bad version remains readable (auditable) until "
+    "vacuumed. At 100 TB a restore costs one manifest write — "
+    "O(n_buckets) metadata, independent of table size — vs a "
+    "full-table copy-back.",
+)
+def u10_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from citydata_etl_spark.sources.snapshots import (
         snapshot_init,
         snapshot_merge,
         snapshot_read,
+        snapshot_restore,
     )
     from citydata_etl_spark.util import session_tmpdir
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    root = session_tmpdir(f"u8_snapshots_{tag}")
+    root = session_tmpdir(f"u10_restore_{tag}")
     table = root + "/control"
     orders = read_testdata(spark, sf_dir, "orders")
-    base = orders.filter(F.col("o_orderkey") % 100 < 10).select(
+    base = orders.filter(F.col("o_orderkey") % 100 < 5).select(
         F.col("o_orderkey").alias("id"),
         F.col("o_orderstatus").alias("status"),
         F.floor(F.col("o_totalprice") * 100 + 0.5)
@@ -1323,24 +1487,13 @@ def u8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> None:
         snapshot_init(base, table, "id", n_buckets=16)
-        upd2 = base.filter(F.col("id") % 7 == 0).select(
-            "id", F.lit("V2").alias("status")
-        )
-        snapshot_merge(spark, table, upd2, "id")
-        # insert ids are NEGATIVE (-id - 1): o_orderkey is positive at
-        # every scale factor, so synthetic inserts can never collide
-        # with a real key no matter the SF
-        ins3 = base.filter(F.col("id") % 13 == 0).select(
-            (-F.col("id") - 1).alias("id"),
-            F.lit("NEW").alias("status"),
-            F.lit(0).cast("bigint").alias("price_cents"),
-        )
-        upd3 = base.filter(F.col("id") % 11 == 0).select(
+        bad = base.filter(F.col("id") % 3 == 0).select(
             "id",
-            F.lit("V3").alias("status"),
-            F.lit(None).cast("bigint").alias("price_cents"),
-        ).unionByName(ins3)
-        snapshot_merge(spark, table, upd3, "id")
+            F.lit("BAD").alias("status"),
+            F.lit(-1).cast("bigint").alias("price_cents"),
+        )
+        snapshot_merge(spark, table, bad, "id")
+        snapshot_restore(spark, table, 1)
 
     _build_once(root, _build)
     reads = [

@@ -542,3 +542,101 @@ def j11_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_lat="c_lat", probe_lng="c_lng",
         build_lat="s_lat", build_lng="s_lng",
     )
+
+
+@register(
+    "j12_temporal_join",
+    oracle="""
+    WITH b AS (
+      SELECT c_custkey AS k,
+             DATE '1994-01-01' + CAST(c_custkey % 300 AS INTEGER) AS b1,
+             DATE '1996-01-01' + CAST(c_custkey % 300 AS INTEGER) AS b2
+      FROM customer),
+    dim AS (
+      SELECT k, DATE '1992-01-01' AS valid_from, b1 AS valid_to,
+             'S1-' || CAST(k % 4 AS VARCHAR) AS segment,
+             k * 100 + 1 AS credit_cents
+      FROM b
+      UNION ALL
+      SELECT k, b1, b2, 'S2-' || CAST(k % 4 AS VARCHAR), k * 100 + 2
+      FROM b WHERE k % 5 <> 0
+      UNION ALL
+      SELECT k, b2, CAST(NULL AS DATE),
+             'S3-' || CAST(k % 4 AS VARCHAR), k * 100 + 3
+      FROM b WHERE k % 7 <> 0)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.segment AS dim_segment,
+           d.credit_cents AS dim_credit_cents
+    FROM orders o
+    LEFT JOIN dim d
+      ON d.k = o.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    """,
+    doc="J12 (point-in-time SCD2 dimension join): for every order, the "
+    "dimension VERSION valid at the order date — valid_from <= ts < "
+    "valid_to, NULL valid_to = still current "
+    "(operators/joins.py:temporal_join). The dim is a synthesized SCD2 "
+    "history over customer (per-key boundaries at 1994/1996 + key%300 "
+    "days; every 5th key misses its middle version -> a coverage HOLE, "
+    "every 7th misses its open version -> uncovered tail), so the "
+    "driver exercises hit, hole-NULL, and tail-NULL paths. The oracle "
+    "states it as the validity-predicate join (sound because SCD2 "
+    "versions are non-overlapping per key); the ENGINE refuses that "
+    "theta-join shape — a BroadcastNestedLoop trap at scale — and "
+    "instead runs a backward as-of join (ONE shuffle on the key, one "
+    "sort, row-atomic struct carry) plus a codegen validity check: "
+    "linear in facts + versions, the leakage-free feature-store "
+    "training-join shape at 100 TB.",
+)
+def j12_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.date_add(
+            F.lit("1994-01-01").cast("date"),
+            (F.col("c_custkey") % 300).cast("int"),
+        ).alias("b1"),
+        F.date_add(
+            F.lit("1996-01-01").cast("date"),
+            (F.col("c_custkey") % 300).cast("int"),
+        ).alias("b2"),
+    )
+
+    def seg(n: int):
+        return F.concat(
+            F.lit(f"S{n}-"), (F.col("o_custkey") % 4).cast("string")
+        )
+
+    k = F.col("o_custkey")
+    v1 = cust.select(
+        "o_custkey",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.col("b1").alias("valid_to"),
+        seg(1).alias("segment"),
+        (k * 100 + 1).alias("credit_cents"),
+    )
+    v2 = cust.filter(k % 5 != 0).select(
+        "o_custkey",
+        F.col("b1").alias("valid_from"),
+        F.col("b2").alias("valid_to"),
+        seg(2).alias("segment"),
+        (k * 100 + 2).alias("credit_cents"),
+    )
+    v3 = cust.filter(k % 7 != 0).select(
+        "o_custkey",
+        F.col("b2").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        seg(3).alias("segment"),
+        (k * 100 + 3).alias("credit_cents"),
+    )
+    dim = v1.unionByName(v2).unionByName(v3)
+    facts = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return J.temporal_join(
+        facts,
+        dim,
+        key="o_custkey",
+        fact_ts="o_orderdate",
+        dim_cols=["segment", "credit_cents"],
+    )

@@ -699,6 +699,12 @@ def t9_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdc.filter(F.col("version") > cut2),
         ]
         for i, sl in enumerate(slices, start=1):
+            # coalesce(1) CONTRACT (same as sources/sinks.py's CSV
+            # sink): this writes a BOUNDED fixture-scale feed slice —
+            # test/bench scaffolding simulating a CDC log file, never
+            # an operator output path — and one file per slice is the
+            # point (a log's files arrive whole). Payload-scale data
+            # must never route through a coalesce(1).
             sl.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(feed, f"b{i}")
             )

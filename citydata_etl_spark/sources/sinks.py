@@ -3,10 +3,12 @@
 Scale posture: the raw/curated sinks are partitioned parquet appends — the
 lake layout the reference hand-rolled with S3 keys
 (reference lambda/collect-data.py:183-186, lambda/process-staging.py:32-44)
-becomes Hive-style partitioning that Spark can partition-prune. The only
-coalesce(1) in the engine is the CSV-compatibility sink, which exists to
-mirror the reference's whole-file CSV overwrite (bounded control tables,
-~28k rows) and must never be used for payload data.
+becomes Hive-style partitioning that Spark can partition-prune. The engine
+has exactly TWO coalesce(1) sites, both bounded by contract and annotated
+in place: this CSV-compatibility sink (mirrors the reference's whole-file
+CSV overwrite — bounded control tables, ~28k rows) and the fixture-scale
+streaming-feed slice builder in plans/queries_time.py (simulated CDC log
+files, test/bench scaffolding). Neither may ever carry payload data.
 """
 
 from __future__ import annotations

@@ -711,3 +711,14 @@ def test_gap_fill_plan_shape(spark):
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Generate (") == 1
     assert plan.count("Exchange (") <= 3
+
+
+def test_temporal_join_entry_plan_shape(spark):
+    """j12 must run as the as-of shape — one shuffled equi-sort, never
+    the validity-predicate theta-join the oracle states (that plans as
+    BroadcastNestedLoopJoin and is quadratic at scale)."""
+    plan = _plan(spark, "j12_temporal_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the as-of carry is a window over the tagged union, not a join at all
+    assert "Window" in plan
