@@ -114,6 +114,7 @@ HEADLINE = [
     "u9_change_feed",
     "u10_restore",
     "j12_temporal_join",
+    "d4_ann_lsh_rank",
 ]
 
 

@@ -490,6 +490,100 @@ def lsh_bucket_topk(
     )
 
 
+def _int_hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
+    """Integer-LCG hyperplanes for the oracle-exact sign path: component
+    (p, d) = ((1103515245*(p*dim+d) + 12345) mod 2147483647) -
+    1073741823 — the same LCG stream as _hyperplanes, kept centered in
+    BIGINT instead of scaled into [-0.5, 0.5)."""
+    m = 2147483647
+    rows = []
+    for p in range(n_planes):
+        comps = [
+            ((1103515245 * (p * dim + d) + 12345) % m) - 1073741823
+            for d in range(dim)
+        ]
+        rows.append((p, comps))
+    return spark.createDataFrame(rows, "plane INT, comps ARRAY<BIGINT>")
+
+
+def lsh_bucket_topk_exactsign(
+    emb: DataFrame, k: int = 5, n_planes: int = 8, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_digits: int = 4,
+) -> DataFrame:
+    """Oracle-exact twin of lsh_bucket_topk (same bucketing topology,
+    same within-bucket rerank): hyperplane signs are computed in EXACT
+    INTEGER arithmetic — embedding components quantized to micros
+    (floor(x*1e6 + 0.5), the engine's cents convention) dotted with
+    integer-LCG plane components in BIGINT — so the bucket assignment
+    is a pure integer function any SQL engine states bit-for-bit. The
+    production path keeps the double projection (one fused multiply-add
+    chain, no quantize pass); this twin exists so the external oracle
+    can verify the full LSH topology end-to-end, where a double-fold
+    sign would be one addition-reorder away from a knife-edge flip.
+    Same scale shape: one broadcast of n_planes rows, one shuffle on
+    bucket, candidate cost follows bucket occupancy."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _int_hyperplanes(spark, n_planes, dim)
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+    ).withColumn(
+        "vi",
+        F.transform(
+            _as_double(F.col("v")),
+            lambda x: F.floor(x * 1000000 + 0.5).cast("bigint"),
+        ),
+    )
+    signed = (
+        base.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "proj",
+            F.aggregate(
+                F.zip_with(
+                    F.col("vi"), F.col("comps"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "bit",
+            F.when(
+                F.col("proj") > 0,
+                F.expr("shiftleft(1, plane)").cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("id")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    bucketed = base.drop("vi").join(signed, "id")
+    q = bucketed.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"), "bucket",
+    )
+    c = bucketed.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("norm2").alias("cn"), "bucket",
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            _safe_cos(dot, F.col("qn"), F.col("cn"), round_digits),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def ivf_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     n_iter: int = 5, train_sample: int = 4096, id_col: str = "vec_id",

@@ -318,6 +318,69 @@ def d4_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_lsh_rank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+      SELECT vec_id, e,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    pl AS (SELECT unnest(range(8)) AS p),
+    proj AS (
+      SELECT q.vec_id, pl.p,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   (((1103515245 * (pl.p * 64 + d) + 12345) % 2147483647)
+                    - 1073741823) * q.ei[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS pr
+      FROM q CROSS JOIN pl),
+    buck AS (
+      SELECT vec_id,
+             sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id),
+    bv AS (
+      SELECT v.vec_id, v.e, b.bucket
+      FROM v JOIN buck b ON v.vec_id = b.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+      FROM bv a JOIN bv b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4: ANN-LSH's ORACLE-EXACT twin (the d4_minhash_lsh rank-mode "
+    "playbook applied to hyperplane LSH): identical bucketing topology "
+    "and within-bucket exact rerank as d4_ann_lsh, but the hyperplane "
+    "SIGNS are pure integer arithmetic — embeddings quantized to "
+    "micros (floor(x*1e6+0.5)), dotted with centered integer-LCG plane "
+    "components in BIGINT — so bucket assignment is SQL-stateable "
+    "bit-for-bit and the driver verifies the whole LSH pipeline, not "
+    "just its recall (operators/similarity.py:lsh_bucket_topk_"
+    "exactsign). A double-projection sign would sit one addition-"
+    "reorder ulp from a bucket flip; the integer path has no edge at "
+    "all. The production entry (d4_ann_lsh) keeps the double "
+    "projection and stays rows-only + recall-tested.",
+)
+def d4_ann_lsh_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = S.lsh_bucket_topk_exactsign(emb, k=5)
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
     "d4_dedup_groups",
     oracle="""
     WITH RECURSIVE tokl AS (

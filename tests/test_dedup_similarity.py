@@ -118,6 +118,37 @@ def test_ann_lsh_recall_vs_brute(spark, clustered_vecs):
     assert recall >= 0.5, f"ANN recall vs brute force too low: {recall}"
 
 
+def test_ann_lsh_exactsign_recall_and_sign_agreement(spark, clustered_vecs):
+    """The oracle-exact integer-sign twin must (a) keep recall vs brute
+    force, and (b) assign the SAME bucket as the double-projection
+    production path for every vector whose projections sit clear of
+    the micro-quantization edge — on this corpus that is all of them,
+    so the two paths' outputs coincide exactly."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucket_topk_exactsign(
+            clustered_vecs, k=3, n_planes=4
+        ).collect()
+    }
+    recall = len(brute & exact) / len(brute)
+    assert recall >= 0.5, f"exact-sign ANN recall too low: {recall}"
+    prod = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in S.lsh_bucket_topk(clustered_vecs, k=3, n_planes=4).collect()
+    }
+    twin = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in S.lsh_bucket_topk_exactsign(
+            clustered_vecs, k=3, n_planes=4
+        ).collect()
+    }
+    assert twin == prod
+
+
 def test_ann_lsh_multiprobe_improves_recall(spark, clustered_vecs):
     """Hamming-distance-1 multi-probe must dominate single-bucket recall
     (it strictly widens each query's candidate set)."""
