@@ -820,7 +820,7 @@ def simhash_pairs(
 
 def dedup_groups(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-    max_iter: int = 50,
+    max_iter: int = 50, checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pair edges: (doc_id, group_id)
     with group_id = the minimum doc id reachable through the pair graph —
@@ -831,19 +831,24 @@ def dedup_groups(
     min of its label and its neighbors' labels — one join + one groupBy
     per round, O(graph diameter) rounds (near-dup clusters are shallow).
     Convergence is detected by the (monotonically decreasing) label sum.
-    localCheckpoint truncates the iterative lineage so plans stay flat.
-    At extreme scale, swap for the large-star/small-star formulation
-    (Kiveris et al.) — same per-round primitives, fewer rounds.
+    Iterative lineage is truncated per round through the
+    `checkpoint_dir` knob (util.plan_truncator): None = executor-local
+    localCheckpoint, a fault-tolerant path = RELIABLE checkpoint() that
+    survives executor loss on long runs. At extreme scale, swap for the
+    large-star/small-star formulation (Kiveris et al.) — same per-round
+    primitives, fewer rounds.
     """
+    from citydata_etl_spark.util import plan_truncator
+
+    truncate = plan_truncator(pairs.sparkSession, checkpoint_dir)
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = truncate(edges)
+    labels = truncate(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
@@ -852,7 +857,7 @@ def dedup_groups(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        labels = truncate(
             labels.join(prop, labels.id == prop.dst, "left")
             .select(
                 "id",
@@ -860,7 +865,6 @@ def dedup_groups(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from citydata_etl_spark.caching import scoped_persist
+from citydata_etl_spark.util import plan_truncator
 
 
 def _floor_div(a, b):
@@ -33,6 +34,7 @@ def pagerank(
     dst: str = "dst",
     total_micros: int = 1_000_000,
     damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over an edge list, in EXACT integer micros — `n_iter`
     synchronous power iterations of
@@ -57,10 +59,14 @@ def pagerank(
     recurrence rather than the redistribute-variant.
 
     The only driver-side value is N (one count). At 100 TB the node and
-    edge relations stay fully distributed; localCheckpoint is
-    executor-local (lost-executor reruns the job) — swap for reliable
-    checkpointing where that matters.
+    edge relations stay fully distributed. Lineage truncation policy is
+    the `checkpoint_dir` knob (util.plan_truncator): None keeps
+    executor-local localCheckpoint (fast, lost-executor reruns the
+    job); a fault-tolerant path switches every iteration to RELIABLE
+    checkpoint() so the frontier survives executor loss — the correct
+    default posture for long iterative jobs on a large cluster.
     """
+    truncate = plan_truncator(edges.sparkSession, checkpoint_dir)
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
         .filter(F.col("_src") != F.col("_dst"))
@@ -101,8 +107,8 @@ def pagerank(
                 .cast("bigint")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        pr = truncate(pr)
     return pr
 
 

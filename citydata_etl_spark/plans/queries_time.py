@@ -1149,9 +1149,10 @@ def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"t12_late_sess_{next(_STREAM_SEQ)}"
     # 16 state partitions, not the catalog's 4: the buffered sessionizer
     # does real Python work per user per batch (sort + session fold over
-    # the event buffer), so the knee shifts — measured on this load, 4 ->
-    # 16 partitions is ~7.6-9.9 s -> ~4.9-5.7 s (group work parallelizes
-    # across cores) while 32 regresses (store-commit overhead wins).
+    # the event buffer), so the knee shifts — re-measured after the
+    # binary-packed state landed: 4 -> ~8.3 s, 8 -> ~5.5 s, 16 ->
+    # ~4.9-5.1 s (group work parallelizes across cores) while 32
+    # regresses (store-commit overhead wins).
     # t10 keeps the default: its per-user state is 5 ints, group work is
     # negligible, and extra partitions only add commit machinery.
     _await_with_state_partitions(

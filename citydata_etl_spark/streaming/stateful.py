@@ -282,12 +282,43 @@ def streaming_dynamic_gap_sessions(
     )
 
 
+def _pack_events(ts, eid, th) -> bytes:
+    """Event buffer -> ONE little-endian int64 blob, laid out as three
+    equal sections [ts... | eid... | th...]. Packing the buffer into a
+    single BINARY state column (instead of three ARRAY<LONG> columns)
+    cuts the per-batch state (de)serialization to one Arrow buffer
+    copy each way — measured as the dominant cost of the buffered
+    sessionizer — and pins the byte order so state written on one
+    architecture reads on any other."""
+    import numpy as np
+
+    n = len(ts)
+    a = np.empty(3 * n, dtype="<i8")
+    a[:n] = ts
+    a[n:2 * n] = eid
+    a[2 * n:] = th
+    return a.tobytes()
+
+
+def _unpack_events(buf):
+    """Inverse of _pack_events -> (ts, eid, th) int64 arrays."""
+    import numpy as np
+
+    a = (
+        np.frombuffer(buf, dtype="<i8")
+        if buf
+        else np.empty(0, dtype="<i8")
+    )
+    n = len(a) // 3
+    return a[:n], a[n:2 * n], a[2 * n:]
+
+
 def make_buffered_session_group(error_gap_s: int, default_gap_s: int):
     """Build the per-user BUFFERED dynamic-gap sessionization function —
     the late-data-correct variant of make_session_group: state holds the
-    not-yet-final EVENTS (three parallel arrays), so out-of-order
-    arrivals admitted by a positive watermark delay simply land in the
-    buffer and sort into place before folding.
+    not-yet-final EVENTS (one packed binary buffer — _pack_events), so
+    out-of-order arrivals admitted by a positive watermark delay simply
+    land in the buffer and sort into place before folding.
 
     Finality rule (conservative, provably safe): after sorting the
     buffer by (tsec, event_id) and folding sessions exactly like the
@@ -332,26 +363,32 @@ def make_buffered_session_group(error_gap_s: int, default_gap_s: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         user_id = key[0]
         if state.exists:
-            sid, ts_buf, eid_buf, th_buf = state.get
-            ts_buf = list(ts_buf)
-            eid_buf = list(eid_buf)
-            th_buf = list(th_buf)
+            sid, buf = state.get
+            ts_buf, eid_buf, th_buf = _unpack_events(buf)
         else:
-            sid, ts_buf, eid_buf, th_buf = -1, [], [], []
+            sid = -1
+            ts_buf, eid_buf, th_buf = _unpack_events(b"")
 
         if not state.hasTimedOut:
+            t_chunks, e_chunks, h_chunks = [ts_buf], [eid_buf], [th_buf]
             for pdf in pdfs:
-                for t, e, et in zip(
-                    pdf["tsec"], pdf["event_id"], pdf["event_type"]
-                ):
-                    ts_buf.append(int(t))
-                    eid_buf.append(int(e))
-                    th_buf.append(
-                        error_gap_s if et == "error" else default_gap_s
-                    )
-        elif not ts_buf:
+                t_chunks.append(pdf["tsec"].to_numpy("<i8"))
+                e_chunks.append(pdf["event_id"].to_numpy("<i8"))
+                h_chunks.append(
+                    np.where(
+                        pdf["event_type"].to_numpy() == "error",
+                        error_gap_s,
+                        default_gap_s,
+                    ).astype("<i8")
+                )
+            ts_buf = np.concatenate(t_chunks)
+            eid_buf = np.concatenate(e_chunks)
+            th_buf = np.concatenate(h_chunks)
+        elif not len(ts_buf):
             # the empty-buffer tombstone's far timeout expired with no
             # new events: full gc (mirrors make_session_group's
             # tombstone expiry — without this, the state would re-arm
@@ -362,12 +399,10 @@ def make_buffered_session_group(error_gap_s: int, default_gap_s: int):
             return
 
         w_s = state.getCurrentWatermarkMs() // 1000
-        order = sorted(
-            range(len(ts_buf)), key=lambda i: (ts_buf[i], eid_buf[i])
-        )
-        ts_s = [ts_buf[i] for i in order]
-        eid_s = [eid_buf[i] for i in order]
-        th_s = [th_buf[i] for i in order]
+        order = np.lexsort((eid_buf, ts_buf))  # ts primary, eid tie-break
+        ts_s = ts_buf[order]
+        th_s = th_buf[order]
+        eid_s = eid_buf[order]
 
         out = []
         consumed = 0
@@ -375,16 +410,18 @@ def make_buffered_session_group(error_gap_s: int, default_gap_s: int):
         for (fi, li, start, end, n, last_thr) in fold(ts_s, th_s):
             if end + last_thr < w_s:
                 sid += 1
-                out.append((user_id, sid, n, start, end))
+                out.append((user_id, int(sid), int(n), int(start), int(end)))
                 consumed = li + 1
             else:
-                next_horizon = end + last_thr
+                next_horizon = int(end) + int(last_thr)
                 break
 
-        rest_ts = ts_s[consumed:]
-        rest_eid = eid_s[consumed:]
-        rest_th = th_s[consumed:]
-        state.update((int(sid), rest_ts, rest_eid, rest_th))
+        state.update((
+            int(sid),
+            _pack_events(
+                ts_s[consumed:], eid_s[consumed:], th_s[consumed:]
+            ),
+        ))
         wm_ms = state.getCurrentWatermarkMs()
         if next_horizon is not None:
             # the first unemitted session's horizon (it may still grow —
@@ -448,9 +485,7 @@ def streaming_late_sessions(
             "user_id LONG, session_id LONG, n_events LONG, "
             "session_start LONG, session_end LONG"
         ),
-        stateStructType=(
-            "sid LONG, ts ARRAY<LONG>, eid ARRAY<LONG>, th ARRAY<LONG>"
-        ),
+        stateStructType="sid LONG, buf BINARY",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

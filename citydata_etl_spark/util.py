@@ -112,3 +112,26 @@ def with_metrics(df, name: str, **metrics):
     obs = Observation(name)
     observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
     return observed, obs
+
+
+def plan_truncator(spark, checkpoint_dir: str | None):
+    """Lineage-truncation policy for iterative operators (pagerank,
+    dedup_groups): returns `df -> df` that cuts the logical plan each
+    iteration.
+
+    checkpoint_dir=None -> localCheckpoint(eager): executor-local
+    blocks, no extra I/O — the right default on a healthy cluster, but
+    a LOST EXECUTOR discards its blocks and reruns the whole job.
+
+    checkpoint_dir=<fault-tolerant path> -> RELIABLE checkpoint(eager)
+    into that directory (HDFS/object store): each iteration's frontier
+    survives executor loss, which is the correct posture for long
+    iterative jobs at 1000-executor scale where some loss is expected.
+    The session's checkpoint dir is process-global in Spark; setting it
+    per-operator-call is safe because each call overwrites it before
+    its own checkpoints run.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)

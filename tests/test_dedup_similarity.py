@@ -204,6 +204,44 @@ def test_dedup_groups_components(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_iterative_ops_reliable_checkpoint(spark, tmp_path):
+    """The checkpoint_dir knob must switch pagerank and dedup_groups
+    from executor-local localCheckpoint to RELIABLE checkpoint() —
+    identical results, and checkpoint files actually land in the given
+    fault-tolerant directory (the 1000-executor posture where a lost
+    executor must not rerun the whole iteration chain)."""
+    import os
+
+    from citydata_etl_spark.operators.dedup import dedup_groups
+    from citydata_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (20, 20)], "src LONG, dst LONG"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    pr_local = {r.node: r.pr for r in pagerank(edges, n_iter=3).collect()}
+    pr_rel = {
+        r.node: r.pr
+        for r in pagerank(edges, n_iter=3, checkpoint_dir=ckpt).collect()
+    }
+    assert pr_rel == pr_local
+    assert any(os.scandir(ckpt)), "no reliable checkpoint files written"
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a LONG, doc_b LONG"
+    )
+    ckpt2 = str(tmp_path / "ckpt2")
+    g_local = {
+        r.doc_id: r.group_id for r in dedup_groups(pairs).collect()
+    }
+    g_rel = {
+        r.doc_id: r.group_id
+        for r in dedup_groups(pairs, checkpoint_dir=ckpt2).collect()
+    }
+    assert g_rel == g_local == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    assert any(os.scandir(ckpt2))
+
+
 def test_salted_join_matches_plain_join(spark):
     """Salting must not change join semantics: a skewed fact (one hot key)
     joined to a dim gives identical results salted and unsalted."""

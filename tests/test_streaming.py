@@ -652,6 +652,7 @@ def test_buffered_session_group_merges_late_event():
     import pandas as pd
 
     from citydata_etl_spark.streaming.stateful import (
+        _unpack_events,
         make_buffered_session_group,
     )
 
@@ -695,7 +696,8 @@ def test_buffered_session_group_merges_late_event():
     out = list(fn((7,), iter([batch([(1000, 1, "view"), (5000, 2, "view")])]),
                   state))
     assert out == []
-    assert state.get[0] == -1 and len(state.get[1]) == 2
+    assert state.get[0] == -1
+    assert len(_unpack_events(state.get[1])[0]) == 2
 
     # batch 2: a LATE event at t=2000 arrives; watermark has advanced to
     # 4000s. Sorted buffer folds (1000,2000)(5000): the late event MERGED
@@ -704,7 +706,8 @@ def test_buffered_session_group_merges_late_event():
     out = list(fn((7,), iter([batch([(2000, 3, "view")])]), state))
     rows = [tuple(r) for r in out[0].itertuples(index=False)]
     assert rows == [(7, 0, 2, 1000, 2000)]
-    assert list(state.get[1]) == [5000]  # trailing session still buffered
+    # trailing session still buffered
+    assert list(_unpack_events(state.get[1])[0]) == [5000]
     # timeout armed at the remaining session's horizon
     assert state.timeout_ts == (5000 + 1800) * 1000
 
@@ -715,7 +718,8 @@ def test_buffered_session_group_merges_late_event():
     out = list(fn((7,), iter([]), state))
     rows = [tuple(r) for r in out[0].itertuples(index=False)]
     assert rows == [(7, 1, 1, 5000, 5000)]
-    assert list(state.get[1]) == []     # tombstone keeps the counter
+    # tombstone keeps the counter
+    assert list(_unpack_events(state.get[1])[0]) == []
     assert state.get[0] == 1
 
     # batch 4: the empty-buffer tombstone's far timeout expires with no
