@@ -190,3 +190,60 @@ def triangle_counts(
         "node",
         F.coalesce(F.col("_c"), F.lit(0)).cast("bigint").alias("n_triangles"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distance over a directed edge list: for
+    every node, the minimum number of edges from ANY seed node, capped
+    at `n_iter` frontier expansions; nodes unreached within the cap get
+    -1. The crawl-frontier / link-distance primitive (seed-host
+    proximity scoring, contamination blast-radius walks).
+
+    Shape per iteration: dist x edges equi-join on the source + one
+    min-aggregate — the same iterative-join discipline as pagerank, and
+    the same `checkpoint_dir` truncation knob (None = localCheckpoint;
+    fault-tolerant path = reliable checkpoint surviving executor loss).
+    The frontier relation is never collected; nothing data-sized
+    reaches the driver. Monotone convergence: dist only ever shrinks,
+    so n_iter beyond the graph diameter is a fixpoint no-op.
+    """
+    truncate = plan_truncator(edges.sparkSession, checkpoint_dir)
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .filter(F.col("_src") != F.col("_dst"))
+        .distinct()
+    )
+    nodes = scoped_persist(
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    ep = scoped_persist(e)
+    dist = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("bigint").alias("d")
+    ).join(nodes, "node", "semi")
+    for _ in range(n_iter):
+        stepped = (
+            dist.join(ep, dist["node"] == ep["_src"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("d") + 1).alias("d"),
+            )
+        )
+        dist = truncate(
+            dist.unionByName(stepped).groupBy("node").agg(
+                F.min("d").alias("d")
+            )
+        )
+    return nodes.join(dist, "node", "left").select(
+        "node",
+        F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("hops"),
+    )

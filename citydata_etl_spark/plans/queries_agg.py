@@ -836,3 +836,151 @@ def a4_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.rank().over(w).cast("bigint").alias("rnk"),
     )
+
+
+@register(
+    "a17_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events),
+    w AS (
+      SELECT event_type, day, vm, tsec,
+             lead(tsec) OVER (PARTITION BY event_type, day
+                              ORDER BY tsec, event_id) AS nxt
+      FROM e),
+    seg AS (
+      SELECT event_type, day,
+             vm * (nxt - tsec) AS wv, nxt - tsec AS dt
+      FROM w WHERE nxt IS NOT NULL)
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dt) AS BIGINT) AS covered_s,
+           CASE WHEN sum(dt) > 0 THEN
+             CAST(floor(CAST(sum(wv) AS DOUBLE)
+                        / CAST(sum(dt) AS BIGINT)) AS BIGINT)
+           END AS twa_micros
+    FROM seg GROUP BY event_type, day
+    """,
+    doc="A17 (time-weighted average extension): the irregular-sampling "
+    "aggregate TimescaleDB calls time_weight — each observation's "
+    "value, LOCF-held, is weighted by the seconds until the next "
+    "observation in its (event_type, day) bucket, so a sensor that "
+    "reports once an hour is not drowned out by one that reports "
+    "every second (a plain avg() is sampling-rate-biased; this is "
+    "duration-unbiased). Trailing observations (no successor in the "
+    "bucket) contribute no segment — the closed-segment definition, "
+    "stated identically in both engines. Exact integer micros x "
+    "seconds; the final ratio is floor(double/int) per the catalog's "
+    "determinism convention. Engine shape: ONE window (lead over the "
+    "bucket sort) + ONE hash aggregate — two exchanges total, both on "
+    "the bucket key, nothing driver-side.",
+)
+def a17_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = read_testdata(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("tsec"),
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("vm"),
+    )
+    w = W.partitionBy("event_type", "day").orderBy("tsec", "event_id")
+    seg = (
+        e.withColumn("nxt", F.lead("tsec").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            (F.col("vm") * (F.col("nxt") - F.col("tsec"))).alias("wv"),
+            (F.col("nxt") - F.col("tsec")).alias("dt"),
+        )
+    )
+    return seg.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("dt").cast("bigint").alias("covered_s"),
+        F.when(
+            F.sum("dt") > 0,
+            F.floor(
+                F.sum("wv").cast("double") / F.sum("dt").cast("bigint")
+            ).cast("bigint"),
+        ).alias("twa_micros"),
+    )
+
+
+@register(
+    "a18_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bar_ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    w AS (
+      SELECT event_type, bar_ts, vc,
+             row_number() OVER (PARTITION BY event_type, bar_ts
+                                ORDER BY tsec, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, bar_ts
+                                ORDER BY tsec DESC, event_id DESC) AS rl
+      FROM e)
+    SELECT event_type, bar_ts,
+           CAST(max(CASE WHEN rf = 1 THEN vc END) AS BIGINT) AS open_c,
+           CAST(max(vc) AS BIGINT) AS high_c,
+           CAST(min(vc) AS BIGINT) AS low_c,
+           CAST(max(CASE WHEN rl = 1 THEN vc END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY event_type, bar_ts
+    """,
+    doc="A18 (OHLC bars extension): per (event_type, hour) candlestick "
+    "aggregation — open/high/low/close in exact integer cents plus the "
+    "event count, the downsampling shape every metrics store "
+    "(Timescale candlestick_agg, kdb bar builders) serves dashboards "
+    "from. Open/close are first/last by (tsec, event_id) — a TOTAL "
+    "order, so the bars are engine-exact (a bare first()/last() over "
+    "an unordered aggregate would be partition-order nondeterminism). "
+    "Engine shape: both row_number windows share ONE partitioning "
+    "(one exchange on the bar key — the second window reuses the "
+    "sorted partition with a reversed sort, no new shuffle), then one "
+    "hash aggregate; at 100 TB this downsamples in a single pass with "
+    "per-bar state only.",
+)
+def a18_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = read_testdata(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bar_ts"),
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("tsec"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    wf = W.partitionBy("event_type", "bar_ts").orderBy("tsec", "event_id")
+    wl = W.partitionBy("event_type", "bar_ts").orderBy(
+        F.col("tsec").desc(), F.col("event_id").desc()
+    )
+    w = e.select(
+        "event_type",
+        "bar_ts",
+        "vc",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return w.groupBy("event_type", "bar_ts").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("vc")))
+        .cast("bigint")
+        .alias("open_c"),
+        F.max("vc").cast("bigint").alias("high_c"),
+        F.min("vc").cast("bigint").alias("low_c"),
+        F.max(F.when(F.col("rl") == 1, F.col("vc")))
+        .cast("bigint")
+        .alias("close_c"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

@@ -308,3 +308,198 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ev / 40).cast("bigint") % 40).alias("dst"),
     )
     return triangle_counts(edges)
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300)
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS total_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="Q18 shape (large-volume orders): the group-filter-join "
+    "pipeline — aggregate lineitem per order, HAVING-filter to the "
+    "heavy tail (>300 units, ~top 1% at every SF), then join orders "
+    "and customer and take the top-100 by value. Engine shape: the "
+    "HAVING runs as a partial+final hash aggregate BEFORE either join "
+    "touches a wide row, so the joins see ~1% of orders — the "
+    "aggregate-pushdown discipline that matters when lineitem is the "
+    "100 TB table; AQE converts the post-filter joins to broadcast at "
+    "runtime from the observed size. Integer-unit quantities and cents "
+    "totals keep the HAVING boundary and the ranking engine-exact; "
+    "top-100 is TakeOrderedAndProject (no global sort), tie-broken on "
+    "o_orderkey.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    orders = read_testdata(spark, sf_dir, "orders")
+    cust = read_testdata(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("total_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {_REV_SQL} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    doc="Q7 shape (volume shipping between nation pairs): the six-way "
+    "snowflake join — lineitem x orders x customer x supplier x "
+    "nation(x2) — with a DISJUNCTIVE cross-dimension predicate that "
+    "cannot be pushed to a single scan. Engine shape: both nation dims "
+    "(25 fixed rows each) broadcast; the supplier and customer joins "
+    "hash on their keys; the pair predicate evaluates after the two "
+    "broadcast joins attach names, filtering early enough that the "
+    "final aggregate sees only the two nations' rows. Revenue in exact "
+    "integer cents; year as BIGINT on both engines. This is the shape "
+    "where join ORDER matters at 100 TB — dims attach to the fact "
+    "pipeline without ever shuffling the fact on a dim key.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem")
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = read_testdata(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_testdata(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("ship_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(_revenue())
+        .select("supp_nation", "cust_nation", "ship_year", "revenue")
+    )
+
+
+@register(
+    "g3_bfs_hops",
+    oracle="""
+    WITH ev AS (
+      SELECT (doc_id * 2654435761) % 2147483648 AS e FROM documents),
+    edges AS (
+      SELECT DISTINCT e % 40 AS src, (e // 40) % 40 AS dst
+      FROM ev WHERE e % 40 <> (e // 40) % 40),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    d0 AS (
+      SELECT node, CAST(0 AS BIGINT) AS d FROM nodes WHERE node % 7 = 0),
+    d1 AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d0
+        UNION ALL
+        SELECT e.dst, d0.d + 1 FROM d0 JOIN edges e ON e.src = d0.node)
+      GROUP BY node),
+    d2 AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d1
+        UNION ALL
+        SELECT e.dst, d1.d + 1 FROM d1 JOIN edges e ON e.src = d1.node)
+      GROUP BY node),
+    d3 AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d2
+        UNION ALL
+        SELECT e.dst, d2.d + 1 FROM d2 JOIN edges e ON e.src = d2.node)
+      GROUP BY node)
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(coalesce(d3.d, -1) AS BIGINT) AS hops
+    FROM nodes n LEFT JOIN d3 ON d3.node = n.node
+    """,
+    doc="G3 (multi-source BFS extension): hop distance from a seed set "
+    "(node % 7 == 0) over the synthesized host graph, capped at three "
+    "frontier expansions — the crawl-frontier / link-distance "
+    "primitive (operators/graph.py:bfs_hops); unreached nodes get -1. "
+    "The oracle unrolls the three min-relaxation steps verbatim (the "
+    "g1 playbook), so the driver checks the ITERATIVE computation "
+    "itself. Engine shape per iteration: frontier x edges equi-join + "
+    "min-aggregate, lineage truncated via the checkpoint_dir knob "
+    "(localCheckpoint locally; reliable checkpoint at cluster scale); "
+    "distances only shrink, so the computation is monotone and "
+    "partition-order-free — bit-exact under any schedule.",
+)
+def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.graph import bfs_hops
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    ev = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+    edges = docs.select(
+        (ev % 40).alias("src"),
+        ((ev / 40).cast("bigint") % 40).alias("dst"),
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 7 == 0)
+    )
+    return bfs_hops(edges, seeds, n_iter=3)

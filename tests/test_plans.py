@@ -722,3 +722,19 @@ def test_temporal_join_entry_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the as-of carry is a window over the tagged union, not a join at all
     assert "Window" in plan
+
+
+def test_twa_and_ohlc_single_exchange(spark):
+    """a17/a18 must stay single-exchange pipelines: the window(s) and
+    the final aggregate all ride ONE partitioning on the bucket key —
+    a second Exchange would mean the window partitioning and groupBy
+    keys drifted apart."""
+    p = _plan(spark, "a17_time_weighted_avg")
+    assert p.count("Exchange (") == 1
+    assert p.count("Window (") == 1
+    p = _plan(spark, "a18_ohlc_bars")
+    assert p.count("Exchange (") == 1
+    # two windows (forward + reverse row_number), both reusing the one
+    # exchange with their own sort order
+    assert p.count("Window (") == 2
+    assert "CartesianProduct" not in p
