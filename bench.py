@@ -115,6 +115,18 @@ HEADLINE = [
     "u10_restore",
     "j12_temporal_join",
     "d4_ann_lsh_rank",
+    # round-6 second wave: composed Q7/Q18 joins, multi-source BFS,
+    # time-weighted avg + OHLC downsampling, IP/CIDR enrichment,
+    # fixed-width feed roundtrip (cold rep includes the one-time text
+    # write), tar shard member walk
+    "q18_large_orders",
+    "q7_nation_volume",
+    "g3_bfs_hops",
+    "a17_time_weighted_avg",
+    "a18_ohlc_bars",
+    "f18_ip_cidr",
+    "s18_fixed_width_scan",
+    "d5_tar_meta",
 ]
 
 

@@ -253,3 +253,55 @@ def parse_money_cents(col: Column | str) -> Column:
         F.split(cleaned, r"\.").getItem(1).cast("bigint"), F.lit(0)
     )
     return F.when(ok, dollars * 100 + frac)
+
+
+def ipv4_to_long(ip: Column | str) -> Column:
+    """Dotted-quad IPv4 string -> unsigned-32 value as BIGINT, NULL for
+    anything that is not exactly four dot-separated 0-255 integers (no
+    leading '+', no empty octets — quarantine routing, never a garbage
+    key). Pure codegen: one regexp gate + split + fold, no UDF."""
+    c = F.col(ip) if isinstance(ip, str) else ip
+    ok = c.rlike(
+        r"^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$"
+    )
+    parts = F.split(c, r"\.")
+    val = (
+        parts.getItem(0).cast("bigint") * 16777216
+        + parts.getItem(1).cast("bigint") * 65536
+        + parts.getItem(2).cast("bigint") * 256
+        + parts.getItem(3).cast("bigint")
+    )
+    return F.when(ok, val)
+
+
+def long_to_ipv4(v: Column | str) -> Column:
+    """Inverse of ipv4_to_long: BIGINT in [0, 2^32) -> dotted quad."""
+    c = F.col(v) if isinstance(v, str) else v
+    return F.concat_ws(
+        ".",
+        ((c / 16777216).cast("bigint") % 256).cast("string"),
+        ((c / 65536).cast("bigint") % 256).cast("string"),
+        ((c / 256).cast("bigint") % 256).cast("string"),
+        (c % 256).cast("string"),
+    )
+
+
+def cidr_contains(cidr: str, ip_long: Column) -> Column:
+    """True when `ip_long` (BIGINT from ipv4_to_long) falls inside the
+    LITERAL 'a.b.c.d/n' network. The prefix is resolved to an integer
+    range AT PLAN TIME (python ints folded into the comparison), so the
+    check is two codegen comparisons — the shape that lets Catalyst
+    push blocklist ranges into the scan."""
+    net, _, bits_s = cidr.partition("/")
+    bits = int(bits_s)
+    if not 0 <= bits <= 32:
+        raise ValueError(f"bad CIDR prefix length in {cidr!r}")
+    o = [int(x) for x in net.split(".")]
+    if len(o) != 4 or any(not 0 <= x <= 255 for x in o):
+        raise ValueError(f"bad CIDR network in {cidr!r}")
+    base = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+    mask = ((1 << 32) - 1) ^ ((1 << (32 - bits)) - 1)
+    lo = base & mask
+    hi = lo + (1 << (32 - bits)) - 1
+    return ip_long.isNotNull() & (ip_long >= lo) & (ip_long <= hi)

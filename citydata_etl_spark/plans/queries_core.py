@@ -1506,3 +1506,62 @@ def u10_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (1, 2, 3)
     ]
     return reads[0].unionByName(reads[1]).unionByName(reads[2])
+
+
+@register(
+    "s18_fixed_width_scan",
+    oracle="""
+    SELECT o_orderkey AS id, o_orderstatus AS status,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderkey % 100 < 15
+    """,
+    doc="S18 (fixed-width file format): the mainframe/COBOL-era layout "
+    "ETL systems still ingest — columns at fixed byte offsets, "
+    "right-justified space-padded numbers, left-justified strings, no "
+    "delimiter at all. The entry WRITES a fixed-width feed from orders "
+    "(lpad/rpad projections, one text file set), then READS it back "
+    "with spark.read.text + substring/trim/cast codegen parsing — no "
+    "UDF, no regex; the parse plan is a pure per-row projection over "
+    "the line scan, which is the only shape that matters when the feed "
+    "is 100 TB of EBCDIC-converted bank records. The oracle states the "
+    "roundtrip in closed form (parse of construct = identity), so the "
+    "driver verifies offsets, padding, and numeric re-parse exactly. "
+    "Layout: id 12R, status 4L, cents 14R, priority 16L.",
+)
+def s18_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s18_fixedwidth_{tag}")
+    path = root + "/feed"
+    orders = read_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 < 15
+    )
+
+    def _build() -> None:
+        line = F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
+            F.rpad(F.col("o_orderstatus"), 4, " "),
+            F.lpad(
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("bigint")
+                .cast("string"),
+                14,
+                " ",
+            ),
+            F.rpad(F.col("o_orderpriority"), 16, " "),
+        )
+        orders.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    _build_once(root, _build)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.trim(F.substring("value", 1, 12)).cast("bigint").alias("id"),
+        F.rtrim(F.substring("value", 13, 4)).alias("status"),
+        F.trim(F.substring("value", 17, 14)).cast("bigint")
+        .alias("price_cents"),
+        F.rtrim(F.substring("value", 31, 16)).alias("priority"),
+    )

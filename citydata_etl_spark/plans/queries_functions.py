@@ -689,3 +689,97 @@ def f17_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_bot"),
         F.nullif(ver, F.lit("")).cast("bigint").alias("major_version"),
     )
+
+
+@register(
+    "f18_ip_cidr",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events),
+    mk AS (
+      SELECT user_id,
+             (user_id * 2654435761 + 7) % 4294967296 AS v
+      FROM u),
+    ips AS (
+      SELECT user_id,
+             (CASE WHEN user_id % 17 = 0 THEN '999'
+                   ELSE CAST((v // 16777216) % 256 AS VARCHAR) END)
+             || '.' || CAST((v // 65536) % 256 AS VARCHAR)
+             || '.' || CAST((v // 256) % 256 AS VARCHAR)
+             || '.' || CAST(v % 256 AS VARCHAR) AS ip
+      FROM mk),
+    parsed AS (
+      SELECT user_id, ip,
+             CASE WHEN regexp_matches(ip,
+               '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$')
+             THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                + CAST(string_split(ip, '.')[4] AS BIGINT)
+             END AS ip_num
+      FROM ips)
+    SELECT user_id, ip, ip_num,
+           coalesce(ip_num >= 167772160 AND ip_num <= 184549375, FALSE)
+             AS in_private_10,
+           coalesce(ip_num >= 2147483648 AND ip_num <= 4294967295, FALSE)
+             AS in_upper_half,
+           CASE WHEN ip_num IS NOT NULL THEN
+             CAST((ip_num // 16777216) % 256 AS VARCHAR)
+             || '.' || CAST((ip_num // 65536) % 256 AS VARCHAR)
+             || '.' || CAST((ip_num // 256) % 256 AS VARCHAR)
+             || '.0/24'
+           END AS net24
+    FROM parsed
+    """,
+    doc="F18 (IP parse + CIDR containment): dotted-quad IPv4 -> "
+    "unsigned-32 BIGINT with strict validation (octet range 0-255, "
+    "exactly four — malformed input yields NULL for quarantine "
+    "routing, never a shared garbage key), literal-CIDR membership "
+    "resolved to an integer range AT PLAN TIME (two codegen "
+    "comparisons — pushable into a scan as a blocklist range), and "
+    "the /24 network rollup key (functions/scalar.py:ipv4_to_long, "
+    "cidr_contains, long_to_ipv4). Input is a deterministic LCG-"
+    "synthesized address per user (every 17th corrupted to octet 999 "
+    "to exercise the NULL path), so both engines state identical "
+    "rows. Shape: one distinct + pure projections — the per-row cost "
+    "profile of access-log geo/abuse enrichment at 100 TB.",
+)
+def f18_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.functions.scalar import (
+        cidr_contains,
+        ipv4_to_long,
+        long_to_ipv4,
+    )
+
+    u = read_testdata(spark, sf_dir, "events").select("user_id").distinct()
+    v = (F.col("user_id") * 2654435761 + 7) % F.lit(4294967296)
+    oct0 = F.when(F.col("user_id") % 17 == 0, F.lit("999")).otherwise(
+        ((v / 16777216).cast("bigint") % 256).cast("string")
+    )
+    ip = F.concat_ws(
+        ".",
+        oct0,
+        ((v / 65536).cast("bigint") % 256).cast("string"),
+        ((v / 256).cast("bigint") % 256).cast("string"),
+        (v % 256).cast("string"),
+    )
+    ips = u.select("user_id", ip.alias("ip"))
+    num = ipv4_to_long("ip")
+    return ips.select(
+        "user_id",
+        "ip",
+        num.alias("ip_num"),
+    ).select(
+        "user_id",
+        "ip",
+        "ip_num",
+        cidr_contains("10.0.0.0/8", F.col("ip_num")).alias("in_private_10"),
+        cidr_contains("128.0.0.0/1", F.col("ip_num")).alias("in_upper_half"),
+        F.when(
+            F.col("ip_num").isNotNull(),
+            F.concat(
+                long_to_ipv4(F.col("ip_num") - F.col("ip_num") % 256),
+                F.lit("/24"),
+            ),
+        ).alias("net24"),
+    )

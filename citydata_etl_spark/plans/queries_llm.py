@@ -2008,3 +2008,78 @@ def d5_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return mp4_header_meta(media)
+
+
+@register(
+    "d5_tar_meta",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id % 8 AS shard_id, doc_id,
+             'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             CAST(octet_length(encode(text)) AS BIGINT) AS size
+      FROM documents)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, name, size,
+           CAST(coalesce(sum(512 + ((size + 511) // 512) * 512)
+                  OVER (PARTITION BY shard_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                + 512 AS BIGINT) AS data_offset
+    FROM m
+    """,
+    doc="D5 [north-star multimodal]: tar shard member listing — the "
+    "WebDataset access pattern: multimodal corpora ship as tar files "
+    "of per-sample members, and every reader first needs (name, size, "
+    "byte offset) per member WITHOUT unpacking, so a ranged GET can "
+    "fetch exactly one sample from object storage. The entry BUILDS "
+    "real ustar archives (8 shards over documents, Python tarfile in "
+    "applyInPandas with pinned metadata — the producer half of the "
+    "WebDataset pipeline), then the OPERATOR walks 512-byte headers "
+    "with CHECKSUM VERIFICATION (operators/multimodal.py:tar_members "
+    "— a misaligned walk cannot hallucinate members from payload "
+    "bytes). The oracle states the full member index in closed form: "
+    "ustar layout means data_offset is a prefix sum of 512-padded "
+    "member blocks + one header — so the driver verifies the byte "
+    "math of the walk, not just row counts. Both halves are "
+    "Arrow-batched; per-shard cost is linear in the shard.",
+)
+def d5_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import tar_members
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("shard_id"), "doc_id", "text"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bio = io.BytesIO()
+        # USTAR_FORMAT pins plain 512-byte headers (the default PAX
+        # format would interleave extended-header records and shift
+        # every offset); metadata zeroed for bit-determinism
+        with tarfile.open(
+            fileobj=bio, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                ti = tarfile.TarInfo(name=f"doc_{did}.txt")
+                ti.size = len(data)
+                ti.mtime = 0
+                ti.mode = 0o644
+                tf.addfile(ti, io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "content": [bio.getvalue()],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        build, schema="shard_id BIGINT, content BINARY"
+    )
+    return tar_members(shards)

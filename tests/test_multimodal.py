@@ -313,3 +313,51 @@ def test_mp4_box_walk_edge_cases():
     lying = be4(10_000) + b"moov" + mvhd0
     assert _parse_mp4_mvhd(ftyp + lying) is None
     assert _parse_mp4_mvhd(None) is None
+
+
+def test_tar_walk_totality_and_checksum():
+    """_walk_tar must parse a real ustar archive exactly, stop (never
+    raise) on truncation / corrupted checksum / lying sizes, and
+    refuse to hallucinate members from payload bytes."""
+    import io
+    import tarfile
+
+    from citydata_etl_spark.operators.multimodal import _walk_tar
+
+    bio = io.BytesIO()
+    payloads = {"a.txt": b"hello", "sub.bin": b"x" * 513, "empty": b""}
+    with tarfile.open(fileobj=bio, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in payloads.items():
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(data)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(data))
+    blob = bio.getvalue()
+    got = _walk_tar(blob)
+    assert [(n, s) for n, s, _ in got] == [
+        ("a.txt", 5), ("sub.bin", 513), ("empty", 0)
+    ]
+    # offsets point at the actual payload bytes
+    for name, size, off in got:
+        assert blob[off:off + size] == payloads[name]
+    # second member starts one header + one 512-padded block later
+    assert got[1][2] == got[0][2] + 512 + 512
+
+    # truncated mid-header: parse the intact prefix, never raise
+    assert [n for n, _, _ in _walk_tar(blob[: got[1][2] + 100])] == [
+        "a.txt", "sub.bin"
+    ] or [n for n, _, _ in _walk_tar(blob[: got[1][2] + 100])] == ["a.txt"]
+    # corrupted checksum on the first header: zero members
+    bad = bytearray(blob)
+    bad[148:156] = b"0000000\0"
+    assert _walk_tar(bytes(bad)) == []
+    # payload bytes that look header-ish cannot appear as members:
+    # corrupt the SIZE so the walk would land inside sub.bin's payload
+    lying = bytearray(blob)
+    lying[124 + 512 + 512:136 + 512 + 512] = b"00000000000\0"  # sub.bin size=0
+    # checksum now wrong for that header -> walk stops after a.txt
+    assert [n for n, _, _ in _walk_tar(bytes(lying))] == ["a.txt"]
+    assert _walk_tar(None) == []
+    assert _walk_tar(b"") == []
+    assert _walk_tar(b"\0" * 1024) == []

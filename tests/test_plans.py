@@ -738,3 +738,47 @@ def test_twa_and_ohlc_single_exchange(spark):
     # exchange with their own sort order
     assert p.count("Window (") == 2
     assert "CartesianProduct" not in p
+
+
+def test_ipv4_functions_edges(spark):
+    """Strict parse: octets 0-255 only, no leading zeros, exactly four
+    octets; round-trip through long_to_ipv4; literal CIDR ranges."""
+    from citydata_etl_spark.functions.scalar import (
+        cidr_contains,
+        ipv4_to_long,
+        long_to_ipv4,
+    )
+
+    rows = [
+        ("0.0.0.0", 0),
+        ("255.255.255.255", 4294967295),
+        ("10.1.2.3", (10 << 24) + (1 << 16) + (2 << 8) + 3),
+        ("256.1.1.1", None),
+        ("1.2.3", None),
+        ("1.2.3.4.5", None),
+        ("01.2.3.4", None),      # leading zero rejected
+        ("1.2.3.x", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(ip,) for ip, _ in rows], "ip STRING")
+    got = [
+        r["n"]
+        for r in df.select(ipv4_to_long("ip").alias("n")).collect()
+    ]
+    assert got == [n for _, n in rows]
+    rt = df.filter(ipv4_to_long("ip").isNotNull()).select(
+        "ip", long_to_ipv4(ipv4_to_long("ip")).alias("back")
+    )
+    assert all(r["ip"] == r["back"] for r in rt.collect())
+    flags = df.select(
+        "ip",
+        cidr_contains("10.0.0.0/8", ipv4_to_long("ip")).alias("p10"),
+    ).collect()
+    assert {r["ip"]: r["p10"] for r in flags}["10.1.2.3"] is True
+    assert {r["ip"]: r["p10"] for r in flags}["256.1.1.1"] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cidr_contains("10.0.0.0/33", ipv4_to_long("ip"))
+    with _pytest.raises(ValueError):
+        cidr_contains("300.0.0.0/8", ipv4_to_long("ip"))
