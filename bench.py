@@ -127,6 +127,9 @@ HEADLINE = [
     "f18_ip_cidr",
     "s18_fixed_width_scan",
     "d5_tar_meta",
+    "u11_incremental_view",
+    "j13_dpp_join",
+    "t14_stream_ohlc",
 ]
 
 

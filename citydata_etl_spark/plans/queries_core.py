@@ -1565,3 +1565,76 @@ def s18_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         F.rtrim(F.substring("value", 31, 16)).alias("priority"),
     )
+
+
+@register(
+    "u11_incremental_view",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 100 < 10),
+    v3 AS (
+      SELECT id,
+             CASE WHEN id % 11 = 0 THEN 'V3'
+                  WHEN id % 7 = 0 THEN 'V2' ELSE status END AS status,
+             price_cents
+      FROM base
+      UNION ALL
+      SELECT -id - 1, 'NEW', CAST(0 AS BIGINT)
+      FROM base WHERE id % 13 = 0)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price_cents) AS BIGINT) AS total_cents
+    FROM v3 GROUP BY status
+    """,
+    doc="U11 (incremental view maintenance): refresh a per-status "
+    "(count, sum) aggregate by applying the snapshot store's CHANGE "
+    "FEED instead of rescanning the table — the materialized-view "
+    "maintenance pattern the CDF exists for. The entry aggregates "
+    "VERSION 1 of u8's shared three-version table, then folds in "
+    "snapshot_changes(1, 3): an update retracts (-1, -old_cents) from "
+    "its OLD status group and asserts (+1, +new_cents) into its NEW "
+    "one (group moves handled by construction), an insert only "
+    "asserts. The oracle states version 3's aggregate directly, so "
+    "the driver proves incremental-apply == full recompute, bit-exact "
+    "in integer cents. Cost at 100 TB: the refresh reads ONLY "
+    "rewritten buckets (the CDF bound) plus the old aggregate — "
+    "independent of table size, which is the entire point vs a "
+    "nightly full rescan.",
+)
+def u11_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_read,
+    )
+
+    table = _u8_snapshot_table(spark, sf_dir)
+    base_agg = (
+        snapshot_read(spark, table, 1)
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("price_cents").cast("bigint").alias("c"),
+        )
+    )
+    feed = snapshot_changes(spark, table, 1, 3)
+    retract = feed.filter(F.col("_change").isin("update", "delete")).select(
+        F.col("old_status").alias("status"),
+        F.lit(-1).cast("bigint").alias("n"),
+        (-F.col("old_price_cents")).cast("bigint").alias("c"),
+    )
+    assert_ = feed.filter(F.col("_change").isin("update", "insert")).select(
+        F.col("new_status").alias("status"),
+        F.lit(1).cast("bigint").alias("n"),
+        F.col("new_price_cents").cast("bigint").alias("c"),
+    )
+    return (
+        base_agg.unionByName(retract)
+        .unionByName(assert_)
+        .groupBy("status")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("total_cents"),
+        )
+        .filter(F.col("n_rows") != 0)
+    )

@@ -640,3 +640,74 @@ def j12_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_ts="o_orderdate",
         dim_cols=["segment", "credit_cents"],
     )
+
+
+@register(
+    "j13_dpp_join",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m')
+          IN ('1995-04', '1995-05', '1995-06')
+    GROUP BY month
+    """,
+    doc="J13 (dynamic partition pruning): the fact table is stored "
+    "month-partitioned (Hive layout, built once), the months dimension "
+    "carries a quarter attribute the fact does not, and the query "
+    "filters on quarter = '1995Q2' — a predicate NO static pruner can "
+    "push into the fact scan because the partition keys it implies are "
+    "only known after the dim filter runs. Catalyst's DPP closes that "
+    "gap: the broadcast dim's surviving join keys become a runtime "
+    "PartitionFilter on the fact scan (plan-guarded: the scan carries "
+    "a dynamicpruning expression), so only 3 of ~80 month directories "
+    "are ever read. At 100 TB this is THE mechanism that turns "
+    "dim-driven reporting queries from full scans into targeted "
+    "reads; the oracle states the surviving months in closed form.",
+)
+def j13_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.plans.queries_core import _build_once
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"j13_dpp_{tag}")
+    path = root + "/fact"
+    orders = read_testdata(spark, sf_dir, "orders")
+
+    def _build() -> None:
+        (
+            orders.withColumn(
+                "o_month", F.date_format("o_orderdate", "yyyy-MM")
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
+        )
+
+    _build_once(root, _build)
+    fact = spark.read.parquet(path)
+    months = [
+        (f"{y}-{m:02d}", f"{y}Q{(m - 1) // 3 + 1}")
+        for y in range(1992, 1999)
+        for m in range(1, 13)
+    ]
+    dim = spark.createDataFrame(months, "month STRING, quarter STRING")
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("quarter") == "1995Q2")),
+            fact["o_month"] == dim["month"],
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )

@@ -1212,3 +1212,73 @@ def t13_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key="event_type", ts="ts", value="value",
         tiebreak="event_id", step_s=900,
     )
+
+
+@register(
+    "t14_stream_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bar_ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    w AS (
+      SELECT event_type, bar_ts, vc,
+             row_number() OVER (PARTITION BY event_type, bar_ts
+                                ORDER BY tsec, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, bar_ts
+                                ORDER BY tsec DESC, event_id DESC) AS rl
+      FROM e)
+    SELECT event_type, bar_ts,
+           CAST(max(CASE WHEN rf = 1 THEN vc END) AS BIGINT) AS open_c,
+           CAST(max(vc) AS BIGINT) AS high_c,
+           CAST(min(vc) AS BIGINT) AS low_c,
+           CAST(max(CASE WHEN rl = 1 THEN vc END) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY event_type, bar_ts
+    """,
+    doc="T14 (streaming OHLC): the STREAMING twin of a18_ohlc_bars — "
+    "candlestick downsampling as an incremental aggregation: open = "
+    "min_by(value, (tsec, event_id)), close = max_by over the same "
+    "TOTAL order, high/low/count as plain aggregates. Every piece is "
+    "a declarative, MERGEABLE aggregate (min_by keeps one (key, "
+    "value) pair of state per bar), so the bars update per "
+    "micro-batch with O(bars) state and NO event buffer — compare "
+    "t12, which must buffer events because sessions are not "
+    "mergeable. The oracle is a18's closed form verbatim: the driver "
+    "proves the incremental stream state-fold equals the batch "
+    "window computation bit-exactly, the equivalence that lets one "
+    "codebase serve both the backfill and the live dashboard.",
+)
+def t14_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    e = stream.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("bigint")
+        .alias("bar_ts"),
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("tsec"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc"),
+    )
+    order = F.struct("tsec", "event_id")
+    agg = e.groupBy("event_type", "bar_ts").agg(
+        F.min_by("vc", order).cast("bigint").alias("open_c"),
+        F.max("vc").cast("bigint").alias("high_c"),
+        F.min("vc").cast("bigint").alias("low_c"),
+        F.max_by("vc", order).cast("bigint").alias("close_c"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    name = f"t14_stream_ohlc_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name),
+    )
+    return spark.sql(f"SELECT * FROM {name}")

@@ -782,3 +782,14 @@ def test_ipv4_functions_edges(spark):
         cidr_contains("10.0.0.0/33", ipv4_to_long("ip"))
     with _pytest.raises(ValueError):
         cidr_contains("300.0.0.0/8", ipv4_to_long("ip"))
+
+
+def test_dpp_join_prunes_partitions(spark):
+    """j13's fact scan must carry a DYNAMIC pruning expression on the
+    partition column — the dim-driven runtime filter that turns a
+    dim-attribute query into a 3-directory read; without it the scan
+    reads every month partition."""
+    p = _plan(spark, "j13_dpp_join")
+    assert "dynamicpruning" in p.lower()
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "dynamicpruning" in pf.lower()
