@@ -130,6 +130,8 @@ HEADLINE = [
     "u11_incremental_view",
     "j13_dpp_join",
     "t14_stream_ohlc",
+    "d5_gif_meta",
+    "a19_event_transitions",
 ]
 
 

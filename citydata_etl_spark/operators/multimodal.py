@@ -248,6 +248,50 @@ def png_header_meta(media: DataFrame,
     )
 
 
+def gif_header_meta(media: DataFrame,
+                    content_col: str = "content",
+                    id_col: str = "media_id") -> DataFrame:
+    """GIF logical-screen metadata without a decoder: magic GIF87a/89a,
+    then width/height as LITTLE-endian uint16 at byte offsets 6/8 and
+    the packed flags byte at 10 (global-color-table flag in bit 7,
+    table size 2^(bits2-0 + 1)) — all fixed offsets, so the parse is
+    pure conv(hex, 16, 10) codegen like png_header_meta, with the LE
+    byte-pair reversal wav_header_meta established (_le_uint). Non-GIF
+    rows yield NULLs. The last first-class still-image container in
+    the triage triad (PNG big-endian, JPEG marker walk, GIF little-
+    endian): version/palette/dimension filters over a crawl with zero
+    pixel decoding."""
+    h = F.hex(F.substring(F.col(content_col), 1, 11))
+    is_gif = h.startswith("474946383761") | h.startswith("474946383961")
+    guard = lambda c: F.when(is_gif, c)
+    packed = F.conv(F.substring(h, 21, 2), 16, 10).cast("bigint")
+    width = _le_uint(h, 13, 2)   # byte offset 6 -> hex pos 13
+    height = _le_uint(h, 17, 2)  # byte offset 8
+    return media.select(
+        id_col,
+        guard(
+            F.when(h.startswith("474946383961"), F.lit("89a"))
+            .otherwise(F.lit("87a"))
+        ).alias("version"),
+        guard(width).alias("width"),
+        guard(height).alias("height"),
+        # 2^(N+1) palette entries when the GCT flag (bit 7) is set;
+        # pow() on ints <= 2^8 is exact in double (shiftleft's numBits
+        # must be a literal in the DataFrame API, so it can't ride a
+        # column here)
+        guard(
+            F.when(
+                packed >= 128,
+                F.pow(F.lit(2.0), (packed % 8 + 1).cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).cast("bigint").alias("gct_entries"),
+        F.when(
+            is_gif & (height > 0),
+            (width * 1000 - (width * 1000) % height) / height,
+        ).cast("bigint").alias("aspect_pm"),
+    )
+
+
 _ENERGY_SCHEMA = (
     "media_id BIGINT, win_idx INT, n_samples INT, energy BIGINT"
 )

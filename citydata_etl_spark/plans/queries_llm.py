@@ -2083,3 +2083,76 @@ def d5_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, schema="shard_id BIGINT, content BINARY"
     )
     return tar_members(shards)
+
+
+@register(
+    "d5_gif_meta",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 2047 AS w,
+             1 + (doc_id * 11) % 1535 AS h,
+             doc_id % 2 = 1 AS v89,
+             doc_id % 4 = 0 AS has_gct,
+             doc_id % 8 AS nbits,
+             doc_id % 5 = 0 AS is_png
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN is_png THEN NULL
+                WHEN v89 THEN '89a' ELSE '87a' END AS version,
+           CASE WHEN is_png THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+           CASE WHEN is_png THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+           CASE WHEN is_png THEN NULL
+                WHEN has_gct THEN CAST(2 AS BIGINT) << nbits
+                ELSE CAST(0 AS BIGINT) END AS gct_entries,
+           CASE WHEN is_png THEN NULL
+                ELSE CAST((w * 1000) // h AS BIGINT) END AS aspect_pm
+    FROM p
+    """,
+    doc="D5 [north-star multimodal]: GIF logical-screen metadata — the "
+    "little-endian still-image companion to d5_png_meta (big-endian) "
+    "and d5_jpeg_meta (marker walk): version, dimensions (LE uint16 "
+    "byte-pair reversal via the wav _le_uint idiom), global-color-"
+    "table size from the packed flags byte (2^(bits+1) when bit 7 "
+    "set), exact per-mille aspect "
+    "(operators/multimodal.py:gif_header_meta). All fixed offsets -> "
+    "pure conv(hex,16,10) codegen, zero Python, zero exchanges. "
+    "Headers synthesized in closed form (dims/flags cycling by "
+    "doc_id, both versions, every 5th row a PNG that must yield "
+    "NULLs); the parser is separately pinned against genuine GIF "
+    "bytes in tests/test_multimodal.py.",
+)
+def d5_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import gif_header_meta
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w = (1 + d % 2047).cast("bigint")
+    h = (1 + (d * 11) % 1535).cast("bigint")
+    packed = (
+        F.when(d % 4 == 0, 128 + (d % 8)).otherwise(d % 8)
+    ).cast("bigint")
+
+    def le2(c):
+        return F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex((c / 256).cast("bigint")), 2, "0"),
+        )
+
+    def b1(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    magic = F.when(
+        d % 2 == 1, F.lit("474946383961")
+    ).otherwise(F.lit("474946383761"))
+    gif_hex = F.concat(magic, le2(w), le2(h), b1(packed), F.lit("0000"))
+    png_hex = F.lit("89504E470D0A1A0A" + "00" * 6)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.when(d % 5 == 0, png_hex).otherwise(gif_hex)
+        ).alias("content"),
+    )
+    return gif_header_meta(media)

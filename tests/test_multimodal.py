@@ -361,3 +361,27 @@ def test_tar_walk_totality_and_checksum():
     assert _walk_tar(None) == []
     assert _walk_tar(b"") == []
     assert _walk_tar(b"\0" * 1024) == []
+
+
+def test_gif_header_meta_real_bytes(spark):
+    """gif_header_meta pinned against genuine spec-assembled GIF bytes:
+    the canonical 1x1 89a with a 2-entry GCT, an 87a without one, and
+    non-GIF bytes yielding NULLs."""
+    from citydata_etl_spark.operators.multimodal import gif_header_meta
+
+    gif89 = (
+        b"GIF89a" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x80, 0, 0])  # GCT flag set, N=0 -> 2 entries
+    )
+    gif87 = (
+        b"GIF87a" + (320).to_bytes(2, "little")
+        + (200).to_bytes(2, "little") + bytes([0x00, 0, 0])
+    )
+    rows = [(1, gif89), (2, gif87), (3, b"\x89PNG\r\n\x1a\n" + b"\0" * 8)]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r.media_id: r for r in gif_header_meta(df).collect()}
+    assert (got[1].version, got[1].width, got[1].height,
+            got[1].gct_entries) == ("89a", 1, 1, 2)
+    assert (got[2].version, got[2].width, got[2].height,
+            got[2].gct_entries, got[2].aspect_pm) == ("87a", 320, 200, 0, 1600)
+    assert got[3].version is None and got[3].width is None
