@@ -132,6 +132,8 @@ HEADLINE = [
     "t14_stream_ohlc",
     "d5_gif_meta",
     "a19_event_transitions",
+    "t15_stream_snapshot_enrich",
+    "d4_winnowing",
 ]
 
 

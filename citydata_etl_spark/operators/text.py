@@ -17,6 +17,25 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
 FINGERPRINT_MOD = 1000000007
 
 
+def hex_fold_hash(s) -> "F.Column":
+    """Engine-portable string hash: fold (acc*31 + c) % FINGERPRINT_MOD
+    over the chars of hex(utf8_bytes(s)). Hashing the HEX SPELLING of
+    the UTF-8 bytes (pure ASCII in every engine) instead of raw chars
+    sidesteps the supplementary-plane divergence where Spark's
+    split('')/ascii() walks UTF-16 code units but SQL engines walk
+    codepoints. Shared by the quality scorer and winnowing — one
+    definition, one oracle idiom."""
+    return F.aggregate(
+        F.transform(
+            F.filter(F.split(F.hex(F.encode(s, "UTF-8")), ""),
+                     lambda c: c != ""),
+            lambda c: F.ascii(c).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Per-doc token statistics: token count, char count, whitespace ratio,
@@ -612,17 +631,7 @@ def hashed_linear_score(
     the per-row cost profile you want when scoring a crawl.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-
-    def tok_hash(t):
-        return F.aggregate(
-            F.transform(
-                F.filter(F.split(F.hex(F.encode(t, "UTF-8")), ""),
-                         lambda c: c != ""),
-                lambda c: F.ascii(c).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
-        )
+    tok_hash = hex_fold_hash
 
     def weight(t):
         b = tok_hash(t) % n_buckets
@@ -638,4 +647,76 @@ def hashed_linear_score(
         F.size(toks).cast("bigint").alias("n_tokens"),
         score.alias("score_sum"),
         (score >= 0).alias("keep"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust winnowing (Schleimer 2003, the MOSS fingerprinting
+    scheme): hash every char k-gram, slide a w-window over the hash
+    sequence, and select each window's RIGHTMOST MINIMAL hash — the
+    selection is position-stable under edits (the guarantee that makes
+    it the standard local fingerprinter for plagiarism/clone/overlap
+    detection at corpus scale, a density-bounded alternative to the
+    doc-level fingerprint and the shingle-set MinHash this engine
+    already carries).
+
+    Output per doc: n_fps (distinct selected (hash, pos) pairs),
+    fp_sum (sum of selected hashes — the order-free checksum an oracle
+    can state), pos_sum. Docs shorter than k + w - 1 chars yield no
+    full window and are absent, as the scheme defines.
+
+    Engine shape: positions explode DISTRIBUTEDLY (one Generate per
+    step, never a collect), the k-gram hash is the shared
+    hex_fold_hash codegen fold, each (pos, hash) fans out to exactly w
+    window-ends (the t5_sliding playbook), and the rightmost-minimal
+    pick is ONE aggregate via min(struct(hash, -pos)) — no join-back,
+    no second shuffle. Cost is O(chars * w) rows through two hash
+    aggregates; per-doc state never materializes.
+    """
+    L = F.length(F.col(text_col))
+    grams = docs.filter(L >= k + w - 1).select(
+        F.col(id_col),
+        F.col(text_col),
+        (L - k + 1).cast("bigint").alias("ng"),
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), (L - k + 1).cast("bigint"))
+        ).alias("pos"),
+    )
+    hs = grams.select(
+        id_col,
+        "ng",
+        "pos",
+        hex_fold_hash(
+            F.expr(f"substring({text_col}, pos, {k})")
+        ).alias("h"),
+    )
+    wends = hs.select(
+        id_col,
+        "h",
+        "pos",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (w - 1))
+        ).alias("j"),
+    ).filter((F.col("j") <= F.col("ng")) & (F.col("j") >= w))
+    picks = (
+        wends.groupBy(id_col, "j")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+             .alias("pick"))
+        .select(
+            id_col,
+            F.col("pick.h").alias("h"),
+            (-F.col("pick.np")).alias("pos"),
+        )
+        .distinct()
+    )
+    return picks.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_fps"),
+        F.sum("h").cast("bigint").alias("fp_sum"),
+        F.sum("pos").cast("bigint").alias("pos_sum"),
     )

@@ -2156,3 +2156,64 @@ def d5_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return gif_header_meta(media)
+
+
+@register(
+    "d4_winnowing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+      WHERE length(text) >= 11),
+    pos AS (
+      SELECT doc_id, text, L - 3 AS ng,
+             unnest(range(1, L - 3 + 1)) AS i
+      FROM d),
+    hs AS (
+      SELECT doc_id, ng, i,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(
+                     string_split(
+                       hex(encode(substring(text, CAST(i AS INT), 4))), ''),
+                     c -> c <> ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      FROM pos),
+    wends AS (
+      SELECT doc_id, h, i AS pos, i + jj AS j
+      FROM hs, (SELECT unnest(range(8)) AS jj)
+      WHERE i + jj <= ng AND i + jj >= 8),
+    wmin AS (
+      SELECT doc_id, j, min(h) AS mh FROM wends GROUP BY doc_id, j),
+    picks AS (
+      SELECT w.doc_id, w.j, w.h, max(w.pos) AS pos
+      FROM wends w JOIN wmin m
+        ON m.doc_id = w.doc_id AND m.j = w.j AND w.h = m.mh
+      GROUP BY w.doc_id, w.j, w.h),
+    fps AS (SELECT DISTINCT doc_id, h, pos FROM picks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(sum(h) AS BIGINT) AS fp_sum,
+           CAST(sum(pos) AS BIGINT) AS pos_sum
+    FROM fps GROUP BY doc_id
+    """,
+    doc="D4: robust winnowing fingerprints (Schleimer 2003 — the MOSS "
+    "scheme): hash every char 4-gram (the shared hex_fold_hash "
+    "codegen idiom), slide an 8-window over the hash sequence, select "
+    "each window's RIGHTMOST MINIMAL hash; distinct selections are "
+    "the doc's fingerprints, summarized order-free as (count, hash "
+    "sum, position sum) so the oracle states them exactly. The "
+    "position-stable, density-bounded LOCAL fingerprinter — between "
+    "doc_fingerprint (whole-doc) and MinHash (set-level): edits "
+    "perturb only nearby selections, the guarantee clone/overlap "
+    "detection is built on (operators/text.py:winnowing_fingerprints). "
+    "Engine shape: distributed explodes, ONE aggregate per stage; the "
+    "rightmost-minimal pick is min(struct(hash, -pos)) — no join-back "
+    "shuffle (the oracle's two-phase join states identical semantics; "
+    "the engine's struct-min is the better physical plan).",
+)
+def d4_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import winnowing_fingerprints
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=4, w=8)

@@ -1282,3 +1282,70 @@ def t14_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name),
     )
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "t15_stream_snapshot_enrich",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 100 < 10),
+    v2 AS (
+      SELECT id, CASE WHEN id % 7 = 0 THEN 'V2' ELSE status END AS status
+      FROM base)
+    SELECT v2.status,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN v2 ON v2.id = 9900 + e.user_id % 100
+    GROUP BY v2.status
+    """,
+    doc="T15 (stream x versioned dim): a streaming join whose STATIC "
+    "side is a PINNED SNAPSHOT VERSION of the copy-on-write store — "
+    "snapshot_read(version=2) of u8's shared table — so the enrichment "
+    "is immune to the dim's concurrent writers for the whole run (the "
+    "dim-consistency problem Delta solves with time travel on the "
+    "static side of stream-static joins; a live-table join would "
+    "observe different dim states across micro-batches). Events map "
+    "onto the dim's key space deterministically (9900 + user_id %% "
+    "100 — all keys %% 100 < 10 land in the table by construction); "
+    "the oracle states version 2 in closed form, so a result that "
+    "leaked version-3 statuses (V3/NEW) hash-fails. Broadcast static "
+    "side, complete-mode counts; per-batch cost is the broadcast "
+    "probe, state is the 6-row aggregate.",
+)
+def t15_stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.plans.queries_core import _u8_snapshot_table
+    from citydata_etl_spark.sources.snapshots import snapshot_read
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table = _u8_snapshot_table(spark, sf_dir)
+    dim = snapshot_read(spark, table, 2).select("id", "status")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # exact distinct users under streaming: distinct is not directly
+    # mergeable, so the stream aggregates at (status, user_id) grain —
+    # mergeable counts — and the final projection folds to per-status
+    # (n_events, n_users) after the run
+    agg = (
+        stream.withColumn("id", 9900 + F.col("user_id") % 100)
+        .join(F.broadcast(dim), "id")
+        .groupBy("status", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"t15_snapshot_enrich_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name),
+    )
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("status")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+    )

@@ -893,3 +893,69 @@ def test_update_dedup_index_incremental_semantics(spark, tmp_path):
     files_now = set(glob.glob(os.path.join(path, "bucket=*", "*")))
     untouched = files_after_b1 & files_now
     assert len(untouched) >= len(files_after_b1) - 1
+
+
+def test_winnowing_matches_python_reference(spark):
+    """winnowing_fingerprints equals a direct Python transcription of
+    robust winnowing (rightmost minimal hash per window) on synthetic
+    docs, including the shared-prefix edit-locality sanity check."""
+    from citydata_etl_spark.operators.text import (
+        FINGERPRINT_MOD,
+        winnowing_fingerprints,
+    )
+
+    k, w = 4, 8
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and AGAIN",
+        3: "aaaaaaaaaaaaaaaaaaaa",          # degenerate: all grams equal
+        4: "short",                          # < k + w - 1: no window
+        5: "abcdefghijk",                    # exactly k + w - 1 chars
+    }
+
+    def py_hash(g: str) -> int:
+        acc = 0
+        for c in g.encode("utf-8").hex().upper():
+            acc = (acc * 31 + ord(c)) % FINGERPRINT_MOD
+        return acc
+
+    def py_winnow(t: str):
+        n = len(t) - k + 1
+        if len(t) < k + w - 1:
+            return set()
+        hs = [py_hash(t[i:i + k]) for i in range(n)]
+        sel = set()
+        for j in range(w - 1, n):
+            window = hs[j - w + 1:j + 1]
+            m = min(window)
+            # rightmost minimal
+            for off in range(w - 1, -1, -1):
+                if window[off] == m:
+                    sel.add((m, j - w + 1 + off + 1))  # 1-based pos
+                    break
+        return sel
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_fps, r.fp_sum, r.pos_sum)
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+    for i, t in texts.items():
+        want = py_winnow(t)
+        if not want:
+            assert i not in got
+            continue
+        assert got[i] == (
+            len(want),
+            sum(h for h, _ in want),
+            sum(p for _, p in want),
+        ), f"doc {i}"
+    # edit locality: docs 1 and 2 differ only in the tail, so their
+    # fingerprint sets agree on every selection positioned well before
+    # the edit point
+    s1, s2 = py_winnow(texts[1]), py_winnow(texts[2])
+    edit = len(texts[1]) - 5
+    early1 = {x for x in s1 if x[1] + k + w - 1 < edit}
+    assert early1 <= s2
