@@ -134,6 +134,7 @@ HEADLINE = [
     "a19_event_transitions",
     "t15_stream_snapshot_enrich",
     "d4_winnowing",
+    "j6_asof_tolerance",
 ]
 
 

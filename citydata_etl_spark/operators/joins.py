@@ -66,12 +66,20 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join, per key, inclusive:
       - 'backward': most recent right row with right.ts <= left.ts;
       - 'forward' : earliest    right row with right.ts >= left.ts;
       - 'nearest' : whichever of the two is closer in event time
                     (exact ties prefer backward, pd.merge_asof-style).
+
+    `tolerance` (pd.merge_asof's knob) NULLs the carry when the matched
+    row sits further than `tolerance` from the left timestamp — in the
+    ts column's EXACT comparison unit: microseconds for timestamps,
+    days for dates, native units for numerics. A stale quote past the
+    tolerance horizon is worse than no quote; the gate is a codegen
+    projection on the already-computed carry, costing nothing extra.
 
     Implementation: tag + union both sides, then window passes over ONE
     sort per key ordered by ts — RANGE frames ([-inf, current ts] /
@@ -164,6 +172,22 @@ def asof_join(
     def fwd(c):
         return F.first(c, ignorenulls=True).over(w_fwd)
 
+    from pyspark.sql.types import IntegralType
+
+    def num(c):
+        # exact comparisons where exactness exists: timestamps as
+        # integer micros (a double of epoch seconds has only ~0.2 us
+        # resolution and could flip a nearest tie), integrals as
+        # bigint (double would round past 2^53); only fractional
+        # types go through double
+        if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(c.cast("timestamp"))
+        if isinstance(ts_type, DateType):
+            return F.unix_date(c)
+        if isinstance(ts_type, IntegralType):
+            return c.cast("bigint")
+        return c.cast("double")
+
     if direction == "backward":
         rv = back("__rrow")
     elif direction == "forward":
@@ -171,22 +195,6 @@ def asof_join(
     else:  # nearest: carry both candidate rows, pick the closer one per
         # row (ties and missing-forward fall back to backward,
         # missing-backward falls forward)
-        from pyspark.sql.types import IntegralType
-
-        def num(c):
-            # exact comparisons where exactness exists: timestamps as
-            # integer micros (a double of epoch seconds has only ~0.2 us
-            # resolution and could flip a nearest tie), integrals as
-            # bigint (double would round past 2^53); only fractional
-            # types go through double
-            if isinstance(ts_type, (TimestampType, TimestampNTZType)):
-                return F.unix_micros(c.cast("timestamp"))
-            if isinstance(ts_type, DateType):
-                return F.unix_date(c)
-            if isinstance(ts_type, IntegralType):
-                return c.cast("bigint")
-            return c.cast("double")
-
         brow, frow = back("__rrow"), fwd("__rrow")
         bts, fts = brow["__rowts"], frow["__rowts"]
         use_back = fts.isNull() | (
@@ -197,6 +205,11 @@ def asof_join(
             )
         )
         rv = F.when(use_back, brow).otherwise(frow)
+    if tolerance is not None:
+        # micros/days/native-unit distance gate on the matched row —
+        # stale matches past the horizon become no-match, not best-match
+        dist = F.abs(num(F.col("__ts")) - num(rv["__rowts"]))
+        rv = F.when(rv.isNotNull() & (dist <= tolerance), rv)
     carried = unioned.select("__side", "__left", rv.alias("__rv"))
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col("__left")[c].alias(c) for c in lcols],

@@ -711,3 +711,52 @@ def j13_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+@register(
+    "j6_asof_tolerance",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+         views AS (SELECT user_id, max(value) AS view_value, ts
+                   FROM events WHERE event_type = 'view'
+                   GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts AS ts,
+           CASE WHEN v.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+                THEN v.ts END AS right_ts,
+           CASE WHEN v.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+                THEN v.view_value END AS right_view_value
+    FROM purch p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join with a TOLERANCE horizon (pd.merge_asof's knob, "
+    "completing the j6 family): the most recent view at-or-before each "
+    "purchase, but a match older than 1 hour is NULLed — a stale quote "
+    "past the horizon is worse than no quote (the standard guard in "
+    "feature joins and tick enrichment). The gate is a codegen "
+    "projection over the already-computed row-atomic carry (exact "
+    "integer-micros distance), so it costs nothing beyond the base "
+    "as-of: one shuffle, one sort, linear "
+    "(operators/joins.py:asof_join tolerance=3_600_000_000).",
+)
+def j6_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return J.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "view_value"],
+        tolerance=3_600_000_000,  # 1 hour in micros
+    )

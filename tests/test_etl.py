@@ -1298,3 +1298,32 @@ def test_asof_join_carries_matched_rows_null_attribute(spark):
         right_cols=["attr"], direction="nearest",
     ).collect()
     assert out[0]["right_attr"] is None
+
+
+def test_asof_tolerance_boundary(spark):
+    """tolerance gate: a match exactly AT the horizon is kept
+    (inclusive), one past it is NULLed, and rows with no match at all
+    are unchanged — across backward and nearest directions."""
+    from citydata_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (2, 150, "b")], "id long, ts long, v string"
+    )
+    out = {
+        r.id: r.right_v
+        for r in asof_join(
+            left, right, key="id", right_cols=["v"], tolerance=10
+        ).collect()
+    }
+    assert out == {1: "a", 2: None, 3: None}  # 10 kept, 50 gated, no match
+    out2 = {
+        r.id: r.right_v
+        for r in asof_join(
+            left, right, key="id", right_cols=["v"],
+            direction="nearest", tolerance=50,
+        ).collect()
+    }
+    assert out2 == {1: "a", 2: "b", 3: None}
