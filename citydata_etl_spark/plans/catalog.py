@@ -92,15 +92,18 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: hash-FAIL resets the rank to 0: the contract was broken there, and the
 #: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
-    "a10_table_profile": 3,
+    "a10_table_profile": 7,
     "a11_heavy_hitters": 5,
     "a12_event_funnel": 4,
     "a13_data_contract": 5,
     "a14_referential_integrity": 5,
     "a15_outlier_flags": 5,
     "a16_cohort_retention": 5,
+    "a17_time_weighted_avg": 7,
+    "a18_ohlc_bars": 7,
+    "a19_event_transitions": 7,
     "a1_pricing_summary": 3,
-    "a2_approx_distinct": 3,
+    "a2_approx_distinct": 3,  # rows-only by construction (r3 row)
     "a2_count_distinct": 3,
     "a2_percentiles": 3,
     "a3_cube": 3,
@@ -118,10 +121,11 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a7_union_by_name": 3,
     "a8_city_score": 3,
     "a9_pivot": 3,
-    "d4_ann_ivf": 3,
+    "d4_ann_ivf": 3,  # rows-only by construction (r3 row)
     "d4_ann_ivf_dist": 4,  # rows-only by construction (r4 row)
-    "d4_ann_lsh": 3,
-    "d4_ann_pq": 3,
+    "d4_ann_lsh": 3,  # rows-only by construction (r3 row)
+    "d4_ann_lsh_rank": 7,
+    "d4_ann_pq": 3,  # rows-only by construction (r3 row)
     "d4_bigram_logprob": 3,
     "d4_bpe_pair_counts": 5,
     "d4_bpe_tokens": 3,
@@ -154,38 +158,41 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_simhash_pairs": 3,
     "d4_text_normalize": 4,
     "d4_tfidf_topk": 3,
-    "d4_token_stats": 2,
+    "d4_token_stats": 7,
     "d4_url_dedup": 5,
+    "d4_winnowing": 7,
     "d5_audio_energy": 5,
     "d5_format_sniff": 4,
-    "d5_frame_sample": 2,
+    "d5_frame_sample": 7,
+    "d5_gif_meta": 7,
     "d5_jpeg_meta": 5,
-    "d5_media_decode": 2,
+    "d5_media_decode": 7,
     "d5_mp4_meta": 5,
     "d5_png_meta": 4,
+    "d5_tar_meta": 7,
     "d5_wav_meta": 4,
     "d6_blocklist_filter": 4,
     "d6_chunk_documents": 4,
-    "d6_contamination": 2,
+    "d6_contamination": 7,
     "d6_crossdomain_lm": 4,
-    "d6_curation_pipeline": 2,
-    "d6_dedup_keep": 2,
+    "d6_curation_pipeline": 7,
+    "d6_dedup_keep": 7,
     "d6_domain_cap": 3,
-    "d6_domain_mix": 2,
+    "d6_domain_mix": 7,
     "d6_domain_mix_apply": 3,
     "d6_fixed_sample": 3,
     "d6_global_shuffle": 5,
-    "d6_label_centroid": 2,
+    "d6_label_centroid": 7,
     "d6_length_histogram": 5,
     "d6_negative_pairs": 4,
-    "d6_pack_sequences": 2,
+    "d6_pack_sequences": 7,
     "d6_ppl_buckets": 4,
     "d6_quality_classifier": 5,
-    "d6_quality_funnel": 2,
-    "d6_shard_stats": 2,
-    "d6_stratified_sample": 2,
+    "d6_quality_funnel": 7,
+    "d6_shard_stats": 7,
+    "d6_stratified_sample": 7,
     "d6_temperature_mix": 4,
-    "d6_train_split": 2,
+    "d6_train_split": 7,
     "e2e_collect_run": 4,
     "f10_conditional": 4,
     "f11_haversine": 3,
@@ -195,6 +202,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f15_geo_cell": 5,
     "f16_number_normalize": 5,
     "f17_useragent_parse": 5,
+    "f18_ip_cidr": 7,
     "f1_f3_dual_ts_roundtrip": 4,
     "f2_date_parts": 4,
     "f4_f5_split_element": 4,
@@ -204,18 +212,22 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f9_split_explode": 4,
     "g1_host_pagerank": 5,
     "g2_triangle_count": 5,
+    "g3_bfs_hops": 7,
     "j10_bloom_prefilter_join": 5,
     "j11_geo_radius_join": 5,
-    "j1_broadcast_lookup": 2,
-    "j2_anti_join": 2,
-    "j2_semi_join": 2,
-    "j3_template_join": 2,
-    "j4_multi_source_join": 2,
-    "j5_range_join": 2,
-    "j6_asof_forward": 2,
-    "j6_asof_join": 2,
-    "j6_asof_nearest": 2,
-    "j7_salted_skew_join": 2,
+    "j12_temporal_join": 7,
+    "j13_dpp_join": 7,
+    "j1_broadcast_lookup": 7,
+    "j2_anti_join": 7,
+    "j2_semi_join": 7,
+    "j3_template_join": 7,
+    "j4_multi_source_join": 7,
+    "j5_range_join": 7,
+    "j6_asof_forward": 7,
+    "j6_asof_join": 7,
+    "j6_asof_nearest": 7,
+    "j6_asof_tolerance": 7,
+    "j7_salted_skew_join": 7,
     "j8_bucketed_join": 4,
     "j9_interval_overlap": 4,
     "p1_pending_filter": 4,
@@ -224,8 +236,10 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "p4_dynamic_filter": 4,
     "p6_first_row": 4,
     "q10_returned_items": 5,
+    "q18_large_orders": 7,
     "q3_shipping_priority": 5,
     "q5_regional_volume": 5,
+    "q7_nation_volume": 7,
     "s10_orc_roundtrip": 4,
     "s11_compaction": 4,
     "s12_schema_evolution": 4,
@@ -234,6 +248,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s15_corrupt_records": 4,
     "s16_xml_roundtrip": 4,
     "s17_zorder_layout": 5,
+    "s18_fixed_width_scan": 7,
     "s1_csv_scan": 5,
     "s2_typed_csv_scan": 5,
     "s3_json_scan": 5,
@@ -245,19 +260,23 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t11_stream_geofence": 5,
     "t12_stream_late_sessions": 5,
     "t13_gap_fill": 5,
-    "t1_streaming_tumbling": 2,
-    "t2_streaming_dedup": 2,
+    "t14_stream_ohlc": 7,
+    "t15_stream_snapshot_enrich": 7,
+    "t1_streaming_tumbling": 7,
+    "t2_streaming_dedup": 7,
     "t3_cdc_promote": 3,
     "t5_dynamic_gap_session": 5,
-    "t5_session_window": 2,
-    "t5_sliding_window": 2,
-    "t5_tumbling_window": 2,
+    "t5_session_window": 7,
+    "t5_sliding_window": 7,
+    "t5_tumbling_window": 7,
     "t5_watermarked_append": 3,
-    "t6_stream_enrich": 2,
+    "t6_stream_enrich": 7,
     "t7_stream_left_outer_join": 3,
     "t7_stream_stream_join": 3,
     "t8_stream_dedup_watermark": 4,
     "t9_streaming_upsert": 4,
+    "u10_restore": 7,
+    "u11_incremental_view": 7,
     "u1_keyed_update": 5,
     "u2_masked_update": 5,
     "u3_status_routing": 5,
@@ -266,6 +285,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "u6_keyed_delete": 4,
     "u7_evolving_merge": 5,
     "u8_time_travel": 5,
+    "u9_change_feed": 7,
 }
 
 

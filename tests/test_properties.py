@@ -998,7 +998,9 @@ def test_temporal_join_equals_model_lookup(spark, dim, facts):
         by_key.setdefault(k, []).append((slot, dur, attr))
     for k, vs in by_key.items():
         t = 0
-        for i, (slot, dur, attr) in enumerate(sorted(vs)):
+        for i, (slot, dur, attr) in enumerate(
+            sorted(vs, key=lambda v: (v[0], v[1]))
+        ):
             start = t + slot * 10
             end = start + dur * 10
             rows.append(
