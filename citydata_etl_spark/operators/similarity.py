@@ -672,6 +672,122 @@ def ivf_topk(
     )
 
 
+def _micros(col: Column) -> Column:
+    """Quantize a float array to integer micros — floor(x*1e6 + 0.5) per
+    component, the engine's exact-arithmetic convention (float32 values
+    convert to double exactly, so the quantization is bit-identical in
+    any IEEE engine; there is no division or sqrt on this path)."""
+    return F.transform(
+        _as_double(col), lambda x: F.floor(x * 1000000 + 0.5).cast("bigint")
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact BIGINT dot product of two integer arrays (left fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk_exactseed(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Oracle-exact twin of ivf_topk (the d4_ann_lsh_rank playbook
+    applied to IVF): the SAME assign -> probe -> pruned-join -> exact
+    rerank topology, but every step that decides WHICH list a vector
+    lands in is pure integer arithmetic, so the whole pipeline is
+    SQL-stateable bit-for-bit and the external oracle verifies the IVF
+    structure itself, not just its recall.
+
+      1. SEEDS: the n_centroids corpus vectors with the smallest
+         ((1103515245*id + 12345) mod 2147483647, id) — the engine's
+         integer-LCG stream as a deterministic uniform draw (the
+         production trainer's xxhash64 sample ordering restated in a
+         form any SQL engine evaluates identically). Seeds ARE the
+         centroids: no Lloyd iterations, whose double means/argmax
+         would sit one addition-reorder ulp from an assignment flip
+         (the Lloyd trainer is covered by d4_ann_ivf /
+         d4_ann_ivf_dist, rows-only + recall-tested).
+      2. ASSIGN + PROBE: both the corpus vector and the seed centroid
+         are quantized to integer micros; the assignment score is their
+         exact BIGINT dot (embeddings are unit-normalized, so dot-argmax
+         is cosine-argmax up to quantization; |x|<=1 and dim<=64 keeps
+         every product-sum far inside int64). cluster = argmax
+         centroid (ties to the smaller centroid index); probes = the
+         n_probe best. One broadcast of n_centroids rows, one bounded
+         x n_centroids fan-out, one tiny per-vector window.
+      3. RERANK: exact double cosine within the probed lists, rounded
+         to round_digits, row_number with a total-order tie-break.
+
+    Scale shape is identical to ivf_topk: the seed pick is a
+    TakeOrderedAndProject (bounded per-partition heap, n_centroids rows
+    to the driver — a parameter-bounded model, never the corpus), the
+    probe join is an equi-join on cluster that scans only
+    n_probe/n_centroids of the corpus.
+    """
+    lcg = (F.lit(1103515245) * F.col("sid") + F.lit(12345)) % F.lit(
+        2147483647
+    )
+    seeds = (
+        emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("lcg", lcg)
+        .orderBy("lcg", "sid")
+        .limit(n_centroids)
+    )
+    # row_number over the already-limited n_centroids rows: a
+    # single-partition window over a parameter-bounded input, not the
+    # corpus.
+    sw = W.orderBy("lcg", "sid")
+    seeds = (
+        seeds.withColumn("cidx", F.row_number().over(sw) - 1)
+        .withColumn("ci", _micros(F.col("sv")))
+        .select("cidx", "ci")
+    )
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+    ).withColumn("vi", _micros(F.col("v")))
+    pw = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
+    pr = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
+        .withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= n_probe)
+        .select("id", "v", "norm2", "cidx", "prnk")
+    )
+    q = pr.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"), F.col("cidx").alias("cluster"),
+    )
+    c = pr.filter(F.col("prnk") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("norm2").alias("cn"), F.col("cidx").alias("cluster"),
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    # each candidate belongs to exactly ONE list and a query's probes
+    # are distinct lists, so (query, neighbor) pairs are already unique
+    # — no dedup stage needed (unlike multi-probe LSH).
+    pairs = (
+        q.join(c, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            _safe_cos(dot, F.col("qn"), F.col("cn"), round_digits),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def pq_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     m_subspaces: int = 4, ks: int = 16, n_iter: int = 5,

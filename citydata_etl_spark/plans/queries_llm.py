@@ -534,6 +534,76 @@ def d4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_ivf_rank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+      SELECT vec_id, e,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    seedrank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+                        vec_id) - 1 AS cidx
+      FROM v),
+    seeds AS (
+      SELECT s.cidx, q.ei AS ci
+      FROM seedrank s JOIN q ON s.vec_id = q.vec_id
+      WHERE s.cidx < 16),
+    dots AS (
+      SELECT q.vec_id, s.cidx,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   q.ei[CAST(d + 1 AS INT)] * s.ci[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS idot
+      FROM q CROSS JOIN seeds s),
+    pr AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cidx) AS prnk
+      FROM dots),
+    assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
+    probes AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk <= 4),
+    pairs AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(vq.e, vn.e)
+                   / (sqrt(list_dot_product(vq.e, vq.e))
+                      * sqrt(list_dot_product(vn.e, vn.e))), 4) AS cos_sim
+      FROM probes p
+      JOIN assign a ON p.cluster = a.cluster AND p.vec_id <> a.vec_id
+      JOIN v vq ON vq.vec_id = p.vec_id
+      JOIN v vn ON vn.vec_id = a.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4: IVF's ORACLE-EXACT twin (the d4_ann_lsh_rank playbook "
+    "applied to IVF): identical assign -> probe -> pruned-join -> exact-"
+    "rerank topology as d4_ann_ivf, but centroids are the 16 corpus "
+    "vectors with the smallest (integer-LCG(id), id) — no Lloyd "
+    "iterations — and list assignment is the exact BIGINT dot of micros-"
+    "quantized vectors, so every list membership is SQL-stateable "
+    "bit-for-bit and the driver verifies the IVF structure end-to-end "
+    "(operators/similarity.py:ivf_topk_exactseed). The production entry "
+    "(d4_ann_ivf) keeps the Lloyd-trained double centroids and stays "
+    "rows-only + recall-tested.",
+)
+def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = S.ivf_topk_exactseed(emb, k=5, n_centroids=16, n_probe=4)
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
     "d4_ann_pq",
     oracle=None,  # approximate by construction (coarse pruning +
     # quantization); tests measure recall and the rerank recovery.

@@ -149,6 +149,61 @@ def test_ann_lsh_exactsign_recall_and_sign_agreement(spark, clustered_vecs):
     assert twin == prod
 
 
+def test_ann_ivf_exactseed_recall_and_model_agreement(spark, clustered_vecs):
+    """The oracle-exact IVF twin must (a) keep recall vs brute force, and
+    (b) agree BIT-FOR-BIT with an independent Python model of its
+    contract — LCG seed pick, integer-micros dot assignment/probes,
+    exact cosine rerank — so the Spark pipeline and the DuckDB oracle
+    are two of three independent statements of the same function."""
+    import math
+
+    import numpy as np
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    out = S.ivf_topk_exactseed(
+        clustered_vecs, k=5, n_centroids=16, n_probe=4
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+           for r in out}
+    top3 = {(r["query_id"], r["neighbor_id"]) for r in out if r["rnk"] <= 3}
+    recall = len(brute & top3) / len(brute)
+    assert recall >= 0.5, f"exact-seed IVF recall too low: {recall}"
+
+    rows = clustered_vecs.collect()
+    ids = [r["vec_id"] for r in rows]
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
+    mic = {i: np.floor(V[i] * 1e6 + 0.5).astype(np.int64) for i in ids}
+    seeds = sorted(
+        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+    )[:16]
+
+    def centroid_order(i):
+        dots = [int(mic[i] @ mic[s]) for s in seeds]
+        return sorted(range(16), key=lambda c: (-dots[c], c))
+
+    assign = {i: centroid_order(i)[0] for i in ids}
+    probes = {i: set(centroid_order(i)[:4]) for i in ids}
+
+    def cos(a, b):
+        d = float(V[a] @ V[b]) / (
+            math.sqrt(float(V[a] @ V[a])) * math.sqrt(float(V[b] @ V[b]))
+        )
+        # HALF_UP at 4 digits (Spark/DuckDB round semantics)
+        return math.copysign(math.floor(abs(d) * 1e4 + 0.5) / 1e4, d)
+
+    expect = set()
+    for qid in ids:
+        cands = [n for n in ids if n != qid and assign[n] in probes[qid]]
+        ranked = sorted(cands, key=lambda n: (-cos(qid, n), n))[:5]
+        for rnk, n in enumerate(ranked, 1):
+            expect.add((qid, n, cos(qid, n), rnk))
+    assert got == expect
+
+
 def test_ann_lsh_multiprobe_improves_recall(spark, clustered_vecs):
     """Hamming-distance-1 multi-probe must dominate single-bucket recall
     (it strictly widens each query's candidate set)."""
