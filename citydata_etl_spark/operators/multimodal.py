@@ -100,18 +100,121 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: metadata transforms JVM-side; the pixel
-    operation itself raises until a codec library is wired in."""
+    """COMPRESSED-image resize plumbing (PNG/JPEG/GIF): metadata
+    transforms JVM-side; the entropy-coded pixel operation itself raises
+    until a codec library is wired in. Uncompressed rasters need no
+    codec: decode them for real with bmp_pixel_stats / bmp_resize."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "image resize requires a codec library (PIL/opencv) not present "
-            "in this container; wire it into this mapInPandas body"
+            "resizing entropy-coded images (PNG/JPEG/GIF) requires a codec "
+            "library (PIL/opencv) not present in this container; wire it "
+            "into this mapInPandas body. Uncompressed BMP decodes for real "
+            "via bmp_pixel_stats/bmp_resize."
         )
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
         run, schema=media.schema
     )
+
+
+_BMP_STATS_SCHEMA = (
+    "media_id BIGINT, width BIGINT, height BIGINT, n_pixels BIGINT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, wsum_r BIGINT, p00 BIGINT"
+)
+
+
+def _decode_bmp24(blob) -> tuple | None:
+    """Decode one uncompressed 24-bpp BITMAPINFOHEADER BMP to an
+    (H, W, 3) uint8 RGB array in LOGICAL row order (row 0 = top).
+    Returns (width, height, pixels) or None for non-BMP/unsupported
+    blobs. Handles the two storage orientations (positive biHeight =
+    bottom-up, negative = top-down) and the 4-byte row stride padding —
+    the two classic naive-decoder bugs."""
+    import numpy as np
+
+    if blob is None or len(blob) < 54 or blob[0:2] != b"BM":
+        return None
+    offset = int.from_bytes(blob[10:14], "little")
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    raw_h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or raw_h == 0:
+        return None
+    height = abs(raw_h)
+    stride = (width * 3 + 3) // 4 * 4
+    need = offset + stride * height
+    if len(blob) < need:
+        return None
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * height,
+                         offset=offset).reshape(height, stride)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if raw_h > 0:  # bottom-up storage -> flip to logical top-down
+        px = px[::-1]
+    return width, height, px[:, :, ::-1]  # stored BGR -> RGB
+
+
+def bmp_pixel_stats(
+    media: DataFrame, content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL pixel decode of uncompressed 24-bpp BMP blobs — the codec-free
+    raster path that closes the pixel boundary the entropy-coded formats
+    stub behind resize_stub: header parse (data offset, signed height =
+    row orientation, bpp/compression gate), vectorized numpy payload
+    decode (stride-padded rows, BGR order, bottom-up flip), inside
+    Arrow-batched mapInPandas — one Python invocation per record batch,
+    one frombuffer/reshape per blob, no per-pixel Python.
+
+    Emits exact integer per-image statistics (all int64, engine-exact —
+    nothing floats): dimensions, per-channel pixel sums, the POSITION-
+    WEIGHTED red sum sum((y*W+x) * R(x,y)) over logical coordinates, and
+    the packed top-left pixel p00 = R*65536 + G*256 + B. The weighted sum
+    and p00 are deliberately orientation-sensitive: a decoder that drops
+    the biHeight sign or the stride padding produces the same plain sums
+    but the wrong wsum_r/p00, so the oracle catches exactly the bugs the
+    plain sums cannot. Non-BMP rows emit NULL stats (triage convention,
+    as wav_header_meta). At 100 TB this is one narrow pass over the
+    blob column: no shuffle, fan-out 1:1, output ~9 ints per image.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "n_pixels", "sum_r", "sum_g", "sum_b",
+                                   "wsum_r", "p00")}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                dec = _decode_bmp24(blob)
+                out["media_id"].append(int(mid))
+                if dec is None:
+                    for k in ("width", "height", "n_pixels", "sum_r",
+                              "sum_g", "sum_b", "wsum_r", "p00"):
+                        out[k].append(None)
+                    continue
+                w, h, px = dec
+                p64 = px.astype(np.int64)
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(p64[:, :, 0].sum()))
+                out["sum_g"].append(int(p64[:, :, 1].sum()))
+                out["sum_b"].append(int(p64[:, :, 2].sum()))
+                out["wsum_r"].append(int((pos * p64[:, :, 0]).sum()))
+                out["p00"].append(
+                    int(p64[0, 0, 0]) * 65536
+                    + int(p64[0, 0, 1]) * 256
+                    + int(p64[0, 0, 2])
+                )
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="Int64") for k, v in out.items()}
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_BMP_STATS_SCHEMA)
 
 
 def sniff_media_format(media: DataFrame,

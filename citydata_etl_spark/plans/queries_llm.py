@@ -2156,6 +2156,114 @@ def d5_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_bmp_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             doc_id % 7 = 0 AS is_png
+      FROM documents),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(6) gy
+      WHERE NOT is_png AND gx.range < w AND gy.range < h),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             (media_id + 3 * x + 7 * y) % 256 AS b,
+             (2 * media_id + 5 * x + 11 * y + 1) % 256 AS g,
+             (3 * media_id + x + 13 * y + 2) % 256 AS r
+      FROM grid),
+    agg AS (
+      SELECT media_id, w AS width, h AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((y * w + x) * r) AS BIGINT) AS wsum_r,
+             CAST(sum(CASE WHEN x = 0 AND y = 0
+                      THEN r * 65536 + g * 256 + b END) AS BIGINT) AS p00
+      FROM px GROUP BY media_id, w, h)
+    SELECT p.media_id, a.width, a.height, a.n_pixels,
+           a.sum_r, a.sum_g, a.sum_b, a.wsum_r, a.p00
+    FROM p LEFT JOIN agg a ON p.media_id = a.media_id
+    """,
+    doc="D5 [north-star multimodal]: REAL uncompressed-raster pixel "
+    "decode — closes the pixel boundary that resize_stub keeps for "
+    "entropy-coded formats (SURVEY.md's decode step needs no codec "
+    "library for BMP). Blobs are genuine 24-bpp BITMAPINFOHEADER BMPs "
+    "synthesized with pixel (x,y) values in closed form, dimensions "
+    "cycling by doc_id, BOTH storage orientations (every 5th image "
+    "top-down via negative biHeight) and live 4-byte stride padding "
+    "(widths 4..8 give strides 12..24 with 0-3 pad bytes); every 7th "
+    "row is a PNG that must yield NULLs. The operator "
+    "(operators/multimodal.py:bmp_pixel_stats) header-parses and "
+    "numpy-decodes each blob in Arrow-batched mapInPandas and emits "
+    "exact integer stats; the POSITION-WEIGHTED red sum and packed "
+    "top-left pixel are orientation- and stride-sensitive, so the "
+    "closed-form oracle catches a dropped biHeight sign or padding "
+    "bug that plain channel sums would mask.",
+)
+def d5_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    # fixture half: build the BMP bytes (per-pixel Python over <=48-px
+    # images — synthesis only; the OPERATOR decodes vectorized)
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ids.append(d)
+                if d % 7 == 0:
+                    blobs.append(
+                        bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 46
+                    )
+                    continue
+                w, h = 4 + d % 5, 3 + d % 4
+                topdown = d % 5 == 0
+                stride = (w * 3 + 3) // 4 * 4
+                body = bytearray()
+                yorder = range(h) if topdown else range(h - 1, -1, -1)
+                for y in yorder:
+                    row = bytearray()
+                    for x in range(w):
+                        row.append((d + 3 * x + 7 * y) % 256)
+                        row.append((2 * d + 5 * x + 11 * y + 1) % 256)
+                        row.append((3 * d + x + 13 * y + 2) % 256)
+                    row.extend(b"\x00" * (stride - len(row)))
+                    body.extend(row)
+                header = (
+                    b"BM"
+                    + (54 + len(body)).to_bytes(4, "little")
+                    + b"\x00\x00\x00\x00"
+                    + (54).to_bytes(4, "little")
+                    + (40).to_bytes(4, "little")
+                    + w.to_bytes(4, "little", signed=True)
+                    + (-h if topdown else h).to_bytes(
+                        4, "little", signed=True
+                    )
+                    + (1).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")
+                    + len(body).to_bytes(4, "little")
+                    + b"\x00" * 16
+                )
+                blobs.append(bytes(header) + bytes(body))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
+    return bmp_pixel_stats(media)
+
+
+@register(
     "d5_gif_meta",
     oracle="""
     WITH p AS (

@@ -385,3 +385,60 @@ def test_gif_header_meta_real_bytes(spark):
     assert (got[2].version, got[2].width, got[2].height,
             got[2].gct_entries, got[2].aspect_pm) == ("87a", 320, 200, 0, 1600)
     assert got[3].version is None and got[3].width is None
+
+
+def _bmp24(w, h, px, topdown=False):
+    """Assemble real 24-bpp BMP bytes from a logical [y][x] = (r,g,b)
+    grid, in either storage orientation, with live stride padding."""
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    for y in order:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = px[y][x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    return (
+        b"BM" + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4 + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if topdown else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    ) + bytes(body)
+
+
+def test_bmp_pixel_stats_both_orientations(spark):
+    """bmp_pixel_stats must recover the SAME logical pixels from
+    bottom-up and top-down storage of one image (orientation handling),
+    get the stride padding right on a non-multiple-of-4 row, and yield
+    NULLs for non-BMP bytes."""
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+
+    # 3x2 logical image, width 3 -> row 9 bytes padded to 12
+    px = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(1, 2, 3), (4, 5, 6), (250, 251, 252)],
+    ]
+    rows = [
+        (1, _bmp24(3, 2, px, topdown=False)),
+        (2, _bmp24(3, 2, px, topdown=True)),
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 60),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r.media_id: r for r in bmp_pixel_stats(df).collect()}
+
+    sum_r = sum(p[0] for row in px for p in row)
+    wsum_r = sum((y * 3 + x) * px[y][x][0]
+                 for y in range(2) for x in range(3))
+    for mid in (1, 2):  # identical logical stats from both storages
+        r = got[mid]
+        assert (r.width, r.height, r.n_pixels) == (3, 2, 6)
+        assert r.sum_r == sum_r
+        assert r.wsum_r == wsum_r
+        assert r.p00 == 10 * 65536 + 20 * 256 + 30
+    assert got[3].width is None and got[3].sum_r is None
