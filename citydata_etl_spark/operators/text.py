@@ -720,3 +720,101 @@ def winnowing_fingerprints(
         F.sum("h").cast("bigint").alias("fp_sum"),
         F.sum("pos").cast("bigint").alias("pos_sum"),
     )
+
+
+def bpe_merge_steps(
+    docs: DataFrame, n_steps: int = 3, k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """CHAINED BPE merge learning — n_steps true merge iterations, each
+    reflected in the next step's pair counts (the loop d4_bpe_pair_counts
+    runs one turn of, unrolled exactly as the g1/g3 iterative queries
+    unroll theirs so an external SQL oracle can state every step).
+
+    Per step: (1) corpus-weighted adjacent symbol-pair counts over the
+    DISTINCT-token vocabulary (the same vocab-not-occurrences scale trick
+    as d4_bpe_pair_counts — corpus-sized work is one map-side-combined
+    token count, everything after runs on vocabulary-sized input);
+    (2) the winning pair — max count, (pa, pb) lexicographic tie-break —
+    selected as a ONE-ROW broadcast (TakeOrderedAndProject; no collect,
+    no driver loop state); (3) the merge applied to every token as a
+    LEFT-FOLD over its symbol array inside F.aggregate — pure JVM
+    expression, no Python. The fold needs no lookahead or skip flag:
+    greedy left-to-right BPE merges element x into the accumulator's
+    last element L exactly when (L, x) == (pa, pb), and a just-merged
+    element can never re-match because pa||pb is strictly longer than
+    pa — so `last == pa` is false for fresh merges by construction.
+
+    Output: for each step s in 1..n_steps the top-k pairs BEFORE merge s
+    (rnk 1 = the pair merged), plus step n_steps+1 = the counts after
+    the final merge. The top-k rank window runs on an already-limited
+    k-row input, not the vocabulary.
+    """
+    from citydata_etl_spark.caching import scoped_persist
+    from citydata_etl_spark.operators.dedup import tokens
+    from pyspark.sql import Window as W
+
+    tc = scoped_persist(
+        tokens(docs, text_col, id_col, distinct=False)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cur = tc.select(F.split("token", "").alias("syms"), "cnt")
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        idx = F.when(
+            F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            df.select(
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.get("syms", i).alias("pa"),
+                            F.get("syms", i + 1).alias("pb"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+
+    def topk(pairs: DataFrame, step: int) -> DataFrame:
+        lim = pairs.orderBy(F.desc("n"), "pa", "pb").limit(k)
+        # rank window over the already-limited k rows, not the vocab
+        rw = W.orderBy(F.desc("n"), "pa", "pb")
+        return lim.select(
+            F.lit(step).cast("bigint").alias("step"), "pa", "pb", "n",
+            F.row_number().over(rw).cast("bigint").alias("rnk"),
+        )
+
+    outs = []
+    for step in range(1, n_steps + 1):
+        pairs = pair_counts(cur)
+        outs.append(topk(pairs, step))
+        best = pairs.orderBy(F.desc("n"), "pa", "pb").limit(1).select(
+            F.col("pa").alias("mA"), F.col("pb").alias("mB")
+        )
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.col("mA"))
+                & (x == F.col("mB")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("mA"), F.col("mB"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            merged.alias("syms"), "cnt"
+        )
+    outs.append(topk(pair_counts(cur), n_steps + 1))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -720,6 +720,120 @@ def d4_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_bpe_merge_steps",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS token
+        FROM documents)
+      GROUP BY token),
+    t0 AS (
+      SELECT ' ' || array_to_string(string_split(token, ''), ' ') || ' '
+               AS s, cnt
+      FROM tok),
+    p1 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t0) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    b1 AS (
+      SELECT ' ' || pa || ' ' || pb || ' ' AS pat, ' ' || pa || pb || ' '
+               AS rep
+      FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
+    m1 AS (
+      SELECT s, cnt FROM t0
+      UNION ALL
+      SELECT substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m1, b1 WHERE strpos(s, pat) > 0),
+    t1 AS (SELECT s, cnt FROM m1, b1 WHERE strpos(s, pat) = 0),
+    p2 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t1) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    b2 AS (
+      SELECT ' ' || pa || ' ' || pb || ' ' AS pat, ' ' || pa || pb || ' '
+               AS rep
+      FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
+    m2 AS (
+      SELECT s, cnt FROM t1
+      UNION ALL
+      SELECT substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m2, b2 WHERE strpos(s, pat) > 0),
+    t2 AS (SELECT s, cnt FROM m2, b2 WHERE strpos(s, pat) = 0),
+    p3 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t2) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    b3 AS (
+      SELECT ' ' || pa || ' ' || pb || ' ' AS pat, ' ' || pa || pb || ' '
+               AS rep
+      FROM p3 ORDER BY n DESC, pa, pb LIMIT 1),
+    m3 AS (
+      SELECT s, cnt FROM t2
+      UNION ALL
+      SELECT substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m3, b3 WHERE strpos(s, pat) > 0),
+    t3 AS (SELECT s, cnt FROM m3, b3 WHERE strpos(s, pat) = 0),
+    p4 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t3) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    ranked AS (
+      SELECT CAST(1 AS BIGINT) AS step, pa, pb, n,
+             row_number() OVER (ORDER BY n DESC, pa, pb) AS rnk FROM p1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), pa, pb, n,
+             row_number() OVER (ORDER BY n DESC, pa, pb) FROM p2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), pa, pb, n,
+             row_number() OVER (ORDER BY n DESC, pa, pb) FROM p3
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), pa, pb, n,
+             row_number() OVER (ORDER BY n DESC, pa, pb) FROM p4)
+    SELECT step, pa, pb, n, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4 (tokenizer training, CHAINED): three true BPE merge "
+    "iterations where step k's pair counts provably reflect step k-1's "
+    "merge — the d4_bpe_pair_counts loop unrolled the way g1/g3 unroll "
+    "their iterations so the oracle can state every step. Engine side "
+    "(operators/text.py:bpe_merge_steps): vocabulary-weighted pair "
+    "counts, one-row broadcast winner, and the merge as a left-fold "
+    "over each token's symbol array inside F.aggregate — greedy "
+    "left-to-right, pure JVM expression. Oracle side: the same greedy "
+    "merge as a recursive CTE replacing the FIRST occurrence per "
+    "recursion (restart-from-start == continue-after-match here, "
+    "because a merged symbol pa||pb can never equal pa or pb and so "
+    "never forms a new occurrence backward or forward). Output: top-5 "
+    "pairs before each merge (rnk 1 = the merged pair) plus the "
+    "post-merge counts as step 4.",
+)
+def d4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_merge_steps(
+        read_testdata(spark, sf_dir, "documents"), n_steps=3, k=5
+    )
+
+
+@register(
     "d4_quality_score",
     oracle="""
     WITH s AS (

@@ -1028,3 +1028,63 @@ def test_temporal_join_equals_model_lookup(spark, dim, facts):
     }
     want = {i: model(k, ts) for i, (k, ts) in enumerate(facts)}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_merge_steps_equals_python_bpe(spark, docs):
+    """bpe_merge_steps (F.aggregate fold merge + broadcast winner) vs a
+    pure-Python greedy left-to-right BPE trainer on random tiny-alphabet
+    corpora — the alphabet is deliberately 3 letters so self-pairs
+    ('a','a'), overlapping runs ('aaaa'), and tie-breaks all occur."""
+    from collections import Counter
+
+    from citydata_etl_spark.operators.text import bpe_merge_steps
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["step"], r["pa"], r["pb"]): (r["n"], r["rnk"])
+        for r in bpe_merge_steps(df, n_steps=3, k=5).collect()
+    }
+
+    toks = Counter(t for d in docs for t in d.split(" ") if t)
+    corpus = {tok: list(tok) for tok in toks}
+
+    def pair_counts():
+        c = Counter()
+        for tok, syms in corpus.items():
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += toks[tok]
+        return c
+
+    def merge(pair):
+        a, b = pair
+        for tok, syms in corpus.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            corpus[tok] = out
+
+    expect = {}
+    for step in (1, 2, 3, 4):
+        pc = pair_counts()
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rnk, ((pa, pb), n) in enumerate(top, 1):
+            expect[(step, pa, pb)] = (n, rnk)
+        if step < 4 and top:
+            merge(top[0][0])
+    assert got == expect
