@@ -1349,3 +1349,89 @@ def t15_stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "t16_stream_restart",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="T16 (exactly-once RESTART): checkpointed recovery across TWO "
+    "separate availableNow runs of the SAME query — the crash/redeploy "
+    "contract every production stream lives by. Half the events "
+    "(event_id%2=0) are staged as source files and streamed through a "
+    "checkpointed parquet sink; then the second half arrives and a "
+    "FRESH query object with the SAME checkpointLocation resumes from "
+    "the recorded offsets. The oracle states the per-type counts, "
+    "exact cent sums, and event_id sums over ALL events in closed "
+    "form, so a micro-batch replayed after restart (duplicated rows) "
+    "or an offset skipped (dropped rows) hash-fails — the id_sum also "
+    "catches substitutions that counts alone would mask. Source "
+    "staging is existence-guarded and the checkpoint persists per "
+    "process, so re-invocations (bench runs each query repeatedly) "
+    "are incremental no-ops, exactly like a resumed production "
+    "pipeline. Builds on tests/test_streaming.py:"
+    "test_checkpointed_restart_is_exactly_once.",
+)
+def t16_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    tag = "t16_restart_" + hashlib.sha256(
+        sf_dir.encode()
+    ).hexdigest()[:12]
+    root = session_tmpdir(tag)
+    src, sink, ckpt = (os.path.join(root, d) for d in
+                       ("src", "sink", "ckpt"))
+    os.makedirs(src, exist_ok=True)
+
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def stage(name, cond):
+        # existence-guarded: the file-source tracks files by PATH, so
+        # re-writing (new part-file names) would look like new data
+        out = os.path.join(src, name)
+        if not os.path.exists(out):
+            events.filter(cond).write.mode("overwrite").parquet(out)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id LONG, event_type STRING, value DOUBLE"
+        ).parquet(os.path.join(src, "*"))
+        q = (
+            stream.withColumn(
+                "cents",
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage("half1", F.col("event_id") % 2 == 0)
+    run_once()
+    stage("half2", F.col("event_id") % 2 != 0)
+    run_once()  # fresh query, same checkpoint: must resume, not replay
+
+    return (
+        spark.read.schema(
+            "event_id LONG, event_type STRING, value DOUBLE, cents BIGINT"
+        )
+        .parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )
