@@ -135,6 +135,14 @@ HEADLINE = [
     "t15_stream_snapshot_enrich",
     "d4_winnowing",
     "j6_asof_tolerance",
+    # round-8 additions: oracle-exact IVF twin (integer-seed assignment),
+    # real BMP pixel decode, chained BPE merge learning, checkpointed
+    # exactly-once restart (cold rep includes the source staging +
+    # first checkpoint build; warm reps resume as incremental no-ops)
+    "d4_ann_ivf_rank",
+    "d5_bmp_pixels",
+    "d4_bpe_merge_steps",
+    "t16_stream_restart",
 ]
 
 
@@ -241,6 +249,18 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        # per-round stamp so history stops being overwritten: the driver
+        # writes BENCH_r{N}.json AFTER this run, so the current round is
+        # (highest existing N) + 1
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        stamped = os.path.join(here, f"bench_detail_r{rnd:02d}.json")
+        with open(stamped, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract

@@ -810,8 +810,14 @@ def bpe_merge_steps(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            merged.alias("syms"), "cnt"
+        # persist each step's merged vocabulary: all n_steps+1 output
+        # branches share the chain prefix, and the vocab is bounded
+        # (distinct tokens), so this trades a tiny cache for not
+        # recompiling/recomputing the fold chain once per branch
+        cur = scoped_persist(
+            cur.crossJoin(F.broadcast(best)).select(
+                merged.alias("syms"), "cnt"
+            )
         )
     outs.append(topk(pair_counts(cur), n_steps + 1))
     out = outs[0]
