@@ -691,6 +691,31 @@ def _idot(a: Column, b: Column) -> Column:
     )
 
 
+def _lcg_seed_rows(
+    emb: DataFrame, n: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The n corpus vectors with the smallest ((1103515245*id + 12345)
+    mod 2147483647, id), indexed 0..n-1 and micros-quantized — the
+    deterministic SQL-stateable seed pick shared by the oracle-exact
+    ANN twins. TakeOrderedAndProject (bounded per-partition heap);
+    the row_number window runs over the already-limited n rows."""
+    lcg = (F.lit(1103515245) * F.col("sid") + F.lit(12345)) % F.lit(
+        2147483647
+    )
+    seeds = (
+        emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
+        .withColumn("lcg", lcg)
+        .orderBy("lcg", "sid")
+        .limit(n)
+    )
+    sw = W.orderBy("lcg", "sid")
+    return (
+        seeds.withColumn("cidx", F.row_number().over(sw) - 1)
+        .withColumn("ci", _micros(F.col("sv")))
+        .select("cidx", "ci")
+    )
+
+
 def ivf_topk_exactseed(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -729,24 +754,7 @@ def ivf_topk_exactseed(
     probe join is an equi-join on cluster that scans only
     n_probe/n_centroids of the corpus.
     """
-    lcg = (F.lit(1103515245) * F.col("sid") + F.lit(12345)) % F.lit(
-        2147483647
-    )
-    seeds = (
-        emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
-        .withColumn("lcg", lcg)
-        .orderBy("lcg", "sid")
-        .limit(n_centroids)
-    )
-    # row_number over the already-limited n_centroids rows: a
-    # single-partition window over a parameter-bounded input, not the
-    # corpus.
-    sw = W.orderBy("lcg", "sid")
-    seeds = (
-        seeds.withColumn("cidx", F.row_number().over(sw) - 1)
-        .withColumn("ci", _micros(F.col("sv")))
-        .select("cidx", "ci")
-    )
+    seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
     ).withColumn("vi", _micros(F.col("v")))
@@ -785,6 +793,131 @@ def ivf_topk_exactseed(
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def pq_topk_exactseed(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    m_subspaces: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-exact twin of pq_topk (IVF-PQ, Jégou et al. 2011): the
+    SAME coarse-probe -> PQ-encode -> ADC-score -> rank topology, in
+    PURE INTEGER arithmetic end to end — there is no float anywhere in
+    this operator's output, so every byte is SQL-stateable:
+
+      - one LCG seed pick serves BOTH roles: seed c's full vector is
+        coarse centroid c, and seed c's j-th subvector is subspace j's
+        codeword c (n_centroids == ks == number of seeds);
+      - coarse assignment/probing: exact BIGINT micros dot, as
+        ivf_topk_exactseed;
+      - PQ encode: per (vector, subspace), the codeword with the
+        smallest exact integer squared-L2 distance (ties to the
+        smaller code);
+      - ADC: the approximate distance of (query, candidate) is the sum
+        over subspaces of the QUERY's precomputed integer d2 to the
+        CANDIDATE's codeword — the candidate's raw vector is never
+        touched in the pair path, exactly the PQ contract.
+
+    The relational ADC table (id, subspace, code, d2) has corpus x
+    (m*ks) rows — the SQL-stateable form of the per-query ADC array
+    pq_topk builds inside mapInPandas; joins on (query, subspace,
+    code) replace the array lookups. Production keeps the Lloyd-trained
+    float codebooks and the in-batch ADC arrays (rows-only +
+    recall-tested); this twin exists so the driver verifies the IVF-PQ
+    STRUCTURE bit-for-bit. Output: (query_id, neighbor_id, adc_d2,
+    rnk), adc_d2 ascending (it is a distance).
+    """
+    ks = n_centroids  # one seed set, two roles
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m_subspaces != 0:
+        raise ValueError(
+            f"pq_topk_exactseed: dim {dim} not divisible by "
+            f"m_subspaces {m_subspaces}"
+        )
+    sub = dim // m_subspaces
+    seeds = _lcg_seed_rows(emb, ks, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("vi", _micros(F.col("v"))).drop("v")
+
+    # coarse probe (identical rule to ivf_topk_exactseed)
+    pw = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
+    pr = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
+        .withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= n_probe)
+        .select("id", "cidx", "prnk")
+    )
+
+    # (id, subspace j, code, exact integer squared-L2 to the codeword):
+    # the relational ADC table, built once for every vector — it serves
+    # as the query-side lookup AND (via its per-(id,j) argmin) the
+    # candidate-side PQ code
+    def sub_d2(j):
+        qs = F.slice(F.col("vi"), j * sub + 1, sub)
+        cs = F.slice(F.col("ci"), j * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(qs, cs, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    qd = (
+        base.crossJoin(
+            F.broadcast(seeds.select(F.col("cidx").alias("code"), "ci"))
+        )
+        .select(
+            "id", "code",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"), sub_d2(j).alias("d2")
+                    )
+                    for j in range(m_subspaces)
+                ])
+            ).alias("s"),
+        )
+        .select("id", "code", F.col("s.j").alias("j"),
+                F.col("s.d2").alias("d2"))
+    )
+    ncode = (
+        qd.groupBy("id", "j")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("id", "j", F.col("m.code").alias("code"))
+    )
+
+    q = pr.select(
+        F.col("id").alias("query_id"), F.col("cidx").alias("cluster")
+    )
+    c = pr.filter(F.col("prnk") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("cidx").alias("cluster")
+    )
+    pairs = q.join(c, "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+    adc = (
+        pairs.join(
+            ncode.select(
+                F.col("id").alias("neighbor_id"), "j", "code"
+            ),
+            "neighbor_id",
+        )
+        .join(
+            qd.select(
+                F.col("id").alias("query_id"), "j", "code", "d2"
+            ),
+            ["query_id", "j", "code"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rnk")
     )
 
 

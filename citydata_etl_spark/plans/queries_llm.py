@@ -620,6 +620,96 @@ def d4_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_pq_rank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    seedrank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+                        vec_id) - 1 AS cidx
+      FROM v),
+    seeds AS (
+      SELECT s.cidx, q.ei AS ci
+      FROM seedrank s JOIN q ON s.vec_id = q.vec_id
+      WHERE s.cidx < 16),
+    dots AS (
+      SELECT q.vec_id, s.cidx,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   q.ei[CAST(d + 1 AS INT)] * s.ci[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS idot
+      FROM q CROSS JOIN seeds s),
+    pr AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cidx) AS prnk
+      FROM dots),
+    assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
+    probes AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk <= 4),
+    subd AS (
+      SELECT q.vec_id, s.cidx AS code, CAST(jj.j AS BIGINT) AS j,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(16), d ->
+                   (q.ei[CAST(jj.j * 16 + d + 1 AS INT)]
+                    - s.ci[CAST(jj.j * 16 + d + 1 AS INT)])
+                   * (q.ei[CAST(jj.j * 16 + d + 1 AS INT)]
+                      - s.ci[CAST(jj.j * 16 + d + 1 AS INT)]))),
+               (a, x) -> a + x) AS d2
+      FROM q CROSS JOIN seeds s
+      CROSS JOIN (SELECT unnest(range(4)) AS j) jj),
+    ncode AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, code) AS rn
+        FROM subd)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p
+      JOIN assign a ON p.cluster = a.cluster AND p.vec_id <> a.vec_id),
+    adc AS (
+      SELECT pp.query_id, pp.neighbor_id,
+             CAST(sum(qd.d2) AS BIGINT) AS adc_d2
+      FROM pairs pp
+      JOIN ncode nc ON nc.vec_id = pp.neighbor_id
+      JOIN subd qd ON qd.vec_id = pp.query_id
+                  AND qd.j = nc.j AND qd.code = nc.code
+      GROUP BY pp.query_id, pp.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_d2, neighbor_id) AS rnk
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4: IVF-PQ's ORACLE-EXACT twin — the coarse-probe -> PQ-encode "
+    "-> ADC-score -> rank topology of d4_ann_pq restated in PURE "
+    "INTEGER arithmetic (operators/similarity.py:pq_topk_exactseed): "
+    "one LCG seed set serves as both coarse centroids and per-subspace "
+    "codebooks, codes are exact BIGINT squared-L2 argmins, and the "
+    "pair score is the integer ADC sum over the candidate's codewords "
+    "— the candidate's raw vector is never touched in the pair path, "
+    "exactly the PQ memory contract, and no float exists anywhere in "
+    "the output. The production entry (d4_ann_pq) keeps Lloyd-trained "
+    "double codebooks + in-batch ADC arrays and stays rows-only + "
+    "recall-tested.",
+)
+def d4_ann_pq_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.pq_topk_exactseed(emb, k=5)
+
+
+@register(
     "d4_token_stats",
     oracle="""
     SELECT doc_id,

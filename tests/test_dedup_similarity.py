@@ -204,6 +204,64 @@ def test_ann_ivf_exactseed_recall_and_model_agreement(spark, clustered_vecs):
     assert got == expect
 
 
+def test_ann_pq_exactseed_matches_model(spark, clustered_vecs):
+    """The fully-integer IVF-PQ twin vs an independent Python model of
+    its contract: LCG seeds as coarse centroids AND subspace codebooks,
+    BIGINT dot coarse probing, squared-L2 integer code assignment, and
+    the integer ADC pair score. Also sanity: ADC top-3 still finds
+    mostly same-cluster neighbors (quantization is lossy but not
+    random)."""
+    import numpy as np
+
+    m, sub = 4, 4  # 16-dim fixture
+    out = S.pq_topk_exactseed(
+        clustered_vecs, k=5, n_centroids=16, n_probe=4, m_subspaces=m
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["adc_d2"], r["rnk"])
+           for r in out}
+
+    rows = clustered_vecs.collect()
+    ids = [r["vec_id"] for r in rows]
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
+    mic = {i: np.floor(V[i] * 1e6 + 0.5).astype(np.int64) for i in ids}
+    seeds = sorted(
+        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+    )[:16]
+
+    def coarse_order(i):
+        dots = [int(mic[i] @ mic[s]) for s in seeds]
+        return sorted(range(16), key=lambda c: (-dots[c], c))
+
+    assign = {i: coarse_order(i)[0] for i in ids}
+    probes = {i: set(coarse_order(i)[:4]) for i in ids}
+
+    def d2(i, j, code):
+        a = mic[i][j * sub:(j + 1) * sub]
+        b = mic[seeds[code]][j * sub:(j + 1) * sub]
+        return int(((a - b) ** 2).sum())
+
+    ncode = {
+        (i, j): min(range(16), key=lambda c: (d2(i, j, c), c))
+        for i in ids for j in range(m)
+    }
+    expect = set()
+    for qid in ids:
+        cands = [n for n in ids if n != qid and assign[n] in probes[qid]]
+        scored = sorted(
+            ((sum(d2(qid, j, ncode[(n, j)]) for j in range(m)), n)
+             for n in cands)
+        )[:5]
+        for rnk, (dist, n) in enumerate(scored, 1):
+            expect.add((qid, n, dist, rnk))
+    assert got == expect
+
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    top3 = [(r["query_id"], r["neighbor_id"]) for r in out if r["rnk"] <= 3]
+    same = sum(labels[q] == labels[n] for q, n in top3)
+    assert same / len(top3) > 0.6
+
+
 def test_ann_lsh_multiprobe_improves_recall(spark, clustered_vecs):
     """Hamming-distance-1 multi-probe must dominate single-bucket recall
     (it strictly widens each query's candidate set)."""
