@@ -85,16 +85,91 @@ def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a2_approx_distinct",
-    oracle=None,  # HLL estimates are engine-specific; checked rows-only +
-    # tests/test_aggregates.py bounds the estimate vs exact.
+    oracle=None,  # HLL estimates are engine-specific; checked rows-only.
+    # The oracle-exact twin is a2_kmv_distinct (integer KMV sketch);
+    # tests/test_properties.py bounds KMV vs exact and vs a Python model.
     doc="A2: approx_count_distinct (HyperLogLog++) — the at-scale form of "
-    "distinct counting; error bound asserted in tests.",
+    "distinct counting. Rows-only BY CONSTRUCTION (the sketch is engine-"
+    "internal); a2_kmv_distinct is the SQL-stateable twin the driver "
+    "verifies bit-for-bit.",
 )
 def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_testdata(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "a2_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             (1103515245 * l_orderkey + 12345) % 2147483647 AS hv
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY hv) AS rn
+      FROM h),
+    buf AS (
+      SELECT l_returnflag, CAST(max(hv) AS BIGINT) AS kth_hash,
+             count(*) AS n_buf
+      FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+    ex AS (
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS n_exact,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT ex.l_returnflag, n_rows, n_exact, kth_hash,
+           CAST(CASE WHEN n_buf < 256 THEN n_buf
+                ELSE (CAST(255 AS BIGINT) * 2147483647)
+                     // greatest(kth_hash, 1)
+           END AS BIGINT) AS kmv_est
+    FROM ex JOIN buf ON ex.l_returnflag = buf.l_returnflag
+    """,
+    doc="A2 (approx distinct, ORACLE-EXACT twin): K-Minimum-Values "
+    "sketch (Bar-Yossef et al. 2002) — a2_approx_distinct's HLL "
+    "sketches are engine-internal and can never hash-match, but KMV "
+    "with a deterministic integer-LCG hash is SQL-stateable with NO "
+    "float anywhere: per group keep the k=256 smallest distinct hash "
+    "values; estimate = (k-1)*M DIV kth_smallest — exact integer "
+    "division, identical in any engine. The exact distinct count "
+    "rides along so one row verifies sketch and truth together; the "
+    "engine-side error-bound test pins |est/exact - 1| within the "
+    "~2/sqrt(k) KMV band. Scale: the distinct-hash set shrinks "
+    "map-side, and the k-smallest buffer is a mergeable sketch (at "
+    "100 TB a partial top-k per partition merges to the global k; "
+    "locally the per-group rank window expresses the same).",
+)
+def a2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M = 256, 2147483647
+    li = read_testdata(spark, sf_dir, "lineitem")
+    hv = (F.lit(1103515245) * F.col("l_orderkey") + F.lit(12345)) % F.lit(M)
+    dh = li.select("l_returnflag", hv.alias("hv")).distinct()
+    rn = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy("hv")
+    )
+    buf = (
+        dh.withColumn("rn", rn)
+        .filter(F.col("rn") <= K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("hv").cast("bigint").alias("kth_hash"),
+            F.count("*").alias("n_buf"),
+        )
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.count("*").alias("n_rows"),
+    )
+    est = F.when(F.col("n_buf") < K, F.col("n_buf")).otherwise(
+        F.expr(f"({K - 1} * {M}L) div greatest(kth_hash, 1)")
+    )
+    return ex.join(buf, "l_returnflag").select(
+        "l_returnflag", "n_rows", "n_exact", "kth_hash",
+        est.cast("bigint").alias("kmv_est"),
     )
 
 

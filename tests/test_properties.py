@@ -1088,3 +1088,52 @@ def test_bpe_merge_steps_equals_python_bpe(spark, docs):
         if step < 4 and top:
             merge(top[0][0])
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=5000),
+        min_size=1,
+        max_size=400,
+    ),
+    k=st.sampled_from([8, 32, 256]),
+)
+def test_kmv_sketch_matches_model_and_bound(spark, keys, k):
+    """The KMV distinct estimator vs a pure-Python model of the same
+    contract (LCG hash, k smallest distinct values, integer-division
+    estimate) on random key multisets — including the underfull-buffer
+    exact mode — plus the ~3/sqrt(k) KMV error band when the buffer
+    is full."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    M = 2147483647
+    df = spark.createDataFrame(
+        [(x,) for x in keys], "l_orderkey LONG"
+    ).withColumn("l_returnflag", F.lit("G"))
+
+    hv = (F.lit(1103515245) * F.col("l_orderkey") + F.lit(12345)) % F.lit(M)
+    dh = df.select("l_returnflag", hv.alias("hv")).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("hv")
+    )
+    buf = (
+        dh.withColumn("rn", rn).filter(F.col("rn") <= k)
+        .groupBy("l_returnflag")
+        .agg(F.max("hv").alias("kth"), F.count("*").alias("n_buf"))
+        .collect()[0]
+    )
+    got = (
+        buf["n_buf"] if buf["n_buf"] < k
+        else ((k - 1) * M) // max(buf["kth"], 1)
+    )
+
+    hs = sorted({(1103515245 * x + 12345) % M for x in keys})
+    want = (
+        len(hs) if len(hs) < k else ((k - 1) * M) // max(hs[k - 1], 1)
+    )
+    assert got == want
+    exact = len(set(keys))
+    if len(hs) >= k:
+        assert abs(got / exact - 1) <= 3 / (k ** 0.5) + 0.05
