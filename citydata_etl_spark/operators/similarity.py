@@ -759,7 +759,9 @@ def ivf_topk_exactseed(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
     ).withColumn("vi", _micros(F.col("v")))
     pw = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
-    pr = (
+    # both join sides (queries = all probes, candidates = prnk 1) read
+    # pr — persist so the broadcast-fan-out + assignment window runs once
+    pr = scoped_persist(
         base.crossJoin(F.broadcast(seeds))
         .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
         .withColumn("prnk", F.row_number().over(pw))
@@ -841,9 +843,10 @@ def pq_topk_exactseed(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("vi", _micros(F.col("v"))).drop("v")
 
-    # coarse probe (identical rule to ivf_topk_exactseed)
+    # coarse probe (identical rule to ivf_topk_exactseed); persisted:
+    # the query and candidate join sides both read it
     pw = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
-    pr = (
+    pr = scoped_persist(
         base.crossJoin(F.broadcast(seeds))
         .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
         .withColumn("prnk", F.row_number().over(pw))
@@ -864,7 +867,9 @@ def pq_topk_exactseed(
             lambda acc, x: acc + x,
         )
 
-    qd = (
+    # persisted: read once as the per-(id,j) argmin (candidate codes)
+    # and once as the query-side ADC lookup
+    qd = scoped_persist(
         base.crossJoin(
             F.broadcast(seeds.select(F.col("cidx").alias("code"), "ci"))
         )
