@@ -793,3 +793,34 @@ def test_dpp_join_prunes_partitions(spark):
     assert "dynamicpruning" in p.lower()
     pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "dynamicpruning" in pf.lower()
+
+
+def test_round8_entry_plan_guards(spark):
+    """Scale-shape guards for the round-8 entries.
+
+    - ANN rank twins: the seed pick must plan as TakeOrderedAndProject
+      (bounded per-partition heap, never a global sort) and the seed
+      fan-out as a broadcast — a SortMergeJoin against the 16 seed rows
+      would shuffle the corpus for nothing.
+    - d5_bmp_pixels: the documents scan must read ONLY doc_id (the blob
+      fixture and decode add columns; the scan must not widen).
+    - a2_kmv_distinct: the sketch side must reach the final join as a
+      broadcast (group-count rows, never a corpus shuffle), and the
+      distinct-hash aggregation must combine map-side (partial
+      aggregate before its exchange).
+    """
+    for name in ("d4_ann_ivf_rank", "d4_ann_pq_rank"):
+        p = _plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "BroadcastExchange" in p, name
+        # the 16-row seed rank window runs inside TakeOrdered's single
+        # result; nothing else may collapse to one partition
+        assert "Exchange SinglePartition" not in p, name
+    p = _plan(spark, "d5_bmp_pixels")
+    scan = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in scan and "text" not in scan
+
+    p = _plan(spark, "a2_kmv_distinct")
+    assert "BroadcastHashJoin" in p
+    assert "partial_max" in p  # sketch buffer combines map-side
+    assert "partial_count" in p
