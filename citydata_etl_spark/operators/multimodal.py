@@ -155,6 +155,59 @@ def _decode_bmp24(blob) -> tuple | None:
     return width, height, px[:, :, ::-1]  # stored BGR -> RGB
 
 
+_BMP_RESIZE_SCHEMA = (
+    "media_id BIGINT, y BIGINT, x BIGINT, "
+    "r BIGINT, g BIGINT, b BIGINT"
+)
+
+
+def bmp_resize_nn(
+    media: DataFrame, out_w: int, out_h: int,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image resize for the codec-free raster path: nearest-neighbor
+    downsample of uncompressed 24-bpp BMPs — the operation resize_stub
+    still defers for entropy-coded formats, delivered here for the
+    format that needs no codec library. Sampling rule, stated so an
+    oracle can restate it: output pixel (x2, y2) reads logical source
+    pixel (x2*W // out_w, y2*H // out_h) — integer floor division,
+    no float coordinates. Decode reuses _decode_bmp24 (orientation +
+    stride handling); the gather is one numpy fancy-index per blob
+    inside Arrow-batched mapInPandas. Output is LONG format (one row
+    per resized pixel, out_w*out_h rows per decodable image; non-BMP
+    rows emit nothing) so the result hashes engine-portably without
+    array-type comparison. Fan-out is the constant out_w*out_h per
+    blob; no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "y", "x", "r", "g", "b")}
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                dec = _decode_bmp24(blob)
+                if dec is None:
+                    continue
+                w, h, px = dec
+                xs = (np.arange(out_w) * w) // out_w
+                ys = (np.arange(out_h) * h) // out_h
+                small = px[np.ix_(ys, xs)].astype(np.int64)
+                for y2 in range(out_h):
+                    for x2 in range(out_w):
+                        out["media_id"].append(int(mid))
+                        out["y"].append(y2)
+                        out["x"].append(x2)
+                        out["r"].append(int(small[y2, x2, 0]))
+                        out["g"].append(int(small[y2, x2, 1]))
+                        out["b"].append(int(small[y2, x2, 2]))
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="int64") for k, v in out.items()}
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_BMP_RESIZE_SCHEMA)
+
+
 def bmp_pixel_stats(
     media: DataFrame, content_col: str = "content",
     id_col: str = "media_id",

@@ -2359,6 +2359,62 @@ def d5_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tar_members(shards)
 
 
+def _bmp_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BMP blob fixture for d5_bmp_pixels / d5_bmp_resize: genuine
+    24-bpp BMPs with closed-form pixels, dims cycling by doc_id, both
+    storage orientations (every 5th top-down), live stride padding, and
+    a PNG every 7th row. Per-pixel Python over <=48-px images —
+    synthesis only; the OPERATORS decode vectorized."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ids.append(d)
+                if d % 7 == 0:
+                    blobs.append(
+                        bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 46
+                    )
+                    continue
+                w, h = 4 + d % 5, 3 + d % 4
+                topdown = d % 5 == 0
+                stride = (w * 3 + 3) // 4 * 4
+                body = bytearray()
+                yorder = range(h) if topdown else range(h - 1, -1, -1)
+                for y in yorder:
+                    row = bytearray()
+                    for x in range(w):
+                        row.append((d + 3 * x + 7 * y) % 256)
+                        row.append((2 * d + 5 * x + 11 * y + 1) % 256)
+                        row.append((3 * d + x + 13 * y + 2) % 256)
+                    row.extend(b"\x00" * (stride - len(row)))
+                    body.extend(row)
+                header = (
+                    b"BM"
+                    + (54 + len(body)).to_bytes(4, "little")
+                    + b"\x00\x00\x00\x00"
+                    + (54).to_bytes(4, "little")
+                    + (40).to_bytes(4, "little")
+                    + w.to_bytes(4, "little", signed=True)
+                    + (-h if topdown else h).to_bytes(
+                        4, "little", signed=True
+                    )
+                    + (1).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")
+                    + len(body).to_bytes(4, "little")
+                    + b"\x00" * 16
+                )
+                blobs.append(bytes(header) + bytes(body))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
+
+
 @register(
     "d5_bmp_pixels",
     oracle="""
@@ -2410,61 +2466,50 @@ def d5_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bug that plain channel sums would mask.",
 )
 def d5_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from pyspark.sql import functions as F
-
     from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    return bmp_pixel_stats(_bmp_media_fixture(spark, sf_dir))
 
-    # fixture half: build the BMP bytes (per-pixel Python over <=48-px
-    # images — synthesis only; the OPERATOR decodes vectorized)
-    def build(batches):
-        for pdf in batches:
-            ids, blobs = [], []
-            for did in pdf["doc_id"]:
-                d = int(did)
-                ids.append(d)
-                if d % 7 == 0:
-                    blobs.append(
-                        bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 46
-                    )
-                    continue
-                w, h = 4 + d % 5, 3 + d % 4
-                topdown = d % 5 == 0
-                stride = (w * 3 + 3) // 4 * 4
-                body = bytearray()
-                yorder = range(h) if topdown else range(h - 1, -1, -1)
-                for y in yorder:
-                    row = bytearray()
-                    for x in range(w):
-                        row.append((d + 3 * x + 7 * y) % 256)
-                        row.append((2 * d + 5 * x + 11 * y + 1) % 256)
-                        row.append((3 * d + x + 13 * y + 2) % 256)
-                    row.extend(b"\x00" * (stride - len(row)))
-                    body.extend(row)
-                header = (
-                    b"BM"
-                    + (54 + len(body)).to_bytes(4, "little")
-                    + b"\x00\x00\x00\x00"
-                    + (54).to_bytes(4, "little")
-                    + (40).to_bytes(4, "little")
-                    + w.to_bytes(4, "little", signed=True)
-                    + (-h if topdown else h).to_bytes(
-                        4, "little", signed=True
-                    )
-                    + (1).to_bytes(2, "little")
-                    + (24).to_bytes(2, "little")
-                    + (0).to_bytes(4, "little")
-                    + len(body).to_bytes(4, "little")
-                    + b"\x00" * 16
-                )
-                blobs.append(bytes(header) + bytes(body))
-            yield pd.DataFrame({"media_id": ids, "content": blobs})
 
-    media = docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
-    return bmp_pixel_stats(media)
+@register(
+    "d5_bmp_resize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents
+      WHERE doc_id % 7 <> 0),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(2) gx, range(2) gy),
+    src AS (
+      SELECT media_id, x, y,
+             (x * w) // 2 AS sx, (y * h) // 2 AS sy
+      FROM grid)
+    SELECT media_id, y, x,
+           (3 * media_id + sx + 13 * sy + 2) % 256 AS r,
+           (2 * media_id + 5 * sx + 11 * sy + 1) % 256 AS g,
+           (media_id + 3 * sx + 7 * sy) % 256 AS b
+    FROM src
+    """,
+    doc="D5 [north-star multimodal]: REAL nearest-neighbor image resize "
+    "over the codec-free raster path — the operation resize_stub "
+    "defers for entropy-coded formats, delivered for BMP "
+    "(operators/multimodal.py:bmp_resize_nn). Every image downsamples "
+    "to 2x2 by the stated integer sampling rule (x2*W // 2, y2*H // 2 "
+    "— floor division, no float coordinates), so the oracle evaluates "
+    "the closed-form source pixel at each sampled coordinate; a "
+    "decoder that mishandled orientation, stride, or the sampling "
+    "convention produces different bytes at these exact positions. "
+    "Long-format output (one row per resized pixel, PNG rows emit "
+    "nothing) hashes engine-portably without array comparison.",
+)
+def d5_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import bmp_resize_nn
+
+    return bmp_resize_nn(_bmp_media_fixture(spark, sf_dir), 2, 2)
 
 
 @register(

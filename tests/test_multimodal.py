@@ -442,3 +442,29 @@ def test_bmp_pixel_stats_both_orientations(spark):
         assert r.wsum_r == wsum_r
         assert r.p00 == 10 * 65536 + 20 * 256 + 30
     assert got[3].width is None and got[3].sum_r is None
+
+
+def test_bmp_resize_nn_sampling_rule(spark):
+    """bmp_resize_nn must apply exactly the stated gather rule
+    (sx = x*W//out_w, sy = y*H//out_h) on LOGICAL pixels, identically
+    for both storage orientations, and skip non-BMP rows."""
+    from citydata_etl_spark.operators.multimodal import bmp_resize_nn
+
+    px = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(1, 2, 3), (4, 5, 6), (250, 251, 252)],
+    ]
+    rows = [
+        (1, _bmp24(3, 2, px, topdown=False)),
+        (2, _bmp24(3, 2, px, topdown=True)),
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 60),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    out = bmp_resize_nn(df, 2, 2).collect()
+    got = {(r.media_id, r.y, r.x): (r.r, r.g, r.b) for r in out}
+    assert len(out) == 8  # 2 decodable images x 4 pixels; PNG emits none
+    for mid in (1, 2):
+        for y2 in range(2):
+            for x2 in range(2):
+                sx, sy = (x2 * 3) // 2, (y2 * 2) // 2
+                assert got[(mid, y2, x2)] == px[sy][sx]
