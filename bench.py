@@ -143,6 +143,11 @@ HEADLINE = [
     "d5_bmp_pixels",
     "d4_bpe_merge_steps",
     "t16_stream_restart",
+    # round-8 second wave: fully-integer IVF-PQ twin, KMV distinct
+    # sketch, nearest-neighbor raster resize
+    "d4_ann_pq_rank",
+    "a2_kmv_distinct",
+    "d5_bmp_resize",
 ]
 
 
