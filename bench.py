@@ -148,6 +148,9 @@ HEADLINE = [
     "d4_ann_pq_rank",
     "a2_kmv_distinct",
     "d5_bmp_resize",
+    # round-8 third wave: the distributed IVF trainer's oracle-exact
+    # twin (integer Lloyd iteration, zero driver collects)
+    "d4_ann_ivf_dist_rank",
 ]
 
 

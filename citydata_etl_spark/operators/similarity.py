@@ -735,8 +735,9 @@ def ivf_topk_exactseed(
          form any SQL engine evaluates identically). Seeds ARE the
          centroids: no Lloyd iterations, whose double means/argmax
          would sit one addition-reorder ulp from an assignment flip
-         (the Lloyd trainer is covered by d4_ann_ivf /
-         d4_ann_ivf_dist, rows-only + recall-tested).
+         (the float Lloyd trainer stays rows-only + recall-tested in
+         d4_ann_ivf / d4_ann_ivf_dist; its integer restatement with a
+         real training iteration is ivf_topk_distexact).
       2. ASSIGN + PROBE: both the corpus vector and the seed centroid
          are quantized to integer micros; the assignment score is their
          exact BIGINT dot (embeddings are unit-normalized, so dot-argmax
@@ -755,14 +756,33 @@ def ivf_topk_exactseed(
     n_probe/n_centroids of the corpus.
     """
     seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
-    base = with_norm2(emb, vec_col).select(
+    base = _int_base(emb, id_col, vec_col)
+    return _int_probe_rerank(base, seeds, k, n_probe, round_digits)
+
+
+def _int_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, norm2, vi) — the raw vector plus its integer-micros
+    quantization, the input contract of _int_probe_rerank."""
+    return with_norm2(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
     ).withColumn("vi", _micros(F.col("v")))
+
+
+def _int_probe_rerank(
+    base: DataFrame, cents: DataFrame, k: int, n_probe: int,
+    round_digits: int,
+) -> DataFrame:
+    """The shared integer assign -> probe -> pruned-join -> exact-rerank
+    tail of the oracle-exact IVF twins: `cents` is any small
+    (cidx, ci: ARRAY<BIGINT>) centroid table (LCG seeds for
+    ivf_topk_exactseed, the trained table for ivf_topk_distexact);
+    assignment/probes are exact BIGINT dot argmax with ties to the
+    smaller cidx, rerank is exact double cosine within probed lists."""
     pw = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
     # both join sides (queries = all probes, candidates = prnk 1) read
     # pr — persist so the broadcast-fan-out + assignment window runs once
     pr = scoped_persist(
-        base.crossJoin(F.broadcast(seeds))
+        base.crossJoin(F.broadcast(cents))
         .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
         .withColumn("prnk", F.row_number().over(pw))
         .filter(F.col("prnk") <= n_probe)
@@ -796,6 +816,74 @@ def ivf_topk_exactseed(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def ivf_topk_distexact(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Oracle-exact twin of the DISTRIBUTED IVF trainer
+    (d4_ann_ivf_dist / _kmeans_distributed): one full-corpus Lloyd
+    iteration restated in pure integer arithmetic so even the TRAINING
+    step — not just assignment and rerank — is SQL-stateable
+    bit-for-bit.
+
+      1. INIT: the same LCG seed pick as ivf_topk_exactseed
+         (n_centroids corpus vectors, integer micros).
+      2. ASSIGN pass: every corpus vector joins its argmax-BIGINT-dot
+         seed (ties to the smaller index) — one broadcast fan-out, one
+         per-vector window, exactly _kmeans_distributed's assignment.
+      3. UPDATE pass: new centroid component c[d] = floor-mean of the
+         members' micros — posexplode + groupBy(cluster, d) SUM/COUNT.
+         The map-side partial aggregation IS the tree-aggregated
+         partial-sum topology of _kmeans_distributed's mapInPandas
+         kernel, but here the model never touches the driver at all:
+         the trained table stays a DataFrame and is broadcast into the
+         probe join. Integer sums are associative, so the result is
+         independent of partitioning (the property the float trainer
+         can never have — its += order shifts with the partition map);
+         the floored mean is stated as (s - pmod(s, n)) div n, which
+         any SQL engine evaluates identically for negative sums.
+         Clusters that attract no members keep their seed centroid.
+      4. PROBE + RERANK: the shared _int_probe_rerank tail against the
+         TRAINED centroids.
+
+    Scale shape: two corpus passes (assign, probe) + one
+    posexploded shuffle of corpus x dim rows with map-side combine —
+    the same per-iteration cost profile as _kmeans_distributed, with
+    zero driver collects anywhere in the plan.
+    """
+    seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
+    base = scoped_persist(_int_base(emb, id_col, vec_col))
+    w0 = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
+    members = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
+        .withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .select(F.col("cidx").alias("cluster"), "vi")
+    )
+    sums = (
+        members.select("cluster", F.posexplode("vi").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    trained = (
+        sums.withColumn("c", F.expr("(s - pmod(s, n)) div n"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))),
+                lambda r: r["c"],
+            ).alias("tc")
+        )
+    )
+    cents = (
+        seeds.join(trained, seeds["cidx"] == trained["cluster"], "left")
+        .select("cidx", F.coalesce("tc", "ci").alias("ci"))
+    )
+    return _int_probe_rerank(base, cents, k, n_probe, round_digits)
 
 
 def pq_topk_exactseed(

@@ -604,6 +604,110 @@ def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_ivf_dist_rank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+      SELECT vec_id, e,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    seedrank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+                        vec_id) - 1 AS cidx
+      FROM v),
+    seeds AS (
+      SELECT s.cidx, q.ei AS ci
+      FROM seedrank s JOIN q ON s.vec_id = q.vec_id
+      WHERE s.cidx < 16),
+    dims AS (SELECT unnest(range(64)) AS d),
+    dots0 AS (
+      SELECT q.vec_id, s.cidx,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   q.ei[CAST(d + 1 AS INT)] * s.ci[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS idot
+      FROM q CROSS JOIN seeds s),
+    a0 AS (
+      SELECT vec_id, cidx AS cluster FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY idot DESC, cidx) AS rn
+        FROM dots0)
+      WHERE rn = 1),
+    mem AS (
+      SELECT a0.cluster, q.ei FROM a0 JOIN q ON q.vec_id = a0.vec_id),
+    comp AS (
+      SELECT cluster, dims.d AS d,
+             sum(ei[CAST(dims.d + 1 AS INT)]) AS s, count(*) AS n
+      FROM mem CROSS JOIN dims GROUP BY cluster, dims.d),
+    tc AS (
+      SELECT cluster, d,
+             CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS c
+      FROM comp),
+    seedc AS (
+      SELECT s.cidx AS cluster, dims.d AS d,
+             s.ci[CAST(dims.d + 1 AS INT)] AS c
+      FROM seeds s CROSS JOIN dims),
+    cent1 AS (
+      SELECT sc.cluster, sc.d, coalesce(t.c, sc.c) AS c
+      FROM seedc sc
+      LEFT JOIN tc t ON t.cluster = sc.cluster AND t.d = sc.d),
+    dots1 AS (
+      SELECT q.vec_id, c1.cluster AS cidx,
+             sum(q.ei[CAST(c1.d + 1 AS INT)] * c1.c) AS idot
+      FROM q CROSS JOIN cent1 c1
+      GROUP BY q.vec_id, c1.cluster),
+    pr AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cidx) AS prnk
+      FROM dots1),
+    assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
+    probes AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk <= 4),
+    pairs AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(vq.e, vn.e)
+                   / (sqrt(list_dot_product(vq.e, vq.e))
+                      * sqrt(list_dot_product(vn.e, vn.e))), 4) AS cos_sim
+      FROM probes p
+      JOIN assign a ON p.cluster = a.cluster AND p.vec_id <> a.vec_id
+      JOIN v vq ON vq.vec_id = p.vec_id
+      JOIN v vn ON vn.vec_id = a.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4: the DISTRIBUTED IVF trainer's ORACLE-EXACT twin — one "
+    "full-corpus Lloyd iteration in pure integer arithmetic "
+    "(operators/similarity.py:ivf_topk_distexact): LCG seeds, exact "
+    "BIGINT-dot assignment, centroid update as the floored integer "
+    "mean of member micros via posexplode + map-side-combined "
+    "groupBy — the tree-aggregated partial-sum topology of "
+    "_kmeans_distributed with ZERO driver collects (the trained model "
+    "stays a DataFrame and is broadcast into the probe join). Integer "
+    "sums are associative, so the trained centroids — and therefore "
+    "every list membership — are partition-order independent and "
+    "SQL-stateable bit-for-bit; empty lists keep their seed. The "
+    "production entry (d4_ann_ivf_dist) keeps the float tree-"
+    "aggregated Lloyd and stays rows-only + recall-tested.",
+)
+def d4_ann_ivf_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = S.ivf_topk_distexact(emb, k=5, n_centroids=16, n_probe=4)
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
     "d4_ann_pq",
     oracle=None,  # approximate by construction (coarse pruning +
     # quantization); tests measure recall and the rerank recovery.

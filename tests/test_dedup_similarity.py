@@ -204,6 +204,83 @@ def test_ann_ivf_exactseed_recall_and_model_agreement(spark, clustered_vecs):
     assert got == expect
 
 
+def test_ann_ivf_distexact_matches_model(spark, clustered_vecs):
+    """The distributed-trainer twin vs an independent Python model of its
+    contract: LCG seed init, integer-dot first assignment, floored
+    integer-mean centroid update (Python // is the same floor division
+    as the engine's (s - pmod(s,n)) div n), then assignment/probes
+    against the TRAINED centroids and exact cosine rerank. Also: the
+    trained centroids must actually move — at least one cluster's
+    update differs from its seed, so the test can't pass vacuously on
+    the exactseed topology."""
+    import math
+
+    import numpy as np
+
+    out = S.ivf_topk_distexact(
+        clustered_vecs, k=5, n_centroids=16, n_probe=4
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+           for r in out}
+
+    rows = clustered_vecs.collect()
+    ids = [r["vec_id"] for r in rows]
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
+    mic = {i: [int(x) for x in np.floor(V[i] * 1e6 + 0.5).astype(np.int64)]
+           for i in ids}
+    seeds = sorted(
+        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+    )[:16]
+    dim = len(mic[ids[0]])
+
+    def idot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cents0 = [mic[s] for s in seeds]
+    assign0 = {
+        i: min(range(16), key=lambda c: (-idot(mic[i], cents0[c]), c))
+        for i in ids
+    }
+    members = {}
+    for i in ids:
+        members.setdefault(assign0[i], []).append(i)
+    cents1 = []
+    moved = 0
+    for c in range(16):
+        ms = members.get(c)
+        if not ms:
+            cents1.append(cents0[c])
+            continue
+        trained = [
+            sum(mic[i][d] for i in ms) // len(ms) for d in range(dim)
+        ]
+        moved += trained != cents0[c]
+        cents1.append(trained)
+    assert moved > 0, "no centroid moved — trainer not exercised"
+
+    def order1(i):
+        dots = [idot(mic[i], cents1[c]) for c in range(16)]
+        return sorted(range(16), key=lambda c: (-dots[c], c))
+
+    assign = {i: order1(i)[0] for i in ids}
+    probes = {i: set(order1(i)[:4]) for i in ids}
+
+    def cos(a, b):
+        d = float(V[a] @ V[b]) / (
+            math.sqrt(float(V[a] @ V[a])) * math.sqrt(float(V[b] @ V[b]))
+        )
+        return math.copysign(math.floor(abs(d) * 1e4 + 0.5) / 1e4, d)
+
+    expect = set()
+    for qid in ids:
+        cands = [n for n in ids if n != qid and assign[n] in probes[qid]]
+        ranked = sorted(cands, key=lambda n: (-cos(qid, n), n))[:5]
+        for rnk, n in enumerate(ranked, 1):
+            expect.add((qid, n, cos(qid, n), rnk))
+    assert got == expect
+
+
 def test_ann_pq_exactseed_matches_model(spark, clustered_vecs):
     """The fully-integer IVF-PQ twin vs an independent Python model of
     its contract: LCG seeds as coarse centroids AND subspace codebooks,

@@ -824,3 +824,19 @@ def test_round8_entry_plan_guards(spark):
     assert "BroadcastHashJoin" in p
     assert "partial_max" in p  # sketch buffer combines map-side
     assert "partial_count" in p
+
+
+def test_ivf_distexact_trainer_plan(spark):
+    """The distributed-trainer twin's scale shape: the centroid-update
+    sums must combine map-side (partial_sum/partial_count before the
+    (cluster, d) exchange — the tree-aggregate topology), the seed pick
+    must stay a bounded TakeOrderedAndProject, every centroid table
+    (seeds and trained) must reach the corpus as a broadcast, and no
+    collect()-shaped driver hop may exist: the plan is one connected
+    tree from parquet scan to final window."""
+    p = _plan(spark, "d4_ann_ivf_dist_rank")
+    assert "partial_sum" in p
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "Exchange SinglePartition" not in p
