@@ -879,8 +879,12 @@ def ivf_topk_distexact(
             ).alias("tc")
         )
     )
+    # both sides are n_centroids rows — broadcast the trained table so
+    # the seed-fallback join never plans exchanges
     cents = (
-        seeds.join(trained, seeds["cidx"] == trained["cluster"], "left")
+        seeds.join(
+            F.broadcast(trained), seeds["cidx"] == trained["cluster"], "left"
+        )
         .select("cidx", F.coalesce("tc", "ci").alias("ci"))
     )
     return _int_probe_rerank(base, cents, k, n_probe, round_digits)
