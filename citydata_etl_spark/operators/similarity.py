@@ -854,8 +854,30 @@ def ivf_topk_distexact(
     the same per-iteration cost profile as _kmeans_distributed, with
     zero driver collects anywhere in the plan.
     """
-    seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
     base = scoped_persist(_int_base(emb, id_col, vec_col))
+    cents = _distexact_centroids(base, emb, n_centroids, id_col, vec_col)
+    return _int_probe_rerank(base, cents, k, n_probe, round_digits)
+
+
+def distexact_centroids(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained (cidx, ci: ARRAY<BIGINT>) centroid table of
+    ivf_topk_distexact's integer Lloyd iteration, exposed for direct
+    property-testing of the training step (pure integers — no float
+    anywhere, so a Python reference model can assert bit-equality on
+    arbitrary corpora)."""
+    return _distexact_centroids(
+        _int_base(emb, id_col, vec_col), emb, n_centroids, id_col, vec_col
+    )
+
+
+def _distexact_centroids(
+    base: DataFrame, emb: DataFrame, n_centroids: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
     w0 = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
     members = (
         base.crossJoin(F.broadcast(seeds))
@@ -881,13 +903,12 @@ def ivf_topk_distexact(
     )
     # both sides are n_centroids rows — broadcast the trained table so
     # the seed-fallback join never plans exchanges
-    cents = (
+    return (
         seeds.join(
             F.broadcast(trained), seeds["cidx"] == trained["cluster"], "left"
         )
         .select("cidx", F.coalesce("tc", "ci").alias("ci"))
     )
-    return _int_probe_rerank(base, cents, k, n_probe, round_digits)
 
 
 def pq_topk_exactseed(

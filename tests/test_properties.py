@@ -1137,3 +1137,66 @@ def test_kmv_sketch_matches_model_and_bound(spark, keys, k):
     exact = len(set(keys))
     if len(hs) >= k:
         assert abs(got / exact - 1) <= 3 / (k ** 0.5) + 0.05
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),          # vec_id pool
+            st.lists(
+                st.sampled_from([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0]),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=2, max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_distexact_trainer_matches_reference(spark, rows):
+    """The integer Lloyd trainer (distexact_centroids) vs a pure-Python
+    reference on randomized corpora — bit-equality on the trained
+    centroid table itself (no float anywhere). The coarse value grid
+    forces integer-dot ties (broken by cidx), negative component sums
+    (the (s - pmod) div floor path), duplicate vectors, zero vectors,
+    and corpora small enough that clusters go empty and keep their
+    seed centroid."""
+    from citydata_etl_spark.operators import similarity as S
+
+    n_cent = 4
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["cidx"]: list(r["ci"])
+        for r in S.distexact_centroids(df, n_centroids=n_cent).collect()
+    }
+
+    ids = [i for i, _ in rows]
+    mic = {
+        i: [int((x * 1000000 + 0.5) // 1) for x in v] for i, v in rows
+    }
+    seeds = sorted(
+        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+    )[: n_cent]
+
+    def idot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cents0 = [mic[s] for s in seeds]
+    members = {}
+    for i in ids:
+        c = min(range(len(seeds)),
+                key=lambda c: (-idot(mic[i], cents0[c]), c))
+        members.setdefault(c, []).append(i)
+    want = {}
+    for c in range(len(seeds)):
+        ms = members.get(c)
+        if not ms:
+            want[c] = cents0[c]
+        else:
+            want[c] = [
+                sum(mic[i][d] for i in ms) // len(ms) for d in range(4)
+            ]
+    assert got == want
