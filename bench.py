@@ -260,16 +260,19 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
         # per-round stamp so history stops being overwritten: the driver
         # writes BENCH_r{N}.json AFTER this run, so the current round is
-        # (highest existing N) + 1
-        rounds = [
-            int(m.group(1))
-            for fn in os.listdir(here)
-            if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
-        ]
-        rnd = (max(rounds) + 1) if rounds else 0
-        stamped = os.path.join(here, f"bench_detail_r{rnd:02d}.json")
-        with open(stamped, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
+        # (highest existing N) + 1. Only the driver-scale run (sf 0.1)
+        # stamps — a quick local check at another SF must not clobber
+        # the round's history file with incomparable numbers.
+        if abs(sf - 0.1) < 1e-9:
+            rounds = [
+                int(m.group(1))
+                for fn in os.listdir(here)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", fn))
+            ]
+            rnd = (max(rounds) + 1) if rounds else 0
+            stamped = os.path.join(here, f"bench_detail_r{rnd:02d}.json")
+            with open(stamped, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
 

@@ -821,94 +821,116 @@ def _int_probe_rerank(
 def ivf_topk_distexact(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_digits: int = 4,
+    round_digits: int = 4, n_iter: int = 2,
 ) -> DataFrame:
     """Oracle-exact twin of the DISTRIBUTED IVF trainer
-    (d4_ann_ivf_dist / _kmeans_distributed): one full-corpus Lloyd
-    iteration restated in pure integer arithmetic so even the TRAINING
-    step — not just assignment and rerank — is SQL-stateable
-    bit-for-bit.
+    (d4_ann_ivf_dist / _kmeans_distributed): n_iter CHAINED full-corpus
+    Lloyd iterations restated in pure integer arithmetic so even the
+    TRAINING LOOP — not just assignment and rerank — is SQL-stateable
+    bit-for-bit (iteration k's assignment reads iteration k-1's trained
+    centroids, the g1/g3/BPE unrolled-iteration playbook).
 
       1. INIT: the same LCG seed pick as ivf_topk_exactseed
          (n_centroids corpus vectors, integer micros).
-      2. ASSIGN pass: every corpus vector joins its argmax-BIGINT-dot
-         seed (ties to the smaller index) — one broadcast fan-out, one
-         per-vector window, exactly _kmeans_distributed's assignment.
-      3. UPDATE pass: new centroid component c[d] = floor-mean of the
-         members' micros — posexplode + groupBy(cluster, d) SUM/COUNT.
-         The map-side partial aggregation IS the tree-aggregated
-         partial-sum topology of _kmeans_distributed's mapInPandas
-         kernel, but here the model never touches the driver at all:
-         the trained table stays a DataFrame and is broadcast into the
-         probe join. Integer sums are associative, so the result is
-         independent of partitioning (the property the float trainer
-         can never have — its += order shifts with the partition map);
-         the floored mean is stated as (s - pmod(s, n)) div n, which
-         any SQL engine evaluates identically for negative sums.
-         Clusters that attract no members keep their seed centroid.
+      2. Per iteration, ASSIGN pass: every corpus vector joins its
+         argmax-BIGINT-dot centroid (ties to the smaller index) — one
+         broadcast fan-out, one per-vector window, exactly
+         _kmeans_distributed's assignment.
+      3. Per iteration, UPDATE pass: new centroid component c[d] =
+         floor-mean of the members' micros — posexplode +
+         groupBy(cluster, d) SUM/COUNT. The map-side partial
+         aggregation IS the tree-aggregated partial-sum topology of
+         _kmeans_distributed's mapInPandas kernel, but here the model
+         never touches the driver at all: the trained table stays a
+         DataFrame and is broadcast into the next iteration (and
+         finally the probe join). Integer sums are associative, so the
+         result is independent of partitioning (the property the float
+         trainer can never have — its += order shifts with the
+         partition map); the floored mean is stated as
+         (s - pmod(s, n)) div n, which any SQL engine evaluates
+         identically for negative sums. Clusters that attract no
+         members carry the previous iteration's centroid. Deliberate,
+         documented deviation from the float trainer: no per-iteration
+         re-normalization (sqrt is not integer-stateable), so the twin
+         states Lloyd-on-dot rather than spherical Lloyd — the
+         structural machinery (assign/update/carry/probe) is identical.
       4. PROBE + RERANK: the shared _int_probe_rerank tail against the
-         TRAINED centroids.
+         final trained centroids.
 
-    Scale shape: two corpus passes (assign, probe) + one
+    Scale shape: n_iter+1 corpus passes (one assign per iteration +
+    probe) over the persisted base relation, each iteration one
     posexploded shuffle of corpus x dim rows with map-side combine —
     the same per-iteration cost profile as _kmeans_distributed, with
     zero driver collects anywhere in the plan.
     """
     base = scoped_persist(_int_base(emb, id_col, vec_col))
-    cents = _distexact_centroids(base, emb, n_centroids, id_col, vec_col)
+    cents = _distexact_centroids(
+        base, emb, n_centroids, id_col, vec_col, n_iter
+    )
     return _int_probe_rerank(base, cents, k, n_probe, round_digits)
 
 
 def distexact_centroids(
     emb: DataFrame, n_centroids: int = 16,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", n_iter: int = 2,
 ) -> DataFrame:
     """The trained (cidx, ci: ARRAY<BIGINT>) centroid table of
-    ivf_topk_distexact's integer Lloyd iteration, exposed for direct
+    ivf_topk_distexact's integer Lloyd loop, exposed for direct
     property-testing of the training step (pure integers — no float
     anywhere, so a Python reference model can assert bit-equality on
     arbitrary corpora)."""
     return _distexact_centroids(
-        _int_base(emb, id_col, vec_col), emb, n_centroids, id_col, vec_col
+        _int_base(emb, id_col, vec_col), emb, n_centroids, id_col,
+        vec_col, n_iter,
     )
 
 
 def _distexact_centroids(
     base: DataFrame, emb: DataFrame, n_centroids: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, n_iter: int,
 ) -> DataFrame:
-    seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
+    """n_iter CHAINED integer Lloyd iterations, unrolled into one plan
+    (the g1_host_pagerank playbook): each round re-assigns the corpus
+    to its argmax-BIGINT-dot centroid and replaces every non-empty
+    cluster's centroid with the floored integer mean of its members;
+    empty clusters carry the PREVIOUS round's centroid. Iteration k's
+    assignment reads iteration k-1's trained table, so the oracle must
+    state the whole chain, not one step."""
+    cents = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
     w0 = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
-    members = (
-        base.crossJoin(F.broadcast(seeds))
-        .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
-        .withColumn("rn", F.row_number().over(w0))
-        .filter(F.col("rn") == 1)
-        .select(F.col("cidx").alias("cluster"), "vi")
-    )
-    sums = (
-        members.select("cluster", F.posexplode("vi").alias("d", "x"))
-        .groupBy("cluster", "d")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    trained = (
-        sums.withColumn("c", F.expr("(s - pmod(s, n)) div n"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "c"))),
-                lambda r: r["c"],
-            ).alias("tc")
+    for _ in range(n_iter):
+        members = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
+            .withColumn("rn", F.row_number().over(w0))
+            .filter(F.col("rn") == 1)
+            .select(F.col("cidx").alias("cluster"), "vi")
         )
-    )
-    # both sides are n_centroids rows — broadcast the trained table so
-    # the seed-fallback join never plans exchanges
-    return (
-        seeds.join(
-            F.broadcast(trained), seeds["cidx"] == trained["cluster"], "left"
+        sums = (
+            members.select("cluster", F.posexplode("vi").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        .select("cidx", F.coalesce("tc", "ci").alias("ci"))
-    )
+        trained = (
+            sums.withColumn("c", F.expr("(s - pmod(s, n)) div n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "c"))),
+                    lambda r: r["c"],
+                ).alias("tc")
+            )
+        )
+        # both sides are n_centroids rows — broadcast the trained table
+        # so the carry join never plans exchanges
+        cents = (
+            cents.join(
+                F.broadcast(trained),
+                cents["cidx"] == trained["cluster"], "left",
+            )
+            .select("cidx", F.coalesce("tc", "ci").alias("ci"))
+        )
+    return cents
 
 
 def pq_topk_exactseed(

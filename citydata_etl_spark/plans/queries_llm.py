@@ -172,7 +172,9 @@ def d4_minhash_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupBy, k*(dim+1) doubles to the driver). The 100 TB training form "
     "for corpora whose distribution a bounded sample cannot cover; "
     "same probe/rerank topology as d4_ann_ivf "
-    "(operators/similarity.py:_kmeans_distributed).",
+    "(operators/similarity.py:_kmeans_distributed). Oracle-exact twin: "
+    "d4_ann_ivf_dist_rank (the same trainer topology in pure integer "
+    "arithmetic).",
 )
 def d4_ann_ivf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
@@ -624,14 +626,15 @@ def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seedrank s JOIN q ON s.vec_id = q.vec_id
       WHERE s.cidx < 16),
     dims AS (SELECT unnest(range(64)) AS d),
+    cent0 AS (
+      SELECT s.cidx AS cluster, dims.d AS d,
+             s.ci[CAST(dims.d + 1 AS INT)] AS c
+      FROM seeds s CROSS JOIN dims),
     dots0 AS (
-      SELECT q.vec_id, s.cidx,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(64), d ->
-                   q.ei[CAST(d + 1 AS INT)] * s.ci[CAST(d + 1 AS INT)])),
-               (a, x) -> a + x) AS idot
-      FROM q CROSS JOIN seeds s),
+      SELECT q.vec_id, c0.cluster AS cidx,
+             sum(q.ei[CAST(c0.d + 1 AS INT)] * c0.c) AS idot
+      FROM q CROSS JOIN cent0 c0
+      GROUP BY q.vec_id, c0.cluster),
     a0 AS (
       SELECT vec_id, cidx AS cluster FROM (
         SELECT vec_id, cidx,
@@ -639,34 +642,50 @@ def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY idot DESC, cidx) AS rn
         FROM dots0)
       WHERE rn = 1),
-    mem AS (
-      SELECT a0.cluster, q.ei FROM a0 JOIN q ON q.vec_id = a0.vec_id),
-    comp AS (
-      SELECT cluster, dims.d AS d,
-             sum(ei[CAST(dims.d + 1 AS INT)]) AS s, count(*) AS n
-      FROM mem CROSS JOIN dims GROUP BY cluster, dims.d),
-    tc AS (
-      SELECT cluster, d,
-             CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS c
-      FROM comp),
-    seedc AS (
-      SELECT s.cidx AS cluster, dims.d AS d,
-             s.ci[CAST(dims.d + 1 AS INT)] AS c
-      FROM seeds s CROSS JOIN dims),
+    comp0 AS (
+      SELECT a0.cluster, dims.d AS d,
+             sum(q.ei[CAST(dims.d + 1 AS INT)]) AS s, count(*) AS n
+      FROM a0 JOIN q ON q.vec_id = a0.vec_id CROSS JOIN dims
+      GROUP BY a0.cluster, dims.d),
     cent1 AS (
-      SELECT sc.cluster, sc.d, coalesce(t.c, sc.c) AS c
-      FROM seedc sc
-      LEFT JOIN tc t ON t.cluster = sc.cluster AND t.d = sc.d),
+      SELECT c0.cluster, c0.d,
+             coalesce(CAST((t.s - ((t.s % t.n) + t.n) % t.n) // t.n
+                           AS BIGINT), c0.c) AS c
+      FROM cent0 c0
+      LEFT JOIN comp0 t ON t.cluster = c0.cluster AND t.d = c0.d),
     dots1 AS (
       SELECT q.vec_id, c1.cluster AS cidx,
              sum(q.ei[CAST(c1.d + 1 AS INT)] * c1.c) AS idot
       FROM q CROSS JOIN cent1 c1
       GROUP BY q.vec_id, c1.cluster),
+    a1 AS (
+      SELECT vec_id, cidx AS cluster FROM (
+        SELECT vec_id, cidx,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY idot DESC, cidx) AS rn
+        FROM dots1)
+      WHERE rn = 1),
+    comp1 AS (
+      SELECT a1.cluster, dims.d AS d,
+             sum(q.ei[CAST(dims.d + 1 AS INT)]) AS s, count(*) AS n
+      FROM a1 JOIN q ON q.vec_id = a1.vec_id CROSS JOIN dims
+      GROUP BY a1.cluster, dims.d),
+    cent2 AS (
+      SELECT c1.cluster, c1.d,
+             coalesce(CAST((t.s - ((t.s % t.n) + t.n) % t.n) // t.n
+                           AS BIGINT), c1.c) AS c
+      FROM cent1 c1
+      LEFT JOIN comp1 t ON t.cluster = c1.cluster AND t.d = c1.d),
+    dots2 AS (
+      SELECT q.vec_id, c2.cluster AS cidx,
+             sum(q.ei[CAST(c2.d + 1 AS INT)] * c2.c) AS idot
+      FROM q CROSS JOIN cent2 c2
+      GROUP BY q.vec_id, c2.cluster),
     pr AS (
       SELECT vec_id, cidx,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY idot DESC, cidx) AS prnk
-      FROM dots1),
+      FROM dots2),
     assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
     probes AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk <= 4),
     pairs AS (
@@ -685,17 +704,20 @@ def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= 5
     """,
-    doc="D4: the DISTRIBUTED IVF trainer's ORACLE-EXACT twin — one "
-    "full-corpus Lloyd iteration in pure integer arithmetic "
-    "(operators/similarity.py:ivf_topk_distexact): LCG seeds, exact "
-    "BIGINT-dot assignment, centroid update as the floored integer "
-    "mean of member micros via posexplode + map-side-combined "
-    "groupBy — the tree-aggregated partial-sum topology of "
-    "_kmeans_distributed with ZERO driver collects (the trained model "
-    "stays a DataFrame and is broadcast into the probe join). Integer "
-    "sums are associative, so the trained centroids — and therefore "
-    "every list membership — are partition-order independent and "
-    "SQL-stateable bit-for-bit; empty lists keep their seed. The "
+    doc="D4: the DISTRIBUTED IVF trainer's ORACLE-EXACT twin — TWO "
+    "chained full-corpus Lloyd iterations in pure integer arithmetic "
+    "(operators/similarity.py:ivf_topk_distexact; the g1/g3/BPE "
+    "unrolled-iteration playbook, so iteration 2's assignment reads "
+    "iteration 1's trained centroids and the oracle must state the "
+    "whole loop): LCG seeds, exact BIGINT-dot assignment, centroid "
+    "update as the floored integer mean of member micros via "
+    "posexplode + map-side-combined groupBy — the tree-aggregated "
+    "partial-sum topology of _kmeans_distributed with ZERO driver "
+    "collects (each iteration's trained model stays a DataFrame and "
+    "is broadcast into the next). Integer sums are associative, so "
+    "the trained centroids — and therefore every list membership — "
+    "are partition-order independent and SQL-stateable bit-for-bit; "
+    "empty lists carry the previous iteration's centroid. The "
     "production entry (d4_ann_ivf_dist) keeps the float tree-"
     "aggregated Lloyd and stays rows-only + recall-tested.",
 )

@@ -206,13 +206,14 @@ def test_ann_ivf_exactseed_recall_and_model_agreement(spark, clustered_vecs):
 
 def test_ann_ivf_distexact_matches_model(spark, clustered_vecs):
     """The distributed-trainer twin vs an independent Python model of its
-    contract: LCG seed init, integer-dot first assignment, floored
-    integer-mean centroid update (Python // is the same floor division
-    as the engine's (s - pmod(s,n)) div n), then assignment/probes
-    against the TRAINED centroids and exact cosine rerank. Also: the
-    trained centroids must actually move — at least one cluster's
-    update differs from its seed, so the test can't pass vacuously on
-    the exactseed topology."""
+    contract: LCG seed init, then TWO chained Lloyd iterations —
+    integer-dot assignment, floored integer-mean centroid update
+    (Python // is the same floor division as the engine's
+    (s - pmod(s,n)) div n), empty clusters carrying the previous
+    centroid — then assignment/probes against the final centroids and
+    exact cosine rerank. Also: each iteration must actually move at
+    least one centroid, so the test can't pass vacuously on the
+    exactseed topology or on a single-iteration trainer."""
     import math
 
     import numpy as np
@@ -237,30 +238,31 @@ def test_ann_ivf_distexact_matches_model(spark, clustered_vecs):
     def idot(a, b):
         return sum(x * y for x, y in zip(a, b))
 
-    cents0 = [mic[s] for s in seeds]
-    assign0 = {
-        i: min(range(16), key=lambda c: (-idot(mic[i], cents0[c]), c))
-        for i in ids
-    }
-    members = {}
-    for i in ids:
-        members.setdefault(assign0[i], []).append(i)
-    cents1 = []
-    moved = 0
-    for c in range(16):
-        ms = members.get(c)
-        if not ms:
-            cents1.append(cents0[c])
-            continue
-        trained = [
-            sum(mic[i][d] for i in ms) // len(ms) for d in range(dim)
-        ]
-        moved += trained != cents0[c]
-        cents1.append(trained)
-    assert moved > 0, "no centroid moved — trainer not exercised"
+    def lloyd_step(cents):
+        members = {}
+        for i in ids:
+            c = min(range(16), key=lambda c: (-idot(mic[i], cents[c]), c))
+            members.setdefault(c, []).append(i)
+        nxt, moved = [], 0
+        for c in range(16):
+            ms = members.get(c)
+            if not ms:
+                nxt.append(cents[c])
+                continue
+            trained = [
+                sum(mic[i][d] for i in ms) // len(ms) for d in range(dim)
+            ]
+            moved += trained != cents[c]
+            nxt.append(trained)
+        return nxt, moved
+
+    cents = [mic[s] for s in seeds]
+    for it in range(2):
+        cents, moved = lloyd_step(cents)
+        assert moved > 0, f"iteration {it}: no centroid moved"
 
     def order1(i):
-        dots = [idot(mic[i], cents1[c]) for c in range(16)]
+        dots = [idot(mic[i], cents[c]) for c in range(16)]
         return sorted(range(16), key=lambda c: (-dots[c], c))
 
     assign = {i: order1(i)[0] for i in ids}

@@ -1154,13 +1154,13 @@ def test_kmv_sketch_matches_model_and_bound(spark, keys, k):
     )
 )
 def test_distexact_trainer_matches_reference(spark, rows):
-    """The integer Lloyd trainer (distexact_centroids) vs a pure-Python
-    reference on randomized corpora — bit-equality on the trained
-    centroid table itself (no float anywhere). The coarse value grid
-    forces integer-dot ties (broken by cidx), negative component sums
-    (the (s - pmod) div floor path), duplicate vectors, zero vectors,
-    and corpora small enough that clusters go empty and keep their
-    seed centroid."""
+    """The integer Lloyd trainer (distexact_centroids, two chained
+    iterations) vs a pure-Python reference on randomized corpora —
+    bit-equality on the trained centroid table itself (no float
+    anywhere). The coarse value grid forces integer-dot ties (broken
+    by cidx), negative component sums (the (s - pmod) div floor path),
+    duplicate vectors, zero vectors, and corpora small enough that
+    clusters go empty and carry the previous iteration's centroid."""
     from citydata_etl_spark.operators import similarity as S
 
     n_cent = 4
@@ -1170,7 +1170,9 @@ def test_distexact_trainer_matches_reference(spark, rows):
     )
     got = {
         r["cidx"]: list(r["ci"])
-        for r in S.distexact_centroids(df, n_centroids=n_cent).collect()
+        for r in S.distexact_centroids(
+            df, n_centroids=n_cent, n_iter=2
+        ).collect()
     }
 
     ids = [i for i, _ in rows]
@@ -1184,19 +1186,17 @@ def test_distexact_trainer_matches_reference(spark, rows):
     def idot(a, b):
         return sum(x * y for x, y in zip(a, b))
 
-    cents0 = [mic[s] for s in seeds]
-    members = {}
-    for i in ids:
-        c = min(range(len(seeds)),
-                key=lambda c: (-idot(mic[i], cents0[c]), c))
-        members.setdefault(c, []).append(i)
-    want = {}
-    for c in range(len(seeds)):
-        ms = members.get(c)
-        if not ms:
-            want[c] = cents0[c]
-        else:
-            want[c] = [
-                sum(mic[i][d] for i in ms) // len(ms) for d in range(4)
-            ]
-    assert got == want
+    cents = [mic[s] for s in seeds]
+    for _ in range(2):
+        members = {}
+        for i in ids:
+            c = min(range(len(seeds)),
+                    key=lambda c: (-idot(mic[i], cents[c]), c))
+            members.setdefault(c, []).append(i)
+        cents = [
+            [sum(mic[i][d] for i in members[c]) // len(members[c])
+             for d in range(4)]
+            if c in members else cents[c]
+            for c in range(len(seeds))
+        ]
+    assert got == {c: cents[c] for c in range(len(seeds))}
