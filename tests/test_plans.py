@@ -816,9 +816,17 @@ def test_round8_entry_plan_guards(spark):
         # the 16-row seed rank window runs inside TakeOrdered's single
         # result; nothing else may collapse to one partition
         assert "Exchange SinglePartition" not in p, name
-    p = _plan(spark, "d5_bmp_pixels")
-    scan = next(l for l in p.splitlines() if "ReadSchema" in l)
-    assert "doc_id" in scan and "text" not in scan
+    for name in ("d5_bmp_pixels", "d5_bmp_resize"):
+        p = _plan(spark, name)
+        scan = next(l for l in p.splitlines() if "ReadSchema" in l)
+        assert "doc_id" in scan and "text" not in scan, name
+
+    # BPE merge learning: winner/top-k picks are bounded heaps and the
+    # fold merge is a pure JVM expression — no Python eval node may
+    # appear anywhere in the chained plan
+    p = _plan(spark, "d4_bpe_merge_steps")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
     p = _plan(spark, "a2_kmv_distinct")
     assert "BroadcastHashJoin" in p
