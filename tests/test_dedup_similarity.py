@@ -223,7 +223,6 @@ def test_ann_ivf_distexact_matches_model(spark, clustered_vecs):
     ).collect()
     got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
            for r in out}
-
     rows = clustered_vecs.collect()
     ids = [r["vec_id"] for r in rows]
     V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -1151,3 +1150,34 @@ def test_winnowing_matches_python_reference(spark):
     edit = len(texts[1]) - 5
     early1 = {x for x in s1 if x[1] + k + w - 1 < edit}
     assert early1 <= s2
+
+
+def test_ann_ivf_distexact_training_not_vacuous(spark):
+    """On the real embeddings corpus the trained twin must produce a
+    DIFFERENT top-k set than the seed-centroid twin — otherwise the two
+    chained Lloyd iterations would be dead weight and the dist-trainer
+    oracle would be re-verifying the exactseed topology. (On the tight
+    synthetic cluster fixture the two can legitimately coincide; the
+    sf0.001 testdata is diffuse enough that training reshuffles roughly
+    two-thirds of the pairs.)"""
+    from tests.conftest import SF_SMOKE
+
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    seeded = {
+        tuple(r)
+        for r in S.ivf_topk_exactseed(
+            emb, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    trained = {
+        tuple(r)
+        for r in S.ivf_topk_distexact(
+            emb, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert seeded and trained
+    assert trained != seeded, (
+        "trained twin equals the seed twin — training is vacuous"
+    )
