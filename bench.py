@@ -149,7 +149,7 @@ HEADLINE = [
     "a2_kmv_distinct",
     "d5_bmp_resize",
     # round-8 third wave: the distributed IVF trainer's oracle-exact
-    # twin (integer Lloyd iteration, zero driver collects)
+    # twin (two chained integer Lloyd iterations, zero driver collects)
     "d4_ann_ivf_dist_rank",
 ]
 
