@@ -861,7 +861,11 @@ def ivf_topk_distexact(
     probe) over the persisted base relation, each iteration one
     posexploded shuffle of corpus x dim rows with map-side combine —
     the same per-iteration cost profile as _kmeans_distributed, with
-    zero driver collects anywhere in the plan.
+    zero driver collects anywhere in the plan. Integer budget: with
+    unit-normalized inputs |micros| <= ~1e6, so a per-(cluster, dim)
+    member sum stays inside int64 up to ~9e12 members per cluster
+    (far beyond a 100 TB corpus), and Spark 4's ANSI sum raises rather
+    than wraps if that budget is ever exceeded.
     """
     base = scoped_persist(_int_base(emb, id_col, vec_col))
     cents = _distexact_centroids(
