@@ -103,14 +103,14 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """COMPRESSED-image resize plumbing (PNG/JPEG/GIF): metadata
     transforms JVM-side; the entropy-coded pixel operation itself raises
     until a codec library is wired in. Uncompressed rasters need no
-    codec: decode them for real with bmp_pixel_stats / bmp_resize."""
+    codec: decode them for real with bmp_pixel_stats / bmp_resize_nn."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
             "resizing entropy-coded images (PNG/JPEG/GIF) requires a codec "
             "library (PIL/opencv) not present in this container; wire it "
             "into this mapInPandas body. Uncompressed BMP decodes for real "
-            "via bmp_pixel_stats/bmp_resize."
+            "via bmp_pixel_stats/bmp_resize_nn."
         )
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
@@ -181,8 +181,11 @@ def bmp_resize_nn(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        n_out = out_w * out_h
+        y_grid = np.repeat(np.arange(out_h, dtype=np.int64), out_w)
+        x_grid = np.tile(np.arange(out_w, dtype=np.int64), out_h)
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "y", "x", "r", "g", "b")}
+            parts = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 dec = _decode_bmp24(blob)
                 if dec is None:
@@ -190,18 +193,19 @@ def bmp_resize_nn(
                 w, h, px = dec
                 xs = (np.arange(out_w) * w) // out_w
                 ys = (np.arange(out_h) * h) // out_h
-                small = px[np.ix_(ys, xs)].astype(np.int64)
-                for y2 in range(out_h):
-                    for x2 in range(out_w):
-                        out["media_id"].append(int(mid))
-                        out["y"].append(y2)
-                        out["x"].append(x2)
-                        out["r"].append(int(small[y2, x2, 0]))
-                        out["g"].append(int(small[y2, x2, 1]))
-                        out["b"].append(int(small[y2, x2, 2]))
-            yield pd.DataFrame(
-                {k: pd.array(v, dtype="int64") for k, v in out.items()}
-            )
+                flat = px[np.ix_(ys, xs)].astype(np.int64).reshape(-1, 3)
+                parts.append(pd.DataFrame({
+                    "media_id": np.full(n_out, int(mid), dtype=np.int64),
+                    "y": y_grid, "x": x_grid,
+                    "r": flat[:, 0], "g": flat[:, 1], "b": flat[:, 2],
+                }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {k: pd.array([], dtype="int64")
+                     for k in ("media_id", "y", "x", "r", "g", "b")}
+                )
 
     return media.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)

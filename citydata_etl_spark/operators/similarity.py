@@ -406,6 +406,22 @@ def _spread(queries: DataFrame, rows_per_task: int = 256) -> DataFrame:
     return spread_small_input(queries)
 
 
+def _corpus_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, probed from one corpus row at plan-build
+    time. This is a deliberate bounded job (a 1-row limit scan, never a
+    full pass) — the LSH/IVF/PQ builders need `dim` to synthesize the
+    hyperplane/codebook tables before the plan exists. An empty corpus
+    (or a NULL vector in row one) raises a clear ValueError instead of
+    the bare `TypeError: None[0]` the naive probe gave."""
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: corpus is empty or {vec_col!r} "
+            "is NULL in its first row; pass a non-empty corpus"
+        )
+    return len(row[0])
+
+
 def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
     """Deterministic pseudo-random hyperplanes via an integer LCG:
     component (p, d) = ((a*(p*dim+d) + c) mod m)/m - 0.5, exact in double."""
@@ -437,7 +453,7 @@ def lsh_bucket_topk(
     sparse. Probed buckets are distinct, so no pair is generated twice.
     """
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _corpus_dim(emb, vec_col)
     planes = _hyperplanes(spark, n_planes, dim)
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
@@ -523,7 +539,7 @@ def lsh_bucket_topk_exactsign(
     Same scale shape: one broadcast of n_planes rows, one shuffle on
     bucket, candidate cost follows bucket occupancy."""
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _corpus_dim(emb, vec_col)
     planes = _int_hyperplanes(spark, n_planes, dim)
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
@@ -694,14 +710,20 @@ def _idot(a: Column, b: Column) -> Column:
 def _lcg_seed_rows(
     emb: DataFrame, n: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """The n corpus vectors with the smallest ((1103515245*id + 12345)
-    mod 2147483647, id), indexed 0..n-1 and micros-quantized — the
-    deterministic SQL-stateable seed pick shared by the oracle-exact
-    ANN twins. TakeOrderedAndProject (bounded per-partition heap);
-    the row_number window runs over the already-limited n rows."""
-    lcg = (F.lit(1103515245) * F.col("sid") + F.lit(12345)) % F.lit(
-        2147483647
-    )
+    """The n corpus vectors with the smallest
+    ((1103515245 * (id mod 2147483647) + 12345) mod 2147483647, id),
+    indexed 0..n-1 and micros-quantized — the deterministic
+    SQL-stateable seed pick shared by the oracle-exact ANN twins.
+    The id is reduced mod m BEFORE the multiply so the product is
+    bounded by 1103515245 * (m-1) ~ 2.4e18 < int64 max for ANY id —
+    without the reduction the multiply overflows (and raises under
+    Spark 4 ANSI) once ids exceed ~8.36e9, a budget 100 TB corpora
+    blow through. pmod == % here because ids are non-negative by
+    contract; the oracle SQL states the identical reduced form.
+    TakeOrderedAndProject (bounded per-partition heap); the
+    row_number window runs over the already-limited n rows."""
+    m = F.lit(2147483647)
+    lcg = (F.lit(1103515245) * F.pmod(F.col("sid"), m) + F.lit(12345)) % m
     seeds = (
         emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
         .withColumn("lcg", lcg)
@@ -729,7 +751,7 @@ def ivf_topk_exactseed(
     structure itself, not just its recall.
 
       1. SEEDS: the n_centroids corpus vectors with the smallest
-         ((1103515245*id + 12345) mod 2147483647, id) — the engine's
+         ((1103515245*(id mod m) + 12345) mod m, id) — the engine's
          integer-LCG stream as a deterministic uniform draw (the
          production trainer's xxhash64 sample ordering restated in a
          form any SQL engine evaluates identically). Seeds ARE the
@@ -970,7 +992,7 @@ def pq_topk_exactseed(
     rnk), adc_d2 ascending (it is a distance).
     """
     ks = n_centroids  # one seed set, two roles
-    dim = len(emb.select(vec_col).first()[0])
+    dim = _corpus_dim(emb, vec_col)
     if dim % m_subspaces != 0:
         raise ValueError(
             f"pq_topk_exactseed: dim {dim} not divisible by "

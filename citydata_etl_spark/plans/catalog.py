@@ -102,66 +102,73 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a17_time_weighted_avg": 7,
     "a18_ohlc_bars": 7,
     "a19_event_transitions": 7,
-    "a1_pricing_summary": 3,
-    "a2_approx_distinct": 3,  # rows-only by construction (r3 row)
-    "a2_count_distinct": 3,
-    "a2_percentiles": 3,
-    "a3_cube": 3,
+    "a1_pricing_summary": 8,
+    "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
+    "a2_kmv_distinct": 8,
+    "a2_count_distinct": 8,
+    "a2_percentiles": 8,
+    "a3_cube": 8,
     "a3_grouping_sets": 4,
-    "a3_rollup": 3,
+    "a3_rollup": 8,
     "a4_distribution": 5,
-    "a4_ntile": 3,
-    "a4_rank_dense_rank": 3,
-    "a4_topk_per_group": 3,
-    "a5_moving_avg": 3,
+    "a4_ntile": 8,
+    "a4_rank_dense_rank": 8,
+    "a4_topk_per_group": 8,
+    "a5_moving_avg": 8,
     "a5_time_range_frame": 4,
-    "a5_window_lag": 3,
-    "a6_global_topk": 3,
-    "a7_set_ops": 3,
-    "a7_union_by_name": 3,
-    "a8_city_score": 3,
-    "a9_pivot": 3,
-    "d4_ann_ivf": 3,  # rows-only by construction (r3 row)
+    "a5_window_lag": 8,
+    "a6_global_topk": 8,
+    "a7_set_ops": 8,
+    "a7_union_by_name": 8,
+    "a8_city_score": 8,
+    "a9_pivot": 8,
+    "d4_ann_ivf": 8,  # rows-only by construction (r3 row)
     "d4_ann_ivf_dist": 4,  # rows-only by construction (r4 row)
-    "d4_ann_lsh": 3,  # rows-only by construction (r3 row)
+    "d4_ann_ivf_dist_rank": 8,
+    "d4_ann_ivf_rank": 8,
+    "d4_ann_lsh": 8,  # rows-only by construction (r3 row)
     "d4_ann_lsh_rank": 7,
-    "d4_ann_pq": 3,  # rows-only by construction (r3 row)
-    "d4_bigram_logprob": 3,
+    "d4_ann_pq": 8,  # rows-only by construction (r3 row)
+    "d4_ann_pq_rank": 8,
+    "d4_bigram_logprob": 8,
+    "d4_bpe_merge_steps": 8,
     "d4_bpe_pair_counts": 5,
-    "d4_bpe_tokens": 3,
+    "d4_bpe_tokens": 8,
     "d4_collocations": 5,
     "d4_containment": 5,
-    "d4_cosine_topk": 3,
-    "d4_dedup_groups": 3,
+    "d4_cosine_topk": 8,
+    "d4_dedup_groups": 8,
     "d4_dedup_index_ingest": 5,
     "d4_dedup_report": 5,
-    "d4_doc_fingerprint": 3,
-    "d4_dup_passage": 3,
-    "d4_embed_neardup": 3,
+    "d4_doc_fingerprint": 8,
+    "d4_dup_passage": 8,
+    "d4_embed_neardup": 8,
     "d4_embed_project": 5,
     "d4_embed_quantize": 4,
-    "d4_exact_dedup": 3,
+    "d4_exact_dedup": 8,
     "d4_incremental_dedup": 4,
     "d4_incremental_neardup": 4,  # rows-only by construction (r4 row)
     "d4_incremental_neardup_rank": 5,
-    "d4_lang_id": 3,
+    "d4_lang_id": 8,
     "d4_line_dedup": 5,
-    "d4_lm_logprob": 3,
+    "d4_lm_logprob": 8,
     "d4_minhash_hash": 4,  # rows-only by construction (r4 row)
-    "d4_minhash_lsh": 3,
-    "d4_ngram_jaccard": 3,
-    "d4_pii_scrub": 3,
-    "d4_quality_score": 3,
-    "d4_repetition_stats": 3,
-    "d4_semantic_dedup": 3,
-    "d4_simhash": 3,
-    "d4_simhash_pairs": 3,
+    "d4_minhash_lsh": 8,
+    "d4_ngram_jaccard": 8,
+    "d4_pii_scrub": 8,
+    "d4_quality_score": 8,
+    "d4_repetition_stats": 8,
+    "d4_semantic_dedup": 8,
+    "d4_simhash": 8,
+    "d4_simhash_pairs": 8,
     "d4_text_normalize": 4,
-    "d4_tfidf_topk": 3,
+    "d4_tfidf_topk": 8,
     "d4_token_stats": 7,
     "d4_url_dedup": 5,
     "d4_winnowing": 7,
     "d5_audio_energy": 5,
+    "d5_bmp_pixels": 8,
+    "d5_bmp_resize": 8,
     "d5_format_sniff": 4,
     "d5_frame_sample": 7,
     "d5_gif_meta": 7,
@@ -177,10 +184,10 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_crossdomain_lm": 4,
     "d6_curation_pipeline": 7,
     "d6_dedup_keep": 7,
-    "d6_domain_cap": 3,
+    "d6_domain_cap": 8,
     "d6_domain_mix": 7,
-    "d6_domain_mix_apply": 3,
-    "d6_fixed_sample": 3,
+    "d6_domain_mix_apply": 8,
+    "d6_fixed_sample": 8,
     "d6_global_shuffle": 5,
     "d6_label_centroid": 7,
     "d6_length_histogram": 5,
@@ -195,7 +202,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_train_split": 7,
     "e2e_collect_run": 4,
     "f10_conditional": 4,
-    "f11_haversine": 3,
+    "f11_haversine": 8,
     "f12_url_parse": 3,
     "f13_variant_json": 3,
     "f14_entity_extract": 4,
@@ -262,6 +269,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t13_gap_fill": 5,
     "t14_stream_ohlc": 7,
     "t15_stream_snapshot_enrich": 7,
+    "t16_stream_restart": 8,
     "t1_streaming_tumbling": 7,
     "t2_streaming_dedup": 7,
     "t3_cdc_promote": 3,

@@ -548,7 +548,7 @@ def d4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seedrank AS (
       SELECT vec_id,
              row_number() OVER (
-               ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+               ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
                         vec_id) - 1 AS cidx
       FROM v),
     seeds AS (
@@ -618,7 +618,7 @@ def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     seedrank AS (
       SELECT vec_id,
              row_number() OVER (
-               ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+               ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
                         vec_id) - 1 AS cidx
       FROM v),
     seeds AS (
@@ -758,7 +758,7 @@ def d4_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     seedrank AS (
       SELECT vec_id,
              row_number() OVER (
-               ORDER BY (1103515245 * vec_id + 12345) % 2147483647,
+               ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
                         vec_id) - 1 AS cidx
       FROM v),
     seeds AS (

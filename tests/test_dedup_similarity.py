@@ -178,7 +178,7 @@ def test_ann_ivf_exactseed_recall_and_model_agreement(spark, clustered_vecs):
          for r in rows}
     mic = {i: np.floor(V[i] * 1e6 + 0.5).astype(np.int64) for i in ids}
     seeds = sorted(
-        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+        ids, key=lambda i: ((1103515245 * (i % 2147483647) + 12345) % 2147483647, i)
     )[:16]
 
     def centroid_order(i):
@@ -230,7 +230,7 @@ def test_ann_ivf_distexact_matches_model(spark, clustered_vecs):
     mic = {i: [int(x) for x in np.floor(V[i] * 1e6 + 0.5).astype(np.int64)]
            for i in ids}
     seeds = sorted(
-        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+        ids, key=lambda i: ((1103515245 * (i % 2147483647) + 12345) % 2147483647, i)
     )[:16]
     dim = len(mic[ids[0]])
 
@@ -304,7 +304,7 @@ def test_ann_pq_exactseed_matches_model(spark, clustered_vecs):
          for r in rows}
     mic = {i: np.floor(V[i] * 1e6 + 0.5).astype(np.int64) for i in ids}
     seeds = sorted(
-        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+        ids, key=lambda i: ((1103515245 * (i % 2147483647) + 12345) % 2147483647, i)
     )[:16]
 
     def coarse_order(i):

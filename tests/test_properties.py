@@ -1180,7 +1180,7 @@ def test_distexact_trainer_matches_reference(spark, rows):
         i: [int((x * 1000000 + 0.5) // 1) for x in v] for i, v in rows
     }
     seeds = sorted(
-        ids, key=lambda i: ((1103515245 * i + 12345) % 2147483647, i)
+        ids, key=lambda i: ((1103515245 * (i % 2147483647) + 12345) % 2147483647, i)
     )[: n_cent]
 
     def idot(a, b):
