@@ -722,6 +722,55 @@ def winnowing_fingerprints(
     )
 
 
+def _bpe_pair_counts(df: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent symbol-pair counts over a vocabulary
+    DataFrame carrying (syms ARRAY<STRING>, cnt) — the shared counting
+    step of BPE training (bpe_merge_steps) and encoding (bpe_encode).
+    Runs on vocabulary-sized input; the corpus-sized work happened in
+    the one map-side-combined token count that built `cnt`."""
+    idx = F.when(
+        F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.get("syms", i).alias("pa"),
+                        F.get("syms", i + 1).alias("pb"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
+
+
+def _bpe_merge_fold():
+    """The greedy left-to-right BPE merge of the broadcast winner
+    (mA, mB) into a token's symbol array, as a LEFT-FOLD over `syms`
+    inside F.aggregate — pure JVM expression, no Python. The fold needs
+    no lookahead or skip flag: element x merges into the accumulator's
+    last element L exactly when (L, x) == (mA, mB), and a just-merged
+    element can never re-match because mA||mB is strictly longer than
+    mA — so `last == mA` is false for fresh merges by construction."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.col("mA"))
+            & (x == F.col("mB")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("mA"), F.col("mB"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_merge_steps(
     docs: DataFrame, n_steps: int = 3, k: int = 5,
     text_col: str = "text", id_col: str = "doc_id",
@@ -760,27 +809,7 @@ def bpe_merge_steps(
         .agg(F.count("*").alias("cnt"))
     )
     cur = tc.select(F.split("token", "").alias("syms"), "cnt")
-
-    def pair_counts(df: DataFrame) -> DataFrame:
-        idx = F.when(
-            F.size("syms") >= 2, F.sequence(F.lit(0), F.size("syms") - 2)
-        ).otherwise(F.array().cast("array<int>"))
-        return (
-            df.select(
-                F.explode(
-                    F.transform(
-                        idx,
-                        lambda i: F.struct(
-                            F.get("syms", i).alias("pa"),
-                            F.get("syms", i + 1).alias("pb"),
-                        ),
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.pa", "p.pb")
-            .agg(F.sum("cnt").cast("bigint").alias("n"))
-        )
+    pair_counts = _bpe_pair_counts
 
     def topk(pairs: DataFrame, step: int) -> DataFrame:
         lim = pairs.orderBy(F.desc("n"), "pa", "pb").limit(k)
@@ -798,18 +827,7 @@ def bpe_merge_steps(
         best = pairs.orderBy(F.desc("n"), "pa", "pb").limit(1).select(
             F.col("pa").alias("mA"), F.col("pb").alias("mB")
         )
-        merged = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.get(acc, F.size(acc) - 1) == F.col("mA"))
-                & (x == F.col("mB")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.col("mA"), F.col("mB"))),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        merged = _bpe_merge_fold()
         # persist each step's merged vocabulary: all n_steps+1 output
         # branches share the chain prefix, and the vocab is bounded
         # (distinct tokens), so this trades a tiny cache for not
@@ -824,3 +842,80 @@ def bpe_merge_steps(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def bpe_encode(
+    docs: DataFrame, n_steps: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of BPE that bpe_merge_steps
+    trains: learn n_steps merges on the corpus, then ENCODE every
+    document with them and report the per-document token budget
+    (reference intent: citydata-etl computes per-record derived stats in
+    lambda/transform.py; this is that stamp for the LLM-tokenizer case).
+
+    Scale shape — encode the VOCABULARY, not the corpus: training and
+    encoding both run on the distinct-token table (bounded, ~10^6 rows
+    at 100 TB), and the only corpus-sized operations are the initial
+    map-side-combined token count and one final hash join of per-doc
+    token occurrences against the encoded vocab (equi-join on token —
+    no skew beyond natural token frequency, which the join tolerates
+    because the vocab side is the small build side). A per-occurrence
+    encode would fold symbol arrays ~10^13 times; this folds each
+    distinct token once.
+
+    Merge application reuses the training loop's greedy left-to-right
+    fold (_bpe_merge_fold; equivalence to first-occurrence recursive
+    replacement argued there), so a token's encoded length is exactly
+    what the trained tokenizer produces after n_steps merges.
+
+    Output per document: n_words (whitespace tokens), n_chars (symbols
+    before any merge = total token length), n_bpe_tokens (symbols after
+    the n_steps merges; n_chars - n_bpe_tokens = merges applied), and
+    saved_bp = floor((n_chars - n_bpe_tokens) * 10000 / n_chars) — the
+    compression in exact basis points (floor(int/int), the engine's
+    cross-engine-stable ratio convention).
+    """
+    from citydata_etl_spark.caching import scoped_persist
+    from citydata_etl_spark.operators.dedup import tokens
+
+    occ = tokens(docs, text_col, id_col, distinct=False)
+    tc = scoped_persist(
+        occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+    cur = tc.select("token", F.split("token", "").alias("syms"), "cnt")
+    for _ in range(n_steps):
+        best = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.desc("n"), "pa", "pb")
+            .limit(1)
+            .select(F.col("pa").alias("mA"), F.col("pb").alias("mB"))
+        )
+        # LEFT join (not crossJoin): when the corpus has no adjacent
+        # pair at all (every token is a single symbol) the winner table
+        # is EMPTY, and a crossJoin would annihilate the vocabulary —
+        # the merge must be a no-op instead. With mA/mB NULL the fold's
+        # merge branch can never fire (NULL comparison -> otherwise),
+        # so the fold degrades to the identity append.
+        cur = scoped_persist(
+            cur.join(F.broadcast(best), F.lit(True), "left").select(
+                "token", _bpe_merge_fold().alias("syms"), "cnt"
+            )
+        )
+    enc = cur.select(
+        "token", F.size("syms").cast("bigint").alias("n_sym")
+    )
+    per_doc = (
+        occ.join(enc, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("token")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    saved = (F.col("n_chars") - F.col("n_bpe_tokens")) * 10000
+    return per_doc.select(
+        id_col, "n_words", "n_chars", "n_bpe_tokens",
+        F.floor(saved / F.col("n_chars")).cast("bigint").alias("saved_bp"),
+    )

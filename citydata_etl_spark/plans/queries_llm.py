@@ -1050,6 +1050,121 @@ def d4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_bpe_encode",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS token
+        FROM documents)
+      GROUP BY token),
+    t0 AS (
+      SELECT token,
+             ' ' || array_to_string(string_split(token, ''), ' ') || ' '
+               AS s, cnt
+      FROM tok),
+    p1 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t0) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    b1 AS (
+      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
+               AS rep
+      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
+                   ' ' || pa || pb || ' ' AS rep
+            FROM p1 ORDER BY n DESC, pa, pb LIMIT 1)),
+    m1 AS (
+      SELECT token, s, cnt FROM t0
+      UNION ALL
+      SELECT token, substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m1, b1 WHERE strpos(s, pat) > 0),
+    t1 AS (SELECT token, s, cnt FROM m1, b1 WHERE strpos(s, pat) = 0),
+    p2 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t1) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    b2 AS (
+      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
+               AS rep
+      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
+                   ' ' || pa || pb || ' ' AS rep
+            FROM p2 ORDER BY n DESC, pa, pb LIMIT 1)),
+    m2 AS (
+      SELECT token, s, cnt FROM t1
+      UNION ALL
+      SELECT token, substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m2, b2 WHERE strpos(s, pat) > 0),
+    t2 AS (SELECT token, s, cnt FROM m2, b2 WHERE strpos(s, pat) = 0),
+    p3 AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                   cnt
+            FROM t2) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb),
+    b3 AS (
+      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
+               AS rep
+      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
+                   ' ' || pa || pb || ' ' AS rep
+            FROM p3 ORDER BY n DESC, pa, pb LIMIT 1)),
+    m3 AS (
+      SELECT token, s, cnt FROM t2
+      UNION ALL
+      SELECT token, substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m3, b3 WHERE strpos(s, pat) > 0),
+    t3 AS (SELECT token, s, cnt FROM m3, b3 WHERE strpos(s, pat) = 0),
+    enc AS (
+      SELECT token,
+             CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+               AS BIGINT) AS n_sym
+      FROM t3),
+    d AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents)
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(length(token)) AS BIGINT) AS n_chars,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(floor((sum(length(token)) - sum(n_sym)) * 10000
+                      / sum(length(token))) AS BIGINT) AS saved_bp
+    FROM d JOIN enc USING (token)
+    GROUP BY doc_id
+    """,
+    doc="D4 (tokenizer APPLICATION, chained on training): learn 3 BPE "
+    "merges on the corpus (identical training chain to "
+    "d4_bpe_merge_steps — same winners, same greedy fold), then ENCODE "
+    "every document with them: per-doc whitespace-token count, "
+    "pre-merge symbol count, post-merge BPE token count, and the "
+    "compression in exact basis points (floor(int/int), the engine's "
+    "ratio convention). Scale trick: train AND encode on the "
+    "distinct-token vocabulary; the only corpus-sized ops are the "
+    "map-side-combined token count and one hash join of occurrences "
+    "against the encoded vocab (operators/text.py:bpe_encode). Oracle: "
+    "the merge_steps recursive-CTE chain carrying the original token "
+    "through every merge, then the same join+aggregate.",
+)
+def d4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.bpe_encode(
+        read_testdata(spark, sf_dir, "documents"), n_steps=3
+    )
+
+
+@register(
     "d4_quality_score",
     oracle="""
     WITH s AS (

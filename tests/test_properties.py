@@ -1092,6 +1092,78 @@ def test_bpe_merge_steps_equals_python_bpe(spark, docs):
 
 @settings(**SETTINGS)
 @given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_encode_equals_python_bpe(spark, docs):
+    """bpe_encode (train 3 merges on the vocab, encode the vocab, join
+    per-doc occurrences) vs a pure-Python train-then-encode on the same
+    tiny-alphabet corpora — asserts the per-document token budget row
+    (n_words, n_chars, n_bpe_tokens, saved_bp) exactly, so a training
+    divergence, a fold bug, or a join dropping a token all fail."""
+    from collections import Counter
+
+    from citydata_etl_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_chars"], r["n_bpe_tokens"], r["saved_bp"]
+        )
+        for r in bpe_encode(df, n_steps=3).collect()
+    }
+
+    toks = Counter(t for d in docs for t in d.split(" ") if t)
+    corpus = {tok: list(tok) for tok in toks}
+
+    def pair_counts():
+        c = Counter()
+        for tok, syms in corpus.items():
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += toks[tok]
+        return c
+
+    def merge(pair):
+        a, b = pair
+        for tok, syms in corpus.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            corpus[tok] = out
+
+    for _ in range(3):
+        pc = pair_counts()
+        if not pc:
+            break
+        merge(min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0])
+
+    expect = {}
+    for i, d in enumerate(docs):
+        words = [t for t in d.split(" ") if t]
+        if not words:
+            continue
+        n_chars = sum(len(t) for t in words)
+        n_bpe = sum(len(corpus[t]) for t in words)
+        expect[i] = (
+            len(words), n_chars, n_bpe,
+            ((n_chars - n_bpe) * 10000) // n_chars,
+        )
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
     keys=st.lists(
         st.integers(min_value=0, max_value=5000),
         min_size=1,
