@@ -1562,3 +1562,104 @@ def project_embeddings(
         F.col("proj_idx").cast("bigint").alias("proj_idx"),
         "y_micros",
     )
+
+
+def mmr_topk_exactseed(
+    emb: DataFrame, k: int = 3, n_cand: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over the candidate set of one deterministic query — the
+    retrieval-side diversification step a RAG pipeline runs after ANN:
+    pick k results that are RELEVANT to the query but not REDUNDANT
+    with each other. Greedy MMR with lambda = 1/2, stated at 2x scale
+    so the objective stays integer: pick 1 maximizes rel(i) =
+    <q, d_i>; pick t maximizes mmr2(i) = rel(i) - max_{s in picked}
+    <d_i, d_s> (== 2 * [lambda*rel - (1-lambda)*redundancy]).
+
+    Everything that decides a pick is exact BIGINT arithmetic on
+    micros-quantized vectors (the ANN rank-twin playbook), so the
+    whole greedy chain is SQL-stateable bit-for-bit:
+
+      - query = the corpus vector with the smallest
+        ((1103515245 * (id mod m) + 12345) mod m, id) — the shared
+        overflow-proof LCG pick;
+      - candidates = top-n_cand by (rel DESC, id)
+        (TakeOrderedAndProject: bounded per-partition heap, no global
+        sort);
+      - the n_cand^2 candidate pair-dot table and each pick are
+        persisted one-row/bounded broadcasts — the k-step greedy loop
+        is UNROLLED into the plan (the g1/g3/BPE iteration playbook):
+        no collect, no driver-side loop state;
+      - ties everywhere break on the smaller id.
+
+    At 100 TB the corpus-sized work is the one candidate scan
+    (broadcast 1-row query, map-side top-n_cand heap); everything
+    after runs on n_cand rows. Batch MMR over MANY queries reuses this
+    exact per-candidate-set recurrence inside one applyInPandas over
+    query_id groups (bounded: n_cand vectors per group); this entry
+    states the single-query plan so the external oracle can verify the
+    greedy chain itself.
+
+    Output: (rnk 1..k in pick order, neighbor_id, rel_dot, mmr2);
+    mmr2 of pick 1 = its rel_dot (no redundancy term yet) by
+    convention, stated identically in the oracle.
+    """
+    m = F.lit(2147483647)
+    base = emb.select(
+        F.col(id_col).alias("id"), _micros(F.col(vec_col)).alias("vi")
+    )
+    lcg = (F.lit(1103515245) * F.pmod(F.col("id"), m) + F.lit(12345)) % m
+    q = (
+        base.withColumn("lcg", lcg)
+        .orderBy("lcg", "id")
+        .limit(1)
+        .select(F.col("id").alias("qid"), F.col("vi").alias("qi"))
+    )
+    cand = scoped_persist(
+        base.join(F.broadcast(q), F.col("id") != F.col("qid"))
+        .withColumn("rel", _idot(F.col("vi"), F.col("qi")))
+        .orderBy(F.desc("rel"), "id")
+        .limit(n_cand)
+        .select("id", "vi", "rel")
+    )
+    a = cand.select(F.col("id").alias("ia"), F.col("vi").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("vi").alias("vb"))
+    pair_dots = scoped_persist(
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+            "ia", "ib", _idot(F.col("va"), F.col("vb")).alias("pdot")
+        )
+    )
+    picks = scoped_persist(
+        cand.orderBy(F.desc("rel"), "id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("rnk"),
+            F.col("id").alias("neighbor_id"),
+            F.col("rel").alias("rel_dot"),
+            F.col("rel").alias("mmr2"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel = picks.select(F.col("neighbor_id").alias("sid"))
+        red = (
+            pair_dots.join(F.broadcast(sel), F.col("ib") == F.col("sid"))
+            .groupBy("ia")
+            .agg(F.max("pdot").alias("maxred"))
+        )
+        nxt = (
+            cand.join(
+                F.broadcast(sel), cand["id"] == F.col("sid"), "left_anti"
+            )
+            .join(red, cand["id"] == red["ia"])
+            .select(
+                F.lit(step).cast("bigint").alias("rnk"),
+                F.col("id").alias("neighbor_id"),
+                F.col("rel").alias("rel_dot"),
+                (F.col("rel") - F.col("maxred")).alias("mmr2"),
+            )
+            .orderBy(F.desc("mmr2"), "neighbor_id")
+            .limit(1)
+        )
+        picks = scoped_persist(picks.unionByName(nxt))
+    return picks

@@ -1165,6 +1165,78 @@ def d4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_mmr_diversify",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, ei AS qi FROM v
+      ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
+               vec_id
+      LIMIT 1),
+    dims AS (SELECT unnest(range(64)) AS d),
+    rel AS (
+      SELECT v.vec_id AS id,
+             sum(v.ei[CAST(dims.d + 1 AS INT)]
+                 * q.qi[CAST(dims.d + 1 AS INT)]) AS rel
+      FROM v CROSS JOIN q CROSS JOIN dims
+      WHERE v.vec_id <> q.qid
+      GROUP BY v.vec_id),
+    cand AS (SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT 16),
+    pd AS (
+      SELECT a.id AS ia, b.id AS ib,
+             sum(va.ei[CAST(dims.d + 1 AS INT)]
+                 * vb.ei[CAST(dims.d + 1 AS INT)]) AS pdot
+      FROM cand a JOIN cand b ON a.id <> b.id
+      JOIN v va ON va.vec_id = a.id
+      JOIN v vb ON vb.vec_id = b.id
+      CROSS JOIN dims
+      GROUP BY a.id, b.id),
+    s1 AS (SELECT id, rel FROM cand ORDER BY rel DESC, id LIMIT 1),
+    c2 AS (
+      SELECT c.id, c.rel, c.rel - pd.pdot AS mmr2
+      FROM cand c, s1, pd
+      WHERE c.id <> s1.id AND pd.ia = c.id AND pd.ib = s1.id),
+    s2 AS (SELECT id, rel, mmr2 FROM c2 ORDER BY mmr2 DESC, id LIMIT 1),
+    c3 AS (
+      SELECT c.id, c.rel, c.rel - max(pd.pdot) AS mmr2
+      FROM cand c, s1, s2, pd
+      WHERE c.id <> s1.id AND c.id <> s2.id
+        AND pd.ia = c.id AND (pd.ib = s1.id OR pd.ib = s2.id)
+      GROUP BY c.id, c.rel),
+    s3 AS (SELECT id, rel, mmr2 FROM c3 ORDER BY mmr2 DESC, id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rnk, id AS neighbor_id,
+           CAST(rel AS BIGINT) AS rel_dot, CAST(rel AS BIGINT) AS mmr2
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), id, CAST(rel AS BIGINT),
+           CAST(mmr2 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), id, CAST(rel AS BIGINT),
+           CAST(mmr2 AS BIGINT) FROM s3
+    """,
+    doc="D4 (retrieval diversification): Maximal Marginal Relevance "
+    "re-ranking — the post-ANN step that picks k results relevant to "
+    "the query but not redundant with each other (lambda = 1/2, "
+    "objective kept at 2x so it stays integer). The greedy chain is "
+    "UNROLLED into the plan (operators/similarity.py:"
+    "mmr_topk_exactseed): LCG-picked query, top-16 candidates by exact "
+    "BIGINT micros dot (TakeOrderedAndProject), bounded 16^2 pair-dot "
+    "table, each pick a one-row broadcast feeding the next step's "
+    "redundancy max — zero collects, zero driver loop state. Oracle "
+    "states the same three picks as chained CTEs. Ties break on the "
+    "smaller id at every step on both engines.",
+)
+def d4_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return S.mmr_topk_exactseed(emb, k=3, n_cand=16)
+
+
+@register(
     "d4_quality_score",
     oracle="""
     WITH s AS (

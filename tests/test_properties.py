@@ -1164,6 +1164,66 @@ def test_bpe_encode_equals_python_bpe(spark, docs):
 
 @settings(**SETTINGS)
 @given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-2, max_value=2).map(lambda x: x / 2.0),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=10,
+    )
+)
+def test_mmr_diversify_equals_python_model(spark, vecs):
+    """mmr_topk_exactseed (unrolled greedy picks as one-row broadcasts)
+    vs a pure-Python greedy MMR on random low-dim vectors drawn from a
+    coarse value grid — the grid forces exact dot TIES, so the
+    (score DESC, id ASC) tie-break is exercised at the query pick, the
+    candidate cut, and every greedy step."""
+    from citydata_etl_spark.operators.similarity import mmr_topk_exactseed
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = [
+        (r["rnk"], r["neighbor_id"], r["rel_dot"], r["mmr2"])
+        for r in sorted(
+            mmr_topk_exactseed(df, k=3, n_cand=4).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+
+    M = 2147483647
+    q = min(range(len(vecs)),
+            key=lambda i: ((1103515245 * (i % M) + 12345) % M, i))
+    mic = [[int(__import__("math").floor(x * 1e6 + 0.5)) for x in v]
+           for v in vecs]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    rel = {i: dot(mic[i], mic[q]) for i in range(len(vecs)) if i != q}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:4]
+    expect = []
+    picked = []
+    for step in (1, 2, 3):
+        rest = [i for i in cand if i not in picked]
+        if not rest:
+            break
+        if step == 1:
+            best = min(rest, key=lambda i: (-rel[i], i))
+            score = rel[best]
+        else:
+            def mmr2(i):
+                return rel[i] - max(dot(mic[i], mic[s]) for s in picked)
+            best = min(rest, key=lambda i: (-mmr2(i), i))
+            score = mmr2(best)
+        picked.append(best)
+        expect.append((step, best, rel[best], score))
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
     keys=st.lists(
         st.integers(min_value=0, max_value=5000),
         min_size=1,
