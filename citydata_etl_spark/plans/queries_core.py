@@ -848,6 +848,57 @@ def s17_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s19_bloom_filter_layout",
+    oracle="""
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey IN (7, 577, 1313)
+    """,
+    doc="S19 (storage bloom filters): orders is rewritten once per "
+    "session with a parquet COLUMN BLOOM FILTER on the order key "
+    "(sources/layout.py:write_bloom_layout), then a 3-key point lookup "
+    "runs against the copy. Hash-random keys span every row group's "
+    "min/max, so the footer range stats that power s13/s17 prune "
+    "NOTHING here — the bloom is the index that answers 'definitely "
+    "not in this row group' per key, turning a 100 TB point probe "
+    "from a full scan into reading the few row groups that might "
+    "match. parquet-mr only materializes the bloom where the column "
+    "overflows its dictionary (a dict-encoded chunk answers point "
+    "probes exactly); tests/test_layout.py proves from the real "
+    "footers that the key column got its bloom and the "
+    "dictionary-covered columns did not. The plan guard pins the IN "
+    "list reaching the scan as PushedFilters (row-group bloom "
+    "probing happens below that pushdown). This oracle proves the "
+    "bloom-indexed read is lossless.",
+)
+def s19_bloom_filter_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.layout import write_bloom_layout
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s19_bloom_{tag}")
+    path = root + "/orders_bloom"
+    _build_once(root, lambda: write_bloom_layout(
+        read_testdata(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        path,
+        ["o_orderkey"],
+        expected_ndv=100_000,
+    ))
+    back = spark.read.parquet(path)
+    return back.filter(F.col("o_orderkey").isin(7, 577, 1313)).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+@register(
     "s14_partition_pruned_read",
     oracle="""
     SELECT year(o_orderdate) AS order_year, o_orderstatus AS status,

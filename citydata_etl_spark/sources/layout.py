@@ -100,6 +100,67 @@ def write_sorted_layout(
     out.write.mode("overwrite").parquet(path)
 
 
+def write_bloom_layout(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int,
+    n_files: int = 4,
+) -> None:
+    """Write ``df`` as parquet with a COLUMN BLOOM FILTER on each of
+    ``bloom_cols`` — the storage-side index for point lookups on
+    high-cardinality columns the footer min/max cannot help with (a
+    hash-random key spans every file's min/max range, so range stats
+    prune nothing; the bloom answers "definitely not in this row
+    group" per key).
+
+    parquet-mr's adaptive writer only MATERIALIZES the bloom when the
+    column overflows its dictionary page: a fully dictionary-encoded
+    chunk already answers point probes exactly, so a bloom would be
+    pure overhead — which means low-cardinality columns silently get
+    no bloom even when requested (verified from real footers in
+    tests/test_layout.py). Size `expected_ndv` to the PER-ROW-GROUP
+    distinct count, not the table's: oversizing only wastes the
+    filter's few hundred KB, undersizing inflates the false-positive
+    rate and with it the fraction of row groups read for nothing.
+    """
+    w = df.repartition(n_files).write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    w.parquet(path)
+
+
+def bloom_filter_offsets(spark, path: str) -> dict[str, int]:
+    """Per-column bloom-filter footer offset of the FIRST row group of
+    the first parquet file under ``path`` (-1 = no bloom), read from
+    the real footers via parquet-mr — the test-side proof that
+    write_bloom_layout produced (or adaptively skipped) the filters.
+    Driver-side metadata read only; no data IO."""
+    jvm = spark._jvm
+    hc = spark._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(hc)
+    files = sorted(
+        (f.getPath() for f in fs.listStatus(fs_path)
+         if f.getPath().getName().endswith(".parquet")),
+        key=lambda p: p.getName(),
+    )
+    rd = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+        jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            files[0], hc
+        )
+    )
+    try:
+        return {
+            col.getPath().toDotString(): col.getBloomFilterOffset()
+            for col in rd.getFooter().getBlocks().get(0).getColumns()
+        }
+    finally:
+        rd.close()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

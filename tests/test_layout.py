@@ -197,3 +197,40 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
 
     assert hits(sr) == len(sr)       # 1-D layout: zero files skippable
     assert hits(zr) <= len(zr) // 2  # z-order: at least half skipped
+
+
+def test_bloom_layout_materializes_only_where_dictionary_overflows(
+    spark, tmp_path
+):
+    """write_bloom_layout's footer contract, proved from real footers
+    via parquet-mr: the requested high-cardinality key column carries a
+    bloom filter (offset >= 0), while dictionary-covered columns carry
+    none — including a column the writer was ASKED to bloom (parquet-mr
+    adaptively skips it because the dictionary already answers point
+    probes exactly). Also lossless: the bloom copy reads back row-
+    identical."""
+    from citydata_etl_spark.sources.layout import (
+        bloom_filter_offsets,
+        write_bloom_layout,
+    )
+
+    # sf0.01: o_orderkey has 15k distinct (overflows the dict page),
+    # o_orderstatus has 3 (fully dictionary-encoded)
+    orders = read_testdata(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_bloom")
+    write_bloom_layout(
+        orders, path, ["o_orderkey", "o_orderstatus"], expected_ndv=100_000
+    )
+    off = bloom_filter_offsets(spark, path)
+    assert off["o_orderkey"] >= 0, off
+    assert off["o_orderstatus"] == -1, off  # requested, adaptively skipped
+    assert off["o_custkey"] == -1, off      # never requested
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert (
+        back.exceptAll(orders).count() == 0
+        and orders.exceptAll(back).count() == 0
+    )

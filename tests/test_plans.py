@@ -874,3 +874,16 @@ def test_round9_entry_plan_guards(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p  # token count combines map-side
     assert "partial_sum" in p    # per-doc sums combine map-side
+
+
+def test_s19_bloom_point_lookup_pushes_in_filter(spark):
+    """The 3-key point lookup must reach the bloom-indexed scan as a
+    pushed In filter — row-group bloom probing happens below that
+    pushdown, so a filter evaluated post-scan would read every row
+    group and make the bloom pure overhead. The scan must also read
+    only the three projected columns."""
+    p = _plan(spark, "s19_bloom_filter_layout")
+    pf = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "In(o_orderkey" in pf, pf
+    scan = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_orderstatus" not in scan, scan
