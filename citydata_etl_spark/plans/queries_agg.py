@@ -106,7 +106,8 @@ def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT DISTINCT l_returnflag,
-             (1103515245 * l_orderkey + 12345) % 2147483647 AS hv
+             (1103515245 * (l_orderkey % 2147483647) + 12345)
+             % 2147483647 AS hv
       FROM lineitem),
     r AS (
       SELECT l_returnflag, hv,
@@ -146,7 +147,10 @@ def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = 256, 2147483647
     li = read_testdata(spark, sf_dir, "lineitem")
-    hv = (F.lit(1103515245) * F.col("l_orderkey") + F.lit(12345)) % F.lit(M)
+    hv = (
+        F.lit(1103515245) * F.pmod(F.col("l_orderkey"), F.lit(M))
+        + F.lit(12345)
+    ) % F.lit(M)
     dh = li.select("l_returnflag", hv.alias("hv")).distinct()
     rn = F.row_number().over(
         W.partitionBy("l_returnflag").orderBy("hv")
@@ -170,6 +174,99 @@ def a2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(buf, "l_returnflag").select(
         "l_returnflag", "n_rows", "n_exact", "kth_hash",
         est.cast("bigint").alias("kmv_est"),
+    )
+
+
+@register(
+    "a20_countmin_topk",
+    oracle="""
+    WITH js AS (SELECT unnest(range(3)) AS j),
+    cells AS (
+      SELECT js.j AS j,
+             (((1103515245 + 2 * js.j) * (user_id % 2147483647))
+              % 2147483647 + (12345 + js.j * 40503))
+             % 2147483647 % 32 AS cell,
+             count(*) AS n
+      FROM events CROSS JOIN js
+      GROUP BY js.j, cell),
+    ex AS (
+      SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+    cand AS (
+      SELECT user_id, exact_n FROM ex
+      ORDER BY exact_n DESC, user_id LIMIT 10)
+    SELECT c.user_id, CAST(c.exact_n AS BIGINT) AS exact_n,
+           CAST(min(s.n) AS BIGINT) AS cms_est
+    FROM cand c CROSS JOIN js
+    JOIN cells s
+      ON s.j = js.j
+     AND s.cell = (((1103515245 + 2 * js.j) * (c.user_id % 2147483647))
+                   % 2147483647 + (12345 + js.j * 40503))
+                  % 2147483647 % 32
+    GROUP BY c.user_id, c.exact_n
+    """,
+    doc="A20 (frequency sketch, ORACLE-EXACT): Count-Min sketch "
+    "(Cormode & Muthukrishnan 2005) — the mergeable bounded-memory "
+    "frequency structure for heavy-hitter estimation at 100 TB, "
+    "stated with deterministic integer row hashes (row j multiplies "
+    "by the odd constant 1103515245+2j on the mod-m-reduced key — "
+    "row-dependent MULTIPLIER, not a shifted increment, so two keys "
+    "colliding in one row are independent in the others; the product "
+    "is bounded by (1103515245+4)*(m-1) < int64 max for any key). "
+    "Sketch build = one explode(d=3) + map-side-combined groupBy into "
+    "d*w = 96 cells; estimate per key = min over rows of its cell "
+    "count — >= exact ALWAYS (one-sided error), pinned engine-side by "
+    "a property test and verified bit-for-bit here against the top-10 "
+    "exact counts riding in the same row. The d*w cell table is the "
+    "mergeable sketch: partial cells sum associatively across "
+    "partitions, exactly how a 1000-executor fleet merges sketches.",
+)
+def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D, WIDTH, M = 3, 32, 2147483647
+    ev = read_testdata(spark, sf_dir, "events").select("user_id")
+
+    def cell(j, key):
+        return (
+            (F.lit(1103515245 + 2 * j) * F.pmod(key, F.lit(M))) % M
+            + F.lit(12345 + j * 40503)
+        ) % M % WIDTH
+
+    rows = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cell(j, F.col("user_id")).alias("cell"),
+                )
+                for j in range(D)
+            ])
+        ).alias("p")
+    )
+    cells = rows.groupBy("p.j", "p.cell").agg(F.count("*").alias("n"))
+    ex = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    cand = ex.orderBy(F.desc("exact_n"), "user_id").limit(10)
+    probes = cand.select(
+        "user_id", "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cell(j, F.col("user_id")).alias("cell"),
+                )
+                for j in range(D)
+            ])
+        ).alias("q"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, (F.col("q.j") == F.col("j"))
+              & (F.col("q.cell") == F.col("cell")))
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").cast("bigint").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_est",
+        )
     )
 
 

@@ -887,3 +887,16 @@ def test_s19_bloom_point_lookup_pushes_in_filter(spark):
     assert "In(o_orderkey" in pf, pf
     scan = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "o_orderstatus" not in scan, scan
+
+
+def test_a20_countmin_plan_shape(spark):
+    """Count-Min scale shape: the d*w cell build must combine map-side
+    (partial_count before its exchange — the mergeable-sketch
+    topology), the candidate pick must be a bounded
+    TakeOrderedAndProject heap, and the 30-row probe must reach the
+    cell table as a broadcast — a shuffle join against <=96 cells
+    would be pure overhead."""
+    p = _plan(spark, "a20_countmin_topk")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
