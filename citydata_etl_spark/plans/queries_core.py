@@ -1070,6 +1070,71 @@ def u6_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bucketed_control(spark, table)
 
 
+@register(
+    "u12_deletion_vectors",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_visible,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+    FROM orders
+    WHERE o_orderkey % 13 <> 2 AND o_orderkey % 17 <> 5
+    GROUP BY status
+    """,
+    doc="U12 (merge-on-read delete): DELETION VECTORS — u6's "
+    "copy-on-write delete inverted (sources/deletion.py). The base "
+    "files are written ONCE; each of two delete waves appends only its "
+    "key set to the `_dv` tombstone sidecar (cost proportional to the "
+    "delete set, never the table — at 100 TB a GDPR delete becomes a "
+    "kilobyte append); readers subtract the deduplicated sidecar with "
+    "a broadcast LEFT ANTI join at scan time. tests/test_etl.py "
+    "proves the base data files are BYTE-IDENTICAL across both waves "
+    "(the merge-on-read claim itself) and that purge_deletions folds "
+    "the sidecar into a rewrite without changing visible rows. The "
+    "oracle states the visible table after both waves in closed form; "
+    "the per-status id_sum catches a tombstone applied to the wrong "
+    "key. Waves are replay-guarded so repeated builds stay bounded.",
+)
+def u12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.deletion import (
+        append_deletion_vector,
+        read_mor_table,
+        write_mor_table,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u12_dv_{tag}")
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if not os.path.exists(os.path.join(root, "base")):
+        write_mor_table(orders, root)
+    for wave, mod, rem in (("wave1", 13, 2), ("wave2", 17, 5)):
+        done = os.path.join(root, f".{wave}_applied")
+        if not os.path.exists(done):
+            append_deletion_vector(
+                orders.filter(F.col("o_orderkey") % mod == rem).select(
+                    "o_orderkey"
+                ),
+                root,
+            )
+            open(done, "w").close()
+    return (
+        read_mor_table(spark, root, "o_orderkey")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_visible"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
 #: Single pinned freshness bound shared by the a13 Spark rule list and its
 #: oracle SQL — one constant, so the contract cannot silently diverge as the
 #: fixtures age (the testdata's max o_orderdate is well before this).

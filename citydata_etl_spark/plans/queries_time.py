@@ -1351,6 +1351,108 @@ def t15_stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t17_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    tag = "t17_quarantine_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = session_tmpdir(tag)
+    src, clean, quar, ckpt = (
+        os.path.join(root, d) for d in ("src", "clean", "quarantine", "ckpt")
+    )
+    os.makedirs(src, exist_ok=True)
+
+    events = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    staged = os.path.join(src, "all")
+    if not os.path.exists(staged):
+        events.write.mode("overwrite").parquet(staged)
+
+    rule = (
+        F.when(F.col("event_type") == "error", F.lit("blocked_type"))
+        .when(F.col("value") > 100, F.lit("value_cap"))
+        .when(F.pmod(F.col("user_id"), F.lit(97)) == 13,
+              F.lit("blocked_user"))
+    )
+
+    def route(batch: DataFrame, _bid: int) -> None:
+        # one evaluation of the rule column serves both sinks; persist
+        # so the two writes don't re-read the micro-batch from source
+        b = batch.withColumn("rule", rule).persist()
+        try:
+            b.filter(F.col("rule").isNull()).drop("rule").write.mode(
+                "append"
+            ).parquet(clean)
+            b.filter(F.col("rule").isNotNull()).write.mode(
+                "append"
+            ).parquet(quar)
+        finally:
+            b.unpersist()
+
+    stream = spark.readStream.schema(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    ).parquet(os.path.join(src, "*"))
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sch = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    good = (
+        spark.read.schema(sch)
+        .parquet(clean)
+        .select(F.lit("clean").alias("bucket"), "event_id", cents.alias("c"))
+    )
+    bad = (
+        spark.read.schema(sch + ", rule STRING")
+        .parquet(quar)
+        .select(F.col("rule").alias("bucket"), "event_id", cents.alias("c"))
+    )
+    return good.unionByName(bad).groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
+    "t17_stream_quarantine",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'blocked_type'
+                WHEN value > 100 THEN 'value_cap'
+                WHEN user_id % 97 = 13 THEN 'blocked_user'
+                ELSE 'clean' END AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY bucket
+    """,
+    doc="T17 (streaming contract gate): the a13 data-contract idea on "
+    "the LIVE path — every micro-batch is routed through one "
+    "evaluation of the ordered rule column (blocked event type, then "
+    "value cap, then user blocklist; first violation names the row's "
+    "quarantine bucket) inside foreachBatch: violating rows land in a "
+    "rule-attributed quarantine sink, passing rows in the clean sink, "
+    "both from a single source read (the batch is persisted across "
+    "the two writes, not re-read). Checkpointed availableNow; the "
+    "oracle states the disposition of EVERY event in closed form, so "
+    "a row that is dropped, duplicated, or routed under the wrong "
+    "rule hash-fails — the per-bucket id_sum catches substitutions "
+    "counts alone would mask. At 100 TB the gate is one codegen "
+    "predicate pass per micro-batch, no shuffle before the sinks; "
+    "quarantine stays append-only parquet for replay/audit, the "
+    "operational pattern for poisoned-record isolation.",
+)
+def t17_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t17_quarantine_summary(spark, sf_dir)
+
+
 @register(
     "t16_stream_restart",
     oracle="""

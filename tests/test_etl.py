@@ -1327,3 +1327,54 @@ def test_asof_tolerance_boundary(spark):
         ).collect()
     }
     assert out2 == {1: "a", 2: "b", 3: None}
+
+
+def test_deletion_vectors_never_touch_base_files(spark, tmp_path):
+    """The merge-on-read claim itself, proved from the filesystem: two
+    delete waves leave every base data file byte-identical (same
+    names, sizes, mtimes), visible rows equal base minus tombstones
+    (replayed appends included — set semantics), and purge_deletions
+    folds the sidecar into a rewrite WITHOUT changing visible rows."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.deletion import (
+        append_deletion_vector,
+        purge_deletions,
+        read_mor_table,
+        write_mor_table,
+    )
+
+    root = str(tmp_path / "mor")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_mor_table(df, root)
+
+    def base_listing():
+        return sorted(
+            (p, os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(root, "base", "*"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+
+    before = base_listing()
+    dels1 = df.filter(F.col("k") % 10 == 3).select("k")
+    append_deletion_vector(dels1, root)
+    append_deletion_vector(dels1, root)  # replay: must not change reads
+    dels2 = df.filter(F.col("k") % 25 == 0).select("k")
+    append_deletion_vector(dels2, root)
+    assert base_listing() == before  # base untouched by any wave
+
+    visible = read_mor_table(spark, root, "k")
+    want = df.filter((F.col("k") % 10 != 3) & (F.col("k") % 25 != 0))
+    assert visible.count() == want.count()
+    assert visible.exceptAll(want).count() == 0
+
+    purge_deletions(spark, root, "k")
+    assert not os.path.exists(os.path.join(root, "_dv"))
+    after = read_mor_table(spark, root, "k")
+    assert after.count() == want.count()
+    assert after.exceptAll(want).count() == 0
