@@ -271,6 +271,124 @@ def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a21_histogram_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders),
+    s AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM c),
+    b AS (
+      SELECT c.c, ((c.c - s.lo) * 128) // (s.hi - s.lo + 1) AS bucket
+      FROM c, s),
+    h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    ch AS (
+      SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    qs AS (SELECT unnest([50, 95, 99]) AS q),
+    kq AS (SELECT qs.q, (qs.q * s.n + 99) // 100 AS k FROM qs, s),
+    tb AS (
+      SELECT kq.q, kq.k, min(ch.bucket) AS bucket
+      FROM kq JOIN ch ON ch.cum >= kq.k
+      GROUP BY kq.q, kq.k),
+    tb2 AS (
+      SELECT tb.q, tb.k, tb.bucket, ch.cum - ch.cnt AS cum_prev
+      FROM tb JOIN ch ON ch.bucket = tb.bucket),
+    ranked AS (
+      SELECT b.bucket, b.c,
+             row_number() OVER (PARTITION BY b.bucket ORDER BY b.c)
+               AS rnk
+      FROM b WHERE b.bucket IN (SELECT bucket FROM tb2))
+    SELECT CAST(t.q AS BIGINT) AS q,
+           CAST(s.lo + ((t.bucket + 1) * (s.hi - s.lo + 1) + 127) // 128
+                - 1 AS BIGINT) AS est_cents,
+           CAST(r.c AS BIGINT) AS exact_cents,
+           CAST(s.n AS BIGINT) AS n
+    FROM tb2 t
+    JOIN ranked r ON r.bucket = t.bucket AND r.rnk = t.k - t.cum_prev
+    CROSS JOIN s
+    """,
+    doc="A21 (distributed order statistics): GLOBAL p50/p95/p99 of the "
+    "order-value cents WITHOUT a global sort — the two-phase selection "
+    "a 100 TB quantile actually runs. Phase 1: a 128-bucket equi-width "
+    "integer histogram (one map-side-combined pass; the histogram is "
+    "the mergeable sketch, and its bucket CEIL upper edge is the "
+    "estimate "
+    "that rides along as est_cents). Phase 2: each target rank is "
+    "located in its bucket via the 128-row cumulative window (bounded "
+    "single-partition work BY CONSTRUCTION — 128 rows regardless of "
+    "data size), then ONLY the target buckets' rows (~n/128 each) are "
+    "rank-windowed PARTITIONED BY BUCKET to extract the exact order "
+    "statistic — the full data is never globally sorted and never "
+    "passes through one partition. k = ceil(q*n/100) stated as "
+    "(q*n+99) div 100 on both engines; the k-th-smallest VALUE is "
+    "deterministic under ties. Recursing phase 2 (re-histogram the "
+    "target bucket) bounds the final sort at any scale; one level "
+    "suffices here and the recursion is stated in the doc rather than "
+    "unrolled.",
+)
+def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.caching import scoped_persist
+
+    NB = 128
+    orders = read_testdata(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    stats = vals.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    v = scoped_persist(
+        vals.crossJoin(F.broadcast(stats)).withColumn(
+            "bucket", F.expr(f"((c - lo) * {NB}) div (hi - lo + 1)")
+        )
+    )
+    ch = (
+        v.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    qs = spark.createDataFrame([(50,), (95,), (99,)], "q LONG")
+    kq = qs.crossJoin(F.broadcast(stats)).select(
+        "q", F.expr("(q * n + 99) div 100").alias("k")
+    )
+    tb = (
+        kq.join(F.broadcast(ch), F.col("cum") >= F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    tb2 = scoped_persist(
+        tb.join(ch, "bucket").select(
+            "q", "k", "bucket", (F.col("cum") - F.col("cnt")).alias("cum_prev")
+        )
+    )
+    ranked = v.join(
+        F.broadcast(tb2.select("bucket").distinct()), "bucket"
+    ).withColumn(
+        "rnk", F.row_number().over(W.partitionBy("bucket").orderBy("c"))
+    )
+    ex = tb2.join(
+        ranked.select("bucket", "c", "rnk"),
+        ["bucket"],
+    ).filter(F.col("rnk") == F.col("k") - F.col("cum_prev"))
+    return ex.crossJoin(F.broadcast(stats)).select(
+        F.col("q").cast("bigint").alias("q"),
+        (
+            F.col("lo")
+            + F.expr(f"((bucket + 1) * (hi - lo + 1) + {NB - 1}) div {NB}")
+            - 1
+        ).cast("bigint").alias("est_cents"),
+        F.col("c").cast("bigint").alias("exact_cents"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
     "a3_rollup",
     oracle="""
     SELECT r_name, n_name, count(*) AS n_customers,

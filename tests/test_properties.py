@@ -1408,3 +1408,70 @@ def test_countmin_matches_model_and_never_undercounts(spark, keys):
     assert got == expect
     for u, (ex_n, est) in got.items():
         assert est >= ex_n  # CMS one-sided error
+
+
+@settings(**SETTINGS)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=60
+    )
+)
+def test_histogram_quantiles_match_sorted_model(spark, cents):
+    """The a21 two-phase selection vs a plain sorted-list order
+    statistic on random duplicate-heavy integers: exact_cents must be
+    the ceil(q*n/100)-th smallest for every q, and est_cents must be
+    its bucket's upper edge — including the degenerate hi==lo corpus
+    (every value identical, one bucket)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    NB = 128
+    df = spark.createDataFrame([(c,) for c in cents], "c LONG")
+    stats = df.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    v = df.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket", F.expr(f"((c - lo) * {NB}) div (hi - lo + 1)")
+    )
+    ch = (
+        v.groupBy("bucket").agg(F.count("*").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)))
+    )
+    qs = spark.createDataFrame([(50,), (95,), (99,)], "q LONG")
+    kq = qs.crossJoin(F.broadcast(stats)).select(
+        "q", F.expr("(q * n + 99) div 100").alias("k"))
+    tb = (kq.join(F.broadcast(ch), F.col("cum") >= F.col("k"))
+          .groupBy("q", "k").agg(F.min("bucket").alias("bucket")))
+    tb2 = tb.join(ch, "bucket").select(
+        "q", "k", "bucket", (F.col("cum") - F.col("cnt")).alias("cum_prev"))
+    ranked = v.join(F.broadcast(tb2.select("bucket").distinct()), "bucket"
+                    ).withColumn(
+        "rnk", F.row_number().over(W.partitionBy("bucket").orderBy("c")))
+    got = {
+        r["q"]: (r["est"], r["exact"])
+        for r in tb2.join(ranked.select("bucket", "c", "rnk"), ["bucket"])
+        .filter(F.col("rnk") == F.col("k") - F.col("cum_prev"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q",
+            (F.col("lo")
+             + F.expr(f"((bucket + 1) * (hi - lo + 1) + {NB - 1}) div {NB}")
+             - 1).alias("est"),
+            F.col("c").alias("exact"),
+        ).collect()
+    }
+
+    s = sorted(cents)
+    lo, hi, n = min(cents), max(cents), len(cents)
+    expect = {}
+    for q in (50, 95, 99):
+        k = (q * n + 99) // 100
+        exact = s[k - 1]
+        b = ((exact - lo) * NB) // (hi - lo + 1)
+        est = lo + ((b + 1) * (hi - lo + 1) + NB - 1) // NB - 1
+        expect[q] = (est, exact)
+    assert got == expect
+    for q, (est, exact) in got.items():
+        assert est >= exact  # upper-edge estimate never undershoots
