@@ -1012,3 +1012,55 @@ def d6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return hashed_linear_score(docs, n_buckets=512)
+
+
+@register(
+    "d6_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, text,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique_texts,
+           CAST(floor((count(*) - count(DISTINCT text)) * 10000
+                      / count(*)) AS BIGINT) AS dup_bp,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens
+    FROM t GROUP BY source
+    """,
+    doc="D6 (release datasheet): the per-source DATASET CARD a curation "
+    "pipeline publishes with every corpus release — document count, "
+    "exact-duplicate rate in basis points (floor(int/int)), language "
+    "spread, token/char volume, mean document length. One shuffle on "
+    "source; the two DISTINCT aggregates plan as a single Expand pass. "
+    "At 100 TB substitute countDistinct(sha2(text,256)) for the raw "
+    "text distinct so the distinct state carries 32-byte digests "
+    "instead of documents — same answer modulo SHA-256 collisions, "
+    "same plan shape. Companion to d4_dedup_report (dup attribution) "
+    "and d6_shard_stats (physical shards): this is the logical "
+    "per-source summary the other two drill into.",
+)
+def d6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("bigint")
+    base = docs.select("source", "lang", "text", n_tok.alias("n_tok"))
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.floor(
+            (F.count("*") - F.countDistinct("text")) * 10000 / F.count("*")
+        ).cast("bigint").alias("dup_bp"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.expr("sum(n_tok) div count(*)").cast("bigint").alias("mean_tokens"),
+    )
