@@ -151,6 +151,21 @@ HEADLINE = [
     # round-8 third wave: the distributed IVF trainer's oracle-exact
     # twin (two chained integer Lloyd iterations, zero driver collects)
     "d4_ann_ivf_dist_rank",
+    # round-9 additions: BPE encode (train+apply over the vocab), MMR
+    # retrieval diversification (unrolled greedy picks), parquet bloom
+    # point lookup (cold rep includes the one-time bloom write),
+    # Count-Min heavy hitters, streaming contract quarantine (cold rep
+    # stages the source + first checkpoint), merge-on-read deletion
+    # vectors (cold rep writes base + both waves), two-phase global
+    # quantiles, per-source dataset card
+    "d4_bpe_encode",
+    "d4_mmr_diversify",
+    "s19_bloom_filter_layout",
+    "a20_countmin_topk",
+    "t17_stream_quarantine",
+    "u12_deletion_vectors",
+    "a21_histogram_quantiles",
+    "d6_dataset_card",
 ]
 
 
