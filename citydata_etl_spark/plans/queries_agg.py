@@ -363,7 +363,7 @@ def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bucket").alias("bucket"))
     )
     tb2 = scoped_persist(
-        tb.join(ch, "bucket").select(
+        tb.join(F.broadcast(ch), "bucket").select(
             "q", "k", "bucket", (F.col("cum") - F.col("cnt")).alias("cum_prev")
         )
     )
@@ -372,9 +372,11 @@ def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rnk", F.row_number().over(W.partitionBy("bucket").orderBy("c"))
     )
-    ex = tb2.join(
-        ranked.select("bucket", "c", "rnk"),
-        ["bucket"],
+    # broadcast the 3-row target table into the ranked rows: an
+    # equi-join that shuffled the ranked side again would double the
+    # phase-2 exchange for nothing
+    ex = ranked.select("bucket", "c", "rnk").join(
+        F.broadcast(tb2), ["bucket"]
     ).filter(F.col("rnk") == F.col("k") - F.col("cum_prev"))
     return ex.crossJoin(F.broadcast(stats)).select(
         F.col("q").cast("bigint").alias("q"),

@@ -915,3 +915,6 @@ def test_a21_quantiles_no_global_data_sort(spark):
     # the value column is never globally range-partitioned (a global
     # sort would plan an Exchange rangepartitioning over c)
     assert "rangepartitioning(c" not in p.replace(" ", "").lower()
+    # every join in the selection is against a <=128-row table and must
+    # broadcast — an SMJ would re-shuffle the ranked rows for nothing
+    assert "SortMergeJoin" not in p
