@@ -166,6 +166,9 @@ HEADLINE = [
     "u12_deletion_vectors",
     "a21_histogram_quantiles",
     "d6_dataset_card",
+    # round-9 second wave: batch MMR — the applyInPandas group kernel,
+    # driver-oracled because the kernel is pure integer arithmetic
+    "d4_mmr_batch",
 ]
 
 

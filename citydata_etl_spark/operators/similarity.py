@@ -1663,3 +1663,96 @@ def mmr_topk_exactseed(
         )
         picks = scoped_persist(picks.unionByName(nxt))
     return picks
+
+
+def mmr_batch(
+    emb: DataFrame, queries: DataFrame, k: int = 3, n_cand: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Batch MMR over MANY queries — the production shape whose greedy
+    recurrence the single-query twin (mmr_topk_exactseed) states for
+    the external oracle. Same integer arithmetic, same tie-breaks,
+    same lambda=1/2 objective at 2x scale; the engine-side agreement
+    test pins batch == twin on the twin's query.
+
+    Plan: candidate generation is ONE relational pass — every
+    (query, corpus) rel dot, cut to top-n_cand per query by a
+    rank window PARTITIONED BY QUERY (each query's heap is
+    independent; at 100 TB you replace this exact-rel cut with an ANN
+    probe feeding the same group schema) — then the greedy selection
+    runs per query inside ONE applyInPandas group kernel: n_cand
+    micros vectors per group, pairwise dots and k greedy argmaxes in
+    int64 numpy. Group state is bounded by n_cand*dim int64s
+    regardless of corpus size; queries parallelize across executors.
+
+    `queries` carries one column of query ids (query_col). Output:
+    (query_id, rnk 1..k, neighbor_id, rel_dot, mmr2), mmr2 of pick 1 =
+    rel_dot by the twin's convention.
+    """
+    import pandas as pd
+
+    base = emb.select(
+        F.col(id_col).alias("nid"), _micros(F.col(vec_col)).alias("vi")
+    )
+    qv = base.join(
+        queries.select(F.col(query_col).alias("qid")),
+        F.col("nid") == F.col("qid"),
+    ).select("qid", F.col("vi").alias("qi"))
+    pairs = (
+        base.join(F.broadcast(qv), F.col("nid") != F.col("qid"))
+        .withColumn("rel", _idot(F.col("vi"), F.col("qi")))
+        .select("qid", "nid", "vi", "rel")
+    )
+    rw = W.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
+    cand = (
+        pairs.withColumn("crnk", F.row_number().over(rw))
+        .filter(F.col("crnk") <= n_cand)
+        .select("qid", "nid", "vi", "rel")
+    )
+
+    out_schema = (
+        "query_id BIGINT, rnk BIGINT, neighbor_id BIGINT, "
+        "rel_dot BIGINT, mmr2 BIGINT"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        qid = int(pdf["qid"].iloc[0])
+        # deterministic candidate order: (rel DESC, id ASC), matching
+        # the twin's tie-breaks
+        pdf = pdf.sort_values(
+            ["rel", "nid"], ascending=[False, True], ignore_index=True
+        )
+        ids = pdf["nid"].to_numpy(dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        vecs = np.array(list(pdf["vi"]), dtype=np.int64)
+        pd_dots = vecs @ vecs.T  # n_cand^2 int64 pair dots
+        rows = []
+        picked: list[int] = []
+        for step in range(1, k + 1):
+            if len(picked) >= len(ids):
+                break
+            if not picked:
+                score = rel.astype(np.int64)
+            else:
+                score = rel - pd_dots[:, picked].max(axis=1)
+            score = score.copy()
+            mask = np.zeros(len(ids), dtype=bool)
+            mask[picked] = True
+            # argmax with (score DESC, id ASC): ids are sorted ASC only
+            # within equal rel, so order by (-score, id) explicitly
+            order = np.lexsort((ids, -score))
+            best = next(i for i in order if not mask[i])
+            picked.append(int(best))
+            rows.append(
+                (qid, step, int(ids[best]), int(rel[best]),
+                 int(score[best]))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "rnk", "neighbor_id", "rel_dot", "mmr2"],
+        )
+
+    return cand.groupBy("qid").applyInPandas(pick, out_schema)

@@ -1237,6 +1237,120 @@ def d4_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_mmr_batch",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM embeddings),
+    qs AS (
+      SELECT vec_id AS qid, ei AS qi FROM v
+      ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
+               vec_id
+      LIMIT 3),
+    dims AS (SELECT unnest(range(64)) AS d),
+    rel AS (
+      SELECT qs.qid, v.vec_id AS id,
+             sum(v.ei[CAST(dims.d + 1 AS INT)]
+                 * qs.qi[CAST(dims.d + 1 AS INT)]) AS rel
+      FROM v CROSS JOIN qs CROSS JOIN dims
+      WHERE v.vec_id <> qs.qid
+      GROUP BY qs.qid, v.vec_id),
+    cand AS (
+      SELECT qid, id, rel FROM (
+        SELECT qid, id, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, id) AS crnk
+        FROM rel)
+      WHERE crnk <= 16),
+    pd AS (
+      SELECT a.qid, a.id AS ia, b.id AS ib,
+             sum(va.ei[CAST(dims.d + 1 AS INT)]
+                 * vb.ei[CAST(dims.d + 1 AS INT)]) AS pdot
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+      JOIN v va ON va.vec_id = a.id
+      JOIN v vb ON vb.vec_id = b.id
+      CROSS JOIN dims
+      GROUP BY a.qid, a.id, b.id),
+    s1 AS (
+      SELECT qid, id, rel FROM (
+        SELECT qid, id, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, id) AS rn
+        FROM cand) WHERE rn = 1),
+    c2 AS (
+      SELECT c.qid, c.id, c.rel, c.rel - pd.pdot AS mmr2
+      FROM cand c
+      JOIN s1 ON s1.qid = c.qid AND c.id <> s1.id
+      JOIN pd ON pd.qid = c.qid AND pd.ia = c.id AND pd.ib = s1.id),
+    s2 AS (
+      SELECT qid, id, rel, mmr2 FROM (
+        SELECT qid, id, rel, mmr2,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr2 DESC, id) AS rn
+        FROM c2) WHERE rn = 1),
+    c3 AS (
+      SELECT c.qid, c.id, c.rel, c.rel - max(pd.pdot) AS mmr2
+      FROM cand c
+      JOIN s1 ON s1.qid = c.qid
+      JOIN s2 ON s2.qid = c.qid
+      JOIN pd ON pd.qid = c.qid AND pd.ia = c.id
+             AND (pd.ib = s1.id OR pd.ib = s2.id)
+      WHERE c.id <> s1.id AND c.id <> s2.id
+      GROUP BY c.qid, c.id, c.rel),
+    s3 AS (
+      SELECT qid, id, rel, mmr2 FROM (
+        SELECT qid, id, rel, mmr2,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr2 DESC, id) AS rn
+        FROM c3) WHERE rn = 1)
+    SELECT qid AS query_id, CAST(1 AS BIGINT) AS rnk, id AS neighbor_id,
+           CAST(rel AS BIGINT) AS rel_dot, CAST(rel AS BIGINT) AS mmr2
+    FROM s1
+    UNION ALL
+    SELECT qid, CAST(2 AS BIGINT), id, CAST(rel AS BIGINT),
+           CAST(mmr2 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT qid, CAST(3 AS BIGINT), id, CAST(rel AS BIGINT),
+           CAST(mmr2 AS BIGINT) FROM s3
+    """,
+    doc="D4 (retrieval diversification, PRODUCTION SHAPE): batch MMR "
+    "over many queries — candidate generation as ONE relational pass "
+    "(every (query, corpus) rel dot cut to top-16 per query by a "
+    "rank window PARTITIONED BY QUERY; at 100 TB an ANN probe feeds "
+    "the same group schema), then the greedy selection per query in "
+    "ONE applyInPandas group kernel: 16 micros vectors per group, "
+    "pairwise dots and 3 greedy argmaxes in int64 numpy — group state "
+    "bounded by n_cand*dim int64s at any corpus size, queries "
+    "parallel across executors (operators/similarity.py:mmr_batch). "
+    "Because the kernel is pure integer arithmetic with the twin's "
+    "tie-breaks, even the Python group kernel is DRIVER-ORACLED "
+    "bit-for-bit: the oracle generalizes d4_mmr_diversify's chain "
+    "per-query (argmax CTEs become per-qid rank windows). Queries = "
+    "the 3 lowest-LCG vector ids; tests pin batch == twin on the "
+    "twin's query.",
+)
+def d4_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    M = 2147483647
+    lcg = (
+        F.lit(1103515245) * F.pmod(F.col("vec_id"), F.lit(M)) + F.lit(12345)
+    ) % F.lit(M)
+    queries = (
+        emb.select("vec_id")
+        .withColumn("lcg", lcg)
+        .orderBy("lcg", "vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return S.mmr_batch(emb, queries, k=3, n_cand=16)
+
+
+@register(
     "d4_quality_score",
     oracle="""
     WITH s AS (

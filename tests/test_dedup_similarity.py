@@ -1181,3 +1181,46 @@ def test_ann_ivf_distexact_training_not_vacuous(spark):
     assert trained != seeded, (
         "trained twin equals the seed twin — training is vacuous"
     )
+
+
+def test_mmr_batch_agrees_with_exactseed_twin(spark):
+    """mmr_batch (applyInPandas group kernel, many queries) must
+    reproduce mmr_topk_exactseed (the unrolled relational twin the
+    external oracle verifies) exactly on the twin's LCG query — same
+    picks, same scores, same tie-breaks — and produce k picks for
+    every other query too."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.similarity import (
+        mmr_batch,
+        mmr_topk_exactseed,
+    )
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    twin = {
+        r["rnk"]: (r["neighbor_id"], r["rel_dot"], r["mmr2"])
+        for r in mmr_topk_exactseed(emb, k=3, n_cand=16).collect()
+    }
+    M = 2147483647
+    lcg = (F.lit(1103515245) * F.pmod(F.col("vec_id"), F.lit(M))
+           + F.lit(12345)) % F.lit(M)
+    qid = (
+        emb.select("vec_id").withColumn("lcg", lcg)
+        .orderBy("lcg", "vec_id").limit(1).collect()[0][0]
+    )
+    queries = spark.createDataFrame(
+        [(qid,), (qid + 1,), (qid + 2,)], "query_id LONG"
+    )
+    batch = mmr_batch(emb, queries, k=3, n_cand=16).collect()
+    got = {
+        r["rnk"]: (r["neighbor_id"], r["rel_dot"], r["mmr2"])
+        for r in batch if r["query_id"] == qid
+    }
+    assert got == twin
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert set(by_q) == {qid, qid + 1, qid + 2}
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == [1, 2, 3], (q, rnks)
