@@ -169,6 +169,8 @@ HEADLINE = [
     # round-9 second wave: batch MMR — the applyInPandas group kernel,
     # driver-oracled because the kernel is pure integer arithmetic
     "d4_mmr_batch",
+    # round-9 third wave: SymSpell deletion-neighborhood fuzzy key join
+    "d4_fuzzy_key_pairs",
 ]
 
 

@@ -1160,3 +1160,49 @@ def dedup_lines(docs: DataFrame, words_per_line: int = 4,
             "\n",
         ).alias("kept_text"),
     )
+
+
+def edit1_pairs(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """All DISTINCT key pairs at Levenshtein distance exactly 1, found
+    by SymSpell-style DELETION-NEIGHBORHOOD blocking (Garbe's SymSpell:
+    block on every string obtainable by deleting one character, plus
+    the string itself) — never all-pairs.
+
+    Completeness for lev <= 1 (argued, and proved lossless against the
+    naive quadratic join by a hypothesis property test): an
+    insertion/deletion pair (b = a minus one char) shares b itself as
+    a block key (b is a member of a's deletion neighborhood and of its
+    own trivial neighborhood); a substitution pair shares the deletion
+    at the differing position. The final levenshtein()==1 verify
+    discards blocking false positives (distance-2 strings can share a
+    deletion variant, e.g. 'aab'/'abb' both contain 'ab').
+
+    Scale shape: the explode factor is length+1 on the DISTINCT key
+    vocabulary (bounded), candidates come from an equi-join on the
+    variant key whose cost is the sum of block occupancies — for
+    identifier-like keys a block holds the handful of keys differing
+    at one position, so candidate volume stays linear-ish in the
+    vocabulary where the naive join is quadratic. The empty string is
+    handled (its only variant is itself; a length-1 key's deletion
+    neighborhood reaches it).
+    """
+    keys = df.select(F.col(key_col).alias("t")).distinct()
+    dels = (
+        "CASE WHEN length(t) >= 1 THEN "
+        "transform(sequence(1, length(t)), "
+        "i -> concat(substr(t, 1, i-1), substr(t, i+1))) "
+        "ELSE array() END"
+    )
+    var = keys.select(
+        "t",
+        F.explode(F.concat(F.array(F.col("t")), F.expr(dels))).alias("v"),
+    )
+    a = var.select(F.col("t").alias("key_a"), "v")
+    b = var.select(F.col("t").alias("key_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("key_a", "key_b") == 1)

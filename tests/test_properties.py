@@ -1475,3 +1475,44 @@ def test_histogram_quantiles_match_sorted_model(spark, cents):
     assert got == expect
     for q, (est, exact) in got.items():
         assert est >= exact  # upper-edge estimate never undershoots
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=4),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+def test_edit1_blocking_is_lossless(spark, words):
+    """Deletion-neighborhood blocking must return EXACTLY the naive
+    quadratic Levenshtein join's distance-1 pairs — blocking is
+    pruning, never loss. Tiny two-letter alphabet forces repeated
+    characters (shared deletion variants, the false-positive case) and
+    includes the empty string and length-1 keys (the insertion edge)."""
+    import itertools
+
+    from citydata_etl_spark.operators.dedup import edit1_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], "key STRING")
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in edit1_pairs(df, key_col="key").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(words, 2)
+        if lev(a, b) == 1
+    }
+    assert got == want
