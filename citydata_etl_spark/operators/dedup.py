@@ -1193,9 +1193,15 @@ def edit1_pairs(df: DataFrame, key_col: str = "key") -> DataFrame:
         "i -> concat(substr(t, 1, i-1), substr(t, i+1))) "
         "ELSE array() END"
     )
+    # array_distinct: repeated characters make duplicate deletion
+    # variants ('aaaa' -> 'aaa' four times); emitting each (key, variant)
+    # once keeps block occupancy — and the candidate join volume —
+    # proportional to DISTINCT variants, with no change in results
     var = keys.select(
         "t",
-        F.explode(F.concat(F.array(F.col("t")), F.expr(dels))).alias("v"),
+        F.explode(
+            F.array_distinct(F.concat(F.array(F.col("t")), F.expr(dels)))
+        ).alias("v"),
     )
     a = var.select(F.col("t").alias("key_a"), "v")
     b = var.select(F.col("t").alias("key_b"), "v")

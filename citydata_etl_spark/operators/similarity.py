@@ -707,6 +707,20 @@ def _idot(a: Column, b: Column) -> Column:
     )
 
 
+def lcg_pick(col: Column) -> Column:
+    """The engine's deterministic uniform-draw key for seed/query picks:
+    (1103515245 * pmod(col, m) + 12345) mod m, m = 2147483647. The id is
+    reduced mod m BEFORE the multiply so the product is bounded by
+    1103515245 * (m-1) ~ 2.4e18 < int64 max for ANY id — without the
+    reduction the multiply overflows (raising under Spark 4 ANSI) once
+    ids exceed ~8.36e9, a budget 100 TB corpora blow through. pmod == %
+    here because ids are non-negative by contract; every oracle states
+    the identical reduced form. ONE definition — the overflow fix had
+    to touch ten call sites when this expression was hand-copied."""
+    m = F.lit(2147483647)
+    return (F.lit(1103515245) * F.pmod(col, m) + F.lit(12345)) % m
+
+
 def _lcg_seed_rows(
     emb: DataFrame, n: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -714,16 +728,10 @@ def _lcg_seed_rows(
     ((1103515245 * (id mod 2147483647) + 12345) mod 2147483647, id),
     indexed 0..n-1 and micros-quantized — the deterministic
     SQL-stateable seed pick shared by the oracle-exact ANN twins.
-    The id is reduced mod m BEFORE the multiply so the product is
-    bounded by 1103515245 * (m-1) ~ 2.4e18 < int64 max for ANY id —
-    without the reduction the multiply overflows (and raises under
-    Spark 4 ANSI) once ids exceed ~8.36e9, a budget 100 TB corpora
-    blow through. pmod == % here because ids are non-negative by
-    contract; the oracle SQL states the identical reduced form.
-    TakeOrderedAndProject (bounded per-partition heap); the
-    row_number window runs over the already-limited n rows."""
-    m = F.lit(2147483647)
-    lcg = (F.lit(1103515245) * F.pmod(F.col("sid"), m) + F.lit(12345)) % m
+    The overflow-proof reduced form lives in lcg_pick (one
+    definition). TakeOrderedAndProject (bounded per-partition heap);
+    the row_number window runs over the already-limited n rows."""
+    lcg = lcg_pick(F.col("sid"))
     seeds = (
         emb.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"))
         .withColumn("lcg", lcg)
@@ -1605,11 +1613,10 @@ def mmr_topk_exactseed(
     mmr2 of pick 1 = its rel_dot (no redundancy term yet) by
     convention, stated identically in the oracle.
     """
-    m = F.lit(2147483647)
     base = emb.select(
         F.col(id_col).alias("id"), _micros(F.col(vec_col)).alias("vi")
     )
-    lcg = (F.lit(1103515245) * F.pmod(F.col("id"), m) + F.lit(12345)) % m
+    lcg = lcg_pick(F.col("id"))
     q = (
         base.withColumn("lcg", lcg)
         .orderBy("lcg", "id")

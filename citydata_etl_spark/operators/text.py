@@ -872,9 +872,10 @@ def bpe_encode(
     Output per document: n_words (whitespace tokens), n_chars (symbols
     before any merge = total token length), n_bpe_tokens (symbols after
     the n_steps merges; n_chars - n_bpe_tokens = merges applied), and
-    saved_bp = floor((n_chars - n_bpe_tokens) * 10000 / n_chars) — the
-    compression in exact basis points (floor(int/int), the engine's
-    cross-engine-stable ratio convention).
+    saved_bp = (n_chars - n_bpe_tokens) * 10000 div n_chars — the
+    compression in exact basis points (true INTEGER division, not
+    floor-of-double: at 100 TB the numerator exceeds 2^53 and a double
+    quotient is no longer exact).
     """
     from citydata_etl_spark.caching import scoped_persist
     from citydata_etl_spark.operators.dedup import tokens
@@ -914,8 +915,8 @@ def bpe_encode(
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
         )
     )
-    saved = (F.col("n_chars") - F.col("n_bpe_tokens")) * 10000
     return per_doc.select(
         id_col, "n_words", "n_chars", "n_bpe_tokens",
-        F.floor(saved / F.col("n_chars")).cast("bigint").alias("saved_bp"),
+        F.expr("((n_chars - n_bpe_tokens) * 10000) div n_chars")
+        .cast("bigint").alias("saved_bp"),
     )

@@ -1110,18 +1110,27 @@ def u12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    if not os.path.exists(os.path.join(root, "base")):
-        write_mor_table(orders, root)
+    # done-markers written AFTER each write (the _build_once contract):
+    # a bare exists(base) check would serve a partially-written base
+    # forever after an interrupted first build. A retried WAVE may
+    # duplicate tombstone keys (append-mode) — harmless by the reader's
+    # set semantics, disclosed in sources/deletion.py.
+    def once(step: str, build) -> None:
+        d = os.path.join(root, ".once_" + step)
+        os.makedirs(d, exist_ok=True)
+        _build_once(d, build)
+
+    once("base", lambda: write_mor_table(orders, root))
     for wave, mod, rem in (("wave1", 13, 2), ("wave2", 17, 5)):
-        done = os.path.join(root, f".{wave}_applied")
-        if not os.path.exists(done):
-            append_deletion_vector(
-                orders.filter(F.col("o_orderkey") % mod == rem).select(
+        once(
+            wave,
+            lambda m=mod, r=rem: append_deletion_vector(
+                orders.filter(F.col("o_orderkey") % m == r).select(
                     "o_orderkey"
                 ),
                 root,
-            )
-            open(done, "w").close()
+            ),
+        )
     return (
         read_mor_table(spark, root, "o_orderkey")
         .groupBy(F.col("o_orderstatus").alias("status"))

@@ -1140,8 +1140,8 @@ def d4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_words,
            CAST(sum(length(token)) AS BIGINT) AS n_chars,
            CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
-           CAST(floor((sum(length(token)) - sum(n_sym)) * 10000
-                      / sum(length(token))) AS BIGINT) AS saved_bp
+           CAST((sum(length(token)) - sum(n_sym)) * 10000
+                // sum(length(token)) AS BIGINT) AS saved_bp
     FROM d JOIN enc USING (token)
     GROUP BY doc_id
     """,
@@ -1150,8 +1150,9 @@ def d4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_bpe_merge_steps — same winners, same greedy fold), then ENCODE "
     "every document with them: per-doc whitespace-token count, "
     "pre-merge symbol count, post-merge BPE token count, and the "
-    "compression in exact basis points (floor(int/int), the engine's "
-    "ratio convention). Scale trick: train AND encode on the "
+    "compression in exact basis points (true integer division — at "
+    "100 TB the numerator exceeds 2^53, so floor-of-double would not "
+    "be exact). Scale trick: train AND encode on the "
     "distinct-token vocabulary; the only corpus-sized ops are the "
     "map-side-combined token count and one hash join of occurrences "
     "against the encoded vocab (operators/text.py:bpe_encode). Oracle: "
@@ -1371,10 +1372,7 @@ def d4_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    M = 2147483647
-    lcg = (
-        F.lit(1103515245) * F.pmod(F.col("vec_id"), F.lit(M)) + F.lit(12345)
-    ) % F.lit(M)
+    lcg = S.lcg_pick(F.col("vec_id"))
     queries = (
         emb.select("vec_id")
         .withColumn("lcg", lcg)

@@ -1025,8 +1025,8 @@ def d6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_docs,
            count(DISTINCT text) AS n_unique_texts,
-           CAST(floor((count(*) - count(DISTINCT text)) * 10000
-                      / count(*)) AS BIGINT) AS dup_bp,
+           CAST((count(*) - count(DISTINCT text)) * 10000
+                // count(*) AS BIGINT) AS dup_bp,
            count(DISTINCT lang) AS n_langs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            CAST(sum(length(text)) AS BIGINT) AS n_chars,
@@ -1056,8 +1056,8 @@ def d6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("text").alias("n_unique_texts"),
-        F.floor(
-            (F.count("*") - F.countDistinct("text")) * 10000 / F.count("*")
+        F.expr(
+            "((count(*) - count(DISTINCT text)) * 10000) div count(*)"
         ).cast("bigint").alias("dup_bp"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),

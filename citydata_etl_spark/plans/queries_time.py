@@ -1366,8 +1366,13 @@ def _t17_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     staged = os.path.join(src, "all")
-    if not os.path.exists(staged):
+    staged_done = os.path.join(root, ".staged_done")
+    if not os.path.exists(staged_done):
+        # marker AFTER the write: a bare exists(dir) check would let a
+        # partially-staged source feed the checkpointed stream forever;
+        # overwrite mode heals the partial directory on retry
         events.write.mode("overwrite").parquet(staged)
+        open(staged_done, "w").close()
 
     rule = (
         F.when(F.col("event_type") == "error", F.lit("blocked_type"))

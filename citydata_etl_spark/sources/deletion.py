@@ -66,9 +66,21 @@ def read_mor_table(spark: SparkSession, root: str, key: str) -> DataFrame:
 
 def purge_deletions(spark: SparkSession, root: str, key: str) -> None:
     """Compaction: fold the sidecar into the base files (one rewrite of
-    the visible rows) and truncate the tombstones. The rewrite is
-    staged to a sibling directory and swapped in, so a reader never
-    sees a half-purged table; visible rows are unchanged."""
+    the visible rows) and truncate the tombstones. Visible rows are
+    unchanged (pinned by test); the rewrite is staged to a sibling
+    directory first, so no reader ever sees partial data.
+
+    SINGLE-WRITER MAINTENANCE OP: the swap is two directory renames,
+    and between them there is an instant with no live `base` — a
+    reader racing the purge can fail with a missing path (it can never
+    read wrong rows). Run it like any table-maintenance window, with
+    readers drained — the same operational contract as
+    sources/merge.py's staged-swap compaction. Crash recovery: dying
+    before the first rename leaves the table untouched (staged dir is
+    garbage); dying between the renames leaves `base.old` intact for
+    manual restore; dying after the second rename but before the
+    sidecar truncate re-applies tombstones to rows already purged —
+    harmless by set semantics."""
     import shutil
 
     visible = read_mor_table(spark, root, key)
