@@ -1197,11 +1197,17 @@ def edit1_pairs(df: DataFrame, key_col: str = "key") -> DataFrame:
     # variants ('aaaa' -> 'aaa' four times); emitting each (key, variant)
     # once keeps block occupancy — and the candidate join volume —
     # proportional to DISTINCT variants, with no change in results
-    var = keys.select(
-        "t",
-        F.explode(
-            F.array_distinct(F.concat(F.array(F.col("t")), F.expr(dels)))
-        ).alias("v"),
+    from citydata_etl_spark.caching import scoped_persist
+
+    # persisted: both sides of the candidate self-join read the variant
+    # table; without the persist the explode chain runs twice
+    var = scoped_persist(
+        keys.select(
+            "t",
+            F.explode(
+                F.array_distinct(F.concat(F.array(F.col("t")), F.expr(dels)))
+            ).alias("v"),
+        )
     )
     a = var.select(F.col("t").alias("key_a"), "v")
     b = var.select(F.col("t").alias("key_b"), "v")
