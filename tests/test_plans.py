@@ -918,3 +918,12 @@ def test_a21_quantiles_no_global_data_sort(spark):
     # every join in the selection is against a <=128-row table and must
     # broadcast — an SMJ would re-shuffle the ranked rows for nothing
     assert "SortMergeJoin" not in p
+
+
+def test_u12_deletion_vector_read_broadcasts_tombstones(spark):
+    """Merge-on-read scan shape: the deduplicated tombstone sidecar
+    must reach the base scan as a BROADCAST left anti join — a shuffle
+    anti-join would re-partition the 100 TB base to subtract a
+    kilobyte-scale delete set."""
+    p = _plan(spark, "u12_deletion_vectors")
+    assert "BroadcastHashJoin LeftAnti" in p

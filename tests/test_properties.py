@@ -1516,3 +1516,65 @@ def test_edit1_blocking_is_lossless(spark, words):
         if lev(a, b) == 1
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-2, max_value=2).map(lambda x: x / 2.0),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=10,
+    )
+)
+def test_mmr_batch_matches_python_model_all_queries(spark, vecs):
+    """mmr_batch vs a pure-Python greedy MMR run independently for
+    EVERY query id (not just the twin's) on tie-heavy low-dim vectors —
+    pins the group kernel's candidate ordering, redundancy max, and
+    (score DESC, id ASC) argmax per query."""
+    import math
+
+    from citydata_etl_spark.operators.similarity import mmr_batch
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    qids = list(range(len(vecs)))
+    queries = spark.createDataFrame([(q,) for q in qids], "query_id LONG")
+    got = {}
+    for r in mmr_batch(df, queries, k=3, n_cand=4).collect():
+        got.setdefault(r["query_id"], {})[r["rnk"]] = (
+            r["neighbor_id"], r["rel_dot"], r["mmr2"]
+        )
+
+    mic = [[int(math.floor(x * 1e6 + 0.5)) for x in v] for v in vecs]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    expect = {}
+    for q in qids:
+        rel = {i: dot(mic[i], mic[q]) for i in qids if i != q}
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:4]
+        picked, out = [], {}
+        for step in (1, 2, 3):
+            rest = [i for i in cand if i not in picked]
+            if not rest:
+                break
+            if step == 1:
+                best = min(rest, key=lambda i: (-rel[i], i))
+                score = rel[best]
+            else:
+                def mmr2(i):
+                    return rel[i] - max(
+                        dot(mic[i], mic[s]) for s in picked
+                    )
+                best = min(rest, key=lambda i: (-mmr2(i), i))
+                score = mmr2(best)
+            picked.append(best)
+            out[step] = (best, rel[best], score)
+        if out:
+            expect[q] = out
+    assert got == expect
