@@ -171,6 +171,11 @@ HEADLINE = [
     "d4_mmr_batch",
     # round-9 third wave: SymSpell deletion-neighborhood fuzzy key join
     "d4_fuzzy_key_pairs",
+    # round-9 fourth wave: TPC-H Q14/Q15 composed shapes, per-image
+    # channel histograms over real decoded pixels
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "d5_bmp_histogram",
 ]
 
 

@@ -830,3 +830,63 @@ def tar_members(archives: DataFrame,
     return archives.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
     ).mapInPandas(run, schema=_TAR_MEMBERS_SCHEMA)
+
+
+_BMP_HIST_SCHEMA = "media_id BIGINT, channel STRING, bin BIGINT, n BIGINT"
+
+
+def bmp_channel_histogram(
+    media: DataFrame, n_bins: int = 8,
+    content_col: str = "content", id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image CHANNEL HISTOGRAMS over real decoded pixels — the
+    image-quality screening primitive (a training-data pipeline drops
+    near-solid / low-entropy images the way Gopher drops repetitive
+    text, and the channel histogram is the statistic those filters
+    read). Equal-width bins over the 0..255 byte range: bin =
+    value div (256/n_bins) — integer exact, so the oracle restates it.
+
+    Decode reuses _decode_bmp24 (orientation + stride handling); the
+    count is one np.bincount per channel per blob inside Arrow-batched
+    mapInPandas — no per-pixel Python. Only occupied bins emit (count
+    semantics, matching the oracle's GROUP BY); non-BMP rows emit
+    nothing. Fan-out <= 3*n_bins rows per image; no shuffle."""
+    if 256 % n_bins != 0:
+        raise ValueError(f"n_bins {n_bins} must divide 256")
+    width = 256 // n_bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            parts = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                dec = _decode_bmp24(blob)
+                if dec is None:
+                    continue
+                _, _, px = dec
+                for ci, cname in enumerate(("r", "g", "b")):
+                    counts = np.bincount(
+                        px[:, :, ci].ravel() // width, minlength=n_bins
+                    )
+                    nz = np.nonzero(counts)[0]
+                    parts.append(pd.DataFrame({
+                        "media_id": np.full(len(nz), int(mid),
+                                            dtype=np.int64),
+                        "channel": cname,
+                        "bin": nz.astype(np.int64),
+                        "n": counts[nz].astype(np.int64),
+                    }))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+            else:
+                yield pd.DataFrame({
+                    "media_id": pd.array([], dtype="int64"),
+                    "channel": pd.array([], dtype="str"),
+                    "bin": pd.array([], dtype="int64"),
+                    "n": pd.array([], dtype="int64"),
+                })
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_BMP_HIST_SCHEMA)

@@ -2932,6 +2932,58 @@ def d5_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_bmp_histogram",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents
+      WHERE doc_id % 7 <> 0),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(6) gy
+      WHERE gx.range < w AND gy.range < h),
+    px AS (
+      SELECT media_id, x, y,
+             (media_id + 3 * x + 7 * y) % 256 AS b,
+             (2 * media_id + 5 * x + 11 * y + 1) % 256 AS g,
+             (3 * media_id + x + 13 * y + 2) % 256 AS r
+      FROM grid),
+    chans AS (
+      SELECT media_id, 'r' AS channel, r AS v FROM px
+      UNION ALL
+      SELECT media_id, 'g', g FROM px
+      UNION ALL
+      SELECT media_id, 'b', b FROM px)
+    SELECT media_id, channel, v // 32 AS bin, count(*) AS n
+    FROM chans GROUP BY media_id, channel, bin
+    """,
+    doc="D5 [north-star multimodal]: per-image CHANNEL HISTOGRAMS over "
+    "real decoded pixels — the image-quality screening statistic (a "
+    "training pipeline drops near-solid/low-entropy images the way "
+    "Gopher drops repetitive text, and these 8-bin counts are what "
+    "that filter reads). Same genuine-BMP fixture as d5_bmp_pixels "
+    "(both orientations, live stride padding, PNGs that must emit "
+    "nothing); the operator (operators/multimodal.py:"
+    "bmp_channel_histogram) decodes each blob once and takes one "
+    "np.bincount per channel inside Arrow-batched mapInPandas — "
+    "bin = value div 32, integer exact, occupied bins only. The "
+    "closed-form oracle restates the pixel expressions per channel, "
+    "so an orientation or stride bug shifts counts and hash-fails.",
+)
+def d5_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import (
+        bmp_channel_histogram,
+    )
+
+    return bmp_channel_histogram(
+        _bmp_media_fixture(spark, sf_dir), n_bins=8
+    )
+
+
+@register(
     "d5_bmp_resize",
     oracle="""
     WITH p AS (

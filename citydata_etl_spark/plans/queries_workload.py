@@ -503,3 +503,106 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") % 7 == 0)
     )
     return bfs_hops(edges, seeds, n_iter=3)
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        AND l_shipdate <  TIMESTAMP '1995-10-01')
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                * 10000 // sum(cents) AS BIGINT) AS promo_bp
+    FROM c
+    """,
+    doc="Composed workload (TPC-H Q14 shape): promotion revenue share "
+    "for one shipping month — lineitem joined to part (part broadcasts: "
+    "bounded dimension), conditional exact-cents sums, and the share in "
+    "exact basis points via true integer division (the 2^53 rule). One "
+    "pushed date-range scan, one broadcast join, one map-side-combined "
+    "global aggregate — the whole query is a single stage after the "
+    "scan at any scale.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(cents.alias("cents"), "p_type")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(0)
+    )
+    return joined.agg(
+        promo.cast("bigint").alias("promo_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) * 10000"
+            " div sum(cents)"
+        ).cast("bigint").alias("promo_bp"),
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="Composed workload (TPC-H Q15 shape): the top supplier by "
+    "quarterly revenue — the scalar-correlated-subquery pattern "
+    "(revenue per supplier, keep rows equal to the global max) stated "
+    "as a 1-row broadcast cross join + filter instead of a second "
+    "corpus pass: the per-supplier aggregate is computed ONCE "
+    "(persisted), its max folds map-side to one row, and the supplier "
+    "dimension broadcasts into the winners. Ties return every "
+    "tied supplier on both engines (no arbitrary LIMIT). Exact-cents "
+    "revenue, so the max comparison can never be a float knife-edge.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.caching import scoped_persist
+
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    rev = scoped_persist(
+        li.select(F.col("l_suppkey"), cents.alias("c"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("c").cast("bigint").alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    supplier = read_testdata(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )

@@ -468,3 +468,35 @@ def test_bmp_resize_nn_sampling_rule(spark):
             for x2 in range(2):
                 sx, sy = (x2 * 3) // 2, (y2 * 2) // 2
                 assert got[(mid, y2, x2)] == px[sy][sx]
+
+
+def test_bmp_histogram_counts_every_pixel_once(spark):
+    """Channel histograms must partition the pixels: per (image,
+    channel) the bin counts sum to exactly width*height (no pixel
+    dropped by a stride/orientation bug, none double-counted), with
+    only occupied bins emitted and PNG rows absent."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import (
+        bmp_channel_histogram,
+        bmp_pixel_stats,
+    )
+    from citydata_etl_spark.plans.queries_llm import _bmp_media_fixture
+
+    media = _bmp_media_fixture(spark, "/root/testdata/sf0.001")
+    hist = bmp_channel_histogram(media, n_bins=8)
+    totals = {
+        (r["media_id"], r["channel"]): r["total"]
+        for r in hist.groupBy("media_id", "channel")
+        .agg(F.sum("n").alias("total")).collect()
+    }
+    stats = {
+        r["media_id"]: r["n_pixels"]
+        for r in bmp_pixel_stats(media).collect()
+        if r["n_pixels"] is not None
+    }
+    assert stats, "fixture produced no decodable BMPs"
+    assert set(m for m, _ in totals) == set(stats)  # PNGs absent
+    for (mid, _ch), tot in totals.items():
+        assert tot == stats[mid], (mid, _ch, tot, stats[mid])
+    assert hist.filter(F.col("n") <= 0).count() == 0  # occupied bins only
