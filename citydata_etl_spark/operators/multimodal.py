@@ -858,27 +858,34 @@ def bmp_channel_histogram(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        names = ("r", "g", "b")
         for pdf in batches:
-            parts = []
+            # column accumulators, ONE DataFrame per Arrow batch — a
+            # frame per (image, channel) costs more than the decode
+            mids, chans, bins_, ns = [], [], [], []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 dec = _decode_bmp24(blob)
                 if dec is None:
                     continue
-                _, _, px = dec
-                for ci, cname in enumerate(("r", "g", "b")):
+                px = dec[2]
+                for ci in range(3):
                     counts = np.bincount(
                         px[:, :, ci].ravel() // width, minlength=n_bins
                     )
                     nz = np.nonzero(counts)[0]
-                    parts.append(pd.DataFrame({
-                        "media_id": np.full(len(nz), int(mid),
-                                            dtype=np.int64),
-                        "channel": cname,
-                        "bin": nz.astype(np.int64),
-                        "n": counts[nz].astype(np.int64),
-                    }))
-            if parts:
-                yield pd.concat(parts, ignore_index=True)
+                    mids.append(
+                        np.full(len(nz), int(mid), dtype=np.int64)
+                    )
+                    chans.append(np.full(len(nz), names[ci], dtype=object))
+                    bins_.append(nz.astype(np.int64))
+                    ns.append(counts[nz].astype(np.int64))
+            if mids:
+                yield pd.DataFrame({
+                    "media_id": np.concatenate(mids),
+                    "channel": np.concatenate(chans),
+                    "bin": np.concatenate(bins_),
+                    "n": np.concatenate(ns),
+                })
             else:
                 yield pd.DataFrame({
                     "media_id": pd.array([], dtype="int64"),
