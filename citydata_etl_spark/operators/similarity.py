@@ -1693,9 +1693,15 @@ def mmr_batch(
     int64 numpy. Group state is bounded by n_cand*dim int64s
     regardless of corpus size; queries parallelize across executors.
 
-    `queries` carries one column of query ids (query_col). Output:
-    (query_id, rnk 1..k, neighbor_id, rel_dot, mmr2), mmr2 of pick 1 =
-    rel_dot by the twin's convention.
+    `queries` carries one column of query ids (query_col). CONTRACT:
+    query ids must be EXISTING corpus ids — the query vector is looked
+    up by an inner join on id_col, so an id absent from `emb` produces
+    no candidate group and is silently absent from the output (no
+    error for a typo'd id; callers that need the distinction
+    anti-join their ids against the output's query_id). Duplicate
+    incoming ids are deduplicated here so they cannot duplicate output
+    groups. Output: (query_id, rnk 1..k, neighbor_id, rel_dot, mmr2),
+    mmr2 of pick 1 = rel_dot by the twin's convention.
     """
     import pandas as pd
 
@@ -1703,7 +1709,7 @@ def mmr_batch(
         F.col(id_col).alias("nid"), _micros(F.col(vec_col)).alias("vi")
     )
     qv = base.join(
-        queries.select(F.col(query_col).alias("qid")),
+        queries.select(F.col(query_col).alias("qid")).distinct(),
         F.col("nid") == F.col("qid"),
     ).select("qid", F.col("vi").alias("qi"))
     pairs = (

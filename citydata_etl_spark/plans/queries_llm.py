@@ -2971,7 +2971,11 @@ def d5_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "np.bincount per channel inside Arrow-batched mapInPandas — "
     "bin = value div 32, integer exact, occupied bins only. The "
     "closed-form oracle restates the pixel expressions per channel, "
-    "so an orientation or stride bug shifts counts and hash-fails.",
+    "so a stride or channel-order bug shifts counts and hash-fails. "
+    "(Histograms are row-order invariant, so a top-down/bottom-up "
+    "orientation bug is invisible HERE by construction — orientation "
+    "is pinned by d5_bmp_pixels and d5_bmp_resize, whose per-position "
+    "values move when rows flip.)",
 )
 def d5_bmp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.operators.multimodal import (

@@ -1361,6 +1361,12 @@ def _t17_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, d) for d in ("src", "clean", "quarantine", "ckpt")
     )
     os.makedirs(src, exist_ok=True)
+    # pre-create both sinks: at an SF where no event violates any rule
+    # (or all do) one side receives zero appends and the summary read
+    # below would raise on the missing path; an empty dir + explicit
+    # schema reads as an empty bucket instead
+    os.makedirs(clean, exist_ok=True)
+    os.makedirs(quar, exist_ok=True)
 
     events = read_testdata(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -1449,10 +1455,15 @@ def _t17_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle states the disposition of EVERY event in closed form, so "
     "a row that is dropped, duplicated, or routed under the wrong "
     "rule hash-fails — the per-bucket id_sum catches substitutions "
-    "counts alone would mask. At 100 TB the gate is one codegen "
-    "predicate pass per micro-batch, no shuffle before the sinks; "
-    "quarantine stays append-only parquet for replay/audit, the "
-    "operational pattern for poisoned-record isolation.",
+    "counts alone would mask. Disclosed race (as for u9/t3): "
+    "foreachBatch is at-least-once — a crash between the clean append "
+    "and the quarantine append re-runs the batch and duplicates rows; "
+    "exactly-once needs an idempotent sink (MERGE on event_id or "
+    "batch-id-named files), which u8_merge_upsert demonstrates. At "
+    "100 TB the gate is one codegen predicate pass per micro-batch, "
+    "no shuffle before the sinks; quarantine stays append-only "
+    "parquet for replay/audit, the operational pattern for "
+    "poisoned-record isolation.",
 )
 def t17_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t17_quarantine_summary(spark, sf_dir)

@@ -1202,16 +1202,20 @@ def test_mmr_batch_agrees_with_exactseed_twin(spark):
         r["rnk"]: (r["neighbor_id"], r["rel_dot"], r["mmr2"])
         for r in mmr_topk_exactseed(emb, k=3, n_cand=16).collect()
     }
-    M = 2147483647
-    lcg = (F.lit(1103515245) * F.pmod(F.col("vec_id"), F.lit(M))
-           + F.lit(12345)) % F.lit(M)
-    qid = (
-        emb.select("vec_id").withColumn("lcg", lcg)
-        .orderBy("lcg", "vec_id").limit(1).collect()[0][0]
-    )
-    queries = spark.createDataFrame(
-        [(qid,), (qid + 1,), (qid + 2,)], "query_id LONG"
-    )
+    # the three LOWEST-LCG vec_ids (the same pick rule d4_mmr_batch
+    # uses): ids adjacent to the minimum (qid+1, qid+2) are not
+    # guaranteed to exist in the fixture, and mmr_batch's inner join
+    # would silently drop a missing query — a spurious failure
+    from citydata_etl_spark.operators.similarity import lcg_pick
+
+    qids = [
+        r[0]
+        for r in emb.select("vec_id")
+        .withColumn("lcg", lcg_pick(F.col("vec_id")))
+        .orderBy("lcg", "vec_id").limit(3).collect()
+    ]
+    qid = qids[0]
+    queries = spark.createDataFrame([(q,) for q in qids], "query_id LONG")
     batch = mmr_batch(emb, queries, k=3, n_cand=16).collect()
     got = {
         r["rnk"]: (r["neighbor_id"], r["rel_dot"], r["mmr2"])
@@ -1221,6 +1225,6 @@ def test_mmr_batch_agrees_with_exactseed_twin(spark):
     by_q = {}
     for r in batch:
         by_q.setdefault(r["query_id"], []).append(r["rnk"])
-    assert set(by_q) == {qid, qid + 1, qid + 2}
+    assert set(by_q) == set(qids)
     for q, rnks in by_q.items():
         assert sorted(rnks) == [1, 2, 3], (q, rnks)

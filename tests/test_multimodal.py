@@ -473,8 +473,10 @@ def test_bmp_resize_nn_sampling_rule(spark):
 def test_bmp_histogram_counts_every_pixel_once(spark):
     """Channel histograms must partition the pixels: per (image,
     channel) the bin counts sum to exactly width*height (no pixel
-    dropped by a stride/orientation bug, none double-counted), with
-    only occupied bins emitted and PNG rows absent."""
+    dropped by a stride bug, none double-counted), with only occupied
+    bins emitted and PNG rows absent. Histograms are row-order
+    invariant, so orientation bugs are pinned elsewhere
+    (test_bmp_pixel_stats_both_orientations, the resize tests)."""
     from pyspark.sql import functions as F
 
     from citydata_etl_spark.operators.multimodal import (
