@@ -94,7 +94,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 7,
     "a11_heavy_hitters": 5,
-    "a12_event_funnel": 4,
+    "a12_event_funnel": 9,
     "a13_data_contract": 5,
     "a14_referential_integrity": 5,
     "a15_outlier_flags": 5,
@@ -103,19 +103,21 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a18_ohlc_bars": 7,
     "a19_event_transitions": 7,
     "a1_pricing_summary": 8,
+    "a20_countmin_topk": 9,
+    "a21_histogram_quantiles": 9,
     "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
-    "a2_kmv_distinct": 8,
     "a2_count_distinct": 8,
+    "a2_kmv_distinct": 8,
     "a2_percentiles": 8,
     "a3_cube": 8,
-    "a3_grouping_sets": 4,
+    "a3_grouping_sets": 9,
     "a3_rollup": 8,
     "a4_distribution": 5,
     "a4_ntile": 8,
     "a4_rank_dense_rank": 8,
     "a4_topk_per_group": 8,
     "a5_moving_avg": 8,
-    "a5_time_range_frame": 4,
+    "a5_time_range_frame": 9,
     "a5_window_lag": 8,
     "a6_global_topk": 8,
     "a7_set_ops": 8,
@@ -123,7 +125,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a8_city_score": 8,
     "a9_pivot": 8,
     "d4_ann_ivf": 8,  # rows-only by construction (r3 row)
-    "d4_ann_ivf_dist": 4,  # rows-only by construction (r4 row)
+    "d4_ann_ivf_dist": 9,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 8,
     "d4_ann_ivf_rank": 8,
     "d4_ann_lsh": 8,  # rows-only by construction (r3 row)
@@ -131,6 +133,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_ann_pq": 8,  # rows-only by construction (r3 row)
     "d4_ann_pq_rank": 8,
     "d4_bigram_logprob": 8,
+    "d4_bpe_encode": 9,
     "d4_bpe_merge_steps": 8,
     "d4_bpe_pair_counts": 5,
     "d4_bpe_tokens": 8,
@@ -144,16 +147,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_dup_passage": 8,
     "d4_embed_neardup": 8,
     "d4_embed_project": 5,
-    "d4_embed_quantize": 4,
+    "d4_embed_quantize": 9,
     "d4_exact_dedup": 8,
-    "d4_incremental_dedup": 4,
-    "d4_incremental_neardup": 4,  # rows-only by construction (r4 row)
+    "d4_fuzzy_key_pairs": 9,
+    "d4_incremental_dedup": 9,
+    "d4_incremental_neardup": 9,  # rows-only by construction (r4 row)
     "d4_incremental_neardup_rank": 5,
     "d4_lang_id": 8,
     "d4_line_dedup": 5,
     "d4_lm_logprob": 8,
-    "d4_minhash_hash": 4,  # rows-only by construction (r4 row)
+    "d4_minhash_hash": 9,  # rows-only by construction (r4 row)
     "d4_minhash_lsh": 8,
+    "d4_mmr_batch": 9,
+    "d4_mmr_diversify": 9,
     "d4_ngram_jaccard": 8,
     "d4_pii_scrub": 8,
     "d4_quality_score": 8,
@@ -161,28 +167,30 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_semantic_dedup": 8,
     "d4_simhash": 8,
     "d4_simhash_pairs": 8,
-    "d4_text_normalize": 4,
+    "d4_text_normalize": 9,
     "d4_tfidf_topk": 8,
     "d4_token_stats": 7,
     "d4_url_dedup": 5,
     "d4_winnowing": 7,
     "d5_audio_energy": 5,
+    "d5_bmp_histogram": 9,
     "d5_bmp_pixels": 8,
     "d5_bmp_resize": 8,
-    "d5_format_sniff": 4,
+    "d5_format_sniff": 9,
     "d5_frame_sample": 7,
     "d5_gif_meta": 7,
     "d5_jpeg_meta": 5,
     "d5_media_decode": 7,
     "d5_mp4_meta": 5,
-    "d5_png_meta": 4,
+    "d5_png_meta": 9,
     "d5_tar_meta": 7,
-    "d5_wav_meta": 4,
-    "d6_blocklist_filter": 4,
-    "d6_chunk_documents": 4,
+    "d5_wav_meta": 9,
+    "d6_blocklist_filter": 9,
+    "d6_chunk_documents": 9,
     "d6_contamination": 7,
-    "d6_crossdomain_lm": 4,
+    "d6_crossdomain_lm": 9,
     "d6_curation_pipeline": 7,
+    "d6_dataset_card": 9,
     "d6_dedup_keep": 7,
     "d6_domain_cap": 8,
     "d6_domain_mix": 7,
@@ -191,32 +199,32 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_global_shuffle": 5,
     "d6_label_centroid": 7,
     "d6_length_histogram": 5,
-    "d6_negative_pairs": 4,
+    "d6_negative_pairs": 9,
     "d6_pack_sequences": 7,
-    "d6_ppl_buckets": 4,
+    "d6_ppl_buckets": 9,
     "d6_quality_classifier": 5,
     "d6_quality_funnel": 7,
     "d6_shard_stats": 7,
     "d6_stratified_sample": 7,
-    "d6_temperature_mix": 4,
+    "d6_temperature_mix": 9,
     "d6_train_split": 7,
-    "e2e_collect_run": 4,
-    "f10_conditional": 4,
+    "e2e_collect_run": 9,
+    "f10_conditional": 9,
     "f11_haversine": 8,
-    "f12_url_parse": 3,
-    "f13_variant_json": 3,
-    "f14_entity_extract": 4,
+    "f12_url_parse": 9,
+    "f13_variant_json": 9,
+    "f14_entity_extract": 9,
     "f15_geo_cell": 5,
     "f16_number_normalize": 5,
     "f17_useragent_parse": 5,
     "f18_ip_cidr": 7,
-    "f1_f3_dual_ts_roundtrip": 4,
-    "f2_date_parts": 4,
-    "f4_f5_split_element": 4,
-    "f6_key_building": 4,
-    "f7_json_extract": 4,
-    "f8_html_extract": 4,
-    "f9_split_explode": 4,
+    "f1_f3_dual_ts_roundtrip": 9,
+    "f2_date_parts": 9,
+    "f4_f5_split_element": 9,
+    "f6_key_building": 9,
+    "f7_json_extract": 9,
+    "f8_html_extract": 9,
+    "f9_split_explode": 9,
     "g1_host_pagerank": 5,
     "g2_triangle_count": 5,
     "g3_bfs_hops": 7,
@@ -235,14 +243,16 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j6_asof_nearest": 7,
     "j6_asof_tolerance": 7,
     "j7_salted_skew_join": 7,
-    "j8_bucketed_join": 4,
-    "j9_interval_overlap": 4,
+    "j8_bucketed_join": 9,
+    "j9_interval_overlap": 9,
     "p1_pending_filter": 4,
     "p2_projection": 4,
     "p3_point_filter": 4,
     "p4_dynamic_filter": 4,
     "p6_first_row": 4,
     "q10_returned_items": 5,
+    "q14_promo_revenue": 9,
+    "q15_top_supplier": 9,
     "q18_large_orders": 7,
     "q3_shipping_priority": 5,
     "q5_regional_volume": 5,
@@ -256,6 +266,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s16_xml_roundtrip": 4,
     "s17_zorder_layout": 5,
     "s18_fixed_width_scan": 7,
+    "s19_bloom_filter_layout": 9,
     "s1_csv_scan": 5,
     "s2_typed_csv_scan": 5,
     "s3_json_scan": 5,
@@ -270,26 +281,28 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t14_stream_ohlc": 7,
     "t15_stream_snapshot_enrich": 7,
     "t16_stream_restart": 8,
+    "t17_stream_quarantine": 9,
     "t1_streaming_tumbling": 7,
     "t2_streaming_dedup": 7,
-    "t3_cdc_promote": 3,
+    "t3_cdc_promote": 9,
     "t5_dynamic_gap_session": 5,
     "t5_session_window": 7,
     "t5_sliding_window": 7,
     "t5_tumbling_window": 7,
-    "t5_watermarked_append": 3,
+    "t5_watermarked_append": 9,
     "t6_stream_enrich": 7,
-    "t7_stream_left_outer_join": 3,
-    "t7_stream_stream_join": 3,
+    "t7_stream_left_outer_join": 9,
+    "t7_stream_stream_join": 9,
     "t8_stream_dedup_watermark": 4,
     "t9_streaming_upsert": 4,
     "u10_restore": 7,
     "u11_incremental_view": 7,
+    "u12_deletion_vectors": 9,
     "u1_keyed_update": 5,
     "u2_masked_update": 5,
     "u3_status_routing": 5,
     "u4_scd2_history": 5,
-    "u5_merge_upsert": 3,
+    "u5_merge_upsert": 9,
     "u6_keyed_delete": 4,
     "u7_evolving_merge": 5,
     "u8_time_travel": 5,
