@@ -1083,14 +1083,18 @@ def u6_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="U12 (merge-on-read delete): DELETION VECTORS — u6's "
     "copy-on-write delete inverted (sources/deletion.py). The base "
-    "files are written ONCE; each of two delete waves appends only its "
-    "key set to the `_dv` tombstone sidecar (cost proportional to the "
-    "delete set, never the table — at 100 TB a GDPR delete becomes a "
-    "kilobyte append); readers subtract the deduplicated sidecar with "
-    "a broadcast LEFT ANTI join at scan time. tests/test_etl.py "
-    "proves the base data files are BYTE-IDENTICAL across both waves "
-    "(the merge-on-read claim itself) and that purge_deletions folds "
-    "the sidecar into a rewrite without changing visible rows. The "
+    "files are written ONCE as an immutable version; each of two "
+    "delete waves appends only its key set to that version's tombstone "
+    "sidecar (cost proportional to the delete set, never the table — "
+    "at 100 TB a GDPR delete becomes a kilobyte append); readers "
+    "resolve one atomic `_BASE` pointer to a consistent (base, "
+    "sidecar) pair and subtract the deduplicated sidecar with a "
+    "broadcast LEFT ANTI join at scan time. tests/test_etl.py proves "
+    "the base data files are BYTE-IDENTICAL across both waves (the "
+    "merge-on-read claim itself), that purge_deletions folds the "
+    "sidecar into a new version without changing visible rows or "
+    "breaking a reader that resolved the pointer pre-swap, and that "
+    "every purge crash point stays readable. The "
     "oracle states the visible table after both waves in closed form; "
     "the per-status id_sum catches a tombstone applied to the wrong "
     "key. Waves are replay-guarded so repeated builds stay bounded.",

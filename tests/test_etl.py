@@ -1334,8 +1334,77 @@ def test_deletion_vectors_never_touch_base_files(spark, tmp_path):
     delete waves leave every base data file byte-identical (same
     names, sizes, mtimes), visible rows equal base minus tombstones
     (replayed appends included — set semantics), and purge_deletions
-    folds the sidecar into a rewrite WITHOUT changing visible rows."""
+    folds the sidecar into a NEW version WITHOUT changing visible
+    rows. Also pins the atomic-pointer swap contract: a reader plan
+    built BEFORE the purge (pointer already resolved to v0) still
+    collects correctly AFTER it (old version retained), and only
+    vacuum_mor_versions reclaims the superseded dirs."""
     import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.deletion import (
+        append_deletion_vector,
+        purge_deletions,
+        read_mor_table,
+        vacuum_mor_versions,
+        write_mor_table,
+    )
+
+    root = str(tmp_path / "mor")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_mor_table(df, root)
+
+    def base_listing(version):
+        return sorted(
+            (p, os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(root, f"base-v{version}", "*"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+
+    before = base_listing(0)
+    dels1 = df.filter(F.col("k") % 10 == 3).select("k")
+    append_deletion_vector(dels1, root)
+    append_deletion_vector(dels1, root)  # replay: must not change reads
+    dels2 = df.filter(F.col("k") % 25 == 0).select("k")
+    append_deletion_vector(dels2, root)
+    assert base_listing(0) == before  # base untouched by any wave
+
+    visible = read_mor_table(spark, root, "k")
+    want = df.filter((F.col("k") % 10 != 3) & (F.col("k") % 25 != 0))
+    assert visible.count() == want.count()
+    assert visible.exceptAll(want).count() == 0
+
+    # "concurrently-ish" reader across the swap: this plan resolved the
+    # pointer to v0 at build time; the purge below must not break it
+    pre_swap_reader = read_mor_table(spark, root, "k")
+    purge_deletions(spark, root, "k")
+    assert pre_swap_reader.count() == want.count()  # v0 still on disk
+
+    assert open(os.path.join(root, "_BASE")).read() == "1"
+    assert not os.path.exists(os.path.join(root, "_dv-v1"))  # fresh side
+    after = read_mor_table(spark, root, "k")
+    assert after.count() == want.count()
+    assert after.exceptAll(want).count() == 0
+
+    assert vacuum_mor_versions(spark, root) == [0]
+    assert not os.path.exists(os.path.join(root, "base-v0"))
+    assert not os.path.exists(os.path.join(root, "_dv-v0"))
+    assert read_mor_table(spark, root, "k").count() == want.count()
+
+
+def test_deletion_vector_purge_crash_points(spark, tmp_path):
+    """Every purge crash point leaves a readable, correct table: (a) a
+    partially-staged next version (garbage in base-v1, pointer still
+    0) is invisible to readers and healed by the purge retry's
+    overwrite; (b) dying between the staged write and the pointer swap
+    keeps serving v0; the retried purge commits. The pointer file
+    itself is the atomic unit — there is no instant with a missing
+    live path, which was the reader-visible window of the old
+    two-rename swap."""
     import os
 
     from pyspark.sql import functions as F
@@ -1348,33 +1417,31 @@ def test_deletion_vectors_never_touch_base_files(spark, tmp_path):
     )
 
     root = str(tmp_path / "mor")
-    df = spark.range(0, 500).select(
-        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
     )
     write_mor_table(df, root)
+    append_deletion_vector(df.filter(F.col("k") % 4 == 1).select("k"), root)
+    want = df.filter(F.col("k") % 4 != 1)
 
-    def base_listing():
-        return sorted(
-            (p, os.path.getsize(p), os.path.getmtime(p))
-            for p in glob.glob(os.path.join(root, "base", "*"))
-            if not os.path.basename(p).startswith(("_", "."))
-        )
+    # crash point (a): garbage staged dir, pointer untouched
+    os.makedirs(os.path.join(root, "base-v1"))
+    open(os.path.join(root, "base-v1", "part-junk.parquet"), "wb").write(
+        b"\x00garbage"
+    )
+    assert read_mor_table(spark, root, "k").count() == want.count()
 
-    before = base_listing()
-    dels1 = df.filter(F.col("k") % 10 == 3).select("k")
-    append_deletion_vector(dels1, root)
-    append_deletion_vector(dels1, root)  # replay: must not change reads
-    dels2 = df.filter(F.col("k") % 25 == 0).select("k")
-    append_deletion_vector(dels2, root)
-    assert base_listing() == before  # base untouched by any wave
+    # crash point (b): staged write completed, pointer swap never ran —
+    # readers still on v0 with tombstones applied
+    read_mor_table(spark, root, "k").write.mode("overwrite").parquet(
+        os.path.join(root, "base-v1")
+    )
+    assert open(os.path.join(root, "_BASE")).read() == "0"
+    assert read_mor_table(spark, root, "k").count() == want.count()
 
-    visible = read_mor_table(spark, root, "k")
-    want = df.filter((F.col("k") % 10 != 3) & (F.col("k") % 25 != 0))
-    assert visible.count() == want.count()
-    assert visible.exceptAll(want).count() == 0
-
+    # the retried purge heals both: overwrites the staged dir, swaps
     purge_deletions(spark, root, "k")
-    assert not os.path.exists(os.path.join(root, "_dv"))
-    after = read_mor_table(spark, root, "k")
-    assert after.count() == want.count()
-    assert after.exceptAll(want).count() == 0
+    assert open(os.path.join(root, "_BASE")).read() == "1"
+    got = read_mor_table(spark, root, "k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
