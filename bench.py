@@ -176,6 +176,9 @@ HEADLINE = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "d5_bmp_histogram",
+    # round-10 additions: driver-checkable ANN recall@5 (exact blocked
+    # matmul + exactsign LSH topology, joined per query)
+    "d4_ann_recall",
 ]
 
 

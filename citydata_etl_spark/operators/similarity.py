@@ -1769,3 +1769,51 @@ def mmr_batch(
         )
 
     return cand.groupBy("qid").applyInPandas(pick, out_schema)
+
+
+def ann_recall_at_k(
+    emb: DataFrame, k: int = 5, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query RECALL@k of the LSH path against exact cosine top-k,
+    as integers a SQL oracle states in closed form — the measurement
+    every ANN deployment publishes, made driver-checkable.
+
+    ANN side: lsh_bucket_topk_exactsign — the SAME bucket topology as
+    the production lsh_bucket_topk (sign agreement is test-pinned),
+    with integer-sign bucketing so the oracle can restate it
+    bit-for-bit. Exact side: brute_force_topk (blocked distributed
+    matmul, same rounded-cosine total order). Output one row per
+    query: n_exact (top-k size, = k when the corpus has > k others),
+    n_ann (LSH picks — 0 for a singleton-bucket query), n_hit
+    (|ANN ∩ exact|). recall@k = n_hit / n_exact, left as integers so
+    the hash is exact; the doc states the ratio.
+
+    Scale shape: the two sides are the operators' own plans (bucket
+    shuffle; blocked matmul) plus one (query, neighbor) equi-join and
+    one groupBy query — both shuffles on query_id, no new corpus-sized
+    state."""
+    exact = brute_force_topk(
+        emb, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    ann = lsh_bucket_topk_exactsign(
+        emb, k=k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(
+        ann.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("bigint").alias("n_hit"),
+    )
+    ann_n = ann.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_ann")
+    )
+    return hits.join(ann_n, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_ann"), F.lit(0).cast("bigint")).alias("n_ann"),
+        "n_hit",
+    )

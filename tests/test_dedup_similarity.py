@@ -149,6 +149,39 @@ def test_ann_lsh_exactsign_recall_and_sign_agreement(spark, clustered_vecs):
     assert twin == prod
 
 
+def test_ann_recall_at_k_counts_and_cross_check(spark, clustered_vecs):
+    """ann_recall_at_k's integer counters must be internally consistent
+    (n_hit <= min(n_exact, n_ann), n_exact <= k) and must reproduce the
+    set-overlap recall computed independently from the two constituent
+    operators; on the clustered corpus the aggregate recall@3 is high
+    (same bound as the constituent recall tests)."""
+    out = {
+        r["query_id"]: (r["n_exact"], r["n_ann"], r["n_hit"])
+        for r in S.ann_recall_at_k(
+            clustered_vecs, k=3, n_planes=4
+        ).collect()
+    }
+    assert set(out) == {r["vec_id"] for r in clustered_vecs.collect()}
+    for q, (n_exact, n_ann, n_hit) in out.items():
+        assert 0 < n_exact <= 3, (q, n_exact)
+        assert 0 <= n_hit <= min(n_exact, n_ann), (q, n_exact, n_ann, n_hit)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucket_topk_exactsign(
+            clustered_vecs, k=3, n_planes=4
+        ).collect()
+    }
+    assert sum(h for _, _, h in out.values()) == len(brute & ann)
+    recall = sum(h for _, _, h in out.values()) / sum(
+        e for e, _, _ in out.values()
+    )
+    assert recall >= 0.5, f"aggregate recall@3 too low: {recall}"
+
+
 def test_ann_ivf_exactseed_recall_and_model_agreement(spark, clustered_vecs):
     """The oracle-exact IVF twin must (a) keep recall vs brute force, and
     (b) agree BIT-FOR-BIT with an independent Python model of its
