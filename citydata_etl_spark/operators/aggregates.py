@@ -322,3 +322,155 @@ def resample_locf(
             F.col("__obs").isNull().alias("is_filled"),
         )
     )
+
+
+def histogram_order_statistics(
+    vals: DataFrame, percents: Sequence[int], n_buckets: int = 128
+) -> DataFrame:
+    """GLOBAL order statistics (k = ceil(q*n/100)-th smallest) of a
+    single BIGINT column `c` without a global sort — TWO unrolled
+    histogram recursion levels, so the final rank window is bounded
+    ~n/n_buckets^2 even under adversarial skew (one level degrades
+    toward the global sort it exists to avoid when >90% of rows share
+    a bucket; the skewed-fixture property test pins level 2).
+
+    Level 1 (one map-side-combined pass over ALL rows): an equi-width
+    histogram carrying per-bucket (cnt, mn, mx); the 128-row cumulative
+    window locates each rank's bucket b1 and residual rank k2. Level 2
+    (one pass over ONLY target-bucket rows): re-histogram b1's rows on
+    the [mn1, mx1] range into (b1, b2) with (cnt2, mn2, mx2); locate
+    (b2, k3). Final: a rank window over only the target (b1, b2)
+    sub-buckets' rows. DEGENERATE SHORT-CIRCUIT at both levels: a
+    single-value bucket (mn == mx) IS its own order statistic for any
+    residual rank, emitted directly with no scan — the truly
+    adversarial input (all rows one value) never reaches a window at
+    all. The three answer sources are unioned; exactly one fires per
+    rank by construction.
+
+    Output: (q, est, exact, n) — est is the level-1 bucket's CEIL
+    upper edge (the mergeable-sketch estimate that rides along), exact
+    the true order statistic. Everything is integer arithmetic stated
+    identically by the SQL oracle (div, ceil-as-div, unique-value
+    tie-free rank: row_number over c within a sub-bucket is
+    deterministic because equal c values are interchangeable for the
+    k-th smallest VALUE)."""
+    from citydata_etl_spark.caching import scoped_persist
+
+    NB = n_buckets
+    spark = vals.sparkSession
+    stats = vals.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    v = scoped_persist(
+        vals.crossJoin(F.broadcast(stats)).withColumn(
+            "b1", F.expr(f"((c - lo) * {NB}) div (hi - lo + 1)")
+        )
+    )
+    h1 = (
+        v.groupBy("b1")
+        .agg(
+            F.count("*").alias("cnt1"),
+            F.min("c").alias("mn1"),
+            F.max("c").alias("mx1"),
+        )
+        .withColumn(
+            "cum1",
+            F.sum("cnt1").over(
+                W.orderBy("b1").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    qs = spark.createDataFrame([(int(p),) for p in percents], "q LONG")
+    kq = qs.crossJoin(F.broadcast(stats)).select(
+        "q", F.expr("(q * n + 99) div 100").alias("k")
+    )
+    t1 = (
+        kq.join(F.broadcast(h1), F.col("cum1") >= F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.min("b1").alias("b1"))
+        .join(F.broadcast(h1), "b1")
+        .select(
+            "q", "k", "b1", "mn1", "mx1",
+            (F.col("k") - (F.col("cum1") - F.col("cnt1"))).alias("k2"),
+        )
+    )
+    t1 = scoped_persist(t1)
+
+    # answers from degenerate level-1 buckets: the bucket is one value
+    a_l1 = t1.filter(F.col("mn1") == F.col("mx1")).select(
+        "q", "b1", F.col("mn1").alias("exact"),
+    )
+
+    # level 2 over non-degenerate target buckets only
+    t1n = t1.filter(F.col("mn1") != F.col("mx1"))
+    tb1 = t1n.select("b1", "mn1", "mx1").distinct()
+    v2 = scoped_persist(
+        v.join(F.broadcast(tb1), "b1").withColumn(
+            "b2", F.expr(f"((c - mn1) * {NB}) div (mx1 - mn1 + 1)")
+        )
+    )
+    h2 = (
+        v2.groupBy("b1", "b2")
+        .agg(
+            F.count("*").alias("cnt2"),
+            F.min("c").alias("mn2"),
+            F.max("c").alias("mx2"),
+        )
+        .withColumn(
+            "cum2",
+            F.sum("cnt2").over(
+                W.partitionBy("b1")
+                .orderBy("b2")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    t2 = (
+        t1n.join(
+            F.broadcast(h2),
+            (t1n["b1"] == h2["b1"]) & (F.col("cum2") >= F.col("k2")),
+        )
+        .groupBy("q", t1n["b1"], "k2")
+        .agg(F.min("b2").alias("b2"))
+        .join(F.broadcast(h2), ["b1", "b2"])
+        .select(
+            "q", "b1", "b2", "mn2", "mx2",
+            (F.col("k2") - (F.col("cum2") - F.col("cnt2"))).alias("k3"),
+        )
+    )
+    t2 = scoped_persist(t2)
+
+    a_l2 = t2.filter(F.col("mn2") == F.col("mx2")).select(
+        "q", "b1", F.col("mn2").alias("exact"),
+    )
+
+    # final rank window over only the target sub-buckets' rows
+    t2n = t2.filter(F.col("mn2") != F.col("mx2"))
+    ranked = v2.join(
+        F.broadcast(t2n.select("b1", "b2").distinct()), ["b1", "b2"]
+    ).withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy("b1", "b2").orderBy("c")),
+    )
+    a_l3 = (
+        ranked.join(F.broadcast(t2n), ["b1", "b2"])
+        .filter(F.col("rnk") == F.col("k3"))
+        .select("q", "b1", F.col("c").alias("exact"))
+    )
+
+    answers = a_l1.unionByName(a_l2).unionByName(a_l3)
+    return (
+        answers.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("q").cast("bigint").alias("q"),
+            (
+                F.col("lo")
+                + F.expr(f"((b1 + 1) * (hi - lo + 1) + {NB - 1}) div {NB}")
+                - 1
+            ).cast("bigint").alias("est"),
+            F.col("exact").cast("bigint").alias("exact"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

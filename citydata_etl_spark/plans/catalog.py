@@ -104,7 +104,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a19_event_transitions": 7,
     "a1_pricing_summary": 8,
     "a20_countmin_topk": 9,
-    "a21_histogram_quantiles": 9,
+    "a21_histogram_quantiles": 0,  # r10: level-2 unroll — re-gate first
     "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
     "a2_count_distinct": 8,
     "a2_kmv_distinct": 8,

@@ -278,115 +278,100 @@ def a20_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     s AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM c),
     b AS (
-      SELECT c.c, ((c.c - s.lo) * 128) // (s.hi - s.lo + 1) AS bucket
+      SELECT c.c, ((c.c - s.lo) * 128) // (s.hi - s.lo + 1) AS b1
       FROM c, s),
-    h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
-    ch AS (
-      SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    h1 AS (
+      SELECT b1, count(*) AS cnt1, min(c) AS mn1, max(c) AS mx1
+      FROM b GROUP BY b1),
+    ch1 AS (
+      SELECT *, sum(cnt1) OVER (ORDER BY b1) AS cum1 FROM h1),
     qs AS (SELECT unnest([50, 95, 99]) AS q),
     kq AS (SELECT qs.q, (qs.q * s.n + 99) // 100 AS k FROM qs, s),
-    tb AS (
-      SELECT kq.q, kq.k, min(ch.bucket) AS bucket
-      FROM kq JOIN ch ON ch.cum >= kq.k
+    loc1 AS (
+      SELECT kq.q, kq.k, min(ch1.b1) AS b1
+      FROM kq JOIN ch1 ON ch1.cum1 >= kq.k
       GROUP BY kq.q, kq.k),
-    tb2 AS (
-      SELECT tb.q, tb.k, tb.bucket, ch.cum - ch.cnt AS cum_prev
-      FROM tb JOIN ch ON ch.bucket = tb.bucket),
+    t1 AS (
+      SELECT l.q, l.b1, h.mn1, h.mx1,
+             l.k - (h.cum1 - h.cnt1) AS k2
+      FROM loc1 l JOIN ch1 h ON h.b1 = l.b1),
+    a_l1 AS (
+      SELECT q, b1, mn1 AS exact FROM t1 WHERE mn1 = mx1),
+    t1n AS (SELECT * FROM t1 WHERE mn1 <> mx1),
+    b2r AS (
+      SELECT t.b1, b.c,
+             ((b.c - t.mn1) * 128) // (t.mx1 - t.mn1 + 1) AS b2
+      FROM b JOIN (SELECT DISTINCT b1, mn1, mx1 FROM t1n) t
+        ON b.b1 = t.b1),
+    h2 AS (
+      SELECT b1, b2, count(*) AS cnt2, min(c) AS mn2, max(c) AS mx2
+      FROM b2r GROUP BY b1, b2),
+    ch2 AS (
+      SELECT *, sum(cnt2) OVER (PARTITION BY b1 ORDER BY b2) AS cum2
+      FROM h2),
+    loc2 AS (
+      SELECT t.q, t.b1, t.k2, min(ch2.b2) AS b2
+      FROM t1n t JOIN ch2 ON ch2.b1 = t.b1 AND ch2.cum2 >= t.k2
+      GROUP BY t.q, t.b1, t.k2),
+    t2 AS (
+      SELECT l.q, l.b1, l.b2, h.mn2, h.mx2,
+             l.k2 - (h.cum2 - h.cnt2) AS k3
+      FROM loc2 l JOIN ch2 h ON h.b1 = l.b1 AND h.b2 = l.b2),
+    a_l2 AS (
+      SELECT q, b1, mn2 AS exact FROM t2 WHERE mn2 = mx2),
+    t2n AS (SELECT * FROM t2 WHERE mn2 <> mx2),
     ranked AS (
-      SELECT b.bucket, b.c,
-             row_number() OVER (PARTITION BY b.bucket ORDER BY b.c)
+      SELECT r.b1, r.b2, r.c,
+             row_number() OVER (PARTITION BY r.b1, r.b2 ORDER BY r.c)
                AS rnk
-      FROM b WHERE b.bucket IN (SELECT bucket FROM tb2))
-    SELECT CAST(t.q AS BIGINT) AS q,
-           CAST(s.lo + ((t.bucket + 1) * (s.hi - s.lo + 1) + 127) // 128
+      FROM b2r r JOIN (SELECT DISTINCT b1, b2 FROM t2n) t
+        ON r.b1 = t.b1 AND r.b2 = t.b2),
+    a_l3 AS (
+      SELECT t.q, t.b1, r.c AS exact
+      FROM t2n t JOIN ranked r
+        ON r.b1 = t.b1 AND r.b2 = t.b2 AND r.rnk = t.k3),
+    answers AS (
+      SELECT * FROM a_l1 UNION ALL
+      SELECT * FROM a_l2 UNION ALL
+      SELECT * FROM a_l3)
+    SELECT CAST(a.q AS BIGINT) AS q,
+           CAST(s.lo + ((a.b1 + 1) * (s.hi - s.lo + 1) + 127) // 128
                 - 1 AS BIGINT) AS est_cents,
-           CAST(r.c AS BIGINT) AS exact_cents,
+           CAST(a.exact AS BIGINT) AS exact_cents,
            CAST(s.n AS BIGINT) AS n
-    FROM tb2 t
-    JOIN ranked r ON r.bucket = t.bucket AND r.rnk = t.k - t.cum_prev
-    CROSS JOIN s
+    FROM answers a CROSS JOIN s
     """,
     doc="A21 (distributed order statistics): GLOBAL p50/p95/p99 of the "
-    "order-value cents WITHOUT a global sort — the two-phase selection "
-    "a 100 TB quantile actually runs. Phase 1: a 128-bucket equi-width "
-    "integer histogram (one map-side-combined pass; the histogram is "
-    "the mergeable sketch, and its bucket CEIL upper edge is the "
-    "estimate "
-    "that rides along as est_cents). Phase 2: each target rank is "
-    "located in its bucket via the 128-row cumulative window (bounded "
-    "single-partition work BY CONSTRUCTION — 128 rows regardless of "
-    "data size), then ONLY the target buckets' rows (~n/128 each) are "
-    "rank-windowed PARTITIONED BY BUCKET to extract the exact order "
-    "statistic — the full data is never globally sorted and never "
-    "passes through one partition. k = ceil(q*n/100) stated as "
-    "(q*n+99) div 100 on both engines; the k-th-smallest VALUE is "
-    "deterministic under ties. Recursing phase 2 (re-histogram the "
-    "target bucket) bounds the final sort at any scale; one level "
-    "suffices here and the recursion is stated in the doc rather than "
-    "unrolled.",
+    "order-value cents WITHOUT a global sort — the multi-phase "
+    "selection a 100 TB quantile actually runs, with BOTH histogram "
+    "recursion levels unrolled (operators/aggregates.py:"
+    "histogram_order_statistics). Level 1: a 128-bucket equi-width "
+    "integer histogram carrying per-bucket (cnt, min, max) in one "
+    "map-side-combined pass (the mergeable sketch; its bucket CEIL "
+    "upper edge rides along as est_cents); the 128-row cumulative "
+    "window locates each rank's bucket and residual rank. Level 2: "
+    "ONLY the target buckets' rows are re-histogrammed on the "
+    "bucket's own [min, max] range, so the final rank window is "
+    "bounded ~n/128^2 EVEN WHEN one bucket holds >90% of the data — "
+    "the adversarial-skew case where a single level degrades toward "
+    "the global sort it exists to avoid (property-tested on exactly "
+    "that fixture). Single-value buckets short-circuit at both "
+    "levels: their min IS the order statistic for any residual rank, "
+    "so the all-rows-one-value worst case never reaches a window. "
+    "k = ceil(q*n/100) stated as (q*n+99) div 100 on both engines; "
+    "the k-th-smallest VALUE is deterministic under ties.",
 )
 def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citydata_etl_spark.caching import scoped_persist
-
-    NB = 128
     orders = read_testdata(spark, sf_dir, "orders")
     vals = orders.select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
     )
-    stats = vals.agg(
-        F.min("c").alias("lo"),
-        F.max("c").alias("hi"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    v = scoped_persist(
-        vals.crossJoin(F.broadcast(stats)).withColumn(
-            "bucket", F.expr(f"((c - lo) * {NB}) div (hi - lo + 1)")
-        )
-    )
-    ch = (
-        v.groupBy("bucket")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "cum",
-            F.sum("cnt").over(
-                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
-            ),
-        )
-    )
-    qs = spark.createDataFrame([(50,), (95,), (99,)], "q LONG")
-    kq = qs.crossJoin(F.broadcast(stats)).select(
-        "q", F.expr("(q * n + 99) div 100").alias("k")
-    )
-    tb = (
-        kq.join(F.broadcast(ch), F.col("cum") >= F.col("k"))
-        .groupBy("q", "k")
-        .agg(F.min("bucket").alias("bucket"))
-    )
-    tb2 = scoped_persist(
-        tb.join(F.broadcast(ch), "bucket").select(
-            "q", "k", "bucket", (F.col("cum") - F.col("cnt")).alias("cum_prev")
-        )
-    )
-    ranked = v.join(
-        F.broadcast(tb2.select("bucket").distinct()), "bucket"
-    ).withColumn(
-        "rnk", F.row_number().over(W.partitionBy("bucket").orderBy("c"))
-    )
-    # broadcast the 3-row target table into the ranked rows: an
-    # equi-join that shuffled the ranked side again would double the
-    # phase-2 exchange for nothing
-    ex = ranked.select("bucket", "c", "rnk").join(
-        F.broadcast(tb2), ["bucket"]
-    ).filter(F.col("rnk") == F.col("k") - F.col("cum_prev"))
-    return ex.crossJoin(F.broadcast(stats)).select(
-        F.col("q").cast("bigint").alias("q"),
-        (
-            F.col("lo")
-            + F.expr(f"((bucket + 1) * (hi - lo + 1) + {NB - 1}) div {NB}")
-            - 1
-        ).cast("bigint").alias("est_cents"),
-        F.col("c").cast("bigint").alias("exact_cents"),
-        F.col("n").cast("bigint").alias("n"),
+    out = A.histogram_order_statistics(vals, [50, 95, 99], n_buckets=128)
+    return out.select(
+        "q",
+        F.col("est").alias("est_cents"),
+        F.col("exact").alias("exact_cents"),
+        "n",
     )
 
 

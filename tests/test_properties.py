@@ -1417,49 +1417,23 @@ def test_countmin_matches_model_and_never_undercounts(spark, keys):
     )
 )
 def test_histogram_quantiles_match_sorted_model(spark, cents):
-    """The a21 two-phase selection vs a plain sorted-list order
-    statistic on random duplicate-heavy integers: exact_cents must be
-    the ceil(q*n/100)-th smallest for every q, and est_cents must be
-    its bucket's upper edge — including the degenerate hi==lo corpus
-    (every value identical, one bucket)."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window as W
+    """The a21 two-level selection (operators/aggregates.py:
+    histogram_order_statistics) vs a plain sorted-list order statistic
+    on random duplicate-heavy integers: exact must be the
+    ceil(q*n/100)-th smallest for every q, and est must be its level-1
+    bucket's upper edge — including the degenerate hi==lo corpus
+    (every value identical: the level-1 short-circuit answers with no
+    window at all)."""
+    from citydata_etl_spark.operators.aggregates import (
+        histogram_order_statistics,
+    )
 
     NB = 128
     df = spark.createDataFrame([(c,) for c in cents], "c LONG")
-    stats = df.agg(
-        F.min("c").alias("lo"), F.max("c").alias("hi"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    v = df.crossJoin(F.broadcast(stats)).withColumn(
-        "bucket", F.expr(f"((c - lo) * {NB}) div (hi - lo + 1)")
-    )
-    ch = (
-        v.groupBy("bucket").agg(F.count("*").alias("cnt"))
-        .withColumn("cum", F.sum("cnt").over(
-            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)))
-    )
-    qs = spark.createDataFrame([(50,), (95,), (99,)], "q LONG")
-    kq = qs.crossJoin(F.broadcast(stats)).select(
-        "q", F.expr("(q * n + 99) div 100").alias("k"))
-    tb = (kq.join(F.broadcast(ch), F.col("cum") >= F.col("k"))
-          .groupBy("q", "k").agg(F.min("bucket").alias("bucket")))
-    tb2 = tb.join(ch, "bucket").select(
-        "q", "k", "bucket", (F.col("cum") - F.col("cnt")).alias("cum_prev"))
-    ranked = v.join(F.broadcast(tb2.select("bucket").distinct()), "bucket"
-                    ).withColumn(
-        "rnk", F.row_number().over(W.partitionBy("bucket").orderBy("c")))
     got = {
-        r["q"]: (r["est"], r["exact"])
-        for r in tb2.join(ranked.select("bucket", "c", "rnk"), ["bucket"])
-        .filter(F.col("rnk") == F.col("k") - F.col("cum_prev"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "q",
-            (F.col("lo")
-             + F.expr(f"((bucket + 1) * (hi - lo + 1) + {NB - 1}) div {NB}")
-             - 1).alias("est"),
-            F.col("c").alias("exact"),
+        r["q"]: (r["est"], r["exact"], r["n"])
+        for r in histogram_order_statistics(
+            df, [50, 95, 99], n_buckets=NB
         ).collect()
     }
 
@@ -1471,10 +1445,55 @@ def test_histogram_quantiles_match_sorted_model(spark, cents):
         exact = s[k - 1]
         b = ((exact - lo) * NB) // (hi - lo + 1)
         est = lo + ((b + 1) * (hi - lo + 1) + NB - 1) // NB - 1
-        expect[q] = (est, exact)
+        expect[q] = (est, exact, n)
     assert got == expect
-    for q, (est, exact) in got.items():
+    for q, (est, exact, _n) in got.items():
         assert est >= exact  # upper-edge estimate never undershoots
+
+
+def test_histogram_quantiles_adversarial_skew(spark):
+    """One level-1 bucket holds >90% of the rows (the case where a
+    single-level recursion degrades toward the global sort): values
+    are packed so densely into one bucket's range that level 2 must
+    re-split them, and the answers must still equal the sorted-list
+    model. Mix in a single-value cluster (its own level-1 bucket, so
+    the mn==mx short-circuit fires) alongside the level-2 re-split and
+    final rank window in the same run."""
+    from citydata_etl_spark.operators.aggregates import (
+        histogram_order_statistics,
+    )
+
+    # range [0, 128000): bucket width 1000. 950 distinct-ish values in
+    # [5000, 5999] = one bucket (>90%), 30 identical at 77777, a few
+    # outliers spreading lo/hi.
+    vals = [0, 127999, 64000]
+    vals += [5000 + (i * 7) % 1000 for i in range(950)]
+    vals += [77777] * 30
+    df = spark.createDataFrame([(v,) for v in vals], "c LONG")
+
+    NB = 128
+    got = {
+        r["q"]: (r["est"], r["exact"], r["n"])
+        for r in histogram_order_statistics(
+            df, [1, 50, 95, 97, 99], n_buckets=NB
+        ).collect()
+    }
+    s = sorted(vals)
+    lo, hi, n = min(vals), max(vals), len(vals)
+    assert len(
+        [v for v in vals if ((v - lo) * NB) // (hi - lo + 1)
+         == ((5000 - lo) * NB) // (hi - lo + 1)]
+    ) > 0.9 * n  # the fixture really is skewed
+    expect = {}
+    for q in (1, 50, 95, 97, 99):
+        k = (q * n + 99) // 100
+        exact = s[k - 1]
+        b = ((exact - lo) * NB) // (hi - lo + 1)
+        est = lo + ((b + 1) * (hi - lo + 1) + NB - 1) // NB - 1
+        expect[q] = (est, exact, n)
+    assert got == expect
+    # p97 lands in the single-value 77777 bucket: the short-circuit path
+    assert got[97][1] == 77777
 
 
 @settings(**SETTINGS)
