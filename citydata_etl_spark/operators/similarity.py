@@ -424,7 +424,12 @@ def _corpus_dim(emb: DataFrame, vec_col: str) -> int:
 
 def _hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
     """Deterministic pseudo-random hyperplanes via an integer LCG:
-    component (p, d) = ((a*(p*dim+d) + c) mod m)/m - 0.5, exact in double."""
+    component (p, d) = ((a*(p*dim+d) + c) mod m)/m - 0.5, exact in double.
+    Boundedness: this multiply runs in PYTHON (arbitrary-precision int,
+    no overflow exists) over p*dim+d < n_planes*dim (~512) — not a
+    Spark column, so the lcg_pick mod-m-reduction rule does not apply;
+    the oracle restates the same unreduced product, exact in BIGINT
+    because the index is tiny."""
     m = 2147483647
     rows = []
     for p in range(n_planes):
@@ -510,7 +515,9 @@ def _int_hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
     """Integer-LCG hyperplanes for the oracle-exact sign path: component
     (p, d) = ((1103515245*(p*dim+d) + 12345) mod 2147483647) -
     1073741823 — the same LCG stream as _hyperplanes, kept centered in
-    BIGINT instead of scaled into [-0.5, 0.5)."""
+    BIGINT instead of scaled into [-0.5, 0.5). Boundedness: Python int
+    math over p*dim+d < n_planes*dim (~512); see _hyperplanes — the
+    lcg_pick reduction rule is for unbounded Spark key columns."""
     m = 2147483647
     rows = []
     for p in range(n_planes):

@@ -483,16 +483,20 @@ def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT c_custkey,
-             CAST((c_custkey * 2654435761) % 2147483648 % 120000 - 60000
+             CAST(((c_custkey % 2147483648) * 2654435761)
+                  % 2147483648 % 120000 - 60000
                   AS DOUBLE) / 1000.0 AS c_lat,
-             CAST((c_custkey * 40503 + 7) % 2147483648 % 360000 - 180000
+             CAST(((c_custkey % 2147483648) * 40503 + 7)
+                  % 2147483648 % 360000 - 180000
                   AS DOUBLE) / 1000.0 AS c_lng
       FROM customer),
     s AS (
       SELECT s_suppkey,
-             CAST((s_suppkey * 1103515245 + 12345) % 2147483648 % 120000
+             CAST(((s_suppkey % 2147483648) * 1103515245 + 12345)
+                  % 2147483648 % 120000
                   - 60000 AS DOUBLE) / 1000.0 AS s_lat,
-             CAST((s_suppkey * 69069 + 1) % 2147483648 % 360000 - 180000
+             CAST(((s_suppkey % 2147483648) * 69069 + 1)
+                  % 2147483648 % 360000 - 180000
                   AS DOUBLE) / 1000.0 AS s_lng
       FROM supplier),
     d AS (
@@ -521,7 +525,13 @@ def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pins no-cartesian.",
 )
 def j11_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ck = F.col("c_custkey")
+    # coordinate-synth LCGs: the key is reduced mod 2^31 BEFORE every
+    # multiply (identity for in-range keys, so hashes are unchanged;
+    # overflow-proof for ANY key — the unreduced s_suppkey*1103515245
+    # form blew its int64 budget past ~8.36e9 keys, the lcg_pick
+    # lesson applied to this entry's private streams). Both engines
+    # state the identical reduced form.
+    ck = F.pmod(F.col("c_custkey"), F.lit(2147483648))
     cust = read_testdata(spark, sf_dir, "customer").select(
         "c_custkey",
         (((ck * 2654435761) % 2147483648 % 120000 - 60000).cast("double")
@@ -529,7 +539,7 @@ def j11_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((ck * 40503 + 7) % 2147483648 % 360000 - 180000).cast("double")
          / 1000.0).alias("c_lng"),
     )
-    sk = F.col("s_suppkey")
+    sk = F.pmod(F.col("s_suppkey"), F.lit(2147483648))
     supp = read_testdata(spark, sf_dir, "supplier").select(
         "s_suppkey",
         (((sk * 1103515245 + 12345) % 2147483648 % 120000 - 60000)
