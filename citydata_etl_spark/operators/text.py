@@ -831,9 +831,12 @@ def bpe_merge_steps(
         # persist each step's merged vocabulary: all n_steps+1 output
         # branches share the chain prefix, and the vocab is bounded
         # (distinct tokens), so this trades a tiny cache for not
-        # recompiling/recomputing the fold chain once per branch
+        # recompiling/recomputing the fold chain once per branch.
+        # LEFT join on TRUE, not crossJoin (the bpe_encode guard): an
+        # EMPTY winner (no adjacent pair anywhere) must make the merge
+        # a no-op, not annihilate the vocabulary.
         cur = scoped_persist(
-            cur.crossJoin(F.broadcast(best)).select(
+            cur.join(F.broadcast(best), F.lit(True), "left").select(
                 merged.alias("syms"), "cnt"
             )
         )
@@ -875,7 +878,10 @@ def bpe_encode(
     saved_bp = (n_chars - n_bpe_tokens) * 10000 div n_chars — the
     compression in exact basis points (true INTEGER division, not
     floor-of-double: at 100 TB the numerator exceeds 2^53 and a double
-    quotient is no longer exact).
+    quotient is no longer exact), and n_decode_errors — the
+    encode-then-detokenize conservation count (tokens whose
+    concatenated symbols differ from the original; 0 by construction,
+    verified independently by the oracle's own chain).
     """
     from citydata_etl_spark.caching import scoped_persist
     from citydata_etl_spark.operators.dedup import tokens
@@ -903,8 +909,17 @@ def bpe_encode(
                 "token", _bpe_merge_fold().alias("syms"), "cnt"
             )
         )
+    # conservation check rides along: detokenizing (concatenating) a
+    # token's encoded symbols must reproduce the token EXACTLY — any
+    # fold bug that drops, duplicates, or reorders characters flips
+    # `bad` to 1 and surfaces as a nonzero per-doc n_decode_errors
+    # (the oracle derives its zero through an independent merge chain,
+    # so engine-side corruption hash-fails rather than hides)
     enc = cur.select(
-        "token", F.size("syms").cast("bigint").alias("n_sym")
+        "token",
+        F.size("syms").cast("bigint").alias("n_sym"),
+        F.when(F.concat_ws("", F.col("syms")) != F.col("token"), 1)
+        .otherwise(0).alias("bad"),
     )
     per_doc = (
         occ.join(enc, "token")
@@ -913,10 +928,12 @@ def bpe_encode(
             F.count("*").cast("bigint").alias("n_words"),
             F.sum(F.length("token")).cast("bigint").alias("n_chars"),
             F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("bad").cast("bigint").alias("n_decode_errors"),
         )
     )
     return per_doc.select(
         id_col, "n_words", "n_chars", "n_bpe_tokens",
         F.expr("((n_chars - n_bpe_tokens) * 10000) div n_chars")
         .cast("bigint").alias("saved_bp"),
+        "n_decode_errors",
     )

@@ -133,8 +133,8 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_ann_pq": 8,  # rows-only by construction (r3 row)
     "d4_ann_pq_rank": 8,
     "d4_bigram_logprob": 8,
-    "d4_bpe_encode": 9,
-    "d4_bpe_merge_steps": 8,
+    "d4_bpe_encode": 0,  # r10: k=5 chain + conservation — re-gate
+    "d4_bpe_merge_steps": 0,  # r10: k=5 chain + conservation — re-gate
     "d4_bpe_pair_counts": 5,
     "d4_bpe_tokens": 8,
     "d4_collocations": 5,

@@ -1030,10 +1030,51 @@ def d4_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d4_bpe_merge_steps",
-    oracle="""
-    WITH RECURSIVE tok AS (
+def _bpe_pair_block(i: int, src_cte: str, carry_token: bool) -> str:
+    """One BPE step's pair-count CTE p{i} over the symbol strings of
+    `src_cte` — shared by the programmatic merge/encode oracle
+    generators (the hand-unrolled k=3 chain this replaced could not
+    follow the entries to k=5)."""
+    tok = "token, " if carry_token else ""
+    return f"""    p{i} AS (
+      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT {tok}list_filter(string_split(s, ' '), x -> x <> '')
+                   AS syms, cnt
+            FROM {src_cte}) t,
+           UNNEST(range(1, len(syms))) AS r(i)
+      GROUP BY pa, pb)"""
+
+
+def _bpe_merge_block(i: int, carry_token: bool) -> str:
+    """One BPE step's winner + recursive first-occurrence merge CTEs
+    (b{i}, m{i}, t{i}). The winner is coalesced to the two-space
+    sentinel (never occurs in a single-space-joined symbol string), so
+    an EMPTY winner makes the merge a no-op instead of annihilating
+    the vocabulary — the engines' left-join-on-TRUE guard, stated in
+    SQL."""
+    tok = "token, " if carry_token else ""
+    return f"""    b{i} AS (
+      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
+               AS rep
+      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
+                   ' ' || pa || pb || ' ' AS rep
+            FROM p{i} ORDER BY n DESC, pa, pb LIMIT 1)),
+    m{i} AS (
+      SELECT {tok}s, cnt FROM t{i - 1}
+      UNION ALL
+      SELECT {tok}substr(s, 1, strpos(s, pat) - 1) || rep
+               || substr(s, strpos(s, pat) + length(pat)), cnt
+      FROM m{i}, b{i} WHERE strpos(s, pat) > 0),
+    t{i} AS (SELECT {tok}s, cnt FROM m{i}, b{i} WHERE strpos(s, pat) = 0)"""
+
+
+def _bpe_merge_oracle(n_steps: int, top_k: int) -> str:
+    """The d4_bpe_merge_steps oracle for any chain length: top-`top_k`
+    pairs before each of `n_steps` merges plus the post-merge counts
+    as step n_steps+1 — generated, so the SQL provably has one block
+    per step instead of a hand-copied unroll."""
+    parts = ["""    WITH RECURSIVE tok AS (
       SELECT token, count(*) AS cnt FROM (
         SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
           AS token
@@ -1042,88 +1083,76 @@ def d4_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 AS (
       SELECT ' ' || array_to_string(string_split(token, ''), ' ') || ' '
                AS s, cnt
-      FROM tok),
-    p1 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t0) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    b1 AS (
-      SELECT ' ' || pa || ' ' || pb || ' ' AS pat, ' ' || pa || pb || ' '
-               AS rep
-      FROM p1 ORDER BY n DESC, pa, pb LIMIT 1),
-    m1 AS (
-      SELECT s, cnt FROM t0
-      UNION ALL
-      SELECT substr(s, 1, strpos(s, pat) - 1) || rep
-               || substr(s, strpos(s, pat) + length(pat)), cnt
-      FROM m1, b1 WHERE strpos(s, pat) > 0),
-    t1 AS (SELECT s, cnt FROM m1, b1 WHERE strpos(s, pat) = 0),
-    p2 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t1) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    b2 AS (
-      SELECT ' ' || pa || ' ' || pb || ' ' AS pat, ' ' || pa || pb || ' '
-               AS rep
-      FROM p2 ORDER BY n DESC, pa, pb LIMIT 1),
-    m2 AS (
-      SELECT s, cnt FROM t1
-      UNION ALL
-      SELECT substr(s, 1, strpos(s, pat) - 1) || rep
-               || substr(s, strpos(s, pat) + length(pat)), cnt
-      FROM m2, b2 WHERE strpos(s, pat) > 0),
-    t2 AS (SELECT s, cnt FROM m2, b2 WHERE strpos(s, pat) = 0),
-    p3 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t2) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    b3 AS (
-      SELECT ' ' || pa || ' ' || pb || ' ' AS pat, ' ' || pa || pb || ' '
-               AS rep
-      FROM p3 ORDER BY n DESC, pa, pb LIMIT 1),
-    m3 AS (
-      SELECT s, cnt FROM t2
-      UNION ALL
-      SELECT substr(s, 1, strpos(s, pat) - 1) || rep
-               || substr(s, strpos(s, pat) + length(pat)), cnt
-      FROM m3, b3 WHERE strpos(s, pat) > 0),
-    t3 AS (SELECT s, cnt FROM m3, b3 WHERE strpos(s, pat) = 0),
-    p4 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t3) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    ranked AS (
-      SELECT CAST(1 AS BIGINT) AS step, pa, pb, n,
-             row_number() OVER (ORDER BY n DESC, pa, pb) AS rnk FROM p1
-      UNION ALL
-      SELECT CAST(2 AS BIGINT), pa, pb, n,
-             row_number() OVER (ORDER BY n DESC, pa, pb) FROM p2
-      UNION ALL
-      SELECT CAST(3 AS BIGINT), pa, pb, n,
-             row_number() OVER (ORDER BY n DESC, pa, pb) FROM p3
-      UNION ALL
-      SELECT CAST(4 AS BIGINT), pa, pb, n,
-             row_number() OVER (ORDER BY n DESC, pa, pb) FROM p4)
-    SELECT step, pa, pb, n, CAST(rnk AS BIGINT) AS rnk
-    FROM ranked WHERE rnk <= 5
-    """,
-    doc="D4 (tokenizer training, CHAINED): three true BPE merge "
+      FROM tok)"""]
+    for i in range(1, n_steps + 1):
+        parts.append(_bpe_pair_block(i, f"t{i - 1}", carry_token=False))
+        parts.append(_bpe_merge_block(i, carry_token=False))
+    parts.append(
+        _bpe_pair_block(n_steps + 1, f"t{n_steps}", carry_token=False)
+    )
+    ranked = "\n      UNION ALL\n".join(
+        f"""      SELECT CAST({i} AS BIGINT) AS step, pa, pb, n,
+             row_number() OVER (ORDER BY n DESC, pa, pb) AS rnk FROM p{i}"""
+        for i in range(1, n_steps + 2)
+    )
+    parts.append(f"    ranked AS (\n{ranked})")
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n    SELECT step, pa, pb, n, CAST(rnk AS BIGINT) AS rnk"
+        f"\n    FROM ranked WHERE rnk <= {top_k}\n    "
+    )
+
+
+def _bpe_encode_oracle(n_steps: int) -> str:
+    """The d4_bpe_encode oracle for any chain length: the merge chain
+    carrying the original token, then the per-document budget join —
+    including the encode-then-detokenize conservation count
+    (replace(s, ' ', '') <> token), derived through the oracle's OWN
+    chain so an engine-side fold corruption hash-fails."""
+    parts = ["""    WITH RECURSIVE tok AS (
+      SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS token
+        FROM documents)
+      GROUP BY token),
+    t0 AS (
+      SELECT token,
+             ' ' || array_to_string(string_split(token, ''), ' ') || ' '
+               AS s, cnt
+      FROM tok)"""]
+    for i in range(1, n_steps + 1):
+        parts.append(_bpe_pair_block(i, f"t{i - 1}", carry_token=True))
+        parts.append(_bpe_merge_block(i, carry_token=True))
+    parts.append(f"""    enc AS (
+      SELECT token,
+             CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+               AS BIGINT) AS n_sym,
+             CASE WHEN replace(s, ' ', '') <> token THEN 1 ELSE 0 END
+               AS bad
+      FROM t{n_steps}),
+    d AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(length(token)) AS BIGINT) AS n_chars,
+           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(length(token)) - sum(n_sym)) * 10000
+                // sum(length(token)) AS BIGINT) AS saved_bp,
+           CAST(sum(bad) AS BIGINT) AS n_decode_errors
+    FROM d JOIN enc USING (token)
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "d4_bpe_merge_steps",
+    oracle=_bpe_merge_oracle(5, 5),
+    doc="D4 (tokenizer training, CHAINED): FIVE true BPE merge "
     "iterations where step k's pair counts provably reflect step k-1's "
     "merge — the d4_bpe_pair_counts loop unrolled the way g1/g3 unroll "
     "their iterations so the oracle can state every step. Engine side "
@@ -1134,113 +1163,23 @@ def d4_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge as a recursive CTE replacing the FIRST occurrence per "
     "recursion (restart-from-start == continue-after-match here, "
     "because a merged symbol pa||pb can never equal pa or pb and so "
-    "never forms a new occurrence backward or forward). Output: top-5 "
-    "pairs before each merge (rnk 1 = the merged pair) plus the "
-    "post-merge counts as step 4.",
+    "never forms a new occurrence backward or forward). The oracle "
+    "chain is GENERATED per step (_bpe_merge_oracle), so the entry "
+    "follows its n_steps parameter instead of a hand-copied unroll; "
+    "an empty winner is a no-op on both engines (left-join guard / "
+    "two-space sentinel). Output: top-5 pairs before each merge "
+    "(rnk 1 = the merged pair) plus the post-merge counts as step 6.",
 )
 def d4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_merge_steps(
-        read_testdata(spark, sf_dir, "documents"), n_steps=3, k=5
+        read_testdata(spark, sf_dir, "documents"), n_steps=5, k=5
     )
 
 
 @register(
     "d4_bpe_encode",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT token, count(*) AS cnt FROM (
-        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-          AS token
-        FROM documents)
-      GROUP BY token),
-    t0 AS (
-      SELECT token,
-             ' ' || array_to_string(string_split(token, ''), ' ') || ' '
-               AS s, cnt
-      FROM tok),
-    p1 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t0) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    b1 AS (
-      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
-               AS rep
-      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
-                   ' ' || pa || pb || ' ' AS rep
-            FROM p1 ORDER BY n DESC, pa, pb LIMIT 1)),
-    m1 AS (
-      SELECT token, s, cnt FROM t0
-      UNION ALL
-      SELECT token, substr(s, 1, strpos(s, pat) - 1) || rep
-               || substr(s, strpos(s, pat) + length(pat)), cnt
-      FROM m1, b1 WHERE strpos(s, pat) > 0),
-    t1 AS (SELECT token, s, cnt FROM m1, b1 WHERE strpos(s, pat) = 0),
-    p2 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t1) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    b2 AS (
-      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
-               AS rep
-      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
-                   ' ' || pa || pb || ' ' AS rep
-            FROM p2 ORDER BY n DESC, pa, pb LIMIT 1)),
-    m2 AS (
-      SELECT token, s, cnt FROM t1
-      UNION ALL
-      SELECT token, substr(s, 1, strpos(s, pat) - 1) || rep
-               || substr(s, strpos(s, pat) + length(pat)), cnt
-      FROM m2, b2 WHERE strpos(s, pat) > 0),
-    t2 AS (SELECT token, s, cnt FROM m2, b2 WHERE strpos(s, pat) = 0),
-    p3 AS (
-      SELECT syms[CAST(i AS INT)] AS pa, syms[CAST(i + 1 AS INT)] AS pb,
-             CAST(sum(cnt) AS BIGINT) AS n
-      FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
-                   cnt
-            FROM t2) t,
-           UNNEST(range(1, len(syms))) AS r(i)
-      GROUP BY pa, pb),
-    b3 AS (
-      SELECT coalesce(min(pat), '  ') AS pat, coalesce(min(rep), '  ')
-               AS rep
-      FROM (SELECT ' ' || pa || ' ' || pb || ' ' AS pat,
-                   ' ' || pa || pb || ' ' AS rep
-            FROM p3 ORDER BY n DESC, pa, pb LIMIT 1)),
-    m3 AS (
-      SELECT token, s, cnt FROM t2
-      UNION ALL
-      SELECT token, substr(s, 1, strpos(s, pat) - 1) || rep
-               || substr(s, strpos(s, pat) + length(pat)), cnt
-      FROM m3, b3 WHERE strpos(s, pat) > 0),
-    t3 AS (SELECT token, s, cnt FROM m3, b3 WHERE strpos(s, pat) = 0),
-    enc AS (
-      SELECT token,
-             CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
-               AS BIGINT) AS n_sym
-      FROM t3),
-    d AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS token
-      FROM documents)
-    SELECT doc_id,
-           count(*) AS n_words,
-           CAST(sum(length(token)) AS BIGINT) AS n_chars,
-           CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
-           CAST((sum(length(token)) - sum(n_sym)) * 10000
-                // sum(length(token)) AS BIGINT) AS saved_bp
-    FROM d JOIN enc USING (token)
-    GROUP BY doc_id
-    """,
-    doc="D4 (tokenizer APPLICATION, chained on training): learn 3 BPE "
+    oracle=_bpe_encode_oracle(5),
+    doc="D4 (tokenizer APPLICATION, chained on training): learn 5 BPE "
     "merges on the corpus (identical training chain to "
     "d4_bpe_merge_steps — same winners, same greedy fold), then ENCODE "
     "every document with them: per-doc whitespace-token count, "
@@ -1251,12 +1190,16 @@ def d4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct-token vocabulary; the only corpus-sized ops are the "
     "map-side-combined token count and one hash join of occurrences "
     "against the encoded vocab (operators/text.py:bpe_encode). Oracle: "
-    "the merge_steps recursive-CTE chain carrying the original token "
-    "through every merge, then the same join+aggregate.",
+    "the merge_steps recursive-CTE chain (generated per step) carrying "
+    "the original token through every merge, then the same "
+    "join+aggregate — plus the encode-then-detokenize CONSERVATION "
+    "count n_decode_errors (concat of a token's encoded symbols must "
+    "reproduce the token; each engine derives its zero through its own "
+    "chain, so a fold that drops or duplicates characters hash-fails).",
 )
 def d4_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_encode(
-        read_testdata(spark, sf_dir, "documents"), n_steps=3
+        read_testdata(spark, sf_dir, "documents"), n_steps=5
     )
 
 

@@ -1114,12 +1114,15 @@ def test_bpe_encode_equals_python_bpe(spark, docs):
     df = spark.createDataFrame(
         list(enumerate(docs)), "doc_id LONG, text STRING"
     )
+    rows = bpe_encode(df, n_steps=3).collect()
     got = {
         r["doc_id"]: (
             r["n_words"], r["n_chars"], r["n_bpe_tokens"], r["saved_bp"]
         )
-        for r in bpe_encode(df, n_steps=3).collect()
+        for r in rows
     }
+    # conservation: detokenized symbols reproduce every token exactly
+    assert all(r["n_decode_errors"] == 0 for r in rows)
 
     toks = Counter(t for d in docs for t in d.split(" ") if t)
     corpus = {tok: list(tok) for tok in toks}
