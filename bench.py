@@ -177,8 +177,10 @@ HEADLINE = [
     "q15_top_supplier",
     "d5_bmp_histogram",
     # round-10 additions: driver-checkable ANN recall@5 (exact blocked
-    # matmul + exactsign LSH topology, joined per query)
+    # matmul + exactsign LSH topology, joined per query); MMR composed
+    # over the IVF probe (candidates from 4 of 16 lists, same kernel)
     "d4_ann_recall",
+    "d4_mmr_ann",
 ]
 
 

@@ -1730,6 +1730,18 @@ def mmr_batch(
         .filter(F.col("crnk") <= n_cand)
         .select("qid", "nid", "vi", "rel")
     )
+    return _mmr_pick(cand, k)
+
+
+def _mmr_pick(cand: DataFrame, k: int) -> DataFrame:
+    """The shared greedy-MMR group kernel over a candidate table
+    (qid, nid, vi: ARRAY<BIGINT> micros, rel: BIGINT) — one
+    applyInPandas group per query, state bounded by n_cand*dim int64s,
+    identical integer arithmetic and tie-breaks to the unrolled twin
+    (mmr_topk_exactseed). Shared by the exact-candidate mmr_batch and
+    the IVF-probed mmr_batch_ann, so the candidate SOURCE is the only
+    thing that differs between them."""
+    import pandas as pd
 
     out_schema = (
         "query_id BIGINT, rnk BIGINT, neighbor_id BIGINT, "
@@ -1776,6 +1788,66 @@ def mmr_batch(
         )
 
     return cand.groupBy("qid").applyInPandas(pick, out_schema)
+
+
+def mmr_batch_ann(
+    emb: DataFrame, queries: DataFrame, k: int = 3, n_cand: int = 16,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """MMR diversification composed OVER an ANN probe — the 100 TB
+    shape mmr_batch's doc promises: candidate generation is the
+    oracle-exact IVF twin's assign -> probe topology (LCG seed
+    centroids, integer-micros dot assignment with ties to the smaller
+    centroid index) instead of an exact (query x corpus) rel pass, and
+    the greedy selection is the SAME _mmr_pick group kernel, so the
+    two paths differ ONLY in where candidates come from. With
+    n_probe == n_centroids every cluster is probed and the candidate
+    set equals the exact path's — the agreement test pins
+    mmr_batch_ann == mmr_batch there.
+
+    Everything that decides candidate membership and ordering is
+    integer arithmetic (assignment dots, rel dots, (rel DESC, id)
+    cut), so the composition stays DRIVER-ORACLED bit-for-bit.
+
+    Scale shape: one broadcast of n_centroids rows against the corpus
+    (the twin's assignment pass), a probe equi-join on cluster that
+    scans only ~n_probe/n_centroids of the corpus per query, the
+    per-query top-n_cand window, then the bounded group kernel.
+    Same contract as mmr_batch: query ids must be existing corpus ids
+    (deduplicated here; missing ids silently absent)."""
+    seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("nid"), _micros(F.col(vec_col)).alias("vi")
+    )
+    pw = W.partitionBy("nid").orderBy(F.col("idot").desc(), F.col("cidx"))
+    pr = scoped_persist(
+        base.crossJoin(F.broadcast(seeds.select("cidx", "ci")))
+        .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
+        .withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= n_probe)
+        .select("nid", "vi", "cidx", "prnk")
+    )
+    assign = pr.filter(F.col("prnk") == 1).select("nid", "vi", "cidx")
+    qids = queries.select(F.col(query_col).alias("qid")).distinct()
+    probes = (
+        pr.join(qids, F.col("nid") == F.col("qid"))
+        .select("qid", F.col("vi").alias("qi"), "cidx")
+    )
+    cand0 = (
+        assign.join(F.broadcast(probes), "cidx")
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("rel", _idot(F.col("vi"), F.col("qi")))
+        .select("qid", "nid", "vi", "rel")
+    )
+    rw = W.partitionBy("qid").orderBy(F.col("rel").desc(), "nid")
+    cand = (
+        cand0.withColumn("crnk", F.row_number().over(rw))
+        .filter(F.col("crnk") <= n_cand)
+        .select("qid", "nid", "vi", "rel")
+    )
+    return _mmr_pick(cand, k)
 
 
 def ann_recall_at_k(

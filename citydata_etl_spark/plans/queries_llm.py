@@ -1422,6 +1422,146 @@ def d4_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_mmr_ann",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM embeddings),
+    seedrank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
+                        vec_id) - 1 AS cidx
+      FROM v),
+    seeds AS (
+      SELECT s.cidx, v.ei AS ci
+      FROM seedrank s JOIN v ON s.vec_id = v.vec_id
+      WHERE s.cidx < 16),
+    dims AS (SELECT unnest(range(64)) AS d),
+    dots AS (
+      SELECT v.vec_id, s.cidx,
+             sum(v.ei[CAST(dims.d + 1 AS INT)]
+                 * s.ci[CAST(dims.d + 1 AS INT)]) AS idot
+      FROM v CROSS JOIN seeds s CROSS JOIN dims
+      GROUP BY v.vec_id, s.cidx),
+    pr AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cidx) AS prnk
+      FROM dots),
+    assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
+    qs AS (
+      SELECT vec_id AS qid, ei AS qi FROM v
+      ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
+               vec_id
+      LIMIT 3),
+    probes AS (
+      SELECT q.qid, pr.cidx AS cluster
+      FROM qs q JOIN pr ON pr.vec_id = q.qid AND pr.prnk <= 4),
+    rel AS (
+      SELECT p.qid, a.vec_id AS id,
+             sum(vn.ei[CAST(dims.d + 1 AS INT)]
+                 * q2.qi[CAST(dims.d + 1 AS INT)]) AS rel
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.qid
+      JOIN v vn ON vn.vec_id = a.vec_id
+      JOIN qs q2 ON q2.qid = p.qid
+      CROSS JOIN dims
+      GROUP BY p.qid, a.vec_id),
+    cand AS (
+      SELECT qid, id, rel FROM (
+        SELECT qid, id, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, id) AS crnk
+        FROM rel)
+      WHERE crnk <= 16),
+    pd AS (
+      SELECT a.qid, a.id AS ia, b.id AS ib,
+             sum(va.ei[CAST(dims.d + 1 AS INT)]
+                 * vb.ei[CAST(dims.d + 1 AS INT)]) AS pdot
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+      JOIN v va ON va.vec_id = a.id
+      JOIN v vb ON vb.vec_id = b.id
+      CROSS JOIN dims
+      GROUP BY a.qid, a.id, b.id),
+    s1 AS (
+      SELECT qid, id, rel FROM (
+        SELECT qid, id, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, id) AS rn
+        FROM cand) WHERE rn = 1),
+    c2 AS (
+      SELECT c.qid, c.id, c.rel, c.rel - pd.pdot AS mmr2
+      FROM cand c
+      JOIN s1 ON s1.qid = c.qid AND c.id <> s1.id
+      JOIN pd ON pd.qid = c.qid AND pd.ia = c.id AND pd.ib = s1.id),
+    s2 AS (
+      SELECT qid, id, rel, mmr2 FROM (
+        SELECT qid, id, rel, mmr2,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr2 DESC, id) AS rn
+        FROM c2) WHERE rn = 1),
+    c3 AS (
+      SELECT c.qid, c.id, c.rel, c.rel - max(pd.pdot) AS mmr2
+      FROM cand c
+      JOIN s1 ON s1.qid = c.qid
+      JOIN s2 ON s2.qid = c.qid
+      JOIN pd ON pd.qid = c.qid AND pd.ia = c.id
+             AND (pd.ib = s1.id OR pd.ib = s2.id)
+      WHERE c.id <> s1.id AND c.id <> s2.id
+      GROUP BY c.qid, c.id, c.rel),
+    s3 AS (
+      SELECT qid, id, rel, mmr2 FROM (
+        SELECT qid, id, rel, mmr2,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr2 DESC, id) AS rn
+        FROM c3) WHERE rn = 1)
+    SELECT qid AS query_id, CAST(1 AS BIGINT) AS rnk, id AS neighbor_id,
+           CAST(rel AS BIGINT) AS rel_dot, CAST(rel AS BIGINT) AS mmr2
+    FROM s1
+    UNION ALL
+    SELECT qid, CAST(2 AS BIGINT), id, CAST(rel AS BIGINT),
+           CAST(mmr2 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT qid, CAST(3 AS BIGINT), id, CAST(rel AS BIGINT),
+           CAST(mmr2 AS BIGINT) FROM s3
+    """,
+    doc="D4 (retrieval diversification OVER an ANN probe — the "
+    "composition d4_mmr_batch's doc promises, shipped): candidate "
+    "generation is the oracle-exact IVF twin's assign -> probe "
+    "topology (d4_ann_ivf_rank's LCG seed centroids and integer-"
+    "micros dot assignment, n_probe=4 of 16 lists), feeding the SAME "
+    "greedy group kernel (_mmr_pick) as the exact-candidate path — "
+    "only the candidate SOURCE differs, so a probe scans ~1/4 of the "
+    "corpus per query instead of all of it "
+    "(operators/similarity.py:mmr_batch_ann). Every membership and "
+    "ordering decision is integer arithmetic, so the full composition "
+    "stays driver-oracled bit-for-bit. The agreement test pins "
+    "mmr_batch_ann == mmr_batch when every list is probed "
+    "(n_probe == n_centroids), isolating the probe as the only "
+    "divergence. Queries = the 3 lowest-LCG vector ids.",
+)
+def d4_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    lcg = S.lcg_pick(F.col("vec_id"))
+    queries = (
+        emb.select("vec_id")
+        .withColumn("lcg", lcg)
+        .orderBy("lcg", "vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    return S.mmr_batch_ann(
+        emb, queries, k=3, n_cand=16, n_centroids=16, n_probe=4
+    )
+
+
+@register(
     "d4_quality_score",
     oracle="""
     WITH s AS (

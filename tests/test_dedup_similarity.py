@@ -149,6 +149,48 @@ def test_ann_lsh_exactsign_recall_and_sign_agreement(spark, clustered_vecs):
     assert twin == prod
 
 
+def test_mmr_batch_ann_full_probe_equals_exact(spark):
+    """mmr_batch_ann with n_probe == n_centroids probes every list, so
+    its candidate set — and therefore every greedy pick — must equal
+    the exact-candidate mmr_batch bit-for-bit: the probe is the ONLY
+    divergence between the two paths. Also checks that the real probe
+    (n_probe < n_centroids) still yields k picks per query."""
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.similarity import (
+        lcg_pick,
+        mmr_batch,
+        mmr_batch_ann,
+    )
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = (
+        emb.select("vec_id")
+        .withColumn("lcg", lcg_pick(F.col("vec_id")))
+        .orderBy("lcg", "vec_id").limit(3)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    exact = sorted(
+        tuple(r) for r in mmr_batch(emb, queries, k=3, n_cand=16).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in mmr_batch_ann(
+            emb, queries, k=3, n_cand=16, n_centroids=16, n_probe=16
+        ).collect()
+    )
+    assert full == exact
+    probed = mmr_batch_ann(
+        emb, queries, k=3, n_cand=16, n_centroids=16, n_probe=4
+    ).collect()
+    by_q = {}
+    for r in probed:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+    assert len(by_q) == 3
+
+
 def test_ann_recall_at_k_counts_and_cross_check(spark, clustered_vecs):
     """ann_recall_at_k's integer counters must be internally consistent
     (n_hit <= min(n_exact, n_ann), n_exact <= k) and must reproduce the
