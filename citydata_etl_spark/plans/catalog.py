@@ -190,7 +190,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_contamination": 7,
     "d6_crossdomain_lm": 9,
     "d6_curation_pipeline": 7,
-    "d6_dataset_card": 9,
+    "d6_dataset_card": 0,  # r10: multimodal block added — re-gate
     "d6_dedup_keep": 7,
     "d6_domain_cap": 8,
     "d6_domain_mix": 7,

@@ -1021,39 +1021,68 @@ def d6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, lang, text,
              len(list_filter(string_split(text, ' '), x -> x <> ''))
                AS n_tok
-      FROM documents)
-    SELECT source,
-           count(*) AS n_docs,
-           count(DISTINCT text) AS n_unique_texts,
-           CAST((count(*) - count(DISTINCT text)) * 10000
-                // count(*) AS BIGINT) AS dup_bp,
-           count(DISTINCT lang) AS n_langs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS n_chars,
-           CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens
-    FROM t GROUP BY source
+      FROM documents),
+    card AS (
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT text) AS n_unique_texts,
+             CAST((count(*) - count(DISTINCT text)) * 10000
+                  // count(*) AS BIGINT) AS dup_bp,
+             count(DISTINCT lang) AS n_langs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens
+      FROM t GROUP BY source),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_media,
+             CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bmp,
+             CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_png,
+             CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_decoded,
+             CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS decode_fail_bp,
+             CAST(sum(CASE WHEN doc_id % 7 <> 0
+                      THEN (4 + doc_id % 5) * (3 + doc_id % 4)
+                      ELSE 0 END) AS BIGINT) AS n_media_pixels
+      FROM documents GROUP BY source)
+    SELECT card.*, m.n_media, m.n_bmp, m.n_png, m.n_decoded,
+           m.decode_fail_bp, m.n_media_pixels
+    FROM card JOIN m USING (source)
     """,
     doc="D6 (release datasheet): the per-source DATASET CARD a curation "
     "pipeline publishes with every corpus release — document count, "
     "exact-duplicate rate in basis points (floor(int/int)), language "
-    "spread, token/char volume, mean document length. One shuffle on "
-    "source; the two DISTINCT aggregates plan as a single Expand pass. "
-    "At 100 TB substitute countDistinct(sha2(text,256)) for the raw "
-    "text distinct so the distinct state carries 32-byte digests "
-    "instead of documents — same answer modulo SHA-256 collisions, "
-    "same plan shape. Companion to d4_dedup_report (dup attribution) "
-    "and d6_shard_stats (physical shards): this is the logical "
-    "per-source summary the other two drill into.",
+    "spread, token/char volume, mean document length, PLUS the "
+    "multimodal block a mixed-media release reports: media counts, "
+    "format mix (bmp/png from MAGIC BYTES, never declared type), "
+    "decode success from the REAL 24-bpp decode (bmp_pixel_stats — "
+    "n_decoded counts images whose pixels actually parsed), "
+    "decode-failure basis points, and total decoded pixels. The "
+    "oracle states the media block in closed form from the fixture "
+    "arithmetic, so a sniff or decoder regression shifts the card and "
+    "hash-fails. One shuffle per grain (docs by source; media by "
+    "source), joined on the handful of source rows; the two DISTINCT "
+    "aggregates plan as a single Expand pass. At 100 TB substitute "
+    "countDistinct(sha2(text,256)) for the raw text distinct so the "
+    "distinct state carries 32-byte digests instead of documents. "
+    "Companion to d4_dedup_report (dup attribution) and "
+    "d6_shard_stats (physical shards).",
 )
 def d6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+    from citydata_etl_spark.plans.queries_llm import _bmp_media_fixture
 
     docs = read_testdata(spark, sf_dir, "documents")
     n_tok = F.size(
         F.filter(F.split("text", " "), lambda x: x != "")
     ).cast("bigint")
     base = docs.select("source", "lang", "text", n_tok.alias("n_tok"))
-    return base.groupBy("source").agg(
+    card = base.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("text").alias("n_unique_texts"),
         F.expr(
@@ -1064,3 +1093,38 @@ def d6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("n_chars"),
         F.expr("sum(n_tok) div count(*)").cast("bigint").alias("mean_tokens"),
     )
+    # media block: format from magic bytes, decode success from the
+    # REAL decode — the oracle's closed form cross-checks both
+    media = _bmp_media_fixture(spark, sf_dir)
+    head = F.hex(F.substring(F.col("content"), 1, 8))
+    fmt = (
+        F.when(head.startswith("424D"), F.lit("bmp"))
+        .when(head == "89504E470D0A1A0A", F.lit("png"))
+        .otherwise(F.lit("unknown"))
+    )
+    decoded = bmp_pixel_stats(media).select("media_id", "n_pixels")
+    magg = (
+        media.select("media_id", fmt.alias("fmt"))
+        .join(decoded, "media_id")
+        .join(
+            docs.select(F.col("doc_id").alias("media_id"), "source"),
+            "media_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_media"),
+            F.sum((F.col("fmt") == "bmp").cast("int"))
+            .cast("bigint").alias("n_bmp"),
+            F.sum((F.col("fmt") == "png").cast("int"))
+            .cast("bigint").alias("n_png"),
+            F.sum(F.col("n_pixels").isNotNull().cast("int"))
+            .cast("bigint").alias("n_decoded"),
+            F.expr(
+                "(sum(CASE WHEN n_pixels IS NULL THEN 1 ELSE 0 END)"
+                " * 10000) div count(*)"
+            ).cast("bigint").alias("decode_fail_bp"),
+            F.sum(F.coalesce(F.col("n_pixels"), F.lit(0)))
+            .cast("bigint").alias("n_media_pixels"),
+        )
+    )
+    return card.join(magg, "source")
