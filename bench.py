@@ -181,6 +181,9 @@ HEADLINE = [
     # over the IVF probe (candidates from 4 of 16 lists, same kernel)
     "d4_ann_recall",
     "d4_mmr_ann",
+    # GDPR erasure cascade across three merge-on-read tables (cold rep
+    # includes the three base writes + tombstone appends)
+    "u13_cascade_delete",
 ]
 
 

@@ -1148,6 +1148,120 @@ def u12_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "u13_cascade_delete",
+    oracle="""
+    WITH erased_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 31 = 7),
+    erased_ord AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erased_cust)),
+    c AS (
+      SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_visible,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      FROM customer WHERE c_custkey % 31 <> 7),
+    o AS (
+      SELECT 'orders', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey) AS BIGINT)
+      FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM erased_ord)),
+    l AS (
+      SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             CAST(sum(l_orderkey * 16 + l_linenumber) AS BIGINT)
+      FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM erased_ord))
+    SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+    """,
+    doc="U13 (GDPR erasure CASCADE): a right-to-be-forgotten request "
+    "erases a customer cohort AND every dependent row — orders by "
+    "o_custkey, line items by the erased orders' keys — across three "
+    "merge-on-read tables WITHOUT rewriting any base file: each "
+    "table's erasure is one tombstone-sidecar append (sources/"
+    "deletion.py, the u12 machinery with the atomic _BASE pointer), "
+    "so the erasure cost is proportional to the affected keys, never "
+    "the 100 TB of fact data, and the physical purge is deferred to "
+    "each table's own compaction window. The cascade derivation is "
+    "two joins on the parent key sets (small, broadcast). Readers see "
+    "the erased rows gone immediately via the scan-time anti-join. "
+    "The oracle states the post-erasure visible state of all three "
+    "tables in closed form; lineitem's key_sum packs "
+    "(l_orderkey*16 + l_linenumber) so a tombstone that dropped the "
+    "wrong order's lines — or only some lines of a right order — "
+    "shifts the sum. Line items tombstone by l_orderkey (erasure is "
+    "per-order), demonstrating that the sidecar key need not be the "
+    "table's full primary key.",
+)
+def u13_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.deletion import (
+        append_deletion_vector,
+        read_mor_table,
+        write_mor_table,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u13_cascade_{tag}")
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    tables = {"customer": cust, "orders": orders, "lineitem": li}
+    for name, df in tables.items():
+        d = os.path.join(root, ".built_" + name)
+        os.makedirs(d, exist_ok=True)
+        _build_once(
+            d, lambda n=name, f=df: write_mor_table(
+                f, os.path.join(root, n)
+            )
+        )
+    erased_cust = cust.filter(F.col("c_custkey") % 31 == 7).select(
+        "c_custkey"
+    )
+    erased_ord = orders.join(
+        F.broadcast(erased_cust),
+        orders["o_custkey"] == erased_cust["c_custkey"],
+    ).select("o_orderkey")
+
+    def erase() -> None:
+        append_deletion_vector(
+            erased_cust, os.path.join(root, "customer")
+        )
+        append_deletion_vector(erased_ord, os.path.join(root, "orders"))
+        append_deletion_vector(
+            erased_ord.select(F.col("o_orderkey").alias("l_orderkey")),
+            os.path.join(root, "lineitem"),
+        )
+
+    d = os.path.join(root, ".erased")
+    os.makedirs(d, exist_ok=True)
+    _build_once(d, erase)
+
+    vc = read_mor_table(spark, os.path.join(root, "customer"), "c_custkey")
+    vo = read_mor_table(spark, os.path.join(root, "orders"), "o_orderkey")
+    vl = read_mor_table(spark, os.path.join(root, "lineitem"), "l_orderkey")
+    out_c = vc.agg(
+        F.count("*").cast("bigint").alias("n_visible"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("customer").alias("tbl"), "n_visible", "key_sum")
+    out_o = vo.agg(
+        F.count("*").cast("bigint").alias("n_visible"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("orders").alias("tbl"), "n_visible", "key_sum")
+    out_l = vl.agg(
+        F.count("*").cast("bigint").alias("n_visible"),
+        F.sum(F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+        .cast("bigint").alias("key_sum"),
+    ).select(F.lit("lineitem").alias("tbl"), "n_visible", "key_sum")
+    return out_c.unionByName(out_o).unionByName(out_l)
+
+
 #: Single pinned freshness bound shared by the a13 Spark rule list and its
 #: oracle SQL — one constant, so the contract cannot silently diverge as the
 #: fixtures age (the testdata's max o_orderdate is well before this).

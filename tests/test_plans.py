@@ -927,3 +927,12 @@ def test_u12_deletion_vector_read_broadcasts_tombstones(spark):
     kilobyte-scale delete set."""
     p = _plan(spark, "u12_deletion_vectors")
     assert "BroadcastHashJoin LeftAnti" in p
+
+
+def test_u13_cascade_delete_all_reads_broadcast_tombstones(spark):
+    """The GDPR cascade reads three merge-on-read tables in one plan:
+    every tombstone subtraction must be a broadcast left anti join
+    (one per table), and no shuffle anti-join may appear."""
+    p = _plan(spark, "u13_cascade_delete")
+    assert p.count("BroadcastHashJoin LeftAnti") >= 3
+    assert "SortMergeJoin LeftAnti" not in p
