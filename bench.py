@@ -182,8 +182,10 @@ HEADLINE = [
     "d4_ann_recall",
     "d4_mmr_ann",
     # GDPR erasure cascade across three merge-on-read tables (cold rep
-    # includes the three base writes + tombstone appends)
+    # includes the three base writes + tombstone appends); scene-cut
+    # detection over tar-of-BMP-frame video shards
     "u13_cascade_delete",
+    "d5_scene_cuts",
 ]
 
 

@@ -3053,6 +3053,157 @@ def _bmp_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
 
 
+def _video_tar_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared VIDEO fixture for d5_scene_cuts: one genuine ustar archive
+    per doc_id, holding 5..7 genuine 24-bpp BMP frames
+    (frame_<k>.bmp) whose pixels follow a closed form with a hard
+    scene change at frame 2 + doc_id % 3 — value(channel, x) =
+    base(channel, scene, frame) + x, bases chosen so no value ever
+    wraps mod 256 (the SQL oracle needs plain arithmetic). Frames
+    alternate storage orientation (even = bottom-up, odd = top-down)
+    and carry live stride padding; tar headers carry REAL verified
+    checksums (the member walk rejects forgeries). Per-pixel Python
+    over <=24-px frames — synthesis only; the OPERATOR decodes
+    vectorized."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def tar_header(name: str, size: int) -> bytes:
+        h = bytearray(512)
+        nb = name.encode("ascii")
+        h[0:len(nb)] = nb
+        h[100:108] = b"0000644\0"
+        h[108:116] = b"0000000\0"
+        h[116:124] = b"0000000\0"
+        h[124:136] = ("%011o" % size).encode("ascii") + b"\0"
+        h[136:148] = b"00000000000\0"
+        h[148:156] = b" " * 8  # checksum field reads as spaces
+        h[156] = ord("0")
+        h[257:263] = b"ustar\0"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = ("%06o" % chk).encode("ascii") + b"\0 "
+        return bytes(h)
+
+    def bmp(v: int, f: int) -> bytes:
+        w, h = 4 + v % 3, 3 + v % 2
+        scene = 0 if f < 2 + v % 3 else 1
+        br = 20 + 120 * scene + f
+        bg = 40 + 90 * scene + 2 * f
+        bb = 60 + 60 * scene + 3 * f
+        topdown = f % 2 == 1
+        stride = (w * 3 + 3) // 4 * 4
+        body = bytearray()
+        yorder = range(h) if topdown else range(h - 1, -1, -1)
+        for _y in yorder:
+            row = bytearray()
+            for x in range(w):
+                row.append(bb + x)  # stored BGR
+                row.append(bg + x)
+                row.append(br + x)
+            row.extend(b"\0" * (stride - len(row)))
+            body.extend(row)
+        header = (
+            b"BM"
+            + (54 + len(body)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + (-h if topdown else h).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + b"\x00" * 24
+        )
+        return bytes(header) + bytes(body)
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                v = int(did)
+                tar = bytearray()
+                for f in range(5 + v % 3):
+                    data = bmp(v, f)
+                    tar += tar_header(f"frame_{f:03d}.bmp", len(data))
+                    tar += data
+                    tar += b"\0" * ((512 - len(data) % 512) % 512)
+                tar += b"\0" * 1024  # end-of-archive marker
+                ids.append(v)
+                blobs.append(bytes(tar))
+            yield pd.DataFrame({"video_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema="video_id BIGINT, content BINARY")
+
+
+@register(
+    "d5_scene_cuts",
+    oracle="""
+    SELECT doc_id AS video_id,
+           CAST(2 + doc_id % 3 AS BIGINT) AS cut_frame,
+           CAST(5 + doc_id % 3 AS BIGINT) AS n_frames,
+           CAST((4 + doc_id % 3) * (3 + doc_id % 2) * 121 AS BIGINT)
+             AS jump_r,
+           CAST((4 + doc_id % 3) * (3 + doc_id % 2) * 92 AS BIGINT)
+             AS jump_g,
+           CAST((4 + doc_id % 3) * (3 + doc_id % 2) * 63 AS BIGINT)
+             AS jump_b
+    FROM documents
+    """,
+    doc="D5 [north-star multimodal, TEMPORAL]: SCENE-CUT detection over "
+    "videos shipped as tar shards of image frames — the WebDataset "
+    "video layout: operators/multimodal.py:tar_bmp_frame_stats walks "
+    "each clip's verified ustar members, decodes every 24-bpp frame "
+    "(both orientations, live stride padding), and emits exact int64 "
+    "per-frame channel sums; the cut detector is then plain window "
+    "algebra — lag() per video over frame_idx (parsed from the member "
+    "NAME, so a re-packed shard keeps its timeline), flag frames "
+    "where the red-channel jump exceeds 50 per pixel. Exactly one cut "
+    "per clip by construction; the oracle states every clip's cut "
+    "frame, frame count, and all three channel jump magnitudes in "
+    "closed form, so a checksum walk, decode, name-parse, or window "
+    "bug shifts the result. (Channel SUMS are row-order invariant — "
+    "orientation is pinned by d5_bmp_pixels/d5_bmp_resize.) At 100 TB: "
+    "one narrow pass over the shard blobs (fan-out = frames per "
+    "clip), one shuffle on video_id for the lag window — the shape of "
+    "any temporal-feature extraction over a video corpus.",
+)
+def d5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.multimodal import (
+        tar_bmp_frame_stats,
+    )
+
+    frames = tar_bmp_frame_stats(_video_tar_fixture(spark, sf_dir))
+    w = W.partitionBy("video_id").orderBy("frame_idx")
+    jumps = frames.select(
+        "video_id",
+        "frame_idx",
+        "n_pixels",
+        F.abs(F.col("sum_r") - F.lag("sum_r").over(w)).alias("jump_r"),
+        F.abs(F.col("sum_g") - F.lag("sum_g").over(w)).alias("jump_g"),
+        F.abs(F.col("sum_b") - F.lag("sum_b").over(w)).alias("jump_b"),
+    )
+    counts = frames.groupBy("video_id").agg(
+        F.count("*").cast("bigint").alias("n_frames")
+    )
+    cuts = jumps.filter(
+        F.col("jump_r") > 50 * F.col("n_pixels")
+    ).select(
+        "video_id",
+        F.col("frame_idx").alias("cut_frame"),
+        F.col("jump_r").cast("bigint").alias("jump_r"),
+        F.col("jump_g").cast("bigint").alias("jump_g"),
+        F.col("jump_b").cast("bigint").alias("jump_b"),
+    )
+    return cuts.join(counts, "video_id").select(
+        "video_id", "cut_frame", "n_frames", "jump_r", "jump_g", "jump_b"
+    )
+
+
 @register(
     "d5_bmp_pixels",
     oracle="""

@@ -502,3 +502,56 @@ def test_bmp_histogram_counts_every_pixel_once(spark):
     for (mid, _ch), tot in totals.items():
         assert tot == stats[mid], (mid, _ch, tot, stats[mid])
     assert hist.filter(F.col("n") <= 0).count() == 0  # occupied bins only
+
+
+def test_tar_bmp_frame_stats_walk_decode_and_skip(spark):
+    """The video-shard walk must parse frame indices from member NAMES
+    (not order), skip non-BMP and checksum-corrupt members, and emit
+    exact per-frame channel sums (cross-checked against a Python sum
+    over the same synthesized pixels)."""
+    from citydata_etl_spark.operators.multimodal import (
+        tar_bmp_frame_stats,
+    )
+    from citydata_etl_spark.plans.queries_llm import _video_tar_fixture
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    vids = _video_tar_fixture(spark, "/root/testdata/sf0.001")
+    one = vids.limit(1).collect()[0]
+    vid, blob = one["video_id"], bytes(one["content"])
+
+    # python model of the fixture's closed form
+    v = int(vid)
+    w, h = 4 + v % 3, 3 + v % 2
+    nf, fc = 5 + v % 3, 2 + v % 3
+    def sums(f):
+        scene = 0 if f < fc else 1
+        br, bg, bb = 20 + 120*scene + f, 40 + 90*scene + 2*f, 60 + 60*scene + 3*f
+        sx = sum(range(w)) * h
+        return (w*h*br + sx, w*h*bg + sx, w*h*bb + sx)
+
+    # corrupt the SECOND member's checksum byte: the walk stops there
+    # (tar walks are sequential), leaving only frame 0
+    second_hdr = None
+    pos = 0
+    hdrs = []
+    while blob[pos:pos+512] != b"\0"*512:
+        hdrs.append(pos)
+        size = int(blob[pos+124:pos+136].split(b"\0")[0], 8)
+        pos += 512 + ((size + 511)//512)*512
+    assert len(hdrs) == nf
+    corrupt = bytearray(blob)
+    corrupt[hdrs[1] + 148] = ord("7")  # break checksum of member 2
+    df = spark.createDataFrame(
+        [(1, blob), (2, bytes(corrupt)), (3, b"not a tar at all")],
+        "video_id LONG, content BINARY",
+    )
+    rows = tar_bmp_frame_stats(df).collect()
+    got = {(r["video_id"], r["frame_idx"]): (r["sum_r"], r["sum_g"], r["sum_b"], r["n_pixels"])
+           for r in rows}
+    # intact copy: every frame, exact sums
+    for f in range(nf):
+        assert got[(1, f)] == (*sums(f), w*h)
+    # corrupt copy: only frame 0 (walk stops at the bad checksum)
+    assert [k for k in got if k[0] == 2] == [(2, 0)]
+    # garbage blob: nothing
+    assert not [k for k in got if k[0] == 3]
