@@ -186,6 +186,8 @@ HEADLINE = [
     # detection over tar-of-BMP-frame video shards
     "u13_cascade_delete",
     "d5_scene_cuts",
+    # partition-spec evolution read (cold rep writes both spec roots)
+    "s20_partition_evolution",
 ]
 
 

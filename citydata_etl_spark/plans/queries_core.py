@@ -943,6 +943,78 @@ def s14_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s20_partition_evolution",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+      AND event_type = 'click'
+    GROUP BY day
+    """,
+    doc="S20 (lakehouse layout: PARTITION SPEC EVOLUTION): the table "
+    "changed its partitioning mid-life — history is laid out by day "
+    "only, everything from the 2024-01-16 cutover onward by "
+    "(day, event_type) — and ONE reader serves queries across the "
+    "boundary: the two spec roots are scanned separately and "
+    "unionByName'd, so each side keeps ITS OWN partition pruning "
+    "(both prune day; the evolved side ALSO prunes event_type at the "
+    "directory level, while pre-cutover files can only filter it "
+    "post-scan — exactly the read-amplification asymmetry that "
+    "motivates the evolution, and why engines never rewrite history "
+    "to the new spec eagerly). This is Iceberg/Delta partition "
+    "evolution expressed with plain parquet + a union; the plan guard "
+    "pins event_type in the evolved scan's PartitionFilters and day "
+    "pruning on both. The oracle states the logical answer over the "
+    "unpartitioned source — layout must never change results. At "
+    "100 TB: spec-v2 queries on the hot filter read "
+    "1/n_event_types of the new data and day-bounded slices of both.",
+)
+def s20_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"s20_evo_{tag}")
+    v1, v2 = os.path.join(root, "spec1"), os.path.join(root, "spec2")
+    cutover = "2024-01-16"
+
+    def build() -> None:
+        ev = read_testdata(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ).withColumn("day", F.to_date("ts"))
+        ev.filter(F.col("day") < F.lit(cutover)).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(v1)
+        ev.filter(F.col("day") >= F.lit(cutover)).write.mode(
+            "overwrite"
+        ).partitionBy("day", "event_type").parquet(v2)
+
+    _build_once(root, build)
+    old = spark.read.parquet(v1)
+    new = spark.read.parquet(v2)
+    both = old.unionByName(new)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return (
+        both.filter(
+            (F.col("day") >= F.lit("2024-01-10"))
+            & (F.col("day") <= F.lit("2024-01-20"))
+            & (F.col("event_type") == "click")
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
+@register(
     "s15_corrupt_records",
     oracle="""
     SELECT CASE WHEN o_orderkey % 10 = 0 THEN '<corrupt>'

@@ -929,6 +929,18 @@ def test_u12_deletion_vector_read_broadcasts_tombstones(spark):
     assert "BroadcastHashJoin LeftAnti" in p
 
 
+def test_s20_partition_evolution_prunes_each_spec(spark):
+    """Partition-spec evolution read shape: both spec roots must prune
+    day at the directory level, and the evolved root must ALSO prune
+    event_type — its PartitionFilters carries the event_type equality
+    while the legacy root can only apply it as a data Filter."""
+    p = _plan(spark, "s20_partition_evolution")
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) == 2  # one scan per spec root
+    assert all("day" in ln for ln in pf)
+    assert sum("event_type" in ln for ln in pf) == 1  # evolved side only
+
+
 def test_u13_cascade_delete_all_reads_broadcast_tombstones(spark):
     """The GDPR cascade reads three merge-on-read tables in one plan:
     every tombstone subtraction must be a broadcast left anti join
