@@ -186,8 +186,10 @@ HEADLINE = [
     # detection over tar-of-BMP-frame video shards
     "u13_cascade_delete",
     "d5_scene_cuts",
-    # partition-spec evolution read (cold rep writes both spec roots)
+    # partition-spec evolution read (cold rep writes both spec roots);
+    # IVF recall vs exact (the second ANN family's recall row)
     "s20_partition_evolution",
+    "d4_ann_ivf_recall",
 ]
 
 

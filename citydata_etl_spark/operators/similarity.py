@@ -1872,12 +1872,25 @@ def ann_recall_at_k(
     shuffle; blocked matmul) plus one (query, neighbor) equi-join and
     one groupBy query — both shuffles on query_id, no new corpus-sized
     state."""
-    exact = brute_force_topk(
-        emb, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
     ann = lsh_bucket_topk_exactsign(
         emb, k=k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
+    return recall_vs_exact(emb, ann, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def recall_vs_exact(
+    emb: DataFrame, ann: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared recall@k counter against exact cosine top-k for ANY ANN
+    picks table (query_id, neighbor_id) — the tail of ann_recall_at_k,
+    factored so every ANN family (LSH, IVF, PQ) gets the same
+    driver-checkable measurement. Output per query: n_exact, n_ann,
+    n_hit (all BIGINT); recall@k = n_hit / n_exact."""
+    exact = brute_force_topk(
+        emb, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    ann = ann.select("query_id", "neighbor_id")
     hits = exact.join(
         ann.withColumn("hit", F.lit(1)),
         ["query_id", "neighbor_id"],

@@ -478,6 +478,102 @@ def d4_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_ivf_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+      FROM v q, v c WHERE q.vec_id <> c.vec_id),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM exact_pairs) WHERE rnk <= 5),
+    q AS (
+      SELECT vec_id, e,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    seedrank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
+                        vec_id) - 1 AS cidx
+      FROM v),
+    seeds AS (
+      SELECT s.cidx, q.ei AS ci
+      FROM seedrank s JOIN q ON s.vec_id = q.vec_id
+      WHERE s.cidx < 16),
+    dots AS (
+      SELECT q.vec_id, s.cidx,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   q.ei[CAST(d + 1 AS INT)] * s.ci[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS idot
+      FROM q CROSS JOIN seeds s),
+    pr AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cidx) AS prnk
+      FROM dots),
+    assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
+    probes AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk <= 4),
+    ann_pairs AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(vq.e, vn.e)
+                   / (sqrt(list_dot_product(vq.e, vq.e))
+                      * sqrt(list_dot_product(vn.e, vn.e))), 4) AS cos_sim
+      FROM probes p
+      JOIN assign a ON p.cluster = a.cluster AND p.vec_id <> a.vec_id
+      JOIN v vq ON vq.vec_id = p.vec_id
+      JOIN v vn ON vn.vec_id = a.vec_id),
+    ann5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM ann_pairs) WHERE rnk <= 5),
+    agg AS (
+      SELECT e.query_id,
+             count(*) AS n_exact,
+             sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+      FROM exact5 e LEFT JOIN ann5 a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id),
+    lcnt AS (
+      SELECT query_id, count(*) AS n_ann FROM ann5 GROUP BY query_id)
+    SELECT g.query_id, CAST(g.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(g.n_hit AS BIGINT) AS n_hit
+    FROM agg g LEFT JOIN lcnt c ON g.query_id = c.query_id
+    """,
+    doc="D4: RECALL@5 of the IVF path vs exact cosine top-5 — "
+    "d4_ann_recall's driver-checkable measurement applied to the "
+    "second ANN family: the ANN side is the oracle-exact IVF twin's "
+    "assign/probe topology (d4_ann_ivf_rank), the exact side the "
+    "blocked distributed matmul, joined into per-query integer "
+    "counters by the shared recall_vs_exact "
+    "(operators/similarity.py). IVF at 4/16 probes recalls far "
+    "better than single-table LSH on this near-uniform fixture "
+    "(~0.5 vs ~0.04 mean recall@5) because probing a QUARTER of the "
+    "corpus bounds how much a bad partition can hide — the exact "
+    "comparison a deployment makes when choosing its index, now a "
+    "hash-checked row instead of a claim.",
+)
+def d4_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    ann = S.ivf_topk_exactseed(emb, k=5, n_centroids=16, n_probe=4)
+    return S.recall_vs_exact(emb, ann, k=5)
+
+
+@register(
     "d4_dedup_groups",
     oracle="""
     WITH RECURSIVE tokl AS (
