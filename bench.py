@@ -190,6 +190,8 @@ HEADLINE = [
     # IVF recall vs exact (the second ANN family's recall row)
     "s20_partition_evolution",
     "d4_ann_ivf_recall",
+    # last-touch revenue attribution (RANGE-frame running max per user)
+    "a22_attribution",
 ]
 
 

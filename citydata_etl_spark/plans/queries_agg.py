@@ -376,6 +376,87 @@ def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a22_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+    w AS (
+      SELECT user_id, event_type, value, tus,
+             max(CASE WHEN event_type = 'click' THEN tus END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+             max(CASE WHEN event_type = 'view' THEN tus END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      FROM e),
+    p AS (SELECT * FROM w WHERE event_type = 'purchase')
+    SELECT CASE WHEN lc IS NOT NULL AND lc >= tus - 3600000000
+                     AND (lv IS NULL OR lc >= lv) THEN 'click'
+                WHEN lv IS NOT NULL AND lv >= tus - 3600000000
+                  THEN 'view'
+                ELSE 'organic' END AS attribution,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM p GROUP BY attribution
+    """,
+    doc="A22 (marketing analytics): LAST-TOUCH REVENUE ATTRIBUTION — "
+    "each purchase credits the same user's most recent preceding "
+    "click or view within a 1-hour horizon (most-recent wins, click "
+    "beats view on an exact timestamp tie), else 'organic'. The "
+    "carried last-touch timestamps come from running-max windows with "
+    "a RANGE frame ordered by epoch-MICROSECONDS — a ROWS frame would "
+    "make the answer depend on how each engine happens to order "
+    "equal-timestamp peers, the classic nondeterminism this catalog's "
+    "tie-break rule exists to kill; RANGE includes all peers on both "
+    "engines identically. One shuffle on user_id for the windows, one "
+    "on the 3-value attribution key for the rollup; at 100 TB the "
+    "window state is two timestamps per user — this is the shape "
+    "attribution jobs actually run, not a per-purchase point lookup.",
+)
+def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    H = 3_600_000_000  # 1 hour in microseconds
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("tus"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    lc = F.max(
+        F.when(F.col("event_type") == "click", F.col("tus"))
+    ).over(w)
+    lv = F.max(
+        F.when(F.col("event_type") == "view", F.col("tus"))
+    ).over(w)
+    pur = (
+        ev.withColumn("lc", lc)
+        .withColumn("lv", lv)
+        .filter(F.col("event_type") == "purchase")
+    )
+    att = (
+        F.when(
+            F.col("lc").isNotNull()
+            & (F.col("lc") >= F.col("tus") - H)
+            & (F.col("lv").isNull() | (F.col("lc") >= F.col("lv"))),
+            F.lit("click"),
+        )
+        .when(
+            F.col("lv").isNotNull() & (F.col("lv") >= F.col("tus") - H),
+            F.lit("view"),
+        )
+        .otherwise(F.lit("organic"))
+    )
+    return pur.groupBy(att.alias("attribution")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint").alias("revenue_cents"),
+    )
+
+
+@register(
     "a3_rollup",
     oracle="""
     SELECT r_name, n_name, count(*) AS n_customers,

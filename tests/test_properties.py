@@ -1600,3 +1600,79 @@ def test_mmr_batch_matches_python_model_all_queries(spark, vecs):
         if out:
             expect[q] = out
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=9),      # coarse time unit
+            st.sampled_from(["click", "view", "purchase", "error"]),
+            st.integers(min_value=0, max_value=300),    # cents
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_attribution_matches_python_model(spark, events):
+    """a22's last-touch attribution vs a pure-Python model on random
+    streams where TIMESTAMP COLLISIONS are likely (10 coarse time
+    units): the RANGE frame must make equal-ts peers visible to each
+    other deterministically, click must beat view on an exact tie,
+    and the 1-unit horizon must exclude older touches."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    H = 3_600_000_000
+    rows = [
+        (u, t * H, et, c / 100.0) for u, t, et, c in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, tus LONG, event_type STRING, value DOUBLE"
+    )
+    w = (W.partitionBy("user_id").orderBy("tus")
+         .rangeBetween(W.unboundedPreceding, 0))
+    lc = F.max(F.when(F.col("event_type") == "click", F.col("tus"))).over(w)
+    lv = F.max(F.when(F.col("event_type") == "view", F.col("tus"))).over(w)
+    pur = (df.withColumn("lc", lc).withColumn("lv", lv)
+           .filter(F.col("event_type") == "purchase"))
+    att = (
+        F.when(F.col("lc").isNotNull()
+               & (F.col("lc") >= F.col("tus") - H)
+               & (F.col("lv").isNull() | (F.col("lc") >= F.col("lv"))),
+               F.lit("click"))
+        .when(F.col("lv").isNotNull() & (F.col("lv") >= F.col("tus") - H),
+              F.lit("view"))
+        .otherwise(F.lit("organic"))
+    )
+    got = {
+        r["attribution"]: (r["n"], r["cents"])
+        for r in pur.groupBy(att.alias("attribution")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .alias("cents"),
+        ).collect()
+    }
+
+    from collections import defaultdict
+    model = defaultdict(lambda: [0, 0])
+    for u, t, et, c in events:
+        if et != "purchase":
+            continue
+        tus = t * H
+        lc_m = max((tt * H for uu, tt, ee, _ in events
+                    if uu == u and ee == "click" and tt * H <= tus),
+                   default=None)
+        lv_m = max((tt * H for uu, tt, ee, _ in events
+                    if uu == u and ee == "view" and tt * H <= tus),
+                   default=None)
+        if lc_m is not None and lc_m >= tus - H and (
+                lv_m is None or lc_m >= lv_m):
+            k = "click"
+        elif lv_m is not None and lv_m >= tus - H:
+            k = "view"
+        else:
+            k = "organic"
+        model[k][0] += 1
+        model[k][1] += c
+    assert got == {k: tuple(v) for k, v in model.items()}
