@@ -191,7 +191,9 @@ HEADLINE = [
     "s20_partition_evolution",
     "d4_ann_ivf_recall",
     # last-touch revenue attribution (RANGE-frame running max per user)
+    # and its streaming twin (two-int64 per-user state)
     "a22_attribution",
+    "t18_stream_attribution",
 ]
 
 

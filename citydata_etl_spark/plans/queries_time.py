@@ -1553,3 +1553,81 @@ def t16_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+@register(
+    "t18_stream_attribution",
+    # identical contract to the batch twin a22_attribution: on a
+    # per-user time-monotone bounded feed the two-timestamp state
+    # reproduces the RANGE-frame running max exactly
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+    w AS (
+      SELECT user_id, event_type, value, tus,
+             max(CASE WHEN event_type = 'click' THEN tus END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+             max(CASE WHEN event_type = 'view' THEN tus END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      FROM e),
+    p AS (SELECT * FROM w WHERE event_type = 'purchase')
+    SELECT CASE WHEN lc IS NOT NULL AND lc >= tus - 3600000000
+                     AND (lv IS NULL OR lc >= lv) THEN 'click'
+                WHEN lv IS NOT NULL AND lv >= tus - 3600000000
+                  THEN 'view'
+                ELSE 'organic' END AS attribution,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM p GROUP BY attribution
+    """,
+    doc="T18 (streaming attribution): the STREAMING twin of "
+    "a22_attribution — every purchase is credited the moment it "
+    "arrives, against per-user state of exactly TWO int64s (latest "
+    "click ts, latest view ts), via applyInPandasWithState "
+    "(streaming/stateful.py:streaming_last_touch_attribution). The "
+    "batch form scans history with a RANGE-frame running max; the "
+    "stream carries the same two values across micro-batches, with "
+    "the RANGE tie semantics preserved (touches AT a timestamp absorb "
+    "before purchases AT it attribute, click beats a tied view), so "
+    "the bounded replay equals the batch twin EXACTLY and the SAME "
+    "oracle SQL checks both. State is bounded by users ever seen — "
+    "never by event history — which is what lets attribution run "
+    "forever; the cross-micro-batch state path is pinned in "
+    "tests/test_streaming.py. Per-user monotone admission is the t10 "
+    "contract; out-of-order feeds need the buffered variant, not a "
+    "silent approximation.",
+)
+def t18_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.sources.readers import read_testdata as _rt
+    from citydata_etl_spark.streaming.stateful import (
+        streaming_last_touch_attribution,
+    )
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    _rt(spark, sf_dir, "events")  # side effects only (confs, ship)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    prepared = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.unix_micros("ts").alias("tus"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    out = streaming_last_touch_attribution(prepared)
+    name = f"t18_stream_attrib_{next(_STREAM_SEQ)}"
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name),
+    )
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("attribution")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -489,3 +489,82 @@ def streaming_late_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def make_attribution_group(horizon_us: int):
+    """Group kernel for streaming last-touch attribution (t18): per-user
+    state is exactly TWO int64s — the latest click and view timestamps
+    seen so far (-1 = never) — updated and consulted in event-time
+    order with RANGE-frame tie semantics: all touches AT a timestamp
+    are absorbed before any purchase AT that timestamp is attributed,
+    so a click tied with the purchase counts (and beats a tied view),
+    exactly like the batch twin's RANGE window. Purchases emit
+    immediately (no timeout to wait for); state never grows with
+    history."""
+
+    def attribution_group(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        lc, lv = state.get if state.exists else (-1, -1)
+        out_att, out_cents = [], []
+        for tus in sorted(rows["tus"].unique()):
+            sub = rows[rows["tus"] == tus]
+            if (sub["event_type"] == "click").any():
+                lc = max(lc, int(tus))
+            if (sub["event_type"] == "view").any():
+                lv = max(lv, int(tus))
+            for _, r in sub[sub["event_type"] == "purchase"].iterrows():
+                t = int(r["tus"])
+                if lc >= 0 and lc >= t - horizon_us and (
+                        lv < 0 or lc >= lv):
+                    att = "click"
+                elif lv >= 0 and lv >= t - horizon_us:
+                    att = "view"
+                else:
+                    att = "organic"
+                out_att.append(att)
+                out_cents.append(int(r["cents"]))
+        state.update((lc, lv))
+        if out_att:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array(
+                        [int(key[0])] * len(out_att), dtype="int64"
+                    ),
+                    "attribution": pd.array(out_att, dtype="string"),
+                    "cents": pd.array(out_cents, dtype="int64"),
+                }
+            )
+
+    return attribution_group
+
+
+def streaming_last_touch_attribution(
+    events_stream: DataFrame, horizon_us: int = 3_600_000_000
+) -> DataFrame:
+    """STREAMING last-touch attribution — the unbounded-stream twin of
+    a22_attribution: every purchase is credited the moment it arrives,
+    against per-user state of just two timestamps (latest click, latest
+    view). The batch form scans history with a RANGE-frame running
+    max; this form carries the same two values forward across
+    micro-batches, so output equals the batch twin EXACTLY on any
+    per-user time-monotone feed (the t10 monotonicity contract: a
+    bounded ordered replay, or watermark-0 admission). Out-of-order
+    delivery behind a user's max seen timestamp would need a buffered
+    variant (see streaming_dynamic_gap_sessions' discussion) — not
+    silently approximated here.
+
+    Input: (user_id, event_type, tus BIGINT epoch-micros, cents BIGINT).
+    Output: one row per purchase (user_id, attribution, cents),
+    append-mode; aggregate downstream as you would any fact stream.
+    State: 2 int64s per user ever seen — at 100 TB, bounded by users,
+    not events; idle-user eviction would add a ProcessingTimeTimeout
+    exactly as streaming_exact_dedup's TTL does."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        make_attribution_group(horizon_us),
+        outputStructType="user_id LONG, attribution STRING, cents LONG",
+        stateStructType="lc LONG, lv LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -799,3 +799,74 @@ def test_resample_locf_semantics(spark):
         ("a", 30, 1, 30.0, False),
         ("b", 10, 1, 5.0, False),
     ]
+
+
+def test_streaming_attribution_state_across_microbatches(spark, tmp_path):
+    """Last-touch state must carry across micro-batch boundaries: the
+    touches (click/view) arrive in batch 1, the purchases in batch 2
+    (maxFilesPerTrigger=1, time-ordered files), so every attribution
+    decision in batch 2 depends ONLY on state. Also pins the RANGE tie
+    semantics (a click tied with the purchase wins over an earlier
+    view) and the horizon cutoff."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.plans.queries_time import (
+        _await_with_state_partitions,
+    )
+    from citydata_etl_spark.streaming.stateful import (
+        streaming_last_touch_attribution,
+    )
+
+    H = 3_600_000_000
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    early = [
+        # user 1: click then view (view more recent -> view wins later)
+        (1, "click", 0, 0),
+        (1, "view", 1 * H // 4, 0),
+        # user 2: click long ago (outside horizon at purchase time)
+        (2, "click", 0, 0),
+        # user 3: view only
+        (3, "view", 1 * H // 2, 0),
+    ]
+    late = [
+        # purchases: all in a LATER file/batch
+        (1, "purchase", H // 2, 100),        # view at H/4 wins
+        (2, "purchase", 2 * H, 200),         # click aged out -> organic
+        (3, "purchase", H, 300),             # tied click wins (RANGE:
+        (3, "click", H, 0),                  # peers at a tus are visible
+        (3, "purchase", H, 400),             # to EVERY purchase at it)
+        (4, "purchase", H, 500),             # no touch ever -> organic
+    ]
+    for name, rows in (("a_early", early), ("b_late", late)):
+        spark.createDataFrame(
+            rows, "user_id LONG, event_type STRING, tus LONG, cents LONG"
+        ).coalesce(1).write.parquet(os.path.join(d, name))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_type STRING, tus LONG, cents LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*", ""))
+    )
+    out = streaming_last_touch_attribution(stream)
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t18_xbatch"),
+    )
+    got = {
+        (r["user_id"], r["cents"]): r["attribution"]
+        for r in spark.sql("SELECT * FROM t18_xbatch").collect()
+    }
+    assert got == {
+        (1, 100): "view",
+        (2, 200): "organic",
+        (3, 300): "click",    # RANGE peers: intra-tus order is not a
+        (3, 400): "click",    # thing in the batch twin either
+        (4, 500): "organic",
+    }, got
