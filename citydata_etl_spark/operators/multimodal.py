@@ -914,11 +914,17 @@ def tar_bmp_frame_stats(archives: DataFrame,
     enumerates members (checksum-verified headers), _decode_bmp24
     decodes each frame (both storage orientations, live stride
     padding), and each frame emits exact int64 (n_pixels, sum_r/g/b).
-    Frame index parses from the member name (frame_<k>.bmp), not
-    member order, so a re-packed shard keeps its timeline. Non-BMP or
-    corrupt members are skipped (triage convention); one Arrow batch
-    in, one frame-stats frame out — no per-pixel Python, column
-    arrays assembled per batch.
+    Frame index parses from the member name's frame_<k>.bmp field
+    (anchored — a digit elsewhere in the path, e.g. clip012/, is not
+    a frame number), not member order, so a re-packed shard keeps its
+    timeline. Non-BMP and non-frame members are skipped individually
+    (triage convention); a CHECKSUM-corrupt header terminates that
+    shard's walk — its size field cannot be trusted to find the next
+    header, so later members are unreachable, and a clip that lost
+    part of its timeline this way shows up as missing frames (count
+    it against n_frames downstream; pinned in the unit test). One
+    Arrow batch in, one frame-stats frame out — no per-pixel Python,
+    column arrays assembled per batch.
 
     This is the decode half of temporal analysis (scene-cut detection,
     inter-frame motion energy): downstream is plain DataFrame window
@@ -935,7 +941,7 @@ def tar_bmp_frame_stats(archives: DataFrame,
             vids, fidx, npx, sr, sg, sb = [], [], [], [], [], []
             for vid, blob in zip(pdf[id_col], pdf[content_col]):
                 for name, size, off in _walk_tar(blob):
-                    m = re.search(r"(\d+)", name)
+                    m = re.search(r"frame_(\d+)\.bmp$", name)
                     if m is None:
                         continue
                     decoded = _decode_bmp24(

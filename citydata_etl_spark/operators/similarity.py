@@ -1818,21 +1818,31 @@ def mmr_batch_ann(
     Same contract as mmr_batch: query ids must be existing corpus ids
     (deduplicated here; missing ids silently absent)."""
     seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
-    base = emb.select(
-        F.col(id_col).alias("nid"), _micros(F.col(vec_col)).alias("vi")
+    base = scoped_persist(
+        emb.select(
+            F.col(id_col).alias("nid"), _micros(F.col(vec_col)).alias("vi")
+        )
     )
     pw = W.partitionBy("nid").orderBy(F.col("idot").desc(), F.col("cidx"))
+    # persist the probe table NARROW — (nid, cidx, prnk) only: carrying
+    # the vector through all n_probe rows would cache ~n_probe copies
+    # of the corpus; vectors re-join from the single persisted `base`
+    # where actually consumed (the prnk==1 assign rows and the handful
+    # of query rows)
     pr = scoped_persist(
         base.crossJoin(F.broadcast(seeds.select("cidx", "ci")))
         .withColumn("idot", _idot(F.col("vi"), F.col("ci")))
         .withColumn("prnk", F.row_number().over(pw))
         .filter(F.col("prnk") <= n_probe)
-        .select("nid", "vi", "cidx", "prnk")
+        .select("nid", "cidx", "prnk")
     )
-    assign = pr.filter(F.col("prnk") == 1).select("nid", "vi", "cidx")
+    assign = pr.filter(F.col("prnk") == 1).select("nid", "cidx").join(
+        base, "nid"
+    )
     qids = queries.select(F.col(query_col).alias("qid")).distinct()
     probes = (
         pr.join(qids, F.col("nid") == F.col("qid"))
+        .join(base, "nid")
         .select("qid", F.col("vi").alias("qi"), "cidx")
     )
     cand0 = (

@@ -375,9 +375,10 @@ def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a22_attribution",
-    oracle="""
+#: ONE statement of the last-touch attribution contract, shared by
+#: the batch entry (a22) and its streaming twin (t18, queries_time.py)
+#: so the two can never silently check different horizons or tie rules.
+ATTRIBUTION_ORACLE = """
     WITH e AS (
       SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events),
     w AS (
@@ -399,7 +400,12 @@ def a21_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM p GROUP BY attribution
-    """,
+    """
+
+
+@register(
+    "a22_attribution",
+    oracle=ATTRIBUTION_ORACLE,
     doc="A22 (marketing analytics): LAST-TOUCH REVENUE ATTRIBUTION — "
     "each purchase credits the same user's most recent preceding "
     "click or view within a 1-hour horizon (most-recent wins, click "

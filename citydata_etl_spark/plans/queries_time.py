@@ -77,6 +77,10 @@ def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from citydata_etl_spark.plans.queries_agg import (  # noqa: E402
+    ATTRIBUTION_ORACLE as _ATTRIBUTION_ORACLE,
+)
+
 _STREAM_SEQ = iter(range(1_000_000))
 
 _session_tmpdir = session_tmpdir  # shared helper (citydata_etl_spark.util)
@@ -1560,29 +1564,7 @@ def t16_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical contract to the batch twin a22_attribution: on a
     # per-user time-monotone bounded feed the two-timestamp state
     # reproduces the RANGE-frame running max exactly
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events),
-    w AS (
-      SELECT user_id, event_type, value, tus,
-             max(CASE WHEN event_type = 'click' THEN tus END) OVER
-               (PARTITION BY user_id ORDER BY tus
-                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
-             max(CASE WHEN event_type = 'view' THEN tus END) OVER
-               (PARTITION BY user_id ORDER BY tus
-                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
-      FROM e),
-    p AS (SELECT * FROM w WHERE event_type = 'purchase')
-    SELECT CASE WHEN lc IS NOT NULL AND lc >= tus - 3600000000
-                     AND (lv IS NULL OR lc >= lv) THEN 'click'
-                WHEN lv IS NOT NULL AND lv >= tus - 3600000000
-                  THEN 'view'
-                ELSE 'organic' END AS attribution,
-           count(*) AS n,
-           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-             AS revenue_cents
-    FROM p GROUP BY attribution
-    """,
+    oracle=_ATTRIBUTION_ORACLE,
     doc="T18 (streaming attribution): the STREAMING twin of "
     "a22_attribution — every purchase is credited the moment it "
     "arrives, against per-user state of exactly TWO int64s (latest "
@@ -1596,18 +1578,20 @@ def t16_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle SQL checks both. State is bounded by users ever seen — "
     "never by event history — which is what lets attribution run "
     "forever; the cross-micro-batch state path is pinned in "
-    "tests/test_streaming.py. Per-user monotone admission is the t10 "
-    "contract; out-of-order feeds need the buffered variant, not a "
-    "silent approximation.",
+    "tests/test_streaming.py. Contract (stated, not approximated): "
+    "per-user monotone admission AND equal-timestamp peers in one "
+    "micro-batch — a tie straddling a batch boundary attributes "
+    "against pre-tie state where the batch RANGE frame would see the "
+    "tied click; feeds that can straddle ties need the buffered "
+    "variant. The bounded single-file replay here satisfies both.",
 )
 def t18_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citydata_etl_spark.sources.readers import read_testdata as _rt
     from citydata_etl_spark.streaming.stateful import (
         streaming_last_touch_attribution,
     )
     from citydata_etl_spark.streaming.windows import read_events_stream
 
-    _rt(spark, sf_dir, "events")  # side effects only (confs, ship)
+    read_testdata(spark, sf_dir, "events")  # side effects only
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     prepared = stream.select(
         F.col("user_id").cast("long").alias("user_id"),

@@ -548,12 +548,18 @@ def streaming_last_touch_attribution(
     against per-user state of just two timestamps (latest click, latest
     view). The batch form scans history with a RANGE-frame running
     max; this form carries the same two values forward across
-    micro-batches, so output equals the batch twin EXACTLY on any
-    per-user time-monotone feed (the t10 monotonicity contract: a
-    bounded ordered replay, or watermark-0 admission). Out-of-order
-    delivery behind a user's max seen timestamp would need a buffered
-    variant (see streaming_dynamic_gap_sessions' discussion) — not
-    silently approximated here.
+    micro-batches, so output equals the batch twin EXACTLY when each
+    user's feed is time-monotone AND equal-timestamp peers arrive in
+    the SAME micro-batch. The second condition is real: watermark-0
+    admission is non-strict (ts >= max seen admits a tie), and a
+    click at tus T landing one batch AFTER a purchase at T attributes
+    that purchase against pre-tie state — the batch twin's RANGE
+    frame would have credited the click, and an already-emitted row
+    cannot be revised. A bounded time-ordered replay (ties sort
+    together) satisfies both conditions; feeds that can straddle ties
+    or deliver behind a user's max need the buffered variant (see
+    streaming_dynamic_gap_sessions' discussion) — not silently
+    approximated here.
 
     Input: (user_id, event_type, tus BIGINT epoch-micros, cents BIGINT).
     Output: one row per purchase (user_id, attribution, cents),
