@@ -194,6 +194,8 @@ HEADLINE = [
     # and its streaming twin (two-int64 per-user state)
     "a22_attribution",
     "t18_stream_attribution",
+    # kNN label propagation (exact top-5 vote over the label table)
+    "d4_knn_label",
 ]
 
 

@@ -574,6 +574,95 @@ def d4_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_knn_label",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+      FROM v q, v c WHERE q.vec_id <> c.vec_id),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM pairs) WHERE rnk <= 5),
+    votes AS (
+      SELECT e.query_id, d.lang, count(*) AS n_votes
+      FROM exact5 e JOIN documents d ON d.doc_id = e.neighbor_id
+      GROUP BY e.query_id, d.lang),
+    win AS (
+      SELECT query_id, lang, n_votes FROM (
+        SELECT query_id, lang, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, lang) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT w.query_id AS doc_id, w.lang AS pred_lang,
+           CAST(w.n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN w.lang = d.lang THEN 1 ELSE 0 END AS BIGINT)
+             AS agrees
+    FROM win w JOIN documents d ON d.doc_id = w.query_id
+    """,
+    doc="D4 (semi-supervised labeling): kNN LABEL PROPAGATION — each "
+    "document takes the MAJORITY language label of its 5 exact-cosine "
+    "nearest neighbors (ties: more votes win, then lexicographically "
+    "smallest label — a total order), with an `agrees` flag against "
+    "its own label riding along, so the row doubles as the "
+    "label-noise audit a curation pipeline runs before training a "
+    "classifier on weak labels. Composition: brute_force_topk's "
+    "blocked distributed matmul -> one equi-join to the label table "
+    "-> two bounded rank windows (votes are <= 5 rows per query). At "
+    "100 TB the exact top-k swaps for the ANN probe exactly as "
+    "d4_mmr_ann demonstrates; everything downstream is unchanged. "
+    "On the near-uniform fixture agreement hovers near the 5-language "
+    "base rate — the honest-measurement convention (see "
+    "d4_ann_recall): the row certifies the MACHINERY bit-for-bit, "
+    "and on clustered corpora the same plan recovers true labels "
+    "(engine test pins >90% agreement on the clustered fixture).",
+)
+def d4_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    nn = S.brute_force_topk(emb, k=5).select("query_id", "neighbor_id")
+    votes = (
+        nn.join(
+            docs.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("lang"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "lang")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "lang")
+    win = (
+        votes.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("lang").alias("pred_lang"), "n_votes")
+    )
+    return win.join(
+        docs.select(F.col("doc_id").alias("query_id"),
+                    F.col("lang").alias("true_lang")),
+        "query_id",
+    ).select(
+        F.col("query_id").alias("doc_id"),
+        "pred_lang",
+        F.col("n_votes").cast("bigint").alias("n_votes"),
+        (F.col("pred_lang") == F.col("true_lang"))
+        .cast("bigint").alias("agrees"),
+    )
+
+
+@register(
     "d4_dedup_groups",
     oracle="""
     WITH RECURSIVE tokl AS (

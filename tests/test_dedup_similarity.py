@@ -1303,3 +1303,37 @@ def test_mmr_batch_agrees_with_exactseed_twin(spark):
     assert set(by_q) == set(qids)
     for q, rnks in by_q.items():
         assert sorted(rnks) == [1, 2, 3], (q, rnks)
+
+
+def test_knn_label_recovers_cluster_labels(spark, clustered_vecs):
+    """On a corpus with real structure, kNN label propagation must
+    recover the true labels: each vector's 3 nearest neighbors are
+    overwhelmingly same-cluster (pinned elsewhere), so the majority
+    vote agrees with the vector's own label >90% of the time. Also
+    pins the deterministic tie-break (more votes, then smallest
+    label)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    nn = S.brute_force_topk(clustered_vecs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    labels = clustered_vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("string").alias("lang"),
+    )
+    votes = nn.join(labels, "neighbor_id").groupBy("query_id", "lang").agg(
+        F.count("*").alias("n_votes")
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "lang")
+    win = (
+        votes.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+    )
+    truth = {
+        r["vec_id"]: str(r["label"]) for r in clustered_vecs.collect()
+    }
+    got = {r["query_id"]: r["lang"] for r in win.collect()}
+    assert set(got) == set(truth)
+    agree = sum(got[q] == truth[q] for q in got) / len(got)
+    assert agree > 0.9, f"kNN label propagation agreement too low: {agree}"
