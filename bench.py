@@ -194,8 +194,10 @@ HEADLINE = [
     # and its streaming twin (two-int64 per-user state)
     "a22_attribution",
     "t18_stream_attribution",
-    # kNN label propagation (exact top-5 vote over the label table)
+    # kNN label propagation (exact top-5 vote over the label table);
+    # integer-exact ray-casting containment join
     "d4_knn_label",
+    "j14_point_in_polygon",
 ]
 
 

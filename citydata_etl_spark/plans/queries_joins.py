@@ -479,6 +479,92 @@ def j10_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j14_point_in_polygon",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             ((c_custkey % 2147483648) * 40503 + 7)
+               % 2147483648 % 360000 - 180000 AS px,
+             ((c_custkey % 2147483648) * 2654435761)
+               % 2147483648 % 120000 - 60000 AS py
+      FROM customer),
+    poly AS (
+      SELECT r_name AS fence,
+             list_transform([3, 1, -2, -2, 1], o ->
+               (r_regionkey * 60 - 120) * 1000
+               + 4000 * (1 + r_regionkey % 2) * o) AS xs,
+             list_transform([0, 2, 2, -1, -3], o ->
+               (r_regionkey * 20 - 40) * 1000
+               + 4000 * (1 + r_regionkey % 2) * o) AS ys
+      FROM region),
+    ks AS (SELECT unnest(range(5)) AS k),
+    crossings AS (
+      SELECT p.c_custkey, g.fence,
+             sum(CASE WHEN
+                   ((g.xs[CAST(ks.k + 1 AS INT)] IS NOT NULL) AND
+                    ((g.ys[CAST(ks.k + 1 AS INT)] <= p.py)
+                     <> (g.ys[CAST((ks.k + 1) % 5 + 1 AS INT)] <= p.py))
+                    AND
+                    (((g.xs[CAST((ks.k + 1) % 5 + 1 AS INT)]
+                       - g.xs[CAST(ks.k + 1 AS INT)])
+                      * (p.py - g.ys[CAST(ks.k + 1 AS INT)])
+                      - (p.px - g.xs[CAST(ks.k + 1 AS INT)])
+                      * (g.ys[CAST((ks.k + 1) % 5 + 1 AS INT)]
+                         - g.ys[CAST(ks.k + 1 AS INT)]) > 0)
+                     = (g.ys[CAST((ks.k + 1) % 5 + 1 AS INT)]
+                        > g.ys[CAST(ks.k + 1 AS INT)])))
+                 THEN 1 ELSE 0 END) AS n_cross
+      FROM pts p CROSS JOIN poly g CROSS JOIN ks
+      GROUP BY p.c_custkey, g.fence)
+    SELECT fence, count(*) AS n_inside,
+           CAST(sum(c_custkey) AS BIGINT) AS id_sum
+    FROM crossings WHERE n_cross % 2 = 1
+    GROUP BY fence
+    """,
+    doc="J14 (spatial containment join): POINT-IN-POLYGON by "
+    "integer-exact ray casting — j11's radius join generalized to "
+    "real fence SHAPES (operators/joins.py:point_in_polygon_join). "
+    "Five irregular pentagon fences synthesized closed-form from the "
+    "region table (integer milli-degree vertices), customers placed "
+    "by the reduced-LCG coordinate streams; containment is crossing "
+    "PARITY of a rightward ray, computed as one aggregate fold over "
+    "the vertex arrays — half-open vertex rule, sign-adjusted "
+    "left-of-edge test, NO division and NO floats anywhere, so both "
+    "engines are bit-identical even for points exactly on an edge "
+    "(a double ray-caster is one ulp from flipping those). Physical "
+    "shape: polygons broadcast, a bounding-box prefilter cuts "
+    "candidates before any edge math (the oracle omits the bbox — "
+    "it cannot change results, which is itself part of the claim). "
+    "At 100 TB: no shuffle until the per-fence rollup.",
+)
+def j14_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    OFFX = [3, 1, -2, -2, 1]
+    OFFY = [0, 2, 2, -1, -3]
+    ck = F.pmod(F.col("c_custkey"), F.lit(2147483648))
+    pts = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((ck * 40503 + 7) % 2147483648 % 360000 - 180000).alias("px"),
+        ((ck * 2654435761) % 2147483648 % 120000 - 60000).alias("py"),
+    )
+    rk = F.col("r_regionkey")
+    cx = (rk * 60 - 120) * 1000
+    cy = (rk * 20 - 40) * 1000
+    s = 4000 * (1 + rk % 2)
+    polys = read_testdata(spark, sf_dir, "region").select(
+        F.col("r_name").alias("fence"),
+        F.array(*[(cx + s * o).cast("bigint") for o in OFFX]).alias("xs"),
+        F.array(*[(cy + s * o).cast("bigint") for o in OFFY]).alias("ys"),
+    )
+    inside = J.point_in_polygon_join(
+        pts, polys, px="px", py="py", poly_id="fence"
+    )
+    return inside.groupBy(F.col("poly_id").alias("fence")).agg(
+        F.count("*").alias("n_inside"),
+        F.sum("c_custkey").cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
     "j11_geo_radius_join",
     oracle="""
     WITH c AS (

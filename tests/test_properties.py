@@ -1676,3 +1676,70 @@ def test_attribution_matches_python_model(spark, events):
         model[k][0] += 1
         model[k][1] += c
     assert got == {k: tuple(v) for k, v in model.items()}
+
+
+@settings(**SETTINGS)
+@given(
+    rects=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=40),
+            st.integers(min_value=-50, max_value=40),
+            st.integers(min_value=1, max_value=30),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1, max_size=4,
+    ),
+    pts=st.lists(
+        st.tuples(st.integers(min_value=-60, max_value=60),
+                  st.integers(min_value=-60, max_value=60)),
+        min_size=1, max_size=20,
+    ),
+)
+def test_point_in_polygon_matches_python_ray_caster(spark, rects, pts):
+    """point_in_polygon_join vs a pure-Python ray caster stating the
+    SAME half-open rule, on random integer rectangles (always simple
+    polygons) and random points — small coordinate ranges make
+    on-edge and on-vertex collisions common, which is exactly where a
+    convention mismatch or an expression bug would show."""
+    from citydata_etl_spark.operators.joins import point_in_polygon_join
+
+    polys = [
+        (i, [x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h])
+        for i, (x0, y0, w, h) in enumerate(rects)
+    ]
+    pdf = spark.createDataFrame(
+        polys, "poly_id LONG, xs ARRAY<BIGINT>, ys ARRAY<BIGINT>"
+    )
+    tdf = spark.createDataFrame(
+        [(j, x, y) for j, (x, y) in enumerate(pts)],
+        "pt_id LONG, px LONG, py LONG",
+    )
+    got = {
+        (r["pt_id"], r["poly_id"])
+        for r in point_in_polygon_join(tdf, pdf).collect()
+    }
+
+    def inside(px, py, xs, ys):
+        n = len(xs)
+        c = 0
+        for k in range(n):
+            x1, y1 = xs[k], ys[k]
+            x2, y2 = xs[(k + 1) % n], ys[(k + 1) % n]
+            if (y1 <= py) != (y2 <= py):
+                t = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                if (t > 0) == (y2 > y1):
+                    c += 1
+        return c % 2 == 1
+
+    want = {
+        (j, i)
+        for j, (x, y) in enumerate(pts)
+        for i, xs, ys in polys
+        if inside(x, y, xs, ys)
+    }
+    assert got == want
+    # sanity on the rule itself: a strictly interior point of any
+    # non-thin rectangle must test inside
+    x0, y0, w, h = rects[0]
+    if w >= 2 and h >= 2:
+        assert inside(x0 + 1, y0 + 1, polys[0][1], polys[0][2])
