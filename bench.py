@@ -198,6 +198,8 @@ HEADLINE = [
     # integer-exact ray-casting containment join
     "d4_knn_label",
     "j14_point_in_polygon",
+    # sliding-window distinct users (non-algebraic agg over Expand)
+    "a23_sliding_distinct",
 ]
 
 

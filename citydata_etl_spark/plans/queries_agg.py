@@ -463,6 +463,51 @@ def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a23_sliding_distinct",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS slot
+      FROM events),
+    w AS (
+      SELECT user_id, slot - 300 * o.o AS window_start
+      FROM e, (SELECT unnest([0, 1]) AS o) o),
+    valid AS (SELECT * FROM w WHERE window_start >= 0)
+    SELECT window_start, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM valid GROUP BY window_start
+    """,
+    doc="A23 (sliding-window DISTINCT): distinct users per 10-minute "
+    "window sliding every 5 — the DAU/engagement shape where the "
+    "aggregate is NOT algebraic (a distinct cannot be merged from "
+    "sub-window partials the way counts can), so each event must fan "
+    "out to every window it belongs to BEFORE the distinct: Spark's "
+    "window('ts','10 minutes','5 minutes') does that expansion "
+    "(2 windows per event at this width/slide), then "
+    "count_distinct(user_id) per window plans as the standard "
+    "two-phase Expand + partial aggregate. The oracle states the same "
+    "expansion arithmetic (slot - 300*o). At 100 TB this is the "
+    "textbook case for swapping in the mergeable KMV/HLL sketch "
+    "(a2_kmv_distinct) once per-window exactness stops paying for its "
+    "shuffle width — the pairing this catalog ships both halves of.",
+)
+def a23_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_testdata(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )
+    return out.filter(F.col("window_start") >= 0)
+
+
+@register(
     "a3_rollup",
     oracle="""
     SELECT r_name, n_name, count(*) AS n_customers,
