@@ -198,8 +198,10 @@ HEADLINE = [
     # integer-exact ray-casting containment join
     "d4_knn_label",
     "j14_point_in_polygon",
-    # sliding-window distinct users (non-algebraic agg over Expand)
+    # sliding-window distinct users (non-algebraic agg over Expand);
+    # cross-table atomic txn (cold rep writes both versions of the pair)
     "a23_sliding_distinct",
+    "u14_multi_table_txn",
 ]
 
 

@@ -1334,6 +1334,95 @@ def u13_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_c.unionByName(out_o).unionByName(out_l)
 
 
+@register(
+    "u14_multi_table_txn",
+    oracle="""
+    WITH kept AS (
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_custkey % 19 <> 3),
+    cnts AS (
+      SELECT o_custkey, count(*) AS n_orders FROM orders
+      JOIN kept ON o_custkey = c_custkey
+      GROUP BY o_custkey)
+    SELECT k.c_nationkey AS nation,
+           count(*) AS n_customers,
+           CAST(sum(coalesce(c.n_orders, 0)) AS BIGINT) AS total_orders,
+           CAST(sum(k.c_custkey) AS BIGINT) AS id_sum
+    FROM kept k LEFT JOIN cnts c ON c.o_custkey = k.c_custkey
+    GROUP BY nation
+    """,
+    doc="U14 (cross-table ATOMIC transactions): a customer table and "
+    "its derived per-customer order-count table evolve TOGETHER under "
+    "one catalog-level pointer (sources/transactions.py — the "
+    "deletion-vector _BASE idiom lifted to a table GROUP): txn v0 "
+    "publishes both, txn v1 retracts a cohort from both, and each "
+    "commit writes every table's immutable v-dir first, then flips "
+    "the single _TXN pointer LAST — so a reader that resolves the "
+    "pointer ONCE and joins the pair can never see customer@v1 "
+    "against counts@v0, the cross-table anomaly single-table "
+    "manifests (u8/u12) cannot prevent. The query joins the pair at "
+    "the resolved version; the oracle states the v1 pair's closed "
+    "form, so a torn commit (either table at the wrong version) "
+    "changes counts and hash-fails. Crash points are tested: a writer "
+    "dying mid-commit leaves v0 fully live. At 100 TB the commit "
+    "cost is the data writes; the atomicity itself is one small-file "
+    "rename regardless of scale.",
+)
+def u14_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.transactions import (
+        commit_txn,
+        read_txn_table,
+        txn_version,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u14_txn_{tag}")
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select("o_custkey")
+
+    def build() -> None:
+        cnt0 = orders.groupBy("o_custkey").count().withColumnRenamed(
+            "count", "n_orders"
+        )
+        commit_txn(spark, root, {"customer": cust, "ordercnt": cnt0})
+        kept = cust.filter(F.col("c_custkey") % 19 != 3)
+        cnt1 = (
+            orders.join(
+                kept.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+            )
+            .groupBy("o_custkey")
+            .count()
+            .withColumnRenamed("count", "n_orders")
+        )
+        commit_txn(spark, root, {"customer": kept, "ordercnt": cnt1})
+
+    d = os.path.join(root, ".built")
+    os.makedirs(d, exist_ok=True)
+    _build_once(d, build)
+
+    # resolve the version ONCE; both reads pin it — the consistency
+    # contract the module exists for
+    v = txn_version(spark, root)
+    c = read_txn_table(spark, root, "customer", v)
+    n = read_txn_table(spark, root, "ordercnt", v)
+    return (
+        c.join(n, c["c_custkey"] == n["o_custkey"], "left")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0)))
+            .cast("bigint").alias("total_orders"),
+            F.sum("c_custkey").cast("bigint").alias("id_sum"),
+        )
+    )
+
+
 #: Single pinned freshness bound shared by the a13 Spark rule list and its
 #: oracle SQL — one constant, so the contract cannot silently diverge as the
 #: fixtures age (the testdata's max o_orderdate is well before this).

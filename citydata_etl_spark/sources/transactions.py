@@ -1,0 +1,108 @@
+"""MULTI-TABLE atomic transactions over plain parquet — the catalog-
+level pointer swap that gives a GROUP of tables one commit point.
+
+Single-table layouts (sources/snapshots.py's manifests, deletion.py's
+_BASE pointer) make each table individually atomic, but a reader
+joining TWO tables can still see table A at version n and table B at
+version n-1 — the classic cross-table anomaly (Iceberg/Delta have the
+same gap at the table level; engines close it with a catalog-level
+transaction pointer, which is what this module builds).
+
+Layout (the deletion.py idiom, lifted one level):
+
+    {root}/{table}-v{N}/   immutable data dirs, one per table per txn
+    {root}/_TXN            pointer file naming the committed version N
+                           (tmp + atomic FileContext Rename.OVERWRITE
+                           via merge.py:write_small_file, swapped LAST)
+
+Protocol: `commit_txn` writes EVERY table's v{N+1} dir first, then
+flips the single pointer — so all tables become visible together, or
+none do. Crash points: dying during any table write leaves the pointer
+at N (all staged dirs are garbage; retry overwrites them); dying after
+the swap leaves the v{N} dirs as garbage for `vacuum_txn_versions`.
+A reader resolves the pointer ONCE and reads a consistent table set —
+there is no instant where a join can mix versions. WRITERS serialize
+(single-writer contract, as everywhere in this repo's layouts);
+READERS never do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from citydata_etl_spark.sources.merge import (
+    read_small_file as _read_small_file,
+    write_small_file as _write_small_file,
+)
+
+_POINTER = "_TXN"
+
+
+def _table_dir(root: str, table: str, version: int) -> str:
+    return os.path.join(root, f"{table}-v{version}")
+
+
+def txn_version(spark: SparkSession, root: str) -> int | None:
+    raw = _read_small_file(spark, os.path.join(root, _POINTER))
+    return None if raw is None else int(raw.decode("ascii"))
+
+
+def commit_txn(
+    spark: SparkSession, root: str, tables: dict[str, DataFrame]
+) -> int:
+    """Atomically publish a new version of EVERY table in `tables`:
+    all data dirs first (overwrite mode — a retry after a partial
+    crash heals), the one pointer swap LAST. Returns the committed
+    version. All-or-nothing across the whole table set by the
+    atomicity of the single rename."""
+    cur = txn_version(spark, root)
+    nxt = 0 if cur is None else cur + 1
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(_table_dir(root, name, nxt))
+    _write_small_file(
+        spark, os.path.join(root, _POINTER), str(nxt).encode("ascii")
+    )
+    return nxt
+
+
+def read_txn_table(
+    spark: SparkSession, root: str, table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read one table at the committed transaction version (or a pinned
+    earlier version for time travel — versions are immutable until
+    vacuumed). Callers joining several tables resolve the version ONCE
+    and pass it to every read, which is what makes the join
+    cross-table consistent:
+
+        v = txn_version(spark, root)
+        a = read_txn_table(spark, root, "a", v)
+        b = read_txn_table(spark, root, "b", v)
+    """
+    if version is None:
+        version = txn_version(spark, root)
+        if version is None:
+            raise RuntimeError(
+                f"transaction root at {root} has no committed version"
+            )
+    return spark.read.parquet(_table_dir(root, table, version))
+
+
+def vacuum_txn_versions(spark: SparkSession, root: str) -> list[int]:
+    """Reclaim every superseded version's table dirs, keeping the live
+    transaction. Same maintenance contract as deletion.py's vacuum:
+    run after in-flight readers of old versions drain — a pinned
+    time-travel reader loses its files here, never to a commit."""
+    import re
+    import shutil
+
+    live = txn_version(spark, root)
+    removed = set()
+    for name in os.listdir(root):
+        m = re.fullmatch(r".+-v(\d+)", name)
+        if m and int(m.group(1)) != live:
+            shutil.rmtree(os.path.join(root, name))
+            removed.add(int(m.group(1)))
+    return sorted(removed)

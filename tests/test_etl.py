@@ -1445,3 +1445,62 @@ def test_deletion_vector_purge_crash_points(spark, tmp_path):
     got = read_mor_table(spark, root, "k")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_multi_table_txn_atomicity_and_crash_points(spark, tmp_path):
+    """The cross-table pointer swap: (a) a reader that resolved the
+    version before a commit still reads the OLD consistent pair after
+    it (old dirs retained); (b) a writer dying mid-commit — some new
+    table dirs written, pointer untouched — leaves the old version
+    fully live and a joined read consistent; (c) the retried commit
+    heals and flips both tables together; (d) vacuum reclaims only
+    superseded versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.transactions import (
+        commit_txn,
+        read_txn_table,
+        txn_version,
+        vacuum_txn_versions,
+    )
+
+    root = str(tmp_path / "txn")
+    os.makedirs(root)
+    a0 = spark.range(0, 100).select(F.col("id").alias("k"))
+    b0 = a0.select("k", (F.col("k") % 7).alias("v"))
+    assert commit_txn(spark, root, {"a": a0, "b": b0}) == 0
+    assert txn_version(spark, root) == 0
+
+    # pinned reader at v0
+    v0 = txn_version(spark, root)
+
+    # crash point (b): stage table a's v1 dir only, no pointer swap
+    a1 = a0.filter(F.col("k") % 2 == 0)
+    a1.write.mode("overwrite").parquet(os.path.join(root, "a-v1"))
+    assert txn_version(spark, root) == 0
+    pair = read_txn_table(spark, root, "a").join(
+        read_txn_table(spark, root, "b"), "k"
+    )
+    assert pair.count() == 100  # still the v0 pair, never a mix
+
+    # (c): retried full commit overwrites the stale staged dir
+    b1 = b0.filter(F.col("k") % 2 == 0)
+    assert commit_txn(spark, root, {"a": a1, "b": b1}) == 1
+    v = txn_version(spark, root)
+    got = read_txn_table(spark, root, "a", v).join(
+        read_txn_table(spark, root, "b", v), "k"
+    )
+    assert got.count() == 50
+
+    # (a): the pinned v0 reader still works after the commit
+    old = read_txn_table(spark, root, "a", v0).join(
+        read_txn_table(spark, root, "b", v0), "k"
+    )
+    assert old.count() == 100
+
+    # (d): vacuum removes v0 only
+    assert vacuum_txn_versions(spark, root) == [0]
+    assert not os.path.exists(os.path.join(root, "a-v0"))
+    assert read_txn_table(spark, root, "a").count() == 50
