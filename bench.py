@@ -202,6 +202,8 @@ HEADLINE = [
     # cross-table atomic txn (cold rep writes both versions of the pair)
     "a23_sliding_distinct",
     "u14_multi_table_txn",
+    # perceptual image fingerprints over real decoded pixels
+    "d5_image_ahash",
 ]
 
 

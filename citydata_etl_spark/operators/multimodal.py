@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -971,3 +972,50 @@ def tar_bmp_frame_stats(archives: DataFrame,
     return archives.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
     ).mapInPandas(run, schema=_FRAME_STATS_SCHEMA)
+
+
+def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
+    """PERCEPTUAL image fingerprint (average-hash) over real decoded
+    pixels — the image analog of SimHash text fingerprints: resize to
+    a size x size grid (bmp_resize_nn, integer nearest-neighbor), one
+    bit per cell set where the cell's luminance strictly exceeds the
+    image mean, packed into two BIGINT halves (lo = bits 0..31,
+    hi = 32..63 — two halves instead of one 64-bit word so no engine
+    touches the sign bit). Near-duplicate IMAGES (re-encodes, small
+    crops/edits) land within small hamming distance and join through
+    the same chunk-blocking machinery as d4_simhash_pairs — this
+    operator produces the fingerprint; pairing is the existing dedup
+    topology.
+
+    Everything after the decode is integer relational algebra: the
+    mean comparison is lum * n_cells > total (no division), the bit
+    pack a conditional shift — so the full chain decode -> resize ->
+    threshold -> pack is SQL-stateable and driver-checked bit-for-bit.
+    At 100 TB: decode/resize is the one narrow blob pass; the
+    threshold window is per-image (size^2 rows per group); output is
+    3 ints per image."""
+    n_cells = size * size
+    px = bmp_resize_nn(media, size, size)
+    lum = (F.col("r") + F.col("g") + F.col("b")).alias("lum")
+    idx = (F.col("y") * size + F.col("x")).alias("idx")
+    w = W.partitionBy("media_id")
+    cells = px.select("media_id", idx, lum).withColumn(
+        "total", F.sum("lum").over(w)
+    )
+    bit = F.col("lum") * n_cells > F.col("total")
+    half_bits = n_cells // 2
+    lo = F.when(
+        bit & (F.col("idx") < half_bits),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))"),
+    ).otherwise(F.lit(0))
+    hi = F.when(
+        bit & (F.col("idx") >= half_bits),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(idx - {half_bits} AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    return cells.groupBy("media_id").agg(
+        F.sum(lo).cast("bigint").alias("ahash_lo"),
+        F.sum(hi).cast("bigint").alias("ahash_hi"),
+        F.sum(bit.cast("int")).cast("bigint").alias("n_bits"),
+    )

@@ -3543,6 +3543,65 @@ def d5_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_image_ahash",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents
+      WHERE doc_id % 7 <> 0),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(8) gy),
+    src AS (
+      SELECT media_id, x, y, (x * w) // 8 AS sx, (y * h) // 8 AS sy
+      FROM grid),
+    cells AS (
+      SELECT media_id, y * 8 + x AS idx,
+             (3 * media_id + sx + 13 * sy + 2) % 256
+             + (2 * media_id + 5 * sx + 11 * sy + 1) % 256
+             + (media_id + 3 * sx + 7 * sy) % 256 AS lum
+      FROM src),
+    t AS (
+      SELECT media_id, idx, lum,
+             sum(lum) OVER (PARTITION BY media_id) AS total
+      FROM cells)
+    SELECT media_id,
+           CAST(sum(CASE WHEN lum * 64 > total AND idx < 32
+                    THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+                    ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(sum(CASE WHEN lum * 64 > total AND idx >= 32
+                    THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)
+                    ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bits
+    FROM t GROUP BY media_id
+    """,
+    doc="D5 [north-star multimodal]: PERCEPTUAL IMAGE FINGERPRINTS "
+    "(average-hash) over real decoded pixels — image dedup's "
+    "fingerprint step, the visual analog of d4_simhash: every "
+    "decodable image resizes to an 8x8 grid (the real "
+    "nearest-neighbor path, integer sampling), one bit per cell where "
+    "luminance strictly exceeds the image mean (lum*64 > total — no "
+    "division), packed into two BIGINT halves so no engine touches "
+    "the sign bit (operators/multimodal.py:image_ahash). Near-dup "
+    "images then pair through the d4_simhash_pairs chunk-blocking "
+    "topology — fingerprints here, pairing machinery already "
+    "verified there. The oracle restates decode+resize+threshold+pack "
+    "in closed form, so a stride, sampling, or packing bug flips "
+    "bits and hash-fails. Unit test pins the perceptual property: "
+    "byte-identical images collide exactly; a lightly perturbed "
+    "image lands within small hamming distance.",
+)
+def d5_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import image_ahash
+
+    return image_ahash(_bmp_media_fixture(spark, sf_dir), size=8)
+
+
+@register(
     "d5_gif_meta",
     oracle="""
     WITH p AS (

@@ -555,3 +555,71 @@ def test_tar_bmp_frame_stats_walk_decode_and_skip(spark):
     assert [k for k in got if k[0] == 2] == [(2, 0)]
     # garbage blob: nothing
     assert not [k for k in got if k[0] == 3]
+
+
+def test_image_ahash_perceptual_properties(spark):
+    """The fingerprint must be (a) identical for byte-identical images
+    under different ids, (b) within small hamming distance for a
+    lightly perturbed copy (one pixel nudged), and (c) far for an
+    unrelated image — the property that makes it usable for image
+    dedup at all. Built on hand-made 24-bpp BMPs with a strong
+    light/dark structure so the mean threshold is stable."""
+    import random
+
+    from citydata_etl_spark.operators.multimodal import image_ahash
+
+    def bmp(pixels):  # pixels[y][x] = (r, g, b), bottom-up storage
+        h, w = len(pixels), len(pixels[0])
+        stride = (w * 3 + 3) // 4 * 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = pixels[y][x]
+                row += bytes([b, g, r])
+            row += b"\0" * (stride - len(row))
+            body += row
+        return (
+            b"BM" + (54 + len(body)).to_bytes(4, "little")
+            + b"\0\0\0\0" + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"\0" * 24 + bytes(body)
+        )
+
+    rng = random.Random(5)
+    # 16x16 half-bright/half-dark image: crisp structure
+    base = [
+        [(220, 220, 220) if x < 8 else (30, 30, 30) for x in range(16)]
+        for _ in range(16)
+    ]
+    perturbed = [row[:] for row in base]
+    perturbed[3] = perturbed[3][:]
+    perturbed[3][2] = (10, 10, 10)  # nudge one pixel
+    noise = [
+        [(rng.randrange(256),) * 3 for _ in range(16)] for _ in range(16)
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, bmp(base)), (2, bmp(base)),            # identical bytes
+            (3, bmp(perturbed)), (4, bmp(noise)),
+        ],
+        "media_id LONG, content BINARY",
+    )
+    got = {
+        r["media_id"]: (r["ahash_lo"], r["ahash_hi"], r["n_bits"])
+        for r in image_ahash(df, size=8).collect()
+    }
+
+    def ham(a, b):
+        return (
+            bin(got[a][0] ^ got[b][0]).count("1")
+            + bin(got[a][1] ^ got[b][1]).count("1")
+        )
+
+    assert got[1] == got[2]            # identical bytes -> identical hash
+    assert ham(1, 3) <= 2              # one-pixel nudge -> tiny distance
+    assert ham(1, 4) >= 12             # unrelated image -> far
+    assert got[1][2] == 32             # half the cells above the mean
