@@ -202,8 +202,10 @@ HEADLINE = [
     # cross-table atomic txn (cold rep writes both versions of the pair)
     "a23_sliding_distinct",
     "u14_multi_table_txn",
-    # perceptual image fingerprints over real decoded pixels
+    # perceptual image fingerprints over real decoded pixels, and the
+    # chunk-blocked image near-dup pairing over planted duplicates
     "d5_image_ahash",
+    "d5_image_neardup",
 ]
 
 

@@ -1019,3 +1019,64 @@ def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
         F.sum(hi).cast("bigint").alias("ahash_hi"),
         F.sum(bit.cast("int")).cast("bigint").alias("n_bits"),
     )
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from average-hash fingerprints —
+    the d4_simhash_pairs pigeonhole topology on the two-half 64-bit
+    hash: split the 64 bits into max_hamming+1 disjoint 16-bit chunks
+    (4 chunks at the default), equi-join on any agreeing (chunk_idx,
+    chunk_value) — a pair within max_hamming MUST agree exactly on at
+    least one chunk (pigeonhole), so blocking is lossless — then
+    verify with the exact popcount of the xor. No cross join at any
+    scale; candidate cost follows chunk-bucket occupancy.
+
+    Input: (media_id, ahash_lo, ahash_hi) from image_ahash. Output:
+    (media_a, media_b, hamming), media_a < media_b."""
+    n_chunks = max_hamming + 1
+    assert n_chunks == 4, "chunk layout below is 4 x 16 bits"
+    chunks = []
+    for i in range(4):
+        sh = (i % 2) * 16
+        chunks.append(
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.pmod(
+                    F.expr(
+                        f"shiftright({'ahash_lo' if i < 2 else 'ahash_hi'},"
+                        f" {sh})"
+                    ),
+                    F.lit(65536),
+                ).alias("cv"),
+            )
+        )
+    keyed = hashes.select(
+        F.col(id_col).alias("mid"), "ahash_lo", "ahash_hi",
+        F.explode(F.array(*chunks)).alias("c"),
+    ).select("mid", "ahash_lo", "ahash_hi", "c.ci", "c.cv")
+    a = keyed.select(
+        F.col("mid").alias("media_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        "ci", "cv",
+    )
+    b = keyed.select(
+        F.col("mid").alias("media_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        "ci", "cv",
+    )
+    ham = (
+        F.bit_count(F.expr("lo_a ^ lo_b"))
+        + F.bit_count(F.expr("hi_a ^ hi_b"))
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

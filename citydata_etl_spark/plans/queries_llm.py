@@ -3182,12 +3182,17 @@ def d5_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tar_members(shards)
 
 
-def _bmp_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bmp_media_fixture(
+    spark: SparkSession, sf_dir: str, plant_dups: bool = False
+) -> DataFrame:
     """Shared BMP blob fixture for d5_bmp_pixels / d5_bmp_resize: genuine
     24-bpp BMPs with closed-form pixels, dims cycling by doc_id, both
     storage orientations (every 5th top-down), live stride padding, and
-    a PNG every 7th row. Per-pixel Python over <=48-px images —
-    synthesis only; the OPERATORS decode vectorized."""
+    a PNG every 7th row. With plant_dups, every 11th image (id > 0) is
+    the BYTE-IDENTICAL copy of its predecessor's image (same pixel id
+    throughout — the planted ground truth for image near-dup pairing).
+    Per-pixel Python over <=48-px images — synthesis only; the
+    OPERATORS decode vectorized."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -3198,6 +3203,8 @@ def _bmp_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 ids.append(d)
+                if plant_dups and d % 11 == 0 and d > 0:
+                    d = d - 1  # duplicate the predecessor's image
                 if d % 7 == 0:
                     blobs.append(
                         bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 46
@@ -3599,6 +3606,74 @@ def d5_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.operators.multimodal import image_ahash
 
     return image_ahash(_bmp_media_fixture(spark, sf_dir), size=8)
+
+
+@register(
+    "d5_image_neardup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 11 = 0 AND doc_id > 0
+                  THEN doc_id - 1 ELSE doc_id END AS eff
+      FROM documents),
+    p AS (
+      SELECT media_id, eff, 4 + eff % 5 AS w, 3 + eff % 4 AS h
+      FROM m WHERE eff % 7 <> 0),
+    grid AS (
+      SELECT media_id, eff, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(8) gy),
+    src AS (
+      SELECT media_id, eff, x, y, (x * w) // 8 AS sx, (y * h) // 8 AS sy
+      FROM grid),
+    cells AS (
+      SELECT media_id, y * 8 + x AS idx,
+             (3 * eff + sx + 13 * sy + 2) % 256
+             + (2 * eff + 5 * sx + 11 * sy + 1) % 256
+             + (eff + 3 * sx + 7 * sy) % 256 AS lum
+      FROM src),
+    t AS (
+      SELECT media_id, idx, lum,
+             sum(lum) OVER (PARTITION BY media_id) AS total
+      FROM cells),
+    hashes AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN lum * 64 > total AND idx < 32
+                      THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+                      ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN lum * 64 > total AND idx >= 32
+                      THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)
+                      ELSE 0 END) AS BIGINT) AS hi
+      FROM t GROUP BY media_id)
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+    doc="D5 [north-star multimodal]: IMAGE NEAR-DUP PAIRS end-to-end — "
+    "decode -> perceptual fingerprint (image_ahash) -> pigeonhole "
+    "chunk-blocked pairing (operators/multimodal.py:"
+    "ahash_neardup_pairs: 4 disjoint 16-bit chunks, a pair within "
+    "hamming 3 MUST agree on one chunk, so the equi-join blocking is "
+    "lossless and no cross join exists), exact popcount verify. The "
+    "fixture PLANTS ground truth: every 11th image is the "
+    "byte-identical copy of its predecessor (hamming 0 by "
+    "construction), so the entry proves the full image-dedup pipeline "
+    "finds exactly the planted pairs plus any true hash collisions — "
+    "the oracle states the same hashes all-pairs (exact at this "
+    "scale), which is precisely what the blocking must be lossless "
+    "against. The visual counterpart of d4_simhash_pairs; at 100 TB "
+    "candidate cost follows chunk-bucket occupancy, never n^2.",
+)
+def d5_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+    )
+
+    media = _bmp_media_fixture(spark, sf_dir, plant_dups=True)
+    return ahash_neardup_pairs(image_ahash(media, size=8), max_hamming=3)
 
 
 @register(

@@ -623,3 +623,47 @@ def test_image_ahash_perceptual_properties(spark):
     assert ham(1, 3) <= 2              # one-pixel nudge -> tiny distance
     assert ham(1, 4) >= 12             # unrelated image -> far
     assert got[1][2] == 32             # half the cells above the mean
+
+
+def test_ahash_neardup_blocking_is_lossless(spark):
+    """The 4x16-bit pigeonhole blocking must return EXACTLY the naive
+    all-pairs hamming<=3 set on a corpus engineered with near-misses
+    (hamming 3 and 4 around the boundary) — blocking prunes, never
+    loses."""
+    from citydata_etl_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    base_lo, base_hi = 0x12345678, 0x0ABCDEF0
+    rows = [
+        (0, base_lo, base_hi),
+        (1, base_lo, base_hi),                       # identical: ham 0
+        (2, base_lo ^ 0b111, base_hi),               # ham 3: kept
+        (3, base_lo ^ 0b1111, base_hi),              # ham 4: dropped
+        (4, base_lo ^ 0b11, base_hi ^ (1 << 20)),    # ham 3 split: kept
+        (5, 0x7FFFFFFF, 0x55555555),                 # far
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, ahash_lo LONG, ahash_hi LONG"
+    )
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(df, max_hamming=3).collect()
+    }
+
+    def ham(a, b):
+        return (
+            bin(rows[a][1] ^ rows[b][1]).count("1")
+            + bin(rows[a][2] ^ rows[b][2]).count("1")
+        )
+
+    want = {
+        (a, b): ham(a, b)
+        for a in range(6) for b in range(a + 1, 6)
+        if ham(a, b) <= 3
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (0, 2) in got and got[(0, 2)] == 3
+    assert (0, 3) not in got
+    assert (0, 4) in got
