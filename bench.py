@@ -206,6 +206,8 @@ HEADLINE = [
     # chunk-blocked image near-dup pairing over planted duplicates
     "d5_image_ahash",
     "d5_image_neardup",
+    # LSH S-curve: pair recall vs exact Jaccard per similarity decile
+    "d4_lsh_pair_recall",
 ]
 
 

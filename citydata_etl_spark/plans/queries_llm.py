@@ -140,6 +140,107 @@ def d4_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_lsh_pair_recall",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+      FROM tokl),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+               AS shingle
+      FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    exact AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(round(CAST(i AS DOUBLE)
+                              / (sa.sz + sb.sz - i), 6) * 1000 + 0.5)
+               AS BIGINT) AS jm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    vocab AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) - 1 AS tid
+      FROM (SELECT DISTINCT shingle FROM sh)),
+    tt AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle)),
+    hp AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST((i * 2654435761 + 1) % 2147483647 AS BIGINT) AS a,
+             CAST((i * 40503 + 7) % 2147483647 AS BIGINT) AS b
+      FROM (SELECT unnest(range(16)) AS i)),
+    mh AS (
+      SELECT doc_id, i, min((a * tid + b) % 2147483647) AS h
+      FROM tt CROSS JOIN hp GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS s
+      FROM mh GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT e.jm // 100 AS j_bucket,
+           count(*) AS n_exact,
+           CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM exact e LEFT JOIN cand c
+      ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    GROUP BY j_bucket
+    """,
+    doc="D4: MinHash-LSH PAIR RECALL vs exact Jaccard, bucketed by "
+    "similarity decile — the empirical S-CURVE every LSH deployment "
+    "calibrates its (bands, rows) against, as a driver-checked row "
+    "(the dedup-family companion of d4_ann_recall): exact bigram-"
+    "Jaccard pairs >= 0.5 (the d4_ngram_jaccard prefix-filtered join) "
+    "LEFT JOIN the 4x4-banded candidates (the d4_minhash_lsh "
+    "topology), counted per floor-decile of the rounded similarity "
+    "(the floor(x*1000+0.5) milli-units convention, so the bucket "
+    "edge is the same double both engines floor). On THIS corpus every "
+    "exact pair sits in the 0.9+ buckets and recalls fully (the flat "
+    "top of the S-curve — disclosed, as for d4_ann_recall's honest "
+    "number); the bucket axis exists so a mid-similarity corpus reads "
+    "its full curve from the same row, and the engine-side "
+    "test_minhash_lsh_recall pins the >=0.9 recall region on planted "
+    "near-dups. Any banding or hashing regression moves n_hit and "
+    "hash-fails.",
+)
+def d4_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.readers import read_doc_shingle_set
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    rel = read_doc_shingle_set(spark, sf_dir, 2)
+    exact = D.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.5, shingle_rel=rel
+    ).withColumn(
+        "jm",
+        F.floor(F.col("jaccard") * 1000 + 0.5).cast("bigint"),
+    )
+    cand = D.minhash_lsh_pairs(
+        docs, num_hashes=16, band_size=4, shingle_n=2, shingle_rel=rel
+    ).withColumn("hit", F.lit(1))
+    return (
+        exact.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(F.expr("jm div 100").alias("j_bucket"))
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint").alias("n_hit"),
+        )
+    )
+
+
+@register(
     "d4_minhash_hash",
     oracle=None,  # xxhash64 is engine-specific — rows-only; recall vs the
     # rank-mode pairs is bounded by test_minhash_hash_id_mode_recall
