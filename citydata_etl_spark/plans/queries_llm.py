@@ -220,8 +220,14 @@ def d4_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     rel = read_doc_shingle_set(spark, sf_dir, 2)
+    # strategy="bitmap": this corpus is the SMALL-VOCABULARY regime
+    # (fewer distinct bigrams than documents) where prefix filtering
+    # degenerates to millions of candidates; the dense-bitmap
+    # all-pairs sweep is exhaustive, lossless, and ~20x faster here
+    # (operators/dedup.py:jaccard_bitmap_allpairs — property-tested
+    # equal to the prefix plan)
     exact = D.ngram_jaccard_pairs(
-        docs, n=2, threshold=0.5, shingle_rel=rel
+        docs, n=2, threshold=0.5, shingle_rel=rel, strategy="bitmap"
     ).withColumn(
         "jm",
         F.floor(F.col("jaccard") * 1000 + 0.5).cast("bigint"),

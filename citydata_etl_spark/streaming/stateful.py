@@ -505,35 +505,51 @@ def make_attribution_group(horizon_us: int):
     def attribution_group(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         rows = pd.concat(list(pdfs), ignore_index=True)
-        lc, lv = state.get if state.exists else (-1, -1)
-        out_att, out_cents = [], []
-        for tus in sorted(rows["tus"].unique()):
-            sub = rows[rows["tus"] == tus]
-            if (sub["event_type"] == "click").any():
-                lc = max(lc, int(tus))
-            if (sub["event_type"] == "view").any():
-                lv = max(lv, int(tus))
-            for _, r in sub[sub["event_type"] == "purchase"].iterrows():
-                t = int(r["tus"])
-                if lc >= 0 and lc >= t - horizon_us and (
-                        lv < 0 or lc >= lv):
-                    att = "click"
-                elif lv >= 0 and lv >= t - horizon_us:
-                    att = "view"
-                else:
-                    att = "organic"
-                out_att.append(att)
-                out_cents.append(int(r["cents"]))
-        state.update((lc, lv))
-        if out_att:
+        lc0, lv0 = state.get if state.exists else (-1, -1)
+        # vectorized RANGE-tie semantics: sort by tus, take the running
+        # max of click/view timestamps INCLUDING every row that shares
+        # the current tus (prefix cummax read at each tus-group's last
+        # index) — all touches at a timestamp absorb before any
+        # purchase at it attributes, with no per-row Python loop
+        tus = rows["tus"].to_numpy(dtype=np.int64)
+        order = np.argsort(tus, kind="stable")
+        t_s = tus[order]
+        et = rows["event_type"].to_numpy()[order]
+        cents = rows["cents"].to_numpy(dtype=np.int64)[order]
+        lc_cum = np.maximum.accumulate(
+            np.where(et == "click", t_s, np.int64(lc0))
+        )
+        lv_cum = np.maximum.accumulate(
+            np.where(et == "view", t_s, np.int64(lv0))
+        )
+        last_of_tus = np.searchsorted(t_s, t_s, side="right") - 1
+        eff_lc = lc_cum[last_of_tus]
+        eff_lv = lv_cum[last_of_tus]
+        is_p = et == "purchase"
+        plc, plv, pt = eff_lc[is_p], eff_lv[is_p], t_s[is_p]
+        click_ok = (plc >= 0) & (plc >= pt - horizon_us)
+        view_ok = (plv >= 0) & (plv >= pt - horizon_us)
+        att = np.where(
+            click_ok & ((plv < 0) | (plc >= plv)),
+            "click",
+            np.where(view_ok, "view", "organic"),
+        )
+        n = len(t_s)
+        state.update((
+            int(lc_cum[n - 1]) if n else int(lc0),
+            int(lv_cum[n - 1]) if n else int(lv0),
+        ))
+        if is_p.any():
             yield pd.DataFrame(
                 {
                     "user_id": pd.array(
-                        [int(key[0])] * len(out_att), dtype="int64"
+                        [int(key[0])] * int(is_p.sum()), dtype="int64"
                     ),
-                    "attribution": pd.array(out_att, dtype="string"),
-                    "cents": pd.array(out_cents, dtype="int64"),
+                    "attribution": pd.array(att, dtype="string"),
+                    "cents": pd.array(cents[is_p], dtype="int64"),
                 }
             )
 

@@ -113,8 +113,11 @@ def test_ngram_jaccard_matches_reference(spark, docs):
     st.sampled_from([0.3, 0.5, 0.8]),
 )
 def test_prefix_filter_is_lossless(spark, docs, threshold):
-    """The prefix-filtered Jaccard join must return EXACTLY the naive
-    inverted-index join's pairs — filtering is pruning, never loss."""
+    """The prefix-filtered Jaccard join AND the small-vocab bitmap
+    all-pairs sweep must each return EXACTLY the naive inverted-index
+    join's pairs — pruning/representation changes, never loss. The
+    tiny alphabet makes duplicate rids share bitmap BYTES, the case
+    where a buffered fancy-index OR silently drops bits."""
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     fast = {
@@ -130,6 +133,13 @@ def test_prefix_filter_is_lossless(spark, docs, threshold):
         ).collect()
     }
     assert fast == naive
+    bitmap = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            df, n=2, threshold=threshold, strategy="bitmap"
+        ).collect()
+    }
+    assert bitmap == naive
 
 
 @settings(**SETTINGS)
