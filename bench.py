@@ -208,6 +208,8 @@ HEADLINE = [
     "d5_image_neardup",
     # LSH S-curve: pair recall vs exact Jaccard per similarity decile
     "d4_lsh_pair_recall",
+    # second wave: per-language tokenizer fertility over the encoder
+    "d6_tokenizer_fertility",
 ]
 
 

@@ -1014,6 +1014,65 @@ def d6_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs, n_buckets=512)
 
 
+#: fertility oracle: the GENERATED 5-merge encode chain (one statement)
+#: wrapped as a subquery and rolled up per language — reusing the
+#: generator keeps the training chain in exactly one place.
+from citydata_etl_spark.plans.queries_llm import (  # noqa: E402
+    _bpe_encode_oracle as _fertility_encode_oracle,
+)
+
+_FERTILITY_ORACLE = f"""
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(enc.n_bpe_tokens) * 10000 // sum(enc.n_words)
+                AS BIGINT) AS fertility_bp,
+           CAST(sum(enc.n_chars) * 10000 // sum(enc.n_bpe_tokens)
+                AS BIGINT) AS chars_per_token_bp
+    FROM ({_fertility_encode_oracle(5)}) enc
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+"""
+
+
+@register(
+    "d6_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    doc="D6 (tokenizer QUALITY metric): per-language FERTILITY of the "
+    "trained BPE tokenizer — BPE tokens per word and characters per "
+    "BPE token, both in exact basis points (true integer division; "
+    "the 2^53 rule). Fertility is THE number a multilingual pipeline "
+    "watches when it evaluates a tokenizer: a language whose "
+    "fertility runs high is being over-segmented (its effective "
+    "context window shrinks and its per-token training cost rises), "
+    "which drives vocabulary re-balancing — this row makes that "
+    "dashboard driver-checkable. Composition: the d4_bpe_encode "
+    "per-document budgets (trained 5-merge chain, one statement "
+    "generated by the same _bpe_encode_oracle both entries share) "
+    "joined to the language column and rolled up per lang — one "
+    "corpus-sized token count inherited from the encoder, then "
+    "lang-cardinality work. At 100 TB: nothing new beyond the "
+    "encoder's own plan plus one small shuffle.",
+)
+def d6_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.operators.text import bpe_encode
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, n_steps=5)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("(sum(n_bpe_tokens) * 10000) div sum(n_words)")
+            .cast("bigint").alias("fertility_bp"),
+            F.expr("(sum(n_chars) * 10000) div sum(n_bpe_tokens)")
+            .cast("bigint").alias("chars_per_token_bp"),
+        )
+    )
+
+
 @register(
     "d6_dataset_card",
     oracle="""
