@@ -208,8 +208,10 @@ HEADLINE = [
     "d5_image_neardup",
     # LSH S-curve: pair recall vs exact Jaccard per similarity decile
     "d4_lsh_pair_recall",
-    # second wave: per-language tokenizer fertility over the encoder
+    # second wave: per-language tokenizer fertility over the encoder;
+    # CSV dialect sniffing with the European-decimal trap
     "d6_tokenizer_fertility",
+    "s21_csv_dialect_sniff",
 ]
 
 

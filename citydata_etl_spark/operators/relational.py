@@ -257,3 +257,87 @@ def referential_violations(
         ).cast("bigint").alias("n_violations"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+def sniff_csv_dialect(
+    lines: DataFrame, file_col: str = "file_id", line_col: str = "line",
+    candidates: Sequence[tuple[str, str]] = (
+        (",", ","), (";", ";"), ("|", "\\|"), ("\t", "\t"),
+    ),
+) -> DataFrame:
+    """CSV DIALECT DETECTION over raw text lines — the sniff a real
+    ingest layer runs before it dares call spark.read.csv on a feed
+    whose delimiter nobody documented. Per candidate delimiter the
+    per-line field count is computed (one split each, JVM codegen);
+    a candidate qualifies if its MODAL field count exceeds 1, and the
+    winner per file maximizes (consistency = modal-count lines /
+    total lines, THEN modal field count, THEN candidate precedence).
+    The second criterion is what defeats the classic European-decimal
+    trap: in a semicolon file whose amounts contain ',', the comma
+    splits every line perfectly consistently — into FEWER fields; a
+    consistency-only sniffer picks ',' and shreds the numbers.
+    Header detection: a file whose lines include a digit-free line
+    has a header (data lines always carry digits in this contract —
+    the positional first-line rule needs a line ordering the raw feed
+    may not have).
+
+    `candidates` carries (delimiter, regex-escaped form). Output one
+    row per file: (file_id, delimiter, n_fields, consistency_bp,
+    has_header) — consistency in basis points, true integer division.
+    Scale shape: candidates are a constant fan-out (x4), everything
+    else is groupBy/window on file_id."""
+    from pyspark.sql import Window as W
+
+    cand = F.explode(
+        F.array(*[
+            F.struct(F.lit(d).alias("delim"), F.lit(rx).alias("rx"))
+            for d, rx in candidates
+        ])
+    ).alias("c")
+    base = lines.select(
+        F.col(file_col).alias("file_id"), F.col(line_col).alias("line")
+    )
+    per_line = base.select("file_id", "line", cand).select(
+        "file_id",
+        F.col("c.delim").alias("delim"),
+        F.size(F.split(F.col("line"), F.col("c.rx"))).alias("fc"),
+    )
+    counts = per_line.groupBy("file_id", "delim", "fc").agg(
+        F.count("*").alias("cnt")
+    )
+    n_lines = base.groupBy("file_id").agg(
+        F.count("*").alias("n_lines")
+    )
+    mw = W.partitionBy("file_id", "delim").orderBy(
+        F.col("cnt").desc(), F.col("fc").desc()
+    )
+    modal = (
+        counts.filter(F.col("fc") > 1)
+        .withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") == 1)
+        .join(n_lines, "file_id")
+        .select(
+            "file_id", "delim", F.col("fc").alias("n_fields"),
+            F.expr("(cnt * 10000) div n_lines")
+            .cast("bigint").alias("consistency_bp"),
+        )
+    )
+    prec = F.array(*[F.lit(d) for d, _ in candidates])
+    ww = W.partitionBy("file_id").orderBy(
+        F.col("consistency_bp").desc(),
+        F.col("n_fields").desc(),
+        F.array_position(prec, F.col("delim")),
+    )
+    winner = (
+        modal.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    headers = base.groupBy("file_id").agg(
+        F.max((~F.col("line").rlike("[0-9]")).cast("int")).alias("hh")
+    ).select("file_id", (F.col("hh") == 1).alias("has_header"))
+    return winner.join(headers, "file_id").select(
+        "file_id", F.col("delim").alias("delimiter"),
+        F.col("n_fields").cast("bigint").alias("n_fields"),
+        "consistency_bp", "has_header",
+    )

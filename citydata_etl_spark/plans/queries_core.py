@@ -1015,6 +1015,83 @@ def s20_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s21_csv_dialect_sniff",
+    oracle="""
+    SELECT f AS file_id,
+           CASE f % 3 WHEN 0 THEN ',' WHEN 1 THEN ';' ELSE '|' END
+             AS delimiter,
+           CAST(4 AS BIGINT) AS n_fields,
+           CAST(10000 AS BIGINT) AS consistency_bp,
+           f % 2 = 0 AS has_header
+    FROM (SELECT DISTINCT o_orderkey % 24 AS f FROM orders)
+    """,
+    doc="S21 (ingest robustness: DIALECT SNIFFING): 24 raw text feeds "
+    "synthesized closed-form from orders — delimiter cycling "
+    "comma/semicolon/pipe by file, headers on even files, and the "
+    "semicolon files carry EUROPEAN DECIMAL COMMAS inside the amount "
+    "field (the classic trap: ',' then splits every line perfectly "
+    "consistently — into fewer fields — so a consistency-only sniffer "
+    "picks the wrong dialect and shreds the numbers). The detector "
+    "(operators/relational.py:sniff_csv_dialect) scores candidates by "
+    "(consistency, THEN modal field count, THEN precedence), which "
+    "the trap forces to earn its second criterion; header detection "
+    "is the digit-free-line rule (data lines always carry digits "
+    "here; a positional first-line rule needs an ordering raw feeds "
+    "may not have — stated simplification). The oracle states the "
+    "PLANTED dialect of every file, so the engine's detection — real "
+    "splits over real lines — must recover ground truth exactly, "
+    "the d5_scene_cuts verification pattern applied to ingest. At "
+    "100 TB: constant x4 candidate fan-out, then file-grain "
+    "aggregation; the sniff reads a bounded SAMPLE of each feed in "
+    "production (the full pass here is fixture-sized).",
+)
+def s21_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.relational import sniff_csv_dialect
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    f = F.pmod(F.col("o_orderkey"), F.lit(24))
+    delim = (
+        F.when(f % 3 == 0, F.lit(","))
+        .when(f % 3 == 1, F.lit(";"))
+        .otherwise(F.lit("|"))
+    )
+    dec_sep = F.when(f % 3 == 1, F.lit(",")).otherwise(F.lit("."))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    amount = F.concat(
+        (cents / 100).cast("bigint").cast("string"),
+        dec_sep,
+        F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+    )
+    data = orders.select(
+        f.alias("file_id"),
+        F.concat(
+            F.col("o_orderkey").cast("string"), delim,
+            F.col("o_orderstatus"), delim,
+            amount, delim,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ).alias("line"),
+    )
+    hdr_delim = (
+        F.when(F.col("file_id") % 3 == 0, F.lit(","))
+        .when(F.col("file_id") % 3 == 1, F.lit(";"))
+        .otherwise(F.lit("|"))
+    )
+    headers = (
+        data.select("file_id").distinct()
+        .filter(F.col("file_id") % 2 == 0)
+        .select(
+            "file_id",
+            F.concat_ws(
+                "", F.lit("orderkey"), hdr_delim, F.lit("status"),
+                hdr_delim, F.lit("amount"), hdr_delim, F.lit("orderdate"),
+            ).alias("line"),
+        )
+    )
+    lines = data.unionByName(headers)
+    return sniff_csv_dialect(lines)
+
+
+@register(
     "s15_corrupt_records",
     oracle="""
     SELECT CASE WHEN o_orderkey % 10 = 0 THEN '<corrupt>'

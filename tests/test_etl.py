@@ -1504,3 +1504,39 @@ def test_multi_table_txn_atomicity_and_crash_points(spark, tmp_path):
     assert vacuum_txn_versions(spark, root) == [0]
     assert not os.path.exists(os.path.join(root, "a-v0"))
     assert read_txn_table(spark, root, "a").count() == 50
+
+
+def test_sniff_csv_dialect_trap_and_precedence(spark):
+    """Dialect detection must (a) beat the European-decimal trap — in a
+    semicolon file whose amounts contain ',', the comma splits every
+    line consistently into FEWER fields, so consistency alone picks
+    the wrong dialect; (b) detect tab; (c) report sub-10000
+    consistency for a ragged file; (d) flag headers by the
+    digit-free-line rule."""
+    from citydata_etl_spark.operators.relational import sniff_csv_dialect
+
+    rows = [
+        # file 1: the trap — ';' dialect, ',' inside every amount
+        (1, "id;status;amount;day"),
+        (1, "10;O;12,50;2024-01-01"),
+        (1, "11;F;9,99;2024-01-02"),
+        # file 2: tab dialect, no header
+        (2, "20\tO\t5.00\t2024-02-01"),
+        (2, "21\tP\t6.25\t2024-02-02"),
+        # file 3: comma dialect with ONE ragged line
+        (3, "30,O,1.00,2024-03-01"),
+        (3, "31,F,2.00,2024-03-02"),
+        (3, "32,F,3.00"),
+        (3, "33,O,4.00,2024-03-04"),
+    ]
+    df = spark.createDataFrame(rows, "file_id LONG, line STRING")
+    got = {
+        r["file_id"]: (
+            r["delimiter"], r["n_fields"], r["consistency_bp"],
+            r["has_header"],
+        )
+        for r in sniff_csv_dialect(df).collect()
+    }
+    assert got[1] == (";", 4, 10000, True)    # not ',' despite 10000
+    assert got[2] == ("\t", 4, 10000, False)
+    assert got[3] == (",", 4, 7500, False)    # 3 of 4 lines modal
