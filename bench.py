@@ -212,6 +212,8 @@ HEADLINE = [
     # CSV dialect sniffing with the European-decimal trap
     "d6_tokenizer_fertility",
     "s21_csv_dialect_sniff",
+    # governed read: row policy + deterministic column masks
+    "u15_governed_view",
 ]
 
 

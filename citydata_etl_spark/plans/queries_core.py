@@ -1500,6 +1500,55 @@ def u14_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "u15_governed_view",
+    oracle="""
+    SELECT c_nationkey AS nation,
+           count(*) AS n_rows,
+           count(DISTINCT substr(sha256(c_name), 1, 16)) AS n_masked,
+           CAST(sum(CAST(floor((c_acctbal + 1000.0) / 1000.0) AS BIGINT))
+                AS BIGINT) AS bal_band_sum
+    FROM customer
+    WHERE c_nationkey % 5 <> 2
+    GROUP BY nation
+    """,
+    doc="U15 (governance: ROW POLICY + COLUMN MASKING): the governed "
+    "read layer a data platform puts between raw tables and analyst "
+    "roles — row-level security (nations in the blocked class never "
+    "leave the scan: the predicate PUSHES DOWN like any filter, so "
+    "policy costs nothing extra at 100 TB) plus column masks: names "
+    "replaced by a 16-hex-char sha256 prefix (deterministic "
+    "pseudonymization — joinable across tables, not reversible; "
+    "sha2/sha256 produce identical hex in both engines so the mask "
+    "itself is driver-checked), balances generalized to coarse bands "
+    "via floor on the SHIFTED double (Spark div truncates toward "
+    "zero while DuckDB // floors, so NEGATIVE balances would diverge "
+    "under integer division — the double floor is sign-uniform on "
+    "both). The aggregate proves masked values, not just shapes: a "
+    "mask that leaked raw names changes the distinct count, a band "
+    "that mishandled negatives shifts the sum. Policies compose as "
+    "ordinary Column expressions (the u2 masked-update machinery "
+    "read-side), so Catalyst optimizes through them.",
+)
+def u15_governed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_testdata(spark, sf_dir, "customer")
+    governed = cust.filter(F.col("c_nationkey") % 5 != 2).select(
+        "c_nationkey",
+        F.substring(F.sha2(F.col("c_name"), 256), 1, 16).alias(
+            "masked_name"
+        ),
+        F.floor((F.col("c_acctbal") + 1000.0) / 1000.0)
+        .cast("bigint").alias("bal_band"),
+    )
+    return governed.groupBy(
+        F.col("c_nationkey").alias("nation")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("masked_name").alias("n_masked"),
+        F.sum("bal_band").cast("bigint").alias("bal_band_sum"),
+    )
+
+
 #: Single pinned freshness bound shared by the a13 Spark rule list and its
 #: oracle SQL — one constant, so the contract cannot silently diverge as the
 #: fixtures age (the testdata's max o_orderdate is well before this).
