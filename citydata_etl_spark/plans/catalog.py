@@ -93,18 +93,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 7,
-    "a11_heavy_hitters": 5,
+    "a11_heavy_hitters": 10,
     "a12_event_funnel": 9,
-    "a13_data_contract": 5,
-    "a14_referential_integrity": 5,
-    "a15_outlier_flags": 5,
-    "a16_cohort_retention": 5,
+    "a13_data_contract": 10,
+    "a14_referential_integrity": 10,
+    "a15_outlier_flags": 10,
+    "a16_cohort_retention": 10,
     "a17_time_weighted_avg": 7,
     "a18_ohlc_bars": 7,
     "a19_event_transitions": 7,
     "a1_pricing_summary": 8,
     "a20_countmin_topk": 9,
-    "a21_histogram_quantiles": 0,  # r10: level-2 unroll — re-gate first
+    "a21_histogram_quantiles": 10,
+    "a22_attribution": 10,
+    "a23_sliding_distinct": 10,
     "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
     "a2_count_distinct": 8,
     "a2_kmv_distinct": 8,
@@ -112,7 +114,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a3_cube": 8,
     "a3_grouping_sets": 9,
     "a3_rollup": 8,
-    "a4_distribution": 5,
+    "a4_distribution": 10,
     "a4_ntile": 8,
     "a4_rank_dense_rank": 8,
     "a4_topk_per_group": 8,
@@ -128,36 +130,41 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_ann_ivf_dist": 9,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 8,
     "d4_ann_ivf_rank": 8,
+    "d4_ann_ivf_recall": 10,
     "d4_ann_lsh": 8,  # rows-only by construction (r3 row)
     "d4_ann_lsh_rank": 7,
     "d4_ann_pq": 8,  # rows-only by construction (r3 row)
     "d4_ann_pq_rank": 8,
+    "d4_ann_recall": 10,
     "d4_bigram_logprob": 8,
-    "d4_bpe_encode": 0,  # r10: k=5 chain + conservation — re-gate
-    "d4_bpe_merge_steps": 0,  # r10: k=5 chain + conservation — re-gate
-    "d4_bpe_pair_counts": 5,
+    "d4_bpe_encode": 10,
+    "d4_bpe_merge_steps": 10,
+    "d4_bpe_pair_counts": 10,
     "d4_bpe_tokens": 8,
-    "d4_collocations": 5,
-    "d4_containment": 5,
+    "d4_collocations": 10,
+    "d4_containment": 10,
     "d4_cosine_topk": 8,
     "d4_dedup_groups": 8,
-    "d4_dedup_index_ingest": 5,
-    "d4_dedup_report": 5,
+    "d4_dedup_index_ingest": 10,
+    "d4_dedup_report": 10,
     "d4_doc_fingerprint": 8,
     "d4_dup_passage": 8,
     "d4_embed_neardup": 8,
-    "d4_embed_project": 5,
+    "d4_embed_project": 10,
     "d4_embed_quantize": 9,
     "d4_exact_dedup": 8,
     "d4_fuzzy_key_pairs": 9,
     "d4_incremental_dedup": 9,
     "d4_incremental_neardup": 9,  # rows-only by construction (r4 row)
-    "d4_incremental_neardup_rank": 5,
+    "d4_incremental_neardup_rank": 10,
+    "d4_knn_label": 10,
     "d4_lang_id": 8,
     "d4_line_dedup": 5,
     "d4_lm_logprob": 8,
+    "d4_lsh_pair_recall": 10,
     "d4_minhash_hash": 9,  # rows-only by construction (r4 row)
     "d4_minhash_lsh": 8,
+    "d4_mmr_ann": 10,
     "d4_mmr_batch": 9,
     "d4_mmr_diversify": 9,
     "d4_ngram_jaccard": 8,
@@ -179,10 +186,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_format_sniff": 9,
     "d5_frame_sample": 7,
     "d5_gif_meta": 7,
+    "d5_image_ahash": 10,
+    "d5_image_neardup": 10,
     "d5_jpeg_meta": 5,
     "d5_media_decode": 7,
     "d5_mp4_meta": 5,
     "d5_png_meta": 9,
+    "d5_scene_cuts": 10,
     "d5_tar_meta": 7,
     "d5_wav_meta": 9,
     "d6_blocklist_filter": 9,
@@ -190,7 +200,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_contamination": 7,
     "d6_crossdomain_lm": 9,
     "d6_curation_pipeline": 7,
-    "d6_dataset_card": 0,  # r10: multimodal block added — re-gate
+    "d6_dataset_card": 10,
     "d6_dedup_keep": 7,
     "d6_domain_cap": 8,
     "d6_domain_mix": 7,
@@ -207,6 +217,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_shard_stats": 7,
     "d6_stratified_sample": 7,
     "d6_temperature_mix": 9,
+    "d6_tokenizer_fertility": 10,
     "d6_train_split": 7,
     "e2e_collect_run": 9,
     "f10_conditional": 9,
@@ -232,6 +243,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j11_geo_radius_join": 5,
     "j12_temporal_join": 7,
     "j13_dpp_join": 7,
+    "j14_point_in_polygon": 10,
     "j1_broadcast_lookup": 7,
     "j2_anti_join": 7,
     "j2_semi_join": 7,
@@ -245,11 +257,11 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j7_salted_skew_join": 7,
     "j8_bucketed_join": 9,
     "j9_interval_overlap": 9,
-    "p1_pending_filter": 4,
-    "p2_projection": 4,
-    "p3_point_filter": 4,
-    "p4_dynamic_filter": 4,
-    "p6_first_row": 4,
+    "p1_pending_filter": 10,
+    "p2_projection": 10,
+    "p3_point_filter": 10,
+    "p4_dynamic_filter": 10,
+    "p6_first_row": 10,
     "q10_returned_items": 5,
     "q14_promo_revenue": 9,
     "q15_top_supplier": 9,
@@ -257,17 +269,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "q3_shipping_priority": 5,
     "q5_regional_volume": 5,
     "q7_nation_volume": 7,
-    "s10_orc_roundtrip": 4,
-    "s11_compaction": 4,
-    "s12_schema_evolution": 4,
-    "s13_sorted_layout": 4,
-    "s14_partition_pruned_read": 4,
-    "s15_corrupt_records": 4,
-    "s16_xml_roundtrip": 4,
+    "s10_orc_roundtrip": 10,
+    "s11_compaction": 10,
+    "s12_schema_evolution": 10,
+    "s13_sorted_layout": 10,
+    "s14_partition_pruned_read": 10,
+    "s15_corrupt_records": 10,
+    "s16_xml_roundtrip": 10,
     "s17_zorder_layout": 5,
     "s18_fixed_width_scan": 7,
     "s19_bloom_filter_layout": 9,
     "s1_csv_scan": 5,
+    "s20_partition_evolution": 10,
+    "s21_csv_dialect_sniff": 10,
     "s2_typed_csv_scan": 5,
     "s3_json_scan": 5,
     "s6_object_listing": 5,
@@ -282,6 +296,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t15_stream_snapshot_enrich": 7,
     "t16_stream_restart": 8,
     "t17_stream_quarantine": 9,
+    "t18_stream_attribution": 10,
     "t1_streaming_tumbling": 7,
     "t2_streaming_dedup": 7,
     "t3_cdc_promote": 9,
@@ -293,17 +308,20 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t6_stream_enrich": 7,
     "t7_stream_left_outer_join": 9,
     "t7_stream_stream_join": 9,
-    "t8_stream_dedup_watermark": 4,
-    "t9_streaming_upsert": 4,
+    "t8_stream_dedup_watermark": 10,
+    "t9_streaming_upsert": 10,
     "u10_restore": 7,
     "u11_incremental_view": 7,
     "u12_deletion_vectors": 9,
+    "u13_cascade_delete": 10,
+    "u14_multi_table_txn": 10,
+    "u15_governed_view": 10,
     "u1_keyed_update": 5,
     "u2_masked_update": 5,
     "u3_status_routing": 5,
     "u4_scd2_history": 5,
     "u5_merge_upsert": 9,
-    "u6_keyed_delete": 4,
+    "u6_keyed_delete": 10,
     "u7_evolving_merge": 5,
     "u8_time_travel": 5,
     "u9_change_feed": 7,
