@@ -265,7 +265,7 @@ def shingles(docs: DataFrame, n: int, text_col: str = "text",
 
 def jaccard_bitmap_allpairs(
     sh: DataFrame, threshold: float, id_col: str = "doc_id",
-    q_blocks: int = 4, c_blocks: int = 4,
+    q_blocks: int = 4, c_blocks: int = 4, max_vocab: int = 4096,
 ) -> DataFrame:
     """Exact Jaccard pairs >= threshold for the SMALL-VOCABULARY regime —
     the case where prefix filtering (ngram_jaccard_pairs' default)
@@ -281,10 +281,13 @@ def jaccard_bitmap_allpairs(
     (brute_force_topk's distributed-tile pattern) — 12.5M pair
     popcounts over 16-word bitmaps are two orders of magnitude cheaper
     than 7.9M array_intersects, and NOTHING is lost because the sweep
-    is exhaustive. Scale contract: this is the |vocab| <= ~4096 tool
-    (bitmap width is the vocabulary); large-vocabulary corpora keep
-    the prefix-filtered plan — the two regimes are complementary and
-    the property test pins them equal.
+    is exhaustive. Scale contract — ENFORCED, not advisory: the
+    vocabulary is counted (one scan of the persisted rank table) and a
+    corpus whose distinct-shingle count exceeds `max_vocab` (default
+    4096, the bitmap width in bits) raises ValueError pointing at the
+    prefix-filtered plan; large-vocabulary corpora keep that plan —
+    the two regimes are complementary and the property test pins them
+    equal.
 
     Input: the (id_col, shingle) SET relation. Output:
     (doc_a, doc_b, i, u) integer intersection/union sizes for pairs
@@ -300,6 +303,20 @@ def jaccard_bitmap_allpairs(
     ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(
         "shingle", "rid"
     )
+    ranked = scoped_persist(ranked)
+    # ENFORCE the documented regime, don't trust the caller: a
+    # large-vocabulary corpus would silently build |vocab|-bit bitmaps
+    # per document and sweep quadratic tiles over them. The count is
+    # one scan of the (persisted) vocabulary rank table — trivial next
+    # to the sweep it guards.
+    n_vocab = ranked.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"jaccard_bitmap_allpairs: vocabulary has {n_vocab} "
+            f"distinct shingles > max_vocab={max_vocab}; the bitmap "
+            "all-pairs sweep is the SMALL-vocabulary tool — use the "
+            "prefix-filtered plan (strategy='prefix') for this corpus"
+        )
     arr = (
         sh.join(ranked, "shingle")
         .groupBy(id_col)

@@ -583,6 +583,16 @@ def point_in_polygon_join(
     arithmetic — a double ray-caster is one ulp from flipping a
     boundary point.
 
+    MAGNITUDE CONTRACT: the cross product
+    (x2-x1)*(py-y1) - (px-x1)*(y2-y1) is evaluated in int64, so every
+    coordinate must satisfy |coordinate| < 2^31 (each difference is
+    then < 2^32 and each product < 2^63 — no wrap). Milli-degree
+    geo coordinates (< 2*10^5) are ~four orders of magnitude inside
+    the bound; units finer than ~nano-degrees are NOT safe. This
+    mirrors the j11 LCG reduce-before-multiply annotation
+    (queries_joins.py): int64 exactness holds only inside a stated
+    operand bound.
+
     Physical shape: (1) the polygon table is parameter-bounded
     (fences, sales territories) — broadcast; (2) a BOUNDING-BOX
     prefilter (array_min/max per polygon) cuts the candidate set

@@ -918,7 +918,10 @@ def tar_bmp_frame_stats(archives: DataFrame,
     Frame index parses from the member name's frame_<k>.bmp field
     (anchored — a digit elsewhere in the path, e.g. clip012/, is not
     a frame number), not member order, so a re-packed shard keeps its
-    timeline. Non-BMP and non-frame members are skipped individually
+    timeline; duplicate frame_<k>.bmp member names within one shard
+    keep the FIRST occurrence, so (video_id, frame_idx) is unique and
+    downstream lag() windows are deterministic. Non-BMP and
+    non-frame members are skipped individually
     (triage convention); a CHECKSUM-corrupt header terminates that
     shard's walk — its size field cannot be trusted to find the next
     header, so later members are unreachable, and a clip that lost
@@ -941,15 +944,24 @@ def tar_bmp_frame_stats(archives: DataFrame,
         for pdf in batches:
             vids, fidx, npx, sr, sg, sb = [], [], [], [], [], []
             for vid, blob in zip(pdf[id_col], pdf[content_col]):
+                seen_fidx = set()
                 for name, size, off in _walk_tar(blob):
                     m = re.search(r"frame_(\d+)\.bmp$", name)
                     if m is None:
+                        continue
+                    if int(m.group(1)) in seen_fidx:
+                        # duplicate member name in a re-packed shard:
+                        # keep the FIRST occurrence so (video_id,
+                        # frame_idx) stays unique — a duplicate row
+                        # would make downstream lag()-over-frame_idx
+                        # windows nondeterministic
                         continue
                     decoded = _decode_bmp24(
                         bytes(blob[off:off + size])
                     )
                     if decoded is None:
                         continue
+                    seen_fidx.add(int(m.group(1)))
                     w, h, px = decoded
                     px64 = px.astype(np.int64)
                     vids.append(int(vid))

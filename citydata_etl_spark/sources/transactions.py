@@ -99,6 +99,15 @@ def vacuum_txn_versions(spark: SparkSession, root: str) -> list[int]:
     import shutil
 
     live = txn_version(spark, root)
+    if live is None:
+        # No committed pointer: every staged dir belongs to an
+        # in-flight FIRST commit. Deleting them would destroy that
+        # commit, so refuse — matching deletion.py's _live_version,
+        # which raises on a missing pointer rather than guessing.
+        raise RuntimeError(
+            f"transaction root at {root} has no committed version; "
+            "refusing to vacuum staged dirs of an in-flight first commit"
+        )
     removed = set()
     for name in os.listdir(root):
         m = re.fullmatch(r".+-v(\d+)", name)

@@ -518,7 +518,12 @@ def make_attribution_group(horizon_us: int):
         order = np.argsort(tus, kind="stable")
         t_s = tus[order]
         et = rows["event_type"].to_numpy()[order]
-        cents = rows["cents"].to_numpy(dtype=np.int64)[order]
+        # cents is only consumed for purchase rows, but the int64
+        # conversion runs over the whole column — a null on any
+        # non-purchase event must not kill the query, so fill first
+        cents = (
+            rows["cents"].fillna(0).to_numpy(dtype=np.int64)[order]
+        )
         lc_cum = np.maximum.accumulate(
             np.where(et == "click", t_s, np.int64(lc0))
         )

@@ -1337,3 +1337,21 @@ def test_knn_label_recovers_cluster_labels(spark, clustered_vecs):
     assert set(got) == set(truth)
     agree = sum(got[q] == truth[q] for q in got) / len(got)
     assert agree > 0.9, f"kNN label propagation agreement too low: {agree}"
+
+
+def test_bitmap_allpairs_enforces_vocab_bound(spark):
+    """The bitmap all-pairs sweep is the SMALL-vocabulary tool; a
+    corpus whose distinct-shingle count exceeds max_vocab must raise
+    (pointing at the prefix plan), not silently build |vocab|-bit
+    bitmaps with quadratic tile sweeps (ADVICE r10)."""
+    rows = [(i, f"tok{i} tok{i + 1}") for i in range(30)]
+    sh = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING"
+    ).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("shingle")
+    )
+    with pytest.raises(ValueError, match="max_vocab"):
+        D.jaccard_bitmap_allpairs(sh, 0.5, max_vocab=10).collect()
+    # within the bound the sweep still runs
+    small = sh.filter(F.col("doc_id") < 4)
+    D.jaccard_bitmap_allpairs(small, 0.5, max_vocab=10).collect()

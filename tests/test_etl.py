@@ -1505,6 +1505,18 @@ def test_multi_table_txn_atomicity_and_crash_points(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "a-v0"))
     assert read_txn_table(spark, root, "a").count() == 50
 
+    # (e) ADVICE r10: a root with staged dirs but NO committed pointer
+    # is an in-flight FIRST commit — vacuum must refuse, not delete
+    # every staged dir (int(None-as-live) != dir would match all)
+    fresh = str(tmp_path / "txn_fresh")
+    os.makedirs(fresh)
+    a0.write.parquet(os.path.join(fresh, "a-v0"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no committed version"):
+        vacuum_txn_versions(spark, fresh)
+    assert os.path.exists(os.path.join(fresh, "a-v0"))
+
 
 def test_sniff_csv_dialect_trap_and_precedence(spark):
     """Dialect detection must (a) beat the European-decimal trap — in a

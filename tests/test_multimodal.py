@@ -557,6 +557,53 @@ def test_tar_bmp_frame_stats_walk_decode_and_skip(spark):
     assert not [k for k in got if k[0] == 3]
 
 
+def test_tar_bmp_frame_stats_duplicate_member_keeps_first(spark):
+    """A re-packed shard can carry the SAME frame_<k>.bmp member name
+    twice; the walk must keep the FIRST occurrence so (video_id,
+    frame_idx) stays unique and downstream lag()-over-frame_idx
+    windows are deterministic (ADVICE r10). The duplicate's pixel
+    DATA is altered (tar checksums cover only headers), so a
+    keep-last or keep-both regression changes the observed sums."""
+    from citydata_etl_spark.operators.multimodal import (
+        tar_bmp_frame_stats,
+    )
+    from citydata_etl_spark.plans.queries_llm import _video_tar_fixture
+
+    one = _video_tar_fixture(spark, "/root/testdata/sf0.001").limit(1).collect()[0]
+    vid, blob = int(one["video_id"]), bytes(one["content"])
+
+    # member boundaries (header + padded data per member)
+    bounds, pos = [], 0
+    while blob[pos:pos + 512] != b"\0" * 512:
+        size = int(blob[pos + 124:pos + 136].split(b"\0")[0], 8)
+        nxt = pos + 512 + ((size + 511) // 512) * 512
+        bounds.append((pos, nxt))
+        pos = nxt
+    m0 = blob[bounds[0][0]:bounds[0][1]]
+    # second copy of frame_0 with every data byte flipped to 0xFF
+    dup = bytearray(m0)
+    for i in range(512, len(dup)):
+        dup[i] = 0xFF
+    repacked = m0 + bytes(dup) + b"\0" * 1024
+    df = spark.createDataFrame(
+        [(vid, repacked)], "video_id LONG, content BINARY"
+    )
+    rows = tar_bmp_frame_stats(df).collect()
+    assert len(rows) == 1  # one row, not two, for frame 0
+    base = {
+        (r["video_id"], r["frame_idx"]): (r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in tar_bmp_frame_stats(
+            spark.createDataFrame(
+                [(vid, blob)], "video_id LONG, content BINARY"
+            )
+        ).collect()
+    }
+    r = rows[0]
+    assert r["frame_idx"] == 0
+    # FIRST occurrence's sums, not the 0xFF-flooded duplicate's
+    assert (r["sum_r"], r["sum_g"], r["sum_b"]) == base[(vid, 0)]
+
+
 def test_image_ahash_perceptual_properties(spark):
     """The fingerprint must be (a) identical for byte-identical images
     under different ids, (b) within small hamming distance for a

@@ -807,7 +807,9 @@ def test_streaming_attribution_state_across_microbatches(spark, tmp_path):
     (maxFilesPerTrigger=1, time-ordered files), so every attribution
     decision in batch 2 depends ONLY on state. Also pins the RANGE tie
     semantics (a click tied with the purchase wins over an earlier
-    view) and the horizon cutoff."""
+    view) and the horizon cutoff. Touch rows carry NULL cents (their
+    cents are never consumed) — the kernel must fill, not crash, on
+    the whole-column int64 conversion (ADVICE r10)."""
     import os
 
     from pyspark.sql import functions as F
@@ -824,19 +826,19 @@ def test_streaming_attribution_state_across_microbatches(spark, tmp_path):
     os.makedirs(d)
     early = [
         # user 1: click then view (view more recent -> view wins later)
-        (1, "click", 0, 0),
-        (1, "view", 1 * H // 4, 0),
+        (1, "click", 0, None),
+        (1, "view", 1 * H // 4, None),
         # user 2: click long ago (outside horizon at purchase time)
-        (2, "click", 0, 0),
+        (2, "click", 0, None),
         # user 3: view only
-        (3, "view", 1 * H // 2, 0),
+        (3, "view", 1 * H // 2, None),
     ]
     late = [
         # purchases: all in a LATER file/batch
         (1, "purchase", H // 2, 100),        # view at H/4 wins
         (2, "purchase", 2 * H, 200),         # click aged out -> organic
         (3, "purchase", H, 300),             # tied click wins (RANGE:
-        (3, "click", H, 0),                  # peers at a tus are visible
+        (3, "click", H, None),               # peers at a tus are visible
         (3, "purchase", H, 400),             # to EVERY purchase at it)
         (4, "purchase", H, 500),             # no touch ever -> organic
     ]
