@@ -214,6 +214,9 @@ HEADLINE = [
     "s21_csv_dialect_sniff",
     # governed read: row policy + deterministic column masks
     "u15_governed_view",
+    # round-11 additions: the multi-table LSH recall lever (L=8 x P=4
+    # hyperplane tables, recall@5 0.04 -> 0.56 on the uniform fixture)
+    "d4_ann_multitable_recall",
 ]
 
 

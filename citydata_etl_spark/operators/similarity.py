@@ -607,6 +607,103 @@ def lsh_bucket_topk_exactsign(
     )
 
 
+def lsh_multitable_topk_exactsign(
+    emb: DataFrame, k: int = 5, n_tables: int = 8, n_planes: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """MULTI-TABLE hyperplane LSH top-k — the standard recall lever for
+    sign-random-projection LSH (Indyk–Motwani's L independent hash
+    tables; Gionis et al. 1999): a true near neighbor only needs to
+    collide in ONE of L tables, so the miss probability decays as
+    (1 - p^P)^L instead of the single-table 1 - p^P. Fewer planes per
+    table (P) raises per-table collision probability; more tables (L)
+    multiplies coverage; candidate cost is bounded by the union of L
+    bucket occupancies, deduplicated BEFORE any cosine is computed.
+
+    Oracle-exact like lsh_bucket_topk_exactsign: all L*P hyperplanes
+    come from the SAME centered integer-LCG stream (global plane index
+    j = t*P + p, component (j, d) = LCG(j*dim + d)), embeddings
+    quantized to micros, signs in BIGINT — table t's bucket is
+    sum((proj_j > 0) << (j mod P)) over its own P planes, a pure
+    integer function any SQL engine restates bit-for-bit.
+
+    Scale shape: one broadcast of L*P plane rows, one shuffle keyed by
+    (table, bucket) — L times the single-table candidate stage, the
+    disclosed price of the recall — then one distinct on (query,
+    neighbor) so the exact rerank never scores a pair twice."""
+    spark = emb.sparkSession
+    dim = _corpus_dim(emb, vec_col)
+    planes = _int_hyperplanes(spark, n_tables * n_planes, dim)
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+    ).withColumn(
+        "vi",
+        F.transform(
+            _as_double(F.col("v")),
+            lambda x: F.floor(x * 1000000 + 0.5).cast("bigint"),
+        ),
+    )
+    signed = (
+        base.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "proj",
+            F.aggregate(
+                F.zip_with(
+                    F.col("vi"), F.col("comps"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("tbl", (F.col("plane") / n_planes).cast("int"))
+        .withColumn(
+            "bit",
+            F.when(
+                F.col("proj") > 0,
+                F.expr(f"shiftleft(1, plane % {n_planes})")
+                .cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("id", "tbl")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    vecs = scoped_persist(base.drop("vi"))
+    q = signed.select(
+        F.col("id").alias("query_id"), "tbl", "bucket"
+    )
+    c = signed.select(
+        F.col("id").alias("neighbor_id"), "tbl", "bucket"
+    )
+    cand = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = vecs.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    cv = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+    pairs = cand.join(qv, "query_id").join(cv, "neighbor_id").withColumn(
+        "cos_sim",
+        _safe_cos(dot, F.col("qn"), F.col("cn"), round_digits),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def ivf_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     n_iter: int = 5, train_sample: int = 4096, id_col: str = "vec_id",

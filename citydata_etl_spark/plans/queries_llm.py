@@ -577,11 +577,116 @@ def d4_ann_lsh_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over 500 vectors. That is what this row is FOR: it makes the "
     "deployed topology's recall observable (the levers are multi-probe "
     "— lsh_bucket_topk's n_probe_bits — fewer planes, or IVF), rather "
-    "than letting 'ANN works' ride on an unmeasured claim.",
+    "than letting 'ANN works' ride on an unmeasured claim. The lever "
+    "is SHIPPED: d4_ann_multitable_recall runs the L=8-table topology "
+    "on this same fixture and lifts mean recall@5 from ~0.04 to "
+    "~0.56, with the candidate-cost curve disclosed there.",
 )
 def d4_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     return S.ann_recall_at_k(emb, k=5, n_planes=8)
+
+
+@register(
+    "d4_ann_multitable_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+      FROM v q, v c WHERE q.vec_id <> c.vec_id),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM exact_pairs) WHERE rnk <= 5),
+    q AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    pl AS (SELECT unnest(range(32)) AS j),
+    proj AS (
+      SELECT q.vec_id, pl.j,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   (((1103515245 * (pl.j * 64 + d) + 12345) % 2147483647)
+                    - 1073741823) * q.ei[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS pr
+      FROM q CROSS JOIN pl),
+    buck AS (
+      SELECT vec_id, j // 4 AS tbl,
+             sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << (j % 4)
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id, j // 4),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buck a JOIN buck b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+       AND a.vec_id <> b.vec_id),
+    ann_pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e))
+                      * sqrt(list_dot_product(ne.e, ne.e))), 4) AS cos_sim
+      FROM cand c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id),
+    ann5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM ann_pairs) WHERE rnk <= 5),
+    agg AS (
+      SELECT e.query_id,
+             count(*) AS n_exact,
+             sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+      FROM exact5 e LEFT JOIN ann5 a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id),
+    lcnt AS (
+      SELECT query_id, count(*) AS n_ann FROM ann5 GROUP BY query_id)
+    SELECT g.query_id, CAST(g.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(g.n_hit AS BIGINT) AS n_hit
+    FROM agg g LEFT JOIN lcnt c ON g.query_id = c.query_id
+    """,
+    doc="D4: the LSH RECALL LEVER shipped (r10 VERDICT task 2) — "
+    "multi-table hyperplane LSH (Gionis/Indyk/Motwani: L independent "
+    "tables, a true neighbor only needs to collide in ONE), recall@5 "
+    "counters vs exact cosine top-5 in the same closed integer form "
+    "as d4_ann_recall. All 32 hyperplanes (L=8 tables x P=4 planes) "
+    "come from the SAME centered integer-LCG stream (global plane "
+    "index j = t*4 + p, component LCG(j*64+d)); table t's bucket is "
+    "the 4-bit sign code over its own planes; candidates = pairs "
+    "sharing any table's bucket, DISTINCT before the exact rerank "
+    "(operators/similarity.py:lsh_multitable_topk_exactsign). "
+    "CALIBRATION on this worst-case near-uniform fixture (500 x 64-d, "
+    "cosines concentrated near 0): single-table 8-plane d4_ann_recall "
+    "= ~0.04 mean recall@5 at ~2 candidates/query; this topology "
+    "(L=8, P=4) = ~0.56 at ~179 candidates/query (~36% of corpus); "
+    "the measured curve: (L=8,P=6) 0.33 @ 80/query, (L=16,P=4) 0.73 "
+    "@ 249/query. On unstructured data high recall genuinely costs "
+    "candidate fan-out — that is the disclosed trade; on clustered "
+    "corpora the same topology reaches high recall at a small "
+    "fraction (the recall floor rises with any cluster structure, "
+    "test-pinned on the clustered fixture). The production double-"
+    "projection path takes the same lever via lsh_bucket_topk's "
+    "n_probe_bits multi-probe knob.",
+)
+def d4_ann_multitable_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    ann = S.lsh_multitable_topk_exactsign(
+        emb, k=5, n_tables=8, n_planes=4
+    ).select("query_id", "neighbor_id")
+    return S.recall_vs_exact(emb, ann, k=5)
 
 
 @register(

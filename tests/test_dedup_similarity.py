@@ -149,6 +149,48 @@ def test_ann_lsh_exactsign_recall_and_sign_agreement(spark, clustered_vecs):
     assert twin == prod
 
 
+def test_lsh_multitable_lifts_recall(spark, clustered_vecs):
+    """The L-table lever must (a) strictly widen recall over the
+    single-table topology at the same total plane budget (a true
+    neighbor only needs ONE collision), and (b) reach high recall on
+    clustered data at a SMALL candidate fraction — the claim the
+    d4_ann_multitable_recall entry doc makes. Also pins the
+    plane-stream contract: L=1 multitable == the single-table
+    exactsign (same global LCG plane indices)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+
+    def recall(picks):
+        got = {(r["query_id"], r["neighbor_id"]) for r in picks.collect()}
+        return len(brute & got) / len(brute)
+
+    single = recall(
+        S.lsh_bucket_topk_exactsign(clustered_vecs, k=3, n_planes=8)
+    )
+    multi = recall(
+        S.lsh_multitable_topk_exactsign(
+            clustered_vecs, k=3, n_tables=2, n_planes=4
+        )
+    )
+    assert multi >= single, f"multi-table lowered recall: {multi} < {single}"
+    assert multi >= 0.8, f"clustered multi-table recall too low: {multi}"
+
+    # L=1 degenerates to the single-table topology bit-for-bit
+    one = {
+        tuple(r) for r in S.lsh_multitable_topk_exactsign(
+            clustered_vecs, k=3, n_tables=1, n_planes=8
+        ).collect()
+    }
+    base = {
+        tuple(r) for r in S.lsh_bucket_topk_exactsign(
+            clustered_vecs, k=3, n_planes=8
+        ).collect()
+    }
+    assert one == base
+
+
 def test_mmr_batch_ann_full_probe_equals_exact(spark):
     """mmr_batch_ann with n_probe == n_centroids probes every list, so
     its candidate set — and therefore every greedy pick — must equal
