@@ -215,8 +215,10 @@ HEADLINE = [
     # governed read: row policy + deterministic column masks
     "u15_governed_view",
     # round-11 additions: the multi-table LSH recall lever (L=8 x P=4
-    # hyperplane tables, recall@5 0.04 -> 0.56 on the uniform fixture)
+    # hyperplane tables, recall@5 0.04 -> 0.56 on the uniform fixture);
+    # real PNG pixel decode (stdlib zlib + filter reversal)
     "d4_ann_multitable_recall",
+    "d5_png_pixels",
 ]
 
 

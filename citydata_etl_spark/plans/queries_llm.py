@@ -3457,6 +3457,178 @@ def _bmp_media_fixture(
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6) over reconstructed
+    left/up/up-left bytes — shared by the fixture's forward filter
+    and the tests' Python model."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(px_rows, channels: int, filters, split_idat: bool = False):
+    """Encode a genuine PNG from raw pixel rows (list of rows, each a
+    flat list of channel bytes), applying the given per-row filter
+    types FORWARD (enc = raw - predictor mod 256) so the decoder must
+    actually reverse them. channels: 3 (RGB) or 4 (RGBA).
+    split_idat=True emits the compressed stream as TWO IDAT chunks —
+    decoders must concatenate before inflating. Synthesis-only
+    per-byte Python over <=48-px images; the OPERATOR decodes
+    vectorized (operators/multimodal.py:_decode_png_rgb)."""
+    import zlib
+
+    h = len(px_rows)
+    stride = len(px_rows[0])
+    w = stride // channels
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        row = list(px_rows[y])
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            left = row[x - channels] if x >= channels else 0
+            up = prev[x]
+            upleft = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                enc = row[x]
+            elif f == 1:
+                enc = (row[x] - left) % 256
+            elif f == 2:
+                enc = (row[x] - up) % 256
+            elif f == 3:
+                enc = (row[x] - (left + up) // 2) % 256
+            else:
+                enc = (row[x] - _paeth(left, up, upleft)) % 256
+            raw.append(enc)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + crc.to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2 if channels == 3 else 6, 0, 0, 0])
+    )
+    comp = zlib.compress(bytes(raw))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if split_idat and len(comp) > 2:
+        mid = len(comp) // 2
+        out += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    else:
+        out += chunk(b"IDAT", comp)
+    return out + chunk(b"IEND", b"")
+
+
+def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PNG blob fixture for d5_png_pixels: GENUINE PNGs (real
+    zlib DEFLATE streams, real CRC32s) with closed-form pixels, dims
+    cycling by doc_id, per-row filter type (doc_id + y) % 5 — so the
+    corpus exercises ALL FIVE standard filters including the
+    sequential Average/Paeth paths — every 3rd image truecolor+alpha
+    (the alpha channel is a decoy the decode must drop), every 4th
+    image's stream split across two IDAT chunks, and a JPEG header
+    blob every 7th row that must yield NULLs."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ids.append(d)
+                if d % 7 == 0:
+                    blobs.append(bytes.fromhex("FFD8FFE0") + b"\x00" * 50)
+                    continue
+                w, h = 4 + d % 5, 3 + d % 4
+                ch = 4 if d % 3 == 0 else 3
+                rows = []
+                for y in range(h):
+                    row = []
+                    for x in range(w):
+                        row.append((d + 3 * x + 7 * y) % 256)
+                        row.append((2 * d + 5 * x + 11 * y + 1) % 256)
+                        row.append((3 * d + x + 13 * y + 2) % 256)
+                        if ch == 4:
+                            row.append((d + x + y) % 256)
+                    rows.append(row)
+                filters = [(d + y) % 5 for y in range(h)]
+                blobs.append(
+                    encode_png(rows, ch, filters, split_idat=d % 4 == 0)
+                )
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
+
+
+@register(
+    "d5_png_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             doc_id % 7 = 0 AS is_jpeg
+      FROM documents),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(6) gy
+      WHERE NOT is_jpeg AND gx.range < w AND gy.range < h),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             (media_id + 3 * x + 7 * y) % 256 AS r,
+             (2 * media_id + 5 * x + 11 * y + 1) % 256 AS g,
+             (3 * media_id + x + 13 * y + 2) % 256 AS b
+      FROM grid),
+    agg AS (
+      SELECT media_id, w AS width, h AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((y * w + x) * r) AS BIGINT) AS wsum_r,
+             CAST(sum(CASE WHEN x = 0 AND y = 0
+                      THEN r * 65536 + g * 256 + b END) AS BIGINT) AS p00
+      FROM px GROUP BY media_id, w, h)
+    SELECT p.media_id, a.width, a.height, a.n_pixels,
+           a.sum_r, a.sum_g, a.sum_b, a.wsum_r, a.p00
+    FROM p LEFT JOIN agg a ON p.media_id = a.media_id
+    """,
+    doc="D5: REAL PNG pixel decode with NO codec library (r10 VERDICT "
+    "task 3) — stdlib zlib inflate + per-row filter reversal "
+    "(operators/multimodal.py:_decode_png_rgb), shrinking the "
+    "disclosed stub boundary to transform-coded formats (JPEG). "
+    "Blobs are GENUINE PNGs — real DEFLATE streams, verified CRC32s "
+    "— whose per-row filter type cycles (doc_id+y)%5 so the corpus "
+    "exercises all five standard filters (incl. the sequential "
+    "Average and Paeth predictor paths); every 3rd image carries an "
+    "alpha-channel decoy the decode must drop, every 4th splits its "
+    "stream across two IDAT chunks (decoders must concatenate before "
+    "inflating), and every 7th row is a JPEG that must yield NULLs. "
+    "The filters are an ENCODING detail — the oracle states only the "
+    "closed-form raw pixels, so any filter-reversal bug (wrong "
+    "predictor, missed lane stride, swapped left/up) breaks parity. "
+    "Same stats kernel and output shape as d5_bmp_pixels "
+    "(position-weighted red sum + packed top-left pixel pin "
+    "row-order and channel-order exactly).",
+)
+def d5_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+
+    return bmp_pixel_stats(_png_media_fixture(spark, sf_dir))
+
+
 def _video_tar_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared VIDEO fixture for d5_scene_cuts: one genuine ustar archive
     per doc_id, holding 5..7 genuine 24-bpp BMP frames

@@ -714,3 +714,124 @@ def test_ahash_neardup_blocking_is_lossless(spark):
     assert (0, 2) in got and got[(0, 2)] == 3
     assert (0, 3) not in got
     assert (0, 4) in got
+
+
+def test_png_decode_roundtrip_all_filters_property():
+    """Hypothesis: encode random small rasters (RGB and RGBA, random
+    per-row filter types, optionally split IDAT) with the fixture's
+    forward filter, decode with _decode_png_rgb, recover the exact
+    raw RGB pixels — filter reversal (incl. the sequential
+    Average/Paeth predictors), lane stride (3 vs 4 channels), and
+    IDAT concatenation are all on the line. Pure Python + numpy, no
+    Spark session."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 6),  # width
+        st.integers(1, 5),  # height
+        st.sampled_from([3, 4]),
+        st.integers(0, 2 ** 30),  # pixel seed
+        st.lists(st.integers(0, 4), min_size=5, max_size=5),
+        st.booleans(),
+    )
+    def check(w, h, ch, seed, fpool, split):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        px = rng.randint(0, 256, size=(h, w, ch))
+        rows = [list(px[y].reshape(-1)) for y in range(h)]
+        filters = [fpool[y % 5] for y in range(h)]
+        blob = encode_png(rows, ch, filters, split_idat=split)
+        dec = M._decode_png_rgb(blob)
+        assert dec is not None
+        gw, gh, got = dec
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(got, px[:, :, :3].astype(np.uint8))
+
+    check()
+
+
+def test_png_decode_rejects_unsupported_and_corrupt():
+    """The decode must return None (triage convention) for: corrupt
+    chunk CRC, truncated blob, interlaced, 16-bit depth, palette
+    color type, wrong signature, and bad inflated length — never
+    raise, never return wrong pixels."""
+    import zlib
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    good = encode_png([[10, 20, 30, 40, 50, 60]], 3, [1])
+    assert M._decode_png_rgb(good) is not None
+
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # IEND crc
+    assert M._decode_png_rgb(bytes(bad_crc)) is None
+    assert M._decode_png_rgb(good[:-7]) is None  # truncated
+    assert M._decode_png_rgb(b"\x88PNG\r\n\x1a\n" + good[8:]) is None
+
+    def with_ihdr(mut):
+        b = bytearray(good)
+        # IHDR data starts at 16 (8 sig + 4 len + 4 type)
+        mut(b)
+        # re-stamp IHDR crc (bytes 12..29 cover type+data)
+        crc = zlib.crc32(bytes(b[12:29])) & 0xFFFFFFFF
+        b[29:33] = crc.to_bytes(4, "big")
+        return bytes(b)
+
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(24, 16))) is None  # 16-bit
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(25, 3))) is None  # palette
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(28, 1))) is None  # interlaced
+
+
+def test_png_and_bmp_same_pixels_same_stats(spark):
+    """Cross-format agreement: the SAME logical pixels encoded as a
+    bottom-up stride-padded BMP and as a Paeth-filtered PNG must
+    produce identical rows through bmp_pixel_stats — _decode_image_rgb
+    normalizes both to (H, W, 3) logical-top-down RGB, so every
+    raster kernel (stats, histogram, resize, ahash) is format-
+    agnostic above the decode."""
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    w, h = 5, 4
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) * 3 % 256
+    # PNG: logical top-down RGB, Paeth everywhere
+    png = encode_png(
+        [list(px[y].reshape(-1)) for y in range(h)], 3, [4] * h
+    )
+    # BMP: bottom-up storage, BGR, stride padding
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            row += bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0]])
+        row += b"\x00" * (stride - len(row))
+        body += row
+    bmp = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little") + b"\x00" * 16
+        + bytes(body)
+    )
+    df = spark.createDataFrame(
+        [(1, bytes(png)), (2, bmp)], "media_id LONG, content BINARY"
+    )
+    rows = {r["media_id"]: r.asDict() for r in M.bmp_pixel_stats(df).collect()}
+    a, b = rows[1], rows[2]
+    for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+              "wsum_r", "p00"):
+        assert a[k] == b[k], (k, a[k], b[k])
+    assert a["wsum_r"] is not None
