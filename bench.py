@@ -219,6 +219,8 @@ HEADLINE = [
     # real PNG pixel decode (stdlib zlib + filter reversal)
     "d4_ann_multitable_recall",
     "d5_png_pixels",
+    # sliding-window distinct via mergeable per-slot KMV sketches
+    "a23_sliding_kmv",
 ]
 
 

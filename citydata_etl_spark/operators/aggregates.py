@@ -474,3 +474,85 @@ def histogram_order_statistics(
             F.col("n").cast("bigint").alias("n"),
         )
     )
+
+
+def sliding_kmv_distinct(
+    events: DataFrame, slide_s: int = 300, n_slots: int = 2, k: int = 64,
+    ts_col: str = "ts", key_col: str = "user_id",
+) -> DataFrame:
+    """Sliding-window approximate distinct via MERGEABLE integer-KMV
+    sketches (Bar-Yossef et al. 2002) — the scale form of the exact
+    Expand+count_distinct sliding window: each slide-width SLOT builds
+    one k-minimum-values buffer (the k smallest distinct LCG hashes of
+    the key), and each window of n_slots consecutive slots MERGES its
+    slots' buffers. The merge is LOSSLESS relative to sketching the
+    window directly: every one of the union's k smallest hashes is
+    within its own slot's k smallest, so re-ranking the union of
+    buffers reproduces the direct window sketch bit-for-bit (the
+    property test pins this). Estimate = (k-1)*M DIV kth_smallest —
+    exact integer division, engine-portable; when a window's buffer
+    holds fewer than k hashes the estimate IS the exact count.
+
+    Output per window_start: n_exact (exact distinct, riding along for
+    the dashboard's sketch-vs-truth column), n_buf, kth_hash, kmv_est
+    — all BIGINT.
+
+    At 100 TB: each event is hashed into exactly ONE slot sketch
+    (map-side distinct shrinks first), the window fan-out explodes
+    k-row buffers instead of raw events, and per-window state is k
+    hashes regardless of true cardinality — the win over the exact
+    plan whenever |keys| >> k within a ~2/sqrt(k) error band."""
+    from citydata_etl_spark.operators.similarity import lcg_pick
+
+    m = 2147483647
+    slot = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s) * slide_s
+    ).cast("bigint")
+    hashed = events.select(
+        slot.alias("slot"), lcg_pick(F.col(key_col)).alias("hv")
+    ).distinct()
+    slot_rn = F.row_number().over(W.partitionBy("slot").orderBy("hv"))
+    slot_buf = hashed.withColumn("rn", slot_rn).filter(
+        F.col("rn") <= k
+    ).select("slot", "hv")
+    offs = F.array(*[F.lit(i * slide_s) for i in range(n_slots)])
+    merged = (
+        slot_buf.select(
+            F.explode(offs).alias("o"), "slot", "hv"
+        )
+        .select((F.col("slot") - F.col("o")).alias("window_start"), "hv")
+        .filter(F.col("window_start") >= 0)
+        .distinct()
+    )
+    win_rn = F.row_number().over(
+        W.partitionBy("window_start").orderBy("hv")
+    )
+    wbuf = (
+        merged.withColumn("rn", win_rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("window_start")
+        .agg(
+            F.max("hv").cast("bigint").alias("kth_hash"),
+            F.count("*").alias("n_buf"),
+        )
+    )
+    exact = (
+        events.select(
+            F.explode(offs).alias("o"), slot.alias("slot"),
+            F.col(key_col).alias("key"),
+        )
+        .select((F.col("slot") - F.col("o")).alias("window_start"), "key")
+        .filter(F.col("window_start") >= 0)
+        .groupBy("window_start")
+        .agg(F.countDistinct("key").alias("n_exact"))
+    )
+    est = F.when(F.col("n_buf") < k, F.col("n_buf")).otherwise(
+        F.expr(f"({k - 1} * {m}L) div greatest(kth_hash, 1)")
+    )
+    return exact.join(wbuf, "window_start").select(
+        "window_start",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_buf").cast("bigint").alias("n_buf"),
+        "kth_hash",
+        est.cast("bigint").alias("kmv_est"),
+    )

@@ -486,9 +486,11 @@ def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count_distinct(user_id) per window plans as the standard "
     "two-phase Expand + partial aggregate. The oracle states the same "
     "expansion arithmetic (slot - 300*o). At 100 TB this is the "
-    "textbook case for swapping in the mergeable KMV/HLL sketch "
-    "(a2_kmv_distinct) once per-window exactness stops paying for its "
-    "shuffle width — the pairing this catalog ships both halves of.",
+    "textbook case for swapping in the mergeable KMV sketch once "
+    "per-window exactness stops paying for its shuffle width — the "
+    "swap is SHIPPED as a23_sliding_kmv (per-slot k-min buffers "
+    "merged per window, merge == direct pinned by property test), "
+    "whose doc states when each half wins.",
 )
 def a23_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_testdata(spark, sf_dir, "events")
@@ -505,6 +507,84 @@ def a23_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.filter(F.col("window_start") >= 0)
+
+
+@register(
+    "a23_sliding_kmv",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS slot,
+             (1103515245 * (user_id % 2147483647) + 12345)
+             % 2147483647 AS hv
+      FROM events),
+    slot_buf AS (
+      SELECT slot, hv FROM (
+        SELECT slot, hv,
+               row_number() OVER (PARTITION BY slot ORDER BY hv) AS rn
+        FROM e) WHERE rn <= 64),
+    merged AS (
+      SELECT DISTINCT slot - 300 * o.o AS window_start, hv
+      FROM slot_buf, (SELECT unnest([0, 1]) AS o) o
+      WHERE slot - 300 * o.o >= 0),
+    wbuf AS (
+      SELECT window_start, CAST(max(hv) AS BIGINT) AS kth_hash,
+             count(*) AS n_buf
+      FROM (
+        SELECT window_start, hv,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY hv) AS rn
+        FROM merged) WHERE rn <= 64
+      GROUP BY window_start),
+    ex AS (
+      SELECT window_start, count(DISTINCT user_id) AS n_exact
+      FROM (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               - 300 * o.o AS window_start
+        FROM events, (SELECT unnest([0, 1]) AS o) o)
+      WHERE window_start >= 0 GROUP BY window_start)
+    SELECT ex.window_start, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_buf AS BIGINT) AS n_buf, kth_hash,
+           CAST(CASE WHEN n_buf < 64 THEN n_buf
+                ELSE (CAST(63 AS BIGINT) * 2147483647)
+                     // greatest(kth_hash, 1)
+           END AS BIGINT) AS kmv_est
+    FROM ex JOIN wbuf ON ex.window_start = wbuf.window_start
+    """,
+    doc="A23 x A2 (the pairing SHIPPED, r10 VERDICT task 4): sliding-"
+    "window distinct users via the mergeable integer-KMV sketch — "
+    "the 100 TB form a23_sliding_distinct's doc promises. The "
+    "composition is the point: each 5-minute SLOT builds one k=64 "
+    "KMV buffer (k smallest distinct LCG hashes of user_id), and "
+    "each 10-minute window MERGES its two slots' buffers — the k "
+    "smallest of a union are always within the union of each side's "
+    "k smallest, so slot-merge loses NOTHING vs sketching the window "
+    "directly (pinned by the engine-side property test, and by the "
+    "oracle computing the merged form). Estimate = 63*M DIV "
+    "kth_smallest, exact integer division; the exact distinct count "
+    "rides along so one row shows sketch vs truth. WHEN EACH HALF "
+    "WINS: a23_sliding_distinct's exact Expand+distinct pays a "
+    "shuffle whose width is (events x windows-per-event) and a "
+    "per-window distinct state proportional to true cardinality — "
+    "right up to ~10^6 users/window; this sketch caps per-window "
+    "state at k hashes and merges ACROSS slots (each event hashed "
+    "into exactly ONE slot sketch, the window fan-out touching only "
+    "k-row buffers), so at 100 TB the shuffle carries sketches, not "
+    "users — the win whenever |users| >> k and a ~12%% (2/sqrt(64)) "
+    "error band is acceptable. On this fixture windows hold < 64 "
+    "users, so n_buf < k and the estimate equals n_exact — the "
+    "estimator branch is exercised by the property test's large "
+    "synthetic cardinalities.",
+)
+def a23_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.aggregates import sliding_kmv_distinct
+
+    events = read_testdata(spark, sf_dir, "events")
+    return sliding_kmv_distinct(
+        events, slide_s=300, n_slots=2, k=64,
+        ts_col="ts", key_col="user_id",
+    )
 
 
 @register(

@@ -1753,3 +1753,85 @@ def test_point_in_polygon_matches_python_ray_caster(spark, rects, pts):
     x0, y0, w, h = rects[0]
     if w >= 2 and h >= 2:
         assert inside(x0 + 1, y0 + 1, polys[0][1], polys[0][2])
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # user_id
+            st.integers(min_value=0, max_value=1800),  # epoch seconds
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sliding_kmv_merge_equals_direct_sketch(spark, rows):
+    """The engine builds per-SLOT k-min buffers and merges them per
+    window; a Python model sketches each WINDOW directly from raw
+    events. KMV mergeability says the two are IDENTICAL (every one of
+    the union's k smallest hashes is within its own slot's k
+    smallest) — kth_hash, n_buf, and the estimate must all match
+    bit-for-bit, with a small k so buffers actually truncate."""
+    import datetime
+
+    from citydata_etl_spark.operators.aggregates import (
+        sliding_kmv_distinct,
+    )
+
+    K, M, SL = 4, 2147483647, 300
+    df = spark.createDataFrame(
+        [
+            (u, datetime.datetime.fromtimestamp(
+                t, tz=datetime.timezone.utc))
+            for u, t in rows
+        ],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    got = {
+        r["window_start"]: (r["n_buf"], r["kth_hash"], r["kmv_est"],
+                            r["n_exact"])
+        for r in sliding_kmv_distinct(
+            df, slide_s=SL, n_slots=2, k=K
+        ).collect()
+    }
+
+    # direct per-window model from raw events (no slot stage)
+    from collections import defaultdict
+    win_users = defaultdict(set)
+    for u, t in rows:
+        slot = t // SL * SL
+        for o in (0, SL):
+            if slot - o >= 0:
+                win_users[slot - o].add(u)
+    want = {}
+    for ws, users in win_users.items():
+        hs = sorted({(1103515245 * (u % M) + 12345) % M for u in users})
+        buf = hs[:K]
+        kth = buf[-1]
+        est = len(buf) if len(buf) < K else (K - 1) * M // max(kth, 1)
+        want[ws] = (len(buf), kth, est, len(users))
+    assert got == want
+
+
+def test_sliding_kmv_error_band_large_cardinality(spark):
+    """With |users| >> k the estimator branch engages; the estimate
+    must land inside the ~2/sqrt(k) KMV band (deterministic: the LCG
+    hash fixes the sketch). One slot of 2000 distinct users, k=64."""
+    import datetime
+
+    from citydata_etl_spark.operators.aggregates import (
+        sliding_kmv_distinct,
+    )
+
+    K = 64
+    base = datetime.datetime.fromtimestamp(0, tz=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [(u, base) for u in range(2000)], "user_id LONG, ts TIMESTAMP"
+    )
+    rows = sliding_kmv_distinct(df, slide_s=300, n_slots=2, k=K).collect()
+    assert len(rows) == 1  # slot 0 only feeds window 0
+    r = rows[0]
+    assert r["n_exact"] == 2000 and r["n_buf"] == K
+    rel = abs(r["kmv_est"] / 2000 - 1)
+    assert rel <= 2.5 / (K ** 0.5), (r["kmv_est"], rel)
