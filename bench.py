@@ -219,8 +219,10 @@ HEADLINE = [
     # real PNG pixel decode (stdlib zlib + filter reversal)
     "d4_ann_multitable_recall",
     "d5_png_pixels",
-    # sliding-window distinct via mergeable per-slot KMV sketches
+    # sliding-window distinct via mergeable per-slot KMV sketches;
+    # ExactSubstr removal form (cut duplicated passages, keep rest)
     "a23_sliding_kmv",
+    "d4_dup_passage_cut",
 ]
 
 

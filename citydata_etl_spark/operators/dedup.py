@@ -1089,6 +1089,99 @@ def dup_passage_stats(docs: DataFrame, n: int = 4, text_col: str = "text",
     )
 
 
+def exactsubstr_cut(docs: DataFrame, n: int = 4, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr REMOVAL form (Lee et al. 2021 §4.1 — the DECISION
+    the paper actually ships: cut the duplicated spans, keep the
+    remainders): a token position is CUT iff some n-gram occurrence
+    covering it appears >= 2 times corpus-wide (the same duplication
+    signal dup_passage_stats only measures). Deterministic and purely
+    relational, so a SQL oracle restates it end-to-end.
+
+    Output per doc: (doc_id, n_tokens, n_cut, n_kept, kept_text) with
+    kept_text the space-joined uncovered tokens in original order —
+    conservation (n_kept + n_cut == n_tokens, and kept + cut tokens
+    re-interleave to the original document) is pinned by a hypothesis
+    test against a Python model with planted duplications.
+
+    Scale shape: gram bag explode -> corpus gram counts (one shuffle,
+    map-side combined) -> duplicated gram STARTS (join on gram) ->
+    covered positions (bounded fan-out n per start, distinct) ->
+    one left join against the token relation on (doc, pos) -> per-doc
+    fold. Every join key is (doc_id, pos) or gram — co-partitioned
+    hash joins; no windows over whole docs, no driver participation.
+    Docs shorter than n tokens have no grams, so nothing is cut."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = scoped_persist(
+        _spread_small_input(docs).select(
+            F.col(id_col), toks.alias("toks")
+        )
+    )
+    # gram starts s in [0, L-n]; guard the descending-sequence edge
+    # (sequence(0, -1) yields [0, -1]) with an empty array
+    starts = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.sequence(F.lit(0), F.size("toks") - n),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("s"),
+        "toks",
+    ).select(
+        id_col, "s",
+        F.concat_ws(
+            " ", F.slice("toks", F.col("s") + 1, F.lit(n))
+        ).alias("gram"),
+    )
+    cnt = starts.groupBy("gram").agg(F.count("*").alias("c"))
+    dup_starts = (
+        starts.join(cnt, "gram")
+        .filter(F.col("c") >= 2)
+        .select(id_col, "s")
+    )
+    covered = dup_starts.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("s"), F.col("s") + (n - 1))
+        ).alias("p"),
+    ).distinct()
+    tok_rel = base.select(
+        id_col, F.posexplode("toks").alias("p", "tok")
+    )
+    marked = tok_rel.join(
+        covered.withColumn("cut", F.lit(1)), [id_col, "p"], "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("cut"), F.lit(0)))
+        .cast("bigint").alias("n_cut"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cut").isNull(),
+                            F.struct("p", "tok"),
+                        )
+                    )
+                ),
+                lambda st: st["tok"],
+            ),
+        ).alias("kept_text"),
+    )
+    return base.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_cut", F.lit(0)).cast("bigint").alias("n_cut"),
+        (
+            F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_cut", F.lit(0))
+        ).cast("bigint").alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     corpus: DataFrame,

@@ -2172,6 +2172,73 @@ def d4_dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_dup_passage_cut",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(greatest(len(toks) - 3, 0))) AS s
+      FROM tokl),
+    g AS (
+      SELECT doc_id, s,
+             array_to_string(
+               toks[CAST(s + 1 AS INT):CAST(s + 4 AS INT)], ' ') AS gram
+      FROM st),
+    cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    dup_starts AS (
+      SELECT g.doc_id, g.s FROM g JOIN cnt ON g.gram = cnt.gram
+      WHERE c >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, s + o.o AS p
+      FROM dup_starts, (SELECT unnest(range(4)) AS o) o),
+    tok AS (
+      SELECT doc_id, toks,
+             unnest(range(len(toks))) AS p
+      FROM tokl),
+    marked AS (
+      SELECT t.doc_id, t.p,
+             t.toks[CAST(t.p + 1 AS INT)] AS tk,
+             c.p IS NOT NULL AS cut
+      FROM tok t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.p = c.p),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN cut THEN 1 ELSE 0 END) AS n_cut,
+             coalesce(string_agg(CASE WHEN NOT cut THEN tk END,
+                                 ' ' ORDER BY p), '') AS kept_text
+      FROM marked GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_cut, 0) AS BIGINT) AS n_cut,
+           CAST(coalesce(a.n_tokens, 0) - coalesce(a.n_cut, 0)
+                AS BIGINT) AS n_kept,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM tokl t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    doc="D4: ExactSubstr REMOVAL form (r10 VERDICT task 5; Lee et al. "
+    "2021 §4.1 — the decision the paper ships, where d4_dup_passage "
+    "only reports): a token position is CUT iff covered by any 4-gram "
+    "occurrence appearing >= 2 times corpus-wide; kept_text is the "
+    "uncovered tokens space-joined in original order, so the driver "
+    "hashes the ACTUAL surviving text, not just counters "
+    "(operators/dedup.py:exactsubstr_cut). Conservation — n_kept + "
+    "n_cut == n_tokens AND kept/cut tokens re-interleave to the "
+    "original document — is pinned by a hypothesis test against a "
+    "Python model with planted cross-doc duplications. Scale shape: "
+    "gram-bag counts, duplicated starts, a bounded explode (n "
+    "positions per dup start, distinct), one co-partitioned "
+    "(doc, pos) join, per-doc fold — no windows over whole docs.",
+)
+def d4_dup_passage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exactsubstr_cut(
+        read_testdata(spark, sf_dir, "documents"), n=4
+    )
+
+
+@register(
     "d4_semantic_dedup",
     oracle="""
     WITH v AS (

@@ -1835,3 +1835,54 @@ def test_sliding_kmv_error_band_large_cardinality(spark):
     assert r["n_exact"] == 2000 and r["n_buf"] == K
     rel = abs(r["kmv_est"] / 2000 - 1)
     assert rel <= 2.5 / (K ** 0.5), (r["kmv_est"], rel)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefgh")), min_size=0, max_size=12
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+def test_exactsubstr_cut_conservation(spark, docs, plant_len):
+    """The removal form must satisfy CONSERVATION: n_kept + n_cut ==
+    n_tokens, kept_text is exactly the uncovered tokens in original
+    order, and the cut set matches a direct Python model (every
+    position covered by a corpus-duplicated 4-gram occurrence). A
+    duplicated passage of plant_len+4 tokens is planted into the
+    first two docs so real cross-doc duplication always occurs."""
+    from citydata_etl_spark.operators.dedup import exactsubstr_cut
+
+    N = 4
+    planted = [f"p{i}" for i in range(N + plant_len)]
+    toks = [list(d) for d in docs]
+    toks[0] = toks[0][:3] + planted + toks[0][3:]
+    toks[1] = planted + toks[1]
+    rows = [(i, " ".join(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in exactsubstr_cut(df, n=N).collect()}
+
+    # python model
+    from collections import Counter
+    grams = Counter()
+    for t in toks:
+        for s in range(len(t) - N + 1):
+            grams[tuple(t[s:s + N])] += 1
+    for i, t in enumerate(toks):
+        cut = set()
+        for s in range(len(t) - N + 1):
+            if grams[tuple(t[s:s + N])] >= 2:
+                cut.update(range(s, s + N))
+        kept = [t[p] for p in range(len(t)) if p not in cut]
+        r = got[i]
+        assert r["n_tokens"] == len(t)
+        assert r["n_cut"] == len(cut)
+        assert r["n_kept"] + r["n_cut"] == r["n_tokens"]
+        assert r["kept_text"] == " ".join(kept), (i, r["kept_text"], kept)
+        # the planted passage itself must be gone from both carriers
+        if i in (0, 1) and len(t) >= N:
+            assert " ".join(planted) not in (" " + r["kept_text"] + " ")
