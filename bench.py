@@ -223,6 +223,9 @@ HEADLINE = [
     # ExactSubstr removal form (cut duplicated passages, keep rest)
     "a23_sliding_kmv",
     "d4_dup_passage_cut",
+    # policy-versioned governed read (mask rules as a snapshot table;
+    # cold rep includes the two policy commits)
+    "u16_policy_versioned_read",
 ]
 
 

@@ -1549,6 +1549,106 @@ def u15_governed_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "u16_policy_versioned_read",
+    oracle="""
+    WITH p AS (
+      SELECT * FROM (VALUES (1, 2, 16, 1000), (2, 4, 8, 500))
+        AS t(pv, blocked, plen, width)),
+    g AS (
+      SELECT p.pv, c_nationkey AS nation,
+             substr(sha256(c_name), 1, plen) AS mn,
+             CAST(floor((c_acctbal + 1000.0) / width) AS BIGINT) AS band
+      FROM customer, p
+      WHERE c_nationkey % 5 <> p.blocked)
+    SELECT pv AS policy_version, nation, count(*) AS n_rows,
+           count(DISTINCT mn) AS n_masked,
+           CAST(sum(band) AS BIGINT) AS bal_band_sum
+    FROM g GROUP BY pv, nation
+    """,
+    doc="U16 (governance: POLICY-VERSIONED reads — r10 VERDICT task 6): "
+    "u15 hard-codes its mask rules; here the rules themselves are DATA "
+    "in a snapshot-versioned table (sources/snapshots.py — the u8 time-"
+    "travel machinery), so an audit can replay 'what did the analyst "
+    "role see at policy version V' long after the rules changed. "
+    "Policy v1: block nation class 2, 16-hex name-mask prefix, "
+    "1000-wide balance bands; v2 tightens: block class 4, 8-hex "
+    "prefix, 500-wide bands. The governed read resolves the policy AT "
+    "a pinned version (snapshot manifests make old versions immutable), "
+    "broadcasts the one policy row, and derives every mask expression "
+    "FROM POLICY COLUMNS — substr length, band width, and the row "
+    "filter are all data-driven, so no code change ships when rules "
+    "do. The entry unions the v1 and v2 governed reads; the oracle "
+    "states both versions' closed forms from the rule VALUES, so the "
+    "reads differ exactly as the rule diff states (blocked class "
+    "moves a nation group in/out, prefix shortening can only merge "
+    "distinct masks, band halving roughly doubles band sums) — any "
+    "version pinning bug (v2 rules leaking into the v1 read) breaks "
+    "the hash. Scale: the policy table is tiny and broadcast; the "
+    "row filter still pushes to the scan once the literal is joined "
+    "in via AQE or stays a cheap post-scan filter — governance costs "
+    "one broadcast either way.",
+)
+def u16_policy_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u16_policy_{tag}")
+    table = os.path.join(root, "policy")
+
+    def build() -> None:
+        v1 = spark.createDataFrame(
+            [("analyst", 2, 16, 1000)],
+            "role STRING, blocked INT, plen INT, width INT",
+        )
+        snapshot_init(v1, table, "role", n_buckets=1)
+        v2 = spark.createDataFrame(
+            [("analyst", 4, 8, 500)],
+            "role STRING, blocked INT, plen INT, width INT",
+        )
+        snapshot_merge(spark, table, v2, "role")
+
+    _build_once(root, build)
+
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_name", "c_acctbal"
+    )
+
+    def governed(version: int) -> DataFrame:
+        pol = snapshot_read(spark, table, version).filter(
+            F.col("role") == "analyst"
+        )
+        return (
+            cust.crossJoin(F.broadcast(pol))
+            .filter(F.pmod(F.col("c_nationkey"), F.lit(5))
+                    != F.col("blocked"))
+            .select(
+                F.lit(version).cast("bigint").alias("policy_version"),
+                F.col("c_nationkey").alias("nation"),
+                F.expr(
+                    "substring(sha2(c_name, 256), 1, plen)"
+                ).alias("mn"),
+                F.floor(
+                    (F.col("c_acctbal") + 1000.0) / F.col("width")
+                ).cast("bigint").alias("band"),
+            )
+        )
+
+    both = governed(1).unionByName(governed(2))
+    return both.groupBy("policy_version", "nation").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("mn").alias("n_masked"),
+        F.sum("band").cast("bigint").alias("bal_band_sum"),
+    )
+
+
 #: Single pinned freshness bound shared by the a13 Spark rule list and its
 #: oracle SQL — one constant, so the contract cannot silently diverge as the
 #: fixtures age (the testdata's max o_orderdate is well before this).
