@@ -224,8 +224,10 @@ HEADLINE = [
     "a23_sliding_kmv",
     "d4_dup_passage_cut",
     # policy-versioned governed read (mask rules as a snapshot table;
-    # cold rep includes the two policy commits)
+    # cold rep includes the two policy commits); the PNG half of the
+    # cross-format perceptual-hash invariant
     "u16_policy_versioned_read",
+    "d5_png_ahash",
 ]
 
 

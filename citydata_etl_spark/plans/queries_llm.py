@@ -4077,6 +4077,63 @@ def d5_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_png_ahash",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h
+      FROM documents
+      WHERE doc_id % 7 <> 0),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(8) gy),
+    src AS (
+      SELECT media_id, x, y, (x * w) // 8 AS sx, (y * h) // 8 AS sy
+      FROM grid),
+    cells AS (
+      SELECT media_id, y * 8 + x AS idx,
+             (3 * media_id + sx + 13 * sy + 2) % 256
+             + (2 * media_id + 5 * sx + 11 * sy + 1) % 256
+             + (media_id + 3 * sx + 7 * sy) % 256 AS lum
+      FROM src),
+    t AS (
+      SELECT media_id, idx, lum,
+             sum(lum) OVER (PARTITION BY media_id) AS total
+      FROM cells)
+    SELECT media_id,
+           CAST(sum(CASE WHEN lum * 64 > total AND idx < 32
+                    THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+                    ELSE 0 END) AS BIGINT) AS ahash_lo,
+           CAST(sum(CASE WHEN lum * 64 > total AND idx >= 32
+                    THEN CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)
+                    ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(sum(CASE WHEN lum * 64 > total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bits
+    FROM t GROUP BY media_id
+    """,
+    doc="D5: the perceptual fingerprint pipeline over GENUINE PNGs — "
+    "the same decode->resize->threshold->pack chain as d5_image_ahash "
+    "but every blob goes through _decode_png_rgb (zlib inflate, all "
+    "five row filters, alpha decoys, split IDAT) instead of the BMP "
+    "header path. DELIBERATE CROSS-FORMAT INVARIANT: the PNG "
+    "fixture's channel closed forms are a permutation of the BMP "
+    "fixture's (r and b swapped), and average-hash depends only on "
+    "the channel SUM, so this oracle is identical to d5_image_ahash's "
+    "— the driver itself verifies that two different codecs decoding "
+    "the same logical pixels produce the same fingerprint (the "
+    "format-agnostic-kernels claim, checked end-to-end rather than "
+    "asserted). Every-7th rows are JPEGs on both fixtures and emit "
+    "nothing from the resize stage.",
+)
+def d5_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import image_ahash
+
+    return image_ahash(_png_media_fixture(spark, sf_dir), size=8)
+
+
+@register(
     "d5_image_neardup",
     oracle="""
     WITH m AS (
