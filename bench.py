@@ -228,6 +228,8 @@ HEADLINE = [
     # cross-format perceptual-hash invariant
     "u16_policy_versioned_read",
     "d5_png_ahash",
+    # BM25 lexical retrieval over the documents corpus
+    "d4_bm25_topk",
 ]
 
 

@@ -937,3 +937,106 @@ def bpe_encode(
         .cast("bigint").alias("saved_bp"),
         "n_decode_errors",
     )
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: list[str], k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck Jones; the Lucene idf
+    form ln(1 + (N - df + 0.5)/(df + 0.5))) — the lexical-retrieval
+    baseline every RAG/dedup pipeline keeps next to its embedding
+    index. Integer-exact cross-engine by the d4_lm_logprob convention:
+    each term's contribution idf * tf*(k1+1) / (tf + k1*(1-b+b*dl*N/T))
+    is rounded HALF-UP to integer MICROS before summing (associative,
+    bit-exact; every operand derives from exact integer counts, so
+    both engines evaluate the identical double expression).
+
+    Output: (rank, doc_id, score_micros, n_hits) for the global top-k
+    by score, doc_id as the tie-break. The global order costs one
+    TakeOrderedAndProject-shaped sort-limit; the rank window then runs
+    over k rows only — never a single-partition window over the corpus.
+
+    Scale shape — TWO corpus scans, nothing else corpus-sized: scan 1
+    explodes tokens pre-joined against the BROADCAST query terms, so
+    only |Q|-term POSTINGS survive (persisted: postings-sized, tiny);
+    scan 2 is the 1-row corpus totals aggregate (sum dl, count docs),
+    broadcast via crossJoin. tf, df, and dl all derive from the
+    persisted postings (df = docs-with-tf>0 per term — no second
+    distinct over the corpus); the global order is a sort-limit
+    (TakeOrderedAndProject) and the rank window runs over k rows
+    only — never a single-partition window over the corpus."""
+    from citydata_etl_spark.caching import scoped_persist
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [(t,) for t in query_terms], "term STRING"
+    )
+    # scan 1: postings of the query terms only, dl riding along
+    hits = scoped_persist(
+        base.select(
+            id_col,
+            F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("term"),
+        ).join(F.broadcast(q), "term")
+    )
+    # scan 2: corpus totals (all docs, including zero-hit ones)
+    totals = base.agg(
+        F.sum(F.size("toks")).cast("double").alias("t_tokens"),
+        F.count("*").cast("double").alias("n_docs"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf"),
+        F.max("dl").alias("dl"),
+    )
+    df_rel = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    contrib = (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b)
+                            * F.col("dl") * F.col("n_docs")
+                            / F.col("t_tokens")
+                        )
+                    )
+                )
+                * 1000000
+                + 0.5
+            ).cast("bigint").alias("c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("score_micros"),
+        F.count("*").cast("bigint").alias("n_hits"),
+    )
+    top = scored.orderBy(
+        F.col("score_micros").desc(), F.col(id_col)
+    ).limit(k)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.orderBy(F.col("score_micros").desc(), F.col(id_col))
+    )
+    return top.select(
+        rnk.cast("bigint").alias("rank"), id_col,
+        "score_micros", "n_hits",
+    )

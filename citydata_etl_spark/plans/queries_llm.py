@@ -2189,6 +2189,74 @@ def d4_dup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_bm25_topk",
+    oracle="""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    tot AS (
+      SELECT CAST(sum(len(toks)) AS DOUBLE) AS t_tokens,
+             CAST(count(*) AS DOUBLE) AS n_docs
+      FROM tokl),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tokl),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM tokl),
+    q AS (SELECT unnest(['hash', 'join', 'filter']) AS term),
+    hits AS (
+      SELECT doc_id, tok.term FROM tok JOIN q ON tok.term = q.term),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, term),
+    dfr AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM hits GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.2)
+                  / (tf + 1.2 * (0.25 + 0.75 * (dl.dl * n_docs / t_tokens))))
+               * 1000000 + 0.5) AS BIGINT) AS c
+      FROM tf
+      JOIN dfr USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id, tot),
+    scored AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micros,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM contrib GROUP BY doc_id),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY score_micros DESC, doc_id)
+               AS rank, doc_id, score_micros, n_hits
+      FROM scored)
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_micros, n_hits
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="D4: BM25 lexical retrieval (Robertson/Sparck Jones; Lucene "
+    "idf form) — the keyword-search baseline a RAG/curation pipeline "
+    "keeps next to its embedding index, for the fixed query "
+    "'hash join filter' over the documents corpus. Cross-engine "
+    "exact by the d4_lm_logprob convention: every per-term "
+    "contribution idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) derives "
+    "from exact integer counts, is evaluated with identically-"
+    "parenthesized double arithmetic on both engines (dl/avgdl "
+    "stated as dl*N/T), and is floored HALF-UP to integer micros "
+    "BEFORE the per-doc sum — associative, so the hash is exact "
+    "(operators/text.py:bm25_topk). k1=1.2, b=0.75, k=10, doc_id "
+    "tie-break. Scale shape: the broadcast query-term join prunes "
+    "the posting shuffle to |Q| terms; totals ride one broadcast "
+    "1-row crossJoin; the global order is a sort-limit "
+    "(TakeOrderedAndProject), with the rank window over k rows only.",
+)
+def d4_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        read_testdata(spark, sf_dir, "documents"),
+        ["hash", "join", "filter"],
+        k=10,
+    )
+
+
+@register(
     "d4_dup_passage_cut",
     oracle="""
     WITH tokl AS (

@@ -1886,3 +1886,55 @@ def test_exactsubstr_cut_conservation(spark, docs, plant_len):
         # the planted passage itself must be gone from both carriers
         if i in (0, 1) and len(t) >= N:
             assert " ".join(planted) not in (" " + r["kept_text"] + " ")
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["hash", "join", "filter", "scan", "agg"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_bm25_matches_python_model(spark, docs):
+    """BM25 scores, ranks, and tie-breaks must match a direct Python
+    model bit-for-bit (same idf form, same parenthesization, same
+    micros rounding) on random corpora over the query vocabulary."""
+    import math
+
+    from citydata_etl_spark.operators.text import bm25_topk
+
+    Q = ["hash", "join"]
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = [
+        (r["rank"], r["doc_id"], r["score_micros"], r["n_hits"])
+        for r in bm25_topk(df, Q, k=5).collect()
+    ]
+
+    N = float(len(docs))
+    T = float(sum(len(d) for d in docs))
+    dfreq = {t: float(sum(t in d for d in docs)) for t in Q}
+    scores = {}
+    for i, d in enumerate(docs):
+        s, hits = 0, 0
+        for t in Q:
+            tf = float(d.count(t))
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = float(len(d))
+            c = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * N / T))))
+            s += math.floor(c * 1000000 + 0.5)
+        if hits:
+            scores[i] = (s, hits)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+    want = [
+        (rk + 1, doc, s, h) for rk, (doc, (s, h)) in enumerate(want)
+    ]
+    assert got == want, (got, want)
