@@ -230,6 +230,8 @@ HEADLINE = [
     "d5_png_ahash",
     # BM25 lexical retrieval over the documents corpus
     "d4_bm25_topk",
+    # streaming sliding-window distinct via bounded per-slot KMV state
+    "t19_stream_sliding_kmv",
 ]
 
 

@@ -11,6 +11,7 @@ portably, epoch integers do.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from citydata_etl_spark.operators.aggregates import dec_sum, sessionize
@@ -1614,4 +1615,117 @@ def t18_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
+    )
+
+
+@register(
+    "t19_stream_sliding_kmv",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS slot,
+             (1103515245 * (user_id % 2147483647) + 12345)
+             % 2147483647 AS hv
+      FROM events),
+    slot_buf AS (
+      SELECT slot, hv FROM (
+        SELECT slot, hv,
+               row_number() OVER (PARTITION BY slot ORDER BY hv) AS rn
+        FROM e) WHERE rn <= 64),
+    merged AS (
+      SELECT DISTINCT slot - 300 * o.o AS window_start, hv
+      FROM slot_buf, (SELECT unnest([0, 1]) AS o) o
+      WHERE slot - 300 * o.o >= 0),
+    wbuf AS (
+      SELECT window_start, CAST(max(hv) AS BIGINT) AS kth_hash,
+             count(*) AS n_buf
+      FROM (
+        SELECT window_start, hv,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY hv) AS rn
+        FROM merged) WHERE rn <= 64
+      GROUP BY window_start)
+    SELECT window_start, CAST(n_buf AS BIGINT) AS n_buf, kth_hash,
+           CAST(CASE WHEN n_buf < 64 THEN n_buf
+                ELSE (CAST(63 AS BIGINT) * 2147483647)
+                     // greatest(kth_hash, 1)
+           END AS BIGINT) AS kmv_est
+    FROM wbuf
+    """,
+    doc="T19 (streaming sliding-window distinct sketch): the STREAMING "
+    "twin of a23_sliding_kmv — per-SLOT state is AT MOST k=64 int64 "
+    "hashes regardless of slot cardinality (streaming/stateful.py:"
+    "streaming_slot_kmv), where exact streaming distinct state grows "
+    "with true cardinality; that bound is what lets the sketch run "
+    "forever at 100 TB. Truncating state to the k smallest per batch "
+    "is lossless for the final buffer by the same pigeonhole as the "
+    "batch twin's slot-merge (the k smallest ever seen lie within "
+    "the union of the k-smallest-so-far and the new batch), so the "
+    "streamed slot buffers equal the batch ones bit-for-bit and the "
+    "window merge downstream (k-row buffers -> union -> re-rank -> "
+    "(k-1)*M div kth estimate) shares its oracle form with "
+    "a23_sliding_kmv minus the exact-count column (an exact rider "
+    "would defeat the bounded-state point). Each micro-batch emits "
+    "the slot's current buffer stamped with an update sequence; the "
+    "reader keeps each slot's latest emission — so a restart or "
+    "replay changes upd stamps, never the surviving buffer.",
+)
+def t19_stream_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.similarity import lcg_pick
+    from citydata_etl_spark.streaming.stateful import streaming_slot_kmv
+    from citydata_etl_spark.streaming.windows import read_events_stream
+
+    K, M, SL = 64, 2147483647, 300
+    read_testdata(spark, sf_dir, "events")  # side effects only
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    prepared = stream.select(
+        (F.floor(F.unix_timestamp("ts") / SL) * SL)
+        .cast("bigint").alias("slot"),
+        lcg_pick(F.col("user_id")).alias("hv"),
+    )
+    out = streaming_slot_kmv(prepared, k=K)
+    name = f"t19_stream_kmv_{next(_STREAM_SEQ)}"
+    # 16 state partitions (t12's knee, same reason): thousands of
+    # slot groups each run a Python kernel — per-group Python moves
+    # the bottleneck from store-commit overhead to kernel parallelism
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name),
+        n_partitions=16,
+    )
+    # keep each slot's LATEST emission (update-mode memory sink keeps
+    # every generation); one window avoids a self-join on the sink
+    slot_buf = spark.sql(
+        f"""SELECT slot, hv FROM (
+              SELECT slot, upd, hv,
+                     max(upd) OVER (PARTITION BY slot) AS m
+              FROM {name}) WHERE upd = m"""
+    )
+    offs = F.array(F.lit(0), F.lit(SL))
+    merged = (
+        slot_buf.select(F.explode(offs).alias("o"), "slot", "hv")
+        .select((F.col("slot") - F.col("o")).alias("window_start"), "hv")
+        .filter(F.col("window_start") >= 0)
+        .distinct()
+    )
+    rn = F.row_number().over(
+        W.partitionBy("window_start").orderBy("hv")
+    )
+    wbuf = (
+        merged.withColumn("rn", rn)
+        .filter(F.col("rn") <= K)
+        .groupBy("window_start")
+        .agg(
+            F.max("hv").cast("bigint").alias("kth_hash"),
+            F.count("*").cast("bigint").alias("n_buf"),
+        )
+    )
+    est = F.when(F.col("n_buf") < K, F.col("n_buf")).otherwise(
+        F.expr(f"({K - 1} * {M}L) div greatest(kth_hash, 1)")
+    )
+    return wbuf.select(
+        "window_start", "n_buf", "kth_hash",
+        est.cast("bigint").alias("kmv_est"),
     )

@@ -595,3 +595,64 @@ def streaming_last_touch_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_kmv_slot_group(k: int):
+    """Group kernel for streaming sliding-window KMV distinct (t19):
+    per-SLOT state is the k smallest distinct hashes seen so far —
+    exactly the mergeable buffer the batch twin (a23_sliding_kmv)
+    builds per slot, carried across micro-batches instead of scanned.
+    The truncation is safe for the same pigeonhole reason the
+    slot-merge is: the k smallest of all values ever seen are always
+    within the union of (k smallest so far, this batch), so keeping
+    only k values per slot loses nothing. Emits the CURRENT buffer
+    (k hv rows stamped with an update sequence) every batch; readers
+    keep each slot's latest emission."""
+
+    def kmv_group(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        batches = [p["hv"].to_numpy(dtype=np.int64) for p in pdfs]
+        vals = (
+            np.concatenate(batches)
+            if batches
+            else np.empty(0, dtype=np.int64)
+        )
+        if state.exists:
+            (upd, raw) = state.get
+            old = np.frombuffer(raw, dtype=np.int64)
+        else:
+            upd, old = 0, np.empty(0, dtype=np.int64)
+        # sorted distinct union, truncated to the k smallest
+        buf = np.unique(np.concatenate([old, vals]))[:k]
+        upd = int(upd) + 1
+        state.update((upd, buf.tobytes()))
+        yield pd.DataFrame(
+            {
+                "slot": pd.array([int(key[0])] * len(buf), dtype="int64"),
+                "upd": pd.array([upd] * len(buf), dtype="int64"),
+                "hv": pd.array(buf, dtype="int64"),
+            }
+        )
+
+    return kmv_group
+
+
+def streaming_slot_kmv(stream: DataFrame, k: int = 64) -> DataFrame:
+    """STREAMING per-slot k-minimum-values buffers — the stateful half
+    of the sliding-window distinct sketch (t19): input (slot LONG,
+    hv LONG) rows, state of AT MOST k int64s per slot regardless of
+    slot cardinality (the whole point vs exact streaming distinct,
+    whose state grows with true cardinality). Output: the slot's
+    current buffer every micro-batch, stamped with an update sequence;
+    the window merge (slot buffers -> window k-mins -> estimate) is
+    plain batch algebra over k-row buffers downstream."""
+    return stream.groupBy("slot").applyInPandasWithState(
+        make_kmv_slot_group(k),
+        outputStructType="slot LONG, upd LONG, hv LONG",
+        stateStructType="upd LONG, buf BINARY",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

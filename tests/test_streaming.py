@@ -872,3 +872,52 @@ def test_streaming_attribution_state_across_microbatches(spark, tmp_path):
         (3, 400): "click",    # thing in the batch twin either
         (4, 500): "organic",
     }, got
+
+
+def test_streaming_kmv_state_across_microbatches(spark, tmp_path):
+    """The per-slot k-min buffer must carry across micro-batch
+    boundaries AND truncate losslessly: hashes arrive in two
+    time-ordered files with k=3, and the final buffer must equal the
+    k smallest distinct hashes over BOTH batches — including the case
+    where a batch-2 value displaces a batch-1 survivor. The reader
+    keeps only each slot's latest emission, so superseded generations
+    must not leak into the result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.plans.queries_time import (
+        _await_with_state_partitions,
+    )
+    from citydata_etl_spark.streaming.stateful import streaming_slot_kmv
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    early = [(0, 50), (0, 10), (0, 90), (300, 7)]
+    late = [(0, 5), (0, 70), (0, 10), (300, 3)]  # 5 displaces 50; 10 dup
+    for name, rows in (("a_early", early), ("b_late", late)):
+        spark.createDataFrame(rows, "slot LONG, hv LONG").coalesce(
+            1
+        ).write.parquet(os.path.join(d, name))
+    stream = (
+        spark.readStream.schema("slot LONG, hv LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*", ""))
+    )
+    out = streaming_slot_kmv(stream, k=3)
+    _await_with_state_partitions(
+        spark,
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t19_xbatch"),
+    )
+    final = spark.sql(
+        """SELECT slot, hv FROM (
+             SELECT slot, upd, hv, max(upd) OVER (PARTITION BY slot) AS m
+             FROM t19_xbatch) WHERE upd = m"""
+    ).collect()
+    got = {}
+    for r in final:
+        got.setdefault(r["slot"], []).append(r["hv"])
+    assert sorted(got[0]) == [5, 10, 50]  # k smallest distinct of union
+    assert sorted(got[300]) == [3, 7]     # under-full buffer: all values
