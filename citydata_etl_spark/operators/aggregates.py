@@ -501,25 +501,63 @@ def sliding_kmv_distinct(
     (map-side distinct shrinks first), the window fan-out explodes
     k-row buffers instead of raw events, and per-window state is k
     hashes regardless of true cardinality — the win over the exact
-    plan whenever |keys| >> k within a ~2/sqrt(k) error band."""
+    plan whenever |keys| >> k within a ~2/sqrt(k) error band.
+
+    NULL keys are excluded BEFORE hashing: lcg_pick(NULL) is a NULL
+    hash that would rank first (NULLS FIRST) and occupy a buffer
+    slot, while countDistinct and the oracle's ORDER BY (NULLS LAST)
+    both ignore it — the filter keeps sketch, exact rider, and
+    oracle consistent."""
     from citydata_etl_spark.operators.similarity import lcg_pick
 
-    m = 2147483647
+    nn = events.filter(F.col(key_col).isNotNull())
     slot = (
         F.floor(F.unix_timestamp(F.col(ts_col)) / slide_s) * slide_s
     ).cast("bigint")
-    hashed = events.select(
+    hashed = nn.select(
         slot.alias("slot"), lcg_pick(F.col(key_col)).alias("hv")
     ).distinct()
     slot_rn = F.row_number().over(W.partitionBy("slot").orderBy("hv"))
     slot_buf = hashed.withColumn("rn", slot_rn).filter(
         F.col("rn") <= k
     ).select("slot", "hv")
+    wbuf = merge_slot_kmv(slot_buf, slide_s, n_slots, k)
+    offs = F.array(*[F.lit(i * slide_s) for i in range(n_slots)])
+    exact = (
+        nn.select(
+            F.explode(offs).alias("o"), slot.alias("slot"),
+            F.col(key_col).alias("key"),
+        )
+        .select((F.col("slot") - F.col("o")).alias("window_start"), "key")
+        .filter(F.col("window_start") >= 0)
+        .groupBy("window_start")
+        .agg(F.countDistinct("key").alias("n_exact"))
+    )
+    return exact.join(wbuf, "window_start").select(
+        "window_start",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "n_buf",
+        "kth_hash",
+        "kmv_est",
+    )
+
+
+def merge_slot_kmv(
+    slot_buf: DataFrame, slide_s: int, n_slots: int, k: int
+) -> DataFrame:
+    """The ONE window-merge + estimate stage shared by the batch
+    (sliding_kmv_distinct) and streaming (t19) sliding-KMV twins —
+    factored so the estimator expression exists in exactly one
+    Spark-side place (the lcg_pick hand-copy lesson). Input: per-slot
+    k-min buffers as (slot, hv) rows. Output per window_start:
+    (window_start, n_buf BIGINT, kth_hash BIGINT, kmv_est BIGINT) —
+    union the window's slot buffers, re-rank, keep the k smallest
+    (lossless by pigeonhole), estimate = (k-1)*M DIV kth_smallest
+    with under-full buffers exact by construction."""
+    m = 2147483647
     offs = F.array(*[F.lit(i * slide_s) for i in range(n_slots)])
     merged = (
-        slot_buf.select(
-            F.explode(offs).alias("o"), "slot", "hv"
-        )
+        slot_buf.select(F.explode(offs).alias("o"), "slot", "hv")
         .select((F.col("slot") - F.col("o")).alias("window_start"), "hv")
         .filter(F.col("window_start") >= 0)
         .distinct()
@@ -536,22 +574,11 @@ def sliding_kmv_distinct(
             F.count("*").alias("n_buf"),
         )
     )
-    exact = (
-        events.select(
-            F.explode(offs).alias("o"), slot.alias("slot"),
-            F.col(key_col).alias("key"),
-        )
-        .select((F.col("slot") - F.col("o")).alias("window_start"), "key")
-        .filter(F.col("window_start") >= 0)
-        .groupBy("window_start")
-        .agg(F.countDistinct("key").alias("n_exact"))
-    )
     est = F.when(F.col("n_buf") < k, F.col("n_buf")).otherwise(
         F.expr(f"({k - 1} * {m}L) div greatest(kth_hash, 1)")
     )
-    return exact.join(wbuf, "window_start").select(
+    return wbuf.select(
         "window_start",
-        F.col("n_exact").cast("bigint").alias("n_exact"),
         F.col("n_buf").cast("bigint").alias("n_buf"),
         "kth_hash",
         est.cast("bigint").alias("kmv_est"),

@@ -1095,12 +1095,16 @@ def tar_bmp_frame_stats(archives: DataFrame,
                         # would make downstream lag()-over-frame_idx
                         # windows nondeterministic
                         continue
+                    # claim the index BEFORE decoding: if the first
+                    # occurrence is corrupt, the frame is absent (a
+                    # later duplicate must not stand in for it — the
+                    # shard's naming can't be trusted at that point)
+                    seen_fidx.add(int(m.group(1)))
                     decoded = _decode_bmp24(
                         bytes(blob[off:off + size])
                     )
                     if decoded is None:
                         continue
-                    seen_fidx.add(int(m.group(1)))
                     w, h, px = decoded
                     px64 = px.astype(np.int64)
                     vids.append(int(vid))

@@ -972,8 +972,10 @@ def bm25_topk(
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = docs.select(F.col(id_col), toks.alias("toks"))
     spark = docs.sparkSession
+    # dedupe: a repeated query term would double its postings and
+    # silently inflate tf (review r11)
     q = spark.createDataFrame(
-        [(t,) for t in query_terms], "term STRING"
+        [(t,) for t in dict.fromkeys(query_terms)], "term STRING"
     )
     # scan 1: postings of the query terms only, dl riding along
     hits = scoped_persist(
@@ -1013,9 +1015,15 @@ def bm25_topk(
                         + F.lit(k1)
                         * (
                             F.lit(1.0 - b)
+                            # parenthesized EXACTLY as the oracle and
+                            # the Python model state it — b*((dl*N)/T);
+                            # ((b*dl)*N)/T differs by one ulp on ~20%
+                            # of integer inputs (review r11)
                             + F.lit(b)
-                            * F.col("dl") * F.col("n_docs")
-                            / F.col("t_tokens")
+                            * (
+                                F.col("dl") * F.col("n_docs")
+                                / F.col("t_tokens")
+                            )
                         )
                     )
                 )

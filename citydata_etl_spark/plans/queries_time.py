@@ -11,7 +11,6 @@ portably, epoch integers do.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from citydata_etl_spark.operators.aggregates import dec_sum, sessionize
@@ -1675,10 +1674,13 @@ def t19_stream_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.streaming.stateful import streaming_slot_kmv
     from citydata_etl_spark.streaming.windows import read_events_stream
 
-    K, M, SL = 64, 2147483647, 300
+    K, SL = 64, 300
     read_testdata(spark, sf_dir, "events")  # side effects only
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    prepared = stream.select(
+    # NULL keys excluded before hashing — same contract (and reason)
+    # as the batch twin: a NULL hash would rank first and occupy a
+    # buffer slot the oracle's NULLS-LAST order never sees
+    prepared = stream.filter(F.col("user_id").isNotNull()).select(
         (F.floor(F.unix_timestamp("ts") / SL) * SL)
         .cast("bigint").alias("slot"),
         lcg_pick(F.col("user_id")).alias("hv"),
@@ -1703,29 +1705,9 @@ def t19_stream_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                      max(upd) OVER (PARTITION BY slot) AS m
               FROM {name}) WHERE upd = m"""
     )
-    offs = F.array(F.lit(0), F.lit(SL))
-    merged = (
-        slot_buf.select(F.explode(offs).alias("o"), "slot", "hv")
-        .select((F.col("slot") - F.col("o")).alias("window_start"), "hv")
-        .filter(F.col("window_start") >= 0)
-        .distinct()
-    )
-    rn = F.row_number().over(
-        W.partitionBy("window_start").orderBy("hv")
-    )
-    wbuf = (
-        merged.withColumn("rn", rn)
-        .filter(F.col("rn") <= K)
-        .groupBy("window_start")
-        .agg(
-            F.max("hv").cast("bigint").alias("kth_hash"),
-            F.count("*").cast("bigint").alias("n_buf"),
-        )
-    )
-    est = F.when(F.col("n_buf") < K, F.col("n_buf")).otherwise(
-        F.expr(f"({K - 1} * {M}L) div greatest(kth_hash, 1)")
-    )
-    return wbuf.select(
-        "window_start", "n_buf", "kth_hash",
-        est.cast("bigint").alias("kmv_est"),
-    )
+    # the window merge + estimator is the SAME implementation the
+    # batch twin uses (operators/aggregates.py:merge_slot_kmv) — one
+    # Spark-side estimator expression, never hand-copied
+    from citydata_etl_spark.operators.aggregates import merge_slot_kmv
+
+    return merge_slot_kmv(slot_buf, slide_s=SL, n_slots=2, k=K)

@@ -603,6 +603,20 @@ def test_tar_bmp_frame_stats_duplicate_member_keeps_first(spark):
     # FIRST occurrence's sums, not the 0xFF-flooded duplicate's
     assert (r["sum_r"], r["sum_g"], r["sum_b"]) == base[(vid, 0)]
 
+    # corrupt-FIRST variant: the first frame_0's BMP is undecodable
+    # (bpp mangled; tar checksums cover only headers so the walk
+    # continues) — the later duplicate must NOT stand in for it, so
+    # frame 0 is simply absent
+    bad_first = bytearray(m0)
+    bad_first[512 + 28] = 99  # BMP bpp field inside the member data
+    repacked2 = bytes(bad_first) + m0 + b"\0" * 1024
+    rows2 = tar_bmp_frame_stats(
+        spark.createDataFrame(
+            [(vid, repacked2)], "video_id LONG, content BINARY"
+        )
+    ).collect()
+    assert rows2 == []
+
 
 def test_image_ahash_perceptual_properties(spark):
     """The fingerprint must be (a) identical for byte-identical images
