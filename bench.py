@@ -230,8 +230,10 @@ HEADLINE = [
     "d5_png_ahash",
     # BM25 lexical retrieval over the documents corpus
     "d4_bm25_topk",
-    # streaming sliding-window distinct via bounded per-slot KMV state
+    # streaming sliding-window distinct via bounded per-slot KMV state;
+    # the hamming-1 multi-probe recall row (the cheap LSH lever)
     "t19_stream_sliding_kmv",
+    "d4_ann_multiprobe_recall",
 ]
 
 

@@ -532,6 +532,7 @@ def _int_hyperplanes(spark, n_planes: int, dim: int) -> DataFrame:
 def lsh_bucket_topk_exactsign(
     emb: DataFrame, k: int = 5, n_planes: int = 8, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Oracle-exact twin of lsh_bucket_topk (same bucketing topology,
     same within-bucket rerank): hyperplane signs are computed in EXACT
@@ -584,6 +585,20 @@ def lsh_bucket_topk_exactsign(
         F.col("id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm2").alias("qn"), "bucket",
     )
+    if n_probe_bits >= 1:
+        # MULTI-PROBE, exactsign form (same lever as lsh_bucket_topk's
+        # n_probe_bits): each query also probes the n_planes buckets at
+        # hamming distance 1 from its own code — integer XOR on the
+        # integer bucket, so the probed topology stays SQL-stateable
+        # (candidates = pairs with bit_count(xor(qb, cb)) <= 1)
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("bigint")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = bucketed.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("norm2").alias("cn"), "bucket",

@@ -707,6 +707,100 @@ def d4_ann_multitable_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_multiprobe_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    exact_pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+      FROM v q, v c WHERE q.vec_id <> c.vec_id),
+    exact5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM exact_pairs) WHERE rnk <= 5),
+    q AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    pl AS (SELECT unnest(range(8)) AS p),
+    proj AS (
+      SELECT q.vec_id, pl.p,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   (((1103515245 * (pl.p * 64 + d) + 12345) % 2147483647)
+                    - 1073741823) * q.ei[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS pr
+      FROM q CROSS JOIN pl),
+    buck AS (
+      SELECT vec_id,
+             sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM proj GROUP BY vec_id),
+    cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buck a JOIN buck b
+        ON a.vec_id <> b.vec_id
+       AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+    ann_pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(qe.e, ne.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e))
+                      * sqrt(list_dot_product(ne.e, ne.e))), 4) AS cos_sim
+      FROM cand c
+      JOIN v qe ON qe.vec_id = c.query_id
+      JOIN v ne ON ne.vec_id = c.neighbor_id),
+    ann5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM ann_pairs) WHERE rnk <= 5),
+    agg AS (
+      SELECT e.query_id,
+             count(*) AS n_exact,
+             sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_hit
+      FROM exact5 e LEFT JOIN ann5 a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id),
+    lcnt AS (
+      SELECT query_id, count(*) AS n_ann FROM ann5 GROUP BY query_id)
+    SELECT g.query_id, CAST(g.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(g.n_hit AS BIGINT) AS n_hit
+    FROM agg g LEFT JOIN lcnt c ON g.query_id = c.query_id
+    """,
+    doc="D4: the SECOND LSH recall lever measured — MULTI-PROBE (Lv "
+    "et al. 2007's idea at hamming radius 1): each query probes its "
+    "own bucket plus the 8 buckets one sign-flip away, the identical "
+    "8-plane topology as d4_ann_recall so the rows compare directly "
+    "(operators/similarity.py:lsh_bucket_topk_exactsign, "
+    "n_probe_bits=1). The engine explodes 9 probe buckets per query; "
+    "the oracle states the equivalent set declaratively — candidates "
+    "are pairs with bit_count(xor(bucket_a, bucket_b)) <= 1 — so the "
+    "probed topology is driver-checked bit-for-bit. Measured on this "
+    "worst-case near-uniform fixture: recall@5 0.044 (single bucket) "
+    "-> 0.149 at ~9/256 of the table probed (~18 candidates/query) — "
+    "the CHEAP lever, vs the multi-table entry's 0.56 at ~179 "
+    "candidates/query: together the two rows give the recall-per-"
+    "candidate curve a deployment tunes against.",
+)
+def d4_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    ann = S.lsh_bucket_topk_exactsign(
+        emb, k=5, n_planes=8, n_probe_bits=1
+    ).select("query_id", "neighbor_id")
+    return S.recall_vs_exact(emb, ann, k=5)
+
+
+@register(
     "d4_ann_ivf_recall",
     oracle="""
     WITH v AS (

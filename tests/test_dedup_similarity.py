@@ -148,6 +148,23 @@ def test_ann_lsh_exactsign_recall_and_sign_agreement(spark, clustered_vecs):
     }
     assert twin == prod
 
+    # the MULTI-PROBE forms must also coincide (same buckets, same
+    # hamming-1 probe set)
+    prod_mp = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in S.lsh_bucket_topk(
+            clustered_vecs, k=3, n_planes=4, n_probe_bits=1
+        ).collect()
+    }
+    twin_mp = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+        for r in S.lsh_bucket_topk_exactsign(
+            clustered_vecs, k=3, n_planes=4, n_probe_bits=1
+        ).collect()
+    }
+    assert twin_mp == prod_mp
+    assert len(twin_mp) >= len(twin)  # probing only widens
+
 
 def test_lsh_multitable_lifts_recall(spark, clustered_vecs):
     """The L-table lever must (a) strictly widen recall over the
