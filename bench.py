@@ -234,6 +234,8 @@ HEADLINE = [
     # the hamming-1 multi-probe recall row (the cheap LSH lever)
     "t19_stream_sliding_kmv",
     "d4_ann_multiprobe_recall",
+    # linear multi-touch attribution (integer credit split, RANGE frames)
+    "a24_linear_attribution",
 ]
 
 

@@ -463,6 +463,146 @@ def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a24_linear_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus
+      FROM events),
+    w AS (
+      SELECT user_id, event_type, cents, tus,
+             count(CASE WHEN event_type = 'click' THEN 1 END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS nc,
+             count(CASE WHEN event_type = 'view' THEN 1 END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS nv,
+             max(CASE WHEN event_type = 'click' THEN tus END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS lc,
+             max(CASE WHEN event_type = 'view' THEN tus END) OVER
+               (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS lv
+      FROM e),
+    p AS (
+      SELECT cents, nc, nv, nc + nv AS n,
+             CASE WHEN nc > 0 AND (lv IS NULL OR lc >= lv)
+                  THEN 'click' ELSE 'view' END AS latest
+      FROM w WHERE event_type = 'purchase'),
+    credited AS (
+      SELECT
+        CASE WHEN n = 0 THEN 0
+             ELSE cents * nc // n
+                  + CASE WHEN latest = 'click'
+                         THEN cents - cents * nc // n - cents * nv // n
+                         ELSE 0 END
+        END AS click_credit,
+        CASE WHEN n = 0 THEN 0
+             ELSE cents * nv // n
+                  + CASE WHEN latest = 'view'
+                         THEN cents - cents * nc // n - cents * nv // n
+                         ELSE 0 END
+        END AS view_credit,
+        CASE WHEN n = 0 THEN cents ELSE 0 END AS organic_credit
+      FROM p),
+    rows_out AS (
+      SELECT 'click' AS attribution, click_credit AS credit
+      FROM credited WHERE click_credit > 0
+      UNION ALL
+      SELECT 'view', view_credit FROM credited WHERE view_credit > 0
+      UNION ALL
+      SELECT 'organic', organic_credit
+      FROM credited WHERE organic_credit > 0)
+    SELECT attribution, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(credit) AS BIGINT) AS credit_cents
+    FROM rows_out GROUP BY attribution
+    """,
+    doc="A24 (marketing analytics): LINEAR MULTI-TOUCH attribution — "
+    "each purchase's cents split EQUALLY across every click and view "
+    "in the 1-hour horizon (a22 credits only the last touch; linear "
+    "is the other standard model, and the one that exposes integer "
+    "division subtleties). Exactness contract: per-channel credit is "
+    "cents*n_channel DIV n_touches (truncating division on "
+    "non-negative cents — identical on both engines), and the "
+    "REMAINDER cents go to the channel of the LATEST touch (click "
+    "beats view on a tie — a22's rule), so every purchase's credits "
+    "sum to exactly its cents: no basis-point drift, no floating "
+    "split. Touch counts and latest-touch timestamps come from "
+    "bounded RANGE frames ([-H, 0] microseconds — ROWS would be "
+    "peer-order nondeterministic; the bounded frame also keeps "
+    "window state at the horizon, not history). Purchases with zero "
+    "touches are organic at full cents; a channel counts a purchase "
+    "only when it received > 0 credit. One shuffle on user_id, one "
+    "on the 3-value channel key.",
+)
+def a24_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    H = 3_600_000_000
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-H, 0)
+    )
+    is_c = F.col("event_type") == "click"
+    is_v = F.col("event_type") == "view"
+    pur = (
+        ev.withColumn("nc", F.count(F.when(is_c, 1)).over(w))
+        .withColumn("nv", F.count(F.when(is_v, 1)).over(w))
+        .withColumn("lc", F.max(F.when(is_c, F.col("tus"))).over(w))
+        .withColumn("lv", F.max(F.when(is_v, F.col("tus"))).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("n", F.col("nc") + F.col("nv"))
+        .withColumn(
+            "latest",
+            F.when(
+                (F.col("nc") > 0)
+                & (F.col("lv").isNull() | (F.col("lc") >= F.col("lv"))),
+                F.lit("click"),
+            ).otherwise(F.lit("view")),
+        )
+    )
+    base_c = F.expr("cents * nc div n")
+    base_v = F.expr("cents * nv div n")
+    rem = F.col("cents") - base_c - base_v
+    click_credit = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        base_c + F.when(F.col("latest") == "click", rem).otherwise(F.lit(0))
+    )
+    view_credit = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        base_v + F.when(F.col("latest") == "view", rem).otherwise(F.lit(0))
+    )
+    organic_credit = F.when(
+        F.col("n") == 0, F.col("cents")
+    ).otherwise(F.lit(0))
+    credited = pur.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("attribution"),
+                    click_credit.cast("bigint").alias("credit"),
+                ),
+                F.struct(
+                    F.lit("view").alias("attribution"),
+                    view_credit.cast("bigint").alias("credit"),
+                ),
+                F.struct(
+                    F.lit("organic").alias("attribution"),
+                    organic_credit.cast("bigint").alias("credit"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.attribution", "r.credit").filter(F.col("credit") > 0)
+    return credited.groupBy("attribution").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("credit").cast("bigint").alias("credit_cents"),
+    )
+
+
+@register(
     "a23_sliding_distinct",
     oracle="""
     WITH e AS (

@@ -1938,3 +1938,103 @@ def test_bm25_matches_python_model(spark, docs):
         (rk + 1, doc, s, h) for rk, (doc, (s, h)) in enumerate(want)
     ]
     assert got == want, (got, want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.sampled_from(["click", "view", "purchase"]),
+            st.integers(min_value=0, max_value=7200), # seconds
+            st.integers(min_value=0, max_value=999),  # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_linear_attribution_conserves_cents(spark, rows):
+    """Every purchase's split credits must sum to EXACTLY its cents
+    (integer division + remainder-to-latest-touch), and the channel
+    totals must match a direct Python model with the same horizon,
+    RANGE-peer, and tie rules."""
+    import datetime
+
+    from citydata_etl_spark.plans.queries_agg import (
+        a24_linear_attribution,
+    )
+
+    # build a parquet events fixture the entry reads
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="a24_")
+    data = [
+        (
+            u,
+            et,
+            datetime.datetime.fromtimestamp(
+                t, tz=datetime.timezone.utc
+            ),
+            c / 100.0,
+            i,
+        )
+        for i, (u, et, t, c) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE,"
+        " event_id LONG",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["attribution"]: (r["n_purchases"], r["credit_cents"])
+        for r in a24_linear_attribution(spark, d).collect()
+    }
+
+    H = 3600
+    from collections import defaultdict
+    want = defaultdict(lambda: [0, 0])
+    total_purchase_cents = 0
+    for u, et, t, c in rows:
+        if et != "purchase":
+            continue
+        cents = int(
+            __import__("math").floor((c / 100.0) * 100 + 0.5)
+        )
+        total_purchase_cents += cents
+        touches = [
+            (t2, et2) for (u2, et2, t2, _c2) in rows
+            if u2 == u and et2 in ("click", "view")
+            and t - H <= t2 <= t
+        ]
+        nc = sum(1 for _t2, e2 in touches if e2 == "click")
+        nv = len(touches) - nc
+        n = nc + nv
+        if n == 0:
+            if cents > 0:
+                want["organic"][0] += 1
+                want["organic"][1] += cents
+            continue
+        lc = max((t2 for t2, e2 in touches if e2 == "click"),
+                 default=None)
+        lv = max((t2 for t2, e2 in touches if e2 == "view"),
+                 default=None)
+        latest = (
+            "click" if nc > 0 and (lv is None or lc >= lv) else "view"
+        )
+        cc, cv = cents * nc // n, cents * nv // n
+        rem = cents - cc - cv
+        if latest == "click":
+            cc += rem
+        else:
+            cv += rem
+        assert cc + cv == cents  # conservation, by construction
+        if cc > 0:
+            want["click"][0] += 1
+            want["click"][1] += cc
+        if cv > 0:
+            want["view"][0] += 1
+            want["view"][1] += cv
+    assert got == {k: tuple(v) for k, v in want.items()}, (got, want)
+    # global conservation: all credited cents == all purchase cents
+    assert sum(v[1] for v in got.values()) == total_purchase_cents
