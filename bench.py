@@ -234,8 +234,10 @@ HEADLINE = [
     # the hamming-1 multi-probe recall row (the cheap LSH lever)
     "t19_stream_sliding_kmv",
     "d4_ann_multiprobe_recall",
-    # linear multi-touch attribution (integer credit split, RANGE frames)
+    # linear multi-touch attribution (integer credit split, RANGE frames);
+    # TPC-H Q11 shape (threshold against a broadcast global total)
     "a24_linear_attribution",
+    "q11_important_parts",
 ]
 
 

@@ -606,3 +606,91 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    val AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      GROUP BY l_partkey),
+    tot AS (
+      SELECT CAST(sum(value_cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM val)
+    SELECT l_partkey AS partkey, value_cents
+    FROM val, tot
+    WHERE value_cents > (total * 3) // (n_parts * 2)
+    """,
+    doc="Composed workload (TPC-H Q11 shape, adapted: the testdata has "
+    "no partsupp, so lineitem revenue from one region's suppliers "
+    "stands in for supply value): parts whose European-supplied "
+    "revenue exceeds a FRACTION OF THE GLOBAL TOTAL — the "
+    "HAVING-against-scalar-subquery pattern. Two engine decisions "
+    "worth the entry: (1) the per-part aggregate is computed ONCE "
+    "(persisted) and feeds both the global total + part count (folds "
+    "map-side to one broadcast row) and the filter — never two corpus "
+    "passes; (2) the threshold is SCALE-FREE and integer-exact: keep "
+    "parts with value_cents > (total * 3) div (n_parts * 2) (1.5x the mean "
+    "part value — a fixed global fraction returns nothing once the "
+    "part count outgrows it, which the sf0.1 bench-early run caught), "
+    "truncating division on non-negative totals being identical on "
+    "both engines, where multiplying the total by a double fraction "
+    "would park qualifying parts one ulp from the cut. total*3 stays "
+    "far inside int64 at any realistic revenue. The supplier-region "
+    "reduction broadcasts (bounded dimension).",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.caching import scoped_persist
+
+    supplier = read_testdata(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_testdata(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = read_testdata(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    eu = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = read_testdata(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    val = scoped_persist(
+        li.join(
+            F.broadcast(eu), li.l_suppkey == F.col("s_suppkey")
+        )
+        .select(F.col("l_partkey"), cents.alias("c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c").cast("bigint").alias("value_cents"))
+    )
+    tot = val.agg(
+        F.sum("value_cents").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_cents")
+            > F.expr("(total * 3) div (n_parts * 2)")
+        )
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+    )
