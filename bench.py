@@ -238,6 +238,8 @@ HEADLINE = [
     # TPC-H Q11 shape (threshold against a broadcast global total)
     "a24_linear_attribution",
     "q11_important_parts",
+    # write-audit-publish (cold rep includes base commit + both stagings)
+    "u17_wap_publish",
 ]
 
 

@@ -1649,6 +1649,122 @@ def u16_policy_versioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "u17_wap_publish",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 50 < 5),
+    published AS (
+      SELECT id,
+             CASE WHEN id % 3 = 0 THEN 'P2' ELSE status END AS status,
+             price_cents
+      FROM base),
+    u AS (
+      SELECT 'base' AS phase, status, price_cents, id FROM base
+      UNION ALL
+      SELECT 'published', status, price_cents, id FROM published)
+    SELECT phase, status, count(*) AS n,
+           CAST(sum(price_cents) AS BIGINT) AS total_cents,
+           CAST(sum(id) AS BIGINT) AS id_sum
+    FROM u GROUP BY phase, status
+    """,
+    doc="U17 (WRITE-AUDIT-PUBLISH): the Iceberg-WAP governance flow "
+    "over the cross-table transaction store — a writer STAGES the "
+    "next version's dirs without flipping the pointer "
+    "(sources/transactions.py:stage_txn), an AUDIT reads the staged "
+    "dirs directly (read_staged_table) against the contract rules, "
+    "and only a clean audit PUBLISHES (publish_txn — one atomic "
+    "rename, which also refuses stale stagings that don't follow the "
+    "current pointer). The entry runs the whole drama: a batch with "
+    "planted violations (negated prices on id%%7==0) stages, FAILS "
+    "audit, and is never published — readers keep seeing the base; "
+    "the fixed batch re-stages (overwriting the rejected dirs — "
+    "version numbers derive from the pointer, so failed stagings "
+    "cost nothing) and publishes. Output: the pinned base version "
+    "and the published version side by side; the oracle states both "
+    "closed forms, so a leaked bad staging (negative prices in the "
+    "published sums) or a lost publish hash-fails. Pointer-stability "
+    "after a failed audit and the stale-publish guard are pinned in "
+    "tests/test_etl.py. At 100 TB the audit costs one read of the "
+    "staged data — which a quality gate was going to pay anyway — "
+    "and publish stays one rename.",
+)
+def u17_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from citydata_etl_spark.sources.transactions import (
+        commit_txn,
+        publish_txn,
+        read_staged_table,
+        read_txn_table,
+        stage_txn,
+        txn_version,
+    )
+    from citydata_etl_spark.util import session_tmpdir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = session_tmpdir(f"u17_wap_{tag}")
+    base = read_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 < 5
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint").alias("price_cents"),
+    )
+
+    def audit_clean(version: int) -> bool:
+        staged = read_staged_table(spark, root, "orders", version)
+        bad = staged.filter(
+            (F.col("price_cents") <= 0)
+            | ~F.col("status").isin("O", "F", "P", "P2")
+        ).count()
+        return bad == 0
+
+    def build() -> None:
+        commit_txn(spark, root, {"orders": base})  # v0
+        promoted = base.withColumn(
+            "status",
+            F.when(F.col("id") % 3 == 0, F.lit("P2"))
+            .otherwise(F.col("status")),
+        )
+        # bad batch: the promotion PLUS planted violations
+        bad_batch = promoted.withColumn(
+            "price_cents",
+            F.when(
+                F.col("id") % 7 == 0, -F.col("price_cents")
+            ).otherwise(F.col("price_cents")),
+        )
+        v = stage_txn(spark, root, {"orders": bad_batch})
+        if audit_clean(v):  # it is NOT — the bad staging dies here
+            publish_txn(spark, root, v)
+        assert txn_version(spark, root) == 0  # pointer untouched
+        # fixed batch re-stages over the rejected dirs and publishes
+        v = stage_txn(spark, root, {"orders": promoted})
+        if audit_clean(v):
+            publish_txn(spark, root, v)
+
+    d = os.path.join(root, ".built")
+    os.makedirs(d, exist_ok=True)
+    _build_once(d, build)
+
+    pinned_base = read_txn_table(spark, root, "orders", 0).select(
+        F.lit("base").alias("phase"), "status", "price_cents", "id"
+    )
+    published = read_txn_table(spark, root, "orders").select(
+        F.lit("published").alias("phase"), "status", "price_cents", "id"
+    )
+    return pinned_base.unionByName(published).groupBy(
+        "phase", "status"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").cast("bigint").alias("total_cents"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )
+
+
 #: Single pinned freshness bound shared by the a13 Spark rule list and its
 #: oracle SQL — one constant, so the contract cannot silently diverge as the
 #: fixtures age (the testdata's max o_orderdate is well before this).

@@ -67,6 +67,51 @@ def commit_txn(
     return nxt
 
 
+def stage_txn(
+    spark: SparkSession, root: str, tables: dict[str, DataFrame]
+) -> int:
+    """WRITE half of write-audit-publish: write every table's next
+    v-dir but do NOT flip the pointer — the staged version is
+    invisible to every pointer-resolving reader until publish_txn.
+    Returns the staged version number. Audits read the staged dirs
+    directly via read_staged_table; a staged version that fails its
+    audit is simply never published (retry overwrites the dirs, and
+    vacuum after the NEXT successful publish reclaims them)."""
+    cur = txn_version(spark, root)
+    nxt = 0 if cur is None else cur + 1
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(_table_dir(root, name, nxt))
+    return nxt
+
+
+def read_staged_table(
+    spark: SparkSession, root: str, table: str, version: int
+) -> DataFrame:
+    """Read a STAGED (unpublished) table version — the audit's view.
+    Ordinary readers must keep using read_txn_table, which only ever
+    sees published versions."""
+    return spark.read.parquet(_table_dir(root, table, version))
+
+
+def publish_txn(spark: SparkSession, root: str, version: int) -> int:
+    """PUBLISH half of write-audit-publish: flip the pointer to an
+    already-staged version (one atomic rename — same crash contract
+    as commit_txn's final step). Refuses to publish backwards or a
+    version whose predecessor isn't the current pointer, so a stale
+    audit can never resurrect an old staging."""
+    cur = txn_version(spark, root)
+    expect = 0 if cur is None else cur + 1
+    if version != expect:
+        raise RuntimeError(
+            f"publish_txn: staged version {version} does not follow "
+            f"committed {cur!r} (expected {expect}) — stale staging"
+        )
+    _write_small_file(
+        spark, os.path.join(root, _POINTER), str(version).encode("ascii")
+    )
+    return version
+
+
 def read_txn_table(
     spark: SparkSession, root: str, table: str,
     version: int | None = None,

@@ -1552,3 +1552,62 @@ def test_sniff_csv_dialect_trap_and_precedence(spark):
     assert got[1] == (";", 4, 10000, True)    # not ',' despite 10000
     assert got[2] == ("\t", 4, 10000, False)
     assert got[3] == (",", 4, 7500, False)    # 3 of 4 lines modal
+
+
+def test_wap_stage_audit_publish_protocol(spark, tmp_path):
+    """Write-audit-publish over the txn store: (a) a staged version is
+    invisible to pointer-resolving readers; (b) a failed audit leaves
+    the pointer untouched; (c) the retry overwrites the rejected dirs
+    at the SAME version number; (d) publish flips atomically; (e) a
+    stale publish (version not following the pointer) is refused."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.transactions import (
+        commit_txn,
+        publish_txn,
+        read_staged_table,
+        read_txn_table,
+        stage_txn,
+        txn_version,
+    )
+
+    root = str(tmp_path / "wap")
+    os.makedirs(root)
+    base = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 10).alias("cents")
+    )
+    assert commit_txn(spark, root, {"t": base}) == 0
+
+    # (a)+(b): stage a bad batch — readers still see v0
+    bad = base.withColumn(
+        "cents",
+        F.when(F.col("id") % 5 == 0, -F.col("cents"))
+        .otherwise(F.col("cents")),
+    )
+    v = stage_txn(spark, root, {"t": bad})
+    assert v == 1
+    assert read_staged_table(spark, root, "t", v).filter(
+        "cents < 0"
+    ).count() > 0  # the audit's view sees the violations
+    assert txn_version(spark, root) == 0
+    assert read_txn_table(spark, root, "t").filter(
+        "cents < 0"
+    ).count() == 0
+
+    # (c): the fixed batch re-stages at the SAME version
+    good = base.withColumn("cents", F.col("cents") + 1)
+    assert stage_txn(spark, root, {"t": good}) == 1
+
+    # (e): publishing a version that doesn't follow the pointer fails
+    with _pytest.raises(RuntimeError, match="stale staging"):
+        publish_txn(spark, root, 2)
+    assert txn_version(spark, root) == 0
+
+    # (d): clean publish flips, readers see the fixed batch only
+    assert publish_txn(spark, root, 1) == 1
+    got = read_txn_table(spark, root, "t")
+    assert got.filter("cents < 0").count() == 0
+    assert got.filter("cents % 10 = 1").count() == 50
