@@ -238,8 +238,10 @@ HEADLINE = [
     # TPC-H Q11 shape (threshold against a broadcast global total)
     "a24_linear_attribution",
     "q11_important_parts",
-    # write-audit-publish (cold rep includes base commit + both stagings)
+    # write-audit-publish (cold rep includes base commit + both stagings);
+    # real GIF pixel decode (pure-Python LZW; stub boundary now JPEG only)
     "u17_wap_publish",
+    "d5_gif_pixels",
 ]
 
 

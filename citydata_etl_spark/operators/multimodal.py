@@ -2,9 +2,12 @@
 
 Images/audio/video are opaque BINARY columns plus typed metadata; the
 Spark-side plumbing — schema, Arrow batch shape, partition sizing — is
-real and tested, while the codec step is stubbed (no media libraries in
-this container) behind a deterministic fake keyed by content hash, with
-the real-library call site marked.
+real and tested. Raster pixel decode is REAL with no codec library for
+uncompressed BMP, DEFLATE-coded PNG (stdlib zlib + filter reversal),
+and LZW-coded GIF (the LZW decoder implemented here); only the
+DCT-coded JPEG class remains stubbed (no media libraries in this
+container) behind a deterministic fake keyed by content hash, with the
+real-library call site marked.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -101,19 +104,20 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """TRANSFORM-CODED image resize plumbing (JPEG/GIF): metadata
-    transforms JVM-side; the DCT/LZW pixel operation itself raises
-    until a codec library is wired in. Rasters that need no codec
-    library decode for REAL: uncompressed BMP and (since r11)
-    DEFLATE-coded PNG via stdlib zlib — bmp_pixel_stats /
-    bmp_resize_nn dispatch both through _decode_image_rgb."""
+    """TRANSFORM-CODED image resize plumbing (JPEG): metadata
+    transforms JVM-side; the DCT pixel operation itself raises until
+    a codec library is wired in. Everything else decodes for REAL
+    with no codec library: uncompressed BMP, DEFLATE-coded PNG
+    (stdlib zlib), and since r11 LZW-coded GIF (the LZW decoder
+    implemented directly) — bmp_pixel_stats / bmp_resize_nn dispatch
+    all three through _decode_image_rgb."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "resizing transform-coded images (JPEG/GIF) requires a codec "
+            "resizing DCT-coded images (JPEG) requires a codec "
             "library (PIL/opencv) not present in this container; wire it "
-            "into this mapInPandas body. BMP and PNG decode for real "
-            "via bmp_pixel_stats/bmp_resize_nn (_decode_image_rgb)."
+            "into this mapInPandas body. BMP, PNG, and GIF decode for "
+            "real via bmp_pixel_stats/bmp_resize_nn (_decode_image_rgb)."
         )
 
     return media.filter(F.col("media_type") == "image").mapInPandas(
@@ -161,8 +165,9 @@ def _decode_bmp24(blob) -> tuple | None:
 def _decode_png_rgb(blob) -> tuple | None:
     """Decode one PNG to an (H, W, 3) uint8 RGB array using ONLY the
     stdlib — zlib inflate + per-row filter reversal — shrinking the
-    entropy-coded stub boundary to genuinely transform-coded formats
-    (JPEG). Returns (width, height, pixels) or None for non-PNG /
+    entropy-coded stub boundary toward transform-coded formats
+    (with _decode_gif_rgb: JPEG alone). Returns
+    (width, height, pixels) or None for non-PNG /
     unsupported / corrupt blobs.
 
     Supported: 8-bit-depth truecolor (color type 2) and truecolor+
@@ -274,17 +279,198 @@ def _decode_png_rgb(blob) -> tuple | None:
     return width, height, px
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    n_expected: int) -> list | None:
+    """GIF-variant LZW decode of a concatenated image-data stream
+    (sub-blocks already joined): LSB-first variable-width codes,
+    clear/EOI codes, dictionary growth to 12 bits, the KwKwK
+    (code == next) special case, width bump when the next free code
+    reaches the current width's capacity. Returns the palette-index
+    list (exactly n_expected entries) or None on any malformed
+    stream — a decoder that trusts a corrupt stream walks off the
+    dictionary."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    acc = nbits = pos = 0
+    out: list[int] = []
+    table: list[bytes] = []
+    prev: bytes | None = None
+    next_code = eoi + 1
+
+    def reset():
+        nonlocal table, width, prev, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+        next_code = eoi + 1
+
+    reset()
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            return None
+        out.extend(entry)
+        if len(out) > n_expected:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # width bump follows the CODES-CONSUMED counter (giflib's
+        # RunningCode), NOT the table length: the encoder's counter
+        # leads its table by the final no-add emit, and a table-length
+        # rule diverges by one exactly when the last add lands on a
+        # power of two (caught by the round-trip property test)
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out if len(out) == n_expected else None
+
+
+def _decode_gif_rgb(blob) -> tuple | None:
+    """Decode one GIF (87a/89a) to an (H, W, 3) uint8 RGB array using
+    ONLY pure Python — the LZW entropy decode implemented directly —
+    so with PNG (_decode_png_rgb) the remaining codec-stub boundary is
+    transform-coded JPEG alone. Returns (width, height, pixels) or
+    None for non-GIF / unsupported / corrupt blobs.
+
+    Supported: the FIRST image of a non-interlaced GIF whose frame
+    covers the full logical screen, global or local color table,
+    extensions skipped (sub-block walk). Out of scope (None):
+    interlaced frames, partial frames, missing color table, malformed
+    LZW streams, truncation anywhere. Transparency is ignored — the
+    transparent index still maps to its table color, the documented
+    convention for stats over stills.
+
+    Scale posture: the LZW loop is per-blob Python inside the
+    Arrow-batched mapInPandas walk (parallelism = partitions, as the
+    PNG Paeth rows); the palette gather back to RGB is one numpy
+    fancy-index."""
+    import numpy as np
+
+    if blob is None or len(blob) < 13:
+        return None
+    head = bytes(blob[0:6])
+    if head not in (b"GIF87a", b"GIF89a"):
+        return None
+    b = bytes(blob)
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(
+            b, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    if width <= 0 or height <= 0:
+        return None
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer before any image
+            return None
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            return None
+        # image descriptor
+        if pos + 9 > len(b):
+            return None
+        left = int.from_bytes(b[pos:pos + 2], "little")
+        top = int.from_bytes(b[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(b[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(b[pos + 6:pos + 8], "little")
+        ipacked = b[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(b):
+                return None
+            table = np.frombuffer(
+                b, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if ipacked & 0x40:  # interlaced: out of scope, disclosed
+            return None
+        if (left, top, iw, ih) != (0, 0, width, height):
+            return None  # partial frame: out of scope
+        if table is None:
+            return None
+        if pos >= len(b):
+            return None
+        mcs = b[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            return None
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            if pos + 1 + ln > len(b):
+                return None
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(b):
+            return None  # no sub-block terminator
+        idx = _gif_lzw_decode(bytes(data), mcs, width * height)
+        if idx is None:
+            return None
+        arr = np.asarray(idx, dtype=np.int64)
+        if arr.max(initial=0) >= len(table):
+            return None
+        px = table[arr].reshape(height, width, 3)
+        return width, height, px
+    return None
+
+
 def _decode_image_rgb(blob) -> tuple | None:
     """Format-dispatching raster decode for the codec-free path: BMP
-    (uncompressed 24-bpp, _decode_bmp24) and PNG (stdlib zlib,
-    _decode_png_rgb) decode for REAL; anything else — including the
-    genuinely transform-coded JPEG — returns None and stays behind
-    the disclosed resize_stub boundary. Both branches return the same
+    (uncompressed 24-bpp, _decode_bmp24), PNG (stdlib zlib,
+    _decode_png_rgb), and GIF (pure-Python LZW, _decode_gif_rgb)
+    decode for REAL; anything else — now only the transform-coded
+    JPEG class — returns None and stays behind the disclosed
+    resize_stub boundary. Every branch returns the same
     (width, height, HxWx3 uint8 RGB, logical top-down) contract, so
     every raster kernel (pixel stats, histogram, resize, ahash) is
     format-agnostic above this line."""
-    if blob is not None and len(blob) >= 2 and bytes(blob[0:2]) == b"BM":
+    if blob is None or len(blob) < 6:
+        return None
+    head = bytes(blob[0:6])
+    if head[0:2] == b"BM":
         return _decode_bmp24(blob)
+    if head in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_rgb(blob)
     return _decode_png_rgb(blob)
 
 

@@ -3774,6 +3774,206 @@ def encode_png(px_rows, channels: int, filters, split_idat: bool = False):
     return out + chunk(b"IEND", b"")
 
 
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode of a palette-index stream: LSB-first
+    variable-width codes, leading clear code, dictionary growth with
+    the ONE-AHEAD width rule (the encoder's table leads the decoder's
+    by one entry, so it widens when the next free code reaches
+    (1<<width)+1 — the decoder widens at 1<<width), clear+reset at
+    the 4096-entry cap, trailing EOI. Synthesis-side twin of
+    operators/multimodal.py:_gif_lzw_decode; the round-trip property
+    test drives both across dict growth, width bumps, and the cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    width = min_code_size + 1
+    table: dict[tuple, int] = {}
+    next_code = eoi + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        nonlocal table, next_code, width
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+
+    reset()
+    emit(clear)
+    idx = list(indices)
+    w = (idx[0],)
+    for k in idx[1:]:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            reset()
+        w = (k,)
+    emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(px_rows, split_subblocks: bool = False) -> bytes:
+    """Encode a genuine GIF89a from raw pixel rows (list of rows, each
+    a list of (r, g, b) tuples): palette built from colors in first-
+    appearance order (<= 256 distinct required), REAL LZW-compressed
+    index stream, data split into <=255-byte sub-blocks
+    (split_subblocks forces small sub-blocks so decoders must join
+    them). Full-frame, non-interlaced, global color table — exactly
+    the profile _decode_gif_rgb supports."""
+    h = len(px_rows)
+    w = len(px_rows[0])
+    palette: dict[tuple, int] = {}
+    idx = []
+    for row in px_rows:
+        for c in row:
+            if c not in palette:
+                palette[c] = len(palette)
+            idx.append(palette[c])
+    n = len(palette)
+    assert n <= 256, "fixture palette overflow"
+    bits = max(2, (n - 1).bit_length())
+    gct_n = 1 << bits
+    mcs = bits
+    lzw = _gif_lzw_encode(idx, mcs)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (bits - 1))  # GCT flag + size
+    out += b"\x00\x00"  # bg index, aspect
+    for color, _i in sorted(palette.items(), key=lambda kv: kv[1]):
+        out += bytes(color)
+    out += b"\x00\x00\x00" * (gct_n - n)  # pad table to 2^bits
+    # a skippable extension block (comment), exercising the walk
+    out += b"\x21\xfe\x05fixed\x00"
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x00)  # no LCT, not interlaced
+    out.append(mcs)
+    step = 7 if split_subblocks else 255
+    for s in range(0, len(lzw), step):
+        chunk = lzw[s:s + step]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared GIF blob fixture for d5_gif_pixels: GENUINE GIF89a blobs
+    (real LZW streams, palette in first-appearance order, a comment
+    extension the walk must skip) with the SAME closed-form pixels as
+    the PNG fixture, dims cycling by doc_id, every 4th image's data
+    split into tiny sub-blocks (decoders must concatenate), and a
+    JPEG header blob every 7th row that must yield NULLs."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ids.append(d)
+                if d % 7 == 0:
+                    blobs.append(bytes.fromhex("FFD8FFE0") + b"\x00" * 50)
+                    continue
+                w, h = 4 + d % 5, 3 + d % 4
+                rows = [
+                    [
+                        (
+                            (d + 3 * x + 7 * y) % 256,
+                            (2 * d + 5 * x + 11 * y + 1) % 256,
+                            (3 * d + x + 13 * y + 2) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                blobs.append(encode_gif(rows, split_subblocks=d % 4 == 0))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
+
+
+@register(
+    "d5_gif_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             doc_id % 7 = 0 AS is_jpeg
+      FROM documents),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(8) gx, range(6) gy
+      WHERE NOT is_jpeg AND gx.range < w AND gy.range < h),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             (media_id + 3 * x + 7 * y) % 256 AS r,
+             (2 * media_id + 5 * x + 11 * y + 1) % 256 AS g,
+             (3 * media_id + x + 13 * y + 2) % 256 AS b
+      FROM grid),
+    agg AS (
+      SELECT media_id, w AS width, h AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((y * w + x) * r) AS BIGINT) AS wsum_r,
+             CAST(sum(CASE WHEN x = 0 AND y = 0
+                      THEN r * 65536 + g * 256 + b END) AS BIGINT) AS p00
+      FROM px GROUP BY media_id, w, h)
+    SELECT p.media_id, a.width, a.height, a.n_pixels,
+           a.sum_r, a.sum_g, a.sum_b, a.wsum_r, a.p00
+    FROM p LEFT JOIN agg a ON p.media_id = a.media_id
+    """,
+    doc="D5: REAL GIF pixel decode with NO codec library — the LZW "
+    "entropy decode implemented directly in the engine "
+    "(operators/multimodal.py:_decode_gif_rgb / _gif_lzw_decode: "
+    "LSB-first variable-width codes, dictionary growth, the KwKwK "
+    "special case, width bumps, clear/EOI, 4096-cap reset), which "
+    "together with d5_png_pixels shrinks the disclosed codec-stub "
+    "boundary to transform-coded JPEG alone. Blobs are GENUINE "
+    "GIF89a: real LZW streams over first-appearance palettes, a "
+    "comment extension the block walk must skip, every 4th image's "
+    "stream split into 7-byte sub-blocks the decoder must join. "
+    "Pixels share the PNG fixture's closed forms, so this oracle is "
+    "IDENTICAL to d5_png_pixels' — the driver verifies a third codec "
+    "producing the same logical pixels through the same stats "
+    "kernel. The encoder/decoder width rule (encoder one table entry "
+    "ahead, widening at (1<<w)+1 vs the decoder's 1<<w) is pinned by "
+    "a hand-computed bitstream test plus a round-trip property test "
+    "that forces dict growth and the 12-bit cap.",
+)
+def d5_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+
+    return bmp_pixel_stats(_gif_media_fixture(spark, sf_dir))
+
+
 def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PNG blob fixture for d5_png_pixels: GENUINE PNGs (real
     zlib DEFLATE streams, real CRC32s) with closed-form pixels, dims

@@ -849,3 +849,118 @@ def test_png_and_bmp_same_pixels_same_stats(spark):
               "wsum_r", "p00"):
         assert a[k] == b[k], (k, a[k], b[k])
     assert a["wsum_r"] is not None
+
+
+def test_gif_lzw_decode_hand_computed_vectors():
+    """Decode two bitstreams computed BY HAND from the GIF89a LZW spec
+    (mcs=2: clear=4, eOI=5, width 3, LSB-first packing) — independent
+    of our encoder, so a mirrored encoder/decoder bug cannot hide:
+    (a) [1,1,1,2] -> codes 4,1,6,2,5 -> bytes 8C 55 (uses a grown
+    dict entry); (b) [1,1,1] -> codes 4,1,6,5 -> bytes 8C 0B (code 6
+    IS the just-defined entry — the KwKwK case)."""
+    assert M._gif_lzw_decode(bytes([0x8C, 0x55]), 2, 4) == [1, 1, 1, 2]
+    assert M._gif_lzw_decode(bytes([0x8C, 0x0B]), 2, 3) == [1, 1, 1]
+    # malformed: code beyond the table
+    assert M._gif_lzw_decode(bytes([0xFC, 0x3F]), 2, 4) is None
+    # truncated before EOI
+    assert M._gif_lzw_decode(bytes([0x8C]), 2, 4) is None
+
+
+def test_gif_lzw_roundtrip_property():
+    """Hypothesis: encode/decode random and repetitive index streams
+    across alphabet sizes — dictionary growth, width bumps at every
+    power of two, the KwKwK case, and the 4096-entry clear/reset are
+    all on the line. Pure Python, no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import _gif_lzw_encode
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.sampled_from([2, 3, 7, 16, 64]),
+        st.integers(1, 2000),
+        st.integers(0, 2 ** 30),
+        st.booleans(),
+    )
+    def check(n_sym, ln, seed, repetitive):
+        import random
+
+        rng = random.Random(seed)
+        if repetitive:
+            pat = [rng.randrange(n_sym)
+                   for _ in range(rng.randrange(1, 4))]
+            idx = (pat * (ln // len(pat) + 1))[:ln]
+        else:
+            idx = [rng.randrange(n_sym) for _ in range(ln)]
+        mcs = max(2, (n_sym - 1).bit_length())
+        enc = _gif_lzw_encode(idx, mcs)
+        assert M._gif_lzw_decode(enc, mcs, len(idx)) == idx
+
+    check()
+
+
+def test_gif_decode_rejects_unsupported_and_corrupt(spark):
+    """None (triage convention) for: truncated, bad signature,
+    interlaced, zero-dim header, partial frame, missing sub-block
+    terminator — never raise, never wrong pixels."""
+    from citydata_etl_spark.plans.queries_llm import encode_gif
+
+    good = encode_gif([[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (1, 2, 3)]])
+    assert M._decode_gif_rgb(good) is not None
+    assert M._decode_gif_rgb(good[:-4]) is None
+    assert M._decode_gif_rgb(b"\x00" + good[1:]) is None
+    b2 = bytearray(good)
+    b2[bytes(b2).index(0x2C) + 9] |= 0x40  # interlace flag
+    assert M._decode_gif_rgb(bytes(b2)) is None
+    assert M._decode_gif_rgb(b"GIF89a" + b"\x00" * 40) is None
+    b3 = bytearray(good)
+    i = bytes(b3).index(0x2C)
+    b3[i + 1] = 1  # left offset -> partial frame
+    assert M._decode_gif_rgb(bytes(b3)) is None
+
+
+def test_gif_and_bmp_same_pixels_same_stats(spark):
+    """Cross-format agreement, third codec: the SAME logical pixels as
+    a GIF (LZW + palette) and a bottom-up BMP produce identical rows
+    through bmp_pixel_stats — _decode_image_rgb normalizes all three
+    raster formats to one contract."""
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_gif
+
+    w, h = 5, 4
+    px = (np.arange(w * h * 3, dtype=np.int64) * 7 % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    gif = encode_gif(
+        [[tuple(int(v) for v in px[y, x]) for x in range(w)]
+         for y in range(h)]
+    )
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            row += bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0]])
+        row += b"\x00" * (stride - len(row))
+        body += row
+    bmp = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little") + b"\x00" * 16
+        + bytes(body)
+    )
+    df = spark.createDataFrame(
+        [(1, gif), (2, bmp)], "media_id LONG, content BINARY"
+    )
+    rows = {r["media_id"]: r.asDict() for r in M.bmp_pixel_stats(df).collect()}
+    for k in ("width", "height", "n_pixels", "sum_r", "sum_g", "sum_b",
+              "wsum_r", "p00"):
+        assert rows[1][k] == rows[2][k], (k, rows[1][k], rows[2][k])
+    assert rows[1]["wsum_r"] is not None
