@@ -948,3 +948,52 @@ def test_u13_cascade_delete_all_reads_broadcast_tombstones(spark):
     p = _plan(spark, "u13_cascade_delete")
     assert p.count("BroadcastHashJoin LeftAnti") >= 3
     assert "SortMergeJoin LeftAnti" not in p
+
+
+def test_round11_entry_plan_guards(spark):
+    """Scale-shape guards for the round-11 entries.
+
+    - d4_bm25_topk: the global order plans as a bounded
+      TakeOrderedAndProject heap (never a full sort), the query-term
+      join broadcasts, scoring is pure JVM (no Python eval node), and
+      the postings tf aggregate combines map-side.
+    - q11_important_parts: every dimension reduction broadcasts, the
+      1-row total reaches the filter via a broadcast nested loop (not
+      a shuffled cross join), and no Python node exists.
+    - u16_policy_versioned_read: the one-row policy table broadcasts
+      into the governed read; masks are JVM expressions.
+    - a24_linear_attribution: the RANGE-frame windows are JVM Window
+      nodes, no Python eval, and the channel rollup combines
+      map-side.
+    """
+    p = _plan(spark, "d4_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p
+
+    p = _plan(spark, "q11_important_parts")
+    assert "BroadcastExchange" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(spark, "u16_policy_versioned_read")
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row policy row
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = _plan(spark, "a24_linear_attribution")
+    assert "Window" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_multitable_lsh_single_bucket_shuffle(spark):
+    """d4_ann_multitable_recall's candidate stage must shuffle on the
+    (tbl, bucket) pair — L tables in ONE exchange, not one exchange
+    per table — and the plane table must broadcast; the exact side
+    keeps its Python tile kernels (the blocked matmul), which is the
+    ONLY allowed Python in the plan."""
+    p = _plan(spark, "d4_ann_multitable_recall")
+    assert "BroadcastExchange" in p  # the L*P plane rows
+    # the bucket self-join shuffles on the composite key
+    assert "hashpartitioning(tbl" in p or "hashpartitioning(bucket" in p
