@@ -1611,3 +1611,49 @@ def test_wap_stage_audit_publish_protocol(spark, tmp_path):
     got = read_txn_table(spark, root, "t")
     assert got.filter("cents < 0").count() == 0
     assert got.filter("cents % 10 = 1").count() == 50
+
+
+def test_policy_versioned_read_replays_old_rules(spark, tmp_path):
+    """The audit-replay property behind u16: a governed read pinned at
+    policy v1 must be IDENTICAL before and after v2 commits — masks
+    derive from the joined policy row, so the old read replays
+    bit-for-bit from the immutable v1 manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources.snapshots import (
+        snapshot_init,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    table = os.path.join(str(tmp_path), "policy")
+    v1 = spark.createDataFrame(
+        [("analyst", 16)], "role STRING, plen INT"
+    )
+    snapshot_init(v1, table, "role", n_buckets=1)
+    data = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(20)], "id LONG, name STRING"
+    )
+
+    def governed(version):
+        pol = snapshot_read(spark, table, version)
+        return sorted(
+            r["m"]
+            for r in data.crossJoin(F.broadcast(pol)).select(
+                F.expr("substring(sha2(name, 256), 1, plen)").alias("m")
+            ).collect()
+        )
+
+    before = governed(1)
+    assert {len(m) for m in before} == {16}
+    snapshot_merge(
+        spark, table,
+        spark.createDataFrame([("analyst", 8)], "role STRING, plen INT"),
+        "role",
+    )
+    assert governed(1) == before          # replay: bit-identical
+    assert {len(m) for m in governed(2)} == {8}
+    # shortening the prefix can only merge masks, never split them
+    assert {m[:8] for m in before} == set(governed(2))
