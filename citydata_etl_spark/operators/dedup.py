@@ -316,8 +316,24 @@ def jaccard_bitmap_allpairs(
         # permutation, so the output is bit-identical to the
         # freq-ranked path. Vocab size = max id + 1 (dense contract).
         ids = id_rel.select(F.col(id_col), F.col("tid").alias("rid"))
-        mx = ids.agg(F.max("rid")).collect()[0][0]
-        n_vocab = int(mx) + 1 if mx is not None else 0
+        # Assert the dense 0-based contract instead of trusting it: a
+        # 1-based or hash-mode (sparse) relation would silently widen
+        # the indicator matrices and void the max_vocab guard. One
+        # aggregate checks max, min, and distinct count together.
+        mx, mn, nd = ids.agg(
+            F.max("rid"), F.min("rid"), F.countDistinct("rid")
+        ).collect()[0]
+        if mx is None:
+            n_vocab = 0
+        elif int(mn) != 0 or int(nd) != int(mx) + 1:
+            raise ValueError(
+                "jaccard_bitmap_allpairs: id_rel is not a dense "
+                f"0-based tid relation (min={mn}, max={mx}, "
+                f"distinct={nd}); pass a rank-assigned relation "
+                "(id_mode='rank'), not hash-mode ids"
+            )
+        else:
+            n_vocab = int(mx) + 1
     else:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
         ranked = _global_rank(freq, ["freq", "shingle"], "rid").select(

@@ -41,6 +41,12 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 8
 
+# Untrusted-media inflate ceiling: the largest filtered-raster byte
+# count one PNG row may claim ((stride+1)*height). 64 MiB ≈ a
+# 4096x4096 RGBA frame — far above any fixture, far below what a
+# decompression bomb needs to hurt an executor.
+_PNG_MAX_RAW_BYTES = 64 * 1024 * 1024
+
 _DECODE_SCHEMA = (
     "media_id BIGINT, media_type STRING, n_bytes INT, content_sha STRING, "
     f"features ARRAY<DOUBLE>"
@@ -230,14 +236,23 @@ def _decode_png_rgb(blob) -> tuple | None:
         pos = dend + 4
     if width is None or not idat or not seen_iend:
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     bpp = channels
     stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Untrusted-media posture: IHDR fixes the exact inflated size, so
+    # bound BOTH the claimed dimensions and the inflater's output
+    # before allocating — a crafted IDAT (decompression bomb) must not
+    # be able to expand past expected+1 bytes, and a forged IHDR must
+    # not be able to claim a multi-GiB raster from a tiny blob.
+    if expected > _PNG_MAX_RAW_BYTES:
         return None
+    try:
+        inflater = zlib.decompressobj()
+        raw = inflater.decompress(bytes(idat), expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected or inflater.unconsumed_tail or not inflater.eof:
+        return None  # truncated, oversized, or bomb-capped stream
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = scan[:, 0]
     rows = scan[:, 1:].astype(np.int64)

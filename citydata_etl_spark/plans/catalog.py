@@ -107,6 +107,8 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a21_histogram_quantiles": 10,
     "a22_attribution": 10,
     "a23_sliding_distinct": 10,
+    "a23_sliding_kmv": 11,
+    "a24_linear_attribution": 0,  # r12: sign precondition now enforced (ADVICE r11)
     "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
     "a2_count_distinct": 8,
     "a2_kmv_distinct": 8,
@@ -133,10 +135,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_ann_ivf_recall": 10,
     "d4_ann_lsh": 8,  # rows-only by construction (r3 row)
     "d4_ann_lsh_rank": 7,
+    "d4_ann_multiprobe_recall": 11,
+    "d4_ann_multitable_recall": 11,
     "d4_ann_pq": 8,  # rows-only by construction (r3 row)
     "d4_ann_pq_rank": 8,
     "d4_ann_recall": 10,
     "d4_bigram_logprob": 8,
+    "d4_bm25_topk": 11,
     "d4_bpe_encode": 10,
     "d4_bpe_merge_steps": 10,
     "d4_bpe_pair_counts": 10,
@@ -149,6 +154,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_dedup_report": 10,
     "d4_doc_fingerprint": 8,
     "d4_dup_passage": 8,
+    "d4_dup_passage_cut": 11,
     "d4_embed_neardup": 8,
     "d4_embed_project": 10,
     "d4_embed_quantize": 9,
@@ -159,7 +165,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_incremental_neardup_rank": 10,
     "d4_knn_label": 10,
     "d4_lang_id": 8,
-    "d4_line_dedup": 5,
+    "d4_line_dedup": 11,
     "d4_lm_logprob": 8,
     "d4_lsh_pair_recall": 10,
     "d4_minhash_hash": 9,  # rows-only by construction (r4 row)
@@ -177,21 +183,24 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_text_normalize": 9,
     "d4_tfidf_topk": 8,
     "d4_token_stats": 7,
-    "d4_url_dedup": 5,
+    "d4_url_dedup": 11,
     "d4_winnowing": 7,
-    "d5_audio_energy": 5,
+    "d5_audio_energy": 11,
     "d5_bmp_histogram": 9,
     "d5_bmp_pixels": 8,
     "d5_bmp_resize": 8,
     "d5_format_sniff": 9,
     "d5_frame_sample": 7,
-    "d5_gif_meta": 7,
+    "d5_gif_meta": 0,  # r12: LZW encoder width-schedule fix
+    "d5_gif_pixels": 0,  # r12: LZW encoder width-schedule fix
     "d5_image_ahash": 10,
     "d5_image_neardup": 10,
-    "d5_jpeg_meta": 5,
+    "d5_jpeg_meta": 11,
     "d5_media_decode": 7,
-    "d5_mp4_meta": 5,
+    "d5_mp4_meta": 11,
+    "d5_png_ahash": 11,
     "d5_png_meta": 9,
+    "d5_png_pixels": 11,
     "d5_scene_cuts": 10,
     "d5_tar_meta": 7,
     "d5_wav_meta": 9,
@@ -206,13 +215,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_domain_mix": 7,
     "d6_domain_mix_apply": 8,
     "d6_fixed_sample": 8,
-    "d6_global_shuffle": 5,
+    "d6_global_shuffle": 11,
     "d6_label_centroid": 7,
-    "d6_length_histogram": 5,
+    "d6_length_histogram": 11,
     "d6_negative_pairs": 9,
     "d6_pack_sequences": 7,
     "d6_ppl_buckets": 9,
-    "d6_quality_classifier": 5,
+    "d6_quality_classifier": 11,
     "d6_quality_funnel": 7,
     "d6_shard_stats": 7,
     "d6_stratified_sample": 7,
@@ -225,9 +234,9 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f12_url_parse": 9,
     "f13_variant_json": 9,
     "f14_entity_extract": 9,
-    "f15_geo_cell": 5,
-    "f16_number_normalize": 5,
-    "f17_useragent_parse": 5,
+    "f15_geo_cell": 11,
+    "f16_number_normalize": 11,
+    "f17_useragent_parse": 11,
     "f18_ip_cidr": 7,
     "f1_f3_dual_ts_roundtrip": 9,
     "f2_date_parts": 9,
@@ -236,11 +245,11 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f7_json_extract": 9,
     "f8_html_extract": 9,
     "f9_split_explode": 9,
-    "g1_host_pagerank": 5,
-    "g2_triangle_count": 5,
+    "g1_host_pagerank": 11,
+    "g2_triangle_count": 11,
     "g3_bfs_hops": 7,
-    "j10_bloom_prefilter_join": 5,
-    "j11_geo_radius_join": 5,
+    "j10_bloom_prefilter_join": 11,
+    "j11_geo_radius_join": 11,
     "j12_temporal_join": 7,
     "j13_dpp_join": 7,
     "j14_point_in_polygon": 10,
@@ -262,12 +271,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "p3_point_filter": 10,
     "p4_dynamic_filter": 10,
     "p6_first_row": 10,
-    "q10_returned_items": 5,
+    "q10_returned_items": 11,
+    "q11_important_parts": 11,
     "q14_promo_revenue": 9,
     "q15_top_supplier": 9,
     "q18_large_orders": 7,
-    "q3_shipping_priority": 5,
-    "q5_regional_volume": 5,
+    "q3_shipping_priority": 11,
+    "q5_regional_volume": 11,
     "q7_nation_volume": 7,
     "s10_orc_roundtrip": 10,
     "s11_compaction": 10,
@@ -276,31 +286,32 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s14_partition_pruned_read": 10,
     "s15_corrupt_records": 10,
     "s16_xml_roundtrip": 10,
-    "s17_zorder_layout": 5,
+    "s17_zorder_layout": 11,
     "s18_fixed_width_scan": 7,
     "s19_bloom_filter_layout": 9,
-    "s1_csv_scan": 5,
+    "s1_csv_scan": 11,
     "s20_partition_evolution": 10,
     "s21_csv_dialect_sniff": 10,
-    "s2_typed_csv_scan": 5,
-    "s3_json_scan": 5,
-    "s6_object_listing": 5,
-    "s7_partitioned_sink": 5,
-    "s8_csv_overwrite_sink": 5,
-    "s9_staging_rekey": 5,
-    "t10_stream_dynamic_sessions": 5,
-    "t11_stream_geofence": 5,
-    "t12_stream_late_sessions": 5,
-    "t13_gap_fill": 5,
+    "s2_typed_csv_scan": 11,
+    "s3_json_scan": 11,
+    "s6_object_listing": 11,
+    "s7_partitioned_sink": 11,
+    "s8_csv_overwrite_sink": 11,
+    "s9_staging_rekey": 11,
+    "t10_stream_dynamic_sessions": 11,
+    "t11_stream_geofence": 11,
+    "t12_stream_late_sessions": 11,
+    "t13_gap_fill": 11,
     "t14_stream_ohlc": 7,
     "t15_stream_snapshot_enrich": 7,
     "t16_stream_restart": 8,
     "t17_stream_quarantine": 9,
     "t18_stream_attribution": 10,
+    "t19_stream_sliding_kmv": 11,
     "t1_streaming_tumbling": 7,
     "t2_streaming_dedup": 7,
     "t3_cdc_promote": 9,
-    "t5_dynamic_gap_session": 5,
+    "t5_dynamic_gap_session": 11,
     "t5_session_window": 7,
     "t5_sliding_window": 7,
     "t5_tumbling_window": 7,
@@ -316,14 +327,16 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "u13_cascade_delete": 10,
     "u14_multi_table_txn": 10,
     "u15_governed_view": 10,
-    "u1_keyed_update": 5,
-    "u2_masked_update": 5,
-    "u3_status_routing": 5,
-    "u4_scd2_history": 5,
+    "u16_policy_versioned_read": 11,
+    "u17_wap_publish": 11,
+    "u1_keyed_update": 11,
+    "u2_masked_update": 11,
+    "u3_status_routing": 11,
+    "u4_scd2_history": 11,
     "u5_merge_upsert": 9,
     "u6_keyed_delete": 10,
-    "u7_evolving_merge": 5,
-    "u8_time_travel": 5,
+    "u7_evolving_merge": 11,
+    "u8_time_travel": 11,
     "u9_change_feed": 7,
 }
 

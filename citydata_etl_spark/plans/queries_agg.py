@@ -469,7 +469,8 @@ def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              epoch_us(ts) AS tus
-      FROM events),
+      FROM events
+      WHERE value >= 0),
     w AS (
       SELECT user_id, event_type, cents, tus,
              count(CASE WHEN event_type = 'click' THEN 1 END) OVER
@@ -524,7 +525,11 @@ def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the other standard model, and the one that exposes integer "
     "division subtleties). Exactness contract: per-channel credit is "
     "cents*n_channel DIV n_touches (truncating division on "
-    "non-negative cents — identical on both engines), and the "
+    "non-negative cents — identical on both engines; the entry "
+    "ENFORCES the sign precondition by excluding value < 0 events "
+    "[refund semantics, out of attribution scope] on BOTH sides, "
+    "because Spark's div truncates toward zero while DuckDB's // "
+    "floors and the two diverge on negatives), and the "
     "REMAINDER cents go to the channel of the LATEST touch (click "
     "beats view on a tie — a22's rule), so every purchase's credits "
     "sum to exactly its cents: no basis-point drift, no floating "
@@ -538,10 +543,17 @@ def a22_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a24_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = 3_600_000_000
-    ev = read_testdata(spark, sf_dir, "events").select(
-        "user_id", "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
-        F.unix_micros("ts").alias("tus"),
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        # Sign precondition for the truncating-division contract (see
+        # doc): refunds (value < 0) are out of attribution scope.
+        .filter(F.col("value") >= 0)
+        .select(
+            "user_id", "event_type",
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("bigint").alias("cents"),
+            F.unix_micros("ts").alias("tus"),
+        )
     )
     w = (
         W.partitionBy("user_id")

@@ -3776,13 +3776,22 @@ def encode_png(px_rows, channels: int, filters, split_idat: bool = False):
 
 def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     """GIF-variant LZW encode of a palette-index stream: LSB-first
-    variable-width codes, leading clear code, dictionary growth with
-    the ONE-AHEAD width rule (the encoder's table leads the decoder's
-    by one entry, so it widens when the next free code reaches
-    (1<<width)+1 — the decoder widens at 1<<width), clear+reset at
-    the 4096-entry cap, trailing EOI. Synthesis-side twin of
-    operators/multimodal.py:_gif_lzw_decode; the round-trip property
-    test drives both across dict growth, width bumps, and the cap."""
+    variable-width codes, leading clear code, dictionary growth,
+    clear+reset at the 4096-entry cap, trailing EOI. Synthesis-side
+    twin of operators/multimodal.py:_gif_lzw_decode; the round-trip
+    property test drives both across dict growth, width bumps, and
+    the cap.
+
+    Width schedule: the bump follows the CODES-WRITTEN counter with
+    the decoder's exact giflib rule (widen once the counter passes
+    1 << width) — NOT the table-add counter. The two counters agree
+    mid-stream (every data emit but the last pairs with one table
+    add) but diverge by one at the stream's FINAL no-add emission:
+    when the last add lands next_code exactly on a power of two, the
+    decoder widens for the closing code + EOI and a table-driven
+    encoder would write them one bit narrow, producing a stream
+    giflib-compatible decoders reject (found by hypothesis at
+    n_sym=2, ln=31, repetitive=True — pinned as a regression)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -3790,7 +3799,8 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
 
     width = min_code_size + 1
     table: dict[tuple, int] = {}
-    next_code = eoi + 1
+    next_code = eoi + 1   # next free TABLE code (dict growth + cap)
+    written = eoi + 1     # codes-written counter (width schedule)
 
     def emit(code):
         nonlocal acc, nbits
@@ -3801,11 +3811,22 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
+    def emit_data(code):
+        # Every non-clear/non-EOI code advances the width schedule —
+        # mirror of the decoder's post-consume bump, so a clear or
+        # EOI that follows is written at the width it will be read.
+        nonlocal written, width
+        emit(code)
+        written += 1
+        if written > (1 << width) and width < 12:
+            width += 1
+
     def reset():
-        nonlocal table, next_code, width
+        nonlocal table, next_code, width, written
         table = {(i,): i for i in range(clear)}
         next_code = eoi + 1
         width = min_code_size + 1
+        written = eoi + 1
 
     reset()
     emit(clear)
@@ -3816,17 +3837,15 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
         if wk in table:
             w = wk
             continue
-        emit(table[w])
+        emit_data(table[w])
         if next_code < 4096:
             table[wk] = next_code
             next_code += 1
-            if next_code == (1 << width) + 1 and width < 12:
-                width += 1
         else:
             emit(clear)
             reset()
         w = (k,)
-    emit(table[w])
+    emit_data(table[w])
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)

@@ -76,7 +76,15 @@ def stage_txn(
     Returns the staged version number. Audits read the staged dirs
     directly via read_staged_table; a staged version that fails its
     audit is simply never published (retry overwrites the dirs, and
-    vacuum after the NEXT successful publish reclaims them)."""
+    vacuum after the NEXT successful publish reclaims them).
+
+    SINGLE-WRITER contract (same as commit_txn): the staged version
+    is derived from the current pointer, so two concurrent stagers —
+    or a stager racing a committer — compute the same version and
+    silently overwrite each other's staged dirs. One staging pipeline
+    per root at a time; external coordination (a scheduler lock, a
+    catalog lease) is the caller's job, exactly as it is for every
+    filesystem-pointer table format without a locking service."""
     cur = txn_version(spark, root)
     nxt = 0 if cur is None else cur + 1
     for name, df in tables.items():
@@ -98,7 +106,12 @@ def publish_txn(spark: SparkSession, root: str, version: int) -> int:
     already-staged version (one atomic rename — same crash contract
     as commit_txn's final step). Refuses to publish backwards or a
     version whose predecessor isn't the current pointer, so a stale
-    audit can never resurrect an old staging."""
+    audit can never resurrect an old staging.
+
+    SINGLE-WRITER contract: the read-check-then-write of the pointer
+    is TOCTOU under concurrent publishers — the guard catches STALE
+    stagings deterministically (single-driver), not races. See
+    stage_txn's contract prose; one publisher per root at a time."""
     cur = txn_version(spark, root)
     expect = 0 if cur is None else cur + 1
     if version != expect:

@@ -1414,3 +1414,38 @@ def test_bitmap_allpairs_enforces_vocab_bound(spark):
     # within the bound the sweep still runs
     small = sh.filter(F.col("doc_id") < 4)
     D.jaccard_bitmap_allpairs(small, 0.5, max_vocab=10).collect()
+
+
+def test_bitmap_allpairs_asserts_dense_id_rel(spark):
+    """The id_rel fast path promises a DENSE 0-based tid relation; a
+    1-based or sparse (hash-mode) relation must raise — it would
+    silently widen the indicator matrices and void the max_vocab
+    guard (ADVICE r11) — while a genuinely dense permuted relation is
+    accepted and matches the self-ranked path bit-for-bit."""
+    rows = [(0, "a"), (0, "b"), (1, "b"), (1, "c"), (2, "a"), (2, "c")]
+    sh = spark.createDataFrame(rows, "doc_id LONG, shingle STRING")
+
+    def rel(mapping):
+        return spark.createDataFrame(
+            [(d, s, mapping[s]) for d, s in rows],
+            "doc_id LONG, shingle STRING, tid LONG",
+        ).select("doc_id", "tid")
+
+    with pytest.raises(ValueError, match="dense"):
+        D.jaccard_bitmap_allpairs(
+            sh, 0.0, id_rel=rel({"a": 1, "b": 2, "c": 3})
+        ).collect()  # 1-based
+    with pytest.raises(ValueError, match="dense"):
+        D.jaccard_bitmap_allpairs(
+            sh, 0.0, id_rel=rel({"a": 0, "b": 5, "c": 9})
+        ).collect()  # sparse hash-mode
+    dense = sorted(
+        tuple(r) for r in D.jaccard_bitmap_allpairs(
+            sh, 0.0, id_rel=rel({"a": 2, "b": 0, "c": 1})
+        ).collect()
+    )
+    ranked = sorted(
+        tuple(r) for r in
+        D.jaccard_bitmap_allpairs(sh, 0.0).collect()
+    )
+    assert dense == ranked and len(dense) == 3

@@ -803,6 +803,53 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         with_ihdr(lambda b: b.__setitem__(28, 1))) is None  # interlaced
 
 
+def test_png_decode_bounds_untrusted_inflate():
+    """Decompression-bomb posture: IHDR fixes the exact inflated size,
+    so (a) an IDAT stream that would inflate PAST (stride+1)*height is
+    rejected after producing at most expected+1 bytes (never the
+    bomb's full expansion), and (b) a forged IHDR claiming a multi-GiB
+    raster is rejected BEFORE any inflate. A stream that inflates
+    SHORT (truncated mid-raster) is also None."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png(w, h, idat_raw):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # 2x1 RGB: expected inflated size is (6+1)*1 = 7 bytes.
+    good = png(2, 1, bytes(7))
+    assert M._decode_png_rgb(good) is not None
+    # Bomb: 1 MiB of zeros compresses to ~1 KB but claims 2x1.
+    assert M._decode_png_rgb(png(2, 1, bytes(1 << 20))) is None
+    # Short: inflates to fewer bytes than the raster needs.
+    assert M._decode_png_rgb(png(2, 1, bytes(6))) is None
+    # Forged dimensions: 40000x40000 RGB raster = ~4.8 GB expected —
+    # must be rejected by the _PNG_MAX_RAW_BYTES gate before inflate.
+    assert M._decode_png_rgb(png(40000, 40000, bytes(7))) is None
+    # Truncated zlib stream (no final block) at the exact length.
+    trunc = zlib.compress(bytes(7))[:-4]
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 0]))
+        + chunk(b"IDAT", trunc) + chunk(b"IEND", b"")
+    )
+    assert M._decode_png_rgb(blob) is None
+
+
 def test_png_and_bmp_same_pixels_same_stats(spark):
     """Cross-format agreement: the SAME logical pixels encoded as a
     bottom-up stride-padded BMP and as a Paeth-filtered PNG must
@@ -866,23 +913,59 @@ def test_gif_lzw_decode_hand_computed_vectors():
     assert M._gif_lzw_decode(bytes([0x8C]), 2, 4) is None
 
 
+def test_gif_lzw_encode_final_emit_width_boundary():
+    """Deterministic pin of the r11 hypothesis falsifier (not left to
+    random search): streams whose LAST table add lands next_code
+    exactly on 1 << width force the final no-add emission + EOI to
+    widen. The encoder must follow the decoder's codes-WRITTEN rule
+    there (giflib's RunningCode); a table-add-driven width schedule
+    writes the closing two codes one bit narrow and the decoder
+    (correctly) returns None on the malformed stream."""
+    import random
+
+    from citydata_etl_spark.plans.queries_llm import _gif_lzw_encode
+
+    # The exact r11 falsifying example: n_sym=2, ln=31, seed=0,
+    # repetitive=True (pattern replication per the property test).
+    rng = random.Random(0)
+    pat = [rng.randrange(2) for _ in range(rng.randrange(1, 4))]
+    idx = (pat * (31 // len(pat) + 1))[:31]
+    enc = _gif_lzw_encode(idx, 2)
+    assert M._gif_lzw_decode(enc, 2, len(idx)) == idx
+    # Sweep the boundary family: for each mcs, single-symbol runs of
+    # every length up to well past two width bumps — covers every
+    # alignment of "last add on a power of two" with the final emit.
+    for mcs in (2, 3, 4):
+        for n in range(1, 80):
+            run = [1] * n
+            enc = _gif_lzw_encode(run, mcs)
+            assert M._gif_lzw_decode(enc, mcs, n) == run, (mcs, n)
+
+
 def test_gif_lzw_roundtrip_property():
     """Hypothesis: encode/decode random and repetitive index streams
     across alphabet sizes — dictionary growth, width bumps at every
     power of two, the KwKwK case, and the 4096-entry clear/reset are
-    all on the line. Pure Python, no Spark session."""
-    from hypothesis import given, settings
+    all on the line. Pure Python, no Spark session.
+
+    The first @example pins the r11 falsifying case (found by a fresh
+    hypothesis run AFTER a green battery): n_sym=2, ln=31, repetitive
+    lands the last table add exactly on 1 << width, so the stream's
+    final no-add emission + EOI must widen — a table-add-driven
+    encoder writes them one bit narrow and the decode returns None."""
+    from hypothesis import example, given, settings
     from hypothesis import strategies as st
 
     from citydata_etl_spark.plans.queries_llm import _gif_lzw_encode
 
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=60, deadline=None)
     @given(
         st.sampled_from([2, 3, 7, 16, 64]),
         st.integers(1, 2000),
         st.integers(0, 2 ** 30),
         st.booleans(),
     )
+    @example(2, 31, 0, True)   # r11 falsifier: final-emit width bump
     def check(n_sym, ln, seed, repetitive):
         import random
 

@@ -1947,7 +1947,7 @@ def test_bm25_matches_python_model(spark, docs):
             st.integers(min_value=1, max_value=3),    # user
             st.sampled_from(["click", "view", "purchase"]),
             st.integers(min_value=0, max_value=7200), # seconds
-            st.integers(min_value=0, max_value=999),  # cents
+            st.integers(min_value=-500, max_value=999),  # cents
         ),
         min_size=1,
         max_size=25,
@@ -1957,7 +1957,12 @@ def test_linear_attribution_conserves_cents(spark, rows):
     """Every purchase's split credits must sum to EXACTLY its cents
     (integer division + remainder-to-latest-touch), and the channel
     totals must match a direct Python model with the same horizon,
-    RANGE-peer, and tie rules."""
+    RANGE-peer, and tie rules. Negative-value events (refund
+    semantics) are generated too: the entry ENFORCES its
+    non-negative-cents division precondition by excluding them — as
+    purchases AND as touches — so the model does the same (ADVICE
+    r11: Spark div truncates, DuckDB // floors; they diverge on
+    negatives, which must therefore never reach the division)."""
     import datetime
 
     from citydata_etl_spark.plans.queries_agg import (
@@ -1996,16 +2001,16 @@ def test_linear_attribution_conserves_cents(spark, rows):
     want = defaultdict(lambda: [0, 0])
     total_purchase_cents = 0
     for u, et, t, c in rows:
-        if et != "purchase":
+        if et != "purchase" or c < 0:
             continue
         cents = int(
             __import__("math").floor((c / 100.0) * 100 + 0.5)
         )
         total_purchase_cents += cents
         touches = [
-            (t2, et2) for (u2, et2, t2, _c2) in rows
+            (t2, et2) for (u2, et2, t2, c2) in rows
             if u2 == u and et2 in ("click", "view")
-            and t - H <= t2 <= t
+            and c2 >= 0 and t - H <= t2 <= t
         ]
         nc = sum(1 for _t2, e2 in touches if e2 == "click")
         nv = len(touches) - nc
