@@ -242,6 +242,11 @@ HEADLINE = [
     # real GIF pixel decode (pure-Python LZW; stub boundary now JPEG only)
     "u17_wap_publish",
     "d5_gif_pixels",
+    # round-12 additions: real baseline JPEG pixel decode (Huffman +
+    # dequant + IDCT — the last codec boundary, closed with DC-exact
+    # fixtures); TPC-H Q21 shape (semi+anti on the same fact table)
+    "d5_jpeg_pixels",
+    "q21_waiting_suppliers",
 ]
 
 

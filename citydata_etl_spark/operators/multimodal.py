@@ -3,11 +3,12 @@
 Images/audio/video are opaque BINARY columns plus typed metadata; the
 Spark-side plumbing — schema, Arrow batch shape, partition sizing — is
 real and tested. Raster pixel decode is REAL with no codec library for
-uncompressed BMP, DEFLATE-coded PNG (stdlib zlib + filter reversal),
-and LZW-coded GIF (the LZW decoder implemented here); only the
-DCT-coded JPEG class remains stubbed (no media libraries in this
-container) behind a deterministic fake keyed by content hash, with the
-real-library call site marked.
+EVERY supported format: uncompressed BMP, DEFLATE-coded PNG (stdlib
+zlib + filter reversal), LZW-coded GIF, and — since r12 — baseline
+DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
+JFIF color convert, all implemented here). No stub boundary remains;
+unsupported PROFILES (progressive JPEG, subsampled chroma, interlaced
+GIF/PNG) return NULL per the decode triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -106,28 +107,6 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_idx"),
         )
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
-    )
-
-
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """TRANSFORM-CODED image resize plumbing (JPEG): metadata
-    transforms JVM-side; the DCT pixel operation itself raises until
-    a codec library is wired in. Everything else decodes for REAL
-    with no codec library: uncompressed BMP, DEFLATE-coded PNG
-    (stdlib zlib), and since r11 LZW-coded GIF (the LZW decoder
-    implemented directly) — bmp_pixel_stats / bmp_resize_nn dispatch
-    all three through _decode_image_rgb."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resizing DCT-coded images (JPEG) requires a codec "
-            "library (PIL/opencv) not present in this container; wire it "
-            "into this mapInPandas body. BMP, PNG, and GIF decode for "
-            "real via bmp_pixel_stats/bmp_resize_nn (_decode_image_rgb)."
-        )
-
-    return media.filter(F.col("media_type") == "image").mapInPandas(
-        run, schema=media.schema
     )
 
 
@@ -469,16 +448,348 @@ def _decode_gif_rgb(blob) -> tuple | None:
     return None
 
 
+# Zig-zag scan order of the 64 coefficients in an 8x8 JPEG block
+# (ITU T.81 Figure 5): _JPEG_ZIGZAG[k] = natural-order index of the
+# k-th coefficient in the entropy stream. Shared with the synthesis
+# encoder (plans/queries_llm.py:encode_jpeg) so the two cannot drift.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_table(bits, vals):
+    """Canonical Huffman decode table from a DHT segment's BITS/VAL
+    lists (ITU T.81 Annex C code generation): {(length, code): value}.
+    Returns None when the spec's invariants fail (too many codes at a
+    length, count mismatch) — the caller rejects the blob."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if code + n > (1 << ln):
+            return None  # over-full level: not a prefix code
+        for _ in range(n):
+            if k >= len(vals):
+                return None
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table if k == len(vals) else None
+
+
+def _decode_jpeg_rgb(blob) -> tuple | None:
+    """Baseline-sequential JPEG decode to (width, height, HxWx3 uint8
+    RGB) using ONLY pure Python + numpy — Huffman entropy decode,
+    DPCM DC / run-length AC, dequantization, float64 8x8 IDCT, level
+    shift, and JFIF YCbCr->RGB — closing the last codec-stub boundary
+    (BMP/PNG/GIF already decode for real). Returns None for
+    non-JPEG / unsupported / corrupt blobs, never raises.
+
+    Supported: SOF0 (baseline DCT), 8-bit precision, 1 component
+    (grayscale: R=G=B=Y) or 3 components at 1x1 sampling (4:4:4),
+    arbitrary DQT/DHT tables (read from the stream, not assumed),
+    restart intervals (DRI + RSTn with DC-predictor reset and
+    byte-alignment), 0xFF00 byte stuffing, non-multiple-of-8
+    dimensions (full MCU grid decoded, cropped to WxH). Out of scope,
+    all None: progressive (SOF2) and every non-SOF0 frame type,
+    12-bit precision, subsampled chroma (4:2:0/4:2:2), arithmetic
+    coding, truncated or structurally malformed streams.
+
+    Exactness convention (stated so an oracle can restate it): each
+    component plane is IDCT'd in float64, level-shifted by +128, and
+    rounded floor(s + 0.5) clamped to [0, 255] BEFORE color
+    conversion; RGB then uses the JFIF floats (1.402 / 0.344136 /
+    0.714136 / 1.772) on the integer-valued planes with the same
+    floor(x + 0.5) clamp. numpy float64 arithmetic is IEEE 754, so a
+    SQL oracle computing the same expressions left-to-right matches
+    bit-for-bit.
+
+    Scale posture: per-blob Python inside Arrow-batched mapInPandas,
+    as the PNG/GIF decoders — parallelism comes from partitions; the
+    marker walk is bounded and total.
+
+    Reference intent: dfirmin/citydata-etl stores media references
+    only (lambda/collect.py) — the decode layer is this engine's
+    training-data extension."""
+    import numpy as np
+
+    b = bytes(blob) if blob is not None else b""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple, dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None
+    restart_interval = 0
+    scan = None
+    for _ in range(256):
+        if pos + 2 > len(b) or b[pos] != 0xFF:
+            return None
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes between segments are spec-valid
+        if pos + 2 > len(b):
+            return None
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            return None
+        if 0xD0 <= marker <= 0xD7:  # stray RST outside a scan
+            return None
+        if pos + 2 > len(b):
+            return None
+        seg_len = int.from_bytes(b[pos:pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(b):
+            return None
+        seg = b[pos + 2:pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT: one or more tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq == 1 else 1)
+                if pq > 1 or p + n > len(seg):
+                    return None
+                if pq == 1:
+                    vals = [int.from_bytes(seg[p + 2 * i:p + 2 * i + 2],
+                                           "big") for i in range(64)]
+                else:
+                    vals = list(seg[p:p + 64])
+                q = np.zeros(64, dtype=np.int64)
+                for k in range(64):  # stored in zigzag order
+                    q[_JPEG_ZIGZAG[k]] = vals[k]
+                qtables[tq] = q.reshape(8, 8)
+                p += n
+        elif marker == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(seg):
+                if p + 17 > len(seg):
+                    return None
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                if tc > 1 or p + 17 + nv > len(seg):
+                    return None
+                tab = _jpeg_huff_table(bits, list(seg[p + 17:p + 17 + nv]))
+                if tab is None:
+                    return None
+                hufftabs[(tc, th)] = tab
+                p += 17 + nv
+        elif marker in _SOF_MARKERS:
+            if marker != 0xC0:
+                return None  # progressive/extended/arithmetic: scope
+            if len(seg) < 6:
+                return None
+            precision = seg[0]
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            n_comp = seg[5]
+            if precision != 8 or n_comp not in (1, 3):
+                return None
+            if width <= 0 or height <= 0 or len(seg) < 6 + 3 * n_comp:
+                return None
+            comps = []
+            for c in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    return None  # subsampled: out of scope, disclosed
+                comps.append((cid, tq))
+            frame = (width, height, comps)
+        elif marker == 0xDD:  # DRI
+            if len(seg) != 2:
+                return None
+            restart_interval = int.from_bytes(seg, "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None or len(seg) < 1:
+                return None
+            ns = seg[0]
+            if ns != len(frame[2]) or len(seg) < 1 + 2 * ns + 3:
+                return None
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            break
+        # APPn / COM / anything else length-prefixed: skipped
+    if scan is None:
+        return None
+    width, height, comps = frame
+    if width * height * 3 > _PNG_MAX_RAW_BYTES:
+        return None  # same untrusted-dimension ceiling as PNG
+    comp_by_id = dict(comps)
+    plan = []
+    for cs, td, ta in scan:
+        if cs not in comp_by_id:
+            return None
+        tq = comp_by_id[cs]
+        if (0, td) not in hufftabs or (1, ta) not in hufftabs \
+                or tq not in qtables:
+            return None
+        plan.append((hufftabs[(0, td)], hufftabs[(1, ta)], qtables[tq]))
+
+    # --- entropy-coded segment: MSB-first bit reader with unstuffing
+    data = b
+    dpos = pos
+    acc = nbits = 0
+    marker_hit = [None]  # RST/EOI marker met at a byte boundary
+
+    def fill():
+        nonlocal dpos, acc, nbits
+        while nbits <= 24:
+            if dpos >= len(data):
+                return False
+            byte = data[dpos]
+            if byte == 0xFF:
+                if dpos + 1 >= len(data):
+                    return False
+                nxt = data[dpos + 1]
+                if nxt == 0x00:
+                    dpos += 2  # stuffed literal FF
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    marker_hit[0] = nxt
+                    return False
+                else:
+                    return False  # unexpected marker mid-scan
+            else:
+                dpos += 1
+            acc = (acc << 8) | byte
+            nbits += 8
+        return True
+
+    def receive(n):
+        nonlocal acc, nbits
+        if n == 0:
+            return 0
+        while nbits < n:
+            # fill() stops (False) at a marker, but may have buffered
+            # enough bits first — only a genuine shortfall is fatal
+            if not fill() and nbits < n:
+                return None
+        v = (acc >> (nbits - n)) & ((1 << n) - 1)
+        nbits -= n
+        return v
+
+    def decode_sym(table):
+        nonlocal acc, nbits
+        code = 0
+        for ln in range(1, 17):
+            bit = receive(1)
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            v = table.get((ln, code))
+            if v is not None:
+                return v
+        return None
+
+    def extend(v, t):
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); spatial
+    # block = A.T @ F @ A. Float64 throughout; DC-only blocks land
+    # within ~1e-12 of the exact integer so floor(s+0.5) is exact.
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    A[0, :] *= 1.0 / np.sqrt(2.0)
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    n_mcu = bw * bh
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
+              for _ in plan]
+    preds = [0] * len(plan)
+    expected_rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align, then consume the next RSTn in sequence
+            nbits -= nbits % 8
+            if marker_hit[0] is None:
+                fill()
+            # any whole bytes still buffered must be padding before
+            # the marker; the marker itself was seen by fill()
+            mk = marker_hit[0]
+            if mk != 0xD0 + expected_rst:
+                return None
+            marker_hit[0] = None
+            dpos += 2
+            acc = nbits = 0
+            expected_rst = (expected_rst + 1) % 8
+            preds = [0] * len(plan)
+        my, mx = divmod(m, bw)
+        for ci, (dc_tab, ac_tab, q) in enumerate(plan):
+            t = decode_sym(dc_tab)
+            if t is None or t > 11:  # 8-bit baseline DC categories
+                return None
+            if t:
+                v = receive(t)
+                if v is None:
+                    return None
+                diff = extend(v, t)
+            else:
+                diff = 0
+            preds[ci] += diff
+            coeffs = np.zeros(64, dtype=np.int64)
+            coeffs[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = decode_sym(ac_tab)
+                if rs is None:
+                    return None
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 0:
+                        break  # EOB
+                    if run != 15:
+                        return None
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    return None
+                v = receive(size)
+                if v is None:
+                    return None
+                coeffs[_JPEG_ZIGZAG[k]] = extend(v, size)
+                k += 1
+            block = (coeffs.reshape(8, 8) * q).astype(np.float64)
+            spatial = A.T @ block @ A + 128.0
+            planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = spatial
+    # per-plane rounding convention (see docstring), then crop
+    rounded = [
+        np.clip(np.floor(p + 0.5), 0, 255)[:height, :width]
+        for p in planes
+    ]
+    if len(rounded) == 1:
+        yp = rounded[0].astype(np.uint8)
+        return width, height, np.stack([yp, yp, yp], axis=2)
+    yv, cb, cr = rounded
+    r = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(yv - 0.344136 * (cb - 128.0)
+                 - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
+    bl = np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    px = np.stack([r, g, bl], axis=2).astype(np.uint8)
+    return width, height, px
+
+
 def _decode_image_rgb(blob) -> tuple | None:
     """Format-dispatching raster decode for the codec-free path: BMP
     (uncompressed 24-bpp, _decode_bmp24), PNG (stdlib zlib,
-    _decode_png_rgb), and GIF (pure-Python LZW, _decode_gif_rgb)
-    decode for REAL; anything else — now only the transform-coded
-    JPEG class — returns None and stays behind the disclosed
-    resize_stub boundary. Every branch returns the same
-    (width, height, HxWx3 uint8 RGB, logical top-down) contract, so
-    every raster kernel (pixel stats, histogram, resize, ahash) is
-    format-agnostic above this line."""
+    _decode_png_rgb), GIF (pure-Python LZW, _decode_gif_rgb), and —
+    since r12 — baseline JPEG (pure-Python Huffman + dequant + IDCT,
+    _decode_jpeg_rgb) ALL decode for real; there is no stubbed format
+    left. Unsupported profiles (progressive JPEG, subsampled chroma,
+    interlaced GIF/PNG, palette PNG) return None per each decoder's
+    disclosed scope. Every branch returns the same (width, height,
+    HxWx3 uint8 RGB, logical top-down) contract, so every raster
+    kernel (pixel stats, histogram, resize, ahash) is format-agnostic
+    above this line."""
     if blob is None or len(blob) < 6:
         return None
     head = bytes(blob[0:6])
@@ -486,6 +797,8 @@ def _decode_image_rgb(blob) -> tuple | None:
         return _decode_bmp24(blob)
     if head in (b"GIF87a", b"GIF89a"):
         return _decode_gif_rgb(blob)
+    if head[0:2] == b"\xff\xd8":
+        return _decode_jpeg_rgb(blob)
     return _decode_png_rgb(blob)
 
 
@@ -499,19 +812,15 @@ def bmp_resize_nn(
     media: DataFrame, out_w: int, out_h: int,
     content_col: str = "content", id_col: str = "media_id",
 ) -> DataFrame:
-    """REAL image resize for the codec-free raster path: nearest-neighbor
-    downsample of uncompressed 24-bpp BMPs — the operation resize_stub
-    still defers for entropy-coded formats, delivered here for the
-    format that needs no codec library. Sampling rule, stated so an
-    oracle can restate it: output pixel (x2, y2) reads logical source
-    pixel (x2*W // out_w, y2*H // out_h) — integer floor division,
-    no float coordinates. Decode reuses _decode_image_rgb (BMP
-    orientation/stride handling; PNG via stdlib zlib) — PNGs now
-    resize for real too (r11); the remaining stub boundary is
-    transform-coded JPEG. (was: _decode_bmp24,
-    stride handling); the gather is one numpy fancy-index per blob
-    inside Arrow-batched mapInPandas. Output is LONG format (one row
-    per resized pixel, out_w*out_h rows per decodable image; non-BMP
+    """REAL image resize across every supported raster codec:
+    nearest-neighbor downsample through _decode_image_rgb, which now
+    decodes BMP, PNG, GIF, AND baseline JPEG for real — no stub
+    boundary remains. Sampling rule, stated so an oracle can restate
+    it: output pixel (x2, y2) reads logical source pixel
+    (x2*W // out_w, y2*H // out_h) — integer floor division, no float
+    coordinates. The gather is one numpy fancy-index per blob inside
+    Arrow-batched mapInPandas. Output is LONG format (one row per
+    resized pixel, out_w*out_h rows per decodable image; undecodable
     rows emit nothing) so the result hashes engine-portably without
     array-type comparison. Fan-out is the constant out_w*out_h per
     blob; no shuffle."""
@@ -553,16 +862,17 @@ def bmp_pixel_stats(
     media: DataFrame, content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """REAL pixel decode of raster blobs — the codec-free path that
-    closes the pixel boundary the transform-coded formats stub behind
-    resize_stub. Dispatches via _decode_image_rgb: uncompressed
-    24-bpp BMP (header parse — data offset, signed height = row
-    orientation, bpp/compression gate — then vectorized numpy payload
-    decode: stride-padded rows, BGR order, bottom-up flip) and, since
-    r11, DEFLATE-coded PNG (stdlib zlib + filter reversal). All
-    inside Arrow-batched mapInPandas — one Python invocation per
-    record batch, one frombuffer/reshape per BMP blob, no per-pixel
-    Python outside PNG's sequential Average/Paeth rows.
+    """REAL pixel decode of raster blobs — every supported codec, no
+    library. Dispatches via _decode_image_rgb: uncompressed 24-bpp
+    BMP (header parse — data offset, signed height = row orientation,
+    bpp/compression gate — then vectorized numpy payload decode:
+    stride-padded rows, BGR order, bottom-up flip), DEFLATE-coded PNG
+    (stdlib zlib + filter reversal), LZW-coded GIF, and baseline JPEG
+    (Huffman + dequant + IDCT). All inside Arrow-batched mapInPandas
+    — one Python invocation per record batch, one frombuffer/reshape
+    per BMP blob, per-blob Python only where the format is
+    sequential by nature (PNG Average/Paeth rows, GIF LZW, JPEG
+    entropy decode).
 
     Emits exact integer per-image statistics (all int64, engine-exact —
     nothing floats): dimensions, per-channel pixel sums, the POSITION-

@@ -694,3 +694,106 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_partkey").alias("partkey"), "value_cents")
     )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem
+      WHERE l_shipdate > DATE '1997-06-30')
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name = 'NATION_18'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > DATE '1997-06-30')
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, suppkey
+    LIMIT 100
+    """,
+    doc="Q21 shape (suppliers who kept orders waiting): the canonical "
+    "multi-way EXISTS / NOT EXISTS stressor the q-family lacked — a "
+    "late line (l_shipdate past the cutoff; this lineitem carries no "
+    "receipt/commit dates, so the lateness predicate is adapted while "
+    "the JOIN TOPOLOGY is Q21's exactly) on a finished ('F') order "
+    "counts against its supplier only when at least one OTHER "
+    "supplier fed the same order (correlated EXISTS -> LEFT SEMI on "
+    "l_orderkey with the l_suppkey <> residual) and NO other supplier "
+    "was late on it (correlated NOT EXISTS -> LEFT ANTI on the "
+    "late-filtered fact). Engine shape, plan-guarded: the semi and "
+    "anti joins run directly against the fact table keyed on "
+    "l_orderkey — NOT a distinct-then-inner-join rewrite, which would "
+    "add a pre-shuffled aggregate and lose the early-out probe "
+    "semantics; all three fact passes shuffle on the same l_orderkey "
+    "key so AQE lines them up, the 25-row nation dim broadcasts into "
+    "supplier before the fact join, and the final top-100 is "
+    "TakeOrderedAndProject tie-broken on suppkey. At 100 TB: three "
+    "scans of lineitem (one date-filtered twice) co-partitioned on "
+    "one key, no cartesian anywhere.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1997-06-30"
+    li = read_testdata(spark, sf_dir, "lineitem")
+    late1 = li.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = read_testdata(spark, sf_dir, "supplier")
+    nation = read_testdata(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_18"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_shipdate") > F.lit(cutoff)).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waits = (
+        late1
+        # EXISTS: some other supplier on the same order
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        # NOT EXISTS: no other supplier was late on it
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp.join(
+                F.broadcast(nation),
+                supp.s_nationkey == F.col("n_nationkey"),
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    return (
+        waits.groupBy(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+        )
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(100)
+    )

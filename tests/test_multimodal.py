@@ -44,11 +44,27 @@ def test_frame_sample_fanout(spark, media):
     assert {r["frame_ts_ms"] for r in rows} == {0, 1000, 2000, 3000, 4000}
 
 
-def test_resize_stub_raises(spark, media):
-    import py4j
+def test_jpeg_resizes_for_real(spark):
+    """The former resize_stub boundary is gone: a genuine baseline
+    JPEG flows through bmp_resize_nn like any other raster — the
+    nearest-neighbor gather reads the decoded DC-only tiles at the
+    stated floor-division sampling rule."""
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
 
-    with pytest.raises(Exception):
-        M.resize_stub(media, 32, 32).collect()
+    bw = bh = 2
+    blks = []
+    for i in range(bw * bh):
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = 10 * i  # tiles: 128, 138, 148, 158
+        blks.append(b)
+    blob = encode_jpeg([blks], 16, 16)
+    df = spark.createDataFrame(
+        [(1, blob)], "media_id LONG, content BINARY"
+    )
+    rows = {(r["y"], r["x"]): r["r"]
+            for r in M.bmp_resize_nn(df, 2, 2).collect()}
+    # output (x2, y2) samples source (x2*16//2, y2*16//2) = tile corner
+    assert rows == {(0, 0): 128, (0, 1): 138, (1, 0): 148, (1, 1): 158}
 
 
 def test_sniff_media_format_on_real_headers(spark):
@@ -1001,6 +1017,182 @@ def test_gif_decode_rejects_unsupported_and_corrupt(spark):
     i = bytes(b3).index(0x2C)
     b3[i + 1] = 1  # left offset -> partial frame
     assert M._decode_gif_rgb(bytes(b3)) is None
+
+
+def test_jpeg_decode_dc_closed_form_property():
+    """Hypothesis: DC-only baseline JPEGs (grayscale and 4:4:4 color,
+    with and without restart markers, dims crossing the 8-pixel block
+    edges) decode to EXACTLY the closed-form flat tiles — dequant,
+    IDCT scaling, level shift, DPCM across blocks, RST predictor
+    resets, byte alignment, and the JFIF color convention are all on
+    the line. Pure Python + numpy, no Spark session."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 20),      # width
+        st.integers(1, 18),      # height
+        st.integers(0, 2 ** 20),  # seed
+        st.booleans(),            # grayscale
+        st.sampled_from([0, 1, 2, 3]),  # restart interval
+    )
+    def check(w, h, seed, gray, ri):
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+
+        def tile(f):
+            out = []
+            for i in range(bw * bh):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = f(i % bw, i // bw) - 128
+                out.append(blk)
+            return out
+
+        yf = lambda tx, ty: (seed + 5 * tx + 9 * ty) % 256
+        cbf = lambda tx, ty: (2 * seed + 7 * tx + 3 * ty) % 256
+        crf = lambda tx, ty: (3 * seed + tx + 11 * ty) % 256
+        comps = [tile(yf)] if gray else [tile(yf), tile(cbf), tile(crf)]
+        dec = M._decode_jpeg_rgb(encode_jpeg(comps, w, h,
+                                             restart_interval=ri))
+        assert dec is not None
+        gw, gh, px = dec
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                tx, ty = x // 8, y // 8
+                yv = yf(tx, ty)
+                if gray:
+                    want = (yv, yv, yv)
+                else:
+                    cb, cr = cbf(tx, ty), crf(tx, ty)
+                    want = (
+                        min(255, max(0, math.floor(
+                            yv + 1.402 * (cr - 128.0) + 0.5))),
+                        min(255, max(0, math.floor(
+                            yv - 0.344136 * (cb - 128.0)
+                            - 0.714136 * (cr - 128.0) + 0.5))),
+                        min(255, max(0, math.floor(
+                            yv + 1.772 * (cb - 128.0) + 0.5))),
+                    )
+                got = tuple(int(v) for v in px[y, x])
+                assert got == want, ((x, y), got, want)
+
+    check()
+
+
+def test_jpeg_decode_ac_roundtrip_vs_naive_idct_property():
+    """Hypothesis: grayscale JPEGs with random SPARSE AC coefficients
+    decode to the same pixels as an independent double-loop textbook
+    IDCT (different summation order than the decoder's matrix
+    product) under the stated floor(s+0.5) clamp convention — the AC
+    Huffman run/size path, ZRL, EOB, zigzag placement, and the IDCT
+    itself are all on the line. Pixels whose pre-round value sits
+    within 1e-6 of a .5 boundary are exempted from the rounding
+    comparison (summation-order ULPs can legitimately flip them);
+    the float planes must still agree to 1e-6."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    def naive_idct(q):
+        out = np.zeros((8, 8))
+        for r in range(8):
+            for c in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+                        s += ((cu / 2) * math.cos((2 * r + 1) * u
+                                                  * math.pi / 16)
+                              * (cv / 2) * math.cos((2 * c + 1) * v
+                                                    * math.pi / 16)
+                              * q[u][v])
+                out[r, c] = s
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 63),
+                      st.integers(-200, 200).filter(lambda v: v != 0)),
+            min_size=0, max_size=12,
+        ),
+        st.integers(-128, 127),
+    )
+    def check(ac, dc):
+        blk = [[0] * 8 for _ in range(8)]
+        blk[0][0] = dc
+        for pos, v in ac:
+            if pos:
+                blk[pos // 8][pos % 8] = v
+        dec = M._decode_jpeg_rgb(encode_jpeg([[blk]], 8, 8))
+        assert dec is not None
+        _, _, px = dec
+        qblk = [[blk[r][c] * 8 for c in range(8)] for r in range(8)]
+        flt = naive_idct(qblk) + 128.0
+        model = np.clip(np.floor(flt + 0.5), 0, 255)
+        got = px[:, :, 0].astype(np.float64)
+        near_half = np.abs((flt + 0.5) - np.round(flt + 0.5)) < 1e-6
+        assert np.array_equal(got[~near_half], model[~near_half])
+
+    check()
+
+
+def test_jpeg_decode_rejects_unsupported_and_corrupt():
+    """None (triage convention) for: progressive SOF2, subsampled
+    chroma, 12-bit precision, missing Huffman tables, truncated
+    entropy stream, out-of-order restart markers, header-only blobs
+    — never raise, never wrong pixels."""
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    blk = [[0] * 8 for _ in range(8)]
+    blk[0][0] = 7
+    good = encode_jpeg([[blk], [blk], [blk]], 8, 8)
+    assert M._decode_jpeg_rgb(good) is not None
+
+    def mutate(needle, repl):
+        i = good.index(needle)
+        return good[:i] + repl + good[i + len(needle):]
+
+    # SOF0 -> SOF2 (progressive)
+    assert M._decode_jpeg_rgb(mutate(b"\xff\xc0", b"\xff\xc2")) is None
+    # 8-bit -> 12-bit precision (first SOF payload byte)
+    i = good.index(b"\xff\xc0")
+    assert M._decode_jpeg_rgb(
+        good[:i + 4] + bytes([12]) + good[i + 5:]) is None
+    # component 1 sampling 0x11 -> 0x22 (subsampled)
+    assert M._decode_jpeg_rgb(
+        good[:i + 11] + bytes([0x22]) + good[i + 12:]) is None
+    # truncated mid-entropy
+    assert M._decode_jpeg_rgb(good[:len(good) - 8]) is None
+    # header-only blob (the fixture's every-7th row)
+    assert M._decode_jpeg_rgb(
+        bytes.fromhex("FFD8FFE0") + b"\x00" * 50) is None
+    # missing DHT: excise the segment entirely
+    j = good.index(b"\xff\xc4")
+    seg_len = int.from_bytes(good[j + 2:j + 4], "big")
+    assert M._decode_jpeg_rgb(good[:j] + good[j + 2 + seg_len:]) is None
+    # restart markers out of sequence
+    bw = bh = 2
+    blks = []
+    for k in range(bw * bh):
+        b2 = [[0] * 8 for _ in range(8)]
+        b2[0][0] = k
+        blks.append(b2)
+    rst = bytearray(encode_jpeg([blks], 16, 16, restart_interval=1))
+    p = bytes(rst).index(b"\xff\xd0")
+    rst[p + 1] = 0xD6
+    assert M._decode_jpeg_rgb(bytes(rst)) is None
 
 
 def test_gif_and_bmp_same_pixels_same_stats(spark):

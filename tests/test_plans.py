@@ -997,3 +997,80 @@ def test_multitable_lsh_single_bucket_shuffle(spark):
     assert "BroadcastExchange" in p  # the L*P plane rows
     # the bucket self-join shuffles on the composite key
     assert "hashpartitioning(tbl" in p or "hashpartitioning(bucket" in p
+
+
+def test_q21_semi_anti_pair_plan(spark):
+    """q21_waiting_suppliers must run the correlated EXISTS / NOT
+    EXISTS as a LEFT SEMI and LEFT ANTI join directly against the
+    fact table (the Q21 probe shape) — not a distinct-then-inner-join
+    rewrite, which would add a pre-shuffled aggregate before the
+    probe; the 25-row nation dim must broadcast, the top-100 must be
+    TakeOrderedAndProject (no global sort), and no Python node may
+    appear anywhere."""
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_aqe_skew_join_splits_planted_skew(spark):
+    """AQE skew handling demonstrated end-to-end (r11 VERDICT task 6;
+    j7_salted_skew_join covers MANUAL salting): plant a key holding a
+    third of a 300k-row fact, lower the skew thresholds to test
+    scale, run a sort-merge join, and assert the FINAL adaptive plan
+    (isFinalPlan=true) split the skewed partition — the join node
+    reads SortMergeJoin(skew=true) and the fact side's AQEShuffleRead
+    is 'coalesced and skewed'. This is the runtime lever we rely on
+    at 100 TB when the hot key is not known at author time; manual
+    salting (j7) remains the lever when it is. Confs are restored
+    after the assertion so the shared session is unaffected."""
+    keep = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for k in keep:
+        try:
+            keep[k] = spark.conf.get(k)
+        except Exception:
+            keep[k] = None
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32k")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(0))
+            .otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+            .alias("pad"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert j.count() == 300000  # hot key joins exactly one dim row
+        j.collect()  # materialize the unpruned join for real stats
+        s = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        assert "isFinalPlan=true" in s
+        assert "SortMergeJoin(skew=true)" in s
+        assert "coalesced and skewed" in s
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
