@@ -1613,6 +1613,98 @@ def test_wap_stage_audit_publish_protocol(spark, tmp_path):
     assert got.filter("cents % 10 = 1").count() == 50
 
 
+def test_wap_crash_point_walk(spark, tmp_path, monkeypatch):
+    """Crash-point enumeration for write-audit-publish (r11 VERDICT
+    task 7, the txn-store twin of the r9 snapshot crash tests): kill
+    the protocol at EVERY boundary — mid-stage between two tables'
+    dir writes, after stage before audit, after audit before publish,
+    during publish before the pointer rename — and assert after each
+    kill that (i) the pointer is untouched, (ii) a reader resolving
+    the pointer once sees the OLD version of BOTH tables (no mixed-
+    version join, the anomaly the module exists to prevent), and
+    (iii) the documented recovery (re-stage at the same version /
+    publish the intact staging / retry the publish) completes and
+    flips both tables together. After success, vacuum reclaims the
+    superseded dirs and time travel to them dies — but the live
+    version survives."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from citydata_etl_spark.sources import transactions as TX
+
+    root = str(tmp_path / "wapcrash")
+    os.makedirs(root)
+    a0 = spark.range(0, 20).select("id", (F.col("id") * 2).alias("v"))
+    b0 = spark.range(0, 10).select("id", (F.col("id") + 100).alias("w"))
+    assert TX.commit_txn(spark, root, {"a": a0, "b": b0}) == 0
+
+    a1 = a0.withColumn("v", F.col("v") + 1)
+    b1 = b0.withColumn("w", F.col("w") + 1)
+
+    def assert_old_world():
+        # one pointer resolution, both tables at that version: the
+        # cross-table consistency contract under every crash
+        v = TX.txn_version(spark, root)
+        assert v == 0
+        assert TX.read_txn_table(spark, root, "a", v).filter(
+            "v % 2 = 1").count() == 0
+        assert TX.read_txn_table(spark, root, "b", v).filter(
+            "w - id = 101").count() == 0
+
+    # --- crash point 1: mid-stage, between table a and table b ---
+    class CrashAfterFirst:
+        def items(self):
+            yield "a", a1
+            raise RuntimeError("simulated crash mid-stage")
+
+    with _pytest.raises(RuntimeError, match="mid-stage"):
+        TX.stage_txn(spark, root, CrashAfterFirst())
+    assert os.path.isdir(os.path.join(root, "a-v1"))       # orphan dir
+    assert not os.path.isdir(os.path.join(root, "b-v1"))
+    assert_old_world()
+    # recovery: the retry re-stages BOTH tables at the same version,
+    # overwriting the orphan
+    assert TX.stage_txn(spark, root, {"a": a1, "b": b1}) == 1
+    assert_old_world()  # staged, still invisible
+
+    # --- crash point 2: after stage, before audit (process death is
+    # a no-op here: staging is inert state) ---
+    assert TX.read_staged_table(spark, root, "a", 1).filter(
+        "v % 2 = 1").count() == 20  # audit sees the staged batch
+    assert_old_world()
+
+    # --- crash point 3: after audit, before publish; then the
+    # publish itself dies before the pointer rename ---
+    real_write = TX._write_small_file
+
+    def crash_write(*args, **kwargs):
+        raise RuntimeError("simulated crash during publish")
+
+    monkeypatch.setattr(TX, "_write_small_file", crash_write)
+    with _pytest.raises(RuntimeError, match="during publish"):
+        TX.publish_txn(spark, root, 1)
+    monkeypatch.setattr(TX, "_write_small_file", real_write)
+    assert_old_world()  # pointer rename never happened
+
+    # recovery: the staged dirs are intact, the retry just publishes
+    assert TX.publish_txn(spark, root, 1) == 1
+    v = TX.txn_version(spark, root)
+    assert v == 1
+    assert TX.read_txn_table(spark, root, "a", v).filter(
+        "v % 2 = 1").count() == 20
+    assert TX.read_txn_table(spark, root, "b", v).filter(
+        "w - id = 101").count() == 10
+
+    # --- after success: vacuum reclaims v0, keeps the live txn ---
+    removed = TX.vacuum_txn_versions(spark, root)
+    assert 0 in removed and 1 not in removed
+    assert TX.read_txn_table(spark, root, "a").count() == 20
+    with _pytest.raises(Exception):
+        TX.read_txn_table(spark, root, "a", 0).count()
+
+
 def test_policy_versioned_read_replays_old_rules(spark, tmp_path):
     """The audit-replay property behind u16: a governed read pinned at
     policy v1 must be IDENTICAL before and after v2 commits — masks

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import itertools
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from citydata_etl_spark.operators.aggregates import sessionize
@@ -112,12 +112,15 @@ def test_ngram_jaccard_matches_reference(spark, docs):
     ),
     st.sampled_from([0.3, 0.5, 0.8]),
 )
+@example([["a", "a", "b"], ["a", "b", "b"], ["a", "b"]], 0.3)
 def test_prefix_filter_is_lossless(spark, docs, threshold):
     """The prefix-filtered Jaccard join AND the small-vocab bitmap
     all-pairs sweep must each return EXACTLY the naive inverted-index
     join's pairs — pruning/representation changes, never loss. The
     tiny alphabet makes duplicate rids share bitmap BYTES, the case
-    where a buffered fancy-index OR silently drops bits."""
+    where a buffered fancy-index OR silently drops bits (the r10
+    numpy `m[i] |= v` falsifier family — pinned by the @example's
+    repeated-token documents so it can never regress silently)."""
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     fast = {
@@ -1429,6 +1432,8 @@ def test_countmin_matches_model_and_never_undercounts(spark, keys):
         st.integers(min_value=0, max_value=50), min_size=1, max_size=60
     )
 )
+@example(cents=[7])       # r10 falsifier: single-value corpus, hi==lo
+@example(cents=[0, 1])    # width < NB: the ceil bucket-edge boundary
 def test_histogram_quantiles_match_sorted_model(spark, cents):
     """The a21 two-level selection (operators/aggregates.py:
     histogram_order_statistics) vs a plain sorted-list order statistic
@@ -1759,20 +1764,28 @@ def test_point_in_polygon_matches_python_ray_caster(spark, rects, pts):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=40),   # user_id
+            st.one_of(st.none(),
+                      st.integers(min_value=0, max_value=40)),  # user_id
             st.integers(min_value=0, max_value=1800),  # epoch seconds
         ),
         min_size=1,
         max_size=60,
     )
 )
+@example([(None, 0), (None, 10), (3, 20), (3, 400)])  # r11 falsifier family
 def test_sliding_kmv_merge_equals_direct_sketch(spark, rows):
     """The engine builds per-SLOT k-min buffers and merges them per
     window; a Python model sketches each WINDOW directly from raw
     events. KMV mergeability says the two are IDENTICAL (every one of
     the union's k smallest hashes is within its own slot's k
     smallest) — kth_hash, n_buf, and the estimate must all match
-    bit-for-bit, with a small k so buffers actually truncate."""
+    bit-for-bit, with a small k so buffers actually truncate.
+
+    NULL user_ids are generated too (the r11 ADVICE falsifier family,
+    pinned by the @example): the engine excludes NULL keys BEFORE
+    hashing — a NULL hash would rank first and occupy a buffer slot
+    the exact rider never counts — so the model skips them entirely,
+    and a slot fed only NULL events produces no window row at all."""
     import datetime
 
     from citydata_etl_spark.operators.aggregates import (
@@ -1788,6 +1801,7 @@ def test_sliding_kmv_merge_equals_direct_sketch(spark, rows):
         ],
         "user_id LONG, ts TIMESTAMP",
     )
+    rows = [(u, t) for u, t in rows if u is not None]
     got = {
         r["window_start"]: (r["n_buf"], r["kth_hash"], r["kmv_est"],
                             r["n_exact"])
