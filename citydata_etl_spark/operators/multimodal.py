@@ -149,11 +149,10 @@ def _decode_bmp24(blob) -> tuple | None:
 
 def _decode_png_rgb(blob) -> tuple | None:
     """Decode one PNG to an (H, W, 3) uint8 RGB array using ONLY the
-    stdlib — zlib inflate + per-row filter reversal — shrinking the
-    entropy-coded stub boundary toward transform-coded formats
-    (with _decode_gif_rgb: JPEG alone). Returns
-    (width, height, pixels) or None for non-PNG /
-    unsupported / corrupt blobs.
+    stdlib — zlib inflate + per-row filter reversal — one of the four
+    no-library raster decoders (BMP/PNG/GIF/JPEG; no stub boundary
+    remains as of r12). Returns (width, height, pixels) or None for
+    non-PNG / unsupported / corrupt blobs.
 
     Supported: 8-bit-depth truecolor (color type 2) and truecolor+
     alpha (type 6, alpha dropped), non-interlaced, the five standard
@@ -346,9 +345,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
 def _decode_gif_rgb(blob) -> tuple | None:
     """Decode one GIF (87a/89a) to an (H, W, 3) uint8 RGB array using
     ONLY pure Python — the LZW entropy decode implemented directly —
-    so with PNG (_decode_png_rgb) the remaining codec-stub boundary is
-    transform-coded JPEG alone. Returns (width, height, pixels) or
-    None for non-GIF / unsupported / corrupt blobs.
+    one of the four no-library raster decoders (BMP/PNG/GIF/JPEG; no
+    stub boundary remains as of r12). Returns (width, height, pixels)
+    or None for non-GIF / unsupported / corrupt blobs.
 
     Supported: the FIRST image of a non-interlaced GIF whose frame
     covers the full logical screen, global or local color table,
@@ -619,8 +618,18 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     if scan is None:
         return None
     width, height, comps = frame
-    if width * height * 3 > _PNG_MAX_RAW_BYTES:
-        return None  # same untrusted-dimension ceiling as PNG
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    # Untrusted-dimension gate on the REAL allocation, not the output
+    # size: the decode holds float64 MCU-padded planes plus rounded
+    # copies and (color) conversion temporaries — ~(2*n_comp + 6)
+    # 8-byte arrays over the padded raster. Bound that footprint by
+    # the same ceiling the PNG inflate obeys, BEFORE allocating
+    # anything, so a forged SOF cannot make a 300-byte blob allocate
+    # gigabytes inside a mapInPandas worker.
+    padded = bw * bh * 64
+    if padded * 8 * (2 * len(comps) + 6) > _PNG_MAX_RAW_BYTES:
+        return None
     comp_by_id = dict(comps)
     plan = []
     for cs, td, ta in scan:
@@ -698,8 +707,6 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     A = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
     A[0, :] *= 1.0 / np.sqrt(2.0)
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
     n_mcu = bw * bh
     planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
               for _ in plan]

@@ -1193,6 +1193,15 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     p = bytes(rst).index(b"\xff\xd0")
     rst[p + 1] = 0xD6
     assert M._decode_jpeg_rgb(bytes(rst)) is None
+    # forged SOF dimensions: the untrusted-dimension gate must bound
+    # the decoder's REAL float64-plane footprint BEFORE allocating —
+    # a ~300-byte blob must not drive gigabyte allocations (r12
+    # review finding). 8000x8000 padded color planes would be ~3 GB.
+    i = good.index(b"\xff\xc0")
+    forged = (good[:i + 5]
+              + (8000).to_bytes(2, "big") + (8000).to_bytes(2, "big")
+              + good[i + 9:])
+    assert M._decode_jpeg_rgb(forged) is None
 
 
 def test_gif_and_bmp_same_pixels_same_stats(spark):
