@@ -48,6 +48,14 @@ FEATURE_DIM = 8
 # decompression bomb needs to hurt an executor.
 _PNG_MAX_RAW_BYTES = 64 * 1024 * 1024
 
+# JPEG's analogue bounds the decoder's REAL transient allocation
+# (float64 MCU-padded planes + rounded copies + conversion
+# temporaries ≈ (2*n_comp + 6) 8-byte arrays over the padded raster),
+# not the output bytes. 512 MiB keeps the per-blob ceiling at ~1/8 of
+# a 4 GiB-per-thread executor budget while admitting ~5.5 MP color
+# images — the same legitimate-image scope as the PNG ceiling.
+_JPEG_MAX_ALLOC_BYTES = 512 * 1024 * 1024
+
 _DECODE_SCHEMA = (
     "media_id BIGINT, media_type STRING, n_bytes INT, content_sha STRING, "
     f"features ARRAY<DOUBLE>"
@@ -510,7 +518,11 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
 
     Scale posture: per-blob Python inside Arrow-batched mapInPandas,
     as the PNG/GIF decoders — parallelism comes from partitions; the
-    marker walk is bounded and total.
+    marker walk is bounded and total. Untrusted-dimension ceiling: a
+    SOF whose decode footprint (float64 padded planes + temporaries)
+    would exceed _JPEG_MAX_ALLOC_BYTES (512 MiB ≈ 5.5 MP color)
+    returns None BEFORE anything is allocated — a forged header
+    cannot drive executor-killing allocations from a tiny blob.
 
     Reference intent: dfirmin/citydata-etl stores media references
     only (lambda/collect.py) — the decode layer is this engine's
@@ -623,12 +635,11 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     # Untrusted-dimension gate on the REAL allocation, not the output
     # size: the decode holds float64 MCU-padded planes plus rounded
     # copies and (color) conversion temporaries — ~(2*n_comp + 6)
-    # 8-byte arrays over the padded raster. Bound that footprint by
-    # the same ceiling the PNG inflate obeys, BEFORE allocating
-    # anything, so a forged SOF cannot make a 300-byte blob allocate
-    # gigabytes inside a mapInPandas worker.
+    # 8-byte arrays over the padded raster. Bound that footprint
+    # BEFORE allocating anything, so a forged SOF cannot make a
+    # 300-byte blob allocate gigabytes inside a mapInPandas worker.
     padded = bw * bh * 64
-    if padded * 8 * (2 * len(comps) + 6) > _PNG_MAX_RAW_BYTES:
+    if padded * 8 * (2 * len(comps) + 6) > _JPEG_MAX_ALLOC_BYTES:
         return None
     comp_by_id = dict(comps)
     plan = []
