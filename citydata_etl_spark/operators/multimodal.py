@@ -6,9 +6,11 @@ real and tested. Raster pixel decode is REAL with no codec library for
 EVERY supported format: uncompressed BMP, DEFLATE-coded PNG (stdlib
 zlib + filter reversal), LZW-coded GIF, and — since r12 — baseline
 DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
-JFIF color convert, all implemented here). No stub boundary remains;
-unsupported PROFILES (progressive JPEG, subsampled chroma, interlaced
-GIF/PNG) return NULL per the decode triage convention.
+chroma upsampling + JFIF color convert, all implemented here; 4:2:0 /
+4:2:2 subsampling — the dominant wild profiles — since r13). No stub
+boundary remains; unsupported PROFILES (progressive JPEG, non-divisor
+sampling mixes, interlaced GIF) return NULL per the decode triage
+convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -489,40 +491,91 @@ def _jpeg_huff_table(bits, vals):
     return table if k == len(vals) else None
 
 
+def _jpeg_huff_fast(bits, vals) -> tuple | None:
+    """16-bit-peek Huffman lookup table: returns (sym, ln) as two
+    65536-byte `bytes` objects — peek the next 16 stream bits once and
+    read the symbol and its code length with TWO byte indexes, instead
+    of one dict probe per bit (the r12 ADVICE finding: the per-bit
+    walk cost ~2us/bit, minutes per multi-MP blob). Each canonical
+    code of length L fills its 2**(16-L) peek slots; ln == 0 marks a
+    peek value that is no code's prefix (invalid stream). Returns None
+    if (bits, vals) is not a valid prefix code — same validation as
+    `_jpeg_huff_table` (which the fixture encoder still inverts), so
+    the two builders cannot drift on what counts as well-formed."""
+    sym = bytearray(65536)
+    ln = bytearray(65536)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if code + n > (1 << length):
+            return None  # over-full level: not a prefix code
+        for _ in range(n):
+            if k >= len(vals):
+                return None
+            lo = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[lo:lo + span] = bytes([vals[k]]) * span
+            ln[lo:lo + span] = bytes([length]) * span
+            k += 1
+            code += 1
+        code <<= 1
+    if k != len(vals):
+        return None
+    return bytes(sym), bytes(ln)
+
+
 def _decode_jpeg_rgb(blob) -> tuple | None:
     """Baseline-sequential JPEG decode to (width, height, HxWx3 uint8
     RGB) using ONLY pure Python + numpy — Huffman entropy decode,
     DPCM DC / run-length AC, dequantization, float64 8x8 IDCT, level
-    shift, and JFIF YCbCr->RGB — closing the last codec-stub boundary
-    (BMP/PNG/GIF already decode for real). Returns None for
+    shift, chroma upsampling, and JFIF YCbCr->RGB. Returns None for
     non-JPEG / unsupported / corrupt blobs, never raises.
 
     Supported: SOF0 (baseline DCT), 8-bit precision, 1 component
-    (grayscale: R=G=B=Y) or 3 components at 1x1 sampling (4:4:4),
-    arbitrary DQT/DHT tables (read from the stream, not assumed),
-    restart intervals (DRI + RSTn with DC-predictor reset and
-    byte-alignment), 0xFF00 byte stuffing, non-multiple-of-8
-    dimensions (full MCU grid decoded, cropped to WxH). Out of scope,
-    all None: progressive (SOF2) and every non-SOF0 frame type,
-    12-bit precision, subsampled chroma (4:2:0/4:2:2), arithmetic
-    coding, truncated or structurally malformed streams.
+    (grayscale: R=G=B=Y) or 3 components with sampling factors in
+    1..4 where every factor divides the frame maximum — which covers
+    4:4:4 (1x1), 4:2:2 (2x1), 4:2:0 (2x2, the dominant wild profile)
+    and 4:1:1; arbitrary DQT/DHT tables (read from the stream, not
+    assumed), restart intervals (DRI + RSTn with DC-predictor reset
+    and byte-alignment), 0xFF00 byte stuffing, any number of
+    length-prefixed header segments (a split ICC profile can carry
+    hundreds of APP2 chunks — the walk is bounded by the blob length,
+    not a segment count), and non-multiple-of-MCU dimensions (full
+    MCU grid decoded, cropped to WxH). Out of scope, all None:
+    progressive (SOF2) and every non-SOF0 frame type, 12-bit
+    precision, non-divisor sampling mixes (e.g. 3x1 against 2x1),
+    arithmetic coding, truncated or structurally malformed streams.
 
     Exactness convention (stated so an oracle can restate it): each
     component plane is IDCT'd in float64, level-shifted by +128, and
-    rounded floor(s + 0.5) clamped to [0, 255] BEFORE color
-    conversion; RGB then uses the JFIF floats (1.402 / 0.344136 /
-    0.714136 / 1.772) on the integer-valued planes with the same
-    floor(x + 0.5) clamp. numpy float64 arithmetic is IEEE 754, so a
-    SQL oracle computing the same expressions left-to-right matches
-    bit-for-bit.
+    rounded floor(s + 0.5) clamped to [0, 255] BEFORE upsampling and
+    color conversion; subsampled chroma is upsampled by EXACT pixel
+    replication (hmax/h horizontally, vmax/v vertically — an integer
+    factor by the divisor rule), so a chroma sample covers an aligned
+    (hmax/h)x(vmax/v) pixel box verbatim; RGB then uses the JFIF
+    floats (1.402 / 0.344136 / 0.714136 / 1.772) on the
+    integer-valued planes with the same floor(x + 0.5) clamp. numpy
+    float64 arithmetic is IEEE 754, so a SQL oracle computing the
+    same expressions left-to-right matches bit-for-bit.
+
+    Cost posture (r12 ADVICE): the bit accumulator is truncated to
+    the live bits after every consume, so it never exceeds 32 bits —
+    the entropy decode is O(stream length), not O(n^2) — and symbols
+    resolve through the 16-bit-peek tables of `_jpeg_huff_fast`
+    (one peek + two byte indexes per symbol, not one dict probe per
+    bit). The IDCT is batched: one stacked float64 matrix product per
+    component over all blocks, not a per-block Python-loop product.
 
     Scale posture: per-blob Python inside Arrow-batched mapInPandas,
     as the PNG/GIF decoders — parallelism comes from partitions; the
-    marker walk is bounded and total. Untrusted-dimension ceiling: a
-    SOF whose decode footprint (float64 padded planes + temporaries)
-    would exceed _JPEG_MAX_ALLOC_BYTES (512 MiB ≈ 5.5 MP color)
-    returns None BEFORE anything is allocated — a forged header
-    cannot drive executor-killing allocations from a tiny blob.
+    marker walk is bounded and total (every segment advances the
+    cursor). Untrusted-dimension ceiling: a SOF whose decode
+    footprint (int64 coefficients + float64 padded planes +
+    upsampled conversion temporaries) would exceed
+    _JPEG_MAX_ALLOC_BYTES returns None BEFORE anything is allocated —
+    a forged header cannot drive executor-killing allocations from a
+    tiny blob.
 
     Reference intent: dfirmin/citydata-etl stores media references
     only (lambda/collect.py) — the decode layer is this engine's
@@ -534,11 +587,14 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         return None
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    hufftabs: dict[tuple, dict] = {}  # (class 0=DC/1=AC, id) -> table
+    hufftabs: dict[tuple, tuple] = {}  # (class 0=DC/1=AC, id) -> LUT pair
     frame = None
     restart_interval = 0
     scan = None
-    for _ in range(256):
+    # every iteration advances pos by >= 2 (markers) or seg_len >= 2,
+    # so the walk terminates without a segment-count cap (a split ICC
+    # profile alone can exceed any fixed cap — r12 ADVICE)
+    while pos < len(b):
         if pos + 2 > len(b) or b[pos] != 0xFF:
             return None
         while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
@@ -586,7 +642,7 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 nv = sum(bits)
                 if tc > 1 or p + 17 + nv > len(seg):
                     return None
-                tab = _jpeg_huff_table(bits, list(seg[p + 17:p + 17 + nv]))
+                tab = _jpeg_huff_fast(bits, list(seg[p + 17:p + 17 + nv]))
                 if tab is None:
                     return None
                 hufftabs[(tc, th)] = tab
@@ -607,10 +663,21 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             comps = []
             for c in range(n_comp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampled: out of scope, disclosed
-                comps.append((cid, tq))
-            frame = (width, height, comps)
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    return None
+                comps.append((cid, ch, cv, tq))
+            if n_comp == 1:
+                # a single-component scan is non-interleaved: the MCU
+                # is one block and the declared factors do not apply
+                # (T.81 A.2.2) — normalize to 1x1
+                cid, _, _, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                return None  # non-divisor sampling mix: out of scope
+            frame = (width, height, comps, hmax, vmax)
         elif marker == 0xDD:  # DRI
             if len(seg) != 2:
                 return None
@@ -629,30 +696,39 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         # APPn / COM / anything else length-prefixed: skipped
     if scan is None:
         return None
-    width, height, comps = frame
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    width, height, comps, hmax, vmax = frame
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     # Untrusted-dimension gate on the REAL allocation, not the output
-    # size: the decode holds float64 MCU-padded planes plus rounded
-    # copies and (color) conversion temporaries — ~(2*n_comp + 6)
-    # 8-byte arrays over the padded raster. Bound that footprint
-    # BEFORE allocating anything, so a forged SOF cannot make a
-    # 300-byte blob allocate gigabytes inside a mapInPandas worker.
-    padded = bw * bh * 64
-    if padded * 8 * (2 * len(comps) + 6) > _JPEG_MAX_ALLOC_BYTES:
+    # size: the decode holds one int64 coefficient array and a float64
+    # plane + rounded copy per component (3 arrays over each padded
+    # component raster) plus the upsampled full-raster planes and RGB
+    # conversion temporaries (~8 float64 full rasters). Bound that
+    # footprint BEFORE allocating anything, so a forged SOF cannot
+    # make a 300-byte blob allocate gigabytes inside a mapInPandas
+    # worker.
+    padded = sum((mcuy * v * 8) * (mcux * h * 8) for _, h, v, _ in comps)
+    full = (mcux * hmax * 8) * (mcuy * vmax * 8)
+    if padded * 8 * 3 + full * 8 * 8 > _JPEG_MAX_ALLOC_BYTES:
         return None
-    comp_by_id = dict(comps)
     plan = []
+    order = []  # SOF-component index for each scan slot
     for cs, td, ta in scan:
-        if cs not in comp_by_id:
+        idxs = [i for i, c in enumerate(comps) if c[0] == cs]
+        if len(idxs) != 1:
             return None
-        tq = comp_by_id[cs]
+        ci = idxs[0]
+        _, ch, cv, tq = comps[ci]
         if (0, td) not in hufftabs or (1, ta) not in hufftabs \
                 or tq not in qtables:
             return None
-        plan.append((hufftabs[(0, td)], hufftabs[(1, ta)], qtables[tq]))
+        order.append(ci)
+        plan.append((hufftabs[(0, td)], hufftabs[(1, ta)], ch, cv))
 
-    # --- entropy-coded segment: MSB-first bit reader with unstuffing
+    # --- entropy-coded segment: MSB-first bit reader with unstuffing.
+    # Invariant (r12 ADVICE): acc holds EXACTLY nbits live bits —
+    # every consume truncates, so acc stays <= 32 bits and each read
+    # is O(1) instead of copying an ever-growing big-int.
     data = b
     dpos = pos
     acc = nbits = 0
@@ -690,43 +766,47 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             # enough bits first — only a genuine shortfall is fatal
             if not fill() and nbits < n:
                 return None
-        v = (acc >> (nbits - n)) & ((1 << n) - 1)
         nbits -= n
+        v = acc >> nbits
+        acc &= (1 << nbits) - 1
         return v
 
-    def decode_sym(table):
+    def decode_sym(tab):
         nonlocal acc, nbits
-        code = 0
-        for ln in range(1, 17):
-            bit = receive(1)
-            if bit is None:
-                return None
-            code = (code << 1) | bit
-            v = table.get((ln, code))
-            if v is not None:
-                return v
-        return None
+        if nbits < 16:
+            fill()  # may legally stop short at a marker / stream end
+        sym, ln = tab
+        if nbits >= 16:
+            peek = acc >> (nbits - 16)
+        else:
+            # end-of-scan: pad the peek with 1-bits (the spec's byte
+            # padding), so a final short code still resolves; a code
+            # that would CONSUME padding fails the length check below
+            peek = ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)) \
+                if nbits else 0xFFFF
+        length = ln[peek]
+        if length == 0 or length > nbits:
+            return None
+        nbits -= length
+        acc &= (1 << nbits) - 1
+        return sym[peek]
 
     def extend(v, t):
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); spatial
-    # block = A.T @ F @ A. Float64 throughout; DC-only blocks land
-    # within ~1e-12 of the exact integer so floor(s+0.5) is exact.
-    u = np.arange(8).reshape(8, 1)
-    x = np.arange(8).reshape(1, 8)
-    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
-    A[0, :] *= 1.0 / np.sqrt(2.0)
-
-    n_mcu = bw * bh
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64)
-              for _ in plan]
+    n_mcu = mcux * mcuy
+    zz = _JPEG_ZIGZAG
+    coeff = [
+        np.zeros((mcuy * v * mcux * h, 64), dtype=np.int64)
+        for _, h, v, _ in comps
+    ]
     preds = [0] * len(plan)
     expected_rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             # byte-align, then consume the next RSTn in sequence
             nbits -= nbits % 8
+            acc &= (1 << nbits) - 1
             if marker_hit[0] is None:
                 fill()
             # any whole bytes still buffered must be padding before
@@ -739,54 +819,81 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             acc = nbits = 0
             expected_rst = (expected_rst + 1) % 8
             preds = [0] * len(plan)
-        my, mx = divmod(m, bw)
-        for ci, (dc_tab, ac_tab, q) in enumerate(plan):
-            t = decode_sym(dc_tab)
-            if t is None or t > 11:  # 8-bit baseline DC categories
-                return None
-            if t:
-                v = receive(t)
-                if v is None:
-                    return None
-                diff = extend(v, t)
-            else:
-                diff = 0
-            preds[ci] += diff
-            coeffs = np.zeros(64, dtype=np.int64)
-            coeffs[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = decode_sym(ac_tab)
-                if rs is None:
-                    return None
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 0:
-                        break  # EOB
-                    if run != 15:
+        my, mx = divmod(m, mcux)
+        for si, (dc_tab, ac_tab, ch, cv) in enumerate(plan):
+            ci = order[si]
+            row_blocks = mcux * ch
+            for by in range(cv):
+                for bx in range(ch):
+                    t = decode_sym(dc_tab)
+                    if t is None or t > 11:  # 8-bit baseline DC cats
                         return None
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    return None
-                v = receive(size)
-                if v is None:
-                    return None
-                coeffs[_JPEG_ZIGZAG[k]] = extend(v, size)
-                k += 1
-            block = (coeffs.reshape(8, 8) * q).astype(np.float64)
-            spatial = A.T @ block @ A + 128.0
-            planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = spatial
-    # per-plane rounding convention (see docstring), then crop
-    rounded = [
-        np.clip(np.floor(p + 0.5), 0, 255)[:height, :width]
-        for p in planes
-    ]
-    if len(rounded) == 1:
-        yp = rounded[0].astype(np.uint8)
+                    if t:
+                        v = receive(t)
+                        if v is None:
+                            return None
+                        diff = extend(v, t)
+                    else:
+                        diff = 0
+                    preds[si] += diff
+                    blk = [0] * 64
+                    blk[0] = preds[si]
+                    k = 1
+                    while k < 64:
+                        rs = decode_sym(ac_tab)
+                        if rs is None:
+                            return None
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 0:
+                                break  # EOB
+                            if run != 15:
+                                return None
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            return None
+                        v = receive(size)
+                        if v is None:
+                            return None
+                        blk[zz[k]] = extend(v, size)
+                        k += 1
+                    bidx = (my * cv + by) * row_blocks + mx * ch + bx
+                    coeff[ci][bidx] = blk
+
+    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); spatial
+    # block = A.T @ F @ A, batched over every block of a component in
+    # ONE stacked matmul. Float64 throughout; DC-only blocks land
+    # within ~1e-12 of the exact integer so floor(s+0.5) is exact.
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    A[0, :] *= 1.0 / np.sqrt(2.0)
+
+    planes = []
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        gr, gc = mcuy * cv, mcux * ch
+        blocks = (coeff[ci].reshape(gr * gc, 8, 8)
+                  * qtables[tq]).astype(np.float64)
+        spatial = (A.T @ blocks @ A) + 128.0
+        plane = (spatial.reshape(gr, gc, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8))
+        # per-plane rounding convention (see docstring), then crop to
+        # the component raster and replicate up to the frame raster
+        p = np.clip(np.floor(plane + 0.5), 0, 255)
+        cw = (width * ch + hmax - 1) // hmax
+        chh = (height * cv + vmax - 1) // vmax
+        p = p[:chh, :cw]
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        if ch != hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        planes.append(p[:height, :width])
+    if len(planes) == 1:
+        yp = planes[0].astype(np.uint8)
         return width, height, np.stack([yp, yp, yp], axis=2)
-    yv, cb, cr = rounded
+    yv, cb, cr = planes
     r = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
     g = np.clip(
         np.floor(yv - 0.344136 * (cb - 128.0)

@@ -92,23 +92,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: hash-FAIL resets the rank to 0: the contract was broken there, and the
 #: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
-    "a10_table_profile": 7,
+    "a10_table_profile": 12,
     "a11_heavy_hitters": 10,
     "a12_event_funnel": 9,
     "a13_data_contract": 10,
     "a14_referential_integrity": 10,
     "a15_outlier_flags": 10,
     "a16_cohort_retention": 10,
-    "a17_time_weighted_avg": 7,
-    "a18_ohlc_bars": 7,
-    "a19_event_transitions": 7,
+    "a17_time_weighted_avg": 12,
+    "a18_ohlc_bars": 12,
+    "a19_event_transitions": 12,
     "a1_pricing_summary": 8,
     "a20_countmin_topk": 9,
     "a21_histogram_quantiles": 10,
     "a22_attribution": 10,
     "a23_sliding_distinct": 10,
     "a23_sliding_kmv": 11,
-    "a24_linear_attribution": 0,  # r12: sign precondition now enforced (ADVICE r11)
+    "a24_linear_attribution": 12,
     "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
     "a2_count_distinct": 8,
     "a2_kmv_distinct": 8,
@@ -134,7 +134,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_ann_ivf_rank": 8,
     "d4_ann_ivf_recall": 10,
     "d4_ann_lsh": 8,  # rows-only by construction (r3 row)
-    "d4_ann_lsh_rank": 7,
+    "d4_ann_lsh_rank": 12,
     "d4_ann_multiprobe_recall": 11,
     "d4_ann_multitable_recall": 11,
     "d4_ann_pq": 8,  # rows-only by construction (r3 row)
@@ -182,52 +182,54 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_simhash_pairs": 8,
     "d4_text_normalize": 9,
     "d4_tfidf_topk": 8,
-    "d4_token_stats": 7,
+    "d4_token_stats": 12,
     "d4_url_dedup": 11,
-    "d4_winnowing": 7,
+    "d4_winnowing": 12,
     "d5_audio_energy": 11,
     "d5_bmp_histogram": 9,
     "d5_bmp_pixels": 8,
     "d5_bmp_resize": 8,
     "d5_format_sniff": 9,
-    "d5_frame_sample": 7,
-    "d5_gif_meta": 0,  # r12: LZW encoder width-schedule fix
-    "d5_gif_pixels": 0,  # r12: LZW encoder width-schedule fix
+    "d5_frame_sample": 12,
+    "d5_gif_meta": 12,
+    "d5_gif_pixels": 12,
     "d5_image_ahash": 10,
     "d5_image_neardup": 10,
     "d5_jpeg_meta": 11,
-    "d5_media_decode": 7,
+    "d5_jpeg_pixels": 0,  # r13: bit-reader/Huffman rewrite + sampling factors (ADVICE r12)
+    "d5_jpeg_pixels_420": 0,  # r13: NEW — subsampled-chroma decode entry
+    "d5_media_decode": 12,
     "d5_mp4_meta": 11,
     "d5_png_ahash": 11,
     "d5_png_meta": 9,
     "d5_png_pixels": 11,
     "d5_scene_cuts": 10,
-    "d5_tar_meta": 7,
+    "d5_tar_meta": 12,
     "d5_wav_meta": 9,
     "d6_blocklist_filter": 9,
     "d6_chunk_documents": 9,
-    "d6_contamination": 7,
+    "d6_contamination": 12,
     "d6_crossdomain_lm": 9,
-    "d6_curation_pipeline": 7,
+    "d6_curation_pipeline": 12,
     "d6_dataset_card": 10,
-    "d6_dedup_keep": 7,
+    "d6_dedup_keep": 12,
     "d6_domain_cap": 8,
-    "d6_domain_mix": 7,
+    "d6_domain_mix": 12,
     "d6_domain_mix_apply": 8,
     "d6_fixed_sample": 8,
     "d6_global_shuffle": 11,
-    "d6_label_centroid": 7,
+    "d6_label_centroid": 12,
     "d6_length_histogram": 11,
     "d6_negative_pairs": 9,
-    "d6_pack_sequences": 7,
+    "d6_pack_sequences": 12,
     "d6_ppl_buckets": 9,
     "d6_quality_classifier": 11,
-    "d6_quality_funnel": 7,
-    "d6_shard_stats": 7,
-    "d6_stratified_sample": 7,
+    "d6_quality_funnel": 12,
+    "d6_shard_stats": 12,
+    "d6_stratified_sample": 12,
     "d6_temperature_mix": 9,
     "d6_tokenizer_fertility": 10,
-    "d6_train_split": 7,
+    "d6_train_split": 12,
     "e2e_collect_run": 9,
     "f10_conditional": 9,
     "f11_haversine": 8,
@@ -237,7 +239,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f15_geo_cell": 11,
     "f16_number_normalize": 11,
     "f17_useragent_parse": 11,
-    "f18_ip_cidr": 7,
+    "f18_ip_cidr": 12,
     "f1_f3_dual_ts_roundtrip": 9,
     "f2_date_parts": 9,
     "f4_f5_split_element": 9,
@@ -247,23 +249,23 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f9_split_explode": 9,
     "g1_host_pagerank": 11,
     "g2_triangle_count": 11,
-    "g3_bfs_hops": 7,
+    "g3_bfs_hops": 12,
     "j10_bloom_prefilter_join": 11,
     "j11_geo_radius_join": 11,
-    "j12_temporal_join": 7,
-    "j13_dpp_join": 7,
+    "j12_temporal_join": 12,
+    "j13_dpp_join": 12,
     "j14_point_in_polygon": 10,
-    "j1_broadcast_lookup": 7,
-    "j2_anti_join": 7,
-    "j2_semi_join": 7,
-    "j3_template_join": 7,
-    "j4_multi_source_join": 7,
-    "j5_range_join": 7,
-    "j6_asof_forward": 7,
-    "j6_asof_join": 7,
-    "j6_asof_nearest": 7,
-    "j6_asof_tolerance": 7,
-    "j7_salted_skew_join": 7,
+    "j1_broadcast_lookup": 12,
+    "j2_anti_join": 12,
+    "j2_semi_join": 12,
+    "j3_template_join": 12,
+    "j4_multi_source_join": 12,
+    "j5_range_join": 12,
+    "j6_asof_forward": 12,
+    "j6_asof_join": 12,
+    "j6_asof_nearest": 12,
+    "j6_asof_tolerance": 12,
+    "j7_salted_skew_join": 12,
     "j8_bucketed_join": 9,
     "j9_interval_overlap": 9,
     "p1_pending_filter": 10,
@@ -275,10 +277,11 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "q11_important_parts": 11,
     "q14_promo_revenue": 9,
     "q15_top_supplier": 9,
-    "q18_large_orders": 7,
+    "q18_large_orders": 12,
+    "q21_waiting_suppliers": 12,
     "q3_shipping_priority": 11,
     "q5_regional_volume": 11,
-    "q7_nation_volume": 7,
+    "q7_nation_volume": 12,
     "s10_orc_roundtrip": 10,
     "s11_compaction": 10,
     "s12_schema_evolution": 10,
@@ -287,7 +290,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s15_corrupt_records": 10,
     "s16_xml_roundtrip": 10,
     "s17_zorder_layout": 11,
-    "s18_fixed_width_scan": 7,
+    "s18_fixed_width_scan": 12,
     "s19_bloom_filter_layout": 9,
     "s1_csv_scan": 11,
     "s20_partition_evolution": 10,
@@ -302,19 +305,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t11_stream_geofence": 11,
     "t12_stream_late_sessions": 11,
     "t13_gap_fill": 11,
-    "t14_stream_ohlc": 7,
-    "t15_stream_snapshot_enrich": 7,
+    "t14_stream_ohlc": 12,
+    "t15_stream_snapshot_enrich": 12,
     "t16_stream_restart": 8,
     "t17_stream_quarantine": 9,
     "t18_stream_attribution": 10,
     "t19_stream_sliding_kmv": 11,
-    "t1_streaming_tumbling": 7,
-    "t2_streaming_dedup": 7,
+    "t1_streaming_tumbling": 12,
+    "t2_streaming_dedup": 12,
     "t3_cdc_promote": 9,
     "t5_dynamic_gap_session": 11,
-    "t5_session_window": 7,
-    "t5_sliding_window": 7,
-    "t5_tumbling_window": 7,
+    "t5_session_window": 12,
+    "t5_sliding_window": 12,
+    "t5_tumbling_window": 12,
     "t5_watermarked_append": 9,
     "t6_stream_enrich": 7,
     "t7_stream_left_outer_join": 9,

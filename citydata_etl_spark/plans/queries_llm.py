@@ -3898,7 +3898,7 @@ def encode_gif(px_rows, split_subblocks: bool = False) -> bytes:
 
 
 def encode_jpeg(comp_blocks, w: int, h: int,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, sampling=None) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -3907,28 +3907,46 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     K), DPCM DC differences, run-length AC with ZRL/EOB, 0xFF byte
     stuffing, optional DRI + RSTn restarts, flat quant table of 8s
     (table 0, shared). comp_blocks is a list of 1 (grayscale) or 3
-    (YCbCr 4:4:4) lists of 8x8 integer matrices in NATURAL order,
-    row-major over the ceil(w/8) x ceil(h/8) MCU grid.
+    (YCbCr) lists of 8x8 integer matrices in NATURAL order, row-major
+    over each component's OWN padded block grid — with the default
+    1x1 sampling that is the ceil(w/8) x ceil(h/8) MCU grid.
+
+    `sampling` is an optional per-component list of (h, v) factors in
+    1..4 (default all (1, 1) = 4:4:4). With factors, component ci's
+    grid is (mcuy*v_ci) rows x (mcux*h_ci) cols of blocks where
+    mcux = ceil(w / (8*hmax)), mcuy = ceil(h / (8*vmax)), and the
+    entropy stream interleaves v*h blocks per component per MCU in
+    the T.81 raster order — ((2,2),(1,1),(1,1)) is 4:2:0 and
+    ((2,1),(1,1),(1,1)) is 4:2:2, the profiles wild JPEGs actually
+    use.
 
     Exactness: with the all-8s quant table, a DC-only block with code
     m decodes to the flat sample clamp(m + 128) exactly (dequantized
     DC = 8m, IDCT of a DC-only block = DC/8, +128 level shift), which
-    is what makes the driver fixture's pixels closed-form in SQL.
+    is what makes the driver fixture's pixels closed-form in SQL —
+    subsampled chroma then replicates each flat 8x8 chroma block over
+    an aligned 16-pixel-wide (and/or tall) box.
     Synthesis-side twin of operators/multimodal.py:_decode_jpeg_rgb;
     shares _JPEG_ZIGZAG with it so scan order cannot drift."""
     from citydata_etl_spark.operators.multimodal import _JPEG_ZIGZAG
 
     n_comp = len(comp_blocks)
     assert n_comp in (1, 3)
+    if sampling is None:
+        sampling = [(1, 1)] * n_comp
+    assert len(sampling) == n_comp
+    assert all(1 <= sh <= 4 and 1 <= sv <= 4 for sh, sv in sampling)
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     # DQT: table 0, 8-bit precision, all 64 entries = 8 (zigzag order)
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([8] * 64)
-    # SOF0: 8-bit, h x w, components 1..n at 1x1 sampling, qtable 0
+    # SOF0: 8-bit, h x w, per-component sampling factors, qtable 0
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([n_comp])
     for c in range(n_comp):
-        sof += bytes([c + 1, 0x11, 0])
+        sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0])
     out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
     # DHT: DC table 0 (12 categories, all 4 bits) + AC table 0 (all
     # 162 run/size symbols, all 8 bits) — canonical, Kraft-valid
@@ -3983,9 +4001,12 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     def category(v):
         return abs(v).bit_length()
 
-    n_mcu = ((w + 7) // 8) * ((h + 7) // 8)
-    for comp in comp_blocks:
-        assert len(comp) == n_mcu
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    for ci in range(n_comp):
+        sh, sv = sampling[ci]
+        assert len(comp_blocks[ci]) == (mcuy * sv) * (mcux * sh)
     preds = [0] * n_comp
     rst = 0
     for m in range(n_mcu):
@@ -3994,8 +4015,15 @@ def encode_jpeg(comp_blocks, w: int, h: int,
             entropy += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) % 8
             preds = [0] * n_comp
+        my, mx = divmod(m, mcux)
+        mcu_blocks = []  # (ci, block) in T.81 interleave order
         for ci in range(n_comp):
-            blk = comp_blocks[ci][m]
+            sh, sv = sampling[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    idx = (my * sv + by) * (mcux * sh) + mx * sh + bx
+                    mcu_blocks.append((ci, comp_blocks[ci][idx]))
+        for ci, blk in mcu_blocks:
             flat = [int(blk[i // 8][i % 8]) for i in range(64)]
             zz = [flat[_JPEG_ZIGZAG[k]] for k in range(64)]
             diff = zz[0] - preds[ci]
@@ -4250,11 +4278,13 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is bit-identical between numpy and the SQL engine. The corpus "
     "exercises grayscale (every 5th), DRI=2 restart markers (every "
     "4th), sub-8 and non-multiple-of-8 dims, and truncated blobs "
-    "(every 7th -> NULL row). Disclosed scope: SOF0 4:4:4/grayscale "
-    "only; progressive and subsampled profiles return NULL (decode "
-    "triage convention). AC coefficients, the zigzag path, and the "
-    "12-bit-width Huffman walk are pinned by the roundtrip property "
-    "test against an independent double-loop IDCT model. Scale "
+    "(every 7th -> NULL row). This entry pins the 4:4:4/grayscale "
+    "profiles; subsampled 4:2:0/4:2:2 decode (supported since r13) "
+    "is pinned by its own entry, d5_jpeg_pixels_420; progressive "
+    "still returns NULL (decode triage convention). AC coefficients, "
+    "the zigzag path, and the 16-bit-peek Huffman resolve are pinned "
+    "by the roundtrip property test against an independent "
+    "double-loop IDCT model. Scale "
     "posture: per-blob Python inside ONE Arrow-batched mapInPandas "
     "pass, no shuffle, fan-out 1:1 — the canonical 100 TB media-scan "
     "shape.",
@@ -4263,6 +4293,141 @@ def d5_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
 
     return bmp_pixel_stats(_jpeg_media_fixture(spark, sf_dir))
+
+
+def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared blob fixture for d5_jpeg_pixels_420: GENUINE baseline
+    JFIF blobs with SUBSAMPLED chroma — every 3rd image 4:2:2
+    ((2,1),(1,1),(1,1) sampling), the rest 4:2:0 ((2,2),(1,1),(1,1),
+    the profile libjpeg encoders emit by default) — so the decoder's
+    per-component MCU block layout, interleave order, per-component
+    DPCM chains, and exact-replication chroma upsample all face the
+    driver oracle, not just the unit battery. Pixels stay CLOSED-FORM
+    via the d5_jpeg_pixels trick (DC-only blocks, all-8s quant): luma
+    tiles are flat per 8x8 box, chroma tiles flat per 16x16 (4:2:0)
+    or 16x8 (4:2:2) aligned box. Dims cycle through non-multiple-of-
+    MCU edges (including widths between 8 and 16, where the luma grid
+    is wider than the visible raster), every 4th image carries DRI=2
+    restart markers (restart resets now span 6-block 4:2:0 MCUs), and
+    every 7th row is a truncated header-only blob that must yield
+    NULLs."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ids.append(d)
+                if d % 7 == 0:
+                    blobs.append(bytes.fromhex("FFD8FFE0") + b"\x00" * 50)
+                    continue
+                w, h = 6 + d % 19, 5 + d % 17
+                fv = 1 if d % 3 == 0 else 2  # 4:2:2 vs 4:2:0
+                mcux = (w + 15) // 16
+                mcuy = (h + 8 * fv - 1) // (8 * fv)
+
+                def plane(nbx, nby, f):
+                    out = []
+                    for i in range(nbx * nby):
+                        tx, ty = i % nbx, i // nbx
+                        blk = [[0] * 8 for _ in range(8)]
+                        blk[0][0] = f(tx, ty) - 128
+                        out.append(blk)
+                    return out
+
+                ys = plane(mcux * 2, mcuy * fv,
+                           lambda tx, ty: (d + 5 * tx + 9 * ty) % 256)
+                cbs = plane(mcux, mcuy,
+                            lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256)
+                crs = plane(mcux, mcuy,
+                            lambda tx, ty: (3 * d + tx + 11 * ty) % 256)
+                blobs.append(encode_jpeg(
+                    [ys, cbs, crs], w, h,
+                    restart_interval=2 if d % 4 == 0 else 0,
+                    sampling=[(2, fv), (1, 1), (1, 1)]))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
+
+
+@register(
+    "d5_jpeg_pixels_420",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             6 + doc_id % 19 AS w,
+             5 + doc_id % 17 AS h,
+             doc_id % 7 = 0 AS is_bad,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS fv
+      FROM documents),
+    grid AS (
+      SELECT media_id, w, h, fv,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(25) gx, range(22) gy
+      WHERE NOT is_bad AND gx.range < w AND gy.range < h),
+    tiles AS (
+      SELECT media_id, w, h, x, y,
+             (media_id + 5 * (x // 8) + 9 * (y // 8)) % 256 AS yv,
+             (2 * media_id + 7 * (x // 16)
+                + 3 * (y // (8 * fv))) % 256 AS cb,
+             (3 * media_id + (x // 16)
+                + 11 * (y // (8 * fv))) % 256 AS cr
+      FROM grid),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             LEAST(255, GREATEST(0, CAST(floor(
+               yv + 1.402 * (cr - 128) + 0.5) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, CAST(floor(
+               yv - 0.344136 * (cb - 128)
+                  - 0.714136 * (cr - 128) + 0.5) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, CAST(floor(
+               yv + 1.772 * (cb - 128) + 0.5) AS BIGINT))) AS b
+      FROM tiles),
+    agg AS (
+      SELECT media_id, w AS width, h AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((y * w + x) * r) AS BIGINT) AS wsum_r,
+             CAST(sum(CASE WHEN x = 0 AND y = 0
+                      THEN r * 65536 + g * 256 + b END) AS BIGINT) AS p00
+      FROM px GROUP BY media_id, w, h)
+    SELECT p.media_id, a.width, a.height, a.n_pixels,
+           a.sum_r, a.sum_g, a.sum_b, a.wsum_r, a.p00
+    FROM p LEFT JOIN agg a ON p.media_id = a.media_id
+    """,
+    doc="D5: CHROMA-SUBSAMPLED baseline JPEG decode — 4:2:0 (the "
+    "default output of libjpeg-family encoders, i.e. the majority "
+    "profile in any scraped-image corpus) and 4:2:2 — with NO codec "
+    "library (operators/multimodal.py:_decode_jpeg_rgb, sampling-"
+    "factor support new in r13). What d5_jpeg_pixels pins for 4:4:4, "
+    "this pins for the interleaved-MCU geometry: per-component "
+    "sampling factors from the SOF, 2x2-luma + Cb + Cr block "
+    "interleave per MCU, per-component DPCM predictor chains, "
+    "restart resets spanning 6-block MCUs, and EXACT pixel-"
+    "replication chroma upsampling (an aligned 16x16 or 16x8 box per "
+    "chroma sample — an integer-exact convention a SQL oracle can "
+    "state, unlike libjpeg's fancy upsampling filter). Exactness by "
+    "CONSTRUCTION as in d5_jpeg_pixels: DC-only blocks with the "
+    "all-8s quant table decode to flat tiles, so the oracle states "
+    "luma per 8x8 box and chroma per upsampled box in closed form, "
+    "and floor(x + 0.5) on IEEE float64 matches bit-for-bit across "
+    "engines. The r13 decoder rewrite this rides on also closed the "
+    "r12 ADVICE items: the bit accumulator is truncated after every "
+    "consume (O(stream) not O(n^2)), symbols resolve via 16-bit-peek "
+    "LUTs (not one dict probe per bit), and the marker walk has no "
+    "segment-count cap (split ICC profiles can carry hundreds of "
+    "APP2 segments). Scale posture: per-blob Python inside ONE "
+    "Arrow-batched mapInPandas pass, no shuffle, fan-out 1:1.",
+)
+def d5_jpeg_pixels_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+
+    return bmp_pixel_stats(_jpeg420_media_fixture(spark, sf_dir))
 
 
 def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

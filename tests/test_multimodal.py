@@ -1085,6 +1085,144 @@ def test_jpeg_decode_dc_closed_form_property():
     check()
 
 
+def test_jpeg_decode_420_closed_form_property():
+    """Hypothesis: DC-only 4:2:0 and 4:2:2 color JPEGs (the dominant
+    wild profiles, supported since r13) decode to EXACTLY the
+    closed-form tiles — the per-component MCU block layout (2x2 luma
+    + 1 Cb + 1 Cr per MCU for 4:2:0), the interleave order, DPCM
+    predictors PER COMPONENT (luma's predictor chains across the 4
+    blocks of each MCU), restart resets, and the exact-replication
+    chroma upsample are all on the line. Luma tiles are 8x8, chroma
+    tiles cover 16x16 (4:2:0) or 16x8 (4:2:2) aligned pixel boxes."""
+    import math
+
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 37),      # width (crosses 8/16/32 block edges)
+        st.integers(1, 35),      # height
+        st.integers(0, 2 ** 20),  # seed
+        st.booleans(),            # True = 4:2:0, False = 4:2:2
+        st.sampled_from([0, 1, 2, 3]),  # restart interval (MCUs)
+    )
+    @example(17, 17, 0, True, 1)   # odd dims + restart every MCU
+    @example(16, 16, 7, True, 0)   # exact MCU grid
+    @example(1, 1, 3, False, 0)    # single pixel, padded MCU
+    def check(w, h, seed, is420, ri):
+        fv = 2 if is420 else 1
+        mcux = (w + 15) // 16
+        mcuy = (h + 8 * fv - 1) // (8 * fv)
+
+        def tile(nbx, nby, f):
+            out = []
+            for i in range(nbx * nby):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = f(i % nbx, i // nbx) - 128
+                out.append(blk)
+            return out
+
+        yf = lambda tx, ty: (seed + 5 * tx + 9 * ty) % 256
+        cbf = lambda tx, ty: (2 * seed + 7 * tx + 3 * ty) % 256
+        crf = lambda tx, ty: (3 * seed + tx + 11 * ty) % 256
+        comps = [
+            tile(mcux * 2, mcuy * fv, yf),
+            tile(mcux, mcuy, cbf),
+            tile(mcux, mcuy, crf),
+        ]
+        samp = [(2, fv), (1, 1), (1, 1)]
+        dec = M._decode_jpeg_rgb(encode_jpeg(
+            comps, w, h, restart_interval=ri, sampling=samp))
+        assert dec is not None
+        gw, gh, px = dec
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                yv = yf(x // 8, y // 8)
+                cb = cbf(x // 16, y // (8 * fv))
+                cr = crf(x // 16, y // (8 * fv))
+                want = (
+                    min(255, max(0, math.floor(
+                        yv + 1.402 * (cr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(
+                        yv - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(
+                        yv + 1.772 * (cb - 128.0) + 0.5))),
+                )
+                got = tuple(int(v) for v in px[y, x])
+                assert got == want, ((x, y), got, want)
+
+    check()
+
+
+def test_jpeg_restart_interval_property():
+    """Hypothesis restart-marker battery (the r12 verdict ask): over
+    randomized restart intervals x MCU-grid sizes x sampling modes x
+    SPARSE random AC content, a stream encoded WITH restarts must
+    decode to pixels IDENTICAL to the same blocks encoded WITHOUT
+    restarts — restart insertion (byte-align padding, RSTn sequence,
+    per-component predictor resets) must be pixel-neutral. This is an
+    exact self-consistency oracle, so AC float rounding cannot blur
+    it: both decodes share one IDCT path. Also crosses the RST0-RST7
+    wraparound (grids of up to 5x5=25 MCUs at interval 1)."""
+    import random as rnd
+
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 40),            # width
+        st.integers(1, 40),            # height
+        st.integers(1, 9),             # restart interval (MCUs)
+        st.sampled_from(["gray", "444", "422", "420"]),
+        st.integers(0, 2 ** 30),       # AC content seed
+    )
+    @example(40, 40, 1, "420", 0)      # 9 restarts: full RSTn wrap
+    @example(33, 33, 3, "gray", 1)     # 25 MCUs, interval 3
+    def check(w, h, ri, mode, seed):
+        r = rnd.Random(seed)
+        samp = {
+            "gray": [(1, 1)],
+            "444": [(1, 1)] * 3,
+            "422": [(2, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)],
+        }[mode]
+        hmax = max(s for s, _ in samp)
+        vmax = max(s for _, s in samp)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+        def blocks(n):
+            out = []
+            for _ in range(n):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = r.randint(-128, 127)
+                for _ in range(r.randint(0, 6)):
+                    p = r.randrange(1, 64)
+                    blk[p // 8][p % 8] = r.choice(
+                        [-1, 1]) * r.randint(1, 200)
+                out.append(blk)
+            return out
+
+        comps = [blocks((mcuy * sv) * (mcux * sh)) for sh, sv in samp]
+        plain = M._decode_jpeg_rgb(encode_jpeg(comps, w, h, sampling=samp))
+        with_rst = M._decode_jpeg_rgb(encode_jpeg(
+            comps, w, h, restart_interval=ri, sampling=samp))
+        assert plain is not None and with_rst is not None
+        assert plain[:2] == with_rst[:2] == (w, h)
+        assert np.array_equal(plain[2], with_rst[2])
+
+    check()
+
+
 def test_jpeg_decode_ac_roundtrip_vs_naive_idct_property():
     """Hypothesis: grayscale JPEGs with random SPARSE AC coefficients
     decode to the same pixels as an independent double-loop textbook
@@ -1170,7 +1308,18 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     i = good.index(b"\xff\xc0")
     assert M._decode_jpeg_rgb(
         good[:i + 4] + bytes([12]) + good[i + 5:]) is None
-    # component 1 sampling 0x11 -> 0x22 (subsampled)
+    # NON-DIVISOR sampling mix (3x1 luma vs 2x1 chroma: hmax=3 is not
+    # divisible by 2, so exact-replication upsampling cannot apply) —
+    # rejected at the SOF parse; 2x2 / 2x1 subsampling itself is
+    # SUPPORTED since r13 (test_jpeg_decode_420_closed_form)
+    assert M._decode_jpeg_rgb(
+        good[:i + 11] + bytes([0x31]) + good[i + 12:i + 14]
+        + bytes([0x21]) + good[i + 15:]) is None
+    # sampling factor 0 is out of spec
+    assert M._decode_jpeg_rgb(
+        good[:i + 11] + bytes([0x01]) + good[i + 12:]) is None
+    # a 4:2:0 SOF over a 4:4:4-shaped entropy stream starves the MCU
+    # walk (more blocks claimed than coded) -> None, not wrong pixels
     assert M._decode_jpeg_rgb(
         good[:i + 11] + bytes([0x22]) + good[i + 12:]) is None
     # truncated mid-entropy
