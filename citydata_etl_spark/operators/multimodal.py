@@ -157,90 +157,39 @@ def _decode_bmp24(blob) -> tuple | None:
     return width, height, px[:, :, ::-1]  # stored BGR -> RGB
 
 
-def _decode_png_rgb(blob) -> tuple | None:
-    """Decode one PNG to an (H, W, 3) uint8 RGB array using ONLY the
-    stdlib — zlib inflate + per-row filter reversal — one of the four
-    no-library raster decoders (BMP/PNG/GIF/JPEG; no stub boundary
-    remains as of r12). Returns (width, height, pixels) or None for
-    non-PNG / unsupported / corrupt blobs.
+#: Adam7 interlace passes, PNG-spec order: (x0, y0, dx, dy). Shared by
+#: the decoder's pass walk and the fixture encoder (queries_llm.
+#: encode_png) so the two cannot drift on pass geometry.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Supported: 8-bit-depth truecolor (color type 2) and truecolor+
-    alpha (type 6, alpha dropped), non-interlaced, the five standard
-    row filters (None/Sub/Up/Average/Paeth). Every chunk's CRC32 is
-    verified (the tar-walk convention: reject forgeries rather than
-    trust lengths), IDAT chunks concatenate before one inflate, and
-    the inflated length must equal (stride+1)*height exactly.
+
+def _png_unfilter(raw, width: int, height: int, bpp: int):
+    """Reverse the five standard PNG row filters over ONE (sub)image's
+    filtered scanlines (`raw` must be exactly (width*bpp + 1) * height
+    bytes — the caller slices it). For a non-interlaced PNG that is
+    the whole raster; for Adam7 each of the seven passes is its own
+    independently-filtered sub-image (predictors never cross a pass
+    boundary), so the decoder calls this once per non-empty pass.
+    Returns the reconstructed (height, width*bpp) uint8 array or None
+    on an unknown filter type.
 
     Vectorization: None and Up rows are whole-row numpy; Sub is a
     per-channel-lane prefix sum (cumsum mod 256 — byte addition is
     linear, so the recurrence IS a prefix sum); Average and Paeth are
     genuinely sequential (each byte needs the reconstructed left AND
     up neighbors) and run as bounded per-byte loops on exactly the
-    rows that use them. Production posture at 100 TB: the decode is
-    per-blob inside Arrow-batched mapInPandas — parallelism comes
-    from partitions, not from within a row."""
-    import zlib
-
+    rows that use them."""
     import numpy as np
 
-    sig = b"\x89PNG\r\n\x1a\n"
-    if blob is None or len(blob) < 8 or bytes(blob[:8]) != sig:
-        return None
-    width = height = channels = None
-    idat = bytearray()
-    seen_iend = False
-    pos = 8
-    while pos + 8 <= len(blob):
-        ln = int.from_bytes(blob[pos:pos + 4], "big")
-        ctype = bytes(blob[pos + 4:pos + 8])
-        dstart, dend = pos + 8, pos + 8 + ln
-        if dend + 4 > len(blob):
-            return None  # truncated chunk
-        data = bytes(blob[dstart:dend])
-        crc = int.from_bytes(blob[dend:dend + 4], "big")
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            return None  # corrupt chunk (checksum-verified walk)
-        if ctype == b"IHDR":
-            if ln != 13:
-                return None
-            width = int.from_bytes(data[0:4], "big")
-            height = int.from_bytes(data[4:8], "big")
-            depth, color, comp, filt, interlace = data[8:13]
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                return None
-            if color == 2:
-                channels = 3
-            elif color == 6:
-                channels = 4
-            else:
-                return None  # palette/gray: out of scope, disclosed
-            if width <= 0 or height <= 0:
-                return None
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            seen_iend = True
-            break
-        pos = dend + 4
-    if width is None or not idat or not seen_iend:
-        return None
-    bpp = channels
     stride = width * bpp
-    expected = (stride + 1) * height
-    # Untrusted-media posture: IHDR fixes the exact inflated size, so
-    # bound BOTH the claimed dimensions and the inflater's output
-    # before allocating — a crafted IDAT (decompression bomb) must not
-    # be able to expand past expected+1 bytes, and a forged IHDR must
-    # not be able to claim a multi-GiB raster from a tiny blob.
-    if expected > _PNG_MAX_RAW_BYTES:
-        return None
-    try:
-        inflater = zlib.decompressobj()
-        raw = inflater.decompress(bytes(idat), expected + 1)
-    except zlib.error:
-        return None
-    if len(raw) != expected or inflater.unconsumed_tail or not inflater.eof:
-        return None  # truncated, oversized, or bomb-capped stream
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = scan[:, 0]
     rows = scan[:, 1:].astype(np.int64)
@@ -278,8 +227,122 @@ def _decode_png_rgb(blob) -> tuple | None:
             return None  # unknown filter type
         recon[y] = line
         prev = line.astype(np.int64)
-    px = recon.reshape(height, width, bpp)[:, :, :3]
-    return width, height, px
+    return recon
+
+
+def _decode_png_rgb(blob) -> tuple | None:
+    """Decode one PNG to an (H, W, 3) uint8 RGB array using ONLY the
+    stdlib — zlib inflate + per-row filter reversal — one of the four
+    no-library raster decoders (BMP/PNG/GIF/JPEG; no stub boundary
+    remains as of r12). Returns (width, height, pixels) or None for
+    non-PNG / unsupported / corrupt blobs.
+
+    Supported: 8-bit-depth truecolor (color type 2) and truecolor+
+    alpha (type 6, alpha dropped), non-interlaced AND Adam7-
+    interlaced (since r13: the seven passes are independently
+    filtered sub-images scattered onto the raster on a (x0 + j*dx,
+    y0 + i*dy) grid — `_ADAM7_PASSES`; empty passes, which any
+    dimension < 5 produces, contribute zero scanlines per the spec),
+    the five standard row filters (None/Sub/Up/Average/Paeth). Every
+    chunk's CRC32 is verified (the tar-walk convention: reject
+    forgeries rather than trust lengths), IDAT chunks concatenate
+    before one inflate, and the inflated length must equal the exact
+    filtered-raster byte count (per-pass sum when interlaced).
+
+    Production posture at 100 TB: the decode is per-blob inside
+    Arrow-batched mapInPandas — parallelism comes from partitions,
+    not from within a row."""
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if blob is None or len(blob) < 8 or bytes(blob[:8]) != sig:
+        return None
+    width = height = channels = None
+    interlace = 0
+    idat = bytearray()
+    seen_iend = False
+    pos = 8
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = bytes(blob[pos + 4:pos + 8])
+        dstart, dend = pos + 8, pos + 8 + ln
+        if dend + 4 > len(blob):
+            return None  # truncated chunk
+        data = bytes(blob[dstart:dend])
+        crc = int.from_bytes(blob[dend:dend + 4], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk (checksum-verified walk)
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if depth != 8 or comp != 0 or filt != 0 or interlace > 1:
+                return None
+            if color == 2:
+                channels = 3
+            elif color == 6:
+                channels = 4
+            else:
+                return None  # palette/gray: out of scope, disclosed
+            if width <= 0 or height <= 0:
+                return None
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos = dend + 4
+    if width is None or not idat or not seen_iend:
+        return None
+    bpp = channels
+    stride = width * bpp
+    if interlace == 0:
+        pass_dims = None
+        expected = (stride + 1) * height
+    else:
+        pass_dims = [
+            ((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7_PASSES
+        ]
+        expected = sum(
+            (pw * bpp + 1) * ph for pw, ph in pass_dims if pw and ph
+        )
+    # Untrusted-media posture: IHDR fixes the exact inflated size, so
+    # bound BOTH the claimed dimensions and the inflater's output
+    # before allocating — a crafted IDAT (decompression bomb) must not
+    # be able to expand past expected+1 bytes, and a forged IHDR must
+    # not be able to claim a multi-GiB raster from a tiny blob.
+    if expected > _PNG_MAX_RAW_BYTES:
+        return None
+    try:
+        inflater = zlib.decompressobj()
+        raw = inflater.decompress(bytes(idat), expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected or inflater.unconsumed_tail or not inflater.eof:
+        return None  # truncated, oversized, or bomb-capped stream
+    if interlace == 0:
+        recon = _png_unfilter(raw, width, height, bpp)
+        if recon is None:
+            return None
+        px = recon.reshape(height, width, bpp)
+    else:
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7_PASSES, pass_dims):
+            if pw == 0 or ph == 0:
+                continue  # the pass has no pixels at these dims
+            nb = (pw * bpp + 1) * ph
+            sub = _png_unfilter(raw[off:off + nb], pw, ph, bpp)
+            if sub is None:
+                return None
+            off += nb
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    return width, height, px[:, :, :3]
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int,

@@ -3716,42 +3716,67 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(px_rows, channels: int, filters, split_idat: bool = False):
+def encode_png(px_rows, channels: int, filters, split_idat: bool = False,
+               interlace: bool = False):
     """Encode a genuine PNG from raw pixel rows (list of rows, each a
     flat list of channel bytes), applying the given per-row filter
     types FORWARD (enc = raw - predictor mod 256) so the decoder must
     actually reverse them. channels: 3 (RGB) or 4 (RGBA).
     split_idat=True emits the compressed stream as TWO IDAT chunks —
-    decoders must concatenate before inflating. Synthesis-only
-    per-byte Python over <=48-px images; the OPERATOR decodes
-    vectorized (operators/multimodal.py:_decode_png_rgb)."""
+    decoders must concatenate before inflating. interlace=True emits
+    Adam7: the seven passes (geometry shared with the decoder via
+    multimodal._ADAM7_PASSES) are extracted on the (x0 + j*dx,
+    y0 + i*dy) grids and each pass is filtered as an INDEPENDENT
+    sub-image (predictors reset per pass); `filters` then indexes the
+    emitted scanlines in pass order. Synthesis-only per-byte Python
+    over <=48-px images; the OPERATOR decodes vectorized
+    (operators/multimodal.py:_decode_png_rgb)."""
     import zlib
+
+    from citydata_etl_spark.operators.multimodal import _ADAM7_PASSES
 
     h = len(px_rows)
     stride = len(px_rows[0])
     w = stride // channels
     raw = bytearray()
-    prev = [0] * stride
-    for y in range(h):
-        row = list(px_rows[y])
-        f = filters[y]
-        raw.append(f)
-        for x in range(stride):
-            left = row[x - channels] if x >= channels else 0
-            up = prev[x]
-            upleft = prev[x - channels] if x >= channels else 0
-            if f == 0:
-                enc = row[x]
-            elif f == 1:
-                enc = (row[x] - left) % 256
-            elif f == 2:
-                enc = (row[x] - up) % 256
-            elif f == 3:
-                enc = (row[x] - (left + up) // 2) % 256
-            else:
-                enc = (row[x] - _paeth(left, up, upleft)) % 256
-            raw.append(enc)
-        prev = row
+    n_emitted = [0]  # scanline counter across passes, indexes filters
+
+    def emit_subimage(rows):
+        prev = [0] * len(rows[0])
+        for row in rows:
+            f = filters[n_emitted[0]]
+            n_emitted[0] += 1
+            raw.append(f)
+            for x in range(len(row)):
+                left = row[x - channels] if x >= channels else 0
+                up = prev[x]
+                upleft = prev[x - channels] if x >= channels else 0
+                if f == 0:
+                    enc = row[x]
+                elif f == 1:
+                    enc = (row[x] - left) % 256
+                elif f == 2:
+                    enc = (row[x] - up) % 256
+                elif f == 3:
+                    enc = (row[x] - (left + up) // 2) % 256
+                else:
+                    enc = (row[x] - _paeth(left, up, upleft)) % 256
+                raw.append(enc)
+            prev = row
+
+    if not interlace:
+        emit_subimage([list(r) for r in px_rows])
+    else:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = []
+            for y in range(y0, h, dy):
+                row = []
+                for x in range(x0, w, dx):
+                    row.extend(px_rows[y][x * channels:(x + 1) * channels])
+                if row:
+                    sub.append(row)
+            if sub:
+                emit_subimage(sub)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
@@ -3762,7 +3787,7 @@ def encode_png(px_rows, channels: int, filters, split_idat: bool = False):
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 2 if channels == 3 else 6, 0, 0, 0])
+        + bytes([8, 2 if channels == 3 else 6, 0, 0, 1 if interlace else 0])
     )
     comp = zlib.compress(bytes(raw))
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -4530,6 +4555,114 @@ def d5_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
 
     return bmp_pixel_stats(_png_media_fixture(spark, sf_dir))
+
+
+def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared blob fixture for d5_png_adam7: GENUINE Adam7-INTERLACED
+    PNGs. Same closed-form pixel forms as _png_media_fixture, but
+    dims cycle 4..18 x 3..16 so the seven interlace passes range from
+    'most passes empty' (w or h < 5) to 'all seven populated'
+    (>= 9x9) — the pass-geometry edge grid. The scanline filter type
+    cycles (doc_id + k) % 5 over the PASS-ORDER scanline index k, so
+    filter reversal is exercised against per-pass predictor resets
+    (a filter chain that leaks state across a pass boundary breaks
+    parity). Every 3rd image carries an alpha decoy, every 4th splits
+    the stream across two IDAT chunks, every 7th row is a JPEG header
+    that must yield NULLs."""
+    import pandas as pd
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ids.append(d)
+                if d % 7 == 0:
+                    blobs.append(bytes.fromhex("FFD8FFE0") + b"\x00" * 50)
+                    continue
+                w, h = 4 + d % 15, 3 + d % 14
+                ch = 4 if d % 3 == 0 else 3
+                rows = []
+                for y in range(h):
+                    row = []
+                    for x in range(w):
+                        row.append((d + 3 * x + 7 * y) % 256)
+                        row.append((2 * d + 5 * x + 11 * y + 1) % 256)
+                        row.append((3 * d + x + 13 * y + 2) % 256)
+                        if ch == 4:
+                            row.append((d + x + y) % 256)
+                    rows.append(row)
+                # total pass scanlines = sum of the seven pass heights
+                # = (2/8 + 1/8 + 2/4 + 1/4 + 2/2 + 1/2)h + ceil slack
+                # < 2h + 7, so 2h + 8 over-provisions the filter cycle
+                filters = [(d + k) % 5 for k in range(2 * h + 8)]
+                blobs.append(encode_png(rows, ch, filters,
+                                        split_idat=d % 4 == 0,
+                                        interlace=True))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
+
+
+@register(
+    "d5_png_adam7",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 15 AS w,
+             3 + doc_id % 14 AS h,
+             doc_id % 7 = 0 AS is_jpeg
+      FROM documents),
+    grid AS (
+      SELECT media_id, w, h,
+             CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
+      FROM p, range(19) gx, range(17) gy
+      WHERE NOT is_jpeg AND gx.range < w AND gy.range < h),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             (media_id + 3 * x + 7 * y) % 256 AS r,
+             (2 * media_id + 5 * x + 11 * y + 1) % 256 AS g,
+             (3 * media_id + x + 13 * y + 2) % 256 AS b
+      FROM grid),
+    agg AS (
+      SELECT media_id, w AS width, h AS height,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((y * w + x) * r) AS BIGINT) AS wsum_r,
+             CAST(sum(CASE WHEN x = 0 AND y = 0
+                      THEN r * 65536 + g * 256 + b END) AS BIGINT) AS p00
+      FROM px GROUP BY media_id, w, h)
+    SELECT p.media_id, a.width, a.height, a.n_pixels,
+           a.sum_r, a.sum_g, a.sum_b, a.wsum_r, a.p00
+    FROM p LEFT JOIN agg a ON p.media_id = a.media_id
+    """,
+    doc="D5: Adam7-INTERLACED PNG decode (supported since r13 — the "
+    "last common raster profile the no-library decoders lacked): the "
+    "seven passes are independently-filtered sub-images scattered "
+    "onto the raster on (x0 + j*dx, y0 + i*dy) grids "
+    "(operators/multimodal.py:_ADAM7_PASSES / _png_unfilter / "
+    "_decode_png_rgb). What d5_png_pixels pins for the straight "
+    "scanline order, this pins for the interlaced geometry: per-pass "
+    "expected-length accounting (empty passes at dims < 5 contribute "
+    "ZERO scanlines — an off-by-one here shifts every later pass), "
+    "per-pass filter-predictor resets, and the scatter stride. "
+    "Pixels are the same closed forms as d5_png_pixels, so the "
+    "oracle states raw pixels only and any interlace bug breaks "
+    "parity; the fixture's dims (4..18 x 3..16) sweep 'most passes "
+    "empty' through 'all seven populated'. Alpha decoys, split IDAT, "
+    "and JPEG NULL rows as in the straight fixture; DEFLATE bomb "
+    "ceiling applies to the per-pass SUM. Scale posture: per-blob "
+    "stdlib decode inside ONE Arrow-batched mapInPandas pass, no "
+    "shuffle, fan-out 1:1.",
+)
+def d5_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+
+    return bmp_pixel_stats(_png_adam7_media_fixture(spark, sf_dir))
 
 
 def _video_tar_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

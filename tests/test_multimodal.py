@@ -784,6 +784,51 @@ def test_png_decode_roundtrip_all_filters_property():
     check()
 
 
+def test_png_adam7_matches_straight_decode_property():
+    """Hypothesis: the SAME random raster encoded Adam7-interlaced and
+    straight decodes to IDENTICAL pixels — pass extraction geometry,
+    per-pass expected-length accounting (empty passes at dims < 5),
+    per-pass filter-predictor resets, and the scatter stride are all
+    on the line. Dims sweep 1..18 so every subset of the seven passes
+    being empty occurs; filters vary per pass-order scanline."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 18),  # width
+        st.integers(1, 17),  # height
+        st.sampled_from([3, 4]),
+        st.integers(0, 2 ** 30),  # pixel seed
+        st.booleans(),            # split IDAT
+    )
+    @example(1, 1, 3, 0, False)    # only pass 1 non-empty
+    @example(4, 4, 3, 1, False)    # passes 1,4,5,6,7 only
+    @example(5, 5, 4, 2, True)     # first dims where pass 2 appears
+    @example(8, 8, 3, 3, False)    # exactly one full Adam7 tile
+    @example(9, 9, 3, 4, False)    # tile + 1-pixel fringe
+    def check(w, h, ch, seed, split):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        px = rng.randint(0, 256, size=(h, w, ch))
+        rows = [list(px[y].reshape(-1)) for y in range(h)]
+        straight = encode_png(
+            rows, ch, [(seed + y) % 5 for y in range(h)])
+        inter = encode_png(
+            rows, ch, [(seed + k) % 5 for k in range(2 * h + 8)],
+            split_idat=split, interlace=True)
+        ds = M._decode_png_rgb(straight)
+        di = M._decode_png_rgb(inter)
+        assert ds is not None and di is not None
+        assert ds[:2] == di[:2] == (w, h)
+        assert np.array_equal(ds[2], px[:, :, :3].astype(np.uint8))
+        assert np.array_equal(di[2], ds[2])
+
+    check()
+
+
 def test_png_decode_rejects_unsupported_and_corrupt():
     """The decode must return None (triage convention) for: corrupt
     chunk CRC, truncated blob, interlaced, 16-bit depth, palette
@@ -815,8 +860,14 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         with_ihdr(lambda b: b.__setitem__(24, 16))) is None  # 16-bit
     assert M._decode_png_rgb(
         with_ihdr(lambda b: b.__setitem__(25, 3))) is None  # palette
+    # interlace method 2 is out of spec (Adam7 = 1 is SUPPORTED since
+    # r13 — test_png_adam7_matches_straight_decode_property)
     assert M._decode_png_rgb(
-        with_ihdr(lambda b: b.__setitem__(28, 1))) is None  # interlaced
+        with_ihdr(lambda b: b.__setitem__(28, 2))) is None
+    # an Adam7 flag over a STRAIGHT-order stream mismatches the
+    # per-pass expected length -> None, not scrambled pixels
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(28, 1))) is None
 
 
 def test_png_decode_bounds_untrusted_inflate():
