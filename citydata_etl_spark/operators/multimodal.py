@@ -422,10 +422,12 @@ def _decode_gif_rgb(blob) -> tuple | None:
     stub boundary remains as of r12). Returns (width, height, pixels)
     or None for non-GIF / unsupported / corrupt blobs.
 
-    Supported: the FIRST image of a non-interlaced GIF whose frame
-    covers the full logical screen, global or local color table,
-    extensions skipped (sub-block walk). Out of scope (None):
-    interlaced frames, partial frames, missing color table, malformed
+    Supported: the FIRST image of a GIF whose frame covers the full
+    logical screen, global or local color table, extensions skipped
+    (sub-block walk), interlaced frames (since r13: the four-pass row
+    order — 0 mod 8, 4 mod 8, 2 mod 4, odd — is undone with one
+    fancy-index scatter after the LZW decode). Out of scope (None):
+    partial frames, missing color table, malformed
     LZW streams, truncation anywhere. Transparency is ignored — the
     transparent index still maps to its table color, the documented
     convention for stats over stills.
@@ -488,8 +490,6 @@ def _decode_gif_rgb(blob) -> tuple | None:
                 b, dtype=np.uint8, count=3 * n, offset=pos
             ).reshape(n, 3)
             pos += 3 * n
-        if ipacked & 0x40:  # interlaced: out of scope, disclosed
-            return None
         if (left, top, iw, ih) != (0, 0, width, height):
             return None  # partial frame: out of scope
         if table is None:
@@ -516,6 +516,18 @@ def _decode_gif_rgb(blob) -> tuple | None:
         if arr.max(initial=0) >= len(table):
             return None
         px = table[arr].reshape(height, width, 3)
+        if ipacked & 0x40:  # interlaced (since r13): rows are stored
+            # in the four GIF passes (0 mod 8, 4 mod 8, 2 mod 4,
+            # odd); scatter them back with one fancy-index
+            order = np.concatenate([
+                np.arange(0, height, 8),
+                np.arange(4, height, 8),
+                np.arange(2, height, 4),
+                np.arange(1, height, 2),
+            ])
+            out = np.empty_like(px)
+            out[order] = px
+            px = out
         return width, height, px
     return None
 

@@ -192,7 +192,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_format_sniff": 9,
     "d5_frame_sample": 12,
     "d5_gif_meta": 12,
-    "d5_gif_pixels": 12,
+    "d5_gif_pixels": 0,  # r13: fixture now mixes interlaced frames (decode support new)
     "d5_image_ahash": 10,
     "d5_image_neardup": 10,
     "d5_jpeg_meta": 11,

@@ -3877,19 +3877,30 @@ def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(px_rows, split_subblocks: bool = False) -> bytes:
+def encode_gif(px_rows, split_subblocks: bool = False,
+               interlace: bool = False) -> bytes:
     """Encode a genuine GIF89a from raw pixel rows (list of rows, each
     a list of (r, g, b) tuples): palette built from colors in first-
     appearance order (<= 256 distinct required), REAL LZW-compressed
     index stream, data split into <=255-byte sub-blocks
     (split_subblocks forces small sub-blocks so decoders must join
-    them). Full-frame, non-interlaced, global color table — exactly
-    the profile _decode_gif_rgb supports."""
+    them). interlace=True stores rows in the GIF four-pass order
+    (0 mod 8, 4 mod 8, 2 mod 4, odd) and sets the descriptor flag.
+    Full-frame, global color table — exactly the profile
+    _decode_gif_rgb supports."""
     h = len(px_rows)
     w = len(px_rows[0])
+    stored_rows = px_rows
+    if interlace:
+        stored_rows = (
+            [px_rows[y] for y in range(0, h, 8)]
+            + [px_rows[y] for y in range(4, h, 8)]
+            + [px_rows[y] for y in range(2, h, 4)]
+            + [px_rows[y] for y in range(1, h, 2)]
+        )
     palette: dict[tuple, int] = {}
     idx = []
-    for row in px_rows:
+    for row in stored_rows:
         for c in row:
             if c not in palette:
                 palette[c] = len(palette)
@@ -3911,7 +3922,7 @@ def encode_gif(px_rows, split_subblocks: bool = False) -> bytes:
     out += b"\x21\xfe\x05fixed\x00"
     out += b"\x2c" + b"\x00\x00\x00\x00"
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0x00)  # no LCT, not interlaced
+    out.append(0x40 if interlace else 0x00)  # no LCT; interlace flag
     out.append(mcs)
     step = 7 if split_subblocks else 255
     for s in range(0, len(lzw), step):
@@ -4091,8 +4102,11 @@ def _gif_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (real LZW streams, palette in first-appearance order, a comment
     extension the walk must skip) with the SAME closed-form pixels as
     the PNG fixture, dims cycling by doc_id, every 4th image's data
-    split into tiny sub-blocks (decoders must concatenate), and a
-    JPEG header blob every 7th row that must yield NULLs."""
+    split into tiny sub-blocks (decoders must concatenate), every 5th
+    image INTERLACED (four-pass row order the decode must undo —
+    supported since r13; pixels unchanged, so the oracle is blind to
+    the storage order and any reorder bug breaks parity), and a JPEG
+    header blob every 7th row that must yield NULLs."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4118,7 +4132,8 @@ def _gif_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     for y in range(h)
                 ]
-                blobs.append(encode_gif(rows, split_subblocks=d % 4 == 0))
+                blobs.append(encode_gif(rows, split_subblocks=d % 4 == 0,
+                                        interlace=d % 5 == 0))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")

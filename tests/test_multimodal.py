@@ -1050,10 +1050,60 @@ def test_gif_lzw_roundtrip_property():
     check()
 
 
+def test_gif_interlace_roundtrip_property():
+    """Hypothesis: the SAME random raster encoded GIF-interlaced
+    (four-pass row order: 0 mod 8, 4 mod 8, 2 mod 4, odd) and
+    straight decodes to IDENTICAL pixels, both equal to the raw
+    raster — the encoder's pass extraction and the decoder's
+    fancy-index scatter must be exact inverses at every height,
+    including heights where later passes are empty (h <= 4) and the
+    h=1/h=2 identity edge."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_gif
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 12),       # width
+        st.integers(1, 20),       # height (crosses all four passes)
+        st.integers(0, 2 ** 30),  # pixel seed
+        st.booleans(),            # split sub-blocks
+    )
+    @example(1, 1, 0, False)
+    @example(2, 2, 1, False)    # identity permutation edge
+    @example(3, 5, 2, False)    # passes 1,3,4 populated, pass 2 empty
+    @example(4, 9, 3, True)     # first height with two pass-1 rows
+    @example(5, 16, 4, False)   # all passes multi-row
+    def check(w, h, seed, split):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        # <= 16 distinct colors so any dims fit one palette
+        px = rng.randint(0, 16, size=(h, w, 3)) * 16
+        rows = [[tuple(int(v) for v in px[y, x]) for x in range(w)]
+                for y in range(h)]
+        straight = M._decode_gif_rgb(
+            encode_gif(rows, split_subblocks=split))
+        inter = M._decode_gif_rgb(
+            encode_gif(rows, split_subblocks=split, interlace=True))
+        assert straight is not None and inter is not None
+        assert straight[:2] == inter[:2] == (w, h)
+        assert np.array_equal(straight[2], px.astype(np.uint8))
+        assert np.array_equal(inter[2], straight[2])
+
+    check()
+
+
 def test_gif_decode_rejects_unsupported_and_corrupt(spark):
     """None (triage convention) for: truncated, bad signature,
-    interlaced, zero-dim header, partial frame, missing sub-block
-    terminator — never raise, never wrong pixels."""
+    zero-dim header, partial frame, missing sub-block terminator —
+    never raise, never wrong pixels. (Interlaced frames are SUPPORTED
+    since r13 — test_gif_interlace_roundtrip_property drives the
+    four-pass reorder; here we only pin that the flag on a 2-row
+    image is the identity permutation, the smallest honest check that
+    the flag is READ rather than rejected.)"""
+    import numpy as np
+
     from citydata_etl_spark.plans.queries_llm import encode_gif
 
     good = encode_gif([[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (1, 2, 3)]])
@@ -1061,8 +1111,10 @@ def test_gif_decode_rejects_unsupported_and_corrupt(spark):
     assert M._decode_gif_rgb(good[:-4]) is None
     assert M._decode_gif_rgb(b"\x00" + good[1:]) is None
     b2 = bytearray(good)
-    b2[bytes(b2).index(0x2C) + 9] |= 0x40  # interlace flag
-    assert M._decode_gif_rgb(bytes(b2)) is None
+    b2[bytes(b2).index(0x2C) + 9] |= 0x40  # interlace flag, h=2:
+    dec = M._decode_gif_rgb(bytes(b2))     # passes are [row0],[row1]
+    assert dec is not None
+    assert np.array_equal(dec[2], M._decode_gif_rgb(good)[2])
     assert M._decode_gif_rgb(b"GIF89a" + b"\x00" * 40) is None
     b3 = bytearray(good)
     i = bytes(b3).index(0x2C)
