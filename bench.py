@@ -247,6 +247,12 @@ HEADLINE = [
     # fixtures); TPC-H Q21 shape (semi+anti on the same fact table)
     "d5_jpeg_pixels",
     "q21_waiting_suppliers",
+    # round-13 additions: chroma-subsampled JPEG decode (4:2:0/4:2:2,
+    # the dominant wild profiles, over the O(stream) bit reader +
+    # 16-bit-peek Huffman LUTs); Adam7-interlaced PNG decode (per-pass
+    # unfilter + scatter)
+    "d5_jpeg_pixels_420",
+    "d5_png_adam7",
 ]
 
 

@@ -7,10 +7,10 @@ EVERY supported format: uncompressed BMP, DEFLATE-coded PNG (stdlib
 zlib + filter reversal), LZW-coded GIF, and — since r12 — baseline
 DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
 chroma upsampling + JFIF color convert, all implemented here; 4:2:0 /
-4:2:2 subsampling — the dominant wild profiles — since r13). No stub
-boundary remains; unsupported PROFILES (progressive JPEG, non-divisor
-sampling mixes, interlaced GIF) return NULL per the decode triage
-convention.
+4:2:2 subsampling and interlaced PNG/GIF — the remaining common wild
+profiles — since r13). No stub boundary remains; unsupported PROFILES
+(progressive JPEG, non-divisor sampling mixes, palette/gray PNG)
+return NULL per the decode triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -799,6 +799,11 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             return None
         order.append(ci)
         plan.append((hufftabs[(0, td)], hufftabs[(1, ta)], ch, cv))
+    if len(set(order)) != len(order):
+        # duplicate scan selectors (e.g. 1,1,2) would misassign the
+        # entropy stream across components — wrong pixels, not None,
+        # without this check (r13 review finding)
+        return None
 
     # --- entropy-coded segment: MSB-first bit reader with unstuffing.
     # Invariant (r12 ADVICE): acc holds EXACTLY nbits live bits —
@@ -882,10 +887,14 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             # byte-align, then consume the next RSTn in sequence
             nbits -= nbits % 8
             acc &= (1 << nbits) - 1
+            if nbits:
+                # a valid stream's pre-marker residue is ONLY the
+                # sub-byte pad (whole bytes were all consumed by
+                # symbols) — leftover whole bytes mean garbage was
+                # inserted before the RSTn (r13 review finding)
+                return None
             if marker_hit[0] is None:
                 fill()
-            # any whole bytes still buffered must be padding before
-            # the marker; the marker itself was seen by fill()
             mk = marker_hit[0]
             if mk != 0xD0 + expected_rst:
                 return None

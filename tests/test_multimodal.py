@@ -1434,6 +1434,13 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     j = good.index(b"\xff\xc4")
     seg_len = int.from_bytes(good[j + 2:j + 4], "big")
     assert M._decode_jpeg_rgb(good[:j] + good[j + 2 + seg_len:]) is None
+    # duplicate SOS component selectors (1,1,2) would misassign the
+    # entropy stream across components -> None, not wrong pixels
+    # (r13 review finding). SOS layout: FFDA len ns (cs tt)*ns ...
+    j = good.index(b"\xff\xda")
+    dup = bytearray(good)
+    dup[j + 7] = dup[j + 5]  # second selector := first
+    assert M._decode_jpeg_rgb(bytes(dup)) is None
     # restart markers out of sequence
     bw = bh = 2
     blks = []
@@ -1445,6 +1452,13 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
     p = bytes(rst).index(b"\xff\xd0")
     rst[p + 1] = 0xD6
     assert M._decode_jpeg_rgb(bytes(rst)) is None
+    # garbage whole bytes inserted before an in-sequence RSTn: a valid
+    # stream's pre-marker residue is only the sub-byte pad -> None
+    # (r13 review finding)
+    rst2 = bytearray(encode_jpeg([blks], 16, 16, restart_interval=1))
+    p = bytes(rst2).index(b"\xff\xd0")
+    assert M._decode_jpeg_rgb(
+        bytes(rst2[:p]) + b"\x5a\x5a" + bytes(rst2[p:])) is None
     # forged SOF dimensions: the untrusted-dimension gate must bound
     # the decoder's REAL float64-plane footprint BEFORE allocating —
     # a ~300-byte blob must not drive gigabyte allocations (r12
