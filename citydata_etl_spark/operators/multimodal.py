@@ -7,10 +7,11 @@ EVERY supported format: uncompressed BMP, DEFLATE-coded PNG (stdlib
 zlib + filter reversal), LZW-coded GIF, and — since r12 — baseline
 DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
 chroma upsampling + JFIF color convert, all implemented here; 4:2:0 /
-4:2:2 subsampling and interlaced PNG/GIF — the remaining common wild
-profiles — since r13). No stub boundary remains; unsupported PROFILES
-(progressive JPEG, non-divisor sampling mixes, palette/gray PNG)
-return NULL per the decode triage convention.
+4:2:2 subsampling, interlaced PNG/GIF, and palette/grayscale PNG —
+the remaining common wild profiles — since r13). No stub boundary
+remains; unsupported PROFILES (progressive JPEG, non-divisor sampling
+mixes, sub-byte/16-bit PNG depths) return NULL per the decode triage
+convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -237,14 +238,21 @@ def _decode_png_rgb(blob) -> tuple | None:
     remains as of r12). Returns (width, height, pixels) or None for
     non-PNG / unsupported / corrupt blobs.
 
-    Supported: 8-bit-depth truecolor (color type 2) and truecolor+
-    alpha (type 6, alpha dropped), non-interlaced AND Adam7-
-    interlaced (since r13: the seven passes are independently
-    filtered sub-images scattered onto the raster on a (x0 + j*dx,
-    y0 + i*dy) grid — `_ADAM7_PASSES`; empty passes, which any
-    dimension < 5 produces, contribute zero scanlines per the spec),
-    the five standard row filters (None/Sub/Up/Average/Paeth). Every
-    chunk's CRC32 is verified (the tar-walk convention: reject
+    Supported: 8-bit-depth truecolor (color type 2), truecolor+
+    alpha (type 6, alpha dropped), and — since r13 — grayscale
+    (type 0, replicated to R=G=B), grayscale+alpha (type 4, alpha
+    dropped), and palette-indexed (type 3, PNG8: indices resolve
+    through the PLTE chunk, which must be present, length 3*n for
+    1 <= n <= 256, and every decoded index must fall inside it —
+    an out-of-range index is corruption, not clamp material);
+    non-interlaced AND Adam7-interlaced (the seven passes are
+    independently filtered sub-images scattered onto the raster on a
+    (x0 + j*dx, y0 + i*dy) grid — `_ADAM7_PASSES`; empty passes,
+    which any dimension < 5 produces, contribute zero scanlines per
+    the spec), the five standard row filters (None/Sub/Up/Average/
+    Paeth). Sub-byte bit depths (1/2/4-bit packed gray or palette)
+    and 16-bit depth remain out of scope, returning None (disclosed).
+    Every chunk's CRC32 is verified (the tar-walk convention: reject
     forgeries rather than trust lengths), IDAT chunks concatenate
     before one inflate, and the inflated length must equal the exact
     filtered-raster byte count (per-pass sum when interlaced).
@@ -259,7 +267,8 @@ def _decode_png_rgb(blob) -> tuple | None:
     sig = b"\x89PNG\r\n\x1a\n"
     if blob is None or len(blob) < 8 or bytes(blob[:8]) != sig:
         return None
-    width = height = channels = None
+    width = height = channels = color = None
+    palette = None
     interlace = 0
     idat = bytearray()
     seen_iend = False
@@ -282,14 +291,25 @@ def _decode_png_rgb(blob) -> tuple | None:
             depth, color, comp, filt, interlace = data[8:13]
             if depth != 8 or comp != 0 or filt != 0 or interlace > 1:
                 return None
-            if color == 2:
+            if color in (0, 3):  # gray / palette-indexed: 1 byte/px
+                channels = 1
+            elif color == 4:  # gray + alpha
+                channels = 2
+            elif color == 2:
                 channels = 3
             elif color == 6:
                 channels = 4
             else:
-                return None  # palette/gray: out of scope, disclosed
+                return None
             if width <= 0 or height <= 0:
                 return None
+        elif ctype == b"PLTE":
+            # spec: length 3*n, 1 <= n <= 256, and PLTE precedes IDAT.
+            # Required for color type 3; a suggested-quantization PLTE
+            # on other color types is legal and ignored below.
+            if ln % 3 or not 3 <= ln <= 768 or idat:
+                return None
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -342,6 +362,16 @@ def _decode_png_rgb(blob) -> tuple | None:
                 return None
             off += nb
             px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if color == 3:
+        if palette is None:
+            return None  # indexed image without its PLTE: malformed
+        idx = px.reshape(height, width)
+        if int(idx.max()) >= len(palette):
+            return None  # index past the palette: corrupt, not clamp
+        return width, height, palette[idx]
+    if channels <= 2:  # gray / gray+alpha: replicate luma, drop alpha
+        g = px[:, :, 0]
+        return width, height, np.stack([g, g, g], axis=2)
     return width, height, px[:, :, :3]
 
 
@@ -993,9 +1023,11 @@ def _decode_image_rgb(blob) -> tuple | None:
     _decode_png_rgb), GIF (pure-Python LZW, _decode_gif_rgb), and —
     since r12 — baseline JPEG (pure-Python Huffman + dequant + IDCT,
     _decode_jpeg_rgb) ALL decode for real; there is no stubbed format
-    left. Unsupported profiles (progressive JPEG, subsampled chroma,
-    interlaced GIF/PNG, palette PNG) return None per each decoder's
-    disclosed scope. Every branch returns the same (width, height,
+    left. Since r13 that includes chroma-subsampled baseline JPEG
+    (4:2:0/4:2:2/4:1:1), interlaced PNG (Adam7) / GIF, and palette/
+    grayscale PNG. Unsupported profiles (progressive JPEG, sub-byte
+    and 16-bit PNG depths) return None per each decoder's disclosed
+    scope. Every branch returns the same (width, height,
     HxWx3 uint8 RGB, logical top-down) contract, so every raster
     kernel (pixel stats, histogram, resize, ahash) is format-agnostic
     above this line."""

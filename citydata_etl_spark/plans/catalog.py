@@ -200,10 +200,10 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_jpeg_pixels_420": 0,  # r13: NEW — subsampled-chroma decode entry
     "d5_media_decode": 12,
     "d5_mp4_meta": 11,
-    "d5_png_adam7": 0,  # r13: NEW — Adam7 interlaced decode entry
-    "d5_png_ahash": 0,  # r13: unfilter loop refactored into _png_unfilter
+    "d5_png_adam7": 0,  # r13: NEW — Adam7 entry; fixture later gained palette frames
+    "d5_png_ahash": 0,  # r13: _png_unfilter refactor + palette frames in fixture
     "d5_png_meta": 9,
-    "d5_png_pixels": 0,  # r13: unfilter loop refactored into _png_unfilter
+    "d5_png_pixels": 0,  # r13: _png_unfilter refactor + palette frames in fixture
     "d5_scene_cuts": 10,
     "d5_tar_meta": 12,
     "d5_wav_meta": 9,

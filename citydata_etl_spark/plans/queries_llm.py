@@ -3717,11 +3717,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(px_rows, channels: int, filters, split_idat: bool = False,
-               interlace: bool = False):
+               interlace: bool = False, palette=None):
     """Encode a genuine PNG from raw pixel rows (list of rows, each a
     flat list of channel bytes), applying the given per-row filter
     types FORWARD (enc = raw - predictor mod 256) so the decoder must
-    actually reverse them. channels: 3 (RGB) or 4 (RGBA).
+    actually reverse them. channels: 1 (grayscale, color type 0),
+    2 (gray+alpha, type 4), 3 (RGB, type 2) or 4 (RGBA, type 6).
+    `palette` (a list of (r, g, b) tuples, <= 256) switches to
+    palette-indexed PNG8 (color type 3): channels must be 1, rows
+    carry palette INDICES, and a PLTE chunk is emitted after IHDR —
+    the filter machinery is identical (bpp = 1).
     split_idat=True emits the compressed stream as TWO IDAT chunks —
     decoders must concatenate before inflating. interlace=True emits
     Adam7: the seven passes (geometry shared with the decoder via
@@ -3785,12 +3790,19 @@ def encode_png(px_rows, channels: int, filters, split_idat: bool = False,
             + crc.to_bytes(4, "big")
         )
 
+    if palette is not None:
+        assert channels == 1 and 1 <= len(palette) <= 256
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 2 if channels == 3 else 6, 0, 0, 1 if interlace else 0])
+        + bytes([8, color_type, 0, 0, 1 if interlace else 0])
     )
     comp = zlib.compress(bytes(raw))
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
     if split_idat and len(comp) > 2:
         mid = len(comp) // 2
         out += chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
@@ -4478,7 +4490,13 @@ def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential Average/Paeth paths — every 3rd image truecolor+alpha
     (the alpha channel is a decoy the decode must drop), every 4th
     image's stream split across two IDAT chunks, and a JPEG header
-    blob every 7th row that must yield NULLs."""
+    blob every 7th row that must yield NULLs. Since r13, eligible
+    frames at d % 5 == 1 are PALETTE-indexed (PNG8, color type 3):
+    the SAME pixels re-expressed as first-seen-order palette + index
+    raster, so every oracle stays byte-identical (including
+    d5_png_ahash's cross-format invariant with the BMP fixture) and
+    any PLTE-resolution bug breaks parity invisibly to SQL — the
+    d5_gif interlace convention applied to the indexed profile."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4505,9 +4523,22 @@ def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                             row.append((d + x + y) % 256)
                     rows.append(row)
                 filters = [(d + y) % 5 for y in range(h)]
-                blobs.append(
-                    encode_png(rows, ch, filters, split_idat=d % 4 == 0)
-                )
+                if ch == 3 and d % 5 == 1:
+                    # palette re-encoding of the SAME pixels (see doc)
+                    colors: dict = {}
+                    irows = [
+                        [colors.setdefault(tuple(row[3 * x:3 * x + 3]),
+                                           len(colors))
+                         for x in range(w)]
+                        for row in rows
+                    ]
+                    blobs.append(encode_png(
+                        irows, 1, filters, split_idat=d % 4 == 0,
+                        palette=list(colors)))
+                else:
+                    blobs.append(
+                        encode_png(rows, ch, filters, split_idat=d % 4 == 0)
+                    )
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
@@ -4559,6 +4590,9 @@ def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "alpha-channel decoy the decode must drop, every 4th splits its "
     "stream across two IDAT chunks (decoders must concatenate before "
     "inflating), and every 7th row is a JPEG that must yield NULLs. "
+    "Since r13 every 5th eligible frame is PALETTE-indexed (PNG8, "
+    "color type 3 + PLTE) carrying the SAME pixels, so indexed "
+    "decode faces the driver with the oracle unchanged. "
     "The filters are an ENCODING detail — the oracle states only the "
     "closed-form raw pixels, so any filter-reversal bug (wrong "
     "predictor, missed lane stride, swapped left/up) breaks parity. "
@@ -4583,7 +4617,11 @@ def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a filter chain that leaks state across a pass boundary breaks
     parity). Every 3rd image carries an alpha decoy, every 4th splits
     the stream across two IDAT chunks, every 7th row is a JPEG header
-    that must yield NULLs."""
+    that must yield NULLs; since r13 eligible frames at d % 5 == 1
+    are palette-indexed (PNG8) with the SAME pixels — interlace and
+    PLTE resolution composed, oracle unchanged — falling back to
+    truecolor on the (deterministic) frames whose distinct-color
+    count would overflow a 256-entry PLTE."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4613,6 +4651,24 @@ def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # = (2/8 + 1/8 + 2/4 + 1/4 + 2/2 + 1/2)h + ceil slack
                 # < 2h + 7, so 2h + 8 over-provisions the filter cycle
                 filters = [(d + k) % 5 for k in range(2 * h + 8)]
+                if ch == 3 and d % 5 == 1:
+                    # palette + Adam7 combined (same pixels, same
+                    # oracle — the PNG8 convention of the straight
+                    # fixture); frames here reach 18x16 = 288 px, so
+                    # fall back to truecolor if the distinct-color
+                    # count overflows a PLTE (deterministic per d)
+                    colors: dict = {}
+                    irows = [
+                        [colors.setdefault(tuple(row[3 * x:3 * x + 3]),
+                                           len(colors))
+                         for x in range(w)]
+                        for row in rows
+                    ]
+                    if len(colors) <= 256:
+                        blobs.append(encode_png(
+                            irows, 1, filters, split_idat=d % 4 == 0,
+                            interlace=True, palette=list(colors)))
+                        continue
                 blobs.append(encode_png(rows, ch, filters,
                                         split_idat=d % 4 == 0,
                                         interlace=True))
@@ -4669,8 +4725,10 @@ def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle states raw pixels only and any interlace bug breaks "
     "parity; the fixture's dims (4..18 x 3..16) sweep 'most passes "
     "empty' through 'all seven populated'. Alpha decoys, split IDAT, "
-    "and JPEG NULL rows as in the straight fixture; DEFLATE bomb "
-    "ceiling applies to the per-pass SUM. Scale posture: per-blob "
+    "palette-indexed frames (since r13, same pixels — interlace and "
+    "PLTE resolution composed), and JPEG NULL rows as in the "
+    "straight fixture; DEFLATE bomb ceiling applies to the per-pass "
+    "SUM. Scale posture: per-blob "
     "stdlib decode inside ONE Arrow-batched mapInPandas pass, no "
     "shuffle, fan-out 1:1.",
 )
@@ -5084,8 +5142,8 @@ def d5_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="D5: the perceptual fingerprint pipeline over GENUINE PNGs — "
     "the same decode->resize->threshold->pack chain as d5_image_ahash "
     "but every blob goes through _decode_png_rgb (zlib inflate, all "
-    "five row filters, alpha decoys, split IDAT) instead of the BMP "
-    "header path. DELIBERATE CROSS-FORMAT INVARIANT: the PNG "
+    "five row filters, alpha decoys, split IDAT, and — since r13 — "
+    "palette-indexed frames) instead of the BMP header path. DELIBERATE CROSS-FORMAT INVARIANT: the PNG "
     "fixture's channel closed forms are a permutation of the BMP "
     "fixture's (r and b swapped), and average-hash depends only on "
     "the channel SUM, so this oracle is identical to d5_image_ahash's "

@@ -831,9 +831,9 @@ def test_png_adam7_matches_straight_decode_property():
 
 def test_png_decode_rejects_unsupported_and_corrupt():
     """The decode must return None (triage convention) for: corrupt
-    chunk CRC, truncated blob, interlaced, 16-bit depth, palette
-    color type, wrong signature, and bad inflated length — never
-    raise, never return wrong pixels."""
+    chunk CRC, truncated blob, out-of-spec interlace method, 16-bit
+    depth, an indexed color type with no PLTE, wrong signature, and
+    bad inflated length — never raise, never return wrong pixels."""
     import zlib
 
     from citydata_etl_spark.plans.queries_llm import encode_png
@@ -858,8 +858,14 @@ def test_png_decode_rejects_unsupported_and_corrupt():
 
     assert M._decode_png_rgb(
         with_ihdr(lambda b: b.__setitem__(24, 16))) is None  # 16-bit
+    # color type 3 is SUPPORTED since r13, but flipping a truecolor
+    # stream's IHDR to indexed leaves no PLTE and a 3x-too-long
+    # raster — still None, for those reasons
+    # (test_png_palette_rejects_malformed pins the real indexed path)
     assert M._decode_png_rgb(
-        with_ihdr(lambda b: b.__setitem__(25, 3))) is None  # palette
+        with_ihdr(lambda b: b.__setitem__(25, 3))) is None
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(25, 5))) is None  # bad type
     # interlace method 2 is out of spec (Adam7 = 1 is SUPPORTED since
     # r13 — test_png_adam7_matches_straight_decode_property)
     assert M._decode_png_rgb(
@@ -915,6 +921,167 @@ def test_png_decode_bounds_untrusted_inflate():
         + chunk(b"IDAT", trunc) + chunk(b"IEND", b"")
     )
     assert M._decode_png_rgb(blob) is None
+
+
+def test_png_palette_matches_truecolor_decode_property():
+    """Hypothesis: the SAME raster encoded palette-indexed (PNG8,
+    color type 3, supported since r13) and truecolor decodes to
+    IDENTICAL pixels — PLTE parsing, first-seen palette construction,
+    index resolution, and the bpp=1 filter lanes are all on the line,
+    across straight AND Adam7 scanline orders, all five filters,
+    split IDAT, and palettes from 2 colors up to a full 256."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 14),        # width
+        st.integers(1, 13),        # height
+        st.integers(0, 2 ** 30),   # pixel seed
+        st.integers(2, 256),       # color-pool size
+        st.booleans(),             # Adam7
+        st.booleans(),             # split IDAT
+    )
+    @example(1, 1, 0, 2, False, False)   # single pixel, minimal pool
+    @example(9, 9, 5, 256, True, True)   # full pool + interlace
+    def check(w, h, seed, ncolors, inter, split):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        pool = rng.randint(0, 256, size=(ncolors, 3))
+        grid = rng.randint(0, ncolors, size=(h, w))
+        px = pool[grid]
+        colors: dict = {}
+        irows = [
+            [colors.setdefault(tuple(int(v) for v in px[y, x]),
+                               len(colors)) for x in range(w)]
+            for y in range(h)
+        ]
+        nscan = 2 * h + 8 if inter else h
+        filters = [(seed + k) % 5 for k in range(nscan)]
+        tc = encode_png(
+            [list(px[y].reshape(-1)) for y in range(h)], 3, filters,
+            split_idat=split, interlace=inter)
+        pal = encode_png(irows, 1, filters, split_idat=split,
+                         interlace=inter, palette=list(colors))
+        dt = M._decode_png_rgb(tc)
+        dp = M._decode_png_rgb(pal)
+        assert dt is not None and dp is not None
+        assert dt[:2] == dp[:2] == (w, h)
+        assert np.array_equal(dp[2], px.astype(np.uint8))
+        assert np.array_equal(dp[2], dt[2])
+
+    check()
+
+
+def test_png_gray_decode_property():
+    """Hypothesis: grayscale (color type 0) and gray+alpha (type 4,
+    alpha a decoy the decode drops — both supported since r13)
+    replicate luma to R=G=B, pinned by equivalence against the
+    truecolor encoding of the replicated raster across all five
+    filters and both scanline orders."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 12),        # width
+        st.integers(1, 12),        # height
+        st.integers(0, 2 ** 30),   # pixel seed
+        st.booleans(),             # Adam7
+    )
+    @example(1, 1, 0, False)
+    @example(8, 8, 3, True)
+    def check(w, h, seed, inter):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        g = rng.randint(0, 256, size=(h, w))
+        alpha = rng.randint(0, 256, size=(h, w))
+        nscan = 2 * h + 8 if inter else h
+        filters = [(seed + k) % 5 for k in range(nscan)]
+        gray = encode_png([list(g[y]) for y in range(h)], 1, filters,
+                          interlace=inter)
+        ga = encode_png(
+            [[int(v) for x in range(w) for v in (g[y, x], alpha[y, x])]
+             for y in range(h)], 2, filters, interlace=inter)
+        rgb = encode_png(
+            [[int(g[y, x]) for x in range(w) for _ in range(3)]
+             for y in range(h)], 3, filters, interlace=inter)
+        expect = np.stack([g, g, g], axis=2).astype(np.uint8)
+        for blob in (gray, ga, rgb):
+            d = M._decode_png_rgb(blob)
+            assert d is not None and d[:2] == (w, h)
+            assert np.array_equal(d[2], expect)
+
+    check()
+
+
+def test_png_palette_rejects_malformed():
+    """Indexed-PNG hardening: missing PLTE, an index past the palette,
+    a PLTE whose length is not a multiple of 3, and a PLTE after IDAT
+    are all corruption -> None (never clamp, never wrong pixels); a
+    SUGGESTED-quantization PLTE on a truecolor stream is spec-legal
+    and must be ignored, not rejected."""
+    import zlib
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def split_chunks(blob):
+        out, pos = [], 8
+        while pos < len(blob):
+            ln = int.from_bytes(blob[pos:pos + 4], "big")
+            out.append((blob[pos + 4:pos + 8], blob[pos:pos + 12 + ln]))
+            pos += 12 + ln
+        return out
+
+    palette = [(9, 8, 7), (200, 100, 50), (1, 2, 3)]
+    good = encode_png([[0, 1, 2], [2, 1, 0]], 1, [0, 4],
+                      palette=palette)
+    d = M._decode_png_rgb(good)
+    assert d is not None and d[:2] == (3, 2)
+    assert np.array_equal(d[2][0], np.array(palette, dtype=np.uint8))
+
+    chunks = split_chunks(good)
+    # missing PLTE
+    assert M._decode_png_rgb(
+        good[:8] + b"".join(raw for t, raw in chunks if t != b"PLTE")
+    ) is None
+    # PLTE moved after IDAT
+    reordered = good[:8] + b"".join(
+        raw for t, raw in chunks if t not in (b"PLTE", b"IEND"))
+    plte_raw = next(raw for t, raw in chunks if t == b"PLTE")
+    iend_raw = next(raw for t, raw in chunks if t == b"IEND")
+    assert M._decode_png_rgb(reordered + plte_raw + iend_raw) is None
+    # PLTE length not a multiple of 3 (CRC valid, so the length check
+    # itself is what rejects)
+    bad_plte = good[:8] + b"".join(
+        chunk(b"PLTE", bytes(4)) if t == b"PLTE" else raw
+        for t, raw in chunks)
+    assert M._decode_png_rgb(bad_plte) is None
+    # index 3 with a 3-entry palette: out of range, not clamp material
+    oob = encode_png([[0, 3, 2], [2, 1, 0]], 1, [0, 0],
+                     palette=palette)
+    assert M._decode_png_rgb(oob) is None
+    # suggested PLTE spliced into a truecolor stream: ignored
+    tc = encode_png([[10, 20, 30, 40, 50, 60]], 3, [2])
+    tc_chunks = split_chunks(tc)
+    with_plte = tc[:8] + tc_chunks[0][1] + chunk(
+        b"PLTE", bytes([1, 2, 3])) + b"".join(
+        raw for t, raw in tc_chunks[1:])
+    d2 = M._decode_png_rgb(with_plte)
+    assert d2 is not None
+    assert np.array_equal(d2[2], M._decode_png_rgb(tc)[2])
 
 
 def test_png_and_bmp_same_pixels_same_stats(spark):
