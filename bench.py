@@ -290,6 +290,21 @@ def main() -> None:
         release_thread_caches,
     )
 
+    # Idle GATE (r12 VERDICT task 4): the r12 sweep ran at load_avg~5 and
+    # every sub-1.2x A/B was unreadable. Before timing anything, wait for
+    # the 1-minute load average to drop below 1.0 (bounded at 10 minutes so
+    # an unattended driver run can never hang here); the artifact discloses
+    # both the gate outcome and the final pre-run load, so a number taken
+    # on a busy host is visibly labeled instead of silently noisy.
+    idle_gate = {"threshold": 1.0, "waited_sec": 0, "satisfied": True}
+    _gate_t0 = time.perf_counter()
+    while os.getloadavg()[0] > idle_gate["threshold"]:
+        if time.perf_counter() - _gate_t0 > 600:
+            idle_gate["satisfied"] = False
+            break
+        time.sleep(10)
+    idle_gate["waited_sec"] = round(time.perf_counter() - _gate_t0, 1)
+
     # Idle probe: record the host's load average around the sweep so the
     # artifact is self-describing — a run taken under background load
     # (everything drifting up 10-20% together) is distinguishable from a
@@ -353,6 +368,7 @@ def main() -> None:
         "queries_cold": timings_cold,
         "errors": errors,
         "sf": sf,
+        "idle_gate": idle_gate,
         "load_avg_before": [round(x, 2) for x in load_before],
         "load_avg_after": [round(x, 2) for x in load_after],
     }
@@ -386,6 +402,7 @@ def main() -> None:
         "families_warm": dict(sorted(fam_warm.items())),
         "families_cold": dict(sorted(fam_cold.items())),
         "method": "best_of_2_warm_plus_cold_single_shot",
+        "idle_gate": idle_gate,
         "load_avg_before": [round(x, 2) for x in load_before],
         "load_avg_after": [round(x, 2) for x in load_after],
         "n_cpus": os.cpu_count(),

@@ -1,0 +1,81 @@
+"""One-off per-blob throughput probe for the pure-Python JPEG decoder
+(r12 ADVICE item 3 follow-through): after the 16-bit-peek Huffman LUTs
+and the O(stream) bit reader, measure what a REALISTIC in-scope blob
+actually costs inside a worker, so the disclosed practical ceiling is a
+number, not the 512 MiB allocation gate's implication.
+
+Blobs are genuine baseline 4:2:0 JFIF streams from the fixture encoder
+with DENSE random AC content (every block carries ~14 non-zero AC
+coefficients drawn from the DC/AC category mix a natural photo
+produces), i.e. the entropy stream is sized like a real photo
+(~1.5-2 bits/pixel), not like the sparse DC-only driver fixtures.
+Single-threaded wall time; inside mapInPandas this cost parallelizes by
+partition. One JSON line to stdout; ROUND_NOTES cites it.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+
+def make_blocks(nbx: int, nby: int, rng: random.Random):
+    out = []
+    for _ in range(nbx * nby):
+        blk = [[0] * 8 for _ in range(8)]
+        blk[0][0] = rng.randrange(-96, 97)
+        # ~14 non-zero ACs per block, small magnitudes (post-quant scale)
+        for _k in range(14):
+            i, j = rng.randrange(8), rng.randrange(8)
+            if (i, j) != (0, 0):
+                blk[i][j] = rng.choice([-3, -2, -1, 1, 2, 3])
+        out.append(blk)
+    return out
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+    from citydata_etl_spark.operators.multimodal import _decode_jpeg_rgb
+
+    rng = random.Random(13)
+    results = []
+    # 2560x1920 (4.9 MP) is just inside the 512 MiB allocation gate
+    # (which admits ~5.5 MP); the gate itself is probed separately below.
+    for w, h in ((640, 480), (1024, 768), (2048, 1536), (2560, 1920)):
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        ys = make_blocks(mcux * 2, mcuy * 2, rng)
+        cbs = make_blocks(mcux, mcuy, rng)
+        crs = make_blocks(mcux, mcuy, rng)
+        blob = encode_jpeg([ys, cbs, crs], w, h, restart_interval=0,
+                           sampling=[(2, 2), (1, 1), (1, 1)])
+        t0 = time.perf_counter()
+        out = _decode_jpeg_rgb(blob)
+        dt = time.perf_counter() - t0
+        assert out is not None and out[0] == w and out[1] == h
+        mp = w * h / 1e6
+        results.append({
+            "dims": f"{w}x{h}", "mp": round(mp, 2),
+            "blob_kb": round(len(blob) / 1024, 1),
+            "decode_sec": round(dt, 3),
+            "mp_per_sec": round(mp / dt, 3),
+        })
+    # Gate probe: a 7.1 MP frame's decode footprint exceeds the 512 MiB
+    # ceiling and must be refused in O(header) time, not decoded.
+    mcux, mcuy = (3072 + 15) // 16, (2304 + 15) // 16
+    blob = encode_jpeg(
+        [make_blocks(mcux * 2, mcuy * 2, rng),
+         make_blocks(mcux, mcuy, rng), make_blocks(mcux, mcuy, rng)],
+        3072, 2304, sampling=[(2, 2), (1, 1), (1, 1)])
+    t0 = time.perf_counter()
+    refused = _decode_jpeg_rgb(blob) is None
+    gate = {"dims": "3072x2304", "mp": 7.08, "refused": refused,
+            "refuse_sec": round(time.perf_counter() - t0, 4)}
+    print(json.dumps({"metric": "jpeg_decode_throughput_420_dense_ac",
+                      "results": results, "alloc_gate": gate}))
+
+
+if __name__ == "__main__":
+    main()
