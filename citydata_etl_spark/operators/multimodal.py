@@ -7,11 +7,11 @@ EVERY supported format: uncompressed BMP, DEFLATE-coded PNG (stdlib
 zlib + filter reversal), LZW-coded GIF, and — since r12 — baseline
 DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
 chroma upsampling + JFIF color convert, all implemented here; 4:2:0 /
-4:2:2 subsampling, interlaced PNG/GIF, and palette/grayscale PNG —
-the remaining common wild profiles — since r13). No stub boundary
+4:2:2 subsampling, interlaced PNG/GIF, and the full spec-legal PNG
+color-type x bit-depth matrix (palette/gray, 1/2/4/8/16-bit) — the
+remaining common wild profiles — since r13). No stub boundary
 remains; unsupported PROFILES (progressive JPEG, non-divisor sampling
-mixes, sub-byte/16-bit PNG depths) return NULL per the decode triage
-convention.
+mixes, 12-bit JPEG) return NULL per the decode triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -172,14 +172,18 @@ _ADAM7_PASSES = (
 )
 
 
-def _png_unfilter(raw, width: int, height: int, bpp: int):
+def _png_unfilter(raw, stride: int, height: int, bpp: int):
     """Reverse the five standard PNG row filters over ONE (sub)image's
-    filtered scanlines (`raw` must be exactly (width*bpp + 1) * height
-    bytes — the caller slices it). For a non-interlaced PNG that is
-    the whole raster; for Adam7 each of the seven passes is its own
+    filtered scanlines (`raw` must be exactly (stride + 1) * height
+    bytes — the caller slices it). `stride` is the PACKED row byte
+    count (ceil(width * channels * depth / 8)) and `bpp` the filter
+    byte offset (max(1, channels * depth // 8), per the spec: filters
+    predict on bytes, with the left neighbor one full pixel back, or
+    one byte back for sub-byte depths). For a non-interlaced PNG that
+    is the whole raster; for Adam7 each of the seven passes is its own
     independently-filtered sub-image (predictors never cross a pass
     boundary), so the decoder calls this once per non-empty pass.
-    Returns the reconstructed (height, width*bpp) uint8 array or None
+    Returns the reconstructed (height, stride) uint8 array or None
     on an unknown filter type.
 
     Vectorization: None and Up rows are whole-row numpy; Sub is a
@@ -190,7 +194,6 @@ def _png_unfilter(raw, width: int, height: int, bpp: int):
     rows that use them."""
     import numpy as np
 
-    stride = width * bpp
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = scan[:, 0]
     rows = scan[:, 1:].astype(np.int64)
@@ -205,7 +208,7 @@ def _png_unfilter(raw, width: int, height: int, bpp: int):
             line = (cur + prev) % 256
         elif f == 1:  # Sub: prefix sum along each channel lane
             line = np.cumsum(
-                cur.reshape(width, bpp), axis=0
+                cur.reshape(stride // bpp, bpp), axis=0
             ).reshape(stride) % 256
         elif f == 3:  # Average: sequential (left + up) // 2
             line = cur.copy()
@@ -231,6 +234,30 @@ def _png_unfilter(raw, width: int, height: int, bpp: int):
     return recon
 
 
+def _png_bytes_to_samples(recon, width: int, height: int,
+                          channels: int, depth: int):
+    """Packed reconstructed scanline bytes -> (height, width, channels)
+    uint8 SAMPLE array. Depth 8 is a reshape; depth 16 keeps the HIGH
+    byte of each big-endian sample (libpng's strip-16 projection — the
+    disclosed 8-bit semantics, which is what lets a 16-bit encode of
+    the same image decode bit-identically to its 8-bit twin); sub-byte
+    depths (1/2/4 — gray or palette indices, channels == 1 by spec)
+    unpack MSB-first within each byte and drop the row-end padding
+    bits. Gray samples are NOT scaled here — the caller scales
+    (255 / (2**depth - 1), exact since 255 = 3 * 5 * 17) after the
+    palette branch, because palette indices must stay raw."""
+    import numpy as np
+
+    if depth == 8:
+        return recon.reshape(height, width, channels)
+    if depth == 16:
+        return recon.reshape(height, width, channels, 2)[..., 0]
+    bits = np.unpackbits(recon, axis=1)[:, :width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(height, width, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(height, width, 1)
+
+
 def _decode_png_rgb(blob) -> tuple | None:
     """Decode one PNG to an (H, W, 3) uint8 RGB array using ONLY the
     stdlib — zlib inflate + per-row filter reversal — one of the four
@@ -238,20 +265,25 @@ def _decode_png_rgb(blob) -> tuple | None:
     remains as of r12). Returns (width, height, pixels) or None for
     non-PNG / unsupported / corrupt blobs.
 
-    Supported: 8-bit-depth truecolor (color type 2), truecolor+
-    alpha (type 6, alpha dropped), and — since r13 — grayscale
-    (type 0, replicated to R=G=B), grayscale+alpha (type 4, alpha
-    dropped), and palette-indexed (type 3, PNG8: indices resolve
-    through the PLTE chunk, which must be present, length 3*n for
-    1 <= n <= 256, and every decoded index must fall inside it —
-    an out-of-range index is corruption, not clamp material);
-    non-interlaced AND Adam7-interlaced (the seven passes are
-    independently filtered sub-images scattered onto the raster on a
-    (x0 + j*dx, y0 + i*dy) grid — `_ADAM7_PASSES`; empty passes,
-    which any dimension < 5 produces, contribute zero scanlines per
-    the spec), the five standard row filters (None/Sub/Up/Average/
-    Paeth). Sub-byte bit depths (1/2/4-bit packed gray or palette)
-    and 16-bit depth remain out of scope, returning None (disclosed).
+    Supported (since r13, the FULL spec-legal color-type x bit-depth
+    matrix): truecolor (color type 2) and truecolor+alpha (type 6,
+    alpha dropped) at depths 8/16; grayscale (type 0, replicated to
+    R=G=B) at depths 1/2/4/8/16 with exact sub-byte gray expansion
+    (v * 255/(2**d - 1), integer-exact); grayscale+alpha (type 4,
+    alpha dropped) at 8/16; palette-indexed (type 3) at depths
+    1/2/4/8 — indices resolve through the PLTE chunk, which must be
+    present, length 3*n for 1 <= n <= 256, and every decoded index
+    must fall inside it (an out-of-range index is corruption, not
+    clamp material). 16-bit samples project to 8 bits by keeping the
+    HIGH byte (libpng strip-16 semantics); sub-byte samples unpack
+    MSB-first with row-end padding dropped. Illegal combos (16-bit
+    palette, sub-byte truecolor, ...) return None. Non-interlaced
+    AND Adam7-interlaced (the seven passes are independently
+    filtered sub-images scattered onto the raster on a (x0 + j*dx,
+    y0 + i*dy) grid — `_ADAM7_PASSES`; empty passes, which any
+    dimension < 5 produces, contribute zero scanlines per the spec),
+    the five standard row filters (None/Sub/Up/Average/Paeth, byte-
+    predicted at stride max(1, channels*depth//8) per the spec).
     Every chunk's CRC32 is verified (the tar-walk convention: reject
     forgeries rather than trust lengths), IDAT chunks concatenate
     before one inflate, and the inflated length must equal the exact
@@ -289,17 +321,22 @@ def _decode_png_rgb(blob) -> tuple | None:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             depth, color, comp, filt, interlace = data[8:13]
-            if depth != 8 or comp != 0 or filt != 0 or interlace > 1:
+            if comp != 0 or filt != 0 or interlace > 1:
                 return None
-            if color in (0, 3):  # gray / palette-indexed: 1 byte/px
+            # spec-legal (color, depth) combos only (T.81 analogue:
+            # reject rather than guess at an undefined layout)
+            if color in (0, 3):  # gray / palette-indexed
                 channels = 1
+                legal = (1, 2, 4, 8, 16) if color == 0 else (1, 2, 4, 8)
             elif color == 4:  # gray + alpha
-                channels = 2
+                channels, legal = 2, (8, 16)
             elif color == 2:
-                channels = 3
+                channels, legal = 3, (8, 16)
             elif color == 6:
-                channels = 4
+                channels, legal = 4, (8, 16)
             else:
+                return None
+            if depth not in legal:
                 return None
             if width <= 0 or height <= 0:
                 return None
@@ -318,18 +355,21 @@ def _decode_png_rgb(blob) -> tuple | None:
         pos = dend + 4
     if width is None or not idat or not seen_iend:
         return None
-    bpp = channels
-    stride = width * bpp
+
+    def rstride(w):  # packed row bytes at this (channels, depth)
+        return (w * channels * depth + 7) // 8
+
+    bpp = max(1, channels * depth // 8)  # filter byte offset (spec)
     if interlace == 0:
         pass_dims = None
-        expected = (stride + 1) * height
+        expected = (rstride(width) + 1) * height
     else:
         pass_dims = [
             ((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
             for x0, y0, dx, dy in _ADAM7_PASSES
         ]
         expected = sum(
-            (pw * bpp + 1) * ph for pw, ph in pass_dims if pw and ph
+            (rstride(pw) + 1) * ph for pw, ph in pass_dims if pw and ph
         )
     # Untrusted-media posture: IHDR fixes the exact inflated size, so
     # bound BOTH the claimed dimensions and the inflater's output
@@ -346,22 +386,23 @@ def _decode_png_rgb(blob) -> tuple | None:
     if len(raw) != expected or inflater.unconsumed_tail or not inflater.eof:
         return None  # truncated, oversized, or bomb-capped stream
     if interlace == 0:
-        recon = _png_unfilter(raw, width, height, bpp)
+        recon = _png_unfilter(raw, rstride(width), height, bpp)
         if recon is None:
             return None
-        px = recon.reshape(height, width, bpp)
+        px = _png_bytes_to_samples(recon, width, height, channels, depth)
     else:
-        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        px = np.zeros((height, width, channels), dtype=np.uint8)
         off = 0
         for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7_PASSES, pass_dims):
             if pw == 0 or ph == 0:
                 continue  # the pass has no pixels at these dims
-            nb = (pw * bpp + 1) * ph
-            sub = _png_unfilter(raw[off:off + nb], pw, ph, bpp)
+            nb = (rstride(pw) + 1) * ph
+            sub = _png_unfilter(raw[off:off + nb], rstride(pw), ph, bpp)
             if sub is None:
                 return None
             off += nb
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            px[y0::dy, x0::dx] = _png_bytes_to_samples(
+                sub, pw, ph, channels, depth)
     if color == 3:
         if palette is None:
             return None  # indexed image without its PLTE: malformed
@@ -371,6 +412,9 @@ def _decode_png_rgb(blob) -> tuple | None:
         return width, height, palette[idx]
     if channels <= 2:  # gray / gray+alpha: replicate luma, drop alpha
         g = px[:, :, 0]
+        if depth < 8:  # exact gray expansion: 255 = 3 * 5 * 17
+            g = (g.astype(np.int64)
+                 * (255 // ((1 << depth) - 1))).astype(np.uint8)
         return width, height, np.stack([g, g, g], axis=2)
     return width, height, px[:, :, :3]
 
@@ -1024,10 +1068,10 @@ def _decode_image_rgb(blob) -> tuple | None:
     since r12 — baseline JPEG (pure-Python Huffman + dequant + IDCT,
     _decode_jpeg_rgb) ALL decode for real; there is no stubbed format
     left. Since r13 that includes chroma-subsampled baseline JPEG
-    (4:2:0/4:2:2/4:1:1), interlaced PNG (Adam7) / GIF, and palette/
-    grayscale PNG. Unsupported profiles (progressive JPEG, sub-byte
-    and 16-bit PNG depths) return None per each decoder's disclosed
-    scope. Every branch returns the same (width, height,
+    (4:2:0/4:2:2/4:1:1), interlaced PNG (Adam7) / GIF, and the full
+    spec-legal PNG color-type x bit-depth matrix (palette/grayscale,
+    1/2/4/8/16-bit). Unsupported profiles (progressive JPEG, 12-bit
+    JPEG) return None per each decoder's disclosed scope. Every branch returns the same (width, height,
     HxWx3 uint8 RGB, logical top-down) contract, so every raster
     kernel (pixel stats, histogram, resize, ahash) is format-agnostic
     above this line."""

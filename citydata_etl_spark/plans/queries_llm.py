@@ -3717,45 +3717,77 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(px_rows, channels: int, filters, split_idat: bool = False,
-               interlace: bool = False, palette=None):
+               interlace: bool = False, palette=None, depth: int = 8):
     """Encode a genuine PNG from raw pixel rows (list of rows, each a
-    flat list of channel bytes), applying the given per-row filter
-    types FORWARD (enc = raw - predictor mod 256) so the decoder must
-    actually reverse them. channels: 1 (grayscale, color type 0),
-    2 (gray+alpha, type 4), 3 (RGB, type 2) or 4 (RGBA, type 6).
+    flat list of channel SAMPLES in [0, 2**depth)), applying the
+    given per-row filter types FORWARD (enc = raw - predictor mod
+    256, over the PACKED bytes) so the decoder must actually reverse
+    them. channels: 1 (grayscale, color type 0), 2 (gray+alpha,
+    type 4), 3 (RGB, type 2) or 4 (RGBA, type 6).
     `palette` (a list of (r, g, b) tuples, <= 256) switches to
-    palette-indexed PNG8 (color type 3): channels must be 1, rows
-    carry palette INDICES, and a PLTE chunk is emitted after IHDR —
-    the filter machinery is identical (bpp = 1).
+    palette-indexed (color type 3): channels must be 1, rows carry
+    palette INDICES, and a PLTE chunk is emitted after IHDR.
+    `depth` (1/2/4/8/16, spec-legal combos only): 16-bit samples pack
+    big-endian two bytes each; sub-byte samples pack MSB-first with
+    zero padding at each packed row's end — filter byte offset is
+    max(1, channels*depth//8) exactly as the decoder reverses it.
     split_idat=True emits the compressed stream as TWO IDAT chunks —
     decoders must concatenate before inflating. interlace=True emits
     Adam7: the seven passes (geometry shared with the decoder via
     multimodal._ADAM7_PASSES) are extracted on the (x0 + j*dx,
-    y0 + i*dy) grids and each pass is filtered as an INDEPENDENT
-    sub-image (predictors reset per pass); `filters` then indexes the
-    emitted scanlines in pass order. Synthesis-only per-byte Python
-    over <=48-px images; the OPERATOR decodes vectorized
-    (operators/multimodal.py:_decode_png_rgb)."""
+    y0 + i*dy) grids IN SAMPLE SPACE (each pass packs its own rows,
+    so sub-byte padding lands per pass) and each pass is filtered as
+    an INDEPENDENT sub-image (predictors reset per pass); `filters`
+    then indexes the emitted scanlines in pass order. Synthesis-only
+    per-byte Python over <=48-px images; the OPERATOR decodes
+    vectorized (operators/multimodal.py:_decode_png_rgb)."""
     import zlib
 
     from citydata_etl_spark.operators.multimodal import _ADAM7_PASSES
 
+    assert depth in (1, 2, 4, 8, 16)
+    if depth < 8:
+        assert channels == 1  # gray or palette only, per spec
+    if palette is not None:
+        assert depth <= 8
     h = len(px_rows)
     stride = len(px_rows[0])
     w = stride // channels
+    bpp = max(1, channels * depth // 8)  # filter byte offset
     raw = bytearray()
     n_emitted = [0]  # scanline counter across passes, indexes filters
 
+    def pack_row(srow):
+        """Sample row -> packed scanline bytes at this depth."""
+        if depth == 8:
+            return list(srow)
+        if depth == 16:
+            out = []
+            for s in srow:
+                out += [s >> 8, s & 0xFF]
+            return out
+        out, acc, nb = [], 0, 0
+        for s in srow:
+            acc = (acc << depth) | s
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc = nb = 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return out
+
     def emit_subimage(rows):
+        rows = [pack_row(r) for r in rows]
         prev = [0] * len(rows[0])
         for row in rows:
             f = filters[n_emitted[0]]
             n_emitted[0] += 1
             raw.append(f)
             for x in range(len(row)):
-                left = row[x - channels] if x >= channels else 0
+                left = row[x - bpp] if x >= bpp else 0
                 up = prev[x]
-                upleft = prev[x - channels] if x >= channels else 0
+                upleft = prev[x - bpp] if x >= bpp else 0
                 if f == 0:
                     enc = row[x]
                 elif f == 1:
@@ -3797,7 +3829,7 @@ def encode_png(px_rows, channels: int, filters, split_idat: bool = False,
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 1 if interlace else 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlace else 0])
     )
     comp = zlib.compress(bytes(raw))
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
@@ -4496,7 +4528,11 @@ def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster, so every oracle stays byte-identical (including
     d5_png_ahash's cross-format invariant with the BMP fixture) and
     any PLTE-resolution bug breaks parity invisibly to SQL — the
-    d5_gif interlace convention applied to the indexed profile."""
+    d5_gif interlace convention applied to the indexed profile.
+    Frames at d % 5 == 2 are 16-BIT (same pixels in the high bytes,
+    deterministic decoy low bytes the strip-16 projection must
+    ignore), so the two-byte-lane filter stride and the high-byte
+    semantics face the driver the same way."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4535,6 +4571,19 @@ def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(encode_png(
                         irows, 1, filters, split_idat=d % 4 == 0,
                         palette=list(colors)))
+                elif d % 5 == 2:
+                    # 16-bit re-encoding of the SAME pixels: high byte
+                    # carries the closed-form sample, the low byte a
+                    # deterministic decoy strip-16 must ignore — any
+                    # decoder that rounds instead of stripping, or
+                    # mis-strides the 2-byte lanes, breaks parity
+                    rows16 = [
+                        [v * 256 + (v * 31 + d) % 256 for v in row]
+                        for row in rows
+                    ]
+                    blobs.append(encode_png(
+                        rows16, ch, filters, split_idat=d % 4 == 0,
+                        depth=16))
                 else:
                     blobs.append(
                         encode_png(rows, ch, filters, split_idat=d % 4 == 0)
@@ -4621,7 +4670,9 @@ def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     are palette-indexed (PNG8) with the SAME pixels — interlace and
     PLTE resolution composed, oracle unchanged — falling back to
     truecolor on the (deterministic) frames whose distinct-color
-    count would overflow a 256-entry PLTE."""
+    count would overflow a 256-entry PLTE, and frames at d % 5 == 2
+    are 16-bit with decoy low bytes (strip-16 + per-pass two-byte
+    lanes composed with the interlace geometry)."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4669,6 +4720,17 @@ def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                             irows, 1, filters, split_idat=d % 4 == 0,
                             interlace=True, palette=list(colors)))
                         continue
+                if d % 5 == 2:
+                    # 16-bit + Adam7 composed: same pixels, decoy low
+                    # bytes, per-pass 2-byte-lane strides on the line
+                    rows16 = [
+                        [v * 256 + (v * 31 + d) % 256 for v in row]
+                        for row in rows
+                    ]
+                    blobs.append(encode_png(
+                        rows16, ch, filters, split_idat=d % 4 == 0,
+                        interlace=True, depth=16))
+                    continue
                 blobs.append(encode_png(rows, ch, filters,
                                         split_idat=d % 4 == 0,
                                         interlace=True))

@@ -831,9 +831,11 @@ def test_png_adam7_matches_straight_decode_property():
 
 def test_png_decode_rejects_unsupported_and_corrupt():
     """The decode must return None (triage convention) for: corrupt
-    chunk CRC, truncated blob, out-of-spec interlace method, 16-bit
-    depth, an indexed color type with no PLTE, wrong signature, and
-    bad inflated length — never raise, never return wrong pixels."""
+    chunk CRC, truncated blob, out-of-spec interlace method, a depth
+    flip that contradicts the stream length, an indexed color type
+    with no PLTE, an illegal (color, depth) combo, wrong signature,
+    and bad inflated length — never raise, never return wrong
+    pixels."""
     import zlib
 
     from citydata_etl_spark.plans.queries_llm import encode_png
@@ -856,8 +858,16 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         b[29:33] = crc.to_bytes(4, "big")
         return bytes(b)
 
+    # 16-bit is SUPPORTED since r13, but flipping an 8-bit stream's
+    # IHDR to 16 doubles the expected raster bytes -> length mismatch
     assert M._decode_png_rgb(
-        with_ihdr(lambda b: b.__setitem__(24, 16))) is None  # 16-bit
+        with_ihdr(lambda b: b.__setitem__(24, 16))) is None
+    # sub-byte truecolor is an ILLEGAL combo (sub-byte is gray/palette
+    # only) and must be rejected at the header, not decoded
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(24, 4))) is None
+    assert M._decode_png_rgb(
+        with_ihdr(lambda b: b.__setitem__(24, 3))) is None  # bad depth
     # color type 3 is SUPPORTED since r13, but flipping a truecolor
     # stream's IHDR to indexed leaves no PLTE and a 3x-too-long
     # raster — still None, for those reasons
@@ -1015,6 +1025,98 @@ def test_png_gray_decode_property():
             d = M._decode_png_rgb(blob)
             assert d is not None and d[:2] == (w, h)
             assert np.array_equal(d[2], expect)
+
+    check()
+
+
+def test_png_depth16_matches_8bit_property():
+    """Hypothesis: a 16-bit encode whose HIGH bytes carry an 8-bit
+    raster decodes bit-identically to the 8-bit encode — the strip-16
+    projection ignores random decoy low bytes, and the filter stride
+    doubles to the two-byte pixel lanes (a decoder filtering at the
+    8-bit stride would mix high and low bytes and break equality).
+    All four 16-bit-legal color types, both scanline orders."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 12),        # width
+        st.integers(1, 12),        # height
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(0, 2 ** 30),   # pixel seed
+        st.booleans(),             # Adam7
+    )
+    @example(1, 1, 1, 0, False)
+    @example(9, 9, 4, 3, True)
+    def check(w, h, ch, seed, inter):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        px = rng.randint(0, 256, size=(h, w, ch))
+        lo = rng.randint(0, 256, size=(h, w, ch))
+        nscan = 2 * h + 8 if inter else h
+        filters = [(seed + k) % 5 for k in range(nscan)]
+        b8 = encode_png([list(px[y].reshape(-1)) for y in range(h)],
+                        ch, filters, interlace=inter)
+        b16 = encode_png(
+            [[int(v) * 256 + int(d) for v, d in
+              zip(px[y].reshape(-1), lo[y].reshape(-1))]
+             for y in range(h)], ch, filters, interlace=inter, depth=16)
+        d8 = M._decode_png_rgb(b8)
+        d16 = M._decode_png_rgb(b16)
+        assert d8 is not None and d16 is not None
+        assert d8[:2] == d16[:2] == (w, h)
+        assert np.array_equal(d16[2], d8[2])
+
+    check()
+
+
+def test_png_subbyte_depths_property():
+    """Hypothesis: 1/2/4-bit packed rasters (gray and palette — the
+    favicon-era profiles) decode exactly: gray expands by the exact
+    integer factor 255/(2**d - 1); palette indices resolve unscaled
+    through PLTE; MSB-first unpacking drops each packed row's padding
+    bits (widths straddling byte boundaries are the edge under test,
+    and for Adam7 every PASS pads independently)."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 17),        # width (straddles byte boundaries)
+        st.integers(1, 9),         # height
+        st.sampled_from([1, 2, 4]),
+        st.booleans(),             # palette vs gray
+        st.integers(0, 2 ** 30),   # pixel seed
+        st.booleans(),             # Adam7
+    )
+    @example(9, 1, 1, False, 0, False)   # 9 px at 1 bit: 7 pad bits
+    @example(3, 3, 4, True, 1, True)     # sub-byte palette interlaced
+    def check(w, h, d, pal, seed, inter):
+        rng = np.random.RandomState(seed % (2 ** 31 - 1))
+        vals = rng.randint(0, 1 << d, size=(h, w))
+        nscan = 2 * h + 8 if inter else h
+        filters = [(seed + k) % 5 for k in range(nscan)]
+        rows = [list(map(int, vals[y])) for y in range(h)]
+        if pal:
+            palette = [tuple(map(int, c))
+                       for c in rng.randint(0, 256, size=(1 << d, 3))]
+            blob = encode_png(rows, 1, filters, interlace=inter,
+                              depth=d, palette=palette)
+            expect = np.array(palette, dtype=np.uint8)[vals]
+        else:
+            blob = encode_png(rows, 1, filters, interlace=inter,
+                              depth=d)
+            g = (vals * (255 // ((1 << d) - 1))).astype(np.uint8)
+            expect = np.stack([g, g, g], axis=2)
+        out = M._decode_png_rgb(blob)
+        assert out is not None and out[:2] == (w, h)
+        assert np.array_equal(out[2], expect)
 
     check()
 
