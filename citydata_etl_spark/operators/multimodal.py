@@ -375,9 +375,19 @@ def _decode_png_rgb(blob) -> tuple | None:
     # bound BOTH the claimed dimensions and the inflater's output
     # before allocating — a crafted IDAT (decompression bomb) must not
     # be able to expand past expected+1 bytes, and a forged IHDR must
-    # not be able to claim a multi-GiB raster from a tiny blob.
+    # not be able to claim a multi-GiB raster from a tiny blob. For
+    # sub-byte depths the PACKED byte count under-states the decode
+    # footprint by up to 8x (plus int64 unpack/sum temporaries), so
+    # the UNPACKED sample raster is bounded by the same ceiling too —
+    # that caps every transient at <= ~8x the ceiling, the identical
+    # envelope the 8-bit path's int64 filter rows already occupy at
+    # its own gate edge (r13 self-review finding: without this, a
+    # ~5 KB 1-bit 20000x20000 blob passed the packed gate and drove
+    # multi-GiB numpy temporaries inside a mapInPandas worker).
     if expected > _PNG_MAX_RAW_BYTES:
         return None
+    if width * height * channels > _PNG_MAX_RAW_BYTES:
+        return None  # redundant at depth >= 8; the sub-byte bound
     try:
         inflater = zlib.decompressobj()
         raw = inflater.decompress(bytes(idat), expected + 1)

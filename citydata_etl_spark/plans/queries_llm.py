@@ -4016,6 +4016,12 @@ def encode_jpeg(comp_blocks, w: int, h: int,
         sampling = [(1, 1)] * n_comp
     assert len(sampling) == n_comp
     assert all(1 <= sh <= 4 and 1 <= sv <= 4 for sh, sv in sampling)
+    # T.81 A.2.2: a single-component scan is non-interleaved — the MCU
+    # is ONE block and declared factors do not apply. The decoder
+    # normalizes such frames to 1x1, so an encoder laying grayscale
+    # blocks out on an MCU-tile grid would produce silently WRONG
+    # pixel order (r13 self-review finding); refuse rather than drift.
+    assert n_comp > 1 or sampling == [(1, 1)]
     hmax = max(sh for sh, _ in sampling)
     vmax = max(sv for _, sv in sampling)
     out = bytearray(b"\xff\xd8")  # SOI

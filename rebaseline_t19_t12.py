@@ -2,12 +2,14 @@
 as possible noise regressions (task 4): t19_stream_sliding_kmv (+17%
 warm r11->r12) and t12_stream_late_sessions (+9%).
 
-Runs each entry 5 times INTERLEAVED (t19, t12, t19, t12, ...) after one
-untimed warm-up apiece, on a host gated to load_avg < 1, and reports the
-median + spread per entry. Interleaving means a transient background
-blip hits both entries rather than biasing one. One JSON line to stdout;
-the round notes cite it. Not part of bench.py — this is a one-off
-diagnostic, method `median_of_5_interleaved_warm` (NOT comparable to the
+Runs each entry 7 times INTERLEAVED (t19, t12, t19, t12, ...) after
+THREE untimed warm-ups apiece (a single warm-up measurably leaves the
+session still warming — see the comment at the warm-up loop), on a host
+gated to load_avg < 1, and reports the median + spread per entry.
+Interleaving means a transient background blip hits both entries rather
+than biasing one. One JSON line to stdout; the round notes cite it. Not
+part of bench.py — this is a one-off diagnostic, method
+`median_of_7_interleaved_warm_after_3_warmups` (NOT comparable to the
 bench's best-of-2 numbers; compare medians to medians next time).
 """
 

@@ -931,6 +931,33 @@ def test_png_decode_bounds_untrusted_inflate():
         + chunk(b"IDAT", trunc) + chunk(b"IEND", b"")
     )
     assert M._decode_png_rgb(blob) is None
+    # Sub-byte amplification (r13 self-review finding): a 1-bit
+    # 20000x20000 gray claims only ~50 MB of PACKED filtered bytes —
+    # under the packed-byte ceiling — but 400M unpacked samples, whose
+    # int64 unpack/sum temporaries are multi-GiB. The unpacked-raster
+    # gate must refuse it from a ~KB blob, before any inflate.
+    bomb1bit = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (20000).to_bytes(4, "big")
+                + (20000).to_bytes(4, "big") + bytes([1, 0, 0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes(64)))
+        + chunk(b"IEND", b"")
+    )
+    assert M._decode_png_rgb(bomb1bit) is None
+    # ...while an in-scope sub-byte image still decodes (the gate
+    # bounds forgeries, not the supported profile)
+    ok1bit = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", (8).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                + bytes([1, 0, 0, 0, 0]))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0b10110001,
+                                              0, 0b01001110])))
+        + chunk(b"IEND", b"")
+    )
+    d = M._decode_png_rgb(ok1bit)
+    assert d is not None and d[:2] == (8, 2)
+    assert [int(v) for v in d[2][0, :, 0]] == [
+        255, 0, 255, 255, 0, 0, 0, 255]
 
 
 def test_png_palette_matches_truecolor_decode_property():
