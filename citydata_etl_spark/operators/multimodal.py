@@ -7,10 +7,11 @@ EVERY supported format: uncompressed BMP, DEFLATE-coded PNG (stdlib
 zlib + filter reversal), LZW-coded GIF, and — since r12 — baseline
 DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
 chroma upsampling + JFIF color convert, all implemented here; 4:2:0 /
-4:2:2 subsampling, interlaced PNG/GIF, and the full spec-legal PNG
-color-type x bit-depth matrix (palette/gray, 1/2/4/8/16-bit) — the
-remaining common wild profiles — since r13). No stub boundary
-remains; unsupported PROFILES (progressive JPEG, non-divisor sampling
+4:2:2 subsampling, spectral-selection progressive (SOF2), interlaced
+PNG/GIF, and the full spec-legal PNG color-type x bit-depth matrix
+(palette/gray, 1/2/4/8/16-bit) — the remaining common wild profiles —
+since r13). No stub boundary remains; unsupported PROFILES
+(successive-approximation progressive JPEG, non-divisor sampling
 mixes, 12-bit JPEG) return NULL per the decode triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
@@ -691,20 +692,31 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     shift, chroma upsampling, and JFIF YCbCr->RGB. Returns None for
     non-JPEG / unsupported / corrupt blobs, never raises.
 
-    Supported: SOF0 (baseline DCT), 8-bit precision, 1 component
-    (grayscale: R=G=B=Y) or 3 components with sampling factors in
-    1..4 where every factor divides the frame maximum — which covers
-    4:4:4 (1x1), 4:2:2 (2x1), 4:2:0 (2x2, the dominant wild profile)
-    and 4:1:1; arbitrary DQT/DHT tables (read from the stream, not
-    assumed), restart intervals (DRI + RSTn with DC-predictor reset
-    and byte-alignment), 0xFF00 byte stuffing, any number of
+    Supported: SOF0 (baseline DCT) and — since r13 — SOF2
+    progressive with SPECTRAL SELECTION (Ah = Al = 0: an interleaved
+    or per-component DC scan followed by single-component AC band
+    scans in any non-overlapping band order, EOBn zero-band run
+    codes, per-scan DHT redefinition, restart intervals per scan);
+    8-bit precision, 1 component (grayscale: R=G=B=Y) or 3
+    components with sampling factors in 1..4 where every factor
+    divides the frame maximum — which covers 4:4:4 (1x1), 4:2:2
+    (2x1), 4:2:0 (2x2, the dominant wild profile) and 4:1:1;
+    arbitrary DQT/DHT tables (read from the stream, not assumed),
+    restart intervals (DRI + RSTn with DC-predictor reset and
+    byte-alignment), 0xFF00 byte stuffing, any number of
     length-prefixed header segments (a split ICC profile can carry
     hundreds of APP2 chunks — the walk is bounded by the blob length,
     not a segment count), and non-multiple-of-MCU dimensions (full
-    MCU grid decoded, cropped to WxH). Out of scope, all None:
-    progressive (SOF2) and every non-SOF0 frame type, 12-bit
-    precision, non-divisor sampling mixes (e.g. 3x1 against 2x1),
-    arithmetic coding, truncated or structurally malformed streams.
+    MCU grid decoded, cropped to WxH). Non-interleaved progressive
+    scans walk each component's OWN ceil(w_c/8) x ceil(h_c/8) block
+    raster (T.81 A.2.2), so progressive composes with chroma
+    subsampling. Out of scope, all None: successive-approximation
+    progressive (any scan with Ah or Al nonzero — the bit-plane
+    refinement passes libjpeg's default scan script also emits;
+    spectral-selection-only files decode fully), every non-SOF0/SOF2
+    frame type, 12-bit precision, non-divisor sampling mixes (e.g.
+    3x1 against 2x1), arithmetic coding, truncated or structurally
+    malformed streams.
 
     Exactness convention (stated so an oracle can restate it): each
     component plane is IDCT'd in float64, level-shifted by +128, and
@@ -748,8 +760,206 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     qtables: dict[int, np.ndarray] = {}
     hufftabs: dict[tuple, tuple] = {}  # (class 0=DC/1=AC, id) -> LUT pair
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coeff = None          # per-component MCU-padded coefficient arrays
+    mcux = mcuy = 0
+    width = height = hmax = vmax = 0
+    comps: list = []
+    dc_done: list = []
+    ac_iv: list = []      # per component: list of covered (Ss, Se) bands
+    n_scans = 0
+    eoi = False
+    zz = _JPEG_ZIGZAG
+
+    def extend(v, t):
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def run_scan(start, splan, Ss, Se):
+        """Decode ONE entropy-coded scan starting at `start` (first
+        byte after the SOS header), accumulating coefficients into
+        `coeff`; returns the stream position of the next marker's
+        0xFF, or None on any malformed stream. splan is a list of
+        (component index, DC table, AC table) slots — a table is None
+        when the scan's band does not use that class. Interleaved iff
+        len(splan) > 1; a single-component scan walks the component's
+        OWN ceil(w_c/8) x ceil(h_c/8) block raster, NOT the MCU grid
+        (T.81 A.2.2 — the same rule the SOF branch applies to
+        1-component frames). One implementation serves BOTH the
+        baseline path (a single Ss=0..Se=63 scan) and the progressive
+        spectral-selection path (many partial-band scans), so the bit
+        reader, restart sequencing, ZRL, and the EOB/EOBn family
+        cannot drift between modes. EOBn (run 1..14, size 0) — a run
+        of blocks whose remaining band is entirely zero — is only
+        legal in progressive scans; baseline keeps rejecting it. An
+        EOB run may not span a restart boundary (the interval resets
+        predictors AND the run; a stream whose run crosses one is
+        malformed). Scan end is strict: after the sub-byte pad is
+        dropped, leftover buffered whole bytes are garbage -> None
+        (the restart-boundary rule applied at the scan boundary)."""
+        data = b
+        dpos = start
+        acc = nbits = 0
+        marker_hit = None
+
+        def fill():
+            nonlocal dpos, acc, nbits, marker_hit
+            while nbits <= 24:
+                if dpos >= len(data):
+                    return False
+                byte = data[dpos]
+                if byte == 0xFF:
+                    if dpos + 1 >= len(data):
+                        return False
+                    nxt = data[dpos + 1]
+                    if nxt == 0x00:
+                        dpos += 2  # stuffed literal FF
+                    elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                        marker_hit = nxt
+                        return False
+                    else:
+                        marker_hit = nxt  # any marker ends the scan
+                        return False
+                else:
+                    dpos += 1
+                acc = (acc << 8) | byte
+                nbits += 8
+            return True
+
+        def receive(n):
+            nonlocal acc, nbits
+            if n == 0:
+                return 0
+            while nbits < n:
+                if not fill() and nbits < n:
+                    return None
+            nbits -= n
+            v = acc >> nbits
+            acc &= (1 << nbits) - 1
+            return v
+
+        def decode_sym(tab):
+            nonlocal acc, nbits
+            if nbits < 16:
+                fill()  # may legally stop short at a marker / end
+            sym, ln = tab
+            if nbits >= 16:
+                peek = acc >> (nbits - 16)
+            else:
+                peek = ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)) \
+                    if nbits else 0xFFFF
+            length = ln[peek]
+            if length == 0 or length > nbits:
+                return None
+            nbits -= length
+            acc &= (1 << nbits) - 1
+            return sym[peek]
+
+        interleaved = len(splan) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            ci0 = splan[0][0]
+            _, chf, cvf, _ = comps[ci0]
+            cw = (width * chf + hmax - 1) // hmax
+            chh = (height * cvf + vmax - 1) // vmax
+            nbx, nby = (cw + 7) // 8, (chh + 7) // 8
+            units = nbx * nby
+            row_blocks0 = mcux * chf
+        preds = [0] * len(splan)
+        eobrun = 0
+        expected_rst = 0
+        kmin = max(Ss, 1)
+
+        def decode_block(slot, bidx):
+            nonlocal eobrun
+            ci, dc_tab, ac_tab = splan[slot]
+            carr = coeff[ci]
+            if Ss == 0:
+                t = decode_sym(dc_tab)
+                if t is None or t > 11:  # 8-bit baseline DC categories
+                    return False
+                if t:
+                    v = receive(t)
+                    if v is None:
+                        return False
+                    preds[slot] += extend(v, t)
+                carr[bidx, 0] = preds[slot]
+            if Se >= kmin:
+                if eobrun:
+                    eobrun -= 1  # inside an EOB run: band stays zero
+                    return True
+                k = kmin
+                while k <= Se:
+                    rs = decode_sym(ac_tab)
+                    if rs is None:
+                        return False
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        if run and not progressive:
+                            return False  # EOBn outside progressive
+                        r = receive(run) if run else 0
+                        if r is None:
+                            return False
+                        eobrun = (1 << run) - 1 + r
+                        break  # current block's band ends here
+                    k += run
+                    if k > Se:
+                        return False
+                    v = receive(size)
+                    if v is None:
+                        return False
+                    carr[bidx, zz[k]] = extend(v, size)
+                    k += 1
+            return True
+
+        ri = restart_interval
+        for u in range(units):
+            if ri and u and u % ri == 0:
+                if eobrun:
+                    return None  # EOB run across a restart: malformed
+                nbits -= nbits % 8
+                acc &= (1 << nbits) - 1
+                if nbits:
+                    return None  # garbage whole bytes before the RSTn
+                if marker_hit is None:
+                    fill()
+                if marker_hit != 0xD0 + expected_rst:
+                    return None
+                marker_hit = None
+                dpos += 2
+                acc = nbits = 0
+                expected_rst = (expected_rst + 1) % 8
+                preds = [0] * len(splan)
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for slot in range(len(splan)):
+                    ci = splan[slot][0]
+                    _, chf, cvf, _ = comps[ci]
+                    row_blocks = mcux * chf
+                    for by in range(cvf):
+                        for bx in range(chf):
+                            bidx = ((my * cvf + by) * row_blocks
+                                    + mx * chf + bx)
+                            if not decode_block(slot, bidx):
+                                return None
+            else:
+                by, bx = divmod(u, nbx)
+                if not decode_block(0, by * row_blocks0 + bx):
+                    return None
+        if eobrun:
+            return None  # EOB run past the last block: malformed
+        nbits -= nbits % 8
+        acc &= (1 << nbits) - 1
+        if nbits:
+            return None  # whole garbage bytes before the next marker
+        if marker_hit is None and dpos < len(data) and data[dpos] != 0xFF:
+            return None
+        return dpos
+
     # every iteration advances pos by >= 2 (markers) or seg_len >= 2,
     # so the walk terminates without a segment-count cap (a split ICC
     # profile alone can exceed any fixed cap — r12 ADVICE)
@@ -762,7 +972,12 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             return None
         marker = b[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:
+            # EOI: legal end of a progressive stream (the scans each
+            # returned AT this marker); anywhere else it is premature
+            if progressive and n_scans:
+                eoi = True
+                break
             return None
         if 0xD0 <= marker <= 0xD7:  # stray RST outside a scan
             return None
@@ -807,8 +1022,11 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 hufftabs[(tc, th)] = tab
                 p += 17 + nv
         elif marker in _SOF_MARKERS:
-            if marker != 0xC0:
-                return None  # progressive/extended/arithmetic: scope
+            if marker not in (0xC0, 0xC2):
+                return None  # extended/lossless/arithmetic: scope
+            if frame is not None:
+                return None  # two frames in one stream: malformed
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 return None
             precision = seg[0]
@@ -845,190 +1063,102 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             if frame is None or len(seg) < 1:
                 return None
             ns = seg[0]
-            if ns != len(frame[2]) or len(seg) < 1 + 2 * ns + 3:
+            if len(seg) < 1 + 2 * ns + 3:
                 return None
-            scan = []
+            Ss, Se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0x0F
+            width, height, comps, hmax, vmax = frame
+            if coeff is None:
+                # first scan: geometry + the untrusted-dimension gate
+                # on the REAL allocation (int64 coefficients + float64
+                # padded planes + rounded copies + ~8 float64 full
+                # rasters of conversion temporaries), BEFORE anything
+                # allocates — a forged SOF cannot make a 300-byte blob
+                # allocate gigabytes inside a mapInPandas worker.
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                padded = sum((mcuy * v * 8) * (mcux * h * 8)
+                             for _, h, v, _ in comps)
+                full = (mcux * hmax * 8) * (mcuy * vmax * 8)
+                if padded * 8 * 3 + full * 8 * 8 > _JPEG_MAX_ALLOC_BYTES:
+                    return None
+                coeff = [
+                    np.zeros((mcuy * v * mcux * h, 64), dtype=np.int64)
+                    for _, h, v, _ in comps
+                ]
+                dc_done = [False] * len(comps)
+                ac_iv = [[] for _ in comps]
+            if Ah or Al:
+                # successive-approximation progressive: out of scope,
+                # disclosed (spectral selection only)
+                return None
+            if progressive:
+                if Ss == 0:
+                    if Se != 0:
+                        return None  # DC scan is exactly band 0
+                elif ns != 1 or not 1 <= Ss <= Se <= 63:
+                    return None  # AC scans are single-component bands
+            else:
+                if Ss != 0 or Se != 63 or ns != len(comps):
+                    return None  # baseline: one full-band scan
+            splan = []
+            seen: set = set()
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append((cs, tt >> 4, tt & 0x0F))
-            break
+                td, ta = tt >> 4, tt & 0x0F
+                idxs = [i for i, cc in enumerate(comps) if cc[0] == cs]
+                if len(idxs) != 1:
+                    return None
+                ci = idxs[0]
+                if ci in seen:
+                    # duplicate scan selectors would misassign the
+                    # entropy stream across components — wrong pixels,
+                    # not None, without this check (r13 review finding)
+                    return None
+                seen.add(ci)
+                need_dc, need_ac = Ss == 0, Se >= 1
+                dtab = hufftabs.get((0, td)) if need_dc else None
+                atab = hufftabs.get((1, ta)) if need_ac else None
+                if (need_dc and dtab is None) or \
+                        (need_ac and atab is None):
+                    return None
+                splan.append((ci, dtab, atab))
+            if progressive:
+                # Ah=Al=0 spectral selection: every coefficient of
+                # every component is coded exactly once, DC before
+                # that component's AC bands (T.81 G.1.1.1.1) — band
+                # ORDER beyond that is free, overlap is malformed
+                if Ss == 0:
+                    for ci, _, _ in splan:
+                        if dc_done[ci]:
+                            return None
+                        dc_done[ci] = True
+                else:
+                    ci = splan[0][0]
+                    if not dc_done[ci] or any(
+                        not (Se < a or Ss > bnd) for a, bnd in ac_iv[ci]
+                    ):
+                        return None
+                    ac_iv[ci].append((Ss, Se))
+            ret = run_scan(pos, splan, Ss, Se)
+            if ret is None:
+                return None
+            pos = ret
+            n_scans += 1
+            if not progressive:
+                break  # baseline: the single scan decodes everything
+            continue
         # APPn / COM / anything else length-prefixed: skipped
-    if scan is None:
+    if coeff is None or n_scans == 0:
+        return None
+    if progressive and (not eoi or not all(dc_done)):
+        # a progressive stream must reach EOI with every component's
+        # DC scan seen; never-coded AC bands legally stay zero
         return None
     width, height, comps, hmax, vmax = frame
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    # Untrusted-dimension gate on the REAL allocation, not the output
-    # size: the decode holds one int64 coefficient array and a float64
-    # plane + rounded copy per component (3 arrays over each padded
-    # component raster) plus the upsampled full-raster planes and RGB
-    # conversion temporaries (~8 float64 full rasters). Bound that
-    # footprint BEFORE allocating anything, so a forged SOF cannot
-    # make a 300-byte blob allocate gigabytes inside a mapInPandas
-    # worker.
-    padded = sum((mcuy * v * 8) * (mcux * h * 8) for _, h, v, _ in comps)
-    full = (mcux * hmax * 8) * (mcuy * vmax * 8)
-    if padded * 8 * 3 + full * 8 * 8 > _JPEG_MAX_ALLOC_BYTES:
-        return None
-    plan = []
-    order = []  # SOF-component index for each scan slot
-    for cs, td, ta in scan:
-        idxs = [i for i, c in enumerate(comps) if c[0] == cs]
-        if len(idxs) != 1:
+    for _, _, _, tq in comps:
+        if tq not in qtables:
             return None
-        ci = idxs[0]
-        _, ch, cv, tq = comps[ci]
-        if (0, td) not in hufftabs or (1, ta) not in hufftabs \
-                or tq not in qtables:
-            return None
-        order.append(ci)
-        plan.append((hufftabs[(0, td)], hufftabs[(1, ta)], ch, cv))
-    if len(set(order)) != len(order):
-        # duplicate scan selectors (e.g. 1,1,2) would misassign the
-        # entropy stream across components — wrong pixels, not None,
-        # without this check (r13 review finding)
-        return None
-
-    # --- entropy-coded segment: MSB-first bit reader with unstuffing.
-    # Invariant (r12 ADVICE): acc holds EXACTLY nbits live bits —
-    # every consume truncates, so acc stays <= 32 bits and each read
-    # is O(1) instead of copying an ever-growing big-int.
-    data = b
-    dpos = pos
-    acc = nbits = 0
-    marker_hit = [None]  # RST/EOI marker met at a byte boundary
-
-    def fill():
-        nonlocal dpos, acc, nbits
-        while nbits <= 24:
-            if dpos >= len(data):
-                return False
-            byte = data[dpos]
-            if byte == 0xFF:
-                if dpos + 1 >= len(data):
-                    return False
-                nxt = data[dpos + 1]
-                if nxt == 0x00:
-                    dpos += 2  # stuffed literal FF
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    marker_hit[0] = nxt
-                    return False
-                else:
-                    return False  # unexpected marker mid-scan
-            else:
-                dpos += 1
-            acc = (acc << 8) | byte
-            nbits += 8
-        return True
-
-    def receive(n):
-        nonlocal acc, nbits
-        if n == 0:
-            return 0
-        while nbits < n:
-            # fill() stops (False) at a marker, but may have buffered
-            # enough bits first — only a genuine shortfall is fatal
-            if not fill() and nbits < n:
-                return None
-        nbits -= n
-        v = acc >> nbits
-        acc &= (1 << nbits) - 1
-        return v
-
-    def decode_sym(tab):
-        nonlocal acc, nbits
-        if nbits < 16:
-            fill()  # may legally stop short at a marker / stream end
-        sym, ln = tab
-        if nbits >= 16:
-            peek = acc >> (nbits - 16)
-        else:
-            # end-of-scan: pad the peek with 1-bits (the spec's byte
-            # padding), so a final short code still resolves; a code
-            # that would CONSUME padding fails the length check below
-            peek = ((acc << (16 - nbits)) | ((1 << (16 - nbits)) - 1)) \
-                if nbits else 0xFFFF
-        length = ln[peek]
-        if length == 0 or length > nbits:
-            return None
-        nbits -= length
-        acc &= (1 << nbits) - 1
-        return sym[peek]
-
-    def extend(v, t):
-        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-    n_mcu = mcux * mcuy
-    zz = _JPEG_ZIGZAG
-    coeff = [
-        np.zeros((mcuy * v * mcux * h, 64), dtype=np.int64)
-        for _, h, v, _ in comps
-    ]
-    preds = [0] * len(plan)
-    expected_rst = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            # byte-align, then consume the next RSTn in sequence
-            nbits -= nbits % 8
-            acc &= (1 << nbits) - 1
-            if nbits:
-                # a valid stream's pre-marker residue is ONLY the
-                # sub-byte pad (whole bytes were all consumed by
-                # symbols) — leftover whole bytes mean garbage was
-                # inserted before the RSTn (r13 review finding)
-                return None
-            if marker_hit[0] is None:
-                fill()
-            mk = marker_hit[0]
-            if mk != 0xD0 + expected_rst:
-                return None
-            marker_hit[0] = None
-            dpos += 2
-            acc = nbits = 0
-            expected_rst = (expected_rst + 1) % 8
-            preds = [0] * len(plan)
-        my, mx = divmod(m, mcux)
-        for si, (dc_tab, ac_tab, ch, cv) in enumerate(plan):
-            ci = order[si]
-            row_blocks = mcux * ch
-            for by in range(cv):
-                for bx in range(ch):
-                    t = decode_sym(dc_tab)
-                    if t is None or t > 11:  # 8-bit baseline DC cats
-                        return None
-                    if t:
-                        v = receive(t)
-                        if v is None:
-                            return None
-                        diff = extend(v, t)
-                    else:
-                        diff = 0
-                    preds[si] += diff
-                    blk = [0] * 64
-                    blk[0] = preds[si]
-                    k = 1
-                    while k < 64:
-                        rs = decode_sym(ac_tab)
-                        if rs is None:
-                            return None
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 0:
-                                break  # EOB
-                            if run != 15:
-                                return None
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            return None
-                        v = receive(size)
-                        if v is None:
-                            return None
-                        blk[zz[k]] = extend(v, size)
-                        k += 1
-                    bidx = (my * cv + by) * row_blocks + mx * ch + bx
-                    coeff[ci][bidx] = blk
 
     # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); spatial
     # block = A.T @ F @ A, batched over every block of a component in
@@ -1078,10 +1208,12 @@ def _decode_image_rgb(blob) -> tuple | None:
     since r12 — baseline JPEG (pure-Python Huffman + dequant + IDCT,
     _decode_jpeg_rgb) ALL decode for real; there is no stubbed format
     left. Since r13 that includes chroma-subsampled baseline JPEG
-    (4:2:0/4:2:2/4:1:1), interlaced PNG (Adam7) / GIF, and the full
-    spec-legal PNG color-type x bit-depth matrix (palette/grayscale,
-    1/2/4/8/16-bit). Unsupported profiles (progressive JPEG, 12-bit
-    JPEG) return None per each decoder's disclosed scope. Every branch returns the same (width, height,
+    (4:2:0/4:2:2/4:1:1), spectral-selection progressive JPEG (SOF2,
+    Ah=Al=0), interlaced PNG (Adam7) / GIF, and the full spec-legal
+    PNG color-type x bit-depth matrix (palette/grayscale,
+    1/2/4/8/16-bit). Unsupported profiles (successive-approximation
+    progressive, 12-bit JPEG) return None per each decoder's
+    disclosed scope. Every branch returns the same (width, height,
     HxWx3 uint8 RGB, logical top-down) contract, so every raster
     kernel (pixel stats, histogram, resize, ahash) is format-agnostic
     above this line."""

@@ -196,8 +196,8 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_image_ahash": 10,
     "d5_image_neardup": 10,
     "d5_jpeg_meta": 11,
-    "d5_jpeg_pixels": 0,  # r13: bit-reader/Huffman rewrite + sampling factors (ADVICE r12)
-    "d5_jpeg_pixels_420": 0,  # r13: NEW — subsampled-chroma decode entry
+    "d5_jpeg_pixels": 0,  # r13: decoder rewrite + progressive frames in fixture
+    "d5_jpeg_pixels_420": 0,  # r13: NEW — subsampled entry; fixture later gained progressive frames
     "d5_media_decode": 12,
     "d5_mp4_meta": 11,
     "d5_png_adam7": 0,  # r13: NEW — Adam7 entry; fixture later gained palette frames

@@ -3978,7 +3978,8 @@ def encode_gif(px_rows, split_subblocks: bool = False,
 
 
 def encode_jpeg(comp_blocks, w: int, h: int,
-                restart_interval: int = 0, sampling=None) -> bytes:
+                restart_interval: int = 0, sampling=None,
+                progressive: bool = False) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -4006,6 +4007,16 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     is what makes the driver fixture's pixels closed-form in SQL —
     subsampled chroma then replicates each flat 8x8 chroma block over
     an aligned 16-pixel-wide (and/or tall) box.
+
+    `progressive=True` emits SOF2 with the spectral-selection scan
+    script (Ah = Al = 0): one interleaved DC scan (Ss=Se=0), then one
+    AC scan per component (Ss=1, Se=63) over that component's OWN
+    ceil(w_c/8) x ceil(h_c/8) block raster — MCU-padding blocks are
+    never AC-coded — with runs of all-zero bands compressed as EOBn
+    symbols (flushed before content blocks, before restarts, and at
+    scan end; the AC table gains the EOB1..EOB14 symbols only in this
+    mode, so baseline streams stay byte-identical). Same quantized
+    coefficients -> same decoded pixels as the baseline encode.
     Synthesis-side twin of operators/multimodal.py:_decode_jpeg_rgb;
     shares _JPEG_ZIGZAG with it so scan order cannot drift."""
     from citydata_etl_spark.operators.multimodal import _JPEG_ZIGZAG
@@ -4028,31 +4039,42 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     # DQT: table 0, 8-bit precision, all 64 entries = 8 (zigzag order)
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([8] * 64)
-    # SOF0: 8-bit, h x w, per-component sampling factors, qtable 0
+    # SOF0 (baseline) / SOF2 (progressive, spectral selection only):
+    # 8-bit, h x w, per-component sampling factors, qtable 0
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([n_comp])
     for c in range(n_comp):
         sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0])
-    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + (2 + len(sof)).to_bytes(2, "big") + sof
     # DHT: DC table 0 (12 categories, all 4 bits) + AC table 0 (all
-    # 162 run/size symbols, all 8 bits) — canonical, Kraft-valid
+    # 162 run/size symbols, all 8 bits) — canonical, Kraft-valid. A
+    # progressive AC table additionally carries the EOB1..EOB14 run
+    # symbols ((n << 4) | 0 — undefined in baseline, where the
+    # decoder keeps rejecting them); baseline streams stay
+    # byte-identical to the pre-progressive encoder.
     dc_bits = [0, 0, 0, 12] + [0] * 12
     dc_vals = list(range(12))
-    ac_vals = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
+    ac_vals = [0x00, 0xF0] \
+        + ([n << 4 for n in range(1, 15)] if progressive else []) \
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
     ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
     dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals) \
         + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
     if restart_interval:
         out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
-    # SOS: every component uses DC table 0 / AC table 0
-    sos = bytes([n_comp])
-    for c in range(n_comp):
-        sos += bytes([c + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+
+    def sos_header(comp_ids, ss, se):
+        s = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            s += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        s += bytes([ss, se, 0])      # Ah = Al = 0: spectral selection
+        return b"\xff\xda" + (2 + len(s)).to_bytes(2, "big") + s
+
+    if not progressive:
+        # baseline: ONE full-band interleaved scan
+        out += sos_header([c + 1 for c in range(n_comp)], 0, 63)
 
     # canonical code assignment: INVERT the decoder's own table
     # builder rather than re-deriving T.81 Annex C here — like the
@@ -4093,56 +4115,160 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     for ci in range(n_comp):
         sh, sv = sampling[ci]
         assert len(comp_blocks[ci]) == (mcuy * sv) * (mcux * sh)
-    preds = [0] * n_comp
-    rst = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            pad_to_byte()
-            entropy += bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            preds = [0] * n_comp
-        my, mx = divmod(m, mcux)
-        mcu_blocks = []  # (ci, block) in T.81 interleave order
-        for ci in range(n_comp):
-            sh, sv = sampling[ci]
-            for by in range(sv):
-                for bx in range(sh):
-                    idx = (my * sv + by) * (mcux * sh) + mx * sh + bx
-                    mcu_blocks.append((ci, comp_blocks[ci][idx]))
-        for ci, blk in mcu_blocks:
-            flat = [int(blk[i // 8][i % 8]) for i in range(64)]
-            zz = [flat[_JPEG_ZIGZAG[k]] for k in range(64)]
-            diff = zz[0] - preds[ci]
-            preds[ci] = zz[0]
-            t = category(diff)
-            ln, code = dc_codes[t]
-            put(code, ln)
-            if t:
-                put(diff if diff > 0 else diff + (1 << t) - 1, t)
-            run = 0
-            last_nz = max(
-                (k for k in range(1, 64) if zz[k]), default=0
-            )
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[0xF0]
-                    put(code, ln)  # ZRL
-                    run -= 16
-                s = category(v)
-                assert 1 <= s <= 10, "coefficient out of encodable range"
-                ln, code = ac_codes[(run << 4) | s]
-                put(code, ln)
-                put(v if v > 0 else v + (1 << s) - 1, s)
+
+    def zz_of(blk):
+        flat = [int(blk[i // 8][i % 8]) for i in range(64)]
+        return [flat[_JPEG_ZIGZAG[k]] for k in range(64)]
+
+    def put_dc(diff):
+        t = category(diff)
+        ln, code = dc_codes[t]
+        put(code, ln)
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    def flush_scan():
+        pad_to_byte()
+        nonlocal_out.append(bytes(entropy))
+        entropy.clear()
+
+    nonlocal_out: list = []
+
+    if not progressive:
+        preds = [0] * n_comp
+        rst = 0
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                pad_to_byte()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * n_comp
+            my, mx = divmod(m, mcux)
+            mcu_blocks = []  # (ci, block) in T.81 interleave order
+            for ci in range(n_comp):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        idx = (my * sv + by) * (mcux * sh) + mx * sh + bx
+                        mcu_blocks.append((ci, comp_blocks[ci][idx]))
+            for ci, blk in mcu_blocks:
+                zz = zz_of(blk)
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                put_dc(diff)
                 run = 0
-            if last_nz < 63:
-                ln, code = ac_codes[0x00]
-                put(code, ln)  # EOB
-    pad_to_byte()
-    out += entropy
+                last_nz = max(
+                    (k for k in range(1, 64) if zz[k]), default=0
+                )
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        put(code, ln)  # ZRL
+                        run -= 16
+                    s = category(v)
+                    assert 1 <= s <= 10, \
+                        "coefficient out of encodable range"
+                    ln, code = ac_codes[(run << 4) | s]
+                    put(code, ln)
+                    put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    ln, code = ac_codes[0x00]
+                    put(code, ln)  # EOB
+        flush_scan()
+        out += nonlocal_out[-1]
+    else:
+        # --- progressive, spectral selection only (Ah = Al = 0):
+        # scan 1 codes every component's DC band interleaved; then
+        # one AC scan per component over its OWN ceil(w_c/8) x
+        # ceil(h_c/8) block raster (T.81 non-interleaved rule —
+        # MCU-padding blocks are never AC-coded; they lie outside the
+        # visible raster, so pixels match the baseline encode
+        # exactly). Runs of all-zero bands compress as EOBn symbols,
+        # flushed before any content block, before every restart
+        # marker (an EOB run may not span a restart), and at scan
+        # end.
+        out += sos_header([c + 1 for c in range(n_comp)], 0, 0)
+        preds = [0] * n_comp
+        rst = 0
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                pad_to_byte()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * n_comp
+            my, mx = divmod(m, mcux)
+            for ci in range(n_comp):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        idx = (my * sv + by) * (mcux * sh) + mx * sh + bx
+                        dc = int(comp_blocks[ci][idx][0][0])
+                        put_dc(dc - preds[ci])
+                        preds[ci] = dc
+        flush_scan()
+        out += nonlocal_out[-1]
+        for ci in range(n_comp):
+            out += sos_header([ci + 1], 1, 63)
+            sh, sv = sampling[ci]
+            cw = (w * sh + hmax - 1) // hmax
+            chh = (h * sv + vmax - 1) // vmax
+            nbx, nby = (cw + 7) // 8, (chh + 7) // 8
+            eobrun = 0
+            rst = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                while eobrun:
+                    n = min(14, eobrun.bit_length() - 1)
+                    chunk = min(eobrun, (1 << (n + 1)) - 1)
+                    ln, code = ac_codes[n << 4]
+                    put(code, ln)
+                    if n:
+                        put(chunk - (1 << n), n)
+                    eobrun -= chunk
+
+            for u in range(nby * nbx):
+                if restart_interval and u and u % restart_interval == 0:
+                    flush_eob()
+                    pad_to_byte()
+                    entropy += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                by, bx = divmod(u, nbx)
+                zz = zz_of(comp_blocks[ci][by * (mcux * sh) + bx])
+                last_nz = max(
+                    (k for k in range(1, 64) if zz[k]), default=0
+                )
+                if last_nz == 0:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        put(code, ln)  # ZRL
+                        run -= 16
+                    s = category(v)
+                    assert 1 <= s <= 10, \
+                        "coefficient out of encodable range"
+                    ln, code = ac_codes[(run << 4) | s]
+                    put(code, ln)
+                    put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    eobrun += 1  # this block's EOB may extend a run
+            flush_eob()
+            flush_scan()
+            out += nonlocal_out[-1]
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -4259,8 +4385,10 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an epsilon. Dims cycle by doc_id (including <8 and
     non-multiple-of-8 edges), every 5th image is 1-component
     grayscale, every 4th carries DRI=2 restart markers the decoder
-    must consume in sequence, and every 7th row is a truncated
-    header-only blob that must yield NULLs."""
+    must consume in sequence, every frame at d % 3 == 1 is
+    PROGRESSIVE (SOF2 spectral selection, supported since r13) with
+    the SAME pixels, and every 7th row is a truncated header-only
+    blob that must yield NULLs."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4288,16 +4416,25 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                 ys = plane(lambda tx, ty: (d + 5 * tx + 9 * ty) % 256)
                 ri = 2 if d % 4 == 0 else 0
+                # every frame at d % 3 == 1 is PROGRESSIVE (SOF2,
+                # spectral selection: interleaved DC scan + per-
+                # component EOBn-coded AC scans) with the SAME
+                # closed-form pixels, so the oracle is blind to the
+                # scan topology and any multi-scan accumulation bug
+                # breaks parity; composes with grayscale and DRI
+                prog = d % 3 == 1
                 if d % 5 == 0:
                     blobs.append(encode_jpeg([ys], w, h,
-                                             restart_interval=ri))
+                                             restart_interval=ri,
+                                             progressive=prog))
                 else:
                     cbs = plane(
                         lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256)
                     crs = plane(
                         lambda tx, ty: (3 * d + tx + 11 * ty) % 256)
                     blobs.append(encode_jpeg([ys, cbs, crs], w, h,
-                                             restart_interval=ri))
+                                             restart_interval=ri,
+                                             progressive=prog))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
@@ -4367,11 +4504,15 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JFIF conversion in closed form — floor(x + 0.5) on IEEE float64 "
     "is bit-identical between numpy and the SQL engine. The corpus "
     "exercises grayscale (every 5th), DRI=2 restart markers (every "
-    "4th), sub-8 and non-multiple-of-8 dims, and truncated blobs "
-    "(every 7th -> NULL row). This entry pins the 4:4:4/grayscale "
-    "profiles; subsampled 4:2:0/4:2:2 decode (supported since r13) "
-    "is pinned by its own entry, d5_jpeg_pixels_420; progressive "
-    "still returns NULL (decode triage convention). AC coefficients, "
+    "4th), SOF2 spectral-selection PROGRESSIVE frames (every frame "
+    "at d%3==1, same pixels — supported since r13, so multi-scan "
+    "coefficient accumulation and EOBn runs face the oracle "
+    "invisibly to SQL), sub-8 and non-multiple-of-8 dims, and "
+    "truncated blobs (every 7th -> NULL row). This entry pins the "
+    "4:4:4/grayscale profiles; subsampled 4:2:0/4:2:2 decode "
+    "(supported since r13) is pinned by its own entry, "
+    "d5_jpeg_pixels_420; successive-approximation progressive still "
+    "returns NULL (decode triage convention). AC coefficients, "
     "the zigzag path, and the 16-bit-peek Huffman resolve are pinned "
     "by the roundtrip property test against an independent "
     "double-loop IDCT model. Scale "
@@ -4437,7 +4578,12 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_jpeg(
                     [ys, cbs, crs], w, h,
                     restart_interval=2 if d % 4 == 0 else 0,
-                    sampling=[(2, fv), (1, 1), (1, 1)]))
+                    sampling=[(2, fv), (1, 1), (1, 1)],
+                    # every 5th eligible frame: progressive + chroma
+                    # subsampling composed (non-interleaved AC scans
+                    # over each component's OWN sub-grid) — same
+                    # pixels, oracle unchanged
+                    progressive=d % 5 == 1))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")

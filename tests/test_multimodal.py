@@ -1148,6 +1148,131 @@ def test_png_subbyte_depths_property():
     check()
 
 
+def test_jpeg_progressive_matches_baseline_property():
+    """Hypothesis: the SAME quantized coefficients encoded baseline
+    (SOF0, one full-band scan) and progressive (SOF2 spectral
+    selection: interleaved DC scan + per-component EOBn-coded AC
+    scans — supported since r13) decode to IDENTICAL pixels, across
+    grayscale/4:4:4/4:2:2/4:2:0, restart intervals (which reset
+    predictors per scan and forbid EOB runs from crossing), sparse
+    AND empty AC content (empty bands drive long EOBn runs), and
+    non-multiple-of-MCU dims (where the non-interleaved AC grid is
+    narrower than the MCU-padded grid)."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 40),   # width
+        st.integers(1, 36),   # height
+        st.sampled_from(["gray", "444", "422", "420"]),
+        st.integers(0, 3),    # restart interval (0 = none)
+        st.integers(0, 2 ** 30),
+        st.integers(0, 10),   # nonzero ACs per block (0 = EOBn-heavy)
+    )
+    @example(17, 17, "420", 0, 0, 5)   # AC grid narrower than padded
+    @example(24, 24, "444", 2, 1, 0)   # all-zero AC: pure EOBn runs
+    @example(40, 40, "gray", 1, 2, 3)  # RST0-7 wraparound, gray
+    def check(w, h, mode, ri, seed, nac):
+        import random
+
+        rng = random.Random(seed)
+        sampling = {
+            "gray": [(1, 1)],
+            "444": [(1, 1)] * 3,
+            "422": [(2, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)],
+        }[mode]
+        hmax = max(a for a, _ in sampling)
+        vmax = max(b for _, b in sampling)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+        def blocks(sh, sv):
+            out = []
+            for _ in range(mcux * sh * mcuy * sv):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = rng.randrange(-96, 97)
+                for _n in range(nac):
+                    a, c = rng.randrange(8), rng.randrange(8)
+                    if (a, c) != (0, 0):
+                        blk[a][c] = rng.choice([-3, -2, -1, 1, 2, 3])
+                out.append(blk)
+            return out
+
+        cb = [blocks(sh, sv) for sh, sv in sampling]
+        base = encode_jpeg(cb, w, h, restart_interval=ri,
+                           sampling=None if mode == "gray" else sampling)
+        prog = encode_jpeg(cb, w, h, restart_interval=ri,
+                           sampling=None if mode == "gray" else sampling,
+                           progressive=True)
+        db = M._decode_jpeg_rgb(base)
+        dp = M._decode_jpeg_rgb(prog)
+        assert db is not None and dp is not None
+        assert db[:2] == dp[:2] == (w, h)
+        assert np.array_equal(dp[2], db[2])
+
+    check()
+
+
+def test_jpeg_progressive_rejects_malformed():
+    """Progressive hardening: successive-approximation scans (Ah or
+    Al nonzero — out of the disclosed spectral-selection scope), a
+    stream missing its EOI, an AC scan whose component never had a DC
+    scan, overlapping AC bands, and a second SOF are all None —
+    never wrong pixels. FFDA can only occur as a real SOS marker
+    (byte stuffing escapes entropy FFs; RST/EOI are FFD0-FFD9), so
+    scan-level surgery by splitting on it is sound."""
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    def dcb(n):
+        out = []
+        for i in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = (i * 37) % 160 - 80
+            out.append(blk)
+        return out
+
+    cb = [dcb(4), dcb(4), dcb(4)]
+    prog = encode_jpeg(cb, 12, 10, progressive=True)
+    assert M._decode_jpeg_rgb(prog) is not None
+    scans = prog.split(b"\xff\xda")
+    assert len(scans) == 5  # header + DC scan + 3 AC scans
+
+    # successive approximation: flip Al in the LAST AC scan's header
+    # (trailer byte 3 + 2*ns + 2 after the length word)
+    sa = bytearray(prog)
+    last = sa.rindex(b"\xff\xda")
+    sa[last + 2 + 2 + 1 + 2 * 1 + 2] = 0x01  # Al = 1
+    assert M._decode_jpeg_rgb(bytes(sa)) is None
+    sa[last + 2 + 2 + 1 + 2 * 1 + 2] = 0x10  # Ah = 1
+    assert M._decode_jpeg_rgb(bytes(sa)) is None
+
+    # missing EOI: a progressive stream must END at its EOI
+    assert prog.endswith(b"\xff\xd9")
+    assert M._decode_jpeg_rgb(prog[:-2]) is None
+
+    # AC scan with no preceding DC scan for its component: drop the
+    # DC scan (scans[1]) entirely
+    no_dc = scans[0] + b"\xff\xda" + b"\xff\xda".join(scans[2:])
+    assert M._decode_jpeg_rgb(no_dc) is None
+
+    # overlapping AC bands: replay the first AC scan before EOI
+    dup = prog[:-2] + b"\xff\xda" + scans[2].rsplit(
+        b"\xff\xd9", 1)[0] + b"\xff\xd9"
+    assert M._decode_jpeg_rgb(dup) is None
+
+    # a second SOF frame header is malformed, not a reinterpretation
+    sof_at = prog.index(b"\xff\xc2")
+    sof_len = int.from_bytes(prog[sof_at + 2:sof_at + 4], "big")
+    sof_seg = prog[sof_at:sof_at + 2 + sof_len]
+    two_sof = prog[:sof_at] + sof_seg + prog[sof_at:]
+    assert M._decode_jpeg_rgb(two_sof) is None
+
+
 def test_png_palette_rejects_malformed():
     """Indexed-PNG hardening: missing PLTE, an index past the palette,
     a PLTE whose length is not a multiple of 3, and a PLTE after IDAT
