@@ -858,6 +858,11 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         interleaved = len(splan) > 1
         if interleaved:
             units = mcux * mcuy
+            # per-slot geometry hoisted out of the per-MCU hot loop
+            slot_geom = []
+            for ci, _, _ in splan:
+                _, chf, cvf, _ = comps[ci]
+                slot_geom.append((chf, cvf, mcux * chf))
         else:
             ci0 = splan[0][0]
             _, chf, cvf, _ = comps[ci0]
@@ -897,7 +902,13 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     run, size = rs >> 4, rs & 0x0F
                     if size == 0:
                         if run == 15:
-                            k += 16  # ZRL
+                            k += 16  # ZRL: 16 zeros, then a coef
+                            if k > Se:
+                                # zeros past the band end — T.81 says
+                                # trailing zeros are EOB material, so
+                                # this stream is malformed (r13 review
+                                # finding: was silently accepted)
+                                return False
                             continue
                         if run and not progressive:
                             return False  # EOBn outside progressive
@@ -936,10 +947,7 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 preds = [0] * len(splan)
             if interleaved:
                 my, mx = divmod(u, mcux)
-                for slot in range(len(splan)):
-                    ci = splan[slot][0]
-                    _, chf, cvf, _ = comps[ci]
-                    row_blocks = mcux * chf
+                for slot, (chf, cvf, row_blocks) in enumerate(slot_geom):
                     for by in range(cvf):
                         for bx in range(chf):
                             bidx = ((my * cvf + by) * row_blocks
@@ -1063,7 +1071,10 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             if frame is None or len(seg) < 1:
                 return None
             ns = seg[0]
-            if len(seg) < 1 + 2 * ns + 3:
+            if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                # ns = 0 would build an empty scan plan and crash the
+                # non-interleaved branch (r13 review finding): a scan
+                # must carry 1-4 components (T.81 B.2.3)
                 return None
             Ss, Se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             Ah, Al = ahal >> 4, ahal & 0x0F

@@ -4129,10 +4129,9 @@ def encode_jpeg(comp_blocks, w: int, h: int,
 
     def flush_scan():
         pad_to_byte()
-        nonlocal_out.append(bytes(entropy))
+        data = bytes(entropy)
         entropy.clear()
-
-    nonlocal_out: list = []
+        return data
 
     if not progressive:
         preds = [0] * n_comp
@@ -4179,8 +4178,7 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                 if last_nz < 63:
                     ln, code = ac_codes[0x00]
                     put(code, ln)  # EOB
-        flush_scan()
-        out += nonlocal_out[-1]
+        out += flush_scan()
     else:
         # --- progressive, spectral selection only (Ah = Al = 0):
         # scan 1 codes every component's DC band interleaved; then
@@ -4210,8 +4208,7 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                         dc = int(comp_blocks[ci][idx][0][0])
                         put_dc(dc - preds[ci])
                         preds[ci] = dc
-        flush_scan()
-        out += nonlocal_out[-1]
+        out += flush_scan()
         for ci in range(n_comp):
             out += sos_header([ci + 1], 1, 63)
             sh, sv = sampling[ci]
@@ -4267,8 +4264,7 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                 if last_nz < 63:
                     eobrun += 1  # this block's EOB may extend a run
             flush_eob()
-            flush_scan()
-            out += nonlocal_out[-1]
+            out += flush_scan()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
