@@ -583,7 +583,12 @@ def _decode_gif_rgb(blob) -> tuple | None:
             return None
         mcs = b[pos]
         pos += 1
-        if not 2 <= mcs <= 11:
+        # the LZW ROOT code size is bounded by the palette: at most 8
+        # (256 colors). 9..11 are invalid here — only the RUNNING code
+        # width grows to 12 during decode — and an unchecked 9+ made
+        # the initial table build raise bytes-out-of-range on a
+        # corrupt blob (r13 fuzz finding; never-raises contract)
+        if not 2 <= mcs <= 8:
             return None
         data = bytearray()
         while pos < len(b) and b[pos] != 0:

@@ -1325,6 +1325,81 @@ def test_jpeg_zrl_past_band_end_rejected():
     assert M._decode_jpeg_rgb(patched) is None
 
 
+def test_decoders_never_raise_on_corrupt_mutations():
+    """Standing fuzz for the never-raises contract (the r13 pass-3
+    ns=0 finding was exactly this class: a malformed blob CRASHING the
+    decoder kills a whole Spark task, where None yields a NULL row).
+    For each format profile, take a valid blob and apply seeded
+    mutations — single byte flips, truncations, byte insertions,
+    chunk-boundary splices — and require decode to return None or a
+    result, never raise. Deterministic seeds so a failure is a
+    reproducible regression, not a flake."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_gif, encode_jpeg, encode_png,
+    )
+
+    rng = random.Random(13)
+
+    def dcb(n):
+        out = []
+        for i in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = (i * 37) % 160 - 80
+            out.append(blk)
+        return out
+
+    px = np.arange(120, dtype=np.uint8).reshape(5, 8, 3) * 7 % 256
+    rows = [list(px[y].reshape(-1)) for y in range(5)]
+    irows = [[(y + x) % 4 for x in range(8)] for y in range(5)]
+    pal4 = [(1, 2, 3), (9, 9, 9), (200, 0, 50), (7, 70, 17)]
+    blobs = [
+        encode_png(rows, 3, [0, 1, 2, 3, 4]),
+        encode_png(rows, 3, [(k * 3) % 5 for k in range(18)],
+                   interlace=True),
+        encode_png(irows, 1, [0] * 5, palette=pal4, depth=2),
+        encode_png([[v * 256 + 9 for v in r] for r in rows], 3,
+                   [4] * 5, depth=16),
+        encode_gif([[((y * 8 + x) % 4 * 40, 7, 9) for x in range(8)]
+                    for y in range(5)], interlace=True),
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10,
+                    restart_interval=2),
+        encode_jpeg([dcb(8), dcb(2), dcb(2)], 20, 10,
+                    sampling=[(2, 2), (1, 1), (1, 1)]),
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10,
+                    progressive=True),
+    ]
+    for blob in blobs:
+        assert M._decode_image_rgb(blob) is not None  # valid baseline
+        for _trial in range(150):
+            m = bytearray(blob)
+            op = rng.randrange(4)
+            if op == 0:  # flip a byte
+                m[rng.randrange(len(m))] ^= 1 << rng.randrange(8)
+            elif op == 1:  # truncate
+                del m[rng.randrange(1, len(m)):]
+            elif op == 2:  # insert a byte
+                m.insert(rng.randrange(len(m)), rng.randrange(256))
+            else:  # splice a slice elsewhere
+                a, bnd = sorted(rng.randrange(len(m)) for _ in range(2))
+                m[a:a] = m[a:bnd]
+            M._decode_image_rgb(bytes(m))  # None or pixels — no raise
+
+    # the first crash this fuzz found (pinned): a GIF LZW root code
+    # size of 9..11 overflowed the initial byte-table build — the
+    # root size is bounded by the 256-color palette at 8; only the
+    # RUNNING width grows to 12
+    gif = blobs[4]
+    mcs_at = gif.index(0x2C) + 10  # descriptor (10 bytes incl. 0x2C)
+    for bad in (9, 10, 11, 1, 0):
+        g = bytearray(gif)
+        g[mcs_at] = bad
+        assert M._decode_gif_rgb(bytes(g)) is None
+
+
 def test_png_palette_rejects_malformed():
     """Indexed-PNG hardening: missing PLTE, an index past the palette,
     a PLTE whose length is not a multiple of 3, and a PLTE after IDAT
