@@ -1356,7 +1356,27 @@ def test_decoders_never_raise_on_corrupt_mutations():
     rows = [list(px[y].reshape(-1)) for y in range(5)]
     irows = [[(y + x) % 4 for x in range(8)] for y in range(5)]
     pal4 = [(1, 2, 3), (9, 9, 9), (200, 0, 50), (7, 70, 17)]
+    w, h = 8, 5
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            row += bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0]])
+        row += b"\x00" * (stride - len(row))
+        body += row
+    bmp = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little") + b"\x00" * 16 + bytes(body)
+    )
     blobs = [
+        bmp,
         encode_png(rows, 3, [0, 1, 2, 3, 4]),
         encode_png(rows, 3, [(k * 3) % 5 for k in range(18)],
                    interlace=True),
@@ -1392,7 +1412,7 @@ def test_decoders_never_raise_on_corrupt_mutations():
     # size of 9..11 overflowed the initial byte-table build — the
     # root size is bounded by the 256-color palette at 8; only the
     # RUNNING width grows to 12
-    gif = blobs[4]
+    gif = next(bb for bb in blobs if bytes(bb[:6]) == b"GIF89a")
     mcs_at = gif.index(0x2C) + 10  # descriptor (10 bytes incl. 0x2C)
     for bad in (9, 10, 11, 1, 0):
         g = bytearray(gif)
