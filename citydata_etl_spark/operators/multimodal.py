@@ -317,7 +317,11 @@ def _decode_png_rgb(blob) -> tuple | None:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             return None  # corrupt chunk (checksum-verified walk)
         if ctype == b"IHDR":
-            if ln != 13:
+            # spec 5.6: IHDR is the FIRST chunk and appears exactly
+            # once — an IDAT-before-IHDR or duplicate-IHDR stream is
+            # malformed even when self-consistent (r13 ADVICE: mirror
+            # the JPEG decoder's two-SOF rejection)
+            if ln != 13 or pos != 8 or width is not None:
                 return None
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
@@ -344,8 +348,12 @@ def _decode_png_rgb(blob) -> tuple | None:
         elif ctype == b"PLTE":
             # spec: length 3*n, 1 <= n <= 256, and PLTE precedes IDAT.
             # Required for color type 3; a suggested-quantization PLTE
-            # on other color types is legal and ignored below.
+            # on truecolor types 2/6 is legal and ignored below; the
+            # spec FORBIDS it on grayscale types 0/4 (r13 ADVICE:
+            # reject, matching the strict posture elsewhere).
             if ln % 3 or not 3 <= ln <= 768 or idat:
+                return None
+            if color in (0, 4):
                 return None
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":

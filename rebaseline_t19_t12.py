@@ -33,8 +33,13 @@ def main() -> None:
     from citydata_etl_spark.session import get_spark
     from citydata_etl_spark.caching import release_thread_caches
 
-    while os.getloadavg()[0] > 1.0:
+    # Idle gate, BOUNDED like bench.py's (r13 ADVICE: an unbounded
+    # wait hangs forever on a busy host); outcome recorded in the
+    # output JSON so a not-idle run is disclosed, not hidden.
+    gate_deadline = time.monotonic() + 600
+    while os.getloadavg()[0] > 1.0 and time.monotonic() < gate_deadline:
         time.sleep(10)
+    idle_gate_satisfied = os.getloadavg()[0] <= 1.0
 
     spark = get_spark(app_name="rebaseline-t19-t12")
     catalog = load_all()
@@ -68,6 +73,7 @@ def main() -> None:
         "metric": "rebaseline_t19_t12",
         "method": "median_of_7_interleaved_warm_after_3_warmups",
         "sf_dir": sf_dir,
+        "idle_gate_satisfied": idle_gate_satisfied,
         "load_avg_start": load_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "reps": {n: ts for n, ts in times.items()},
