@@ -9,10 +9,12 @@ DCT-coded JPEG (Huffman entropy decode + dequant + float64 IDCT +
 chroma upsampling + JFIF color convert, all implemented here; 4:2:0 /
 4:2:2 subsampling, spectral-selection progressive (SOF2), interlaced
 PNG/GIF, and the full spec-legal PNG color-type x bit-depth matrix
-(palette/gray, 1/2/4/8/16-bit) — the remaining common wild profiles —
-since r13). No stub boundary remains; unsupported PROFILES
-(successive-approximation progressive JPEG, non-divisor sampling
-mixes, 12-bit JPEG) return NULL per the decode triage convention.
+(palette/gray, 1/2/4/8/16-bit) since r13; SUCCESSIVE-APPROXIMATION
+progressive JPEG — the Ah/Al bit-plane refinement passes in libjpeg's
+DEFAULT scan script, i.e. most wild SOF2 files — since r14). No stub
+boundary remains; unsupported PROFILES (non-divisor sampling mixes,
+12-bit JPEG, CMYK/YCCK 4-component frames) return NULL per the decode
+triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -705,31 +707,39 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     shift, chroma upsampling, and JFIF YCbCr->RGB. Returns None for
     non-JPEG / unsupported / corrupt blobs, never raises.
 
-    Supported: SOF0 (baseline DCT) and — since r13 — SOF2
-    progressive with SPECTRAL SELECTION (Ah = Al = 0: an interleaved
-    or per-component DC scan followed by single-component AC band
-    scans in any non-overlapping band order, EOBn zero-band run
-    codes, per-scan DHT redefinition, restart intervals per scan);
-    8-bit precision, 1 component (grayscale: R=G=B=Y) or 3
-    components with sampling factors in 1..4 where every factor
-    divides the frame maximum — which covers 4:4:4 (1x1), 4:2:2
-    (2x1), 4:2:0 (2x2, the dominant wild profile) and 4:1:1;
-    arbitrary DQT/DHT tables (read from the stream, not assumed),
-    restart intervals (DRI + RSTn with DC-predictor reset and
-    byte-alignment), 0xFF00 byte stuffing, any number of
-    length-prefixed header segments (a split ICC profile can carry
-    hundreds of APP2 chunks — the walk is bounded by the blob length,
-    not a segment count), and non-multiple-of-MCU dimensions (full
-    MCU grid decoded, cropped to WxH). Non-interleaved progressive
-    scans walk each component's OWN ceil(w_c/8) x ceil(h_c/8) block
-    raster (T.81 A.2.2), so progressive composes with chroma
-    subsampling. Out of scope, all None: successive-approximation
-    progressive (any scan with Ah or Al nonzero — the bit-plane
-    refinement passes libjpeg's default scan script also emits;
-    spectral-selection-only files decode fully), every non-SOF0/SOF2
-    frame type, 12-bit precision, non-divisor sampling mixes (e.g.
-    3x1 against 2x1), arithmetic coding, truncated or structurally
-    malformed streams.
+    Supported: SOF0 (baseline DCT) and SOF2 progressive — since r13
+    SPECTRAL SELECTION (an interleaved or per-component DC scan
+    followed by single-component AC band scans in any
+    non-overlapping band order, EOBn zero-band run codes, per-scan
+    DHT redefinition, restart intervals per scan) and since r14 FULL
+    SUCCESSIVE APPROXIMATION (T.81 G.1.2: Ah/Al point-transform
+    first passes and bit-plane refinement passes, including
+    interleaved DC refinements, refinement bands spanning several
+    first-pass bands, EOB runs carrying per-block correction bits,
+    and legally-truncated scripts decoding at partial precision —
+    the full shape of libjpeg's DEFAULT progressive scan script, so
+    wild SOF2 files decode rather than NULL); 8-bit precision, 1
+    component (grayscale: R=G=B=Y) or 3 components with sampling
+    factors in 1..4 where every factor divides the frame maximum —
+    which covers 4:4:4 (1x1), 4:2:2 (2x1), 4:2:0 (2x2, the dominant
+    wild profile) and 4:1:1; arbitrary DQT/DHT tables (read from the
+    stream, not assumed), restart intervals (DRI + RSTn with
+    DC-predictor reset and byte-alignment), 0xFF00 byte stuffing,
+    any number of length-prefixed header segments (a split ICC
+    profile can carry hundreds of APP2 chunks — the walk is bounded
+    by the blob length, not a segment count), and
+    non-multiple-of-MCU dimensions (full MCU grid decoded, cropped
+    to WxH). Non-interleaved progressive scans walk each component's
+    OWN ceil(w_c/8) x ceil(h_c/8) block raster (T.81 A.2.2), so
+    progressive composes with chroma subsampling. Progression
+    legality is tracked per COEFFICIENT (the libjpeg coef_bits rule:
+    first pass exactly once, each refinement continuing the prior
+    Al), so refinement-before-first-pass, Al jumps, and replayed
+    scans are all malformed. Out of scope, all None: every
+    non-SOF0/SOF2 frame type, 12-bit precision, 4-component
+    CMYK/YCCK frames, non-divisor sampling mixes (e.g. 3x1 against
+    2x1), arithmetic coding, truncated or structurally malformed
+    streams.
 
     Exactness convention (stated so an oracle can restate it): each
     component plane is IDCT'd in float64, level-shifted by +128, and
@@ -779,8 +789,15 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     mcux = mcuy = 0
     width = height = hmax = vmax = 0
     comps: list = []
-    dc_done: list = []
-    ac_iv: list = []      # per component: list of covered (Ss, Se) bands
+    # per-component, per-zigzag-index progression state (T.81 G.1.1.1.1
+    # / the libjpeg coef_bits check): -1 = never coded; otherwise the
+    # Al of the last scan that coded this coefficient. A first scan
+    # (Ah = 0) requires -1; a refinement scan requires Ah == the prior
+    # Al and Al == Ah - 1. Per-COEFFICIENT (not per-band) tracking is
+    # what lets a refinement band legally span several first-scan
+    # bands — libjpeg's default scan script does exactly that (Y AC
+    # first in 1-5 and 6-63 at Al=2, then one 1-63 refinement).
+    coef_bits: list = []
     n_scans = 0
     eoi = False
     zz = _JPEG_ZIGZAG
@@ -788,7 +805,7 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     def extend(v, t):
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
-    def run_scan(start, splan, Ss, Se):
+    def run_scan(start, splan, Ss, Se, Ah, Al):
         """Decode ONE entropy-coded scan starting at `start` (first
         byte after the SOS header), accumulating coefficients into
         `coeff`; returns the stream position of the next marker's
@@ -798,16 +815,32 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         len(splan) > 1; a single-component scan walks the component's
         OWN ceil(w_c/8) x ceil(h_c/8) block raster, NOT the MCU grid
         (T.81 A.2.2 — the same rule the SOF branch applies to
-        1-component frames). One implementation serves BOTH the
-        baseline path (a single Ss=0..Se=63 scan) and the progressive
-        spectral-selection path (many partial-band scans), so the bit
-        reader, restart sequencing, ZRL, and the EOB/EOBn family
-        cannot drift between modes. EOBn (run 1..14, size 0) — a run
-        of blocks whose remaining band is entirely zero — is only
-        legal in progressive scans; baseline keeps rejecting it. An
-        EOB run may not span a restart boundary (the interval resets
-        predictors AND the run; a stream whose run crosses one is
-        malformed). Scan end is strict: after the sub-byte pad is
+        1-component frames). One implementation serves the baseline
+        path (a single Ss=0..Se=63 scan), the progressive
+        spectral-selection path (many partial-band scans), and —
+        since r14 — SUCCESSIVE-APPROXIMATION passes (T.81 G.1.2):
+        Ah = 0, Al > 0 first scans store point-transformed values
+        (DC: arithmetic-shifted diffs re-shifted up by Al; AC:
+        extend(v, size) << Al), and Ah > 0 refinement scans append
+        one magnitude bit per coefficient — DC: a raw bit OR-ed in at
+        position Al (two's-complement append, no Huffman symbols at
+        all); AC: the libjpeg jdphuff algorithm — size-1 symbols
+        create new coefficients at ±(1 << Al) with a sign bit, runs
+        count only ZERO-history positions while already-nonzero
+        coefficients passed en route each consume a correction bit
+        (1 = grow the magnitude by 1 << Al), ZRL skips 16 zero-history
+        positions, and EOBn covers whole blocks whose remaining band
+        is corrections-only (each covered block still consumes its
+        correction bits). So the bit reader, restart sequencing, ZRL,
+        and the EOB/EOBn family cannot drift between modes. EOBn
+        (run 1..14, size 0) is only legal in progressive scans;
+        baseline keeps rejecting it. An EOB run may not span a
+        restart boundary (the interval resets predictors AND the run;
+        a stream whose run crosses one is malformed). Strictness (all
+        -> None): a refinement AC symbol with size > 1, a new
+        coefficient or ZRL whose zero-history run passes the band
+        end, refinement-before-first-pass (caught at SOS by
+        coef_bits). Scan end is strict: after the sub-byte pad is
         dropped, leftover buffered whole bytes are garbage -> None
         (the restart-boundary rule applied at the scan boundary)."""
         data = b
@@ -889,21 +922,108 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         expected_rst = 0
         kmin = max(Ss, 1)
 
+        def refine_ac(carr, bidx, ac_tab):
+            """AC successive-approximation refinement for one block's
+            band (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine). Runs
+            count only zero-HISTORY coefficients; nonzero ones passed
+            consume a correction bit each. Returns False on malformed
+            input (strict posture: size > 1 symbols, runs past the
+            band end)."""
+            nonlocal eobrun
+            p1 = 1 << Al
+            k = kmin
+            if not eobrun:
+                while k <= Se:
+                    rs = decode_sym(ac_tab)
+                    if rs is None:
+                        return False
+                    run, size = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run != 15:
+                            r = receive(run) if run else 0
+                            if r is None:
+                                return False
+                            # NOT the first-scan -1: this block's
+                            # remaining corrections run in the eobrun
+                            # epilogue below, which decrements once
+                            eobrun = (1 << run) + r
+                            break
+                        # run == 15: ZRL skips 16 zero-history coefs
+                    elif size == 1:
+                        bit = receive(1)
+                        if bit is None:
+                            return False
+                        newval = p1 if bit else -p1
+                    else:
+                        return False  # refinement sizes are 0/1 only
+                    # advance to the (run+1)-th zero-history position
+                    # (ZRL: the 16th), correcting nonzeros en route
+                    r = run
+                    placed = False
+                    while k <= Se:
+                        c = carr[bidx, zz[k]]
+                        if c:
+                            bit = receive(1)
+                            if bit is None:
+                                return False
+                            if bit and not (c & p1):
+                                carr[bidx, zz[k]] = \
+                                    c + (p1 if c > 0 else -p1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                placed = True
+                                break
+                        k += 1
+                    if not placed:
+                        return False  # run/ZRL passed the band end
+                    if newval:
+                        carr[bidx, zz[k]] = newval
+                    k += 1
+            if eobrun:
+                # EOB-covered remainder: every already-nonzero coef
+                # from k to the band end still consumes its bit
+                while k <= Se:
+                    c = carr[bidx, zz[k]]
+                    if c:
+                        bit = receive(1)
+                        if bit is None:
+                            return False
+                        if bit and not (c & p1):
+                            carr[bidx, zz[k]] = \
+                                c + (p1 if c > 0 else -p1)
+                    k += 1
+                eobrun -= 1
+            return True
+
         def decode_block(slot, bidx):
             nonlocal eobrun
             ci, dc_tab, ac_tab = splan[slot]
             carr = coeff[ci]
             if Ss == 0:
-                t = decode_sym(dc_tab)
-                if t is None or t > 11:  # 8-bit baseline DC categories
-                    return False
-                if t:
-                    v = receive(t)
-                    if v is None:
+                if Ah:
+                    # DC refinement: one raw magnitude bit, appended
+                    # at position Al (two's-complement OR is exact for
+                    # the negative stored values too)
+                    bit = receive(1)
+                    if bit is None:
                         return False
-                    preds[slot] += extend(v, t)
-                carr[bidx, 0] = preds[slot]
+                    if bit:
+                        carr[bidx, 0] |= 1 << Al
+                else:
+                    t = decode_sym(dc_tab)
+                    if t is None or t > 11:  # 8-bit DC categories
+                        return False
+                    if t:
+                        v = receive(t)
+                        if v is None:
+                            return False
+                        preds[slot] += extend(v, t)
+                    carr[bidx, 0] = preds[slot] << Al
             if Se >= kmin:
+                if Ah:
+                    return refine_ac(carr, bidx, ac_tab)
                 if eobrun:
                     eobrun -= 1  # inside an EOB run: band stays zero
                     return True
@@ -936,7 +1056,9 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     v = receive(size)
                     if v is None:
                         return False
-                    carr[bidx, zz[k]] = extend(v, size)
+                    # Al > 0 first scans store the point-transformed
+                    # value scaled back up (T.81 G.1.2.2)
+                    carr[bidx, zz[k]] = extend(v, size) << Al
                     k += 1
             return True
 
@@ -1110,21 +1232,23 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     np.zeros((mcuy * v * mcux * h, 64), dtype=np.int64)
                     for _, h, v, _ in comps
                 ]
-                dc_done = [False] * len(comps)
-                ac_iv = [[] for _ in comps]
-            if Ah or Al:
-                # successive-approximation progressive: out of scope,
-                # disclosed (spectral selection only)
-                return None
+                coef_bits = [[-1] * 64 for _ in comps]
             if progressive:
+                # successive approximation (T.81 B.2.3 + G.1): Al and
+                # Ah are 4-bit point transforms capped at 13; a
+                # refinement scan lowers Al by exactly one
+                if Al > 13 or Ah > 13:
+                    return None
+                if Ah and Al != Ah - 1:
+                    return None
                 if Ss == 0:
                     if Se != 0:
                         return None  # DC scan is exactly band 0
                 elif ns != 1 or not 1 <= Ss <= Se <= 63:
                     return None  # AC scans are single-component bands
             else:
-                if Ss != 0 or Se != 63 or ns != len(comps):
-                    return None  # baseline: one full-band scan
+                if Ss != 0 or Se != 63 or ns != len(comps) or Ah or Al:
+                    return None  # baseline: one full-band Ah=Al=0 scan
             splan = []
             seen: set = set()
             for c in range(ns):
@@ -1140,7 +1264,10 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     # not None, without this check (r13 review finding)
                     return None
                 seen.add(ci)
-                need_dc, need_ac = Ss == 0, Se >= 1
+                # a DC REFINEMENT scan carries no Huffman symbols at
+                # all (raw bits), so it needs neither table class
+                need_dc = Ss == 0 and Ah == 0
+                need_ac = Se >= 1
                 dtab = hufftabs.get((0, td)) if need_dc else None
                 atab = hufftabs.get((1, ta)) if need_ac else None
                 if (need_dc and dtab is None) or \
@@ -1148,23 +1275,23 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     return None
                 splan.append((ci, dtab, atab))
             if progressive:
-                # Ah=Al=0 spectral selection: every coefficient of
-                # every component is coded exactly once, DC before
-                # that component's AC bands (T.81 G.1.1.1.1) — band
-                # ORDER beyond that is free, overlap is malformed
-                if Ss == 0:
-                    for ci, _, _ in splan:
-                        if dc_done[ci]:
+                # per-coefficient progression check (T.81 G.1.1.1.1,
+                # the libjpeg coef_bits rule): a first scan (Ah = 0)
+                # covers each coefficient exactly once; a refinement
+                # scan must continue from the prior scan's Al (so
+                # refinement-before-first-pass and Al-jumps are both
+                # malformed); AC requires that component's DC first
+                # scan to have happened
+                for ci, _, _ in splan:
+                    cb = coef_bits[ci]
+                    if Ss and cb[0] < 0:
+                        return None  # AC before the DC first scan
+                    for k in range(Ss, Se + 1):
+                        expected = -1 if Ah == 0 else Ah
+                        if cb[k] != expected:
                             return None
-                        dc_done[ci] = True
-                else:
-                    ci = splan[0][0]
-                    if not dc_done[ci] or any(
-                        not (Se < a or Ss > bnd) for a, bnd in ac_iv[ci]
-                    ):
-                        return None
-                    ac_iv[ci].append((Ss, Se))
-            ret = run_scan(pos, splan, Ss, Se)
+                        cb[k] = Al
+            ret = run_scan(pos, splan, Ss, Se, Ah, Al)
             if ret is None:
                 return None
             pos = ret
@@ -1175,9 +1302,12 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         # APPn / COM / anything else length-prefixed: skipped
     if coeff is None or n_scans == 0:
         return None
-    if progressive and (not eoi or not all(dc_done)):
+    if progressive and (not eoi or any(cb[0] < 0 for cb in coef_bits)):
         # a progressive stream must reach EOI with every component's
-        # DC scan seen; never-coded AC bands legally stay zero
+        # DC first scan seen; never-coded AC bands legally stay zero,
+        # and a partially-refined coefficient (coef_bits > 0) is a
+        # legal coarser approximation — its stored value already
+        # carries the Al scaling
         return None
     width, height, comps, hmax, vmax = frame
     for _, _, _, tq in comps:
@@ -1232,12 +1362,13 @@ def _decode_image_rgb(blob) -> tuple | None:
     since r12 — baseline JPEG (pure-Python Huffman + dequant + IDCT,
     _decode_jpeg_rgb) ALL decode for real; there is no stubbed format
     left. Since r13 that includes chroma-subsampled baseline JPEG
-    (4:2:0/4:2:2/4:1:1), spectral-selection progressive JPEG (SOF2,
-    Ah=Al=0), interlaced PNG (Adam7) / GIF, and the full spec-legal
-    PNG color-type x bit-depth matrix (palette/grayscale,
-    1/2/4/8/16-bit). Unsupported profiles (successive-approximation
-    progressive, 12-bit JPEG) return None per each decoder's
-    disclosed scope. Every branch returns the same (width, height,
+    (4:2:0/4:2:2/4:1:1), spectral-selection progressive JPEG,
+    interlaced PNG (Adam7) / GIF, and the full spec-legal PNG
+    color-type x bit-depth matrix (palette/grayscale, 1/2/4/8/16-
+    bit); since r14, successive-approximation progressive JPEG (the
+    libjpeg default scan script's bit-plane refinement passes).
+    Unsupported profiles (12-bit JPEG, CMYK/YCCK, non-divisor
+    sampling mixes) return None per each decoder's disclosed scope. Every branch returns the same (width, height,
     HxWx3 uint8 RGB, logical top-down) contract, so every raster
     kernel (pixel stats, histogram, resize, ahash) is format-agnostic
     above this line."""

@@ -3977,9 +3977,42 @@ def encode_gif(px_rows, split_subblocks: bool = False,
     return bytes(out)
 
 
+def jpeg_sa_scan_script(n_comp: int) -> list:
+    """libjpeg's default progressive scan script
+    (jcparam.c:jpeg_simple_progression) as (component indices, Ss,
+    Se, Ah, Al) tuples — the successive-approximation +
+    spectral-selection interleaving that MOST wild SOF2 files use:
+    a DC first pass at Al=1, split luma AC first passes at Al=2, a
+    luma AC refinement 2->1 spanning BOTH first-pass bands (the case
+    that forces per-COEFFICIENT progression tracking), an interleaved
+    DC refinement, and final Ah=1->Al=0 refinements for every
+    component."""
+    if n_comp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
 def encode_jpeg(comp_blocks, w: int, h: int,
                 restart_interval: int = 0, sampling=None,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False, scan_script=None) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -4017,6 +4050,24 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     scan end; the AC table gains the EOB1..EOB14 symbols only in this
     mode, so baseline streams stay byte-identical). Same quantized
     coefficients -> same decoded pixels as the baseline encode.
+
+    `scan_script` (progressive only) overrides the default with a
+    list of (component indices, Ss, Se, Ah, Al) scans adding
+    SUCCESSIVE APPROXIMATION (T.81 G.1.2, new in r14): DC first
+    scans code arithmetic-shifted values (dc >> Al) and DC
+    refinements emit one raw magnitude bit ((dc >> Al) & 1) per
+    block; AC first scans code the magnitude point transform
+    (truncate toward zero, G.1.2.2); AC refinements follow the
+    libjpeg jcphuff algorithm — newly-significant coefficients
+    (|v| >> Al == 1) as run/1 symbols + sign bit where the run
+    counts only zero-history positions, one buffered correction bit
+    (|v| >> Al & 1) per already-significant coefficient emitted
+    after the next symbol, ZRLs only while another newly-significant
+    coefficient is ahead (zeros after the last one are EOB
+    material), and EOB runs carrying the covered blocks' correction
+    bits in block order. `jpeg_sa_scan_script(n_comp)` is libjpeg's
+    default script. Any legal script with the same coefficients
+    decodes to the same pixels as the baseline encode.
     Synthesis-side twin of operators/multimodal.py:_decode_jpeg_rgb;
     shares _JPEG_ZIGZAG with it so scan order cannot drift."""
     from citydata_etl_spark.operators.multimodal import _JPEG_ZIGZAG
@@ -4065,11 +4116,11 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     if restart_interval:
         out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
 
-    def sos_header(comp_ids, ss, se):
+    def sos_header(comp_ids, ss, se, ah=0, al=0):
         s = bytes([len(comp_ids)])
         for cid in comp_ids:
             s += bytes([cid, 0x00])  # DC table 0 / AC table 0
-        s += bytes([ss, se, 0])      # Ah = Al = 0: spectral selection
+        s += bytes([ss, se, (ah << 4) | al])
         return b"\xff\xda" + (2 + len(s)).to_bytes(2, "big") + s
 
     if not progressive:
@@ -4180,43 +4231,60 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                     put(code, ln)  # EOB
         out += flush_scan()
     else:
-        # --- progressive, spectral selection only (Ah = Al = 0):
-        # scan 1 codes every component's DC band interleaved; then
-        # one AC scan per component over its OWN ceil(w_c/8) x
-        # ceil(h_c/8) block raster (T.81 non-interleaved rule —
-        # MCU-padding blocks are never AC-coded; they lie outside the
-        # visible raster, so pixels match the baseline encode
-        # exactly). Runs of all-zero bands compress as EOBn symbols,
-        # flushed before any content block, before every restart
-        # marker (an EOB run may not span a restart), and at scan
-        # end.
-        out += sos_header([c + 1 for c in range(n_comp)], 0, 0)
-        preds = [0] * n_comp
-        rst = 0
-        for m in range(n_mcu):
-            if restart_interval and m and m % restart_interval == 0:
-                pad_to_byte()
-                entropy += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * n_comp
-            my, mx = divmod(m, mcux)
-            for ci in range(n_comp):
-                sh, sv = sampling[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        idx = (my * sv + by) * (mcux * sh) + mx * sh + bx
-                        dc = int(comp_blocks[ci][idx][0][0])
-                        put_dc(dc - preds[ci])
-                        preds[ci] = dc
-        out += flush_scan()
-        for ci in range(n_comp):
-            out += sos_header([ci + 1], 1, 63)
+        # --- progressive (SOF2), scan-script driven. Default script =
+        # spectral selection only (Ah = Al = 0): one interleaved DC
+        # scan, then one full-band AC scan per component over its OWN
+        # ceil(w_c/8) x ceil(h_c/8) block raster (T.81 non-interleaved
+        # rule — MCU-padding blocks are never AC-coded; they lie
+        # outside the visible raster, so pixels match the baseline
+        # encode exactly). Runs of all-zero bands compress as EOBn
+        # symbols, flushed before any content block, before every
+        # restart marker (an EOB run may not span a restart), and at
+        # scan end. A caller-supplied script adds successive
+        # approximation (see docstring).
+        if scan_script is None:
+            scan_script = [(list(range(n_comp)), 0, 0, 0, 0)] + [
+                ([ci], 1, 63, 0, 0) for ci in range(n_comp)
+            ]
+
+        def comp_geom(ci):
             sh, sv = sampling[ci]
             cw = (w * sh + hmax - 1) // hmax
             chh = (h * sv + vmax - 1) // vmax
-            nbx, nby = (cw + 7) // 8, (chh + 7) // 8
-            eobrun = 0
+            return sh, sv, (cw + 7) // 8, (chh + 7) // 8
+
+        def encode_dc_scan(cis, Ah, Al):
+            # interleaved MCU walk (or the identical 1x1 block raster
+            # for a single-component frame); first pass codes DPCM
+            # diffs of the ARITHMETIC shift dc >> Al (G.1.2.1),
+            # refinement emits one raw bit per block, no Huffman
+            preds = {ci: 0 for ci in cis}
             rst = 0
+            for m in range(n_mcu):
+                if restart_interval and m and m % restart_interval == 0:
+                    pad_to_byte()
+                    entropy.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                    preds = {ci: 0 for ci in cis}
+                my, mx = divmod(m, mcux)
+                for ci in cis:
+                    sh, sv = sampling[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            idx = ((my * sv + by) * (mcux * sh)
+                                   + mx * sh + bx)
+                            dc = int(comp_blocks[ci][idx][0][0])
+                            if Ah:
+                                put((dc >> Al) & 1, 1)
+                            else:
+                                t = dc >> Al
+                                put_dc(t - preds[ci])
+                                preds[ci] = t
+            return flush_scan()
+
+        def encode_ac_first_scan(ci, Ss, Se, Al):
+            sh, sv, nbx, nby = comp_geom(ci)
+            eobrun = 0
 
             def flush_eob():
                 nonlocal eobrun
@@ -4229,24 +4297,30 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                         put(chunk - (1 << n), n)
                     eobrun -= chunk
 
+            rst = 0
             for u in range(nby * nbx):
                 if restart_interval and u and u % restart_interval == 0:
                     flush_eob()
                     pad_to_byte()
-                    entropy += bytes([0xFF, 0xD0 + rst])
+                    entropy.extend((0xFF, 0xD0 + rst))
                     rst = (rst + 1) % 8
                 by, bx = divmod(u, nbx)
                 zz = zz_of(comp_blocks[ci][by * (mcux * sh) + bx])
-                last_nz = max(
-                    (k for k in range(1, 64) if zz[k]), default=0
-                )
+                # G.1.2.2 point transform: MAGNITUDE shift (truncate
+                # toward zero), unlike the DC arithmetic shift
+                band = {
+                    k: (abs(zz[k]) >> Al) * (1 if zz[k] > 0 else -1)
+                    for k in range(Ss, Se + 1)
+                }
+                last_nz = max((k for k, v in band.items() if v),
+                              default=0)
                 if last_nz == 0:
                     eobrun += 1
                     continue
                 flush_eob()
                 run = 0
-                for k in range(1, last_nz + 1):
-                    v = zz[k]
+                for k in range(Ss, last_nz + 1):
+                    v = band[k]
                     if v == 0:
                         run += 1
                         continue
@@ -4261,10 +4335,98 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                     put(code, ln)
                     put(v if v > 0 else v + (1 << s) - 1, s)
                     run = 0
-                if last_nz < 63:
+                if last_nz < Se:
                     eobrun += 1  # this block's EOB may extend a run
             flush_eob()
-            out += flush_scan()
+            return flush_scan()
+
+        def encode_ac_refine_scan(ci, Ss, Se, Al):
+            # T.81 G.1.2.3 / libjpeg jcphuff encode_mcu_AC_refine
+            sh, sv, nbx, nby = comp_geom(ci)
+            eobrun = 0
+            pend = []  # per EOB-run block: its correction-bit list
+
+            def flush_eob():
+                # one EOBn per <= 32767 covered blocks, each followed
+                # by ITS blocks' correction bits in block order — the
+                # decoder reads them back per-block inside the run
+                nonlocal eobrun
+                while eobrun:
+                    n = min(14, eobrun.bit_length() - 1)
+                    chunk = min(eobrun, (1 << (n + 1)) - 1)
+                    ln, code = ac_codes[n << 4]
+                    put(code, ln)
+                    if n:
+                        put(chunk - (1 << n), n)
+                    eobrun -= chunk
+                    for bits in pend[:chunk]:
+                        for bit in bits:
+                            put(bit, 1)
+                    del pend[:chunk]
+
+            rst = 0
+            for u in range(nby * nbx):
+                if restart_interval and u and u % restart_interval == 0:
+                    flush_eob()
+                    pad_to_byte()
+                    entropy.extend((0xFF, 0xD0 + rst))
+                    rst = (rst + 1) % 8
+                by, bx = divmod(u, nbx)
+                zz = zz_of(comp_blocks[ci][by * (mcux * sh) + bx])
+                absv = {k: abs(zz[k]) >> Al for k in range(Ss, Se + 1)}
+                # index of the LAST newly-significant coefficient:
+                # zeros beyond it are EOB material, never ZRL-coded
+                eobk = max((k for k, t in absv.items() if t == 1),
+                           default=Ss - 1)
+                run = 0
+                br = []  # correction bits since the last symbol
+                for k in range(Ss, Se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobk:
+                        flush_eob()
+                        ln, code = ac_codes[0xF0]
+                        put(code, ln)
+                        run -= 16
+                        for bit in br:
+                            put(bit, 1)
+                        br = []
+                    if t > 1:
+                        # already significant: buffer its correction
+                        # bit (emitted after the next symbol, which is
+                        # when the decoder walks past this position)
+                        br.append(t & 1)
+                        continue
+                    # newly significant: run/1 + sign bit (1 = +)
+                    flush_eob()
+                    ln, code = ac_codes[(run << 4) | 1]
+                    put(code, ln)
+                    put(1 if zz[k] > 0 else 0, 1)
+                    for bit in br:
+                        put(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pend.append(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            return flush_scan()
+
+        for cis, Ss, Se, Ah, Al in scan_script:
+            assert (Ss == 0 and Se == 0) or \
+                (len(cis) == 1 and 1 <= Ss <= Se <= 63)
+            assert Ah == 0 or Al == Ah - 1
+            out += sos_header([ci + 1 for ci in cis], Ss, Se, Ah, Al)
+            if Ss == 0:
+                out += encode_dc_scan(cis, Ah, Al)
+            elif Ah == 0:
+                out += encode_ac_first_scan(cis[0], Ss, Se, Al)
+            else:
+                out += encode_ac_refine_scan(cis[0], Ss, Se, Al)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -4382,9 +4544,10 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-multiple-of-8 edges), every 5th image is 1-component
     grayscale, every 4th carries DRI=2 restart markers the decoder
     must consume in sequence, every frame at d % 3 == 1 is
-    PROGRESSIVE (SOF2 spectral selection, supported since r13) with
-    the SAME pixels, and every 7th row is a truncated header-only
-    blob that must yield NULLs."""
+    PROGRESSIVE (SOF2) with the SAME pixels — alternating between
+    spectral selection only (r13) and libjpeg's default
+    successive-approximation scan script (r14) — and every 7th row
+    is a truncated header-only blob that must yield NULLs."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4412,17 +4575,24 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                 ys = plane(lambda tx, ty: (d + 5 * tx + 9 * ty) % 256)
                 ri = 2 if d % 4 == 0 else 0
-                # every frame at d % 3 == 1 is PROGRESSIVE (SOF2,
-                # spectral selection: interleaved DC scan + per-
-                # component EOBn-coded AC scans) with the SAME
-                # closed-form pixels, so the oracle is blind to the
-                # scan topology and any multi-scan accumulation bug
-                # breaks parity; composes with grayscale and DRI
+                # every frame at d % 3 == 1 is PROGRESSIVE (SOF2)
+                # with the SAME closed-form pixels, so the oracle is
+                # blind to the scan topology and any multi-scan
+                # accumulation bug breaks parity; composes with
+                # grayscale and DRI. Half of them (d % 6 == 1) use
+                # libjpeg's DEFAULT successive-approximation script
+                # (supported since r14: DC Al=1 + refinement, split
+                # AC first passes, Ah=1 -> Al=0 refinements), the
+                # other half (d % 6 == 4) spectral selection only.
                 prog = d % 3 == 1
-                if d % 5 == 0:
+                n_comp = 1 if d % 5 == 0 else 3
+                script = jpeg_sa_scan_script(n_comp) \
+                    if prog and d % 6 == 1 else None
+                if n_comp == 1:
                     blobs.append(encode_jpeg([ys], w, h,
                                              restart_interval=ri,
-                                             progressive=prog))
+                                             progressive=prog,
+                                             scan_script=script))
                 else:
                     cbs = plane(
                         lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256)
@@ -4430,7 +4600,8 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda tx, ty: (3 * d + tx + 11 * ty) % 256)
                     blobs.append(encode_jpeg([ys, cbs, crs], w, h,
                                              restart_interval=ri,
-                                             progressive=prog))
+                                             progressive=prog,
+                                             scan_script=script))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
@@ -4500,15 +4671,19 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JFIF conversion in closed form — floor(x + 0.5) on IEEE float64 "
     "is bit-identical between numpy and the SQL engine. The corpus "
     "exercises grayscale (every 5th), DRI=2 restart markers (every "
-    "4th), SOF2 spectral-selection PROGRESSIVE frames (every frame "
-    "at d%3==1, same pixels — supported since r13, so multi-scan "
-    "coefficient accumulation and EOBn runs face the oracle "
-    "invisibly to SQL), sub-8 and non-multiple-of-8 dims, and "
+    "4th), SOF2 PROGRESSIVE frames (every frame at d%3==1, same "
+    "pixels — spectral selection since r13, and since r14 HALF of "
+    "them use libjpeg's default SUCCESSIVE-APPROXIMATION scan "
+    "script: DC point-transform + bit-plane refinement passes, "
+    "split AC first passes, a refinement spanning both split bands "
+    "— so multi-scan coefficient accumulation, EOBn runs with "
+    "correction bits, and per-coefficient progression tracking all "
+    "face the oracle invisibly to SQL), sub-8 and "
+    "non-multiple-of-8 dims, and "
     "truncated blobs (every 7th -> NULL row). This entry pins the "
     "4:4:4/grayscale profiles; subsampled 4:2:0/4:2:2 decode "
     "(supported since r13) is pinned by its own entry, "
-    "d5_jpeg_pixels_420; successive-approximation progressive still "
-    "returns NULL (decode triage convention). AC coefficients, "
+    "d5_jpeg_pixels_420. AC coefficients, "
     "the zigzag path, and the 16-bit-peek Huffman resolve are pinned "
     "by the roundtrip property test against an independent "
     "double-loop IDCT model. Scale "
@@ -4578,8 +4753,14 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # every 5th eligible frame: progressive + chroma
                     # subsampling composed (non-interleaved AC scans
                     # over each component's OWN sub-grid) — same
-                    # pixels, oracle unchanged
-                    progressive=d % 5 == 1))
+                    # pixels, oracle unchanged; alternating between
+                    # spectral-selection-only and the libjpeg default
+                    # SUCCESSIVE-APPROXIMATION script (d % 10 == 1),
+                    # so SA composes with subsampled geometry and
+                    # 6-block-MCU restart cadence under the oracle
+                    progressive=d % 5 == 1,
+                    scan_script=jpeg_sa_scan_script(3)
+                    if d % 10 == 1 else None))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")

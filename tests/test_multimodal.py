@@ -1218,6 +1218,204 @@ def test_jpeg_progressive_matches_baseline_property():
     check()
 
 
+def _deep_sa_script():
+    """A 4-level successive-approximation script with band splits at
+    every level — harder than libjpeg's default (which tops out at
+    Al=2 and splits only the luma first pass)."""
+    return [
+        ([0, 1, 2], 0, 0, 0, 3),
+        ([0], 1, 20, 0, 3), ([0], 21, 63, 0, 3),
+        ([1], 1, 63, 0, 2), ([2], 1, 63, 0, 2),
+        ([0], 1, 63, 3, 2),
+        ([0, 1, 2], 0, 0, 3, 2),
+        ([0, 1, 2], 0, 0, 2, 1),
+        ([0], 1, 31, 2, 1), ([0], 32, 63, 2, 1),
+        ([1], 1, 63, 2, 1), ([2], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+
+
+def test_jpeg_successive_approximation_matches_baseline_property():
+    """Hypothesis: the SAME quantized coefficients encoded baseline
+    and progressive with a SUCCESSIVE-APPROXIMATION scan script
+    (Ah/Al != 0 — supported since r14) decode to IDENTICAL pixels.
+    Scripts: libjpeg's default (jpeg_simple_progression — DC Al=1,
+    split luma AC first passes at Al=2, a refinement spanning both
+    split bands, interleaved DC refinement) and a deeper 4-level
+    script with band splits at every level. Sweeps grayscale/4:4:4/
+    4:2:2/4:2:0, restart intervals (EOB runs with buffered correction
+    bits must flush before each RSTn), tiny amplitudes (|v| >> Al = 0
+    in every first pass, so ALL significance arrives via refinement
+    run/1 symbols), large amplitudes (multi-bit corrections), and
+    empty bands (EOBn runs whose covered blocks carry correction
+    bits). Pinned falsifiers, each caught during development of this
+    round: (a) treating the AC first-pass point transform as an
+    ARITHMETIC shift instead of magnitude-truncation flips odd
+    negative coefficients one step; (b) counting already-significant
+    coefficients in refinement runs desynchronizes the whole scan;
+    (c) emitting the correction bits before their symbol instead of
+    after reorders the stream. The examples below lock the regimes
+    where each falsifier fires."""
+    import numpy as np
+    from hypothesis import example, given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(1, 40),   # width
+        st.integers(1, 36),   # height
+        st.sampled_from(["gray", "444", "422", "420"]),
+        st.integers(0, 3),    # restart interval (0 = none)
+        st.integers(0, 2 ** 30),
+        st.integers(0, 12),   # nonzero ACs per block
+        st.sampled_from([3, 500]),  # AC amplitude regime
+        st.booleans(),        # deep script (3-comp only)
+    )
+    # falsifier (a): odd negative ACs, small amp -> refinement-only
+    @example(17, 17, "420", 0, 7, 8, 3, False)
+    # falsifier (b)+(c): dense large ACs, corrections among runs
+    @example(24, 24, "444", 2, 1, 12, 500, True)
+    # RST wraparound with EOB runs carrying correction bits
+    @example(40, 40, "gray", 1, 2, 4, 500, False)
+    def check(w, h, mode, ri, seed, nac, amp, deep):
+        import random
+
+        rng = random.Random(seed)
+        sampling = {
+            "gray": [(1, 1)],
+            "444": [(1, 1)] * 3,
+            "422": [(2, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)],
+        }[mode]
+        hmax = max(a for a, _ in sampling)
+        vmax = max(b for _, b in sampling)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+        def blocks(sh, sv):
+            out = []
+            for _ in range(mcux * sh * mcuy * sv):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = rng.randrange(-128, 128)
+                for _n in range(nac):
+                    a, c = rng.randrange(8), rng.randrange(8)
+                    if (a, c) != (0, 0):
+                        blk[a][c] = rng.choice([-1, 1]) \
+                            * rng.randrange(1, amp + 1)
+                out.append(blk)
+            return out
+
+        cb = [blocks(sh, sv) for sh, sv in sampling]
+        script = _deep_sa_script() if deep and mode != "gray" \
+            else jpeg_sa_scan_script(len(sampling))
+        base = encode_jpeg(cb, w, h, restart_interval=ri,
+                           sampling=None if mode == "gray" else sampling)
+        sa = encode_jpeg(cb, w, h, restart_interval=ri,
+                         sampling=None if mode == "gray" else sampling,
+                         progressive=True, scan_script=script)
+        db = M._decode_jpeg_rgb(base)
+        ds = M._decode_jpeg_rgb(sa)
+        assert db is not None and ds is not None
+        assert db[:2] == ds[:2] == (w, h)
+        assert np.array_equal(ds[2], db[2])
+
+    check()
+
+
+def test_jpeg_successive_approximation_rejects_malformed():
+    """SA-specific malformed battery (all -> None, never wrong
+    pixels), built by header surgery on a VALID libjpeg-default-script
+    stream: refinement before the first pass (both DC and AC), Al
+    jumps at the header level (Al != Ah - 1) and at the per-
+    coefficient level (Ah != the coefficient's prior Al — which also
+    covers a REPLAYED refinement), Al > 13, a truncated refinement
+    scan (correction bits missing), and a refinement symbol with
+    size > 1. A legally TRUNCATED scan script (missing trailing
+    refinements) must still decode — partial precision is valid
+    progressive JPEG."""
+    import random
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    rng = random.Random(11)
+
+    def blk():
+        b = [[0] * 8 for _ in range(8)]
+        b[0][0] = rng.randrange(-100, 100)
+        for k in range(1, 64):
+            if rng.random() < 0.4:
+                b[k // 8][k % 8] = rng.randrange(-50, 51)
+        return b
+
+    comps = [[blk() for _ in range(6)] for _ in range(3)]
+    script = jpeg_sa_scan_script(3)
+    good = encode_jpeg(comps, 20, 12, progressive=True,
+                       scan_script=script)
+    assert M._decode_jpeg_rgb(good) is not None
+
+    # legally truncated scripts: every prefix that includes the DC
+    # first scan decodes (coarser pixels), per G.1 — partial streams
+    # are the POINT of progressive
+    for cut in range(1, len(script)):
+        part = encode_jpeg(comps, 20, 12, progressive=True,
+                           scan_script=script[:cut])
+        assert M._decode_jpeg_rgb(part) is not None, f"cut={cut}"
+
+    def patched(scan_idx_from_end, ahal):
+        """Rewrite scan N-from-end's Ah/Al byte (3 + 2*ns past the
+        SOS length word; FFDA only occurs at real SOS markers)."""
+        b = bytearray(good)
+        positions = []
+        p = -1
+        while True:
+            p = good.find(b"\xff\xda", p + 1)
+            if p < 0:
+                break
+            positions.append(p)
+        at = positions[len(positions) - 1 - scan_idx_from_end]
+        ns = b[at + 4]
+        b[at + 2 + 2 + 1 + 2 * ns + 2] = ahal
+        return bytes(b)
+
+    # last scan is ([0], 1, 63, 1, 0) with ns=1:
+    assert M._decode_jpeg_rgb(patched(0, 0x20)) is None  # Ah=2 vs cb=1
+    assert M._decode_jpeg_rgb(patched(0, 0x21)) is None  # replay 2->1
+    assert M._decode_jpeg_rgb(patched(0, 0x32)) is None  # Ah=3 vs cb=1
+    assert M._decode_jpeg_rgb(patched(0, 0x30)) is None  # Al jump 3->0
+    # first scan is the interleaved DC first pass (Ah=0, Al=1):
+    n_scans = len(script)
+    assert M._decode_jpeg_rgb(
+        patched(n_scans - 1, 0x10)) is None  # DC refine before first
+    assert M._decode_jpeg_rgb(
+        patched(n_scans - 1, 0x0F)) is None  # Al = 15 > 13
+
+    # truncated refinement: cut the final scan's entropy bytes short
+    # (drop the EOI and half the last scan's payload)
+    last_sos = good.rindex(b"\xff\xda")
+    body = good[last_sos:-2]
+    cutpt = last_sos + max(10, len(body) // 2)
+    assert M._decode_jpeg_rgb(good[:cutpt] + b"\xff\xd9") is None
+
+    # refinement symbol with size > 1: replace the last scan's (an AC
+    # refinement's) entropy with a hand-coded (0 << 4) | 2 symbol.
+    # The fixture AC table is canonical with every symbol at 8 bits in
+    # ac_vals order ([0x00, 0xF0, EOB1..EOB14, then (r,s) pairs]), so
+    # symbol 0x02 is index 17 -> code 17 at 8 bits. Size 2 is legal in
+    # a FIRST pass but illegal in refinement (sizes are 0/1 only).
+    entropy_at = last_sos + 10  # FFDA + len(2) + ns(1) + 2 + SsSeAhAl
+    bad_sym = good[:entropy_at] + bytes([17]) + b"\xff\xd9"
+    assert M._decode_jpeg_rgb(bad_sym) is None
+
+
 def test_jpeg_progressive_rejects_malformed():
     """Progressive hardening: successive-approximation scans (Ah or
     Al nonzero — out of the disclosed spectral-selection scope), a
@@ -1226,6 +1424,8 @@ def test_jpeg_progressive_rejects_malformed():
     never wrong pixels. FFDA can only occur as a real SOS marker
     (byte stuffing escapes entropy FFs; RST/EOI are FFD0-FFD9), so
     scan-level surgery by splitting on it is sound."""
+    import numpy as np
+
     from citydata_etl_spark.plans.queries_llm import encode_jpeg
 
     def dcb(n):
@@ -1242,12 +1442,19 @@ def test_jpeg_progressive_rejects_malformed():
     scans = prog.split(b"\xff\xda")
     assert len(scans) == 5  # header + DC scan + 3 AC scans
 
-    # successive approximation: flip Al in the LAST AC scan's header
-    # (trailer byte 3 + 2*ns + 2 after the length word)
+    # successive approximation is IN scope since r14: flipping the
+    # LAST AC scan's Al to 1 (trailer byte 3 + 2*ns + 2 after the
+    # length word) turns it into a legal Al=1 FIRST scan — and since
+    # this fixture's AC bands are all zero, the point transform is
+    # invisible and the pixels must STILL match the unmodified stream
     sa = bytearray(prog)
     last = sa.rindex(b"\xff\xda")
-    sa[last + 2 + 2 + 1 + 2 * 1 + 2] = 0x01  # Al = 1
-    assert M._decode_jpeg_rgb(bytes(sa)) is None
+    sa[last + 2 + 2 + 1 + 2 * 1 + 2] = 0x01  # Al = 1: legal first scan
+    ref = M._decode_jpeg_rgb(prog)
+    got = M._decode_jpeg_rgb(bytes(sa))
+    assert got is not None and np.array_equal(got[2], ref[2])
+    # ...but Ah = 1 claims a REFINEMENT of a band that never had its
+    # first pass (coef_bits still -1): malformed
     sa[last + 2 + 2 + 1 + 2 * 1 + 2] = 0x10  # Ah = 1
     assert M._decode_jpeg_rgb(bytes(sa)) is None
 
