@@ -102,83 +102,83 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a17_time_weighted_avg": 12,
     "a18_ohlc_bars": 12,
     "a19_event_transitions": 12,
-    "a1_pricing_summary": 8,
+    "a1_pricing_summary": 13,
     "a20_countmin_topk": 9,
     "a21_histogram_quantiles": 10,
     "a22_attribution": 10,
     "a23_sliding_distinct": 10,
     "a23_sliding_kmv": 11,
     "a24_linear_attribution": 12,
-    "a2_approx_distinct": 8,  # rows-only by construction (r3 row)
-    "a2_count_distinct": 8,
-    "a2_kmv_distinct": 8,
-    "a2_percentiles": 8,
-    "a3_cube": 8,
+    "a2_approx_distinct": 13,
+    "a2_count_distinct": 13,
+    "a2_kmv_distinct": 13,
+    "a2_percentiles": 13,
+    "a3_cube": 13,
     "a3_grouping_sets": 9,
-    "a3_rollup": 8,
+    "a3_rollup": 13,
     "a4_distribution": 10,
-    "a4_ntile": 8,
-    "a4_rank_dense_rank": 8,
-    "a4_topk_per_group": 8,
-    "a5_moving_avg": 8,
+    "a4_ntile": 13,
+    "a4_rank_dense_rank": 13,
+    "a4_topk_per_group": 13,
+    "a5_moving_avg": 13,
     "a5_time_range_frame": 9,
-    "a5_window_lag": 8,
-    "a6_global_topk": 8,
-    "a7_set_ops": 8,
-    "a7_union_by_name": 8,
-    "a8_city_score": 8,
-    "a9_pivot": 8,
-    "d4_ann_ivf": 8,  # rows-only by construction (r3 row)
+    "a5_window_lag": 13,
+    "a6_global_topk": 13,
+    "a7_set_ops": 13,
+    "a7_union_by_name": 13,
+    "a8_city_score": 13,
+    "a9_pivot": 13,
+    "d4_ann_ivf": 13,
     "d4_ann_ivf_dist": 9,  # rows-only by construction (r4 row)
-    "d4_ann_ivf_dist_rank": 8,
-    "d4_ann_ivf_rank": 8,
+    "d4_ann_ivf_dist_rank": 13,
+    "d4_ann_ivf_rank": 13,
     "d4_ann_ivf_recall": 10,
-    "d4_ann_lsh": 8,  # rows-only by construction (r3 row)
+    "d4_ann_lsh": 13,
     "d4_ann_lsh_rank": 12,
     "d4_ann_multiprobe_recall": 11,
     "d4_ann_multitable_recall": 11,
-    "d4_ann_pq": 8,  # rows-only by construction (r3 row)
-    "d4_ann_pq_rank": 8,
+    "d4_ann_pq": 13,
+    "d4_ann_pq_rank": 13,
     "d4_ann_recall": 10,
-    "d4_bigram_logprob": 8,
+    "d4_bigram_logprob": 13,
     "d4_bm25_topk": 11,
     "d4_bpe_encode": 10,
     "d4_bpe_merge_steps": 10,
     "d4_bpe_pair_counts": 10,
-    "d4_bpe_tokens": 8,
+    "d4_bpe_tokens": 13,
     "d4_collocations": 10,
     "d4_containment": 10,
-    "d4_cosine_topk": 8,
-    "d4_dedup_groups": 8,
+    "d4_cosine_topk": 13,
+    "d4_dedup_groups": 13,
     "d4_dedup_index_ingest": 10,
     "d4_dedup_report": 10,
-    "d4_doc_fingerprint": 8,
-    "d4_dup_passage": 8,
+    "d4_doc_fingerprint": 13,
+    "d4_dup_passage": 13,
     "d4_dup_passage_cut": 11,
-    "d4_embed_neardup": 8,
+    "d4_embed_neardup": 13,
     "d4_embed_project": 10,
     "d4_embed_quantize": 9,
-    "d4_exact_dedup": 8,
+    "d4_exact_dedup": 13,
     "d4_fuzzy_key_pairs": 9,
     "d4_incremental_dedup": 9,
     "d4_incremental_neardup": 9,  # rows-only by construction (r4 row)
     "d4_incremental_neardup_rank": 10,
     "d4_knn_label": 10,
-    "d4_lang_id": 8,
+    "d4_lang_id": 13,
     "d4_line_dedup": 11,
-    "d4_lm_logprob": 8,
+    "d4_lm_logprob": 13,
     "d4_lsh_pair_recall": 10,
     "d4_minhash_hash": 9,  # rows-only by construction (r4 row)
-    "d4_minhash_lsh": 8,
+    "d4_minhash_lsh": 13,
     "d4_mmr_ann": 10,
     "d4_mmr_batch": 9,
     "d4_mmr_diversify": 9,
-    "d4_ngram_jaccard": 8,
-    "d4_pii_scrub": 8,
-    "d4_quality_score": 8,
-    "d4_repetition_stats": 8,
-    "d4_semantic_dedup": 8,
-    "d4_simhash": 8,
+    "d4_ngram_jaccard": 13,
+    "d4_pii_scrub": 13,
+    "d4_quality_score": 13,
+    "d4_repetition_stats": 13,
+    "d4_semantic_dedup": 13,
+    "d4_simhash": 13,
     "d4_simhash_pairs": 8,
     "d4_text_normalize": 9,
     "d4_tfidf_topk": 8,
@@ -192,18 +192,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_format_sniff": 9,
     "d5_frame_sample": 12,
     "d5_gif_meta": 12,
-    "d5_gif_pixels": 0,  # r13: fixture now mixes interlaced frames (decode support new)
+    "d5_gif_pixels": 13,
     "d5_image_ahash": 10,
     "d5_image_neardup": 10,
-    "d5_jpeg_meta": 11,
-    "d5_jpeg_pixels": 0,  # r13: decoder rewrite + progressive frames in fixture
-    "d5_jpeg_pixels_420": 0,  # r13: NEW — subsampled entry; fixture later gained progressive frames
+    "d5_jpeg_cmyk": 0,  # r14: NEW — Adobe CMYK/YCCK (APP14) decode entry
+    "d5_jpeg_meta": 0,  # r14: EXIF orientation column added (schema + fixture)
+    "d5_jpeg_pixels": 0,  # r14: SA-progressive frames woven into fixture
+    "d5_jpeg_pixels_420": 0,  # r14: SA-progressive frames woven into fixture
     "d5_media_decode": 12,
     "d5_mp4_meta": 11,
-    "d5_png_adam7": 0,  # r13: NEW — Adam7 entry; fixture later gained palette frames
-    "d5_png_ahash": 0,  # r13: _png_unfilter refactor + palette frames in fixture
+    "d5_png_adam7": 13,
+    "d5_png_ahash": 13,
     "d5_png_meta": 9,
-    "d5_png_pixels": 0,  # r13: _png_unfilter refactor + palette frames in fixture
+    "d5_png_pixels": 13,
     "d5_scene_cuts": 10,
     "d5_tar_meta": 12,
     "d5_wav_meta": 9,
@@ -320,13 +321,13 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t5_sliding_window": 12,
     "t5_tumbling_window": 12,
     "t5_watermarked_append": 9,
-    "t6_stream_enrich": 7,
+    "t6_stream_enrich": 13,
     "t7_stream_left_outer_join": 9,
     "t7_stream_stream_join": 9,
     "t8_stream_dedup_watermark": 10,
     "t9_streaming_upsert": 10,
-    "u10_restore": 7,
-    "u11_incremental_view": 7,
+    "u10_restore": 13,
+    "u11_incremental_view": 13,
     "u12_deletion_vectors": 9,
     "u13_cascade_delete": 10,
     "u14_multi_table_txn": 10,
@@ -341,7 +342,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "u6_keyed_delete": 10,
     "u7_evolving_merge": 11,
     "u8_time_travel": 11,
-    "u9_change_feed": 7,
+    "u9_change_feed": 13,
 }
 
 

@@ -246,6 +246,189 @@ def test_jpeg_header_meta_marker_walk(spark):
             for c in ("width", "height", "precision", "n_components",
                       "progressive")
         )
+    # no EXIF anywhere above: orientation NULL with SOF columns intact
+    assert all(rows[m]["orientation"] is None for m in rows)
+
+
+def test_exif_orientation_golden_bytes():
+    """Spec-assembled EXIF battery for _parse_exif_orientation: a
+    TIFF 6.0 IFD0 hand-built byte-by-byte in BOTH byte orders (II
+    little-endian, MM big-endian — SHORT values left-justified in the
+    4-byte value field), a multi-entry IFD the scan must walk past,
+    and the malformed edges: wrong TIFF magic, an IFD offset pointing
+    outside the APP1 segment, a truncated entry table, orientation
+    values outside 1..8, a wrong-typed orientation tag, an APP1 that
+    is XMP (not Exif), and EXIF placed after the SOS (never reached —
+    the walk stops at the scan per the triage convention)."""
+    import struct
+
+    from citydata_etl_spark.operators.multimodal import (
+        _parse_exif_orientation,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) \
+            + struct.pack(">H", 2 + len(payload)) + payload
+
+    def tiff(endian, entries, ifd_off=8):
+        # entries: list of (tag, type, count, raw-4-byte value field)
+        e = "<" if endian == b"II" else ">"
+        out = endian + struct.pack(e + "H", 42) \
+            + struct.pack(e + "I", ifd_off)
+        out += b"\x00" * (ifd_off - 8)
+        out += struct.pack(e + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack(e + "HHI", tag, typ, cnt) + val
+        out += b"\x00\x00\x00\x00"
+        return out
+
+    def exif_app1(body):
+        return seg(0xE1, b"Exif\x00\x00" + body)
+
+    def jpeg(*segments):
+        return b"\xff\xd8" + b"".join(segments) \
+            + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+
+    def short_val(endian, v):
+        return struct.pack(("<" if endian == b"II" else ">") + "H", v) \
+            + b"\x00\x00"
+
+    for endian in (b"II", b"MM"):
+        # orientation alone, and behind two other entries (ascending
+        # tags: 0x010F Make, 0x0110 Model as inline ASCII)
+        for extra in ([], [(0x010F, 2, 4, b"Ab\x00\x00"),
+                           (0x0110, 2, 4, b"Cd\x00\x00")]):
+            for v in range(1, 9):
+                ents = extra + [(0x0112, 3, 1, short_val(endian, v))]
+                blob = jpeg(exif_app1(tiff(endian, ents)))
+                assert _parse_exif_orientation(blob) == v, (endian, v)
+        # IFD0 at a nonstandard offset (padding before it): legal
+        ents = [(0x0112, 3, 1, short_val(endian, 6))]
+        assert _parse_exif_orientation(
+            jpeg(exif_app1(tiff(endian, ents, ifd_off=20)))) == 6
+        # orientation value out of range
+        for v in (0, 9, 900):
+            ents = [(0x0112, 3, 1, short_val(endian, v))]
+            assert _parse_exif_orientation(
+                jpeg(exif_app1(tiff(endian, ents)))) is None
+        # wrong type (LONG) or count for the orientation tag
+        ents = [(0x0112, 4, 1, short_val(endian, 3))]
+        assert _parse_exif_orientation(
+            jpeg(exif_app1(tiff(endian, ents)))) is None
+        # no orientation tag at all
+        ents = [(0x011A, 3, 1, short_val(endian, 1))]
+        assert _parse_exif_orientation(
+            jpeg(exif_app1(tiff(endian, ents)))) is None
+
+    good = tiff(b"II", [(0x0112, 3, 1, short_val(b"II", 5))])
+    # wrong magic
+    bad = b"II" + struct.pack("<H", 43) + good[4:]
+    assert _parse_exif_orientation(jpeg(exif_app1(bad))) is None
+    # IFD offset beyond the segment
+    bad = good[:4] + struct.pack("<I", 10_000) + good[8:]
+    assert _parse_exif_orientation(jpeg(exif_app1(bad))) is None
+    # truncated entry table (claims 3 entries, carries 1)
+    bad = good[:8] + struct.pack("<H", 3) + good[10:]
+    assert _parse_exif_orientation(jpeg(exif_app1(bad))) is None
+    # unknown byte-order mark
+    assert _parse_exif_orientation(
+        jpeg(exif_app1(b"XX" + good[2:]))) is None
+    # APP1 that is XMP, not Exif: skipped, no orientation
+    xmp = seg(0xE1, b"http://ns.adobe.com/xap/1.0/\x00<x/>")
+    assert _parse_exif_orientation(jpeg(xmp)) is None
+    # Exif behind the SOS is never reached
+    tail = b"\xff\xd8" + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00") \
+        + exif_app1(good)
+    assert _parse_exif_orientation(tail) is None
+
+
+def test_jpeg_cmyk_ycck_decode_matches_reference():
+    """4-component Adobe JPEG decode (r14): CMYK (transform 0) uses
+    the libjpeg-turbo inverted-ink combine R = c*k/255 on the STORED
+    values; YCCK (transform 2) first un-encodes the inverted C/M/Y
+    planes with the JFIF floats, clamped per-plane before the K
+    combine. DC-only blocks + all-8s quant make the expected pixels
+    closed-form. Composes with the 4-component SA scan script and
+    restart intervals (8-block MCUs). Scope edges reject: 4-component
+    without APP14, transform 1 with 4 components, 3-component
+    transform 0 (stored RGB — mis-converting it as YCbCr would be
+    silent corruption)."""
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    def dc_plane(bw, bh, f):
+        out = []
+        for i in range(bw * bh):
+            tx, ty = i % bw, i // bw
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = f(tx, ty) - 128
+            out.append(blk)
+        return out
+
+    for d in (2, 3, 4, 7, 8, 13, 16):
+        w, h = 6 + d % 10, 5 + d % 8
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        tf = 0 if d % 2 == 0 else 2
+        fs = [
+            lambda tx, ty: (d + 5 * tx + 9 * ty) % 256,
+            lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256,
+            lambda tx, ty: (3 * d + tx + 11 * ty) % 256,
+            lambda tx, ty: (5 * d + 3 * tx + 7 * ty) % 256,
+        ]
+        ps = [dc_plane(bw, bh, f) for f in fs]
+        prog = d % 3 == 1
+        blob = encode_jpeg(
+            ps, w, h, adobe_transform=tf,
+            restart_interval=2 if d % 4 == 0 else 0,
+            progressive=prog,
+            scan_script=jpeg_sa_scan_script(4) if prog else None)
+        res = M._decode_jpeg_rgb(blob)
+        assert res is not None, d
+        ww, hh, px = res
+        assert (ww, hh) == (w, h)
+        ref = np.zeros((h, w, 3))
+        for y in range(h):
+            for x in range(w):
+                v = [f(x // 8, y // 8) for f in fs]
+                if tf == 2:
+                    c = min(255., max(0., np.floor(
+                        v[0] + 1.402 * (v[2] - 128) + 0.5)))
+                    m = min(255., max(0., np.floor(
+                        v[0] - 0.344136 * (v[1] - 128)
+                        - 0.714136 * (v[2] - 128) + 0.5)))
+                    yy = min(255., max(0., np.floor(
+                        v[0] + 1.772 * (v[1] - 128) + 0.5)))
+                else:
+                    c, m, yy = v[0], v[1], v[2]
+                ref[y, x] = [np.floor(c * v[3] / 255 + 0.5),
+                             np.floor(m * v[3] / 255 + 0.5),
+                             np.floor(yy * v[3] / 255 + 0.5)]
+        assert np.array_equal(px, ref.astype(np.uint8)), d
+
+    # scope edges
+    good = encode_jpeg(ps, w, h, adobe_transform=0)
+    assert M._decode_jpeg_rgb(good) is not None
+    no_app14 = good.replace(b"\xff\xee\x00\x0eAdobe",
+                            b"\xff\xef\x00\x0eAdobe")  # APP15 decoy
+    assert M._decode_jpeg_rgb(no_app14) is None
+    tf1 = good.replace(b"Adobe\x00\x64\x00\x00\x00\x00\x00",
+                       b"Adobe\x00\x64\x00\x00\x00\x00\x01")
+    assert tf1 != good and M._decode_jpeg_rgb(tf1) is None
+    rgb3 = encode_jpeg(ps[:3], w, h)
+    rgb3 = rgb3[:2] \
+        + b"\xff\xee\x00\x0eAdobe\x00\x64\x00\x00\x00\x00\x00" + rgb3[2:]
+    assert M._decode_jpeg_rgb(rgb3) is None
+    # ...while transform 1 with 3 components stays plain YCbCr
+    ycc3 = encode_jpeg(ps[:3], w, h)
+    marked = ycc3[:2] \
+        + b"\xff\xee\x00\x0eAdobe\x00\x64\x00\x00\x00\x00\x01" + ycc3[2:]
+    a, b = M._decode_jpeg_rgb(ycc3), M._decode_jpeg_rgb(marked)
+    assert a is not None and b is not None
+    assert np.array_equal(a[2], b[2])
 
 
 def test_audio_energy_matches_wave_module_bytes(spark):
