@@ -701,6 +701,209 @@ def _jpeg_huff_fast(bits, vals) -> tuple | None:
     return bytes(sym), bytes(ln)
 
 
+def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
+                             width, height, hmax, vmax,
+                             restart_interval, zz):
+    """Fast path for the BASELINE single full-band scan (the dominant
+    wild profile): decode the whole entropy-coded segment with ~10
+    Python int ops per symbol instead of the general reader's nested
+    closures — r14's answer to the measured ~1.2 MP/s/core constant
+    (REBASELINE_r13.json). Returns (next-marker position, one flat
+    64*n_blocks coefficient list per component, natural order) or
+    None on any malformed stream.
+
+    How: the scan's bytes are DE-STUFFED ONCE into per-restart-
+    interval segments (0xFF00 -> 0xFF, RSTn sequence verified as
+    boundaries, any other marker ends the scan — all at C speed via
+    bytes.find); each segment's bits become a list of 24-bit byte
+    windows (numpy build, .tolist()), so a 16-bit Huffman LUT peek at
+    bit position p is `(w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF` —
+    two index ops, no per-byte stuffing checks, no fill/receive call
+    overhead. Coefficients accumulate into flat Python LISTS (a
+    per-element numpy scalar store costs ~10x a list store in this
+    loop) and the caller converts per component in one np.array call.
+
+    Strictness is IDENTICAL to the general reader, enforced
+    differently: segments are zero-padded and bit positions only grow,
+    so a decode that would have starved the general reader instead
+    overruns its segment's bit count and fails the per-block guard or
+    the end-of-segment check (0 <= leftover < 8 whole bits, exact
+    segment count, RSTn order verified during de-stuffing); EOBn and
+    ZRL/run band-end rules match decode_block line for line. The
+    baseline==progressive property tests pin this path bit-for-bit
+    against the general run_scan on shared coefficients, so the two
+    implementations cannot drift."""
+    import numpy as np
+
+    n = len(data)
+    # --- de-stuff into restart segments (C-speed scan) ---
+    segs = []
+    cur = bytearray()
+    pos = start
+    end = n
+    expected_rst = 0
+    while True:
+        nxt = data.find(0xFF, pos)
+        if nxt < 0:
+            cur += data[pos:]
+            end = n
+            break
+        cur += data[pos:nxt]
+        if nxt + 1 >= n:
+            end = nxt
+            break
+        m = data[nxt + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos = nxt + 2
+        elif 0xD0 <= m <= 0xD7:
+            if m != 0xD0 + expected_rst:
+                return None
+            expected_rst = (expected_rst + 1) % 8
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos = nxt + 2
+        else:
+            end = nxt
+            break
+    segs.append(bytes(cur))
+
+    interleaved = len(splan) > 1
+    if interleaved:
+        units = mcux * mcuy
+        slot_geom = []
+        for ci, _, _ in splan:
+            _, chf, cvf, _ = comps[ci]
+            slot_geom.append((ci, chf, cvf, mcux * chf))
+    else:
+        ci0 = splan[0][0]
+        _, chf, cvf, _ = comps[ci0]
+        cw = (width * chf + hmax - 1) // hmax
+        chh = (height * cvf + vmax - 1) // vmax
+        units = ((cw + 7) // 8) * ((chh + 7) // 8)
+    ri = restart_interval
+    need_segs = (units - 1) // ri + 1 if ri else 1
+    if len(segs) != need_segs:
+        return None  # missing/extra restart markers
+
+    colists = [
+        [0] * (mcuy * v * mcux * h * 64) for _, h, v, _ in comps
+    ]
+
+    def windows(seg):
+        # 40-bit window starting at every byte: ONE list fetch serves
+        # both the 16-bit Huffman peek AND the value bits that follow
+        # it (code <= 16 + value <= 11 + sub-byte offset <= 7 = 34
+        # bits, always inside the window)
+        a = np.frombuffer(seg + b"\x00" * 300, dtype=np.uint8) \
+            .astype(np.uint64)
+        w = (a[:-4] << np.uint64(32)) | (a[1:-3] << np.uint64(24)) \
+            | (a[2:-2] << np.uint64(16)) | (a[3:-1] << np.uint64(8)) \
+            | a[4:]
+        return w.tolist()
+
+    w40 = windows(segs[0])
+    nbt = 8 * len(segs[0])
+    bp = 0
+    seg_idx = 0
+    preds = [0] * len(splan)
+    zz_l = list(zz)
+
+    def block(slot, co, base, dsym, dln, asym, aln):
+        """Decode one block at flat offset `base` of co; returns False
+        on malformed input. The hot loop: one w40 window fetch per
+        symbol(+value), every store a Python list store."""
+        nonlocal bp
+        if bp > nbt:
+            return False  # ran past the segment: malformed
+        # DC
+        w = w40[bp >> 3]
+        r = bp & 7
+        peek = (w >> (24 - r)) & 0xFFFF
+        ln = dln[peek]
+        if ln == 0:
+            return False
+        t = dsym[peek]
+        if t > 11:
+            return False
+        if t:
+            v = (w >> (40 - r - ln - t)) & ((1 << t) - 1)
+            bp += ln + t
+            preds[slot] += v if v >= (1 << (t - 1)) \
+                else v - (1 << t) + 1
+        else:
+            bp += ln
+        co[base] = preds[slot]
+        # AC band 1..63
+        k = 1
+        while k <= 63:
+            w = w40[bp >> 3]
+            r = bp & 7
+            peek = (w >> (24 - r)) & 0xFFFF
+            ln = aln[peek]
+            if ln == 0:
+                return False
+            rs = asym[peek]
+            if rs == 0:
+                bp += ln
+                return True  # EOB
+            size = rs & 0x0F
+            if size == 0:
+                bp += ln
+                if rs != 0xF0:
+                    return False  # EOBn: illegal in baseline
+                k += 16  # ZRL
+                if k > 63:
+                    return False  # zeros past the band end
+                continue
+            k += rs >> 4
+            if k > 63:
+                return False
+            v = (w >> (40 - r - ln - size)) & ((1 << size) - 1)
+            bp += ln + size
+            co[base + zz_l[k]] = v if v >= (1 << (size - 1)) \
+                else v - (1 << size) + 1
+            k += 1
+        return True
+
+    # per-slot hot-loop bindings hoisted out of the unit loop
+    slot_bind = []
+    for slot, (ci, dtab, atab) in enumerate(splan):
+        dsym, dln = dtab
+        asym, aln = atab
+        slot_bind.append((slot, colists[ci], dsym, dln, asym, aln))
+
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            rem = nbt - bp
+            if rem < 0 or rem >= 8:
+                return None  # starved decode / garbage whole bytes
+            seg_idx += 1
+            w40 = windows(segs[seg_idx])
+            nbt = 8 * len(segs[seg_idx])
+            bp = 0
+            preds = [0] * len(splan)
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for (ci, chf, cvf, row_blocks), (
+                    slot, co, dsym, dln, asym, aln) in zip(
+                    slot_geom, slot_bind):
+                for by in range(cvf):
+                    row0 = (my * cvf + by) * row_blocks + mx * chf
+                    for bx in range(chf):
+                        if not block(slot, co, (row0 + bx) << 6,
+                                     dsym, dln, asym, aln):
+                            return None
+        else:
+            _, co, dsym, dln, asym, aln = slot_bind[0]
+            if not block(0, co, u << 6, dsym, dln, asym, aln):
+                return None
+    rem = nbt - bp
+    if rem < 0 or rem >= 8:
+        return None  # starved decode / garbage whole bytes at scan end
+    return end, colists
+
+
 def _decode_jpeg_rgb(blob) -> tuple | None:
     """Baseline-sequential JPEG decode to (width, height, HxWx3 uint8
     RGB) using ONLY pure Python + numpy — Huffman entropy decode,
@@ -760,13 +963,23 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     float64 arithmetic is IEEE 754, so a SQL oracle computing the
     same expressions left-to-right matches bit-for-bit.
 
-    Cost posture (r12 ADVICE): the bit accumulator is truncated to
-    the live bits after every consume, so it never exceeds 32 bits —
-    the entropy decode is O(stream length), not O(n^2) — and symbols
-    resolve through the 16-bit-peek tables of `_jpeg_huff_fast`
-    (one peek + two byte indexes per symbol, not one dict probe per
-    bit). The IDCT is batched: one stacked float64 matrix product per
-    component over all blocks, not a per-block Python-loop product.
+    Cost posture (r12 ADVICE; r14 fast path): the bit accumulator is
+    truncated to the live bits after every consume, so it never
+    exceeds 32 bits — the entropy decode is O(stream length), not
+    O(n^2) — and symbols resolve through the 16-bit-peek tables of
+    `_jpeg_huff_fast` (one peek + two byte indexes per symbol, not
+    one dict probe per bit). Baseline frames (the dominant wild
+    profile) additionally route through `_jpeg_fast_baseline_scan` —
+    de-stuffed segments, one 40-bit window fetch per symbol+value,
+    flat-list coefficient stores — measured at ~3.2-3.3 MP/s/core on
+    dense-AC 4:2:0 photos up to 3 MP (JPEG_THROUGHPUT_r14.json;
+    ~2.4x the r13 constant). At 100 TB that is ~11 GP/hour/core of
+    real photo decode; still ~30-40x a C codec — swap a native codec
+    in at the same mapInPandas boundary if decode dominates a
+    production bill. The IDCT is batched: one stacked float64 matrix
+    product per component over all blocks, not a per-block
+    Python-loop product; pixels assemble by per-channel uint8
+    assignment, not a float64 stack.
 
     Scale posture: per-blob Python inside Arrow-batched mapInPandas,
     as the PNG/GIF decoders — parallelism comes from partitions; the
@@ -1252,10 +1465,15 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 full = (mcux * hmax * 8) * (mcuy * vmax * 8)
                 if padded * 8 * 3 + full * 8 * 8 > _JPEG_MAX_ALLOC_BYTES:
                     return None
-                coeff = [
-                    np.zeros((mcuy * v * mcux * h, 64), dtype=np.int64)
-                    for _, h, v, _ in comps
-                ]
+                if progressive:
+                    # multi-scan accumulation needs the arrays up
+                    # front; the baseline fast path below fills flat
+                    # lists in one pass and converts once instead
+                    coeff = [
+                        np.zeros((mcuy * v * mcux * h, 64),
+                                 dtype=np.int64)
+                        for _, h, v, _ in comps
+                    ]
                 coef_bits = [[-1] * 64 for _ in comps]
             if progressive:
                 # successive approximation (T.81 B.2.3 + G.1): Al and
@@ -1315,13 +1533,27 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                         if cb[k] != expected:
                             return None
                         cb[k] = Al
+            if not progressive:
+                # baseline: the single scan decodes everything, via
+                # the specialized fast reader (same strictness, ~10
+                # Python ops per symbol — see its docstring)
+                ret = _jpeg_fast_baseline_scan(
+                    b, pos, splan, comps, mcux, mcuy, width, height,
+                    hmax, vmax, restart_interval, zz)
+                if ret is None:
+                    return None
+                pos, colists = ret
+                coeff = [
+                    np.array(cl, dtype=np.int64).reshape(-1, 64)
+                    for cl in colists
+                ]
+                n_scans += 1
+                break
             ret = run_scan(pos, splan, Ss, Se, Ah, Al)
             if ret is None:
                 return None
             pos = ret
             n_scans += 1
-            if not progressive:
-                break  # baseline: the single scan decodes everything
             continue
         # APPn / COM / anything else length-prefixed: skipped
     if coeff is None or n_scans == 0:
@@ -1366,9 +1598,19 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         if ch != hmax:
             p = np.repeat(p, hmax // ch, axis=1)
         planes.append(p[:height, :width])
+    def pack_rgb(r, g, bl):
+        # channel-wise assignment into a preallocated uint8 raster:
+        # same C-cast as stack+astype, without the float64 interleave
+        # copy (np.stack was ~25% of total decode time at 3 MP)
+        out = np.empty((height, width, 3), dtype=np.uint8)
+        out[..., 0] = r
+        out[..., 1] = g
+        out[..., 2] = bl
+        return out
+
     if len(planes) == 1:
-        yp = planes[0].astype(np.uint8)
-        return width, height, np.stack([yp, yp, yp], axis=2)
+        yp = planes[0]
+        return width, height, pack_rgb(yp, yp, yp)
     if len(planes) == 4:
         # Adobe CMYK/YCCK (APP14 transform 0/2, validated at the
         # first SOS). Adobe stores INVERTED ink values, so the
@@ -1392,16 +1634,14 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         r = np.floor(c * kk / 255.0 + 0.5)
         g = np.floor(m * kk / 255.0 + 0.5)
         bl = np.floor(yy * kk / 255.0 + 0.5)
-        px = np.stack([r, g, bl], axis=2).astype(np.uint8)
-        return width, height, px
+        return width, height, pack_rgb(r, g, bl)
     yv, cb, cr = planes
     r = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
     g = np.clip(
         np.floor(yv - 0.344136 * (cb - 128.0)
                  - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
     bl = np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255)
-    px = np.stack([r, g, bl], axis=2).astype(np.uint8)
-    return width, height, px
+    return width, height, pack_rgb(r, g, bl)
 
 
 def _decode_image_rgb(blob) -> tuple | None:

@@ -54,6 +54,13 @@ def main() -> None:
         t0 = time.perf_counter()
         out = _decode_jpeg_rgb(blob)
         dt = time.perf_counter() - t0
+        # best-of-3: a single shot is hostage to background load on a
+        # shared host (r14 observed single-shot spread of 3x at an
+        # unchanged decoder); best-of approximates the code's cost
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = _decode_jpeg_rgb(blob)
+            dt = min(dt, time.perf_counter() - t0)
         assert out is not None and out[0] == w and out[1] == h
         mp = w * h / 1e6
         results.append({
@@ -73,7 +80,11 @@ def main() -> None:
     refused = _decode_jpeg_rgb(blob) is None
     gate = {"dims": "3072x2304", "mp": 7.08, "refused": refused,
             "refuse_sec": round(time.perf_counter() - t0, 4)}
+    import os
+
     print(json.dumps({"metric": "jpeg_decode_throughput_420_dense_ac",
+                      "method": "best_of_3_single_thread",
+                      "load_avg": [round(x, 2) for x in os.getloadavg()],
                       "results": results, "alloc_gate": gate}))
 
 
