@@ -311,6 +311,60 @@ def main() -> None:
     # real regression without re-running.
     load_before = os.getloadavg()
 
+    # CALIBRATION probe (r13 VERDICT task 6): r13 proved absolute
+    # cross-round numbers unreadable across containers (three same-code
+    # sweeps spread +-10%; median cross-container drift 1.15-1.21x).
+    # Three fixed CPU-bound workloads — a pure-Python int/hash loop
+    # (interpreter speed), one 1024^3 float64 GEMM (BLAS/vector core
+    # speed), and one all-core Spark aggregate over a generated range
+    # (JVM + scheduler + parallel throughput) — give future rounds a
+    # per-container denominator: read per-query deltas AGAINST these
+    # before calling anything a regression. Best-of-3 each; ~5 s total.
+    def _calibration() -> dict:
+        import hashlib
+
+        import numpy as np
+
+        def best_of(f, reps=3):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                f()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 4)
+
+        def py_loop():
+            acc = 0
+            h = hashlib.sha256()
+            for i in range(2_000_000):
+                acc += i * i & 0xFFFF
+            h.update(acc.to_bytes(8, "big") * 1000)
+            return h.digest()
+
+        rng = np.random.default_rng(7)
+        A = rng.random((1024, 1024))
+        B = rng.random((1024, 1024))
+
+        def gemm():
+            return A @ B
+
+        from pyspark.sql import functions as _F
+
+        def spark_cpu():
+            # shiftright keeps the 50M-row sum inside int64 under the
+            # session's ANSI mode (summing raw xxhash64 overflows)
+            spark.range(0, 50_000_000, 1, 32).select(
+                _F.sum(_F.shiftright(_F.xxhash64("id"), 32))
+            ).collect()
+
+        return {
+            "python_sec": best_of(py_loop),
+            "gemm1024_sec": best_of(gemm),
+            "spark_range_xxhash_sec": best_of(spark_cpu),
+        }
+
+    calibration = _calibration()
+
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -368,6 +422,7 @@ def main() -> None:
         "queries_cold": timings_cold,
         "errors": errors,
         "sf": sf,
+        "calibration": calibration,
         "idle_gate": idle_gate,
         "load_avg_before": [round(x, 2) for x in load_before],
         "load_avg_after": [round(x, 2) for x in load_after],
@@ -402,6 +457,7 @@ def main() -> None:
         "families_warm": dict(sorted(fam_warm.items())),
         "families_cold": dict(sorted(fam_cold.items())),
         "method": "best_of_2_warm_plus_cold_single_shot",
+        "calibration": calibration,
         "idle_gate": idle_gate,
         "load_avg_before": [round(x, 2) for x in load_before],
         "load_avg_after": [round(x, 2) for x in load_after],

@@ -68,6 +68,14 @@ _DECODE_SCHEMA = (
     f"features ARRAY<DOUBLE>"
 )
 
+# The baseline fast scan materializes ~28 bytes of Python-int window
+# state per entropy byte, so it only runs for scans up to this size;
+# larger (rare: a max-entropy 5.5 MP frame can legally reach ~54 MB,
+# i.e. ~1.5 GiB of windows) fall back to the general O(1)-memory
+# reader with identical semantics. 8 MiB covers high-quality photos at
+# the allocation gate's ~5.5 MP ceiling with a wide margin.
+_JPEG_FAST_SCAN_MAX_BYTES = 8 * 1024 * 1024
+
 
 def _fake_decode(blob: bytes) -> list[float]:
     """Deterministic stand-in for a real codec: FEATURE_DIM doubles derived
@@ -1533,10 +1541,14 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                         if cb[k] != expected:
                             return None
                         cb[k] = Al
-            if not progressive:
+            if not progressive and len(b) - pos <= _JPEG_FAST_SCAN_MAX_BYTES:
                 # baseline: the single scan decodes everything, via
                 # the specialized fast reader (same strictness, ~10
-                # Python ops per symbol — see its docstring)
+                # Python ops per symbol — see its docstring). Scans
+                # beyond _JPEG_FAST_SCAN_MAX_BYTES take the general
+                # reader below instead: its window state is O(1), so
+                # an adversarial max-entropy stream cannot trade a
+                # large blob for a 28x window-list allocation.
                 ret = _jpeg_fast_baseline_scan(
                     b, pos, splan, comps, mcux, mcuy, width, height,
                     hmax, vmax, restart_interval, zz)
@@ -1549,11 +1561,20 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 ]
                 n_scans += 1
                 break
+            if coeff is None:
+                # baseline-over-size fallback: the general reader
+                # accumulates into the arrays the progressive path uses
+                coeff = [
+                    np.zeros((mcuy * v * mcux * h, 64), dtype=np.int64)
+                    for _, h, v, _ in comps
+                ]
             ret = run_scan(pos, splan, Ss, Se, Ah, Al)
             if ret is None:
                 return None
             pos = ret
             n_scans += 1
+            if not progressive:
+                break  # baseline: the single (oversize) scan is all
             continue
         # APPn / COM / anything else length-prefixed: skipped
     if coeff is None or n_scans == 0:

@@ -1511,6 +1511,45 @@ def test_jpeg_successive_approximation_matches_baseline_property():
     check()
 
 
+def test_jpeg_fast_scan_size_fallback_identical(monkeypatch):
+    """Baseline scans beyond _JPEG_FAST_SCAN_MAX_BYTES route through
+    the general O(1)-memory reader (the fast path's 40-bit window list
+    costs ~28 bytes per entropy byte — an adversarial max-entropy
+    frame must not trade a large blob for a GiB-scale allocation).
+    Both readers must produce IDENTICAL pixels; forcing the threshold
+    to 0 pins the fallback against the fast path on dense-AC
+    subsampled content with restarts."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    rng = random.Random(9)
+
+    def rb(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-96, 97)
+            for k in range(1, 64):
+                if rng.random() < 0.4:
+                    blk[k // 8][k % 8] = rng.randrange(-40, 41)
+            out.append(blk)
+        return out
+
+    w, h = 48, 32
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    blob = encode_jpeg(
+        [rb(mcux * 2 * mcuy * 2), rb(mcux * mcuy), rb(mcux * mcuy)],
+        w, h, sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=3)
+    fast = M._decode_jpeg_rgb(blob)
+    monkeypatch.setattr(M, "_JPEG_FAST_SCAN_MAX_BYTES", 0)
+    slow = M._decode_jpeg_rgb(blob)
+    assert fast is not None and slow is not None
+    assert np.array_equal(fast[2], slow[2])
+
+
 def test_jpeg_successive_approximation_rejects_malformed():
     """SA-specific malformed battery (all -> None, never wrong
     pixels), built by header surgery on a VALID libjpeg-default-script
@@ -1729,7 +1768,7 @@ def test_decoders_never_raise_on_corrupt_mutations():
     import numpy as np
 
     from citydata_etl_spark.plans.queries_llm import (
-        encode_gif, encode_jpeg, encode_png,
+        encode_gif, encode_jpeg, encode_png, jpeg_sa_scan_script,
     )
 
     rng = random.Random(13)
@@ -1781,6 +1820,11 @@ def test_decoders_never_raise_on_corrupt_mutations():
                     sampling=[(2, 2), (1, 1), (1, 1)]),
         encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10,
                     progressive=True),
+        # r14 profiles: successive approximation and Adobe CMYK/YCCK
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, progressive=True,
+                    scan_script=jpeg_sa_scan_script(3)),
+        encode_jpeg([dcb(4)] * 4, 12, 10, adobe_transform=2,
+                    restart_interval=2),
     ]
     for blob in blobs:
         assert M._decode_image_rgb(blob) is not None  # valid baseline

@@ -731,6 +731,127 @@ def test_buffered_session_group_merges_late_event():
     assert state.get is None
 
 
+def test_buffered_session_state_bound_under_adversarial_lateness():
+    """Adversarial state-growth test for the t12/t10 buffered
+    sessionizer (r13 VERDICT task 7): the per-user event buffer is the
+    engine's only state whose bound depends on DATA BEHAVIOR, so feed
+    it a late-heavy stream 10x the t12 fixture scale — 2000 events in
+    200 closing sessions, every arrival displaced by up to the full
+    watermark delay via a deterministic LCG shuffle — and assert after
+    EVERY batch that the retained buffer obeys the documented bound:
+    only events of sessions whose gap horizon the watermark has not
+    passed remain, i.e. every retained event's ts >= watermark -
+    (gap + session span), and the retained COUNT never exceeds the
+    events that window can contain (vs 2000 processed). Then flush via
+    the event-time timeout and assert the emitted sessions equal the
+    batch fold exactly — late-heavy delivery must change NOTHING about
+    the output, only the (bounded) buffering cost."""
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import (
+        _unpack_events,
+        make_buffered_session_group,
+    )
+
+    GAP = 300          # default_gap_s (no error events in this feed)
+    SPAN = 54          # burst span: 10 events, 6 s apart
+    DELAY = 120        # watermark delay the arrival shuffle saturates
+    N_BURSTS, PER = 200, 10
+
+    # event-time structure: 200 bursts of 10 events, bursts 400 s apart
+    # (silence 346 s > GAP, so every burst is its own session)
+    events = []
+    eid = 0
+    for b in range(N_BURSTS):
+        t0 = 1000 + b * 400
+        for i in range(PER):
+            events.append((t0 + 6 * i, eid))
+            eid += 1
+    # adversarial arrival order: displacement uniform in [0, DELAY]
+    # from a fixed LCG — stragglers up to the full admissible lateness
+    def disp(e):
+        return (e * 2654435761 + 17) % 2147483647 % (DELAY + 1)
+
+    arrivals = sorted(events, key=lambda te: (te[0] + disp(te[1]), te[1]))
+
+    class _FakeSessionState:
+        def __init__(self):
+            self._value = None
+            self.hasTimedOut = False
+            self.wm_ms = 0
+            self.timeout_ts = None
+
+        @property
+        def exists(self):
+            return self._value is not None
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._value = v
+
+        def remove(self):
+            self._value = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_ts = ts
+
+    fn = make_buffered_session_group(error_gap_s=GAP, default_gap_s=GAP)
+    state = _FakeSessionState()
+    emitted = []
+    max_retained = 0
+    BATCH = 50
+    wm_s = 0
+    for i in range(0, len(arrivals), BATCH):
+        chunk = arrivals[i:i + BATCH]
+        pdf = pd.DataFrame(
+            [(ts, e, "view") for ts, e in chunk],
+            columns=["tsec", "event_id", "event_type"],
+        )
+        state.wm_ms = wm_s * 1000
+        for out in fn((7,), iter([pdf]), state):
+            emitted.extend(tuple(r) for r in out.itertuples(index=False))
+        # Spark semantics: next batch's watermark = this batch's max
+        # event time minus the delay (non-decreasing)
+        wm_s = max(wm_s, max(ts for ts, _ in chunk) - DELAY)
+        ts_ret = _unpack_events(state.get[1])[0]
+        max_retained = max(max_retained, len(ts_ret))
+        if len(ts_ret):
+            # documented window invariant: a retained event belongs to
+            # a session whose horizon >= watermark, so its ts can be no
+            # older than wm - (gap + span)
+            assert ts_ret.min() >= state.wm_ms // 1000 - (GAP + SPAN)
+    # flush the tail via the event-time timeout
+    state.wm_ms = (events[-1][0] + GAP + DELAY + 1) * 1000
+    state.hasTimedOut = True
+    for out in fn((7,), iter([]), state):
+        emitted.extend(tuple(r) for r in out.itertuples(index=False))
+
+    # the bound, quantified: the retention window (gap + span), plus
+    # the watermark lag (delay), plus the event-time width of one
+    # micro-batch (the watermark is computed from the PREVIOUS batch,
+    # so the current batch's events sit in the buffer un-finalized —
+    # Spark's own semantics; here 50 arrivals span ~5 bursts = 2000 s).
+    # State never grows with the 2000-event stream length.
+    batch_span = BATCH // PER * 400
+    window_bursts = (GAP + SPAN + DELAY + batch_span) // 400 + 2
+    assert max_retained <= window_bursts * PER, max_retained
+    assert max_retained < len(events) // 10  # sub-linear sanity
+
+    # exactness under lateness: output == the batch fold (200 sessions
+    # of 10, sequential ids, exact bounds)
+    expected = [
+        (7, b, PER, 1000 + b * 400, 1000 + b * 400 + 6 * (PER - 1))
+        for b in range(N_BURSTS)
+    ]
+    assert emitted == expected
+
+
 def test_late_feed_is_genuinely_out_of_order(spark):
     """The t12 feed must actually deliver stragglers late: some file k+1
     must contain an event OLDER than file k's maximum event time (else
