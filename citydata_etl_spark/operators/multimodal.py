@@ -2718,3 +2718,118 @@ def ahash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _apply_exif_orientation(px, orientation: int):
+    """Map a decoded raster to its UPRIGHT visual form per the EXIF
+    orientation tag (TIFF 6.0 / JEITA CP-3451: the tag states where
+    the stored row 0 / column 0 sit in the scene). The eight cases in
+    PIL.ImageOps.exif_transpose order: 1 identity, 2 mirror
+    horizontal, 3 rotate 180, 4 mirror vertical, 5 transpose (TL-BR
+    flip), 6 rotate 90 CW, 7 transverse (TR-BL flip), 8 rotate 90
+    CCW. Values 5-8 SWAP the visual width/height. Returns a view
+    where numpy allows (slicing/transpose — zero copy); callers that
+    need contiguous memory copy explicitly. Orientation outside 1..8
+    (including None) is treated as 1 — the parser already rejects
+    out-of-range tags, so a None here means "no EXIF", i.e. upright.
+    """
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return px.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return px.transpose(1, 0, 2)[::-1, :]
+    return px
+
+
+def decode_oriented_rgb(blob) -> tuple | None:
+    """Format-dispatching decode that returns the UPRIGHT raster:
+    `_decode_image_rgb` plus, for JPEGs carrying an EXIF orientation,
+    the `_apply_exif_orientation` transform — the missing half of the
+    r14 orientation work (surfacing the tag tells a pipeline the
+    frame is rotated; a vision training set needs the pixels actually
+    normalized, or every sideways phone photo trains the model on
+    rotated scenes). Returns (visual_width, visual_height, HxWx3
+    uint8) — dimensions are the POST-rotation ones for orientations
+    5-8. Non-JPEG formats have no EXIF channel here and pass through
+    unchanged."""
+    import numpy as np
+
+    decoded = _decode_image_rgb(blob)
+    if decoded is None:
+        return None
+    w, h, px = decoded
+    b = bytes(blob) if not isinstance(blob, bytes) else blob
+    if len(b) >= 2 and b[0] == 0xFF and b[1] == 0xD8:
+        o = _parse_exif_orientation(b)
+        if o is not None and o != 1:
+            px = np.ascontiguousarray(_apply_exif_orientation(px, o))
+            h, w = px.shape[0], px.shape[1]
+    return w, h, px
+
+
+def oriented_pixel_stats(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """bmp_pixel_stats' schema over the UPRIGHT raster
+    (decode_oriented_rgb): identical output columns, so every oracle
+    convention carries over, but width/height/wsum_r/p00 reflect the
+    visually-normalized image — on an orientation-6 phone photo,
+    width and height swap and p00 is the visual top-left pixel, not
+    the stored one. Same scale posture as every decode kernel: one
+    Arrow-batched mapInPandas pass, no shuffle, fan-out 1:1."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, npx = [], [], [], []
+            sr, sg, sb, wr, p0 = [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                ids.append(int(mid))
+                decoded = decode_oriented_rgb(blob)
+                if decoded is None:
+                    for col in (ws, hs, npx, sr, sg, sb, wr, p0):
+                        col.append(None)
+                    continue
+                w, h, px = decoded
+                px64 = px.astype(np.int64)
+                ws.append(w)
+                hs.append(h)
+                npx.append(w * h)
+                sr.append(int(px64[:, :, 0].sum()))
+                sg.append(int(px64[:, :, 1].sum()))
+                sb.append(int(px64[:, :, 2].sum()))
+                idx = np.arange(w * h, dtype=np.int64).reshape(h, w)
+                wr.append(int((idx * px64[:, :, 0]).sum()))
+                p0.append(int(
+                    px64[0, 0, 0] * 65536
+                    + px64[0, 0, 1] * 256 + px64[0, 0, 2]
+                ))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "n_pixels": pd.array(npx, dtype="Int64"),
+                    "sum_r": pd.array(sr, dtype="Int64"),
+                    "sum_g": pd.array(sg, dtype="Int64"),
+                    "sum_b": pd.array(sb, dtype="Int64"),
+                    "wsum_r": pd.array(wr, dtype="Int64"),
+                    "p00": pd.array(p0, dtype="Int64"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(run, schema=_BMP_STATS_SCHEMA)

@@ -4057,7 +4057,8 @@ def jpeg_sa_scan_script(n_comp: int) -> list:
 def encode_jpeg(comp_blocks, w: int, h: int,
                 restart_interval: int = 0, sampling=None,
                 progressive: bool = False, scan_script=None,
-                adobe_transform: int | None = None) -> bytes:
+                adobe_transform: int | None = None,
+                exif_orientation: int | None = None) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -4136,6 +4137,17 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     vmax = max(sv for _, sv in sampling)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if exif_orientation is not None:
+        # APP1 EXIF: TIFF II header + a one-entry IFD0 carrying tag
+        # 0x0112 (SHORT, left-justified value field per TIFF 6.0)
+        assert 1 <= exif_orientation <= 8
+        tiff = (b"II*\x00\x08\x00\x00\x00" + b"\x01\x00"
+                + b"\x12\x01\x03\x00\x01\x00\x00\x00"
+                + bytes([exif_orientation]) + b"\x00\x00\x00"
+                + b"\x00\x00\x00\x00")
+        payload = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + (2 + len(payload)).to_bytes(2, "big") \
+            + payload
     if adobe_transform is not None:
         # APP14 "Adobe" v100, flags 0, color-transform byte
         out += b"\xff\xee\x00\x0eAdobe\x00\x64\x00\x00\x00\x00" \
@@ -4908,8 +4920,11 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form. Every frame at d % 3 == 1 is PROGRESSIVE with the
     4-component successive-approximation script (DC+AC first passes
     at Al=1, refinements to 0), every 4th carries DRI=2 restarts
-    (8-block 4-component MCU resets), and every 7th row is a
-    truncated header-only blob that must yield NULLs."""
+    (8-block 4-component MCU resets), every frame carries an EXIF
+    orientation tag cycling 1..8 (the entry's stats run over the
+    UPRIGHT raster, so the oracle checks the pixel re-mapping), and
+    every 7th row is a truncated header-only blob that must yield
+    NULLs."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4947,7 +4962,12 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     restart_interval=2 if d % 4 == 0 else 0,
                     adobe_transform=0 if d % 2 == 0 else 2,
                     progressive=prog,
-                    scan_script=jpeg_sa_scan_script(4) if prog else None))
+                    scan_script=jpeg_sa_scan_script(4) if prog else None,
+                    # EXIF orientation cycling all eight values: the
+                    # entry's stats run over the UPRIGHT raster, so
+                    # the oracle verifies the pixel re-mapping (5-8
+                    # swap dimensions), not just the tag
+                    exif_orientation=1 + d % 8))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
@@ -4961,22 +4981,40 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              6 + doc_id % 10 AS w,
              5 + doc_id % 8 AS h,
              doc_id % 7 = 0 AS is_bad,
-             doc_id % 2 = 1 AS is_ycck
+             doc_id % 2 = 1 AS is_ycck,
+             1 + doc_id % 8 AS o
       FROM documents),
+    dims AS (
+      SELECT *, CASE WHEN o >= 5 THEN h ELSE w END AS uw,
+                CASE WHEN o >= 5 THEN w ELSE h END AS uh
+      FROM p),
     grid AS (
-      SELECT media_id, w, h, is_ycck,
+      SELECT media_id, w, h, uw, uh, o, is_ycck,
              CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
-      FROM p, range(16) gx, range(13) gy
-      WHERE NOT is_bad AND gx.range < w AND gy.range < h),
-    tiles AS (
-      SELECT media_id, w, h, is_ycck, x, y,
-             (media_id + 5 * (x // 8) + 9 * (y // 8)) % 256 AS c0,
-             (2 * media_id + 7 * (x // 8) + 3 * (y // 8)) % 256 AS c1,
-             (3 * media_id + (x // 8) + 11 * (y // 8)) % 256 AS c2,
-             (5 * media_id + 3 * (x // 8) + 7 * (y // 8)) % 256 AS c3
+      FROM dims, range(16) gx, range(16) gy
+      WHERE NOT is_bad AND gx.range < uw AND gy.range < uh),
+    src AS (
+      -- upright (x, y) -> stored (sx, sy) per EXIF orientation
+      -- (TIFF 6.0 / PIL exif_transpose semantics)
+      SELECT media_id, uw, uh, is_ycck, x, y,
+             CASE o WHEN 2 THEN w - 1 - x WHEN 3 THEN w - 1 - x
+                    WHEN 5 THEN y WHEN 6 THEN y
+                    WHEN 7 THEN w - 1 - y WHEN 8 THEN w - 1 - y
+                    ELSE x END AS sx,
+             CASE o WHEN 3 THEN h - 1 - y WHEN 4 THEN h - 1 - y
+                    WHEN 5 THEN x WHEN 6 THEN h - 1 - x
+                    WHEN 7 THEN h - 1 - x WHEN 8 THEN x
+                    ELSE y END AS sy
       FROM grid),
+    tiles AS (
+      SELECT media_id, uw, uh, is_ycck, x, y,
+             (media_id + 5 * (sx // 8) + 9 * (sy // 8)) % 256 AS c0,
+             (2 * media_id + 7 * (sx // 8) + 3 * (sy // 8)) % 256 AS c1,
+             (3 * media_id + (sx // 8) + 11 * (sy // 8)) % 256 AS c2,
+             (5 * media_id + 3 * (sx // 8) + 7 * (sy // 8)) % 256 AS c3
+      FROM src),
     inks AS (
-      SELECT media_id, w, h, x, y, c3 AS k,
+      SELECT media_id, uw, uh, x, y, c3 AS k,
              CASE WHEN is_ycck THEN LEAST(255, GREATEST(0, CAST(floor(
                c0 + 1.402 * (c2 - 128) + 0.5) AS BIGINT))) ELSE c0
              END AS c,
@@ -4989,21 +5027,21 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS yy
       FROM tiles),
     px AS (
-      SELECT media_id, w, h, x, y,
+      SELECT media_id, uw, uh, x, y,
              CAST(floor(c * k / 255 + 0.5) AS BIGINT) AS r,
              CAST(floor(m * k / 255 + 0.5) AS BIGINT) AS g,
              CAST(floor(yy * k / 255 + 0.5) AS BIGINT) AS b
       FROM inks),
     agg AS (
-      SELECT media_id, w AS width, h AS height,
-             CAST(w * h AS BIGINT) AS n_pixels,
+      SELECT media_id, uw AS width, uh AS height,
+             CAST(uw * uh AS BIGINT) AS n_pixels,
              CAST(sum(r) AS BIGINT) AS sum_r,
              CAST(sum(g) AS BIGINT) AS sum_g,
              CAST(sum(b) AS BIGINT) AS sum_b,
-             CAST(sum((y * w + x) * r) AS BIGINT) AS wsum_r,
+             CAST(sum((y * uw + x) * r) AS BIGINT) AS wsum_r,
              CAST(sum(CASE WHEN x = 0 AND y = 0
                       THEN r * 65536 + g * 256 + b END) AS BIGINT) AS p00
-      FROM px GROUP BY media_id, w, h)
+      FROM px GROUP BY media_id, uw, uh)
     SELECT p.media_id, a.width, a.height, a.n_pixels,
            a.sum_r, a.sum_g, a.sum_b, a.wsum_r, a.p00
     FROM p LEFT JOIN agg a ON p.media_id = a.media_id
@@ -5021,7 +5059,15 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "steps stated verbatim in this oracle. Unmarked 4-component "
     "frames, transform 1 with 4 components, and 3-component "
     "transform-0 (stored RGB) are all rejected as disclosed scope "
-    "edges, never mis-converted. Exactness by construction (DC-only "
+    "edges, never mis-converted. Every frame also carries an EXIF "
+    "ORIENTATION tag cycling 1..8 and the stats run over the UPRIGHT "
+    "raster (operators/multimodal.py:oriented_pixel_stats / "
+    "_apply_exif_orientation — the r13 VERDICT's mis-rotation gap "
+    "closed at the PIXEL level, not just surfaced as metadata): the "
+    "oracle states the upright->stored coordinate re-mapping for all "
+    "eight orientations, so orientations 5-8 must swap the reported "
+    "dimensions and move p00/wsum_r to the visually-correct pixels. "
+    "Exactness by construction (DC-only "
     "blocks, all-8s quant); frames compose with the r14 "
     "successive-approximation script (every d%3==1) and DRI=2 "
     "restarts over 8-block 4-component MCUs (every 4th). Scale "
@@ -5029,9 +5075,11 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass, no shuffle, fan-out 1:1.",
 )
 def d5_jpeg_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from citydata_etl_spark.operators.multimodal import bmp_pixel_stats
+    from citydata_etl_spark.operators.multimodal import (
+        oriented_pixel_stats,
+    )
 
-    return bmp_pixel_stats(_jpeg_cmyk_media_fixture(spark, sf_dir))
+    return oriented_pixel_stats(_jpeg_cmyk_media_fixture(spark, sf_dir))
 
 
 def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

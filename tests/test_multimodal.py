@@ -1511,6 +1511,133 @@ def test_jpeg_successive_approximation_matches_baseline_property():
     check()
 
 
+def test_exif_orientation_applies_to_pixels():
+    """Applying EXIF orientation (the r14 follow-through: surfacing
+    the tag is triage; a vision corpus needs the pixels NORMALIZED).
+    Coordinate-level pins for all eight orientations against the
+    TIFF 6.0 / PIL exif_transpose semantics on an asymmetric raster —
+    U[0,0] must be the correct stored corner and 5-8 must swap
+    dimensions — then end-to-end: encode a DC-only JPEG (exact
+    pixels) with each orientation tag and assert decode_oriented_rgb
+    returns exactly the hand-transformed raster while
+    _decode_image_rgb keeps returning the STORED one."""
+    import numpy as np
+
+    from citydata_etl_spark.operators.multimodal import (
+        _apply_exif_orientation,
+        decode_oriented_rgb,
+    )
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    h, w = 3, 5
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+
+    def at(o, i, j):
+        return tuple(_apply_exif_orientation(px, o)[i, j])
+
+    s = lambda y, x: tuple(px[y, x])  # noqa: E731
+    # upright [0,0] per orientation = which stored corner
+    assert at(1, 0, 0) == s(0, 0)
+    assert at(2, 0, 0) == s(0, w - 1)      # mirror H
+    assert at(3, 0, 0) == s(h - 1, w - 1)  # rot 180
+    assert at(4, 0, 0) == s(h - 1, 0)      # mirror V
+    assert at(5, 0, 0) == s(0, 0)          # transpose
+    assert at(6, 0, 0) == s(h - 1, 0)      # rot 90 CW
+    assert at(7, 0, 0) == s(h - 1, w - 1)  # transverse
+    assert at(8, 0, 0) == s(0, w - 1)      # rot 90 CCW
+    # a second, non-corner pin per rotating case (corners alone can't
+    # distinguish a rotation from its composed flip)
+    assert at(6, 0, 1) == s(h - 2, 0)
+    assert at(8, 0, 1) == s(1, w - 1)
+    assert at(5, 1, 0) == s(0, 1)
+    assert at(7, 1, 0) == s(h - 1, w - 2)
+    for o in (1, 2, 3, 4):
+        assert _apply_exif_orientation(px, o).shape == (h, w, 3)
+    for o in (5, 6, 7, 8):
+        assert _apply_exif_orientation(px, o).shape == (w, h, 3)
+
+    # end-to-end through a real JPEG: DC-only tiles decode exactly,
+    # so the oriented raster must equal the hand-applied transform
+    jw, jh = 24, 16
+    bw, bh = jw // 8, jh // 8
+
+    def plane(f):
+        out = []
+        for i in range(bw * bh):
+            tx, ty = i % bw, i // bw
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = f(tx, ty) - 128
+            out.append(blk)
+        return out
+
+    ys = plane(lambda tx, ty: (40 + 50 * tx + 30 * ty) % 256)
+    stored = M._decode_jpeg_rgb(encode_jpeg([ys], jw, jh))[2]
+    for o in range(1, 9):
+        blob = encode_jpeg([ys], jw, jh, exif_orientation=o)
+        assert M._parse_exif_orientation(blob) == o
+        got = decode_oriented_rgb(blob)
+        want = _apply_exif_orientation(stored, o)
+        assert got is not None
+        assert (got[0], got[1]) == (want.shape[1], want.shape[0])
+        assert np.array_equal(got[2], want), o
+        # the raw decode stays the STORED raster (orientation is a
+        # separate, explicit normalization step)
+        raw = M._decode_image_rgb(blob)
+        assert np.array_equal(raw[2], stored)
+    # no EXIF / PNG blobs pass through unchanged
+    assert np.array_equal(
+        decode_oriented_rgb(encode_jpeg([ys], jw, jh))[2], stored
+    )
+
+
+def test_oriented_pixel_stats_spark(spark):
+    """oriented_pixel_stats through Spark: orientation-6 frames must
+    report SWAPPED dimensions and the visual top-left p00 (the stored
+    bottom-left), bad blobs NULL rows — same schema as
+    bmp_pixel_stats so the oracle conventions carry."""
+    import numpy as np
+
+    from citydata_etl_spark.operators.multimodal import (
+        _apply_exif_orientation,
+        oriented_pixel_stats,
+    )
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    jw, jh = 24, 16
+    bw, bh = jw // 8, jh // 8
+
+    def plane(seed):
+        out = []
+        for i in range(bw * bh):
+            tx, ty = i % bw, i // bw
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = (seed + 50 * tx + 30 * ty) % 256 - 128
+            out.append(blk)
+        return out
+
+    rows = [
+        (1, bytearray(encode_jpeg([plane(40)], jw, jh,
+                                  exif_orientation=6))),
+        (2, bytearray(encode_jpeg([plane(40)], jw, jh))),
+        (3, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 30)),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r["media_id"]: r for r in
+           oriented_pixel_stats(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (jh, jw)  # swapped
+    assert (got[2]["width"], got[2]["height"]) == (jw, jh)
+    assert got[3]["width"] is None and got[3]["p00"] is None
+    stored = M._decode_jpeg_rgb(bytes(rows[1][1]))[2]
+    up = _apply_exif_orientation(stored, 6)
+    assert got[1]["p00"] == int(up[0, 0, 0]) * 65536 \
+        + int(up[0, 0, 1]) * 256 + int(up[0, 0, 2])
+    assert got[1]["sum_r"] == got[2]["sum_r"]  # rotation-invariant
+    idx = np.arange(jw * jh, dtype=np.int64).reshape(jw, jh)
+    assert got[1]["wsum_r"] == int(
+        (idx * up[:, :, 0].astype(np.int64)).sum()
+    )
+
+
 def test_jpeg_fast_scan_size_fallback_identical(monkeypatch):
     """Baseline scans beyond _JPEG_FAST_SCAN_MAX_BYTES route through
     the general O(1)-memory reader (the fast path's 40-bit window list
