@@ -253,6 +253,9 @@ HEADLINE = [
     # unfilter + scatter)
     "d5_jpeg_pixels_420",
     "d5_png_adam7",
+    # round-14 addition: Adobe CMYK/YCCK decode + EXIF-orientation
+    # pixel normalization (SA scan scripts + restarts composed)
+    "d5_jpeg_cmyk",
 ]
 
 
