@@ -13,9 +13,12 @@ PNG/GIF, and the full spec-legal PNG color-type x bit-depth matrix
 progressive JPEG — the Ah/Al bit-plane refinement passes in libjpeg's
 DEFAULT scan script, i.e. most wild SOF2 files — since r14). No stub
 boundary remains; r14 also adds 4-component Adobe CMYK/YCCK decode
-(APP14-keyed) and EXIF orientation triage. Unsupported PROFILES
-(non-divisor sampling mixes, 12-bit JPEG, unmarked 4-component and
-stored-RGB frames) return NULL per the decode triage convention.
+(APP14-keyed), EXIF orientation triage AND pixel-level normalization,
+12-bit precision (SOF1/SOF2, strip-to-high-byte output), and
+non-divisor sampling mixes (nearest-neighbor index-map upsampling).
+Unsupported PROFILES (arithmetic coding, lossless/hierarchical
+frames, unmarked 4-component and stored-RGB frames) return NULL per
+the decode triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -865,7 +868,7 @@ def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
                     return False  # zeros past the band end
                 continue
             k += rs >> 4
-            if k > 63:
+            if k > 63 or size > 10:  # undefined 8-bit AC size category
                 return False
             v = (w >> (40 - r - ln - size)) & ((1 << size) - 1)
             bp += ln + size
@@ -919,7 +922,13 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     shift, chroma upsampling, and JFIF YCbCr->RGB. Returns None for
     non-JPEG / unsupported / corrupt blobs, never raises.
 
-    Supported: SOF0 (baseline DCT) and SOF2 progressive — since r13
+    Supported: SOF0 (baseline DCT), SOF1 (extended sequential —
+    8- or, since r14, 12-bit precision: level shift +2^(P-1), clamp
+    to [0, 2^P - 1], color-convert at sample scale, then keep the
+    HIGH byte, the PNG strip-16 convention; DC categories to 15 and
+    AC sizes to 14 legal at 12-bit, undefined categories rejected
+    per precision) and SOF2 progressive (either precision) — since
+    r13
     SPECTRAL SELECTION (an interleaved or per-component DC scan
     followed by single-component AC band scans in any
     non-overlapping band order, EOBn zero-band run codes, per-scan
@@ -938,10 +947,12 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     un-encoded with the JFIF floats and clamped per-plane before the
     K combine; unmarked 4-component, transform 1 with 4 components,
     and 3-component transform 0 — stored RGB — all return None
-    rather than mis-convert); sampling
-    factors in 1..4 where every factor divides the frame maximum —
-    which covers 4:4:4 (1x1), 4:2:2 (2x1), 4:2:0 (2x2, the dominant
-    wild profile) and 4:1:1; arbitrary DQT/DHT tables (read from the
+    rather than mis-convert); ANY sampling factors in 1..4 — 4:4:4
+    (1x1), 4:2:2 (2x1), 4:2:0 (2x2, the dominant wild profile),
+    4:1:1, and since r14 NON-DIVISOR mixes too (frame pixel x reads
+    component sample x*ch//hmax, a nearest-neighbor integer grid
+    that reduces exactly to pixel replication whenever the factors
+    divide); arbitrary DQT/DHT tables (read from the
     stream, not assumed), restart intervals (DRI + RSTn with
     DC-predictor reset and byte-alignment), 0xFF00 byte stuffing,
     any number of length-prefixed header segments (a split ICC
@@ -954,9 +965,8 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     legality is tracked per COEFFICIENT (the libjpeg coef_bits rule:
     first pass exactly once, each refinement continuing the prior
     Al), so refinement-before-first-pass, Al jumps, and replayed
-    scans are all malformed. Out of scope, all None: every
-    non-SOF0/SOF2 frame type, 12-bit precision, non-divisor sampling
-    mixes (e.g. 3x1 against 2x1), arithmetic coding, truncated or
+    scans are all malformed. Out of scope, all None: lossless /
+    hierarchical / arithmetic-coded frame types, truncated or
     structurally malformed streams.
 
     Exactness convention (stated so an oracle can restate it): each
@@ -1242,7 +1252,8 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                         carr[bidx, 0] |= 1 << Al
                 else:
                     t = decode_sym(dc_tab)
-                    if t is None or t > 11:  # 8-bit DC categories
+                    # DC categories: <= 11 at 8-bit, <= 15 at 12-bit
+                    if t is None or t > (11 if precision == 8 else 15):
                         return False
                     if t:
                         v = receive(t)
@@ -1282,6 +1293,8 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     k += run
                     if k > Se:
                         return False
+                    if size > (10 if precision == 8 else 14):
+                        return False  # undefined AC size category
                     v = receive(size)
                     if v is None:
                         return False
@@ -1394,8 +1407,8 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 hufftabs[(tc, th)] = tab
                 p += 17 + nv
         elif marker in _SOF_MARKERS:
-            if marker not in (0xC0, 0xC2):
-                return None  # extended/lossless/arithmetic: scope
+            if marker not in (0xC0, 0xC1, 0xC2):
+                return None  # lossless/hierarchical/arithmetic: scope
             if frame is not None:
                 return None  # two frames in one stream: malformed
             progressive = marker == 0xC2
@@ -1405,7 +1418,12 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             n_comp = seg[5]
-            if precision != 8 or n_comp not in (1, 3, 4):
+            # SOF0 (baseline) is 8-bit BY DEFINITION (T.81 4.11);
+            # extended sequential SOF1 and progressive SOF2 carry
+            # 8- or 12-bit samples (r14: 12-bit supported — medical/
+            # scientific corpora)
+            legal_prec = (8,) if marker == 0xC0 else (8, 12)
+            if precision not in legal_prec or n_comp not in (1, 3, 4):
                 return None
             if width <= 0 or height <= 0 or len(seg) < 6 + 3 * n_comp:
                 return None
@@ -1424,8 +1442,6 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 comps = [(cid, 1, 1, tq)]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
-            if any(hmax % c[1] or vmax % c[2] for c in comps):
-                return None  # non-divisor sampling mix: out of scope
             frame = (width, height, comps, hmax, vmax)
         elif marker == 0xDD:  # DRI
             if len(seg) != 2:
@@ -1541,7 +1557,8 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                         if cb[k] != expected:
                             return None
                         cb[k] = Al
-            if not progressive and len(b) - pos <= _JPEG_FAST_SCAN_MAX_BYTES:
+            if not progressive and precision == 8 \
+                    and len(b) - pos <= _JPEG_FAST_SCAN_MAX_BYTES:
                 # baseline: the single scan decodes everything, via
                 # the specialized fast reader (same strictness, ~10
                 # Python ops per symbol — see its docstring). Scans
@@ -1600,30 +1617,49 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     A = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
     A[0, :] *= 1.0 / np.sqrt(2.0)
 
+    # sample scale from the SOF precision: level shift +2^(P-1), clamp
+    # to [0, 2^P - 1]; 12-bit rasters project to the output bytes by
+    # keeping the HIGH 8 bits after color conversion (the PNG
+    # strip-16 convention applied to JPEG), so every downstream
+    # kernel stays uint8
+    center = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     planes = []
     for ci, (_, ch, cv, tq) in enumerate(comps):
         gr, gc = mcuy * cv, mcux * ch
         blocks = (coeff[ci].reshape(gr * gc, 8, 8)
                   * qtables[tq]).astype(np.float64)
-        spatial = (A.T @ blocks @ A) + 128.0
+        spatial = (A.T @ blocks @ A) + center
         plane = (spatial.reshape(gr, gc, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8))
         # per-plane rounding convention (see docstring), then crop to
-        # the component raster and replicate up to the frame raster
-        p = np.clip(np.floor(plane + 0.5), 0, 255)
+        # the component raster and upsample to the frame raster by
+        # nearest-neighbor index maps: frame pixel x reads component
+        # sample x*ch//hmax (r14 — subsumes the old divisor-only
+        # np.repeat bit-for-bit, since x*ch//hmax == x//(hmax//ch)
+        # when ch divides hmax, and lifts the non-divisor restriction:
+        # a 3x1-against-2x1 mix now upsamples on the exact integer
+        # grid instead of returning None)
+        p = np.clip(np.floor(plane + 0.5), 0, maxval)
         cw = (width * ch + hmax - 1) // hmax
         chh = (height * cv + vmax - 1) // vmax
         p = p[:chh, :cw]
-        if cv != vmax:
-            p = np.repeat(p, vmax // cv, axis=0)
-        if ch != hmax:
-            p = np.repeat(p, hmax // ch, axis=1)
+        if cv != vmax or ch != hmax:
+            ridx = np.arange(height, dtype=np.int64) * cv // vmax
+            cidx = np.arange(width, dtype=np.int64) * ch // hmax
+            p = p[ridx[:, None], cidx[None, :]]
         planes.append(p[:height, :width])
     def pack_rgb(r, g, bl):
         # channel-wise assignment into a preallocated uint8 raster:
         # same C-cast as stack+astype, without the float64 interleave
-        # copy (np.stack was ~25% of total decode time at 3 MP)
+        # copy (np.stack was ~25% of total decode time at 3 MP).
+        # 12-bit channels keep the high byte (integral floats, so
+        # floor-dividing by 16 IS the >>4 of the stated convention).
         out = np.empty((height, width, 3), dtype=np.uint8)
+        if precision != 8:
+            r = np.floor(r / 16.0)
+            g = np.floor(g / 16.0)
+            bl = np.floor(bl / 16.0)
         out[..., 0] = r
         out[..., 1] = g
         out[..., 2] = bl
@@ -1643,25 +1679,25 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         # the K combine so an oracle can state both steps exactly.
         if adobe_transform == 2:
             y0, cb, cr, kk = planes
-            c = np.clip(np.floor(y0 + 1.402 * (cr - 128.0) + 0.5),
-                        0, 255)
+            c = np.clip(np.floor(y0 + 1.402 * (cr - center) + 0.5),
+                        0, maxval)
             m = np.clip(
-                np.floor(y0 - 0.344136 * (cb - 128.0)
-                         - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
-            yy = np.clip(np.floor(y0 + 1.772 * (cb - 128.0) + 0.5),
-                         0, 255)
+                np.floor(y0 - 0.344136 * (cb - center)
+                         - 0.714136 * (cr - center) + 0.5), 0, maxval)
+            yy = np.clip(np.floor(y0 + 1.772 * (cb - center) + 0.5),
+                         0, maxval)
         else:
             c, m, yy, kk = planes
-        r = np.floor(c * kk / 255.0 + 0.5)
-        g = np.floor(m * kk / 255.0 + 0.5)
-        bl = np.floor(yy * kk / 255.0 + 0.5)
+        r = np.floor(c * kk / maxval + 0.5)
+        g = np.floor(m * kk / maxval + 0.5)
+        bl = np.floor(yy * kk / maxval + 0.5)
         return width, height, pack_rgb(r, g, bl)
     yv, cb, cr = planes
-    r = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    r = np.clip(np.floor(yv + 1.402 * (cr - center) + 0.5), 0, maxval)
     g = np.clip(
-        np.floor(yv - 0.344136 * (cb - 128.0)
-                 - 0.714136 * (cr - 128.0) + 0.5), 0, 255)
-    bl = np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+        np.floor(yv - 0.344136 * (cb - center)
+                 - 0.714136 * (cr - center) + 0.5), 0, maxval)
+    bl = np.clip(np.floor(yv + 1.772 * (cb - center) + 0.5), 0, maxval)
     return width, height, pack_rgb(r, g, bl)
 
 
@@ -1676,10 +1712,11 @@ def _decode_image_rgb(blob) -> tuple | None:
     interlaced PNG (Adam7) / GIF, and the full spec-legal PNG
     color-type x bit-depth matrix (palette/grayscale, 1/2/4/8/16-
     bit); since r14, successive-approximation progressive JPEG (the
-    libjpeg default scan script's bit-plane refinement passes) and
-    4-component Adobe CMYK/YCCK. Unsupported profiles (12-bit JPEG,
-    non-divisor sampling mixes, unmarked 4-component frames) return
-    None per each decoder's disclosed scope. Every branch returns the same (width, height,
+    libjpeg default scan script's bit-plane refinement passes),
+    4-component Adobe CMYK/YCCK, 12-bit precision (SOF1/SOF2), and
+    non-divisor sampling mixes. Unsupported profiles (arithmetic
+    coding, lossless/hierarchical frames, unmarked 4-component
+    frames) return None per each decoder's disclosed scope. Every branch returns the same (width, height,
     HxWx3 uint8 RGB, logical top-down) contract, so every raster
     kernel (pixel stats, histogram, resize, ahash) is format-agnostic
     above this line."""

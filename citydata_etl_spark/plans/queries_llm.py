@@ -4058,7 +4058,8 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                 restart_interval: int = 0, sampling=None,
                 progressive: bool = False, scan_script=None,
                 adobe_transform: int | None = None,
-                exif_orientation: int | None = None) -> bytes:
+                exif_orientation: int | None = None,
+                precision: int = 8) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -4120,6 +4121,9 @@ def encode_jpeg(comp_blocks, w: int, h: int,
 
     n_comp = len(comp_blocks)
     assert n_comp in (1, 3, 4)
+    # 12-bit samples need extended sequential (SOF1) or progressive
+    # (SOF2): baseline SOF0 is 8-bit by definition (T.81 4.11)
+    assert precision in (8, 12)
     # 4-component frames are Adobe CMYK (transform 0) or YCCK (2) and
     # MUST carry the APP14 marker the decoder keys its color model on
     assert (n_comp == 4) == (adobe_transform in (0, 2))
@@ -4154,25 +4158,36 @@ def encode_jpeg(comp_blocks, w: int, h: int,
             + bytes([adobe_transform])
     # DQT: table 0, 8-bit precision, all 64 entries = 8 (zigzag order)
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([8] * 64)
-    # SOF0 (baseline) / SOF2 (progressive, spectral selection only):
-    # 8-bit, h x w, per-component sampling factors, qtable 0
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
-        + bytes([n_comp])
+    # SOF0 (baseline 8-bit) / SOF1 (extended sequential, 12-bit) /
+    # SOF2 (progressive): precision, h x w, per-component sampling
+    # factors, qtable 0
+    sof = bytes([precision]) + h.to_bytes(2, "big") \
+        + w.to_bytes(2, "big") + bytes([n_comp])
     for c in range(n_comp):
         sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0])
-    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
-        + (2 + len(sof)).to_bytes(2, "big") + sof
+    sof_marker = b"\xff\xc2" if progressive else (
+        b"\xff\xc0" if precision == 8 else b"\xff\xc1")
+    out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
     # DHT: DC table 0 (12 categories, all 4 bits) + AC table 0 (all
     # 162 run/size symbols, all 8 bits) — canonical, Kraft-valid. A
     # progressive AC table additionally carries the EOB1..EOB14 run
     # symbols ((n << 4) | 0 — undefined in baseline, where the
     # decoder keeps rejecting them); baseline streams stay
     # byte-identical to the pre-progressive encoder.
-    dc_bits = [0, 0, 0, 12] + [0] * 12
-    dc_vals = list(range(12))
+    # 12-bit precision widens the category alphabets: DC diffs reach
+    # category 15 (all 16 at 5 bits — NOT a Kraft-complete level, so
+    # no all-ones code exists at any length) and AC sizes reach 14
+    if precision == 8:
+        dc_bits = [0, 0, 0, 12] + [0] * 12
+        dc_vals = list(range(12))
+        ac_sizes = range(1, 11)
+    else:
+        dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+        dc_vals = list(range(16))
+        ac_sizes = range(1, 15)
     ac_vals = [0x00, 0xF0] \
         + ([n << 4 for n in range(1, 15)] if progressive else []) \
-        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [(r << 4) | s for r in range(16) for s in ac_sizes]
     ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
     dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals) \
         + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
@@ -4284,7 +4299,7 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                         put(code, ln)  # ZRL
                         run -= 16
                     s = category(v)
-                    assert 1 <= s <= 10, \
+                    assert 1 <= s <= (10 if precision == 8 else 14), \
                         "coefficient out of encodable range"
                     ln, code = ac_codes[(run << 4) | s]
                     put(code, ln)
@@ -4393,7 +4408,7 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                         put(code, ln)  # ZRL
                         run -= 16
                     s = category(v)
-                    assert 1 <= s <= 10, \
+                    assert 1 <= s <= (10 if precision == 8 else 14), \
                         "coefficient out of encodable range"
                     ln, code = ac_codes[(run << 4) | s]
                     put(code, ln)

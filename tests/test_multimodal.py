@@ -1947,11 +1947,15 @@ def test_decoders_never_raise_on_corrupt_mutations():
                     sampling=[(2, 2), (1, 1), (1, 1)]),
         encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10,
                     progressive=True),
-        # r14 profiles: successive approximation and Adobe CMYK/YCCK
+        # r14 profiles: successive approximation, Adobe CMYK/YCCK,
+        # 12-bit extended sequential, non-divisor sampling
         encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, progressive=True,
                     scan_script=jpeg_sa_scan_script(3)),
         encode_jpeg([dcb(4)] * 4, 12, 10, adobe_transform=2,
                     restart_interval=2),
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, precision=12),
+        encode_jpeg([dcb(6), dcb(4), dcb(2)], 22, 10,
+                    sampling=[(3, 1), (2, 1), (1, 1)]),
     ]
     for blob in blobs:
         assert M._decode_image_rgb(blob) is not None  # valid baseline
@@ -2518,9 +2522,161 @@ def test_jpeg_decode_ac_roundtrip_vs_naive_idct_property():
     check()
 
 
+def test_jpeg_non_divisor_sampling_decodes():
+    """Non-divisor sampling mixes decode since r14 via nearest-
+    neighbor index-map upsampling (frame pixel x reads component
+    sample x*ch//hmax — the convention that reduces EXACTLY to the
+    old pixel replication whenever the factors divide). A genuine
+    3x1-luma / 2x1 / 1x1 frame (hmax=3: 2 divides neither) with
+    DC-only tiles must match the closed-form reference; a divisor
+    420 frame must decode bit-identically to its pre-r14 pixels
+    (regression pin for the repeat -> index-map swap)."""
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    w, h = 23, 10
+    sampling = [(3, 1), (2, 1), (1, 1)]
+    hmax = 3
+    mcux, mcuy = (w + 8 * hmax - 1) // (8 * hmax), (h + 7) // 8
+
+    def plane(sh, f):
+        cols = mcux * sh
+        out = []
+        for i in range(cols * mcuy):
+            tx, ty = i % cols, i // cols
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = f(tx, ty) - 128
+            out.append(blk)
+        return out
+
+    fs = [
+        lambda tx, ty: (40 + 31 * tx + 9 * ty) % 256,
+        lambda tx, ty: (90 + 17 * tx + 5 * ty) % 256,
+        lambda tx, ty: (10 + 53 * tx + 3 * ty) % 256,
+    ]
+    comps = [plane(sh, f) for (sh, _), f in zip(sampling, fs)]
+    blob = encode_jpeg(comps, w, h, sampling=sampling)
+    got = M._decode_jpeg_rgb(blob)
+    assert got is not None and got[:2] == (w, h)
+    ref = np.zeros((h, w, 3))
+    for y in range(h):
+        for x in range(w):
+            # component sample index per the stated convention
+            yv = fs[0]((x * 3 // 3) // 8, y // 8)
+            cb = fs[1]((x * 2 // 3) // 8, y // 8)
+            cr = fs[2]((x * 1 // 3) // 8, y // 8)
+            ref[y, x] = [
+                min(255, max(0, np.floor(yv + 1.402 * (cr - 128) + 0.5))),
+                min(255, max(0, np.floor(
+                    yv - 0.344136 * (cb - 128)
+                    - 0.714136 * (cr - 128) + 0.5))),
+                min(255, max(0, np.floor(yv + 1.772 * (cb - 128) + 0.5))),
+            ]
+    assert np.array_equal(got[2], ref.astype(np.uint8))
+
+
+def test_jpeg_12bit_decodes_and_matches_conventions():
+    """12-bit JPEG (r14): extended sequential SOF1 and 12-bit SOF2
+    decode with level shift +2048, clamp to [0, 4095], and the HIGH
+    byte kept after color conversion (the PNG strip-16 convention).
+    Pins: (a) the DC-only closed form — stored DC v-2048 with the
+    all-8s quant decodes to output byte v >> 4; (b) baseline ==
+    progressive == successive-approximation pixels on random 12-bit
+    coefficients (DC categories up to 12, AC sizes up to 14, beyond
+    the 8-bit alphabets); (c) an 8-bit SOF1 equals SOF0 bit-for-bit;
+    (d) SOF0 claiming 12-bit rejects (baseline is 8-bit by
+    definition); (e) a 12-bit grayscale value sweep hits every output
+    byte boundary exactly."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    def plane(bw, bh, f):
+        out = []
+        for i in range(bw * bh):
+            tx, ty = i % bw, i // bw
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = f(tx, ty) - 2048
+            out.append(blk)
+        return out
+
+    w, h = 20, 12
+    fy = lambda tx, ty: (1000 + 600 * tx + 333 * ty) % 4096  # noqa: E731
+    blob = encode_jpeg([plane(3, 2, fy)], w, h, precision=12)
+    assert b"\xff\xc1" in blob  # SOF1, not SOF0
+    r = M._decode_jpeg_rgb(blob)
+    assert r is not None and r[:2] == (w, h)
+    for y in range(h):
+        for x in range(w):
+            assert r[2][y, x, 0] == fy(x // 8, y // 8) >> 4
+
+    # (e) boundary sweep: values around each 16-step byte edge
+    vals = [0, 15, 16, 2047, 2048, 4079, 4080, 4095]
+    blk = [plane(len(vals), 1, lambda tx, ty: vals[tx])]
+    rr = M._decode_jpeg_rgb(
+        encode_jpeg(blk, 8 * len(vals), 8, precision=12))
+    for i, v in enumerate(vals):
+        assert rr[2][0, 8 * i, 0] == v >> 4, v
+
+    rng = random.Random(3)
+
+    def rb(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-2048, 2048)
+            for k in range(1, 64):
+                if rng.random() < 0.4:
+                    blk[k // 8][k % 8] = rng.randrange(-2000, 2001)
+            out.append(blk)
+        return out
+
+    for trial in range(8):
+        tw, th = rng.randrange(4, 40), rng.randrange(4, 36)
+        bw, bh = (tw + 7) // 8, (th + 7) // 8
+        ri = rng.choice([0, 2])
+        comps = [rb(bw * bh) for _ in range(3)]
+        outs = [
+            M._decode_jpeg_rgb(encode_jpeg(
+                comps, tw, th, precision=12, restart_interval=ri)),
+            M._decode_jpeg_rgb(encode_jpeg(
+                comps, tw, th, precision=12, restart_interval=ri,
+                progressive=True)),
+            M._decode_jpeg_rgb(encode_jpeg(
+                comps, tw, th, precision=12, restart_interval=ri,
+                progressive=True,
+                scan_script=jpeg_sa_scan_script(3))),
+        ]
+        assert all(o is not None for o in outs), trial
+        assert np.array_equal(outs[0][2], outs[1][2]), trial
+        assert np.array_equal(outs[0][2], outs[2][2]), trial
+
+    base = encode_jpeg(comps, tw, th, precision=12)
+    bad = bytearray(base)
+    i = bad.index(b"\xff\xc1")
+    bad[i + 1] = 0xC0  # SOF0 claiming 12-bit
+    assert M._decode_jpeg_rgb(bytes(bad)) is None
+
+    blk8 = [[0] * 8 for _ in range(8)]
+    blk8[0][0] = 7
+    g0 = encode_jpeg([[blk8] * 6], 16, 24)
+    g1 = bytearray(g0)
+    j = g1.index(b"\xff\xc0")
+    g1[j + 1] = 0xC1  # 8-bit extended sequential
+    r0, r1 = M._decode_jpeg_rgb(g0), M._decode_jpeg_rgb(bytes(g1))
+    assert r0 is not None and r1 is not None
+    assert np.array_equal(r0[2], r1[2])
+
+
 def test_jpeg_decode_rejects_unsupported_and_corrupt():
-    """None (triage convention) for: progressive SOF2, subsampled
-    chroma, 12-bit precision, missing Huffman tables, truncated
+    """None (triage convention) for: progressive-header mismatches,
+    starved sampling geometry, missing Huffman tables, truncated
     entropy stream, out-of-order restart markers, header-only blobs
     — never raise, never wrong pixels."""
     from citydata_etl_spark.plans.queries_llm import encode_jpeg
@@ -2536,14 +2692,17 @@ def test_jpeg_decode_rejects_unsupported_and_corrupt():
 
     # SOF0 -> SOF2 (progressive)
     assert M._decode_jpeg_rgb(mutate(b"\xff\xc0", b"\xff\xc2")) is None
-    # 8-bit -> 12-bit precision (first SOF payload byte)
+    # SOF0 claiming 12-bit precision: baseline is 8-bit by definition
+    # (12-bit itself is SUPPORTED since r14 via SOF1/SOF2 —
+    # test_jpeg_12bit_decodes_and_matches_conventions)
     i = good.index(b"\xff\xc0")
     assert M._decode_jpeg_rgb(
         good[:i + 4] + bytes([12]) + good[i + 5:]) is None
-    # NON-DIVISOR sampling mix (3x1 luma vs 2x1 chroma: hmax=3 is not
-    # divisible by 2, so exact-replication upsampling cannot apply) —
-    # rejected at the SOF parse; 2x2 / 2x1 subsampling itself is
-    # SUPPORTED since r13 (test_jpeg_decode_420_closed_form)
+    # a 3x1-luma/2x1-chroma SOF over this 1x1-coded entropy stream:
+    # non-divisor sampling is SUPPORTED since r14 (nearest-neighbor
+    # index-map upsampling — test_jpeg_non_divisor_sampling_decodes),
+    # so this now rejects for the honest reason: the mutated geometry
+    # claims more blocks than the stream carries (starved walk)
     assert M._decode_jpeg_rgb(
         good[:i + 11] + bytes([0x31]) + good[i + 12:i + 14]
         + bytes([0x21]) + good[i + 15:]) is None
