@@ -723,7 +723,7 @@ def ivf_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     n_iter: int = 5, train_sample: int = 4096, id_col: str = "vec_id",
     vec_col: str = "embedding", round_digits: int = 4,
-    train_mode: str = "sample",
+    train_mode: str = "sample", max_list_len: int | None = None,
 ) -> DataFrame:
     """ANN cosine top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -748,6 +748,19 @@ def ivf_topk(
 
     Recall < 1 by construction (cross-cluster neighbors are missed when
     not probed); tests measure recall against brute force.
+
+    `max_list_len` (r14, the scale rehearsal's candidate-volume lever):
+    with sqrt(n)-sized lists and a FIXED n_probe, per-query candidates
+    grow ~sqrt(n), i.e. probe shuffle ~n^1.5 — measured as the
+    7.4 MB -> 212 MB -> 5.39 GB ramp across 1x/10x/100x
+    (SCALE_REHEARSAL_r14.json). Setting max_list_len caps every
+    inverted list at that many members — kept by smallest
+    xxhash64(id), a deterministic uniform subsample of the list, the
+    same draw rule as the trainer's sample — bounding per-query
+    candidates at n_probe * max_list_len regardless of corpus size.
+    The cost is recall on queries whose true neighbors were evicted
+    (FAISS-style quantizer imbalance trimming trades the same way);
+    the test pins both the bound and graceful recall degradation.
     """
     import numpy as np
 
@@ -785,6 +798,21 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         F.col("norm2").alias("cn"), "cluster",
     )
+    if max_list_len is not None:
+        # cap every inverted list at max_list_len members kept by
+        # smallest xxhash64(id) — a deterministic uniform subsample
+        # (one window keyed by the cluster, the partitioning the lists
+        # already live in); queries are NOT capped, only the candidate
+        # side, so every query still gets n_probe * max_list_len
+        # candidates
+        lw = W.partitionBy("cluster").orderBy(
+            F.xxhash64("neighbor_id"), F.col("neighbor_id")
+        )
+        c = (
+            c.withColumn("__lr", F.row_number().over(lw))
+            .filter(F.col("__lr") <= max_list_len)
+            .drop("__lr")
+        )
     dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
     pairs = (
         q.join(c, "cluster")
@@ -1434,6 +1462,7 @@ def semantic_dedup(
     emb: DataFrame, n_clusters: int = 8, epsilon: float = 0.5,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_digits: int = 4, n_pair_blocks: int = 4,
+    quantizer: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embeddings with a coarse quantizer, compare pairs ONLY within a
@@ -1472,6 +1501,23 @@ def semantic_dedup(
     sqrt(n) equalizes the pairwise work per cluster with the number of
     clusters; the SemDeDup paper uses ~1e5 clusters for ~1e9 examples.
     The default k=8 is an oracle-test scale, not a production setting.
+
+    `quantizer` picks the ASSIGNMENT mechanism, not the semantics:
+    'literal' (default, oracle-exact) folds the k seed vectors into the
+    plan as literals — zero joins, but the plan itself grows with
+    k*dim, which the r14 scale rehearsal measured as the dominant cost
+    by k~sqrt(n) at 2e5 rows (SCALE_REHEARSAL_r14.json); 'broadcast'
+    assigns clusters in one Arrow-batched mapInPandas against a
+    broadcast seed matrix (one BLAS matmul per batch, plan size O(1)
+    in k — the ivf_topk tag shape) and then computes centroid_sim with
+    the SAME Spark expressions via a broadcast join on the k-row seed
+    table, so downstream values are bit-identical. Both paths break
+    argmax ties on the HALF_UP-ROUNDED cosine with the lower cluster
+    winning (the numpy side reproduces the rounding as
+    sign*floor(|x|*10^d + 0.5), so divergence would need a double
+    whose exact-decimal HALF_UP disagrees with the scaled-floor form —
+    a boundary the equality test never hit on real data; without the
+    matched rounding, 2/2000 vectors assigned differently at k=45).
     """
     # seed medoids: the n_clusters lowest-id embeddings, enumerated on the
     # driver — bounded by the n_clusters PARAMETER (exactly like ivf_topk's
@@ -1484,46 +1530,114 @@ def semantic_dedup(
         .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("sv"))
         .collect()
     )
-    seed_lits = F.array(
-        *[F.lit([float(x) for x in r["sv"]]) for r in seed_rows]
-    )
-    base = with_norm2(emb, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
-    )
     seed_dot = _dot(_as_double(F.col("v")), F.col("sv"))
     seed_norm2 = _dot(F.col("sv"), F.col("sv"))
-    sims = (
-        base.select(
-            "*", F.posexplode(seed_lits).alias("cluster", "sv")
+    if quantizer == "broadcast":
+        # production-k assignment: one Arrow-batched mapInPandas pass
+        # against a broadcast unit-normalized seed matrix (plan size
+        # O(1) in k), then centroid_sim via a broadcast join on the
+        # k-row seed table using the SAME Spark expressions as the
+        # literal path — identical downstream values
+        import numpy as np
+
+        spark = emb.sparkSession
+        S = np.stack(
+            [np.asarray(r["sv"], dtype=np.float64) for r in seed_rows]
         )
-        .withColumn("cluster", F.col("cluster").cast("int"))
-        .withColumn(
-            "centroid_sim",
-            F.round(
-                seed_dot / (F.sqrt("norm2") * F.sqrt(seed_norm2)),
-                round_digits,
-            ),
+        sn = np.sqrt((S * S).sum(axis=1, keepdims=True))
+        sn[sn == 0] = 1.0
+        bc = spark.sparkContext.broadcast(S / sn)
+
+        scale = float(10 ** round_digits)
+
+        def tag(batches):
+            cm = bc.value
+            for pdf in batches:
+                Q = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                qn = np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+                qn[qn == 0] = 1.0
+                sims = (Q / qn) @ cm.T
+                # argmax over the HALF_UP-rounded cosine, first-max =
+                # lowest cluster — the literal path's exact tie-break
+                # (max_by on (rounded sim, -cluster)); without the
+                # rounding, a rounded tie that differs beyond
+                # round_digits would assign differently (observed on
+                # real data: 2/2000 rows at k=45, d=4)
+                rounded = np.sign(sims) * np.floor(
+                    np.abs(sims) * scale + 0.5
+                )
+                out = pdf[["id", "v"]].copy()
+                out["cluster"] = rounded.argmax(axis=1).astype("int32")
+                yield out
+
+        seeds_df = spark.createDataFrame(
+            [
+                (i, [float(x) for x in r["sv"]])
+                for i, r in enumerate(seed_rows)
+            ],
+            schema="cluster INT, sv ARRAY<DOUBLE>",
         )
-    )
-    # argmax over the k candidate clusters as a max_by aggregate: the
-    # ordering key (centroid_sim, -cluster) is unique per (id, cluster),
-    # so this reproduces row_number(desc sim, asc cluster) == 1 exactly —
-    # but as a partial-aggregable groupBy (k rows collapse map-side)
-    # instead of a window sort over k*n rows
-    assigned = scoped_persist(
-        sims.groupBy("id")
-        .agg(
-            F.max_by(
-                F.struct("v", "norm2", "cluster", "centroid_sim"),
-                F.struct(F.col("centroid_sim"), (-F.col("cluster")).alias("nc")),
-            ).alias("__m")
+        tagged = emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).mapInPandas(tag, schema="id BIGINT, v ARRAY<FLOAT>, cluster INT")
+        assigned = scoped_persist(
+            with_norm2(tagged, "v")
+            .join(F.broadcast(seeds_df), "cluster")
+            .withColumn(
+                "centroid_sim",
+                F.round(
+                    seed_dot / (F.sqrt("norm2") * F.sqrt(seed_norm2)),
+                    round_digits,
+                ),
+            )
+            .select("id", "v", "norm2", "cluster", "centroid_sim")
         )
-        .select(
-            "id", F.col("__m.v").alias("v"), F.col("__m.norm2").alias("norm2"),
-            F.col("__m.cluster").alias("cluster"),
-            F.col("__m.centroid_sim").alias("centroid_sim"),
+    else:
+        seed_lits = F.array(
+            *[F.lit([float(x) for x in r["sv"]]) for r in seed_rows]
         )
-    )
+        base = with_norm2(emb, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "norm2"
+        )
+        sims = (
+            base.select(
+                "*", F.posexplode(seed_lits).alias("cluster", "sv")
+            )
+            .withColumn("cluster", F.col("cluster").cast("int"))
+            .withColumn(
+                "centroid_sim",
+                F.round(
+                    seed_dot / (F.sqrt("norm2") * F.sqrt(seed_norm2)),
+                    round_digits,
+                ),
+            )
+        )
+        # argmax over the k candidate clusters as a max_by aggregate:
+        # the ordering key (centroid_sim, -cluster) is unique per
+        # (id, cluster), so this reproduces row_number(desc sim, asc
+        # cluster) == 1 exactly — but as a partial-aggregable groupBy
+        # (k rows collapse map-side) instead of a window sort over
+        # k*n rows
+        assigned = scoped_persist(
+            sims.groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct("v", "norm2", "cluster", "centroid_sim"),
+                    F.struct(
+                        F.col("centroid_sim"),
+                        (-F.col("cluster")).alias("nc"),
+                    ),
+                ).alias("__m")
+            )
+            .select(
+                "id", F.col("__m.v").alias("v"),
+                F.col("__m.norm2").alias("norm2"),
+                F.col("__m.cluster").alias("cluster"),
+                F.col("__m.centroid_sim").alias("centroid_sim"),
+            )
+        )
     x = assigned.select(
         F.col("id").alias("id_x"), F.col("v").alias("vx"),
         F.col("norm2").alias("nx"), "cluster",

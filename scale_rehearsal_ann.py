@@ -178,6 +178,16 @@ def rehearse(spark, sf_dir: str, mult: int) -> dict:
     }
     sd.unpersist()
 
+    # the broadcast-quantizer mode added in response to this
+    # rehearsal's first finding (the literal-seed plan cost grows
+    # with k): same semantics (equality-pinned in the test suite),
+    # O(1)-in-k plan
+    t0 = time.time()
+    S.semantic_dedup(
+        emb, n_clusters=k_sqrt, epsilon=0.3, quantizer="broadcast"
+    ).agg(F.count("*")).collect()
+    out["semantic_broadcast_sec"] = round(time.time() - t0, 2)
+
     # --- the quadratic-in-cluster hazard, measured: 10x data at the
     # 1x-sized k (cluster occupancy ~10x -> pairwise work ~100x/cluster)
     if mult == 10:

