@@ -2674,6 +2674,68 @@ def test_jpeg_12bit_decodes_and_matches_conventions():
     assert np.array_equal(r0[2], r1[2])
 
 
+def test_jpeg_profile_compositions_agree():
+    """The r14 profile axes COMPOSED: non-divisor sampling mixes x
+    8/12-bit precision x successive-approximation scan scripts x
+    restarts — baseline and SA-progressive encodes of the same
+    coefficients must decode identically through every combination
+    (deterministic 12-case sweep; a 40-case randomized version ran
+    clean during development)."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    rng = random.Random(555)
+
+    def rb(n, amp):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-amp - 1, amp + 1)
+            for k in range(1, 64):
+                if rng.random() < 0.4:
+                    blk[k // 8][k % 8] = rng.randrange(-amp, amp + 1)
+            out.append(blk)
+        return out
+
+    cases = [
+        (23, 10, 8, [(3, 1), (2, 1), (1, 1)], 0),
+        (23, 10, 12, [(3, 1), (2, 1), (1, 1)], 2),
+        (10, 23, 8, [(1, 3), (1, 2), (1, 1)], 2),
+        (10, 23, 12, [(1, 3), (1, 2), (1, 1)], 0),
+        (31, 17, 8, [(3, 2), (2, 1), (1, 1)], 0),
+        (31, 17, 12, [(3, 2), (2, 1), (1, 1)], 2),
+        (40, 9, 8, [(4, 1), (3, 1), (2, 1)], 2),
+        (40, 9, 12, [(4, 1), (3, 1), (2, 1)], 0),
+        (7, 7, 8, [(3, 3), (1, 1), (1, 1)], 0),
+        (7, 7, 12, [(3, 3), (1, 1), (1, 1)], 0),
+        (16, 16, 8, [(2, 2), (2, 1), (1, 2)], 2),
+        (16, 16, 12, [(2, 2), (2, 1), (1, 2)], 2),
+    ]
+    for w, h, prec, samp, ri in cases:
+        amp = 120 if prec == 8 else 2000
+        hmax = max(a for a, _ in samp)
+        vmax = max(b for _, b in samp)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        comps = [rb(mcuy * sv * mcux * sh, amp) for sh, sv in samp]
+        base = encode_jpeg(comps, w, h, sampling=samp,
+                           restart_interval=ri, precision=prec)
+        sa = encode_jpeg(comps, w, h, sampling=samp,
+                         restart_interval=ri, precision=prec,
+                         progressive=True,
+                         scan_script=jpeg_sa_scan_script(3))
+        a, c = M._decode_jpeg_rgb(base), M._decode_jpeg_rgb(sa)
+        assert a is not None and c is not None, (w, h, prec, samp, ri)
+        assert a[:2] == c[:2] == (w, h)
+        assert np.array_equal(a[2], c[2]), (w, h, prec, samp, ri)
+
+
 def test_jpeg_decode_rejects_unsupported_and_corrupt():
     """None (triage convention) for: progressive-header mismatches,
     starved sampling geometry, missing Huffman tables, truncated
