@@ -1579,9 +1579,14 @@ def semantic_dedup(
             ],
             schema="cluster INT, sv ARRAY<DOUBLE>",
         )
+        # the pass-through schema PRESERVES the input element type — a
+        # hardcoded ARRAY<FLOAT> silently truncated double embeddings,
+        # which broke bit-identity with the literal path on keep/drop
+        # decisions near the epsilon boundary (r14 review finding)
+        vtype = emb.schema[vec_col].dataType.simpleString()
         tagged = emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-        ).mapInPandas(tag, schema="id BIGINT, v ARRAY<FLOAT>, cluster INT")
+        ).mapInPandas(tag, schema=f"id BIGINT, v {vtype}, cluster INT")
         assigned = scoped_persist(
             with_norm2(tagged, "v")
             .join(F.broadcast(seeds_df), "cluster")

@@ -341,6 +341,21 @@ def test_exif_orientation_golden_bytes():
         + exif_app1(good)
     assert _parse_exif_orientation(tail) is None
 
+    # EXIF behind 200 APP2 segments (a split ICC profile shape the
+    # pixel decoder explicitly supports) must still parse: the walk
+    # is bounded by blob length, not a segment count (r14 review
+    # finding — a 64-segment cap silently skipped orientation and
+    # decode_oriented_rgb returned the sideways raster)
+    icc = b"".join(seg(0xE2, b"ICC_PROFILE\x00" + bytes(8))
+                   for _ in range(200))
+    deep = b"\xff\xd8" + icc + exif_app1(good)
+    assert _parse_exif_orientation(deep) == 5
+    # ...and the SOF walk reads through the same depth
+    from citydata_etl_spark.operators.multimodal import _parse_jpeg_sof
+    deep_sof = b"\xff\xd8" + icc + seg(
+        0xC0, struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3)
+    assert _parse_jpeg_sof(deep_sof) == (640, 480, 8, 3, False)
+
 
 def test_jpeg_cmyk_ycck_decode_matches_reference():
     """4-component Adobe JPEG decode (r14): CMYK (transform 0) uses
