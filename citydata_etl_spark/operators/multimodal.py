@@ -71,12 +71,18 @@ _DECODE_SCHEMA = (
     f"features ARRAY<DOUBLE>"
 )
 
-# The baseline fast scan materializes ~28 bytes of Python-int window
-# state per entropy byte, so it only runs for scans up to this size;
-# larger (rare: a max-entropy 5.5 MP frame can legally reach ~54 MB,
-# i.e. ~1.5 GiB of windows) fall back to the general O(1)-memory
-# reader with identical semantics. 8 MiB covers high-quality photos at
-# the allocation gate's ~5.5 MP ceiling with a wide margin.
+# The baseline fast scan materializes ~35-40 bytes of Python window
+# state per entropy byte (a 28-byte int object PLUS its 8-byte list
+# slot), so it only runs for scans up to this size; larger (rare: a
+# max-entropy 5.5 MP frame can legally reach ~54 MB, i.e. ~2 GiB of
+# windows) fall back to the general O(1)-memory reader with identical
+# semantics. The cap is sized against PER-CORE worker memory, not a
+# single decode: at 8 MiB a no-restart scan peaks near ~300 MB of
+# transient window state per task, and with 32 concurrent local cores
+# that is ~9.6 GiB worst-case if every core hits the cap at once —
+# acceptable on the 128 GiB test host and ~1/13 of a 4 GiB-per-thread
+# executor budget per task in the cluster posture. Raising the cap
+# multiplies across cores; prefer chunking segment windows instead.
 _JPEG_FAST_SCAN_MAX_BYTES = 8 * 1024 * 1024
 
 

@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 from citydata_etl_spark.caching import scoped_persist
 
+# semantic_dedup(quantizer='auto') switches from plan-literal seed folding
+# to the broadcast mapInPandas assignment at this cluster count: the r14
+# scale rehearsal (SCALE_REHEARSAL_r14.json) measured the literal path's
+# per-k constant (k-row collect + k*dim literal codegen) dominating the
+# whole job by k=141, so the switch sits safely below that knee while
+# keeping oracle-scale runs (k<=8 in the catalog) on the exact-literal path.
+SEMANTIC_DEDUP_BROADCAST_K = 64
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -1462,7 +1470,7 @@ def semantic_dedup(
     emb: DataFrame, n_clusters: int = 8, epsilon: float = 0.5,
     id_col: str = "vec_id", vec_col: str = "embedding",
     round_digits: int = 4, n_pair_blocks: int = 4,
-    quantizer: str = "literal",
+    quantizer: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embeddings with a coarse quantizer, compare pairs ONLY within a
@@ -1503,22 +1511,39 @@ def semantic_dedup(
     The default k=8 is an oracle-test scale, not a production setting.
 
     `quantizer` picks the ASSIGNMENT mechanism, not the semantics:
-    'literal' (default, oracle-exact) folds the k seed vectors into the
-    plan as literals — zero joins, but the plan itself grows with
-    k*dim, which the r14 scale rehearsal measured as the dominant cost
-    by k~sqrt(n) at 2e5 rows (SCALE_REHEARSAL_r14.json); 'broadcast'
-    assigns clusters in one Arrow-batched mapInPandas against a
-    broadcast seed matrix (one BLAS matmul per batch, plan size O(1)
-    in k — the ivf_topk tag shape) and then computes centroid_sim with
-    the SAME Spark expressions via a broadcast join on the k-row seed
-    table, so downstream values are bit-identical. Both paths break
+    'literal' (oracle-exact) folds the k seed vectors into the plan as
+    literals — zero joins, but the plan itself grows with k*dim, which
+    the r14 scale rehearsal measured as the dominant cost by k~sqrt(n)
+    at 2e5 rows (SCALE_REHEARSAL_r14.json); 'broadcast' assigns
+    clusters in one Arrow-batched mapInPandas against a broadcast seed
+    matrix (one BLAS matmul per batch, plan size O(1) in k — the
+    ivf_topk tag shape) and then computes centroid_sim with the SAME
+    Spark expressions via a broadcast join on the k-row seed table, so
+    downstream values are identical except on exact decimal-rounding
+    boundaries of the argmax tie-break (see below). 'auto' (default)
+    picks literal for k < SEMANTIC_DEDUP_BROADCAST_K and broadcast at
+    or above it — the r14 rehearsal measured the literal path's per-k
+    constant (k-row collect + k*dim literal codegen) dominating by
+    k=141 (k~sqrt(2e5)), so the threshold sits safely below that knee;
+    the two modes are pinned equal on real data by
+    test_semantic_dedup_quantizer_modes_agree. Both paths break
     argmax ties on the HALF_UP-ROUNDED cosine with the lower cluster
-    winning (the numpy side reproduces the rounding as
-    sign*floor(|x|*10^d + 0.5), so divergence would need a double
-    whose exact-decimal HALF_UP disagrees with the scaled-floor form —
-    a boundary the equality test never hit on real data; without the
-    matched rounding, 2/2000 vectors assigned differently at k=45).
+    winning. The numpy side reproduces the rounding as
+    sign*floor(|x|*10^d + 0.5), which matches Spark's F.round
+    (BigDecimal HALF_UP on the shortest-decimal repr) on every vector
+    in the equality tests but is NOT the same function on all doubles:
+    a double whose shortest-decimal HALF_UP disagrees with the
+    scaled-floor form could assign differently between modes (without
+    the matched rounding, 2/2000 vectors assigned differently at
+    k=45 — the rounding shrinks the divergence set to those exact
+    boundary doubles, it does not prove it empty).
     """
+    if quantizer == "auto":
+        quantizer = (
+            "broadcast"
+            if n_clusters >= SEMANTIC_DEDUP_BROADCAST_K
+            else "literal"
+        )
     # seed medoids: the n_clusters lowest-id embeddings, enumerated on the
     # driver — bounded by the n_clusters PARAMETER (exactly like ivf_topk's
     # train sample), so the collect is a k-row point lookup, not a data
@@ -1530,6 +1555,19 @@ def semantic_dedup(
         .select(F.col(id_col).alias("seed_id"), F.col(vec_col).alias("sv"))
         .collect()
     )
+    if not seed_rows:
+        # degenerate input: no seeds means no clusters. Short-circuit
+        # BOTH modes to the same empty (id, cluster, centroid_sim, keep)
+        # frame — the broadcast path would otherwise raise on
+        # np.stack([]) and the literal path on posexplode(array()) (a
+        # zero-element array() literal is VOID-typed), so without the
+        # guard behavior diverged by mode (r14 ADVICE finding)
+        return emb.select(
+            F.col(id_col),
+            F.lit(None).cast("bigint").alias("cluster"),
+            F.lit(None).cast("double").alias("centroid_sim"),
+            F.lit(None).cast("bigint").alias("keep"),
+        ).limit(0)
     seed_dot = _dot(_as_double(F.col("v")), F.col("sv"))
     seed_norm2 = _dot(F.col("sv"), F.col("sv"))
     if quantizer == "broadcast":
@@ -1553,6 +1591,12 @@ def semantic_dedup(
         def tag(batches):
             cm = bc.value
             for pdf in batches:
+                if len(pdf) == 0:
+                    # Arrow can hand an empty batch; np.stack([]) raises
+                    out = pdf[["id", "v"]].copy()
+                    out["cluster"] = np.empty(0, dtype="int32")
+                    yield out
+                    continue
                 Q = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
                 )
@@ -1579,14 +1623,15 @@ def semantic_dedup(
             ],
             schema="cluster INT, sv ARRAY<DOUBLE>",
         )
-        # the pass-through schema PRESERVES the input element type — a
-        # hardcoded ARRAY<FLOAT> silently truncated double embeddings,
-        # which broke bit-identity with the literal path on keep/drop
-        # decisions near the epsilon boundary (r14 review finding)
+        # the pass-through schema PRESERVES the input types — a
+        # hardcoded ARRAY<FLOAT> silently truncated double embeddings
+        # (r14 review finding), and a hardcoded BIGINT id would
+        # narrow/break string or int id columns the literal path keeps
         vtype = emb.schema[vec_col].dataType.simpleString()
+        itype = emb.schema[id_col].dataType.simpleString()
         tagged = emb.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-        ).mapInPandas(tag, schema=f"id BIGINT, v {vtype}, cluster INT")
+        ).mapInPandas(tag, schema=f"id {itype}, v {vtype}, cluster INT")
         assigned = scoped_persist(
             with_norm2(tagged, "v")
             .join(F.broadcast(seeds_df), "cluster")

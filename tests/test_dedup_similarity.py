@@ -794,6 +794,64 @@ def test_semantic_dedup_quantizer_modes_agree(spark):
         assert clusters[0] == 0 and clusters[1] == 0, q
 
 
+def test_semantic_dedup_auto_quantizer_and_degenerate_inputs(spark):
+    """r15: quantizer='auto' (the new default) must pick the broadcast
+    assignment at k >= SEMANTIC_DEDUP_BROADCAST_K and the oracle-exact
+    literal path below it — pinned by equality against each explicit
+    mode. Degenerate inputs must not diverge by mode (r14 ADVICE): an
+    empty embedding table previously crashed the broadcast path on
+    np.stack([]) while the literal path returned empty; both must
+    return an empty frame with the same schema. Non-bigint id columns
+    (string ids) must survive the broadcast path's mapInPandas schema
+    (previously hardcoded id BIGINT)."""
+    import random
+
+    rng = random.Random(7)
+    dim = 6
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    # auto == literal below the threshold, broadcast at/above it
+    lo = S.semantic_dedup(emb, n_clusters=4, epsilon=0.3).orderBy("vec_id")
+    lo_lit = S.semantic_dedup(
+        emb, n_clusters=4, epsilon=0.3, quantizer="literal"
+    ).orderBy("vec_id")
+    assert [tuple(r) for r in lo.collect()] == [
+        tuple(r) for r in lo_lit.collect()
+    ]
+    k_hi = S.SEMANTIC_DEDUP_BROADCAST_K
+    hi = S.semantic_dedup(emb, n_clusters=k_hi, epsilon=0.3) \
+        .orderBy("vec_id")
+    hi_bc = S.semantic_dedup(
+        emb, n_clusters=k_hi, epsilon=0.3, quantizer="broadcast"
+    ).orderBy("vec_id")
+    assert [tuple(r) for r in hi.collect()] == [
+        tuple(r) for r in hi_bc.collect()
+    ]
+
+    # empty input: both modes return empty with identical schema
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for q in ("literal", "broadcast"):
+        out = S.semantic_dedup(empty, n_clusters=4, epsilon=0.3, quantizer=q)
+        assert out.count() == 0, q
+        assert [f.name for f in out.schema.fields] == [
+            "vec_id", "cluster", "centroid_sim", "keep"
+        ], q
+
+    # string ids survive the broadcast mapInPandas schema
+    srows = [(f"doc-{i:03d}", v) for i, v in rows[:60]]
+    semb = spark.createDataFrame(
+        srows, "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    a = S.semantic_dedup(semb, n_clusters=5, epsilon=0.3,
+                         quantizer="literal").orderBy("vec_id").collect()
+    b = S.semantic_dedup(semb, n_clusters=5, epsilon=0.3,
+                         quantizer="broadcast").orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a and isinstance(a[0]["vec_id"], str)
+
+
 def test_semantic_dedup_two_k_cluster_agreement(spark):
     """k is a knob that must grow with n (paper-scale ~1e5 clusters): for
     a cluster whose MEMBERSHIP is identical under two k values, the
