@@ -15,10 +15,12 @@ DEFAULT scan script, i.e. most wild SOF2 files — since r14). No stub
 boundary remains; r14 also adds 4-component Adobe CMYK/YCCK decode
 (APP14-keyed), EXIF orientation triage AND pixel-level normalization,
 12-bit precision (SOF1/SOF2, strip-to-high-byte output), and
-non-divisor sampling mixes (nearest-neighbor index-map upsampling).
-Unsupported PROFILES (arithmetic coding, lossless/hierarchical
-frames, unmarked 4-component and stored-RGB frames) return NULL per
-the decode triage convention.
+non-divisor sampling mixes (nearest-neighbor index-map upsampling);
+r15 adds 3-component STORED-RGB decode (Adobe APP14 transform 0, or
+the unmarked 'R','G','B' component-id signature — libjpeg's
+color-space guess). Unsupported PROFILES (arithmetic coding,
+lossless/hierarchical frames, unmarked 4-component frames) return
+NULL per the decode triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -1473,14 +1475,16 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 # its chance to appear (it precedes SOS): a
                 # 4-component frame must be Adobe CMYK (transform 0)
                 # or YCCK (transform 2) — unmarked 4-component and
-                # transform=1 4-component are out of scope; a
-                # 3-component frame with transform 0 is STORED RGB,
-                # also out of scope (we'd silently mis-convert it as
-                # YCbCr); transform 2 needs the K channel
+                # transform=1 4-component are out of scope. A
+                # 3-component frame with transform 0 is STORED RGB
+                # (decoded since r15 — the planes pass through with
+                # no color convert, libjpeg jdcolor's RGB case);
+                # transform 2 with 3 components is illegal (YCCK
+                # needs the K channel)
                 if len(comps) == 4:
                     if adobe_transform not in (0, 2):
                         return None
-                elif len(comps) == 3 and adobe_transform in (0, 2):
+                elif len(comps) == 3 and adobe_transform == 2:
                     return None
                 # first scan: geometry + the untrusted-dimension gate
                 # on the REAL allocation (int64 coefficients + float64
@@ -1697,6 +1701,18 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         r = np.floor(c * kk / maxval + 0.5)
         g = np.floor(m * kk / maxval + 0.5)
         bl = np.floor(yy * kk / maxval + 0.5)
+        return width, height, pack_rgb(r, g, bl)
+    # 3-component STORED RGB (since r15): Adobe APP14 transform 0, or
+    # no APP14 with the 'R','G','B' component-id signature — libjpeg's
+    # jdapimin color-space guess. The planes ARE the channels (already
+    # rounded and clamped per plane above); skipping the YCbCr convert
+    # is the whole profile. Unmarked cids 1/2/3 (JFIF) and transform 1
+    # stay YCbCr below.
+    if adobe_transform == 0 or (
+        adobe_transform is None
+        and tuple(c[0] for c in comps) == (0x52, 0x47, 0x42)
+    ):
+        r, g, bl = planes
         return width, height, pack_rgb(r, g, bl)
     yv, cb, cr = planes
     r = np.clip(np.floor(yv + 1.402 * (cr - center) + 0.5), 0, maxval)

@@ -4059,7 +4059,8 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                 progressive: bool = False, scan_script=None,
                 adobe_transform: int | None = None,
                 exif_orientation: int | None = None,
-                precision: int = 8) -> bytes:
+                precision: int = 8,
+                component_ids: list | None = None) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -4125,8 +4126,21 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     # (SOF2): baseline SOF0 is 8-bit by definition (T.81 4.11)
     assert precision in (8, 12)
     # 4-component frames are Adobe CMYK (transform 0) or YCCK (2) and
-    # MUST carry the APP14 marker the decoder keys its color model on
-    assert (n_comp == 4) == (adobe_transform in (0, 2))
+    # MUST carry the APP14 marker the decoder keys its color model on;
+    # 3-component frames may carry transform 0 (STORED RGB, r15) or 1
+    # (explicit YCbCr); `component_ids` overrides the default 1..n cids
+    # (e.g. [0x52, 0x47, 0x42] = the unmarked 'R','G','B' stored-RGB
+    # signature libjpeg keys on when no APP14 is present)
+    if n_comp == 4:
+        assert adobe_transform in (0, 2)
+    elif n_comp == 3:
+        assert adobe_transform in (None, 0, 1)
+    else:
+        assert adobe_transform is None
+    if component_ids is None:
+        component_ids = [c + 1 for c in range(n_comp)]
+    assert len(component_ids) == n_comp
+    assert all(0 <= c <= 255 for c in component_ids)
     if sampling is None:
         sampling = [(1, 1)] * n_comp
     assert len(sampling) == n_comp
@@ -4164,7 +4178,9 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     sof = bytes([precision]) + h.to_bytes(2, "big") \
         + w.to_bytes(2, "big") + bytes([n_comp])
     for c in range(n_comp):
-        sof += bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0])
+        sof += bytes(
+            [component_ids[c], (sampling[c][0] << 4) | sampling[c][1], 0]
+        )
     sof_marker = b"\xff\xc2" if progressive else (
         b"\xff\xc0" if precision == 8 else b"\xff\xc1")
     out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
@@ -4204,7 +4220,7 @@ def encode_jpeg(comp_blocks, w: int, h: int,
 
     if not progressive:
         # baseline: ONE full-band interleaved scan
-        out += sos_header([c + 1 for c in range(n_comp)], 0, 63)
+        out += sos_header([component_ids[c] for c in range(n_comp)], 0, 63)
 
     # canonical code assignment: INVERT the decoder's own table
     # builder rather than re-deriving T.81 Annex C here — like the
@@ -4499,7 +4515,8 @@ def encode_jpeg(comp_blocks, w: int, h: int,
             assert (Ss == 0 and Se == 0) or \
                 (len(cis) == 1 and 1 <= Ss <= Se <= 63)
             assert Ah == 0 or Al == Ah - 1
-            out += sos_header([ci + 1 for ci in cis], Ss, Se, Ah, Al)
+            out += sos_header([component_ids[ci] for ci in cis],
+                              Ss, Se, Ah, Al)
             if Ss == 0:
                 out += encode_dc_scan(cis, Ah, Al)
             elif Ah == 0:
@@ -4626,7 +4643,24 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROGRESSIVE (SOF2) with the SAME pixels — alternating between
     spectral selection only (r13) and libjpeg's default
     successive-approximation scan script (r14) — and every 7th row
-    is a truncated header-only blob that must yield NULLs."""
+    is a truncated header-only blob that must yield NULLs.
+
+    r15 weaves (driver-gating the r14 decode paths + the new
+    stored-RGB profile, oracle-compatible by construction):
+    - HALF the grayscale class (d % 10 == 5) becomes 12-BIT with
+      IDENTICAL pixels: stored DC 16*v - 2048 decodes to output byte
+      v under the strip-to-high-byte convention, so the oracle's
+      gray branch is untouched. Alternating sub-classes: d % 20 == 5
+      is 1-component 12-bit (SOF1, or 12-bit SOF2 when progressive);
+      d % 20 == 15 is 3-COMPONENT 12-bit with NEUTRAL chroma (stored
+      Cb = Cr = 2048 exactly — the 12-bit YCbCr convert's chroma
+      terms vanish, r = g = b = 16v >> 4 = v), exercising the
+      interleaved 12-bit MCU walk and the 12-bit color convert.
+    - the d % 5 == 2 class becomes STORED RGB (same three value
+      functions, now channels directly — no YCbCr convert), with
+      the detection signature alternating: APP14 transform 0 at
+      d % 10 == 2, the unmarked 'R','G','B' component-id signature
+      at d % 10 == 7. Progressive/DRI compose as before."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4643,16 +4677,16 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 6 + d % 11, 5 + d % 9
                 bw, bh = (w + 7) // 8, (h + 7) // 8
 
-                def plane(f):
+                def plane(f, center=128, scale=1):
                     out = []
                     for i in range(bw * bh):
                         tx, ty = i % bw, i // bw
                         blk = [[0] * 8 for _ in range(8)]
-                        blk[0][0] = f(tx, ty) - 128
+                        blk[0][0] = scale * f(tx, ty) - center
                         out.append(blk)
                     return out
 
-                ys = plane(lambda tx, ty: (d + 5 * tx + 9 * ty) % 256)
+                yf = lambda tx, ty: (d + 5 * tx + 9 * ty) % 256
                 ri = 2 if d % 4 == 0 else 0
                 # every frame at d % 3 == 1 is PROGRESSIVE (SOF2)
                 # with the SAME closed-form pixels, so the oracle is
@@ -4664,23 +4698,59 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # AC first passes, Ah=1 -> Al=0 refinements), the
                 # other half (d % 6 == 4) spectral selection only.
                 prog = d % 3 == 1
-                n_comp = 1 if d % 5 == 0 else 3
+                p12 = d % 10 == 5  # r15: 12-bit half of the gray class
+                n_comp = 1 if d % 5 == 0 and not (p12 and d % 20 == 15) \
+                    else 3
                 script = jpeg_sa_scan_script(n_comp) \
                     if prog and d % 6 == 1 else None
-                if n_comp == 1:
-                    blobs.append(encode_jpeg([ys], w, h,
+                if p12:
+                    # 12-bit, pixels IDENTICAL to the 8-bit gray twin:
+                    # stored DC 16v - 2048 -> byte v (high-8 strip).
+                    # d%20==15: 3-comp with NEUTRAL stored chroma
+                    # (2048 exactly) so the 12-bit convert is exact.
+                    ys12 = plane(yf, center=2048, scale=16)
+                    comps12 = [ys12] if n_comp == 1 else [
+                        ys12,
+                        plane(lambda tx, ty: 0, center=0),
+                        plane(lambda tx, ty: 0, center=0),
+                    ]
+                    blobs.append(encode_jpeg(comps12, w, h,
+                                             restart_interval=ri,
+                                             progressive=prog,
+                                             scan_script=script,
+                                             precision=12))
+                elif n_comp == 1:
+                    blobs.append(encode_jpeg([plane(yf)], w, h,
                                              restart_interval=ri,
                                              progressive=prog,
                                              scan_script=script))
                 else:
-                    cbs = plane(
-                        lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256)
-                    crs = plane(
-                        lambda tx, ty: (3 * d + tx + 11 * ty) % 256)
-                    blobs.append(encode_jpeg([ys, cbs, crs], w, h,
-                                             restart_interval=ri,
-                                             progressive=prog,
-                                             scan_script=script))
+                    comps3 = [
+                        plane(yf),
+                        plane(
+                            lambda tx, ty: (2 * d + 7 * tx + 3 * ty)
+                            % 256),
+                        plane(
+                            lambda tx, ty: (3 * d + tx + 11 * ty)
+                            % 256),
+                    ]
+                    if d % 5 == 2:
+                        # r15: STORED RGB — the same three planes ARE
+                        # the channels; signature alternates between
+                        # APP14 transform 0 and unmarked R,G,B cids
+                        blobs.append(encode_jpeg(
+                            comps3, w, h,
+                            restart_interval=ri,
+                            progressive=prog,
+                            scan_script=script,
+                            adobe_transform=0 if d % 10 == 2 else None,
+                            component_ids=None if d % 10 == 2
+                            else [0x52, 0x47, 0x42]))
+                    else:
+                        blobs.append(encode_jpeg(comps3, w, h,
+                                                 restart_interval=ri,
+                                                 progressive=prog,
+                                                 scan_script=script))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
@@ -4694,31 +4764,36 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              6 + doc_id % 11 AS w,
              5 + doc_id % 9 AS h,
              doc_id % 7 = 0 AS is_bad,
-             doc_id % 5 = 0 AS is_gray
+             doc_id % 5 = 0 AS is_gray,
+             doc_id % 5 = 2 AS is_rgb
       FROM documents),
     grid AS (
-      SELECT media_id, w, h, is_gray,
+      SELECT media_id, w, h, is_gray, is_rgb,
              CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
       FROM p, range(17) gx, range(14) gy
       WHERE NOT is_bad AND gx.range < w AND gy.range < h),
     tiles AS (
-      SELECT media_id, w, h, is_gray, x, y,
+      SELECT media_id, w, h, is_gray, is_rgb, x, y,
              (media_id + 5 * (x // 8) + 9 * (y // 8)) % 256 AS yv,
              (2 * media_id + 7 * (x // 8) + 3 * (y // 8)) % 256 AS cb,
              (3 * media_id + (x // 8) + 11 * (y // 8)) % 256 AS cr
       FROM grid),
     px AS (
+      -- is_gray covers the r15 12-bit sub-classes too: their stored
+      -- 16v-2048 DC decodes back to byte v (strip-to-high-byte), so
+      -- the gray branch is untouched; is_rgb rows (r15 stored RGB)
+      -- pass the three stored planes through as channels
       SELECT media_id, w, h, x, y,
-             CASE WHEN is_gray THEN yv ELSE
+             CASE WHEN is_gray THEN yv WHEN is_rgb THEN yv ELSE
                LEAST(255, GREATEST(0, CAST(floor(
                  yv + 1.402 * (cr - 128) + 0.5) AS BIGINT)))
              END AS r,
-             CASE WHEN is_gray THEN yv ELSE
+             CASE WHEN is_gray THEN yv WHEN is_rgb THEN cb ELSE
                LEAST(255, GREATEST(0, CAST(floor(
                  yv - 0.344136 * (cb - 128)
                     - 0.714136 * (cr - 128) + 0.5) AS BIGINT)))
              END AS g,
-             CASE WHEN is_gray THEN yv ELSE
+             CASE WHEN is_gray THEN yv WHEN is_rgb THEN cr ELSE
                LEAST(255, GREATEST(0, CAST(floor(
                  yv + 1.772 * (cb - 128) + 0.5) AS BIGINT)))
              END AS b
@@ -4759,7 +4834,17 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correction bits, and per-coefficient progression tracking all "
     "face the oracle invisibly to SQL), sub-8 and "
     "non-multiple-of-8 dims, and "
-    "truncated blobs (every 7th -> NULL row). This entry pins the "
+    "truncated blobs (every 7th -> NULL row). Since r15 the mix "
+    "also driver-gates 12-BIT precision (half the gray class, "
+    "d%10==5: SOF1 extended-sequential and 12-bit SOF2, alternating "
+    "1-component with 3-component-neutral-chroma — stored 16v-2048 "
+    "decodes to byte v under the strip-to-high-byte convention, so "
+    "pixels are IDENTICAL to the 8-bit twin and the oracle's gray "
+    "branch is untouched) and STORED-RGB frames (the d%5==2 class: "
+    "the three stored planes are the channels, no YCbCr convert — "
+    "detection alternating between APP14 transform 0 and the "
+    "unmarked 'R','G','B' component-id signature, libjpeg's "
+    "color-space guess). This entry pins the "
     "4:4:4/grayscale profiles; subsampled 4:2:0/4:2:2 decode "
     "(supported since r13) is pinned by its own entry, "
     "d5_jpeg_pixels_420. AC coefficients, "
@@ -4791,7 +4876,18 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is wider than the visible raster), every 4th image carries DRI=2
     restart markers (restart resets now span 6-block 4:2:0 MCUs), and
     every 7th row is a truncated header-only blob that must yield
-    NULLs."""
+    NULLs.
+
+    r15 weaves the NON-DIVISOR sampling mix (decoded since r14 via
+    index-map upsampling, driver-gated here): frames at d % 9 == 2
+    use sampling ((3,1),(2,1),(1,1)) — Cb at 2/3 luma resolution
+    (2 does not divide hmax=3, the profile the old divisor-only
+    np.repeat upsampler rejected) and Cr at 1/3. Closed form stays
+    exact: luma tiles are x//8 boxes (full-res identity map), Cb
+    tiles cover x//12 boxes ((x*2//3)//8 == x//12), Cr tiles x//24
+    boxes, all with y//8 rows (v factors all 1); the oracle states
+    those box geometries for the class. Progressive (d%5==1, SA at
+    d%10==1) and DRI (6-block non-divisor MCUs) compose."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4806,9 +4902,6 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(bytes.fromhex("FFD8FFE0") + b"\x00" * 50)
                     continue
                 w, h = 6 + d % 19, 5 + d % 17
-                fv = 1 if d % 3 == 0 else 2  # 4:2:2 vs 4:2:0
-                mcux = (w + 15) // 16
-                mcuy = (h + 8 * fv - 1) // (8 * fv)
 
                 def plane(nbx, nby, f):
                     out = []
@@ -4819,16 +4912,30 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out.append(blk)
                     return out
 
-                ys = plane(mcux * 2, mcuy * fv,
-                           lambda tx, ty: (d + 5 * tx + 9 * ty) % 256)
-                cbs = plane(mcux, mcuy,
-                            lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256)
-                crs = plane(mcux, mcuy,
-                            lambda tx, ty: (3 * d + tx + 11 * ty) % 256)
+                yfn = lambda tx, ty: (d + 5 * tx + 9 * ty) % 256
+                cbfn = lambda tx, ty: (2 * d + 7 * tx + 3 * ty) % 256
+                crfn = lambda tx, ty: (3 * d + tx + 11 * ty) % 256
+                if d % 9 == 2:
+                    # r15 NON-DIVISOR mix: luma (3,1) full-res, Cb
+                    # (2,1) at 2/3 resolution (non-divisor vs
+                    # hmax=3), Cr (1,1) at 1/3. One MCU row of
+                    # 24-px-wide MCUs; closed-form boxes x//8 /
+                    # x//12 / x//24 per plane, y//8 rows.
+                    samp = [(3, 1), (2, 1), (1, 1)]
+                    mcux = (w + 23) // 24
+                    mcuy = (h + 7) // 8
+                else:
+                    fv = 1 if d % 3 == 0 else 2  # 4:2:2 vs 4:2:0
+                    samp = [(2, fv), (1, 1), (1, 1)]
+                    mcux = (w + 15) // 16
+                    mcuy = (h + 8 * fv - 1) // (8 * fv)
+                ys = plane(mcux * samp[0][0], mcuy * samp[0][1], yfn)
+                cbs = plane(mcux * samp[1][0], mcuy * samp[1][1], cbfn)
+                crs = plane(mcux * samp[2][0], mcuy * samp[2][1], crfn)
                 blobs.append(encode_jpeg(
                     [ys, cbs, crs], w, h,
                     restart_interval=2 if d % 4 == 0 else 0,
-                    sampling=[(2, fv), (1, 1), (1, 1)],
+                    sampling=samp,
                     # every 5th eligible frame: progressive + chroma
                     # subsampling composed (non-interleaved AC scans
                     # over each component's OWN sub-grid) — same
@@ -4853,20 +4960,32 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              6 + doc_id % 19 AS w,
              5 + doc_id % 17 AS h,
              doc_id % 7 = 0 AS is_bad,
+             doc_id % 9 = 2 AS is_nd,
              CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS fv
       FROM documents),
     grid AS (
-      SELECT media_id, w, h, fv,
+      SELECT media_id, w, h, is_nd, fv,
              CAST(gx.range AS BIGINT) AS x, CAST(gy.range AS BIGINT) AS y
       FROM p, range(25) gx, range(22) gy
       WHERE NOT is_bad AND gx.range < w AND gy.range < h),
     tiles AS (
+      -- is_nd (r15): non-divisor ((3,1),(2,1),(1,1)) sampling — Cb
+      -- samples sit at x*2//3 so its 8-sample blocks cover x//12
+      -- pixel boxes, Cr at x//3 -> x//24 boxes, all v factors 1
       SELECT media_id, w, h, x, y,
              (media_id + 5 * (x // 8) + 9 * (y // 8)) % 256 AS yv,
-             (2 * media_id + 7 * (x // 16)
-                + 3 * (y // (8 * fv))) % 256 AS cb,
-             (3 * media_id + (x // 16)
-                + 11 * (y // (8 * fv))) % 256 AS cr
+             CASE WHEN is_nd THEN
+               (2 * media_id + 7 * (x // 12) + 3 * (y // 8)) % 256
+             ELSE
+               (2 * media_id + 7 * (x // 16)
+                  + 3 * (y // (8 * fv))) % 256
+             END AS cb,
+             CASE WHEN is_nd THEN
+               (3 * media_id + (x // 24) + 11 * (y // 8)) % 256
+             ELSE
+               (3 * media_id + (x // 16)
+                  + 11 * (y // (8 * fv))) % 256
+             END AS cr
       FROM grid),
     px AS (
       SELECT media_id, w, h, x, y,
@@ -4908,7 +5027,14 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-8s quant table decode to flat tiles, so the oracle states "
     "luma per 8x8 box and chroma per upsampled box in closed form, "
     "and floor(x + 0.5) on IEEE float64 matches bit-for-bit across "
-    "engines. The r13 decoder rewrite this rides on also closed the "
+    "engines. Since r15 the mix driver-gates NON-DIVISOR sampling "
+    "(frames at d%9==2: luma (3,1), Cb (2,1) — 2 does not divide "
+    "hmax=3, exercising the r14 index-map upsampler x*ch//hmax where "
+    "pixel-replication np.repeat cannot express the geometry — Cr "
+    "(1,1); the oracle states the x//12 and x//24 chroma boxes in "
+    "closed form; progressive/SA scripts and DRI over 6-block "
+    "non-divisor MCUs compose). "
+    "The r13 decoder rewrite this rides on also closed the "
     "r12 ADVICE items: the bit accumulator is truncated after every "
     "consume (O(stream) not O(n^2)), symbols resolve via 16-bit-peek "
     "LUTs (not one dict probe per bit), and the marker walk has no "
@@ -5072,9 +5198,10 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2 = YCCK, the inverted C/M/Y planes first un-encoded with the "
     "JFIF floats and clamped per-plane BEFORE the K combine — both "
     "steps stated verbatim in this oracle. Unmarked 4-component "
-    "frames, transform 1 with 4 components, and 3-component "
-    "transform-0 (stored RGB) are all rejected as disclosed scope "
-    "edges, never mis-converted. Every frame also carries an EXIF "
+    "frames and transform 1 with 4 components are rejected as "
+    "disclosed scope edges, never mis-converted (3-component "
+    "transform-0 stored RGB DECODES since r15 — driver-gated in "
+    "d5_jpeg_pixels). Every frame also carries an EXIF "
     "ORIENTATION tag cycling 1..8 and the stats run over the UPRIGHT "
     "raster (operators/multimodal.py:oriented_pixel_stats / "
     "_apply_exif_orientation — the r13 VERDICT's mis-rotation gap "

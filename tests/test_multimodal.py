@@ -433,10 +433,17 @@ def test_jpeg_cmyk_ycck_decode_matches_reference():
     tf1 = good.replace(b"Adobe\x00\x64\x00\x00\x00\x00\x00",
                        b"Adobe\x00\x64\x00\x00\x00\x00\x01")
     assert tf1 != good and M._decode_jpeg_rgb(tf1) is None
+    # 3-component transform 0 is STORED RGB since r15 (it rejected
+    # through r14): the planes pass through as channels — here the
+    # first three CMYK planes reinterpreted, so pixel (0,0) is the
+    # flat (c0, c1, c2) tile values directly
     rgb3 = encode_jpeg(ps[:3], w, h)
     rgb3 = rgb3[:2] \
         + b"\xff\xee\x00\x0eAdobe\x00\x64\x00\x00\x00\x00\x00" + rgb3[2:]
-    assert M._decode_jpeg_rgb(rgb3) is None
+    dec_rgb = M._decode_jpeg_rgb(rgb3)
+    assert dec_rgb is not None
+    assert tuple(int(v) for v in dec_rgb[2][0, 0]) == (
+        ps[0][0][0][0] + 128, ps[1][0][0][0] + 128, ps[2][0][0][0] + 128)
     # ...while transform 1 with 3 components stays plain YCbCr
     ycc3 = encode_jpeg(ps[:3], w, h)
     marked = ycc3[:2] \
@@ -2687,6 +2694,252 @@ def test_jpeg_12bit_decodes_and_matches_conventions():
     r0, r1 = M._decode_jpeg_rgb(g0), M._decode_jpeg_rgb(bytes(g1))
     assert r0 is not None and r1 is not None
     assert np.array_equal(r0[2], r1[2])
+
+
+def test_jpeg_stored_rgb_decodes_property():
+    """3-component STORED-RGB JPEG (r15): Adobe APP14 transform 0, and
+    the unmarked 'R','G','B' component-id signature, both decode with
+    the color convert SKIPPED — the planes are the channels. Pins:
+    (a) the DC-only closed form: stored DC v-128 decodes to output
+    channel v exactly, per channel independently (which the YCbCr
+    path cannot even represent for saturated channel combinations);
+    (b) RGB == YCbCr-roundtrip on GRAY content: r=g=b=v stored-RGB
+    equals the y=v, cb=cr=128 YCbCr encode pixel-for-pixel (the
+    neutral-chroma convert is exact: 1.402*0 terms vanish);
+    (c) both stored-RGB signatures (APP14 and cid-signature) decode
+    identically; (d) unmarked cids 1,2,3 still convert as YCbCr —
+    the same coefficients decode DIFFERENTLY from stored-RGB on
+    colored content (the mis-convert the triage used to avoid by
+    rejecting); (e) triage: 3-component transform 2 rejects (YCCK
+    needs K); (f) stored-RGB composes with subsampling, restarts,
+    12-bit, and SA-progressive scan scripts (baseline == SA pixels).
+    """
+    import random
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    RGB_CIDS = [0x52, 0x47, 0x42]
+
+    def tile(bw, bh, f, center=128):
+        out = []
+        for i in range(bw * bh):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = f(i % bw, i // bw) - center
+            out.append(blk)
+        return out
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 20),       # width
+        st.integers(1, 18),       # height
+        st.integers(0, 2 ** 20),  # seed
+        st.booleans(),            # APP14 transform 0 vs cid signature
+        st.sampled_from([0, 2]),  # restart interval
+    )
+    def check(w, h, seed, use_app14, ri):
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        rf = lambda tx, ty: (seed + 5 * tx + 9 * ty) % 256  # noqa: E731
+        gf = lambda tx, ty: (2 * seed + 7 * tx + 3 * ty) % 256  # noqa: E731
+        bf = lambda tx, ty: (3 * seed + tx + 11 * ty) % 256  # noqa: E731
+        comps = [tile(bw, bh, f) for f in (rf, gf, bf)]
+        blob = encode_jpeg(
+            comps, w, h, restart_interval=ri,
+            adobe_transform=0 if use_app14 else None,
+            component_ids=None if use_app14 else RGB_CIDS,
+        )
+        dec = M._decode_jpeg_rgb(blob)
+        assert dec is not None and dec[:2] == (w, h)
+        for y in range(h):
+            for x in range(w):
+                tx, ty = x // 8, y // 8
+                want = (rf(tx, ty), gf(tx, ty), bf(tx, ty))
+                assert tuple(int(v) for v in dec[2][y, x]) == want, (
+                    (x, y), want
+                )
+
+    check()
+
+    # (b) gray content: stored-RGB == YCbCr roundtrip exactly
+    w, h = 19, 11
+    bw, bh = 3, 2
+    vf = lambda tx, ty: (37 + 41 * tx + 13 * ty) % 256  # noqa: E731
+    gray3 = [tile(bw, bh, vf)] * 3
+    ycc = [tile(bw, bh, vf),
+           tile(bw, bh, lambda tx, ty: 128),
+           tile(bw, bh, lambda tx, ty: 128)]
+    srgb_dec = M._decode_jpeg_rgb(
+        encode_jpeg(gray3, w, h, adobe_transform=0))
+    ycc_dec = M._decode_jpeg_rgb(encode_jpeg(ycc, w, h))
+    assert np.array_equal(srgb_dec[2], ycc_dec[2])
+
+    # (c) the two stored-RGB signatures agree on the same coefficients
+    rng = random.Random(99)
+
+    def rb(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-129, 128)
+            for k in range(1, 64):
+                if rng.random() < 0.4:
+                    blk[k // 8][k % 8] = rng.randrange(-120, 121)
+            out.append(blk)
+        return out
+
+    comps = [rb(bw * bh) for _ in range(3)]
+    a = M._decode_jpeg_rgb(encode_jpeg(comps, w, h, adobe_transform=0))
+    c = M._decode_jpeg_rgb(
+        encode_jpeg(comps, w, h, component_ids=RGB_CIDS))
+    assert a is not None and c is not None
+    assert np.array_equal(a[2], c[2])
+
+    # (d) unmarked cids 1,2,3 still decode as YCbCr — differently
+    ycbcr = M._decode_jpeg_rgb(encode_jpeg(comps, w, h))
+    assert ycbcr is not None
+    assert not np.array_equal(a[2], ycbcr[2])
+
+    # (e) 3-component transform 2 is illegal (YCCK needs K) -> None.
+    # The encoder refuses to emit it, so mutate the APP14 transform
+    # byte of the legal transform-0 blob (offset 11 from "Adobe")
+    t0_blob = encode_jpeg(comps, w, h, adobe_transform=0)
+    i = t0_blob.index(b"Adobe")
+    assert t0_blob[i + 11] == 0
+    bad = t0_blob[:i + 11] + b"\x02" + t0_blob[i + 12:]
+    assert M._decode_jpeg_rgb(bad) is None
+
+    # (f) composes: subsampled + restart + SA-progressive stored-RGB
+    # (8- and 12-bit) decodes == its baseline stored-RGB twin
+    for prec in (8, 12):
+        amp = 120 if prec == 8 else 2000
+        samp = [(2, 1), (1, 1), (1, 1)]
+        mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+
+        def rbp(n):
+            out = []
+            for _ in range(n):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = rng.randrange(-amp - 1, amp + 1)
+                for k in range(1, 64):
+                    if rng.random() < 0.4:
+                        blk[k // 8][k % 8] = rng.randrange(-amp, amp + 1)
+                out.append(blk)
+            return out
+
+        sc = [rbp(mcuy * sv * mcux * sh) for sh, sv in samp]
+        base = encode_jpeg(sc, w, h, sampling=samp, restart_interval=2,
+                           adobe_transform=0, precision=prec)
+        sa = encode_jpeg(sc, w, h, sampling=samp, restart_interval=2,
+                         adobe_transform=0, precision=prec,
+                         progressive=True,
+                         scan_script=jpeg_sa_scan_script(3))
+        db, ds = M._decode_jpeg_rgb(base), M._decode_jpeg_rgb(sa)
+        assert db is not None and ds is not None, prec
+        assert np.array_equal(db[2], ds[2]), prec
+
+
+def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
+    """The r15 VERDICT gate: the driver-checked fixtures must
+    VERIFIABLY carry the new profiles in their blob mix — parse the
+    emitted markers per blob and check each residue class got its
+    profile. d5_jpeg_pixels' fixture: d%10==5 frames are 12-bit (SOF1,
+    or SOF2 with precision byte 12 when progressive), alternating
+    1-component (d%20==5) and 3-component (d%20==15); d%5==2 frames
+    are stored RGB, APP14 transform 0 at d%10==2 and unmarked
+    'R','G','B' cids at d%10==7. d5_jpeg_pixels_420's fixture: d%9==2
+    frames carry the non-divisor ((3,1),(2,1),(1,1)) sampling bytes.
+    Every new-profile blob must also actually decode."""
+    from citydata_etl_spark.plans.queries_llm import (
+        _jpeg420_media_fixture,
+        _jpeg_media_fixture,
+    )
+
+    def parse_sof(blob):
+        """Return (sof_marker, precision, [(cid, h, v)]) and the APP14
+        transform byte (or None) from a JFIF blob."""
+        i, n = 2, len(blob)
+        app14 = None
+        while i + 4 <= n:
+            assert blob[i] == 0xFF, "marker walk desynced"
+            marker = blob[i + 1]
+            if marker == 0xD8:
+                i += 2
+                continue
+            ln = int.from_bytes(blob[i + 2:i + 4], "big")
+            seg = blob[i + 4:i + 2 + ln]
+            if marker == 0xEE and seg[:5] == b"Adobe":
+                app14 = seg[11]
+            if marker in (0xC0, 0xC1, 0xC2):
+                prec, nc = seg[0], seg[5]
+                comps = [
+                    (seg[6 + 3 * c],
+                     seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F)
+                    for c in range(nc)
+                ]
+                return marker, prec, comps, app14
+            i += 2 + ln
+        return None
+
+    blobs = {
+        int(r["media_id"]): bytes(r["content"])
+        for r in _jpeg_media_fixture(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    seen = {"p12_1c": 0, "p12_3c": 0, "p12_sof2": 0,
+            "rgb_app14": 0, "rgb_cids": 0}
+    for d, blob in blobs.items():
+        if d % 7 == 0:
+            continue
+        parsed = parse_sof(blob)
+        assert parsed is not None, d
+        marker, prec, comps, app14 = parsed
+        if d % 10 == 5:
+            assert prec == 12, d
+            assert marker in (0xC1, 0xC2), d
+            assert len(comps) == (1 if d % 20 == 5 else 3), d
+            seen["p12_1c" if d % 20 == 5 else "p12_3c"] += 1
+            if marker == 0xC2:
+                seen["p12_sof2"] += 1
+            assert M._decode_jpeg_rgb(blob) is not None, d
+        elif d % 5 == 2:
+            assert prec == 8 and len(comps) == 3, d
+            if d % 10 == 2:
+                assert app14 == 0, d
+                assert [c[0] for c in comps] == [1, 2, 3], d
+                seen["rgb_app14"] += 1
+            else:
+                assert app14 is None, d
+                assert [c[0] for c in comps] == [0x52, 0x47, 0x42], d
+                seen["rgb_cids"] += 1
+            assert M._decode_jpeg_rgb(blob) is not None, d
+        else:
+            assert prec == 8 and app14 is None, d
+    assert all(v > 0 for v in seen.values()), seen
+
+    blobs420 = {
+        int(r["media_id"]): bytes(r["content"])
+        for r in _jpeg420_media_fixture(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    n_nd = 0
+    for d, blob in blobs420.items():
+        if d % 7 == 0:
+            continue
+        marker, prec, comps, app14 = parse_sof(blob)
+        if d % 9 == 2:
+            assert [(h, v) for _, h, v in comps] == \
+                [(3, 1), (2, 1), (1, 1)], d
+            n_nd += 1
+            assert M._decode_jpeg_rgb(blob) is not None, d
+        else:
+            assert comps[0][1] == 2, d  # the r13 divisor profiles
+    assert n_nd > 0
 
 
 def test_jpeg_profile_compositions_agree():
