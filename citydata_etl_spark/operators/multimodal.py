@@ -1763,6 +1763,7 @@ _BMP_RESIZE_SCHEMA = (
 def bmp_resize_nn(
     media: DataFrame, out_w: int, out_h: int,
     content_col: str = "content", id_col: str = "media_id",
+    decode=None,
 ) -> DataFrame:
     """REAL image resize across every supported raster codec:
     nearest-neighbor downsample through _decode_image_rgb, which now
@@ -1775,7 +1776,15 @@ def bmp_resize_nn(
     resized pixel, out_w*out_h rows per decodable image; undecodable
     rows emit nothing) so the result hashes engine-portably without
     array-type comparison. Fan-out is the constant out_w*out_h per
-    blob; no shuffle."""
+    blob; no shuffle.
+
+    `decode` overrides the raster source (default _decode_image_rgb —
+    the STORED raster, the oracle-stated convention of d5_bmp_resize;
+    pass decode_oriented_rgb for the EXIF-upright raster, which is
+    what image_ahash does so perceptual fingerprints are
+    rotation-convention-free)."""
+    dec_fn = decode if decode is not None else _decode_image_rgb
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1785,7 +1794,7 @@ def bmp_resize_nn(
         for pdf in batches:
             parts = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
-                dec = _decode_image_rgb(blob)
+                dec = dec_fn(blob)
                 if dec is None:
                     continue
                 w, h, px = dec
@@ -2702,6 +2711,15 @@ def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
     operator produces the fingerprint; pairing is the existing dedup
     topology.
 
+    ORIENTATION CONVENTION (r15): fingerprints hash the EXIF-UPRIGHT
+    raster (decode_oriented_rgb), not the stored one — a phone photo
+    stored rotated with orientation 6 and its upright re-save are the
+    SAME visual content and must collide, which stored-raster hashing
+    misses by construction. Formats with no EXIF channel (BMP, PNG,
+    GIF) are unaffected (stored == upright), so the fixture oracles
+    are unchanged; the convention is pinned by
+    test_image_ahash_orientation_invariant.
+
     Everything after the decode is integer relational algebra: the
     mean comparison is lum * n_cells > total (no division), the bit
     pack a conditional shift — so the full chain decode -> resize ->
@@ -2710,7 +2728,7 @@ def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
     threshold window is per-image (size^2 rows per group); output is
     3 ints per image."""
     n_cells = size * size
-    px = bmp_resize_nn(media, size, size)
+    px = bmp_resize_nn(media, size, size, decode=decode_oriented_rgb)
     lum = (F.col("r") + F.col("g") + F.col("b")).alias("lum")
     idx = (F.col("y") * size + F.col("x")).alias("idx")
     w = W.partitionBy("media_id")

@@ -1131,11 +1131,24 @@ def d5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroids trained on a bounded driver sample (broadcast model), "
     "one-pass cluster assignment, n_probe-pruned candidate join, exact "
     "JVM rerank. The inverted-list partition key is the billion-vector "
-    "scale path (operators/similarity.py:ivf_topk).",
+    "scale path (operators/similarity.py:ivf_topk). Since r15 the "
+    "entry runs the PRODUCTION POSTURE: max_list_len=256 caps every "
+    "inverted list (deterministic smallest-xxhash64 subsample), "
+    "bounding per-query candidates at n_probe*256 regardless of "
+    "corpus size — the lever the r14 scale rehearsal showed is "
+    "required (uncapped, sqrt(n)-sized lists at fixed n_probe ramp "
+    "the probe shuffle ~n^1.5: 7.4 MB -> 212 MB -> 5.39 GB across "
+    "1x/10x/100x, SCALE_REHEARSAL_r14.json). At sf0.1 (~20k vectors, "
+    "16 lists, mean occupancy ~1250) the cap is ACTIVE, so the "
+    "driver row exercises the capped path, not a no-op flag; the "
+    "bound and the graceful recall cost are pinned by "
+    "test_ivf_max_list_len_caps_candidates. The oracle-exact twins "
+    "(d4_ann_ivf_rank / d4_ann_ivf_dist_rank) stay uncapped — their "
+    "closed-form oracles state the FULL probe scan.",
 )
 def d4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, k=5)
+    return S.ivf_topk(emb, k=5, max_list_len=256)
 
 
 @register(
@@ -5862,7 +5875,13 @@ def d5_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the sign bit (operators/multimodal.py:image_ahash). Near-dup "
     "images then pair through the d4_simhash_pairs chunk-blocking "
     "topology — fingerprints here, pairing machinery already "
-    "verified there. The oracle restates decode+resize+threshold+pack "
+    "verified there. ORIENTATION CONVENTION (r15): the hash is "
+    "computed over the EXIF-UPRIGHT raster (decode_oriented_rgb), so "
+    "a mis-rotated JPEG duplicate still collides with its upright "
+    "twin — pinned by test_image_ahash_orientation_invariant; this "
+    "fixture is BMP (no EXIF channel, stored == upright), so the "
+    "oracle is unchanged. The oracle restates "
+    "decode+resize+threshold+pack "
     "in closed form, so a stride, sampling, or packing bug flips "
     "bits and hash-fails. Unit test pins the perceptual property: "
     "byte-identical images collide exactly; a lightly perturbed "
@@ -5986,7 +6005,12 @@ def d5_png_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "finds exactly the planted pairs plus any true hash collisions — "
     "the oracle states the same hashes all-pairs (exact at this "
     "scale), which is precisely what the blocking must be lossless "
-    "against. The visual counterpart of d4_simhash_pairs; at 100 TB "
+    "against. ORIENTATION CONVENTION (r15): fingerprints hash the "
+    "EXIF-UPRIGHT raster, so a rotated-stored JPEG duplicate still "
+    "near-dup-matches its upright twin (the BMP fixture has no EXIF "
+    "channel, so this oracle is unchanged; the convention is pinned "
+    "by test_image_ahash_orientation_invariant). The visual "
+    "counterpart of d4_simhash_pairs; at 100 TB "
     "candidate cost follows chunk-bucket occupancy, never n^2.",
 )
 def d5_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

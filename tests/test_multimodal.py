@@ -2844,6 +2844,73 @@ def test_jpeg_stored_rgb_decodes_property():
         assert np.array_equal(db[2], ds[2]), prec
 
 
+def test_image_ahash_orientation_invariant(spark):
+    """r15 orientation convention for perceptual hashing: image_ahash
+    fingerprints the EXIF-UPRIGHT raster, so a JPEG stored rotated
+    (orientation 3/6/8) hashes IDENTICALLY to its upright twin and
+    ahash_neardup_pairs finds the pair at hamming 0. Negative control:
+    stripping the orientation tag from the rotated blob changes the
+    hash (the content is asymmetric), proving the invariance comes
+    from the normalization, not from the content."""
+    import numpy as np
+
+    from citydata_etl_spark.operators.multimodal import (
+        _apply_exif_orientation,
+        ahash_neardup_pairs,
+        image_ahash,
+    )
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    # upright 16x16 grayscale content: four distinct flat 8x8 tiles
+    # (asymmetric under every rotation/flip)
+    tiles_u = np.array([[10, 200], [90, 240]])
+    U = np.repeat(np.repeat(tiles_u, 8, axis=0), 8, axis=1)
+
+    def encode_gray(vals2d, orientation=None):
+        bh, bw = vals2d.shape[0] // 8, vals2d.shape[1] // 8
+        blocks = []
+        for ty in range(bh):
+            for tx in range(bw):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = int(vals2d[8 * ty, 8 * tx]) - 128
+                blocks.append(blk)
+        return encode_jpeg([blocks], vals2d.shape[1], vals2d.shape[0],
+                           exif_orientation=orientation)
+
+    # stored rasters whose upright form is U, per orientation
+    stored = {
+        1: U,
+        3: U[::-1, ::-1],
+        6: U[:, ::-1].T,
+        8: U[::-1, :].T,
+    }
+    rows = []
+    for o, S in stored.items():
+        # sanity: applying the tag really recovers U
+        S3 = np.repeat(S[:, :, None], 3, axis=2)
+        assert np.array_equal(
+            _apply_exif_orientation(S3, o)[:, :, 0], U), o
+        rows.append((o, encode_gray(S, orientation=o)))
+    # negative control: orientation-6 raster WITHOUT the tag
+    rows.append((100, encode_gray(stored[6], orientation=None)))
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    hashes = {
+        r["media_id"]: (r["ahash_lo"], r["ahash_hi"])
+        for r in image_ahash(media, size=8).collect()
+    }
+    for o in (3, 6, 8):
+        assert hashes[o] == hashes[1], o
+    assert hashes[100] != hashes[1], "tag-free rotation must differ"
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in ahash_neardup_pairs(
+            image_ahash(media, size=8), max_hamming=3).collect()
+    }
+    assert pairs[(1, 3)] == 0 and pairs[(1, 6)] == 0 \
+        and pairs[(1, 8)] == 0
+    assert (1, 100) not in pairs and (3, 100) not in pairs
+
+
 def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
     """The r15 VERDICT gate: the driver-checked fixtures must
     VERIFIABLY carry the new profiles in their blob mix — parse the
