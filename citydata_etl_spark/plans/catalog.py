@@ -94,7 +94,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 12,
     "a11_heavy_hitters": 10,
-    "a12_event_funnel": 9,
+    "a12_event_funnel": 14,
     "a13_data_contract": 10,
     "a14_referential_integrity": 10,
     "a15_outlier_flags": 10,
@@ -103,7 +103,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a18_ohlc_bars": 12,
     "a19_event_transitions": 12,
     "a1_pricing_summary": 13,
-    "a20_countmin_topk": 9,
+    "a20_countmin_topk": 14,
     "a21_histogram_quantiles": 10,
     "a22_attribution": 10,
     "a23_sliding_distinct": 10,
@@ -114,22 +114,22 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a2_kmv_distinct": 13,
     "a2_percentiles": 13,
     "a3_cube": 13,
-    "a3_grouping_sets": 9,
+    "a3_grouping_sets": 14,
     "a3_rollup": 13,
     "a4_distribution": 10,
     "a4_ntile": 13,
     "a4_rank_dense_rank": 13,
     "a4_topk_per_group": 13,
     "a5_moving_avg": 13,
-    "a5_time_range_frame": 9,
+    "a5_time_range_frame": 14,
     "a5_window_lag": 13,
     "a6_global_topk": 13,
     "a7_set_ops": 13,
     "a7_union_by_name": 13,
     "a8_city_score": 13,
     "a9_pivot": 13,
-    "d4_ann_ivf": 13,
-    "d4_ann_ivf_dist": 9,  # rows-only by construction (r4 row)
+    "d4_ann_ivf": 0,  # plan changed r15: max_list_len=256 production posture
+    "d4_ann_ivf_dist": 14,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 13,
     "d4_ann_ivf_rank": 13,
     "d4_ann_ivf_recall": 10,
@@ -157,98 +157,98 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_dup_passage_cut": 11,
     "d4_embed_neardup": 13,
     "d4_embed_project": 10,
-    "d4_embed_quantize": 9,
+    "d4_embed_quantize": 14,
     "d4_exact_dedup": 13,
-    "d4_fuzzy_key_pairs": 9,
-    "d4_incremental_dedup": 9,
-    "d4_incremental_neardup": 9,  # rows-only by construction (r4 row)
+    "d4_fuzzy_key_pairs": 14,
+    "d4_incremental_dedup": 14,
+    "d4_incremental_neardup": 14,  # rows-only by construction (r4 row)
     "d4_incremental_neardup_rank": 10,
     "d4_knn_label": 10,
     "d4_lang_id": 13,
     "d4_line_dedup": 11,
     "d4_lm_logprob": 13,
     "d4_lsh_pair_recall": 10,
-    "d4_minhash_hash": 9,  # rows-only by construction (r4 row)
+    "d4_minhash_hash": 14,  # rows-only by construction (r4 row)
     "d4_minhash_lsh": 13,
     "d4_mmr_ann": 10,
-    "d4_mmr_batch": 9,
-    "d4_mmr_diversify": 9,
+    "d4_mmr_batch": 14,
+    "d4_mmr_diversify": 14,
     "d4_ngram_jaccard": 13,
     "d4_pii_scrub": 13,
     "d4_quality_score": 13,
     "d4_repetition_stats": 13,
     "d4_semantic_dedup": 13,
     "d4_simhash": 13,
-    "d4_simhash_pairs": 8,
-    "d4_text_normalize": 9,
-    "d4_tfidf_topk": 8,
+    "d4_simhash_pairs": 14,
+    "d4_text_normalize": 14,
+    "d4_tfidf_topk": 14,
     "d4_token_stats": 12,
     "d4_url_dedup": 11,
     "d4_winnowing": 12,
     "d5_audio_energy": 11,
-    "d5_bmp_histogram": 9,
-    "d5_bmp_pixels": 8,
-    "d5_bmp_resize": 8,
-    "d5_format_sniff": 9,
+    "d5_bmp_histogram": 14,
+    "d5_bmp_pixels": 14,
+    "d5_bmp_resize": 14,
+    "d5_format_sniff": 14,
     "d5_frame_sample": 12,
     "d5_gif_meta": 12,
     "d5_gif_pixels": 13,
     "d5_image_ahash": 10,
     "d5_image_neardup": 10,
-    "d5_jpeg_cmyk": 0,  # r14: NEW — Adobe CMYK/YCCK (APP14) decode entry
-    "d5_jpeg_meta": 0,  # r14: EXIF orientation column added (schema + fixture)
-    "d5_jpeg_pixels": 0,  # r14: SA-progressive frames woven into fixture
-    "d5_jpeg_pixels_420": 0,  # r14: SA-progressive frames woven into fixture
+    "d5_jpeg_cmyk": 14,  # r14: NEW — Adobe CMYK/YCCK (APP14) decode entry
+    "d5_jpeg_meta": 14,  # r14: EXIF orientation column added (schema + fixture)
+    "d5_jpeg_pixels": 0,  # fixture+oracle changed r15: 12-bit + stored-RGB weave
+    "d5_jpeg_pixels_420": 0,  # fixture+oracle changed r15: non-divisor weave
     "d5_media_decode": 12,
     "d5_mp4_meta": 11,
     "d5_png_adam7": 13,
     "d5_png_ahash": 13,
-    "d5_png_meta": 9,
+    "d5_png_meta": 14,
     "d5_png_pixels": 13,
     "d5_scene_cuts": 10,
     "d5_tar_meta": 12,
-    "d5_wav_meta": 9,
-    "d6_blocklist_filter": 9,
-    "d6_chunk_documents": 9,
+    "d5_wav_meta": 14,
+    "d6_blocklist_filter": 14,
+    "d6_chunk_documents": 14,
     "d6_contamination": 12,
-    "d6_crossdomain_lm": 9,
+    "d6_crossdomain_lm": 14,
     "d6_curation_pipeline": 12,
     "d6_dataset_card": 10,
     "d6_dedup_keep": 12,
-    "d6_domain_cap": 8,
+    "d6_domain_cap": 14,
     "d6_domain_mix": 12,
-    "d6_domain_mix_apply": 8,
-    "d6_fixed_sample": 8,
+    "d6_domain_mix_apply": 14,
+    "d6_fixed_sample": 14,
     "d6_global_shuffle": 11,
     "d6_label_centroid": 12,
     "d6_length_histogram": 11,
-    "d6_negative_pairs": 9,
+    "d6_negative_pairs": 14,
     "d6_pack_sequences": 12,
-    "d6_ppl_buckets": 9,
+    "d6_ppl_buckets": 14,
     "d6_quality_classifier": 11,
     "d6_quality_funnel": 12,
     "d6_shard_stats": 12,
     "d6_stratified_sample": 12,
-    "d6_temperature_mix": 9,
+    "d6_temperature_mix": 14,
     "d6_tokenizer_fertility": 10,
     "d6_train_split": 12,
-    "e2e_collect_run": 9,
-    "f10_conditional": 9,
-    "f11_haversine": 8,
-    "f12_url_parse": 9,
-    "f13_variant_json": 9,
-    "f14_entity_extract": 9,
+    "e2e_collect_run": 14,
+    "f10_conditional": 14,
+    "f11_haversine": 14,
+    "f12_url_parse": 14,
+    "f13_variant_json": 14,
+    "f14_entity_extract": 14,
     "f15_geo_cell": 11,
     "f16_number_normalize": 11,
     "f17_useragent_parse": 11,
     "f18_ip_cidr": 12,
-    "f1_f3_dual_ts_roundtrip": 9,
-    "f2_date_parts": 9,
-    "f4_f5_split_element": 9,
-    "f6_key_building": 9,
-    "f7_json_extract": 9,
-    "f8_html_extract": 9,
-    "f9_split_explode": 9,
+    "f1_f3_dual_ts_roundtrip": 14,
+    "f2_date_parts": 14,
+    "f4_f5_split_element": 14,
+    "f6_key_building": 14,
+    "f7_json_extract": 14,
+    "f8_html_extract": 14,
+    "f9_split_explode": 14,
     "g1_host_pagerank": 11,
     "g2_triangle_count": 11,
     "g3_bfs_hops": 12,
@@ -268,8 +268,8 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j6_asof_nearest": 12,
     "j6_asof_tolerance": 12,
     "j7_salted_skew_join": 12,
-    "j8_bucketed_join": 9,
-    "j9_interval_overlap": 9,
+    "j8_bucketed_join": 14,
+    "j9_interval_overlap": 14,
     "p1_pending_filter": 10,
     "p2_projection": 10,
     "p3_point_filter": 10,
@@ -309,7 +309,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t13_gap_fill": 11,
     "t14_stream_ohlc": 12,
     "t15_stream_snapshot_enrich": 12,
-    "t16_stream_restart": 8,
+    "t16_stream_restart": 14,
     "t17_stream_quarantine": 9,
     "t18_stream_attribution": 10,
     "t19_stream_sliding_kmv": 11,
