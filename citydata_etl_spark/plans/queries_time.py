@@ -414,7 +414,13 @@ def _await_with_state_partitions(
       Python shifts the knee; see its call site).
       At real scale this is sized UP to key cardinality / executor count
       (2-4x total cores), never lowered — and it cannot be changed after
-      the first checkpoint.
+      the first checkpoint. That guidance is now MEASURED, not advisory
+      (SCALE_REHEARSAL_r15.json): at 100x the sf0.1 key cardinality
+      (150k users), 4 partitions cost t10 377 s where t12 at 16 costs
+      72 s — the fixed-4 default is a per-load knee for ~1.5k keys on
+      32 cores and scales badly past keys >> cores; per-key state
+      stays bounded either way (t10's store held 5-int rows flat at
+      0.64 MB across 100x event volume).
     - state_store_provider: state backend for the query. Defaults to the
       session's (HDFS-backed, on-heap); pass ROCKSDB_STATE_STORE_PROVIDER
       once per-partition state outgrows tens of MB (large watermark
@@ -1163,6 +1169,12 @@ def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # results, only where the knee lands.
     # t10 keeps the default: its per-user state is 5 ints, group work
     # is negligible, and extra partitions only add commit machinery.
+    # r15 rehearsal (SCALE_REHEARSAL_r15.json): the knee is KEY-
+    # cardinality-dependent, not volume-dependent — at 10x EVENT
+    # VOLUME (fixed 1.5k keys) it stays at 16 (8/16/32 -> 7.05/6.37/
+    # 8.06 s), but at 10x KEYS (15k) it moves right (8/16/32 ->
+    # 30.1/16.0/12.6 s: 32 now wins). Size partitions with active-key
+    # cardinality at deployment, toward 2-4x cores once keys >> cores.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("append")
