@@ -520,7 +520,13 @@ def main() -> None:
     }
     if errors or errors2:
         out["n_errors"] = len(errors) + len(errors2)
-        out["errors"] = {k: v[:60] for k, v in list(errors.items())[:3]}
+        # sample from BOTH sweeps (rep2-suffixed) so a rep2-only
+        # failure is named on the graded line, not only in the detail
+        both = dict(list(errors.items())[:3])
+        both.update({
+            f"{k}@rep2": v for k, v in list(errors2.items())[:2]
+        })
+        out["errors"] = {k: v[:60] for k, v in list(both.items())[:3]}
     out["value2_cold"] = round(sum(timings2_cold.values()), 3)
     out["value2"] = round(sum(timings2.values()), 3)
     out["value_cold"] = round(sum(timings_cold.values()), 3)

@@ -948,14 +948,17 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     and legally-truncated scripts decoding at partial precision —
     the full shape of libjpeg's DEFAULT progressive scan script, so
     wild SOF2 files decode rather than NULL); 8-bit precision; 1
-    component (grayscale: R=G=B=Y), 3 components (JFIF YCbCr), or —
-    since r14 — 4 components keyed on the Adobe APP14 transform flag
-    (0 = stored inverted CMYK, combined R = c*k/255 per
-    libjpeg-turbo; 2 = YCCK, the inverted C/M/Y planes first
-    un-encoded with the JFIF floats and clamped per-plane before the
-    K combine; unmarked 4-component, transform 1 with 4 components,
-    and 3-component transform 0 — stored RGB — all return None
-    rather than mis-convert); ANY sampling factors in 1..4 — 4:4:4
+    component (grayscale: R=G=B=Y), 3 components (JFIF YCbCr, or —
+    since r15 — STORED RGB when APP14 transform 0 or the unmarked
+    'R','G','B' component-id signature says so: the planes pass
+    through with no color convert; 3-component transform 2 returns
+    None, YCCK needs K), or — since r14 — 4 components keyed on the
+    Adobe APP14 transform flag (0 = stored inverted CMYK, combined
+    R = c*k/255 per libjpeg-turbo; 2 = YCCK, the inverted C/M/Y
+    planes first un-encoded with the JFIF floats and clamped
+    per-plane before the K combine; unmarked 4-component and
+    transform 1 with 4 components return None rather than
+    mis-convert); ANY sampling factors in 1..4 — 4:4:4
     (1x1), 4:2:2 (2x1), 4:2:0 (2x2, the dominant wild profile),
     4:1:1, and since r14 NON-DIVISOR mixes too (frame pixel x reads
     component sample x*ch//hmax, a nearest-neighbor integer grid

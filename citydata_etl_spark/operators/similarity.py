@@ -1524,7 +1524,8 @@ def semantic_dedup(
     picks literal for k < SEMANTIC_DEDUP_BROADCAST_K and broadcast at
     or above it — the r14 rehearsal measured the literal path's per-k
     constant (k-row collect + k*dim literal codegen) dominating by
-    k=141 (k~sqrt(2e5)), so the threshold sits safely below that knee;
+    k=141 (k~sqrt(n) at n=2e4), so the threshold sits safely below
+    that knee;
     the two modes are pinned equal on real data by
     test_semantic_dedup_quantizer_modes_agree. Both paths break
     argmax ties on the HALF_UP-ROUNDED cosine with the lower cluster
@@ -1538,6 +1539,11 @@ def semantic_dedup(
     k=45 — the rounding shrinks the divergence set to those exact
     boundary doubles, it does not prove it empty).
     """
+    if n_clusters < 1:
+        # fail loudly: before r15 this misconfiguration crashed during
+        # analysis; the empty-seed guard below must not convert it
+        # into a silent 0-row result on non-empty input
+        raise ValueError("semantic_dedup requires n_clusters >= 1")
     if quantizer == "auto":
         quantizer = (
             "broadcast"

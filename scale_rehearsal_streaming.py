@@ -248,8 +248,16 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "SCALE_REHEARSAL_r15.json",
     )
+    # merge-append: other rehearsal probes (semantic_auto_10x) write
+    # sections into the same artifact — a re-run of this script must
+    # not wipe them
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     shutil.rmtree(root, ignore_errors=True)
 
 

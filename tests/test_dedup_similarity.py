@@ -830,6 +830,13 @@ def test_semantic_dedup_auto_quantizer_and_degenerate_inputs(spark):
         tuple(r) for r in hi_bc.collect()
     ]
 
+    # n_clusters < 1 on NON-empty input fails loudly — the empty-seed
+    # guard must not convert a caller bug into silent total data loss
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_clusters"):
+        S.semantic_dedup(emb, n_clusters=0, epsilon=0.3)
+
     # empty input: both modes return empty with identical schema
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     for q in ("literal", "broadcast"):

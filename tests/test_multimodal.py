@@ -1978,6 +1978,17 @@ def test_decoders_never_raise_on_corrupt_mutations():
         encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, precision=12),
         encode_jpeg([dcb(6), dcb(4), dcb(2)], 22, 10,
                     sampling=[(3, 1), (2, 1), (1, 1)]),
+        # r15 profiles: stored RGB via both detection signatures, and
+        # composed with subsampling + 12-bit + SA progressive
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10,
+                    adobe_transform=0),
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10,
+                    component_ids=[0x52, 0x47, 0x42]),
+        encode_jpeg([dcb(8), dcb(2), dcb(2)], 20, 10,
+                    sampling=[(2, 2), (1, 1), (1, 1)],
+                    adobe_transform=0, precision=12,
+                    progressive=True,
+                    scan_script=jpeg_sa_scan_script(3)),
     ]
     for blob in blobs:
         assert M._decode_image_rgb(blob) is not None  # valid baseline
