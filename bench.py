@@ -262,6 +262,9 @@ HEADLINE = [
     # round-14 addition: Adobe CMYK/YCCK decode + EXIF-orientation
     # pixel normalization (SA scan scripts + restarts composed)
     "d5_jpeg_cmyk",
+    # round-15 addition: DSIR importance resampling (hashed-bigram
+    # log-ratio weights + Gumbel-top-k selection)
+    "d6_dsir_select",
 ]
 
 

@@ -756,3 +756,122 @@ def negative_pairs(
     return cand.groupBy("anchor", "probe_idx").agg(
         F.min_by("cand_id", "ord").alias("partner")
     )
+
+
+def dsir_importance(
+    target: DataFrame, candidates: DataFrame,
+    n_buckets: int = 256, k: int = 200, seed: int = 7,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): estimate bag-of-hashed-bigram distributions for a
+    clean TARGET corpus and the RAW candidate pool, weight every
+    candidate by its log importance ratio, and draw k examples with the
+    Gumbel-top-k trick (equivalent to sampling without replacement with
+    probability proportional to the importance weight).
+
+    Determinism contract (the engine's standard conventions):
+      - grams are word bigrams (docs with < 2 tokens are excluded on
+        both sides — they have no bigram evidence);
+      - the feature hash is the dense lexicographic gram rank
+        (ranked_tokens — oracle-exact) folded through the LCG
+        (tid * 2654435761 + 11) % (2^31-1) % n_buckets; at corpus
+        scale swap the rank for pmod(xxhash64(gram), prime) exactly as
+        minhash_lsh_pairs' id_mode='hash' does — topology unchanged;
+      - per-bucket log ratio is Laplace-smoothed and rounded ONCE to
+        integer micros: floor((ln(ct+1) - ln(Tt+B) - ln(cr+1)
+        + ln(Tr+B)) * 1e6 + 0.5), stated left-to-right so both engines
+        evaluate the identical float64 expression of integer inputs;
+        per-doc weights are then associative BIGINT sums of occurrence
+        weights;
+      - the Gumbel key derives from a seeded LCG uniform
+        u = ((id * 2654435761 + seed*40503 + 11) % (2^31-1) + 1)
+        / 2147483649.0 in (0,1): key_micros = weight_micros
+        + floor(-ln(-ln(u)) * 1e6 + 0.5) — Gumbel(0,1) in micros;
+      - selection is the k largest key_micros (ties: lower id wins).
+
+    Output (candidates with >= 1 bigram): (doc_id, n_grams,
+    weight_micros, key_micros, selected 0/1).
+
+    Scale shape: gram extraction is a projection + explode; the rank
+    is ranked_tokens' fused one-exchange form; bucket counts collapse
+    map-side into <= n_buckets rows; the weight table is a broadcast
+    (n_buckets rows) probed by one equi-join; per-doc weights are one
+    hash aggregate; selection is orderBy().limit(k) — Spark plans
+    TakeOrderedAndProject (no global sort materialization) — joined
+    back as a flag. No window over the corpus, no driver collect.
+    """
+    from citydata_etl_spark.caching import scoped_persist
+    from citydata_etl_spark.operators.dedup import ranked_tokens
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+    def grams(df: DataFrame, side: int) -> DataFrame:
+        # shingles() on >= 2-token docs yields exactly size-1 true
+        # bigrams per doc (its short-doc 1-gram degeneracy cannot
+        # trigger past the size filter)
+        sh = shingles(
+            df.filter(F.size(toks) >= 2).select(id_col, text_col),
+            n=2, text_col=text_col, id_col=id_col, distinct=False,
+        )
+        return sh.select(
+            F.col(id_col), F.lit(side).alias("__side"),
+            F.col("shingle").alias("token"),
+        )
+
+    g = scoped_persist(
+        grams(target, 0).unionByName(grams(candidates, 1))
+    )
+    bk = ranked_tokens(g).select(
+        id_col, "__side",
+        ((F.col("tid") * F.lit(_SPLIT_A) + F.lit(11))
+         % F.lit(HASH_PRIME) % F.lit(n_buckets)).cast("int")
+        .alias("bucket"),
+    )
+    bk = scoped_persist(bk)
+    per_bucket = bk.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
+        .cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("__side") == 1, 1).otherwise(0))
+        .cast("bigint").alias("cr"),
+    )
+    totals = per_bucket.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+    )
+    lnd = lambda c: F.log(c.cast("double"))  # noqa: E731
+    wtab = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (lnd(F.col("ct") + 1) - lnd(F.col("tt") + n_buckets)
+             - lnd(F.col("cr") + 1) + lnd(F.col("tr") + n_buckets))
+            * 1000000 + F.lit(0.5)
+        ).cast("bigint").alias("w_micros"),
+    )
+    scores = (
+        bk.filter(F.col("__side") == 1)
+        .join(F.broadcast(wtab), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("w_micros").cast("bigint").alias("weight_micros"),
+        )
+    )
+    um = (F.col(id_col) * F.lit(_SPLIT_A) + F.lit(seed * 40503 + 11)) \
+        % F.lit(HASH_PRIME)
+    u = (um + F.lit(1)).cast("double") / F.lit(2147483649.0)
+    gumbel = F.floor(-F.log(-F.log(u)) * 1000000 + F.lit(0.5)) \
+        .cast("bigint")
+    keyed = scoped_persist(scores.withColumn(
+        "key_micros", (F.col("weight_micros") + gumbel).cast("bigint")
+    ))
+    sel = (
+        keyed.orderBy(F.desc("key_micros"), F.asc(id_col)).limit(k)
+        .select(F.col(id_col), F.lit(1).alias("__sel"))
+    )
+    return keyed.join(sel, id_col, "left").select(
+        id_col, "n_grams", "weight_micros", "key_micros",
+        F.coalesce(F.col("__sel"), F.lit(0)).cast("bigint")
+        .alias("selected"),
+    )

@@ -1187,3 +1187,97 @@ def d6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return card.join(magg, "source")
+
+
+@register(
+    "d6_dsir_select",
+    oracle="""
+    WITH splits AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN 0 ELSE 1 END AS side,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    eligible AS (SELECT * FROM splits WHERE len(toks) >= 2),
+    idx AS (
+      SELECT doc_id, side, toks,
+             unnest(range(1, len(toks))) AS i
+      FROM eligible),
+    gr AS (
+      SELECT doc_id, side,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]
+               AS token
+      FROM idx),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY token) - 1 AS tid
+      FROM (SELECT DISTINCT token FROM gr)),
+    bk AS (
+      SELECT g.doc_id, g.side,
+             CAST((v.tid * 2654435761 + 11) % 2147483647 % 256 AS INT)
+               AS bucket
+      FROM gr g JOIN vocab v USING (token)),
+    pb AS (
+      SELECT bucket,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cr
+      FROM bk GROUP BY bucket),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+    wt AS (
+      SELECT bucket,
+             CAST(floor((ln(CAST(ct + 1 AS DOUBLE))
+                         - ln(CAST(tt + 256 AS DOUBLE))
+                         - ln(CAST(cr + 1 AS DOUBLE))
+                         + ln(CAST(tr + 256 AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS w_micros
+      FROM pb CROSS JOIN tot),
+    sc AS (
+      SELECT b.doc_id, count(*) AS n_grams,
+             CAST(sum(w_micros) AS BIGINT) AS weight_micros
+      FROM bk b JOIN wt USING (bucket)
+      WHERE side = 1 GROUP BY b.doc_id),
+    keyed AS (
+      SELECT doc_id, n_grams, weight_micros,
+             weight_micros + CAST(floor(
+               -ln(-ln(((doc_id * 2654435761 + 7 * 40503 + 11)
+                        % 2147483647 + 1) / 2147483649.0))
+               * 1000000 + 0.5) AS BIGINT) AS key_micros
+      FROM sc),
+    rk AS (
+      SELECT *, row_number()
+               OVER (ORDER BY key_micros DESC, doc_id) AS r
+      FROM keyed)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           weight_micros, key_micros,
+           CAST(CASE WHEN r <= 200 THEN 1 ELSE 0 END AS BIGINT)
+             AS selected
+    FROM rk
+    """,
+    doc="D6 (DSIR data selection — Xie et al. 2023, importance "
+    "resampling): estimate bag-of-hashed-bigram distributions for the "
+    "clean TARGET subset (the reference sources src0-4, the same "
+    "reference/pool split as d6_crossdomain_lm) and the RAW candidate "
+    "pool, weight every candidate by the Laplace-smoothed log "
+    "importance ratio of its grams (per-bucket ratio rounded ONCE to "
+    "integer micros; per-doc weights associative BIGINT sums), and "
+    "select k=200 via the Gumbel-top-k trick with a seeded-LCG "
+    "uniform — sampling without replacement proportional to the "
+    "importance weight, deterministic for the oracle "
+    "(operators/pipeline.py:dsir_importance). Feature hashing keys on "
+    "the dense lexicographic gram rank through an LCG into 256 "
+    "buckets (oracle-exact; swap rank for xxhash64 at corpus scale, "
+    "the minhash id_mode='hash' convention). Scale shape: gram "
+    "explode + ranked_tokens' one-exchange rank; bucket counts "
+    "collapse map-side into <=256 rows; the weight table broadcasts; "
+    "one hash aggregate per doc; selection is "
+    "TakeOrderedAndProject(k) joined back as a flag — no corpus-wide "
+    "window, no collect.",
+)
+def d6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ref = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return P.dsir_importance(
+        docs.filter(ref), docs.filter(~ref),
+        n_buckets=256, k=200, seed=7,
+    )

@@ -1598,3 +1598,104 @@ def test_bitmap_allpairs_asserts_dense_id_rel(spark):
         D.jaccard_bitmap_allpairs(sh, 0.0).collect()
     )
     assert dense == ranked and len(dense) == 3
+
+
+def test_dsir_importance_matches_numpy_reference(spark):
+    """dsir_importance (r15) vs an independent pure-Python re-derivation
+    of the whole chain — bigrams, dense gram rank, LCG bucketing,
+    Laplace-smoothed per-bucket log-ratio micros, per-doc weight sums,
+    seeded-Gumbel keys, top-k selection — on a planted corpus where the
+    target distribution is skewed (target docs repeat 'alpha beta', so
+    candidates echoing that bigram must out-weigh candidates made of
+    off-target grams). Also pins: exactly min(k, n) selected; docs with
+    < 2 tokens excluded; selection invariant to partitioning."""
+    import math
+    import random
+
+    from citydata_etl_spark.operators import pipeline as P
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    target_rows = [
+        (1000 + i, "alpha beta " * 4 + "gamma", "src0")
+        for i in range(6)
+    ]
+    cand_rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            txt = "alpha beta " * 3 + "delta"
+        else:
+            txt = " ".join(rng.choice(words[2:]) for _ in range(9))
+        cand_rows.append((i, txt, "src9"))
+    cand_rows.append((777, "solo", "src9"))  # 1 token: no bigrams
+    docs = spark.createDataFrame(
+        target_rows + cand_rows, "doc_id LONG, text STRING, source STRING"
+    )
+    tgt = docs.filter(docs.source == "src0")
+    cand = docs.filter(docs.source != "src0")
+    k = 10
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in P.dsir_importance(
+            tgt, cand, n_buckets=256, k=k, seed=7
+        ).collect()
+    }
+
+    # independent reference
+    def bigrams(txt):
+        t = [w for w in txt.split(" ") if w]
+        return [f"{a} {b}" for a, b in zip(t, t[1:])] if len(t) >= 2 else []
+
+    tg = [bigrams(t) for _, t, _ in target_rows]
+    cg = {d: bigrams(t) for d, t, _ in cand_rows}
+    vocab = sorted({g for gs in tg for g in gs}
+                   | {g for gs in cg.values() for g in gs})
+    tid = {g: i for i, g in enumerate(vocab)}
+    B = 256
+    bkt = {g: (tid[g] * 2654435761 + 11) % 2147483647 % B for g in vocab}
+    ct, cr = [0] * B, [0] * B
+    for gs in tg:
+        for g in gs:
+            ct[bkt[g]] += 1
+    for gs in cg.values():
+        for g in gs:
+            cr[bkt[g]] += 1
+    tt, tr = sum(ct), sum(cr)
+    w = [
+        math.floor(
+            (math.log(ct[b] + 1) - math.log(tt + B)
+             - math.log(cr[b] + 1) + math.log(tr + B)) * 1e6 + 0.5
+        )
+        for b in range(B)
+    ]
+    ref = {}
+    for d, gs in cg.items():
+        if not gs:
+            continue
+        wm = sum(w[bkt[g]] for g in gs)
+        u = ((d * 2654435761 + 7 * 40503 + 11) % 2147483647 + 1) \
+            / 2147483649.0
+        key = wm + math.floor(-math.log(-math.log(u)) * 1e6 + 0.5)
+        ref[d] = (len(gs), wm, key)
+    top = set(sorted(ref, key=lambda d: (-ref[d][2], d))[:k])
+    assert set(out) == set(ref)  # 777 excluded (no bigrams)
+    for d, (ng, wm, key) in ref.items():
+        got = out[d]
+        assert (got["n_grams"], got["weight_micros"],
+                got["key_micros"]) == (ng, wm, key), d
+        assert got["selected"] == (1 if d in top else 0), d
+    assert sum(r["selected"] for r in out.values()) == k
+    # the skew shows: on-target candidates out-weigh off-target ones
+    on = [out[d]["weight_micros"] for d in out if d % 4 == 0]
+    off = [out[d]["weight_micros"] for d in out if d % 4 != 0]
+    assert min(on) > max(off)
+
+    # partition-invariance of the full output
+    out2 = {
+        r["doc_id"]: tuple(r)
+        for r in P.dsir_importance(
+            tgt.repartition(7), cand.repartition(5),
+            n_buckets=256, k=k, seed=7
+        ).collect()
+    }
+    assert out2 == {d: tuple(v.values()) for d, v in out.items()}
