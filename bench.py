@@ -454,14 +454,33 @@ def main() -> None:
         mm = re.match(r"([a-z]+)(\d*)", name)
         return mm.group(1) + (mm.group(2) if mm.group(1) == "d" else "")
 
+    # Headline timings are per-query BEST-OF-2 across the two sweeps
+    # (r16 ADVICE fix): summing only rep1 despite the double-sweep
+    # method meant (a) a query erroring in exactly one rep made
+    # `value` and `value2` totals over DIFFERENT query sets, and
+    # (b) mid-run load hitting rep1 still inflated the graded number
+    # the double sweep exists to de-noise. min() over the reps a
+    # query completed in keeps the totals comparable; the per-rep
+    # sums and query counts stay on the line for attribution.
+    def best_of_reps(rep1: dict, rep2: dict) -> dict[str, float]:
+        return {
+            n: round(min(
+                v for v in (rep1.get(n), rep2.get(n)) if v is not None
+            ), 3)
+            for n in set(rep1) | set(rep2)
+        }
+
+    best_warm = best_of_reps(timings, timings2)
+    best_cold = best_of_reps(timings_cold, timings2_cold)
+
     fam_warm: dict[str, float] = {}
     fam_cold: dict[str, float] = {}
-    for n, t in timings.items():
+    for n, t in best_warm.items():
         fam_warm[family(n)] = round(fam_warm.get(family(n), 0) + t, 2)
-    for n, t in timings_cold.items():
+    for n, t in best_cold.items():
         fam_cold[family(n)] = round(fam_cold.get(family(n), 0) + t, 2)
     slowest = dict(sorted(
-        ((n, round(t, 2)) for n, t in timings.items()),
+        ((n, round(t, 2)) for n, t in best_warm.items()),
         key=lambda kv: -kv[1],
     )[:25])
 
@@ -519,7 +538,9 @@ def main() -> None:
         "load_avg_before": [round(x, 2) for x in load_before],
         "load_avg_after": [round(x, 2) for x in load_after],
         "n_cpus": os.cpu_count(),
-        "n_queries": len(timings),
+        "n_queries": len(best_warm),
+        "n_queries_rep1": len(timings),
+        "n_queries_rep2": len(timings2),
     }
     if errors or errors2:
         out["n_errors"] = len(errors) + len(errors2)
@@ -530,10 +551,16 @@ def main() -> None:
             f"{k}@rep2": v for k, v in list(errors2.items())[:2]
         })
         out["errors"] = {k: v[:60] for k, v in list(both.items())[:3]}
+    # `value`/`value_cold` are the graded totals: per-query best-of-2
+    # (r16). The per-rep sums keep their r15 names so cross-round
+    # artifacts stay comparable: value_rep1 == r15's `value`,
+    # value2 == r15's `value2`.
     out["value2_cold"] = round(sum(timings2_cold.values()), 3)
     out["value2"] = round(sum(timings2.values()), 3)
-    out["value_cold"] = round(sum(timings_cold.values()), 3)
-    out["value"] = round(sum(timings.values()), 3)
+    out["value_rep1_cold"] = round(sum(timings_cold.values()), 3)
+    out["value_rep1"] = round(sum(timings.values()), 3)
+    out["value_cold"] = round(sum(best_cold.values()), 3)
+    out["value"] = round(sum(best_warm.values()), 3)
     line = json.dumps(out)
     if len(line) > 1900:  # hard guard: drop per-query detail before totals
         out["queries"] = dict(list(slowest.items())[:10])

@@ -1034,6 +1034,7 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     frame = None
     progressive = False
     adobe_transform = None  # APP14 color-transform flag (0/1/2)
+    saw_jfif = False  # APP0 "JFIF" seen — forces YCbCr for 3-comp frames
     restart_interval = 0
     coeff = None          # per-component MCU-padded coefficient arrays
     mcux = mcuy = 0
@@ -1458,6 +1459,14 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             if len(seg) != 2:
                 return None
             restart_interval = int.from_bytes(seg, "big")
+        elif marker == 0xE0:  # APP0: JFIF signature
+            # libjpeg (jdapimin.c default_decompress_parms) forces
+            # YCbCr for ANY 3-component frame once a JFIF APP0 was
+            # seen, consulting APP14 / component-id guesses only when
+            # JFIF is absent — track it so the stored-RGB decision
+            # below honors that precedence (r16 ADVICE fix).
+            if seg[:5] == b"JFIF\x00":
+                saw_jfif = True
         elif marker == 0xEE:  # APP14: Adobe color-transform flag
             if len(seg) >= 12 and seg[:5] == b"Adobe":
                 adobe_transform = seg[11]
@@ -1707,13 +1716,18 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
         return width, height, pack_rgb(r, g, bl)
     # 3-component STORED RGB (since r15): Adobe APP14 transform 0, or
     # no APP14 with the 'R','G','B' component-id signature — libjpeg's
-    # jdapimin color-space guess. The planes ARE the channels (already
-    # rounded and clamped per plane above); skipping the YCbCr convert
-    # is the whole profile. Unmarked cids 1/2/3 (JFIF) and transform 1
-    # stay YCbCr below.
-    if adobe_transform == 0 or (
-        adobe_transform is None
-        and tuple(c[0] for c in comps) == (0x52, 0x47, 0x42)
+    # jdapimin color-space guess, INCLUDING its JFIF precedence (r16):
+    # a JFIF APP0 forces YCbCr for any 3-component frame, and APP14 /
+    # component ids are consulted only when JFIF is absent
+    # (jdapimin.c default_decompress_parms). The planes ARE the
+    # channels (already rounded and clamped per plane above); skipping
+    # the YCbCr convert is the whole profile. JFIF frames, unmarked
+    # cids 1/2/3, and transform 1 stay YCbCr below.
+    if not saw_jfif and (
+        adobe_transform == 0 or (
+            adobe_transform is None
+            and tuple(c[0] for c in comps) == (0x52, 0x47, 0x42)
+        )
     ):
         r, g, bl = planes
         return width, height, pack_rgb(r, g, bl)

@@ -762,6 +762,7 @@ def dsir_importance(
     target: DataFrame, candidates: DataFrame,
     n_buckets: int = 256, k: int = 200, seed: int = 7,
     text_col: str = "text", id_col: str = "doc_id",
+    feature_mode: str = "rank",
 ) -> DataFrame:
     """DSIR-style data selection via importance resampling (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -776,8 +777,11 @@ def dsir_importance(
         both sides — they have no bigram evidence);
       - the feature hash is the dense lexicographic gram rank
         (ranked_tokens — oracle-exact) folded through the LCG
-        (tid * 2654435761 + 11) % (2^31-1) % n_buckets; at corpus
-        scale swap the rank for pmod(xxhash64(gram), prime) exactly as
+        (pmod(tid, 2^31-1) * 2654435761 + 11) % (2^31-1) % n_buckets
+        (ids reduced mod the prime BEFORE the multiply so the product
+        stays inside int64 for any input — identity for the fixture
+        range); at corpus scale pass feature_mode='hash' to swap the
+        rank for pmod(xxhash64(gram), prime) exactly as
         minhash_lsh_pairs' id_mode='hash' does — topology unchanged;
       - per-bucket log ratio is Laplace-smoothed and rounded ONCE to
         integer micros: floor((ln(ct+1) - ln(Tt+B) - ln(cr+1)
@@ -786,8 +790,8 @@ def dsir_importance(
         per-doc weights are then associative BIGINT sums of occurrence
         weights;
       - the Gumbel key derives from a seeded LCG uniform
-        u = ((id * 2654435761 + seed*40503 + 11) % (2^31-1) + 1)
-        / 2147483649.0 in (0,1): key_micros = weight_micros
+        u = ((pmod(id, 2^31-1) * 2654435761 + seed*40503 + 11)
+        % (2^31-1) + 1) / 2147483649.0 in (0,1): key_micros = weight_micros
         + floor(-ln(-ln(u)) * 1e6 + 0.5) — Gumbel(0,1) in micros;
       - selection is the k largest key_micros (ties: lower id wins).
 
@@ -820,15 +824,33 @@ def dsir_importance(
             F.col("shingle").alias("token"),
         )
 
+    if feature_mode not in ("rank", "hash"):
+        raise ValueError(f"unknown feature_mode: {feature_mode!r}")
     g = scoped_persist(
         grams(target, 0).unionByName(grams(candidates, 1))
     )
-    bk = ranked_tokens(g).select(
-        id_col, "__side",
-        ((F.col("tid") * F.lit(_SPLIT_A) + F.lit(11))
-         % F.lit(HASH_PRIME) % F.lit(n_buckets)).cast("int")
-        .alias("bucket"),
-    )
+    if feature_mode == "hash":
+        # corpus-scale path (r16 VERDICT task 5, the minhash
+        # id_mode='hash' precedent made a real code path instead of a
+        # docstring): bucket straight off the gram bytes —
+        # pmod(xxhash64(gram), prime) % n_buckets — so there is NO
+        # vocabulary distinct + global rank at all. Engine-specific
+        # (xxhash64), so entries on this path are rows-only; the
+        # rank path below is the oracle-exact twin with identical
+        # topology past this projection.
+        bk = g.select(
+            id_col, "__side",
+            (F.pmod(F.xxhash64("token"), F.lit(HASH_PRIME))
+             % F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+    else:
+        bk = ranked_tokens(g).select(
+            id_col, "__side",
+            ((F.pmod(F.col("tid"), F.lit(HASH_PRIME)) * F.lit(_SPLIT_A)
+              + F.lit(11))
+             % F.lit(HASH_PRIME) % F.lit(n_buckets)).cast("int")
+            .alias("bucket"),
+        )
     bk = scoped_persist(bk)
     per_bucket = bk.groupBy("bucket").agg(
         F.sum(F.when(F.col("__side") == 0, 1).otherwise(0))
@@ -858,8 +880,18 @@ def dsir_importance(
             F.sum("w_micros").cast("bigint").alias("weight_micros"),
         )
     )
-    um = (F.col(id_col) * F.lit(_SPLIT_A) + F.lit(seed * 40503 + 11)) \
-        % F.lit(HASH_PRIME)
+    # Fold the id mod the prime BEFORE the multiply (the lcg_pick
+    # convention, r16 ADVICE fix): the raw product id * 2654435761
+    # silently wraps int64 past id ~ 3.47e9 in non-ANSI Spark (and a
+    # negative id would give a negative modulus -> u <= 0 -> NaN
+    # Gumbel -> a null key that desc-sorts last, silently never
+    # selecting the doc). pmod bounds the product at
+    # (2^31 - 2) * 2654435761 ~ 5.7e18 < int64 max for ANY id and
+    # keeps u in (0, 1); for ids already in [0, 2^31 - 1) — every
+    # fixture id — the fold is the identity, so outputs are
+    # bit-identical to the r15 oracle.
+    um = (F.pmod(F.col(id_col), F.lit(HASH_PRIME)) * F.lit(_SPLIT_A)
+          + F.lit(seed * 40503 + 11)) % F.lit(HASH_PRIME)
     u = (um + F.lit(1)).cast("double") / F.lit(2147483649.0)
     gumbel = F.floor(-F.log(-F.log(u)) * 1000000 + F.lit(0.5)) \
         .cast("bigint")

@@ -904,7 +904,7 @@ def _lcg_seed_rows(
 def ivf_topk_exactseed(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    round_digits: int = 4,
+    round_digits: int = 4, max_list_len: int | None = None,
 ) -> DataFrame:
     """Oracle-exact twin of ivf_topk (the d4_ann_lsh_rank playbook
     applied to IVF): the SAME assign -> probe -> pruned-join -> exact
@@ -939,10 +939,22 @@ def ivf_topk_exactseed(
     to the driver — a parameter-bounded model, never the corpus), the
     probe join is an equi-join on cluster that scans only
     n_probe/n_centroids of the corpus.
+
+    `max_list_len` (r16, the capped PRODUCTION posture made
+    oracle-exact): caps every inverted list at that many members,
+    kept by smallest (lcg_pick(id), id) — ivf_topk's smallest-
+    xxhash64 uniform-subsample rule restated in the engine's integer
+    LCG so the truncated candidate SET is SQL-stateable bit-for-bit.
+    Same bound as production: per-query candidates <=
+    n_probe * max_list_len regardless of corpus size (the lever the
+    r14 scale rehearsal's ~n^1.5 probe-shuffle ramp requires);
+    queries are never capped, only the candidate side.
     """
     seeds = _lcg_seed_rows(emb, n_centroids, id_col, vec_col)
     base = _int_base(emb, id_col, vec_col)
-    return _int_probe_rerank(base, seeds, k, n_probe, round_digits)
+    return _int_probe_rerank(
+        base, seeds, k, n_probe, round_digits, max_list_len
+    )
 
 
 def _int_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -955,14 +967,19 @@ def _int_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _int_probe_rerank(
     base: DataFrame, cents: DataFrame, k: int, n_probe: int,
-    round_digits: int,
+    round_digits: int, max_list_len: int | None = None,
 ) -> DataFrame:
     """The shared integer assign -> probe -> pruned-join -> exact-rerank
     tail of the oracle-exact IVF twins: `cents` is any small
     (cidx, ci: ARRAY<BIGINT>) centroid table (LCG seeds for
     ivf_topk_exactseed, the trained table for ivf_topk_distexact);
     assignment/probes are exact BIGINT dot argmax with ties to the
-    smaller cidx, rerank is exact double cosine within probed lists."""
+    smaller cidx, rerank is exact double cosine within probed lists.
+    `max_list_len` truncates each inverted list to its members with
+    the smallest (lcg_pick(id), id) — production ivf_topk's
+    deterministic uniform-subsample cap in SQL-stateable integer form
+    (one window keyed by the cluster the lists already partition on;
+    only the CANDIDATE side is capped, queries always probe)."""
     pw = W.partitionBy("id").orderBy(F.col("idot").desc(), F.col("cidx"))
     # both join sides (queries = all probes, candidates = prnk 1) read
     # pr — persist so the broadcast-fan-out + assignment window runs once
@@ -981,6 +998,15 @@ def _int_probe_rerank(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("norm2").alias("cn"), F.col("cidx").alias("cluster"),
     )
+    if max_list_len is not None:
+        lw = W.partitionBy("cluster").orderBy(
+            lcg_pick(F.col("neighbor_id")), F.col("neighbor_id")
+        )
+        c = (
+            c.withColumn("__lr", F.row_number().over(lw))
+            .filter(F.col("__lr") <= max_list_len)
+            .drop("__lr")
+        )
     dot = _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
     # each candidate belongs to exactly ONE list and a query's probes
     # are distinct lists, so (query, neighbor) pairs are already unique

@@ -1222,6 +1222,98 @@ def d4_ann_ivf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d4_ann_ivf_capped_rank",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+      SELECT vec_id, e,
+             list_transform(
+               e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS ei
+      FROM v),
+    seedrank AS (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY (1103515245 * (vec_id % 2147483647) + 12345) % 2147483647,
+                        vec_id) - 1 AS cidx
+      FROM v),
+    seeds AS (
+      SELECT s.cidx, q.ei AS ci
+      FROM seedrank s JOIN q ON s.vec_id = q.vec_id
+      WHERE s.cidx < 16),
+    dots AS (
+      SELECT q.vec_id, s.cidx,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(64), d ->
+                   q.ei[CAST(d + 1 AS INT)] * s.ci[CAST(d + 1 AS INT)])),
+               (a, x) -> a + x) AS idot
+      FROM q CROSS JOIN seeds s),
+    pr AS (
+      SELECT vec_id, cidx,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY idot DESC, cidx) AS prnk
+      FROM dots),
+    assign AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk = 1),
+    -- the production cap in closed form: keep each inverted list's 16
+    -- members with the smallest (LCG(id), id) — the same deterministic
+    -- uniform-subsample rule ivf_topk applies with xxhash64
+    capped AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (
+                 PARTITION BY cluster
+                 ORDER BY (1103515245 * (vec_id % 2147483647) + 12345)
+                            % 2147483647,
+                          vec_id) AS lr
+        FROM assign) t
+      WHERE lr <= 16),
+    probes AS (SELECT vec_id, cidx AS cluster FROM pr WHERE prnk <= 4),
+    pairs AS (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(vq.e, vn.e)
+                   / (sqrt(list_dot_product(vq.e, vq.e))
+                      * sqrt(list_dot_product(vn.e, vn.e))), 4) AS cos_sim
+      FROM probes p
+      JOIN capped a ON p.cluster = a.cluster AND p.vec_id <> a.vec_id
+      JOIN v vq ON vq.vec_id = p.vec_id
+      JOIN v vn ON vn.vec_id = a.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    doc="D4 (r16 VERDICT task 1): the CAPPED production posture of IVF "
+    "under an oracle-exact driver row. d4_ann_ivf has run "
+    "max_list_len=256 since r15, but its Lloyd-trained centroids make "
+    "it rows-only by construction and its oracle-exact twins stated "
+    "the UNCAPPED probe scan — so the one lever the r14 scale "
+    "rehearsal showed 100 TB requires (capping sqrt(n)-sized lists to "
+    "bound the ~n^1.5 probe shuffle) had no hash-verified row. This "
+    "entry is d4_ann_ivf_rank with max_list_len=16: inverted lists "
+    "are truncated to their 16 members with the smallest "
+    "(lcg_pick(id), id) — ivf_topk's smallest-xxhash64 uniform "
+    "subsample restated in the engine's integer LCG so the truncated "
+    "candidate SET is SQL-stateable bit-for-bit "
+    "(operators/similarity.py:_int_probe_rerank). The cap is ACTIVE "
+    "at the driver's sf0.01 (500 vectors / 16 lists, mean occupancy "
+    "~31 > 16; asserted with planted occupancy in "
+    "test_ivf_exactseed_cap_matches_reference), so the driver "
+    "verifies the capped candidate set itself, not a no-op flag.",
+)
+def d4_ann_ivf_capped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = S.ivf_topk_exactseed(
+        emb, k=5, n_centroids=16, n_probe=4, max_list_len=16
+    )
+    return out.withColumn("rnk", F.col("rnk").cast("bigint"))
+
+
+@register(
     "d4_ann_ivf_dist_rank",
     oracle="""
     WITH v AS (
@@ -4167,7 +4259,18 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     hmax = max(sh for sh, _ in sampling)
     vmax = max(sv for _, sv in sampling)
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # JFIF APP0 only when the frame really is JFIF: libjpeg
+    # (jdapimin.c) gives a JFIF marker PRECEDENCE over APP14 and
+    # component-id guesses for 3-component frames, so emitting it on
+    # an Adobe-transform or R,G,B-cid blob would contradict the color
+    # model the blob declares (r16 ADVICE fix — previously every blob
+    # carried JFIF unconditionally, making the stored-RGB fixtures
+    # decode YCbCr under libjpeg). JFIF is also only defined for 1/3
+    # components, so Adobe CMYK/YCCK drops it too.
+    if adobe_transform is None and \
+            component_ids == [c + 1 for c in range(n_comp)]:
+        out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00"
+                b"\x01\x00\x00")
     if exif_orientation is not None:
         # APP1 EXIF: TIFF II header + a one-entry IFD0 carrying tag
         # 0x0112 (SHORT, left-justified value field per TIFF 6.0)
@@ -4673,7 +4776,13 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       functions, now channels directly — no YCbCr convert), with
       the detection signature alternating: APP14 transform 0 at
       d % 10 == 2, the unmarked 'R','G','B' component-id signature
-      at d % 10 == 7. Progressive/DRI compose as before."""
+      at d % 10 == 7. Progressive/DRI compose as before. Since r16
+      these blobs carry NO JFIF APP0 (encode_jpeg drops it whenever
+      adobe_transform is set or the cids are non-JFIF): libjpeg's
+      jdapimin gives a JFIF marker precedence over both signatures
+      for 3-component frames, and the decoder now honors that — a
+      JFIF+APP14-transform-0 dual-marker blob decodes YCbCr
+      (pixels unchanged; only the blob bytes differ from r15)."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")

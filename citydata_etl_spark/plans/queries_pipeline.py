@@ -1281,3 +1281,37 @@ def d6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(ref), docs.filter(~ref),
         n_buckets=256, k=200, seed=7,
     )
+
+
+@register(
+    "d6_dsir_select_hash",
+    oracle=None,  # engine-specific by construction: buckets key on
+    # Spark's xxhash64 over the gram bytes, which no external SQL
+    # engine restates; d6_dsir_select is the oracle-exact twin with
+    # identical topology (only the bucket projection differs), and
+    # test_dsir_feature_modes_overlap pins that both modes select
+    # overlapping top sets on planted data.
+    doc="D6 (r16 VERDICT task 5): DSIR's CORPUS-SCALE feature path "
+    "under a driver row — feature_mode='hash' buckets each bigram via "
+    "pmod(xxhash64(gram), prime) % n_buckets straight off the gram "
+    "bytes, eliminating the vocabulary distinct + global dense rank "
+    "that the oracle-exact rank mode pays (a full-corpus exchange a "
+    "100 TB vocabulary cannot afford — the same swap "
+    "minhash_lsh_pairs ships as id_mode='hash'). Everything past the "
+    "bucket projection is the identical DSIR chain: map-side-collapsed "
+    "bucket counts, broadcast weight table, per-doc BIGINT weight "
+    "sums, seeded-Gumbel top-k via TakeOrderedAndProject "
+    "(operators/pipeline.py:dsir_importance). Rows-only by "
+    "construction (xxhash64); the driver still gates rows + schema, "
+    "and the rank-mode twin d6_dsir_select carries the bit-exact "
+    "oracle for the shared chain.",
+)
+def d6_dsir_select_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ref = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return P.dsir_importance(
+        docs.filter(ref), docs.filter(~ref),
+        n_buckets=256, k=200, seed=7, feature_mode="hash",
+    )

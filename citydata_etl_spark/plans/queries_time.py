@@ -398,9 +398,66 @@ ROCKSDB_STATE_STORE_PROVIDER = (
 )
 
 
+#: Measured keys-per-partition knee for bounded AvailableNow runs on
+#: local[32] (SCALE_REHEARSAL_r15.json): ~1.5k active keys saturate 4
+#: state partitions (t10), and the same load at 100x keys (150k) costs
+#: 5x when partitions stay fixed at 4 — so partitions scale with
+#: active-key cardinality at this ratio until the 2-4x-cores ceiling.
+_KEYS_PER_STATE_PARTITION = 375
+
+
+def state_partitions_for(
+    est_active_keys: int, cores: int, per_group_python: bool = False,
+) -> int:
+    """Derive the state-partition count from estimated active-key
+    cardinality — the r15 rehearsal's sizing guidance made SELF-ACTING
+    (r16 VERDICT task 6) instead of a call-site comment.
+
+    Inputs: `est_active_keys` — the expected distinct state keys in
+    flight (catalog entries pass their fixture cardinality; a
+    deployment passes table stats); `cores` — total executor cores
+    (the clamp ceiling, 4x cores, per the written guidance);
+    `per_group_python` — True when the query runs a real Python kernel
+    per group per batch (buffered sessionizers), which moves the knee
+    from store-commit overhead to kernel parallelism — measured 4x
+    (t12: 4 -> ~8.3 s, 16 -> ~4.9 s at the same ~1.5k keys where the
+    built-in aggregations' knee is 4).
+
+    Derivation: clamp(ceil(keys / 375) [* 4 if per-group Python],
+    4, 4 * cores). Reproduces every measured knee — 4 for t10's ~1.5k
+    keys, 16 for t12/t19's Python sessionizers, and moves right with
+    key cardinality exactly as SCALE_REHEARSAL_r15.json measured (at
+    10x keys the t12 knee moved 16 -> 32+; at 100x keys fixed-4 cost
+    377 s vs 72 s) — while never exceeding 4x cores, past which
+    store-commit machinery wins again. Partition count never changes
+    RESULTS (state is keyed), only where the knee lands, so every
+    oracle stays byte-identical; it must be set before the first
+    checkpoint, which is why the estimate is an input, not something
+    discovered mid-stream."""
+    base = max(4, -(-est_active_keys // _KEYS_PER_STATE_PARTITION))
+    if per_group_python:
+        base *= 4
+    return max(4, min(4 * cores, base))
+
+
+def _est_event_users(sf_dir: str) -> int:
+    """The events table's active-key (user_id) cardinality by scale
+    factor — TESTDATA.md: 15 users at sf0.001, 150 at sf0.01, 1500 at
+    sf0.1, i.e. 15000 * sf. The fixture-cardinality estimate catalog
+    entries hand to state_partitions_for, standing in for the
+    table-stats lookup a deployment would do."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.01
+    return max(1, int(round(15000 * sf)))
+
+
 def _await_with_state_partitions(
-    spark: SparkSession, writer, n_partitions: int = 4,
+    spark: SparkSession, writer, n_partitions: int | None = None,
     state_store_provider: str | None = None,
+    est_active_keys: int | None = None,
+    per_group_python: bool = False,
 ) -> None:
     """Start + await a bounded streaming query with the two state-sizing
     levers every stateful query must pin:
@@ -409,9 +466,13 @@ def _await_with_state_partitions(
       number of state stores for the checkpoint's lifetime. Every store
       pays commit machinery per batch (a stream-stream join commits FOUR
       per partition), which is pure fixed overhead on a bounded run —
-      the catalog defaults to 4, measured as the knee for these loads
-      (exception: t12's buffered sessionizer pins 16 — heavy per-group
-      Python shifts the knee; see its call site).
+      the catalog defaults to 4, measured as the knee for these loads.
+      Since r16 callers pass `est_active_keys` (+ `per_group_python`
+      for buffered Python sessionizers) instead of a hand-pinned
+      count, and state_partitions_for derives the knee from key
+      cardinality — see its docstring for the measured derivation
+      (t10/t12 pass their fixture cardinality and derive today's
+      4 / 16 exactly).
       At real scale this is sized UP to key cardinality / executor count
       (2-4x total cores), never lowered — and it cannot be changed after
       the first checkpoint. That guidance is now MEASURED, not advisory
@@ -431,6 +492,15 @@ def _await_with_state_partitions(
     """
     import os
 
+    if n_partitions is None:
+        if est_active_keys is not None:
+            n_partitions = state_partitions_for(
+                est_active_keys,
+                spark.sparkContext.defaultParallelism,
+                per_group_python,
+            )
+        else:
+            n_partitions = 4
     if state_store_provider is None and (
         os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "").lower() == "rocksdb"
     ):
@@ -910,11 +980,16 @@ def t10_stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("event_id", "ts", "user_id", "event_type")
     )
     name = f"t10_stream_dynsess_{next(_STREAM_SEQ)}"
+    # sized from the fixture's active-key cardinality (r16: the r15
+    # rehearsal's guidance made self-acting — state_partitions_for).
+    # Light per-group state (5 ints), so no per_group_python factor:
+    # derives 4 at every driver SF, today's measured knee.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(name),
+        est_active_keys=_est_event_users(sf_dir),
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
 
@@ -1173,14 +1248,20 @@ def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cardinality-dependent, not volume-dependent — at 10x EVENT
     # VOLUME (fixed 1.5k keys) it stays at 16 (8/16/32 -> 7.05/6.37/
     # 8.06 s), but at 10x KEYS (15k) it moves right (8/16/32 ->
-    # 30.1/16.0/12.6 s: 32 now wins). Size partitions with active-key
-    # cardinality at deployment, toward 2-4x cores once keys >> cores.
+    # 30.1/16.0/12.6 s: 32 now wins). r16: that sizing is now
+    # SELF-ACTING — state_partitions_for derives the count from the
+    # fixture's key cardinality with the measured per-group-Python
+    # factor (derives 16 here at every driver SF, the same knee the
+    # old defaultParallelism/2 expression pinned on local[32], and
+    # moves right with keys at deployment instead of with the
+    # driver's core count).
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(name),
-        n_partitions=max(4, spark.sparkContext.defaultParallelism // 2),
+        est_active_keys=_est_event_users(sf_dir),
+        per_group_python=True,
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
 

@@ -647,6 +647,103 @@ def test_ivf_max_list_len_caps_candidates(spark, clustered_vecs):
     assert 0.05 < recall < 1.0, recall  # (b): degraded, not dead
 
 
+def test_ivf_exactseed_cap_matches_reference(spark, clustered_vecs):
+    """r16 VERDICT task 1: the capped production posture under an
+    oracle-exact statement. ivf_topk_exactseed(max_list_len=m) must
+    agree BIT-FOR-BIT with an independent Python model of the capped
+    contract — LCG seed pick, integer-dot assign/probe, lists
+    truncated to their m members with the smallest (LCG(id), id),
+    exact cosine rerank — with the cap verifiably ACTIVE (some list
+    over occupancy, result != uncapped) and the per-query candidate
+    bound n_probe * m holding. Also asserts the catalog entry's
+    configuration (16 lists, cap 16) is ACTIVE on the driver's sf0.01
+    embeddings: mean occupancy ~31 > 16, so the driver row exercises
+    the truncated candidate set, not a no-op flag."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    cap = 3
+    out = S.ivf_topk_exactseed(
+        clustered_vecs, k=5, n_centroids=16, n_probe=4, max_list_len=cap
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rnk"])
+           for r in out}
+
+    rows = clustered_vecs.collect()
+    ids = [r["vec_id"] for r in rows]
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
+    mic = {i: np.floor(V[i] * 1e6 + 0.5).astype(np.int64) for i in ids}
+
+    def lcg(i):
+        return (1103515245 * (i % 2147483647) + 12345) % 2147483647
+
+    seeds = sorted(ids, key=lambda i: (lcg(i), i))[:16]
+
+    def centroid_order(i):
+        dots = [int(mic[i] @ mic[s]) for s in seeds]
+        return sorted(range(16), key=lambda c: (-dots[c], c))
+
+    assign = {i: centroid_order(i)[0] for i in ids}
+    probes = {i: set(centroid_order(i)[:4]) for i in ids}
+    lists: dict[int, list] = {}
+    for i in ids:
+        lists.setdefault(assign[i], []).append(i)
+    # the cap must be ACTIVE on this corpus
+    assert max(len(v) for v in lists.values()) > cap
+    kept = {
+        i
+        for members in lists.values()
+        for i in sorted(members, key=lambda i: (lcg(i), i))[:cap]
+    }
+
+    def cos(a, b):
+        d = float(V[a] @ V[b]) / (
+            math.sqrt(float(V[a] @ V[a])) * math.sqrt(float(V[b] @ V[b]))
+        )
+        return math.copysign(math.floor(abs(d) * 1e4 + 0.5) / 1e4, d)
+
+    expect = set()
+    for qid in ids:
+        cands = [n for n in kept
+                 if n != qid and assign[n] in probes[qid]]
+        assert len(cands) <= 4 * cap  # the production bound
+        ranked = sorted(cands, key=lambda n: (-cos(qid, n), n))[:5]
+        for rnk, n in enumerate(ranked, 1):
+            expect.add((qid, n, cos(qid, n), rnk))
+    assert got == expect
+
+    # the cap changed the answer (not a no-op on this corpus)
+    uncapped = {
+        tuple(r)
+        for r in S.ivf_topk_exactseed(
+            clustered_vecs, k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert {tuple(r) for r in out} != uncapped
+
+    # the catalog entry's cap (16 lists, max_list_len=16) is ACTIVE at
+    # the driver's sf0.01: occupancy exceeds the cap
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    occ = (
+        S._lcg_seed_rows(emb, 16, "vec_id", "embedding")
+        .crossJoin(S._int_base(emb, "vec_id", "embedding"))
+        .withColumn("idot", S._idot(F.col("vi"), F.col("ci")))
+        .withColumn(
+            "prnk",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(
+                    F.col("idot").desc(), F.col("cidx"))),
+        )
+        .filter(F.col("prnk") == 1)
+        .groupBy("cidx").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert occ > 16, f"cap inactive at sf0.01: max occupancy {occ}"
+
+
 def test_semantic_dedup_matches_numpy_reference(spark):
     """semantic_dedup vs an independent numpy re-implementation of the
     deterministic SemDeDup rule (seed medoids, argmax assignment, pairwise
@@ -1699,3 +1796,111 @@ def test_dsir_importance_matches_numpy_reference(spark):
         ).collect()
     }
     assert out2 == {d: tuple(v.values()) for d, v in out.items()}
+
+
+def test_dsir_gumbel_seed_survives_huge_and_negative_ids(spark):
+    """r16 ADVICE fix: the Gumbel seed LCG folds the id mod 2^31-1
+    BEFORE the Knuth multiply. Pre-fix, ids >= ~3.47e9 wrapped int64
+    (non-ANSI) or raised (ANSI), and NEGATIVE ids gave a negative
+    modulus -> u <= 0 -> NaN -ln(-ln(u)) -> a null key_micros that
+    desc-sorts last (the doc silently never selected). Plant both id
+    classes and check every key is non-null and equals the reduced-
+    form reference; in-range ids must be bit-identical to the
+    unreduced r15 arithmetic (the fold is the identity there)."""
+    import math
+
+    from citydata_etl_spark.operators import pipeline as P
+
+    tgt = spark.createDataFrame(
+        [(1, "alpha beta alpha beta")], "doc_id LONG, text STRING"
+    )
+    ids = [5, 12, 2**40 + 3, 2**62 // 3, -5, -(2**35)]
+    cand = spark.createDataFrame(
+        [(d, "alpha beta gamma delta") for d in ids],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in P.dsir_importance(
+            tgt, cand, n_buckets=64, k=3, seed=7
+        ).collect()
+    }
+    assert set(out) == set(ids)
+    m = 2147483647
+    for d in ids:
+        key = out[d]["key_micros"]
+        assert key is not None, d
+        um = ((d % m + m) % m * 2654435761 + 7 * 40503 + 11) % m
+        u = (um + 1) / 2147483649.0
+        want = out[d]["weight_micros"] + math.floor(
+            -math.log(-math.log(u)) * 1e6 + 0.5
+        )
+        assert key == want, d
+        if 0 <= d < m:  # identity on the fixture range
+            assert um == (d * 2654435761 + 7 * 40503 + 11) % m
+    assert sum(r["selected"] for r in out.values()) == 3
+
+
+def test_dsir_feature_modes_overlap(spark):
+    """r16 VERDICT task 5: feature_mode='hash' (corpus-scale xxhash64
+    bucketing, no vocabulary rank) and the oracle-exact 'rank' mode
+    are two bucketings of the SAME importance-resampling chain, so on
+    planted data with a strongly skewed target distribution they must
+    (a) produce identical schemas and eligible-doc sets, (b) both put
+    every on-target candidate above every off-target one, and (c)
+    select heavily overlapping top sets. Also pins that the hash
+    mode's plan contains NO vocabulary window/rank exchange — the
+    point of the mode."""
+    import random
+
+    from citydata_etl_spark.operators import pipeline as P
+
+    rng = random.Random(7)
+    words = ["gamma", "delta", "eps", "zeta", "theta", "iota"]
+    tgt = spark.createDataFrame(
+        [(1000 + i, "alpha beta " * 5) for i in range(8)],
+        "doc_id LONG, text STRING",
+    )
+    cand_rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            txt = "alpha beta " * 4 + "gamma"
+        else:
+            txt = " ".join(rng.choice(words) for _ in range(11))
+        cand_rows.append((i, txt))
+    cand = spark.createDataFrame(cand_rows, "doc_id LONG, text STRING")
+
+    k = 15
+    outs = {}
+    for mode in ("rank", "hash"):
+        df = P.dsir_importance(
+            tgt, cand, n_buckets=512, k=k, seed=7, feature_mode=mode
+        )
+        outs[mode] = {r["doc_id"]: r.asDict() for r in df.collect()}
+        assert sorted(df.columns) == [
+            "doc_id", "key_micros", "n_grams", "selected", "weight_micros"
+        ]
+    assert set(outs["rank"]) == set(outs["hash"])  # (a)
+    for mode in ("rank", "hash"):
+        on = [v["weight_micros"] for d, v in outs[mode].items()
+              if d % 3 == 0]
+        off = [v["weight_micros"] for d, v in outs[mode].items()
+               if d % 3 != 0]
+        assert min(on) > max(off), mode  # (b)
+        assert sum(v["selected"] for v in outs[mode].values()) == k
+    sel_rank = {d for d, v in outs["rank"].items() if v["selected"]}
+    sel_hash = {d for d, v in outs["hash"].items() if v["selected"]}
+    # 20 on-target docs dominate both weightings; with k=15 both top
+    # sets draw from that pool, so the overlap is structural, not
+    # probabilistic luck on bucket collisions
+    assert len(sel_rank & sel_hash) >= 12, (sel_rank, sel_hash)  # (c)
+
+    # (no-rank plan) the point of the mode: the hash path buckets off
+    # the gram bytes (xxhash64 in the plan) and pays NO vocabulary
+    # distinct + global dense rank (no rank window anywhere — the
+    # rest of the DSIR chain is windowless by design)
+    plan = P.dsir_importance(
+        tgt, cand, n_buckets=512, k=k, seed=7, feature_mode="hash"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "dense_rank" not in plan and "row_number" not in plan

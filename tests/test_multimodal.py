@@ -436,10 +436,10 @@ def test_jpeg_cmyk_ycck_decode_matches_reference():
     # 3-component transform 0 is STORED RGB since r15 (it rejected
     # through r14): the planes pass through as channels — here the
     # first three CMYK planes reinterpreted, so pixel (0,0) is the
-    # flat (c0, c1, c2) tile values directly
-    rgb3 = encode_jpeg(ps[:3], w, h)
-    rgb3 = rgb3[:2] \
-        + b"\xff\xee\x00\x0eAdobe\x00\x64\x00\x00\x00\x00\x00" + rgb3[2:]
+    # flat (c0, c1, c2) tile values directly. Since r16 the encoder
+    # emits NO JFIF APP0 alongside the Adobe marker (libjpeg's JFIF
+    # precedence would force YCbCr on a JFIF+APP14 dual-marker blob).
+    rgb3 = encode_jpeg(ps[:3], w, h, adobe_transform=0)
     dec_rgb = M._decode_jpeg_rgb(rgb3)
     assert dec_rgb is not None
     assert tuple(int(v) for v in dec_rgb[2][0, 0]) == (
@@ -2855,6 +2855,70 @@ def test_jpeg_stored_rgb_decodes_property():
         assert np.array_equal(db[2], ds[2]), prec
 
 
+def test_jpeg_jfif_precedence_over_adobe():
+    """r16 ADVICE fix: libjpeg (jdapimin.c default_decompress_parms)
+    forces YCbCr for ANY 3-component frame that carries a JFIF APP0,
+    consulting the APP14 transform / component-id guesses only when
+    JFIF is absent. Pin that precedence: splicing a JFIF APP0 into a
+    stored-RGB blob (either signature) must flip the decode to YCbCr
+    — byte-identical to the plain JFIF encode of the same
+    coefficients — and the encoder must no longer emit JFIF on blobs
+    whose declared color model contradicts it."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    rng = random.Random(4242)
+    w, h = 19, 11
+    bw, bh = 3, 2
+
+    def rb(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-129, 128)
+            for k in range(1, 64):
+                if rng.random() < 0.4:
+                    blk[k // 8][k % 8] = rng.randrange(-120, 121)
+            out.append(blk)
+        return out
+
+    comps = [rb(bw * bh) for _ in range(3)]
+    JFIF = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    plain = encode_jpeg(comps, w, h)  # default cids -> JFIF YCbCr
+    assert b"JFIF\x00" in plain
+    ycbcr = M._decode_jpeg_rgb(plain)
+
+    for kw in ({"adobe_transform": 0},
+               {"component_ids": [0x52, 0x47, 0x42]}):
+        srgb_blob = encode_jpeg(comps, w, h, **kw)
+        # encoder: no JFIF on a stored-RGB-signature blob
+        assert b"JFIF\x00" not in srgb_blob
+        srgb = M._decode_jpeg_rgb(srgb_blob)
+        assert srgb is not None
+        assert not np.array_equal(srgb[2], ycbcr[2])
+        # decoder: splice JFIF after SOI -> JFIF wins, YCbCr decode
+        dual = srgb_blob[:2] + JFIF + srgb_blob[2:]
+        dec = M._decode_jpeg_rgb(dual)
+        assert dec is not None
+        assert np.array_equal(dec[2], ycbcr[2])
+
+    # CMYK/YCCK blobs drop JFIF too (JFIF is defined for 1/3 comps
+    # only) and still decode
+    four = [rb(bw * bh) for _ in range(4)]
+    for tf in (0, 2):
+        blob4 = encode_jpeg(four, w, h, adobe_transform=tf)
+        assert b"JFIF\x00" not in blob4
+        assert M._decode_jpeg_rgb(blob4) is not None
+
+    # grayscale keeps JFIF
+    g = encode_jpeg([rb(bw * bh)], w, h)
+    assert b"JFIF\x00" in g and M._decode_jpeg_rgb(g) is not None
+
+
 def test_image_ahash_orientation_invariant(spark):
     """r15 orientation convention for perceptual hashing: image_ahash
     fingerprints the EXIF-UPRIGHT raster, so a JPEG stored rotated
@@ -2939,10 +3003,11 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
     )
 
     def parse_sof(blob):
-        """Return (sof_marker, precision, [(cid, h, v)]) and the APP14
-        transform byte (or None) from a JFIF blob."""
+        """Return (sof_marker, precision, [(cid, h, v)], APP14
+        transform byte or None, saw_jfif) from a JPEG blob."""
         i, n = 2, len(blob)
         app14 = None
+        jfif = False
         while i + 4 <= n:
             assert blob[i] == 0xFF, "marker walk desynced"
             marker = blob[i + 1]
@@ -2951,6 +3016,8 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
                 continue
             ln = int.from_bytes(blob[i + 2:i + 4], "big")
             seg = blob[i + 4:i + 2 + ln]
+            if marker == 0xE0 and seg[:5] == b"JFIF\x00":
+                jfif = True
             if marker == 0xEE and seg[:5] == b"Adobe":
                 app14 = seg[11]
             if marker in (0xC0, 0xC1, 0xC2):
@@ -2960,7 +3027,7 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
                      seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F)
                     for c in range(nc)
                 ]
-                return marker, prec, comps, app14
+                return marker, prec, comps, app14, jfif
             i += 2 + ln
         return None
 
@@ -2976,7 +3043,7 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
             continue
         parsed = parse_sof(blob)
         assert parsed is not None, d
-        marker, prec, comps, app14 = parsed
+        marker, prec, comps, app14, jfif = parsed
         if d % 10 == 5:
             assert prec == 12, d
             assert marker in (0xC1, 0xC2), d
@@ -2987,6 +3054,11 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
             assert M._decode_jpeg_rgb(blob) is not None, d
         elif d % 5 == 2:
             assert prec == 8 and len(comps) == 3, d
+            # r16 ADVICE fix: stored-RGB blobs must NOT carry a JFIF
+            # APP0 — libjpeg's JFIF precedence would force YCbCr on
+            # any 3-component JFIF frame, contradicting the declared
+            # color model
+            assert not jfif, d
             if d % 10 == 2:
                 assert app14 == 0, d
                 assert [c[0] for c in comps] == [1, 2, 3], d
@@ -2998,6 +3070,7 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
             assert M._decode_jpeg_rgb(blob) is not None, d
         else:
             assert prec == 8 and app14 is None, d
+            assert jfif, d  # plain gray/YCbCr frames stay JFIF
     assert all(v > 0 for v in seen.values()), seen
 
     blobs420 = {
@@ -3009,7 +3082,7 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
     for d, blob in blobs420.items():
         if d % 7 == 0:
             continue
-        marker, prec, comps, app14 = parse_sof(blob)
+        marker, prec, comps, app14, jfif = parse_sof(blob)
         if d % 9 == 2:
             assert [(h, v) for _, h, v in comps] == \
                 [(3, 1), (2, 1), (1, 1)], d

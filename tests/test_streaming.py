@@ -1042,3 +1042,38 @@ def test_streaming_kmv_state_across_microbatches(spark, tmp_path):
         got.setdefault(r["slot"], []).append(r["hv"])
     assert sorted(got[0]) == [5, 10, 50]  # k smallest distinct of union
     assert sorted(got[300]) == [3, 7]     # under-full buffer: all values
+
+
+def test_state_partitions_sizing_function():
+    """r16 VERDICT task 6: state_partitions_for derives the measured
+    knees from key cardinality instead of hand-pinned counts — 4 for
+    t10's ~1.5k light keys, 16 for t12/t19's per-group-Python load at
+    the same cardinality — scales with keys at 10x/100x exactly as
+    SCALE_REHEARSAL_r15.json measured the direction, clamps at
+    4 x cores, and floors at 4. Also pins the fixture-cardinality
+    helper the catalog entries pass (15/150/1500 by SF)."""
+    from citydata_etl_spark.plans.queries_time import (
+        _est_event_users,
+        state_partitions_for,
+    )
+
+    # today's measured knees reproduce exactly (oracles byte-identical)
+    for keys in (15, 150, 1500):  # every driver SF
+        assert state_partitions_for(keys, 32) == 4
+        assert state_partitions_for(keys, 32, per_group_python=True) == 16
+    # 10x keys: moves right (t12's measured 16 -> 32+ direction)
+    assert state_partitions_for(15_000, 32) == 40
+    assert state_partitions_for(15_000, 32, per_group_python=True) == 128
+    # 100x keys: the rehearsal's 5x-cost case — clamped at 4 x cores
+    assert state_partitions_for(150_000, 32) == 128
+    assert state_partitions_for(150_000, 32, per_group_python=True) == 128
+    # monotone non-decreasing in keys; floor 4; cores ceiling moves
+    prev = 0
+    for keys in (1, 100, 1_000, 10_000, 100_000, 1_000_000):
+        cur = state_partitions_for(keys, 32)
+        assert cur >= max(prev, 4)
+        prev = cur
+    assert state_partitions_for(1_000_000, 256) == 1024  # 4 x cores
+    assert _est_event_users("/root/testdata/sf0.001") == 15
+    assert _est_event_users("/root/testdata/sf0.01") == 150
+    assert _est_event_users("/root/testdata/sf0.1") == 1500
