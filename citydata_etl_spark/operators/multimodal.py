@@ -734,13 +734,17 @@ def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
     How: the scan's bytes are DE-STUFFED ONCE into per-restart-
     interval segments (0xFF00 -> 0xFF, RSTn sequence verified as
     boundaries, any other marker ends the scan — all at C speed via
-    bytes.find); each segment's bits become a list of 24-bit byte
-    windows (numpy build, .tolist()), so a 16-bit Huffman LUT peek at
+    bytes.find); each segment's bits become a list of 40-bit byte
+    windows (numpy build, .tolist(), built per bounded 256 KiB chunk
+    since r16 — see the chunking comment), so a 16-bit Huffman LUT peek at
     bit position p is `(w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF` —
     two index ops, no per-byte stuffing checks, no fill/receive call
-    overhead. Coefficients accumulate into flat Python LISTS (a
-    per-element numpy scalar store costs ~10x a list store in this
-    loop) and the caller converts per component in one np.array call.
+    overhead. Coefficients accumulate into flat array('q') C buffers
+    (r16; Python lists stored boxed ints whose np.array() conversion
+    walked millions of pointers — 0.2-1.6 s at 5 MP with a 7x wobble
+    — while the array store costs only ~2.8x a list store at ~15
+    stores/block) and the caller reads each component back with one
+    zero-copy np.frombuffer.
 
     Strictness is IDENTICAL to the general reader, enforced
     differently: segments are zero-padded and bit positions only grow,
@@ -805,8 +809,18 @@ def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
     if len(segs) != need_segs:
         return None  # missing/extra restart markers
 
+    # flat C int64 buffers, not Python lists (r16): a list held every
+    # stored coefficient as a boxed PyObject, and the caller's
+    # np.array(list) walked 4.9M pointers at 5 MP — measured 0.2-1.6 s
+    # with a 7x run-to-run wobble under ambient memory-bandwidth
+    # contention. array('q') stores cost ~2.8x a list store but there
+    # are only ~15 per block, and the numpy conversion becomes a free
+    # zero-copy np.frombuffer.
+    from array import array as _carray
+
     colists = [
-        [0] * (mcuy * v * mcux * h * 64) for _, h, v, _ in comps
+        _carray("q", bytes(mcuy * v * mcux * h * 512))
+        for _, h, v, _ in comps
     ]
 
     def windows(seg):
@@ -821,12 +835,43 @@ def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
             | a[4:]
         return w.tolist()
 
-    w40 = windows(segs[0])
-    nbt = 8 * len(segs[0])
+    # --- bounded window-list chunking (r16 VERDICT task 4) ---
+    # Each window is a Python int (~32 B + an 8 B list slot), so a
+    # restartless multi-MP scan's one-shot windows() call was a
+    # ~70 MB transient whose GC interaction measured BIMODAL
+    # throughput at 4.92 MP (JPEG_THROUGHPUT_r15.json: 3.08/1.50/
+    # 1.84 MP/s across identical runs). Windows are now built per
+    # bounded CHUNK of the current restart segment (256 KiB of
+    # entropy bytes -> ~10 MB of windows, freed chunk-by-chunk); the
+    # unit loop rebases (chunk_base, w40, bp, nbt) onto the next
+    # chunk before any MCU could read past the safety margin — the
+    # costliest legal MCU is 64 blocks (4 comps x 4x4 sampling,
+    # SOF-validated) x ~210 entropy bytes/block < 16 KiB << the
+    # 32 KiB margin. bp/nbt stay chunk-relative, so every strictness
+    # check (per-block overrun, restart-boundary and scan-end
+    # leftovers) is arithmetic-identical to the unchunked form.
+    _CHUNK_B = 1 << 18
+    _REFILL_AT = (_CHUNK_B - 32768) * 8
+
+    seg_cur = segs[0]
+    chunk_base = 0
+    w40 = windows(seg_cur[:_CHUNK_B + 4])
+    nbt = 8 * len(seg_cur)
     bp = 0
     seg_idx = 0
     preds = [0] * len(splan)
     zz_l = list(zz)
+
+    def advance_chunk():
+        # slide the window list forward by the consumed whole bytes,
+        # keeping bp's sub-byte phase; nbt shifts equally so every
+        # (nbt - bp) leftover check is unchanged
+        nonlocal chunk_base, w40, nbt, bp
+        step = bp >> 3
+        chunk_base += step
+        bp -= step * 8
+        nbt -= step * 8
+        w40 = windows(seg_cur[chunk_base:chunk_base + _CHUNK_B + 4])
 
     def block(slot, co, base, dsym, dln, asym, aln):
         """Decode one block at flat offset `base` of co; returns False
@@ -898,10 +943,14 @@ def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
             if rem < 0 or rem >= 8:
                 return None  # starved decode / garbage whole bytes
             seg_idx += 1
-            w40 = windows(segs[seg_idx])
-            nbt = 8 * len(segs[seg_idx])
+            seg_cur = segs[seg_idx]
+            chunk_base = 0
+            w40 = windows(seg_cur[:_CHUNK_B + 4])
+            nbt = 8 * len(seg_cur)
             bp = 0
             preds = [0] * len(splan)
+        elif bp >= _REFILL_AT and chunk_base + _CHUNK_B < len(seg_cur):
+            advance_chunk()
         if interleaved:
             my, mx = divmod(u, mcux)
             for (ci, chf, cvf, row_blocks), (
@@ -1594,8 +1643,9 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 if ret is None:
                     return None
                 pos, colists = ret
+                # zero-copy: the fast reader fills array('q') buffers
                 coeff = [
-                    np.array(cl, dtype=np.int64).reshape(-1, 64)
+                    np.frombuffer(cl, dtype=np.int64).reshape(-1, 64)
                     for cl in colists
                 ]
                 n_scans += 1
@@ -1649,20 +1699,35 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     planes = []
     for ci, (_, ch, cv, tq) in enumerate(comps):
         gr, gc = mcuy * cv, mcux * ch
-        blocks = (coeff[ci].reshape(gr * gc, 8, 8)
-                  * qtables[tq]).astype(np.float64)
-        spatial = (A.T @ blocks @ A) + center
-        plane = (spatial.reshape(gr, gc, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8))
-        # per-plane rounding convention (see docstring), then crop to
-        # the component raster and upsample to the frame raster by
-        # nearest-neighbor index maps: frame pixel x reads component
-        # sample x*ch//hmax (r14 — subsumes the old divisor-only
-        # np.repeat bit-for-bit, since x*ch//hmax == x//(hmax//ch)
-        # when ch divides hmax, and lifts the non-divisor restriction:
-        # a 3x1-against-2x1 mix now upsamples on the exact integer
-        # grid instead of returning None)
-        p = np.clip(np.floor(plane + 0.5), 0, maxval)
+        # dequant straight into float64 (no int64 intermediate +
+        # astype copy), and apply level shift / +0.5 / floor / clamp
+        # IN PLACE on the matmul result: each avoided temporary is a
+        # full-raster float64 array (~40 MB at 5 MP), and the convert
+        # stage is bandwidth-bound — measured hostage to ambient
+        # memory-bandwidth contention (r16; the GEMM calibration probe
+        # wobbles 4x in the same windows). Arithmetic ORDER is
+        # unchanged ((x + center) + 0.5, then floor, then clamp,
+        # elementwise), so every rounding convention stays
+        # bit-identical.
+        blocks = np.multiply(
+            coeff[ci].reshape(gr * gc, 8, 8), qtables[tq],
+            dtype=np.float64,
+        )
+        spatial = A.T @ blocks @ A
+        spatial += center
+        spatial += 0.5
+        np.floor(spatial, out=spatial)
+        np.clip(spatial, 0.0, maxval, out=spatial)
+        # per-plane rounding done; crop to the component raster and
+        # upsample to the frame raster by nearest-neighbor index
+        # maps: frame pixel x reads component sample x*ch//hmax (r14
+        # — subsumes the old divisor-only np.repeat bit-for-bit,
+        # since x*ch//hmax == x//(hmax//ch) when ch divides hmax, and
+        # lifts the non-divisor restriction: a 3x1-against-2x1 mix
+        # upsamples on the exact integer grid instead of returning
+        # None)
+        p = (spatial.reshape(gr, gc, 8, 8)
+             .transpose(0, 2, 1, 3).reshape(gr * 8, gc * 8))
         cw = (width * ch + hmax - 1) // hmax
         chh = (height * cv + vmax - 1) // vmax
         p = p[:chh, :cw]

@@ -93,20 +93,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
     "a10_table_profile": 12,
-    "a11_heavy_hitters": 10,
+    "a11_heavy_hitters": 15,
     "a12_event_funnel": 14,
-    "a13_data_contract": 10,
-    "a14_referential_integrity": 10,
-    "a15_outlier_flags": 10,
-    "a16_cohort_retention": 10,
+    "a13_data_contract": 15,
+    "a14_referential_integrity": 15,
+    "a15_outlier_flags": 15,
+    "a16_cohort_retention": 15,
     "a17_time_weighted_avg": 12,
     "a18_ohlc_bars": 12,
     "a19_event_transitions": 12,
     "a1_pricing_summary": 13,
     "a20_countmin_topk": 14,
-    "a21_histogram_quantiles": 10,
-    "a22_attribution": 10,
-    "a23_sliding_distinct": 10,
+    "a21_histogram_quantiles": 15,
+    "a22_attribution": 15,
+    "a23_sliding_distinct": 15,
     "a23_sliding_kmv": 11,
     "a24_linear_attribution": 12,
     "a2_approx_distinct": 13,
@@ -116,7 +116,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a3_cube": 13,
     "a3_grouping_sets": 14,
     "a3_rollup": 13,
-    "a4_distribution": 10,
+    "a4_distribution": 15,
     "a4_ntile": 13,
     "a4_rank_dense_rank": 13,
     "a4_topk_per_group": 13,
@@ -128,49 +128,50 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a7_union_by_name": 13,
     "a8_city_score": 13,
     "a9_pivot": 13,
-    "d4_ann_ivf": 0,  # plan changed r15: max_list_len=256 production posture
+    "d4_ann_ivf": 15,  # rows-only by construction; capped production posture since r15
+    "d4_ann_ivf_capped_rank": 0,  # NEW r16: oracle-exact capped-IVF twin (VERDICT task 1)
     "d4_ann_ivf_dist": 14,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 13,
     "d4_ann_ivf_rank": 13,
-    "d4_ann_ivf_recall": 10,
+    "d4_ann_ivf_recall": 15,
     "d4_ann_lsh": 13,
     "d4_ann_lsh_rank": 12,
     "d4_ann_multiprobe_recall": 11,
     "d4_ann_multitable_recall": 11,
     "d4_ann_pq": 13,
     "d4_ann_pq_rank": 13,
-    "d4_ann_recall": 10,
+    "d4_ann_recall": 15,
     "d4_bigram_logprob": 13,
     "d4_bm25_topk": 11,
-    "d4_bpe_encode": 10,
-    "d4_bpe_merge_steps": 10,
-    "d4_bpe_pair_counts": 10,
+    "d4_bpe_encode": 15,
+    "d4_bpe_merge_steps": 15,
+    "d4_bpe_pair_counts": 15,
     "d4_bpe_tokens": 13,
-    "d4_collocations": 10,
-    "d4_containment": 10,
+    "d4_collocations": 15,
+    "d4_containment": 15,
     "d4_cosine_topk": 13,
     "d4_dedup_groups": 13,
-    "d4_dedup_index_ingest": 10,
-    "d4_dedup_report": 10,
+    "d4_dedup_index_ingest": 15,
+    "d4_dedup_report": 15,
     "d4_doc_fingerprint": 13,
     "d4_dup_passage": 13,
     "d4_dup_passage_cut": 11,
     "d4_embed_neardup": 13,
-    "d4_embed_project": 10,
+    "d4_embed_project": 15,
     "d4_embed_quantize": 14,
     "d4_exact_dedup": 13,
     "d4_fuzzy_key_pairs": 14,
     "d4_incremental_dedup": 14,
     "d4_incremental_neardup": 14,  # rows-only by construction (r4 row)
-    "d4_incremental_neardup_rank": 10,
-    "d4_knn_label": 10,
+    "d4_incremental_neardup_rank": 15,
+    "d4_knn_label": 15,
     "d4_lang_id": 13,
     "d4_line_dedup": 11,
     "d4_lm_logprob": 13,
-    "d4_lsh_pair_recall": 10,
+    "d4_lsh_pair_recall": 15,
     "d4_minhash_hash": 14,  # rows-only by construction (r4 row)
     "d4_minhash_lsh": 13,
-    "d4_mmr_ann": 10,
+    "d4_mmr_ann": 15,
     "d4_mmr_batch": 14,
     "d4_mmr_diversify": 14,
     "d4_ngram_jaccard": 13,
@@ -193,19 +194,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_frame_sample": 12,
     "d5_gif_meta": 12,
     "d5_gif_pixels": 13,
-    "d5_image_ahash": 10,
-    "d5_image_neardup": 10,
-    "d5_jpeg_cmyk": 14,  # r14: NEW — Adobe CMYK/YCCK (APP14) decode entry
+    "d5_image_ahash": 15,
+    "d5_image_neardup": 15,
+    "d5_jpeg_cmyk": 0,  # fixture bytes changed r16: JFIF APP0 dropped from Adobe blobs (ADVICE fix); pixels/oracle identical
     "d5_jpeg_meta": 14,  # r14: EXIF orientation column added (schema + fixture)
-    "d5_jpeg_pixels": 0,  # fixture+oracle changed r15: 12-bit + stored-RGB weave
-    "d5_jpeg_pixels_420": 0,  # fixture+oracle changed r15: non-divisor weave
+    "d5_jpeg_pixels": 0,  # fixture bytes changed r16: stored-RGB blobs lost JFIF (libjpeg precedence, ADVICE fix); pixels/oracle identical
+    "d5_jpeg_pixels_420": 15,  # fixture+oracle changed r15: non-divisor weave
     "d5_media_decode": 12,
     "d5_mp4_meta": 11,
     "d5_png_adam7": 13,
     "d5_png_ahash": 13,
     "d5_png_meta": 14,
     "d5_png_pixels": 13,
-    "d5_scene_cuts": 10,
+    "d5_scene_cuts": 15,
     "d5_tar_meta": 12,
     "d5_wav_meta": 14,
     "d6_blocklist_filter": 14,
@@ -213,7 +214,9 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_contamination": 12,
     "d6_crossdomain_lm": 14,
     "d6_curation_pipeline": 12,
-    "d6_dataset_card": 10,
+    "d6_dataset_card": 15,
+    "d6_dsir_select": 15,
+    "d6_dsir_select_hash": 0,  # NEW r16: corpus-scale xxhash64 feature path (VERDICT task 5)
     "d6_dedup_keep": 12,
     "d6_domain_cap": 14,
     "d6_domain_mix": 12,
@@ -230,7 +233,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_shard_stats": 12,
     "d6_stratified_sample": 12,
     "d6_temperature_mix": 14,
-    "d6_tokenizer_fertility": 10,
+    "d6_tokenizer_fertility": 15,
     "d6_train_split": 12,
     "e2e_collect_run": 14,
     "f10_conditional": 14,
@@ -256,7 +259,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j11_geo_radius_join": 11,
     "j12_temporal_join": 12,
     "j13_dpp_join": 12,
-    "j14_point_in_polygon": 10,
+    "j14_point_in_polygon": 15,
     "j1_broadcast_lookup": 12,
     "j2_anti_join": 12,
     "j2_semi_join": 12,
@@ -270,22 +273,22 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "j7_salted_skew_join": 12,
     "j8_bucketed_join": 14,
     "j9_interval_overlap": 14,
-    "p1_pending_filter": 10,
-    "p2_projection": 10,
-    "p3_point_filter": 10,
-    "p4_dynamic_filter": 10,
-    "p6_first_row": 10,
+    "p1_pending_filter": 15,
+    "p2_projection": 15,
+    "p3_point_filter": 15,
+    "p4_dynamic_filter": 15,
+    "p6_first_row": 15,
     "q10_returned_items": 11,
     "q11_important_parts": 11,
-    "q14_promo_revenue": 9,
-    "q15_top_supplier": 9,
+    "q14_promo_revenue": 15,
+    "q15_top_supplier": 15,
     "q18_large_orders": 12,
     "q21_waiting_suppliers": 12,
     "q3_shipping_priority": 11,
     "q5_regional_volume": 11,
     "q7_nation_volume": 12,
-    "s10_orc_roundtrip": 10,
-    "s11_compaction": 10,
+    "s10_orc_roundtrip": 15,
+    "s11_compaction": 15,
     "s12_schema_evolution": 10,
     "s13_sorted_layout": 10,
     "s14_partition_pruned_read": 10,
@@ -293,7 +296,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s16_xml_roundtrip": 10,
     "s17_zorder_layout": 11,
     "s18_fixed_width_scan": 12,
-    "s19_bloom_filter_layout": 9,
+    "s19_bloom_filter_layout": 15,
     "s1_csv_scan": 11,
     "s20_partition_evolution": 10,
     "s21_csv_dialect_sniff": 10,
@@ -310,25 +313,25 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t14_stream_ohlc": 12,
     "t15_stream_snapshot_enrich": 12,
     "t16_stream_restart": 14,
-    "t17_stream_quarantine": 9,
+    "t17_stream_quarantine": 15,
     "t18_stream_attribution": 10,
     "t19_stream_sliding_kmv": 11,
     "t1_streaming_tumbling": 12,
     "t2_streaming_dedup": 12,
-    "t3_cdc_promote": 9,
+    "t3_cdc_promote": 15,
     "t5_dynamic_gap_session": 11,
     "t5_session_window": 12,
     "t5_sliding_window": 12,
     "t5_tumbling_window": 12,
-    "t5_watermarked_append": 9,
+    "t5_watermarked_append": 15,
     "t6_stream_enrich": 13,
-    "t7_stream_left_outer_join": 9,
-    "t7_stream_stream_join": 9,
+    "t7_stream_left_outer_join": 15,
+    "t7_stream_stream_join": 15,
     "t8_stream_dedup_watermark": 10,
     "t9_streaming_upsert": 10,
     "u10_restore": 13,
     "u11_incremental_view": 13,
-    "u12_deletion_vectors": 9,
+    "u12_deletion_vectors": 15,
     "u13_cascade_delete": 10,
     "u14_multi_table_txn": 10,
     "u15_governed_view": 10,
@@ -338,7 +341,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "u2_masked_update": 11,
     "u3_status_routing": 11,
     "u4_scd2_history": 11,
-    "u5_merge_upsert": 9,
+    "u5_merge_upsert": 15,
     "u6_keyed_delete": 10,
     "u7_evolving_merge": 11,
     "u8_time_travel": 11,

@@ -35,11 +35,43 @@ def make_blocks(nbx: int, nby: int, rng: random.Random):
     return out
 
 
+def _host_noise_probe() -> dict:
+    """Self-attribution stamps (r16): the probe runs on a shared
+    virtualized host where run-to-run spread measured hostage to
+    ambient contention, not code — CPU-steal ticks (co-tenant VMs
+    preempting this vCPU) and a 1024^3 float64 GEMM (memory-bandwidth
+    drift, the bench calibration convention). Read per-query deltas
+    AGAINST these before calling anything a regression."""
+    import os
+    import time as _t
+
+    import numpy as np
+
+    def steal_ticks() -> int:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+
+    rng = np.random.default_rng(7)
+    A = rng.random((1024, 1024))
+    B = rng.random((1024, 1024))
+    gemm = min(
+        (lambda t0: ((A @ B), _t.perf_counter() - t0)[1])(_t.perf_counter())
+        for _ in range(3)
+    )
+    return {
+        "gemm1024_sec": round(gemm, 4),
+        "steal_ticks": steal_ticks(),
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def main() -> None:
     sys.path.insert(0, ".")
     from citydata_etl_spark.plans.queries_llm import encode_jpeg
     from citydata_etl_spark.operators.multimodal import _decode_jpeg_rgb
 
+    noise_before = _host_noise_probe()
     rng = random.Random(13)
     results = []
     # 2560x1920 (4.9 MP) is just inside the 512 MiB allocation gate
@@ -57,7 +89,10 @@ def main() -> None:
         # best-of-3: a single shot is hostage to background load on a
         # shared host (r14 observed single-shot spread of 3x at an
         # unchanged decoder); best-of approximates the code's cost
-        for _ in range(2):
+        # best-of-5 at the largest size (r16): steal bursts are long
+        # relative to a ~1.5 s decode, so 3 shots can ALL land inside
+        # one burst; 5 shots make the best-of a code number
+        for _ in range(4 if w >= 2560 else 2):
             t0 = time.perf_counter()
             out = _decode_jpeg_rgb(blob)
             dt = min(dt, time.perf_counter() - t0)
@@ -82,9 +117,14 @@ def main() -> None:
             "refuse_sec": round(time.perf_counter() - t0, 4)}
     import os
 
+    noise_after = _host_noise_probe()
     print(json.dumps({"metric": "jpeg_decode_throughput_420_dense_ac",
                       "method": "best_of_3_single_thread",
                       "load_avg": [round(x, 2) for x in os.getloadavg()],
+                      "noise_before": noise_before,
+                      "noise_after": noise_after,
+                      "steal_ticks_delta": (noise_after["steal_ticks"]
+                                            - noise_before["steal_ticks"]),
                       "results": results, "alloc_gate": gate}))
 
 

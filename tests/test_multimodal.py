@@ -1699,6 +1699,56 @@ def test_jpeg_fast_scan_size_fallback_identical(monkeypatch):
     assert np.array_equal(fast[2], slow[2])
 
 
+def test_jpeg_fast_scan_chunked_windows_cross_boundary(monkeypatch):
+    """r16 VERDICT task 4: the fast baseline reader now builds its
+    40-bit window list per bounded 256 KiB chunk instead of one list
+    for the whole entropy segment (the ~70 MB transient behind the
+    4.92 MP GC bimodality). Decode a restartless dense-AC frame whose
+    single entropy segment spans MULTIPLE chunks and pin it
+    bit-for-bit against the general O(1)-memory reader — the chunk
+    rebase (bp/nbt shift, window slide, scan-end leftover check) must
+    be arithmetic-invisible. Also pins that the segment really is
+    big enough to have crossed a boundary, so the test cannot pass
+    vacuously on a one-chunk stream."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    rng = random.Random(31)
+
+    def rb(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-96, 97)
+            for k in range(1, 64):
+                if rng.random() < 0.5:
+                    blk[k // 8][k % 8] = rng.randrange(-60, 61)
+            out.append(blk)
+        return out
+
+    w = h = 600  # 75x75 blocks of dense AC ~ 300+ KB entropy, 1 segment
+    bw = bh = 75
+    blob = encode_jpeg([rb(bw * bh)], w, h)
+    # entropy segment must span > 1 chunk (SOS header ~14 B; chunking
+    # threshold is 256 KiB - 32 KiB margin)
+    sos = blob.index(b"\xff\xda")
+    entropy_len = len(blob) - (sos + 14) - 2
+    assert entropy_len > (1 << 18), entropy_len
+    fast = M._decode_jpeg_rgb(blob)
+    monkeypatch.setattr(M, "_JPEG_FAST_SCAN_MAX_BYTES", 0)
+    slow = M._decode_jpeg_rgb(blob)
+    assert fast is not None and slow is not None
+    assert np.array_equal(fast[2], slow[2])
+    # truncating mid-stream must yield None (strictness survives the
+    # chunk rebase), never a crash or silent partial decode
+    monkeypatch.undo()
+    for cut in ((1 << 18) + 7, len(blob) - 5):
+        assert M._decode_jpeg_rgb(blob[:cut]) is None
+
+
 def test_jpeg_successive_approximation_rejects_malformed():
     """SA-specific malformed battery (all -> None, never wrong
     pixels), built by header surgery on a VALID libjpeg-default-script
