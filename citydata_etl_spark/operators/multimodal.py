@@ -18,7 +18,11 @@ boundary remains; r14 also adds 4-component Adobe CMYK/YCCK decode
 non-divisor sampling mixes (nearest-neighbor index-map upsampling);
 r15 adds 3-component STORED-RGB decode (Adobe APP14 transform 0, or
 the unmarked 'R','G','B' component-id signature — libjpeg's
-color-space guess). Unsupported PROFILES (arithmetic coding,
+color-space guess, with its JFIF-APP0 precedence honored since r16);
+r16 adds SEQUENTIAL ARITHMETIC-CODED decode (SOF9: the T.81 Annex D
+QM coder + Annex F.1.4 DC/AC conditioning models, DAC conditioning
+markers, restart re-init — see _QM_TABLE's transcription disclosure).
+Unsupported PROFILES (progressive-arithmetic SOF10,
 lossless/hierarchical frames, unmarked 4-component frames) return
 NULL per the decode triage convention.
 
@@ -972,6 +976,348 @@ def _jpeg_fast_baseline_scan(data, start, splan, comps, mcux, mcuy,
     return end, colists
 
 
+#: T.81 Table D.3 — the QM-coder probability estimation state machine:
+#: (Qe, NMPS, NLPS, switch) per state, plus state 113 = JPEG's
+#: NON-ADAPTING 0.5 estimate (NMPS = NLPS = self, no switch), the bin
+#: F.1.4.3.1 assigns to every AC sign decision. ONE definition shared
+#: by the decoder below and the fixture encoder twin
+#: (plans/queries_llm.py:encode_jpeg arithmetic=True — the
+#: _JPEG_ZIGZAG sharing pattern), so the two sides cannot drift and
+#: the driver gate over fixture blobs is bit-exact BY CONSTRUCTION.
+#: Transcribed from the public spec (no codec library or network
+#: exists in this container to cross-check the transcription against
+#: another encoder's output); the structural invariants the published
+#: table satisfies — MPS transitions never increase Qe, non-switch
+#: LPS transitions never decrease it, switch flags exactly on the
+#: fast-attack chain heads — are pinned by
+#: test_qm_table_structural_invariants.
+_QM_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+#: state-bin packing for the statistics areas (one byte per context
+#: bin): low 7 bits = Table D.3 state index, high bit = current MPS.
+_QM_FIXED_BIN = 113  # the non-adapting 0.5 state (AC signs)
+
+
+def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
+                     width, height, hmax, vmax, restart_interval,
+                     zz, dc_cond, ac_cond):
+    """SEQUENTIAL ARITHMETIC-CODED (SOF9) entropy decode — the QM
+    coder of T.81 Annex D driven by the sequential DC/AC statistical
+    models of Annex F.1.4 (the same conditioning scheme libjpeg's
+    arithmetic path implements): adaptive context bins selected by
+    the previous DC diff class (L/U conditioning, default 0/1), the
+    zigzag index k (3 bins per k: EOB decision, zero/nonzero, and
+    the magnitude-category head), a Kx split (default 5) between
+    low- and high-frequency magnitude areas, and a fixed
+    non-adapting 0.5 bin for AC signs. Statistics, DC predictors,
+    and the coder itself reset at every restart marker (F.1.4.1).
+
+    Same contract as _jpeg_fast_baseline_scan: returns (position of
+    the next marker's 0xFF, one flat array('q') of 64*n_blocks
+    coefficients per component in natural order) or None on any
+    malformed stream. splan is a list of (component index, DC
+    conditioning table id, AC conditioning table id); dc_cond /
+    ac_cond map table ids to (L, U) / Kx.
+
+    Strictness (all -> None): magnitude-category chains past the
+    15-bit cap, a zero-run crossing the band end, a restart marker
+    out of sequence or further than the coder's own flush remnants
+    (<= 8 bytes of slack, each either a pad byte or a stuffed-FF
+    pair) from the consumed position, and truncation anywhere.
+
+    Throughput posture: the QM coder is inherently one adaptive
+    DECISION per bit (no multi-symbol LUT shortcut exists like the
+    Huffman fast path's 16-bit peek), so this path measures ~0.63
+    MP/s/core on dense 4:2:0 content vs ~3.4 for the Huffman fast
+    reader — disclosed, acceptable: arithmetic JPEGs are a rarity in
+    web corpora and the mapInPandas partition parallelism is the
+    same."""
+    from array import array as _carray
+
+    n = len(data)
+    dpos = start
+    at_marker = False
+
+    def next_byte():
+        # entropy byte feed with the Annex D marker convention: an
+        # FF00 pair delivers a literal 0xFF; FF + nonzero is a marker
+        # — stop consuming (dpos stays AT the FF) and supply zero
+        # bytes from then on, which is how the flush padding decodes
+        nonlocal dpos, at_marker
+        if at_marker or dpos >= n:
+            at_marker = True
+            return 0
+        byte = data[dpos]
+        if byte == 0xFF:
+            if dpos + 1 < n and data[dpos + 1] == 0x00:
+                dpos += 2
+                return 0xFF
+            at_marker = True
+            return 0
+        dpos += 1
+        return byte
+
+    C = A = CT = 0
+
+    def initdec():
+        # load the two initial code bytes; the interval starts at the
+        # encoder's full 0x10000 scale so every Qe subtraction lines
+        # up with the byte stream the Figure D.2 encoder emitted
+        nonlocal C, A, CT
+        C = (next_byte() << 8) | next_byte()
+        A = 0x10000
+        CT = 0
+
+    tab = _QM_TABLE
+
+    def decode(st, i):
+        # T.81 DECODE + conditional exchanges (Figures D.17-D.22) in
+        # the LOW-ALIGNED register form: C keeps the code bytes at
+        # the stream's own alignment and the MPS/LPS boundary is
+        # shifted up to meet it ((A - Qe) << CT, CT = fresh low bits
+        # in C), with renormalization deferred to the next call — so
+        # the interval arithmetic is the exact mirror of the
+        # encoder's C += A / A = Qe updates at full 0x10000 scale.
+        # The bottom sub-interval [0, A - Qe) is the MPS (the
+        # encoder leaves C alone on a normal MPS), the top Qe-sized
+        # part the LPS; conditional exchange flips ownership when
+        # the MPS part is the smaller.
+        nonlocal C, A, CT
+        while A < 0x8000:  # pending renorm from the prior decision
+            CT -= 1
+            if CT < 0:
+                C = ((C << 8) | next_byte()) & 0xFFFFFFFF
+                CT += 8
+            A <<= 1
+        s = st[i]
+        qe, nmps, nlps, sw = tab[s & 0x7F]
+        mps = s >> 7
+        A -= qe
+        if C < (A << CT):
+            if A & 0x8000:
+                return mps  # no renorm -> no estimation
+            if A < qe:  # conditional exchange: bottom belongs to LPS
+                d = 1 - mps
+                if sw:
+                    mps = d
+                st[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[i] = (mps << 7) | nmps
+        else:
+            C -= A << CT
+            if A < qe:  # conditional exchange: top belongs to MPS
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = d
+                st[i] = (mps << 7) | nlps
+            A = qe
+        return d
+
+    interleaved = len(splan) > 1
+    if interleaved:
+        units = mcux * mcuy
+        slot_geom = []
+        for ci, _, _ in splan:
+            _, chf, cvf, _ = comps[ci]
+            slot_geom.append((ci, chf, cvf, mcux * chf))
+    else:
+        ci0 = splan[0][0]
+        _, chf, cvf, _ = comps[ci0]
+        cw = (width * chf + hmax - 1) // hmax
+        chh = (height * cvf + vmax - 1) // vmax
+        units = ((cw + 7) // 8) * ((chh + 7) // 8)
+
+    colists = [
+        _carray("q", bytes(mcuy * v * mcux * h * 512))
+        for _, h, v, _ in comps
+    ]
+    dc_stats: dict = {}
+    ac_stats: dict = {}
+    fixed = bytearray([_QM_FIXED_BIN])
+    preds = [0] * len(splan)
+    dc_ctx = [0] * len(splan)
+
+    def reset_stats():
+        for t in {t for _, t, _ in splan}:
+            dc_stats[t] = bytearray(64)
+        for t in {t for _, _, t in splan}:
+            ac_stats[t] = bytearray(256)
+        fixed[0] = _QM_FIXED_BIN
+        for i in range(len(splan)):
+            preds[i] = 0
+            dc_ctx[i] = 0
+
+    def decode_mag(st, head_bin, second_same, area_start):
+        # Figures F.23/F.24 magnitude tail, shared by DC and AC with
+        # one layout difference (Table F.4 vs F.5): the chain's
+        # SECOND decision sits at the head bin for AC but already in
+        # the X area for DC; the continuation then walks area bins,
+        # and the magnitude bits all come from one bin 14 past where
+        # the chain ended. Returns magnitude - 1, or None past the
+        # 15-bit cap (malformed).
+        m = decode(st, head_bin)
+        pos = head_bin
+        if m:
+            if second_same:
+                if decode(st, head_bin):
+                    m = 2
+                    pos = area_start
+                    while decode(st, pos):
+                        m <<= 1
+                        if m == 0x8000:
+                            return None
+                        pos += 1
+            else:
+                pos = area_start
+                while decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        return None
+                    pos += 1
+        v = m
+        base = m  # the chain's category base (MSB of magnitude - 1):
+        # what the F.1.4.4.1.2 DC conditioning classifies — NOT the
+        # full magnitude (using the magnitude here desynchronized the
+        # encoder's and decoder's context selection on small diffs)
+        pos += 14
+        m >>= 1
+        while m:
+            if decode(st, pos):
+                v |= m
+            m >>= 1
+        return v, base
+
+    ri = restart_interval
+    expected_rst = 0
+
+    def seek_marker():
+        # consume the coder's flush remnants (pad bytes / stuffed-FF
+        # pairs) up to the next true marker; bounded slack keeps the
+        # strictness of the Huffman paths' leftover checks
+        nonlocal dpos
+        slack = 0
+        while dpos + 1 < n and slack <= 8:
+            if data[dpos] == 0xFF and data[dpos + 1] != 0x00:
+                return data[dpos + 1]
+            step = 2 if data[dpos] == 0xFF else 1
+            dpos += step
+            slack += step
+        return None
+
+    reset_stats()
+    initdec()
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            nonlocal_marker = seek_marker()
+            if nonlocal_marker != 0xD0 + expected_rst:
+                return None
+            expected_rst = (expected_rst + 1) % 8
+            dpos += 2  # past the RSTn
+            at_marker = False
+            reset_stats()
+            initdec()
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            blocks_iter = []
+            for slot, (ci, chf, cvf, row_blocks) in enumerate(slot_geom):
+                for by in range(cvf):
+                    row0 = (my * cvf + by) * row_blocks + mx * chf
+                    for bx in range(chf):
+                        blocks_iter.append((slot, ci, (row0 + bx) << 6))
+        else:
+            blocks_iter = [(0, splan[0][0], u << 6)]
+        for slot, ci, base in blocks_iter:
+            _, dt, at = splan[slot]
+            co = colists[ci]
+            # --- DC (Figures F.19-F.24, Table F.4 bin layout) ---
+            st = dc_stats[dt]
+            ctx = dc_ctx[slot]
+            if decode(st, ctx) == 0:
+                dc_ctx[slot] = 0
+            else:
+                sign = decode(st, ctx + 1)
+                vm = decode_mag(st, ctx + 2 + sign, False, 20)
+                if vm is None:
+                    return None
+                v, cat_base = vm
+                low, up = dc_cond[dt]
+                if cat_base < ((1 << low) >> 1):
+                    dc_ctx[slot] = 0
+                elif cat_base > ((1 << up) >> 1):
+                    dc_ctx[slot] = 12 + 4 * sign
+                else:
+                    dc_ctx[slot] = 4 + 4 * sign
+                preds[slot] += -(v + 1) if sign else v + 1
+            co[base] = preds[slot]
+            # --- AC (Figure F.20, 3 bins per k + Kx area split) ---
+            sa = ac_stats[at]
+            kx = ac_cond[at]
+            k = 1
+            while k <= 63:
+                se = 3 * (k - 1)
+                if decode(sa, se):
+                    break  # EOB
+                while decode(sa, se + 1) == 0:
+                    k += 1
+                    se += 3
+                    if k > 63:
+                        return None  # zero run past the band end
+                sign = decode(fixed, 0)
+                vm = decode_mag(
+                    sa, se + 2, True, 189 if k <= kx else 217)
+                if vm is None:
+                    return None
+                v = vm[0]
+                co[base + zz[k]] = -(v + 1) if sign else v + 1
+                k += 1
+    if seek_marker() is None:
+        return None
+    return dpos, colists
+
+
 def _decode_jpeg_rgb(blob) -> tuple | None:
     """Baseline-sequential JPEG decode to (width, height, HxWx3 uint8
     RGB) using ONLY pure Python + numpy — Huffman entropy decode,
@@ -984,7 +1330,10 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     to [0, 2^P - 1], color-convert at sample scale, then keep the
     HIGH byte, the PNG strip-16 convention; DC categories to 15 and
     AC sizes to 14 legal at 12-bit, undefined categories rejected
-    per precision) and SOF2 progressive (either precision) — since
+    per precision), SOF9 (sequential ARITHMETIC, since r16 — the QM
+    coder + Annex F.1.4 conditioning via _jpeg_arith_scan, either
+    precision, DAC or default conditioning, restarts) and SOF2
+    progressive (either precision) — since
     r13
     SPECTRAL SELECTION (an interleaved or per-component DC scan
     followed by single-component AC band scans in any
@@ -1084,6 +1433,9 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
     progressive = False
     adobe_transform = None  # APP14 color-transform flag (0/1/2)
     saw_jfif = False  # APP0 "JFIF" seen — forces YCbCr for 3-comp frames
+    arithmetic = False  # SOF9 sequential arithmetic coding (r16)
+    dac_dc: dict = {}  # DAC conditioning: DC table id -> (L, U)
+    dac_ac: dict = {}  # DAC conditioning: AC table id -> Kx
     restart_interval = 0
     coeff = None          # per-component MCU-padded coefficient arrays
     mcux = mcuy = 0
@@ -1468,11 +1820,15 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 hufftabs[(tc, th)] = tab
                 p += 17 + nv
         elif marker in _SOF_MARKERS:
-            if marker not in (0xC0, 0xC1, 0xC2):
-                return None  # lossless/hierarchical/arithmetic: scope
+            if marker not in (0xC0, 0xC1, 0xC2, 0xC9):
+                # lossless/hierarchical/progressive-arithmetic: scope
+                return None
             if frame is not None:
                 return None  # two frames in one stream: malformed
             progressive = marker == 0xC2
+            # SOF9 = sequential ARITHMETIC (r16): same frame geometry,
+            # entropy decoded by the QM coder (_jpeg_arith_scan)
+            arithmetic = marker == 0xC9
             if len(seg) < 6:
                 return None
             precision = seg[0]
@@ -1480,9 +1836,9 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             width = int.from_bytes(seg[3:5], "big")
             n_comp = seg[5]
             # SOF0 (baseline) is 8-bit BY DEFINITION (T.81 4.11);
-            # extended sequential SOF1 and progressive SOF2 carry
-            # 8- or 12-bit samples (r14: 12-bit supported — medical/
-            # scientific corpora)
+            # extended sequential SOF1/SOF9 and progressive SOF2
+            # carry 8- or 12-bit samples (r14: 12-bit supported —
+            # medical/scientific corpora)
             legal_prec = (8,) if marker == 0xC0 else (8, 12)
             if precision not in legal_prec or n_comp not in (1, 3, 4):
                 return None
@@ -1508,6 +1864,27 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             if len(seg) != 2:
                 return None
             restart_interval = int.from_bytes(seg, "big")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (r16)
+            p = 0
+            while p + 2 <= len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                cs = seg[p + 1]
+                if tb > 3:
+                    return None
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if not low <= up <= 15:
+                        return None  # B.2.4.3: 0 <= L <= U <= 15
+                    dac_dc[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        return None  # B.2.4.3: 1 <= Kx <= 63
+                    dac_ac[tb] = cs
+                else:
+                    return None
+                p += 2
+            if p != len(seg):
+                return None
         elif marker == 0xE0:  # APP0: JFIF signature
             # libjpeg (jdapimin.c default_decompress_parms) forces
             # YCbCr for ANY 3-component frame once a JFIF APP0 was
@@ -1601,6 +1978,14 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                     # not None, without this check (r13 review finding)
                     return None
                 seen.add(ci)
+                if arithmetic:
+                    # Td/Ta select CONDITIONING tables, not Huffman:
+                    # ids 0-3, defaults L=0/U=1 and Kx=5 when no DAC
+                    # redefined them (F.1.4.4.1.4 / F.1.4.4.2)
+                    if td > 3 or ta > 3:
+                        return None
+                    splan.append((ci, td, ta))
+                    continue
                 # a DC REFINEMENT scan carries no Huffman symbols at
                 # all (raw bits), so it needs neither table class
                 need_dc = Ss == 0 and Ah == 0
@@ -1628,6 +2013,21 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                         if cb[k] != expected:
                             return None
                         cb[k] = Al
+            if arithmetic:
+                ret = _jpeg_arith_scan(
+                    b, pos, splan, comps, mcux, mcuy, width, height,
+                    hmax, vmax, restart_interval, zz,
+                    {t: dac_dc.get(t, (0, 1)) for _, t, _ in splan},
+                    {t: dac_ac.get(t, 5) for _, _, t in splan})
+                if ret is None:
+                    return None
+                pos, colists = ret
+                coeff = [
+                    np.frombuffer(cl, dtype=np.int64).reshape(-1, 64)
+                    for cl in colists
+                ]
+                n_scans += 1
+                break
             if not progressive and precision == 8 \
                     and len(b) - pos <= _JPEG_FAST_SCAN_MAX_BYTES:
                 # baseline: the single scan decodes everything, via

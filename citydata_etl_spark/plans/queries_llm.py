@@ -4165,7 +4165,8 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                 adobe_transform: int | None = None,
                 exif_orientation: int | None = None,
                 precision: int = 8,
-                component_ids: list | None = None) -> bytes:
+                component_ids: list | None = None,
+                arithmetic: bool = False) -> bytes:
     """Encode a GENUINE baseline-sequential JFIF JPEG from QUANTIZED
     coefficient blocks: real Huffman entropy coding (canonical tables
     emitted in DHT — all 12 DC categories at 4 bits, all 162 AC
@@ -4204,6 +4205,19 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     mode, so baseline streams stay byte-identical). Same quantized
     coefficients -> same decoded pixels as the baseline encode.
 
+    `arithmetic=True` (r16) emits SEQUENTIAL ARITHMETIC coding (SOF9)
+    instead of Huffman: the T.81 Annex D QM coder (shared state table
+    _QM_TABLE imported from the decoder module — one table, no drift)
+    driven by the Annex F.1.4 DC/AC conditioning models, with an
+    explicit DAC marker carrying the default conditioning (L=0, U=1,
+    Kx=5), no DHT, per-restart-interval coder flush + statistics
+    reset, and FF-stuffing as a transport post-pass. Carry resolution
+    ripples +1 backward through the in-memory segment rather than
+    tracking stacked FF counts — simpler, same bytes. Same quantized
+    coefficients -> same decoded pixels as the Huffman encode (both
+    entropy codings are lossless). Mutually exclusive with
+    `progressive` (SOF10 is out of scope on both sides).
+
     `scan_script` (progressive only) overrides the default with a
     list of (component indices, Ss, Se, Ah, Al) scans adding
     SUCCESSIVE APPROXIMATION (T.81 G.1.2, new in r14): DC first
@@ -4230,6 +4244,9 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     # 12-bit samples need extended sequential (SOF1) or progressive
     # (SOF2): baseline SOF0 is 8-bit by definition (T.81 4.11)
     assert precision in (8, 12)
+    # arithmetic scope (r16): sequential SOF9 only — the progressive
+    # arithmetic modes (SOF10) stay out of scope on both sides
+    assert not (arithmetic and progressive)
     # 4-component frames are Adobe CMYK (transform 0) or YCCK (2) and
     # MUST carry the APP14 marker the decoder keys its color model on;
     # 3-component frames may carry transform 0 (STORED RGB, r15) or 1
@@ -4297,8 +4314,9 @@ def encode_jpeg(comp_blocks, w: int, h: int,
         sof += bytes(
             [component_ids[c], (sampling[c][0] << 4) | sampling[c][1], 0]
         )
-    sof_marker = b"\xff\xc2" if progressive else (
-        b"\xff\xc0" if precision == 8 else b"\xff\xc1")
+    sof_marker = b"\xff\xc9" if arithmetic else (
+        b"\xff\xc2" if progressive else (
+            b"\xff\xc0" if precision == 8 else b"\xff\xc1"))
     out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
     # DHT: DC table 0 (12 categories, all 4 bits) + AC table 0 (all
     # 162 run/size symbols, all 8 bits) — canonical, Kraft-valid. A
@@ -4309,21 +4327,29 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     # 12-bit precision widens the category alphabets: DC diffs reach
     # category 15 (all 16 at 5 bits — NOT a Kraft-complete level, so
     # no all-ones code exists at any length) and AC sizes reach 14
-    if precision == 8:
-        dc_bits = [0, 0, 0, 12] + [0] * 12
-        dc_vals = list(range(12))
-        ac_sizes = range(1, 11)
+    if arithmetic:
+        # DAC: arithmetic conditioning — DC table 0 carries (U << 4)
+        # | L (defaults 1/0), AC table 0 carries Kx (default 5); no
+        # DHT exists in an arithmetic scan. Emitting the defaults
+        # explicitly makes the fixture exercise the decoder's DAC
+        # parse; the no-DAC default path is pinned by unit test.
+        out += b"\xff\xcc\x00\x06" + bytes([0x00, 0x10, 0x10, 0x05])
     else:
-        dc_bits = [0, 0, 0, 0, 16] + [0] * 11
-        dc_vals = list(range(16))
-        ac_sizes = range(1, 15)
-    ac_vals = [0x00, 0xF0] \
-        + ([n << 4 for n in range(1, 15)] if progressive else []) \
-        + [(r << 4) | s for r in range(16) for s in ac_sizes]
-    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
-    dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals) \
-        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
-    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+        if precision == 8:
+            dc_bits = [0, 0, 0, 12] + [0] * 12
+            dc_vals = list(range(12))
+            ac_sizes = range(1, 11)
+        else:
+            dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+            dc_vals = list(range(16))
+            ac_sizes = range(1, 15)
+        ac_vals = [0x00, 0xF0] \
+            + ([n << 4 for n in range(1, 15)] if progressive else []) \
+            + [(r << 4) | s for r in range(16) for s in ac_sizes]
+        ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+        dht = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals) \
+            + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+        out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
     if restart_interval:
         out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
 
@@ -4347,8 +4373,9 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     def codes(bits, vals):
         return {v: lc for lc, v in _jpeg_huff_table(bits, vals).items()}
 
-    dc_codes = codes(dc_bits, dc_vals)
-    ac_codes = codes(ac_bits, ac_vals)
+    if not arithmetic:
+        dc_codes = codes(dc_bits, dc_vals)
+        ac_codes = codes(ac_bits, ac_vals)
     acc = [0, 0]  # bit accumulator, bit count
 
     entropy = bytearray()
@@ -4395,7 +4422,221 @@ def encode_jpeg(comp_blocks, w: int, h: int,
         entropy.clear()
         return data
 
-    if not progressive:
+    if arithmetic:
+        # --- sequential arithmetic (SOF9): the QM coder of T.81
+        # Annex D driven by the Annex F.1.4 DC/AC statistical models,
+        # sharing operators/multimodal.py:_QM_TABLE with the decoder
+        # (the _JPEG_ZIGZAG pattern: one table, no drift — which is
+        # also what makes the driver gate over these fixtures
+        # bit-exact by construction). Encoder registers per Figures
+        # D.2/D.8: A interval, C code with the output byte at bits
+        # 19-26, CT countdown starting at 11 (3 spacer bits). Carry
+        # resolution: this encoder holds the whole entropy segment in
+        # memory and ripples +1 backward through it (simpler than the
+        # spec's stacked-FF bookkeeping, same bytes); FF stuffing is
+        # a post-pass, legal because stuffing is pure transport
+        # escaping that the decoder's byte feed undoes.
+        from citydata_etl_spark.operators.multimodal import (
+            _QM_FIXED_BIN,
+            _QM_TABLE,
+        )
+
+        KX = 5  # matches the DAC payload above
+        DC_L, DC_U = 0, 1
+        raw = bytearray()
+        st_enc = [0x10000, 0, 11]  # A, C, CT
+
+        def _ripple(add):
+            i = len(raw) - 1
+            while add and i >= 0:
+                t = raw[i] + add
+                raw[i] = t & 0xFF
+                add = t >> 8
+                i -= 1
+            assert add == 0, "carry past stream start"
+
+        def byteout():
+            t = st_enc[1] >> 19
+            if t > 0xFF:
+                _ripple(t >> 8)
+                t &= 0xFF
+            raw.append(t)
+            st_enc[1] &= 0x7FFFF
+
+        def encode(st, i, bit):
+            a, c, ct = st_enc
+            s = st[i]
+            qe, nmps, nlps, sw = _QM_TABLE[s & 0x7F]
+            mps = s >> 7
+            a -= qe
+            if bit == mps:
+                if a & 0x8000:
+                    st_enc[0] = a
+                    return
+                if a < qe:  # conditional MPS exchange
+                    c += a
+                    a = qe
+                st[i] = (mps << 7) | nmps
+            else:
+                if a >= qe:  # normal LPS: takes the top qe-sized part
+                    c += a
+                    a = qe
+                # else conditional exchange: LPS keeps the bottom
+                if sw:
+                    mps = 1 - mps
+                st[i] = (mps << 7) | nlps
+            st_enc[0], st_enc[1] = a, c
+            while True:  # RENORME
+                st_enc[0] <<= 1
+                st_enc[1] <<= 1
+                ct -= 1
+                if ct == 0:
+                    byteout()  # reads/masks C through st_enc
+                    ct = 8
+                if st_enc[0] & 0x8000:
+                    break
+            st_enc[2] = ct
+
+        def coder_flush():
+            # Figure D.14: pick the in-interval code point with the
+            # most trailing zeros, shift out, emit the final 2 bytes
+            a, c, ct = st_enc
+            t = (c + a - 1) & 0xFFFF0000
+            c = t + 0x8000 if t < c else t
+            c <<= ct
+            carry = c >> 27
+            if carry:
+                _ripple(carry)
+                c &= 0x7FFFFFF
+            raw.append((c >> 19) & 0xFF)
+            raw.append((c >> 11) & 0xFF)
+
+        def stuffed():
+            s = bytearray()
+            for b in raw:
+                s.append(b)
+                if b == 0xFF:
+                    s.append(0x00)
+            raw.clear()
+            return bytes(s)
+
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        fixed = bytearray([_QM_FIXED_BIN])
+
+        def reset_all():
+            st_enc[0], st_enc[1], st_enc[2] = 0x10000, 0, 11
+            dc_stats[:] = bytes(64)
+            ac_stats[:] = bytes(256)
+            fixed[0] = _QM_FIXED_BIN
+
+        def enc_mag(st, head_bin, second_same, area_start, v):
+            # magnitude tail (Figures F.7-F.9 / Table F.4-F.5 bins),
+            # mirroring the decoder's decode_mag: v = magnitude - 1.
+            # Returns the category BASE (the chain's m, MSB of v) —
+            # the value the DC conditioning classifies (using the
+            # magnitude itself desynchronizes the two sides' context
+            # selection on small diffs).
+            if v == 0:
+                encode(st, head_bin, 0)
+                return 0
+            encode(st, head_bin, 1)
+            m = 1
+            pos = head_bin
+            if second_same:
+                if v >> 1:
+                    encode(st, head_bin, 1)
+                    m = 2
+                    pos = area_start
+                    v2 = v >> 2
+                    while v2:
+                        encode(st, pos, 1)
+                        m <<= 1
+                        pos += 1
+                        v2 >>= 1
+            else:
+                pos = area_start
+                v2 = v >> 1
+                while v2:
+                    encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+                    v2 >>= 1
+            encode(st, pos, 0)
+            cat_base = m
+            pos += 14
+            m >>= 1
+            while m:
+                encode(st, pos, 1 if v & m else 0)
+                m >>= 1
+            return cat_base
+
+        preds = [0] * n_comp
+        dc_ctx = [0] * n_comp
+        rst = 0
+        reset_all()
+        for m_i in range(n_mcu):
+            if restart_interval and m_i and m_i % restart_interval == 0:
+                coder_flush()
+                out += stuffed() + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * n_comp
+                dc_ctx = [0] * n_comp
+                reset_all()
+            my, mx = divmod(m_i, mcux)
+            for ci in range(n_comp):
+                sh, sv = sampling[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        idx = (my * sv + by) * (mcux * sh) + mx * sh + bx
+                        zzb = zz_of(comp_blocks[ci][idx])
+                        # DC (Figures F.4-F.9, Table F.4 layout)
+                        diff = zzb[0] - preds[ci]
+                        preds[ci] = zzb[0]
+                        ctx = dc_ctx[ci]
+                        if diff == 0:
+                            encode(dc_stats, ctx, 0)
+                            dc_ctx[ci] = 0
+                        else:
+                            encode(dc_stats, ctx, 1)
+                            sign = 1 if diff < 0 else 0
+                            encode(dc_stats, ctx + 1, sign)
+                            mag = -diff if sign else diff
+                            cat_base = enc_mag(
+                                dc_stats, ctx + 2 + sign, False,
+                                20, mag - 1)
+                            if cat_base < ((1 << DC_L) >> 1):
+                                dc_ctx[ci] = 0
+                            elif cat_base > ((1 << DC_U) >> 1):
+                                dc_ctx[ci] = 12 + 4 * sign
+                            else:
+                                dc_ctx[ci] = 4 + 4 * sign
+                        # AC (Figure F.5, 3 bins per k + Kx split)
+                        ke = max(
+                            (k for k in range(1, 64) if zzb[k]),
+                            default=0,
+                        )
+                        k = 1
+                        while k <= ke:
+                            se = 3 * (k - 1)
+                            encode(ac_stats, se, 0)  # not EOB
+                            while zzb[k] == 0:
+                                encode(ac_stats, se + 1, 0)
+                                se += 3
+                                k += 1
+                            encode(ac_stats, se + 1, 1)
+                            v = zzb[k]
+                            sign = 1 if v < 0 else 0
+                            encode(fixed, 0, sign)
+                            mag = -v if sign else v
+                            enc_mag(ac_stats, se + 2, True,
+                                    189 if k <= KX else 217, mag - 1)
+                            k += 1
+                        if ke < 63:
+                            encode(ac_stats, 3 * (ke + 1 - 1), 1)  # EOB
+        coder_flush()
+        out += stuffed()
+    elif not progressive:
         preds = [0] * n_comp
         rst = 0
         for m in range(n_mcu):
@@ -4782,7 +5023,15 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       jdapimin gives a JFIF marker precedence over both signatures
       for 3-component frames, and the decoder now honors that — a
       JFIF+APP14-transform-0 dual-marker blob decodes YCbCr
-      (pixels unchanged; only the blob bytes differ from r15)."""
+      (pixels unchanged; only the blob bytes differ from r15).
+
+    r16 weave: every non-12-bit frame at d % 3 == 2 is SEQUENTIAL
+    ARITHMETIC-coded (SOF9, QM coder + F.1.4 conditioning) with the
+    SAME closed-form pixels — composing with grayscale, DRI restarts
+    (coder flush + statistics reset per interval), and both
+    stored-RGB signatures — so the new entropy decoder faces the
+    driver hash invisibly to SQL, the same weave pattern as the
+    progressive class."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -4810,6 +5059,14 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                 yf = lambda tx, ty: (d + 5 * tx + 9 * ty) % 256
                 ri = 2 if d % 4 == 0 else 0
+                # r16: every non-12-bit frame at d % 3 == 2 is
+                # SEQUENTIAL ARITHMETIC (SOF9, QM coder) with the
+                # SAME closed-form pixels — the oracle stays blind to
+                # the entropy coding, so the new decode path faces the
+                # driver hash invisibly to SQL; composes with gray,
+                # DRI restarts, and both stored-RGB signatures
+                # (disjoint from the progressive d % 3 == 1 class)
+                arith = d % 3 == 2 and d % 10 != 5
                 # every frame at d % 3 == 1 is PROGRESSIVE (SOF2)
                 # with the SAME closed-form pixels, so the oracle is
                 # blind to the scan topology and any multi-scan
@@ -4845,7 +5102,8 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blobs.append(encode_jpeg([plane(yf)], w, h,
                                              restart_interval=ri,
                                              progressive=prog,
-                                             scan_script=script))
+                                             scan_script=script,
+                                             arithmetic=arith))
                 else:
                     comps3 = [
                         plane(yf),
@@ -4867,12 +5125,14 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                             scan_script=script,
                             adobe_transform=0 if d % 10 == 2 else None,
                             component_ids=None if d % 10 == 2
-                            else [0x52, 0x47, 0x42]))
+                            else [0x52, 0x47, 0x42],
+                            arithmetic=arith))
                     else:
                         blobs.append(encode_jpeg(comps3, w, h,
                                                  restart_interval=ri,
                                                  progressive=prog,
-                                                 scan_script=script))
+                                                 scan_script=script,
+                                                 arithmetic=arith))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
     return docs.mapInPandas(build, schema="media_id BIGINT, content BINARY")
@@ -4966,7 +5226,14 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the three stored planes are the channels, no YCbCr convert — "
     "detection alternating between APP14 transform 0 and the "
     "unmarked 'R','G','B' component-id signature, libjpeg's "
-    "color-space guess). This entry pins the "
+    "color-space guess — since r16 emitted WITHOUT the JFIF APP0 "
+    "whose libjpeg precedence would force YCbCr). Since r16 the "
+    "d%3==2 class is SEQUENTIAL ARITHMETIC-coded (SOF9: QM coder + "
+    "Annex F.1.4 conditioning models, DAC marker, per-restart coder "
+    "re-init — operators/multimodal.py:_jpeg_arith_scan), same "
+    "pixels, closing the last entropy-coding gap with any wild-web "
+    "occurrence; only SOF10/lossless/hierarchical stay disclosed-"
+    "None. This entry pins the "
     "4:4:4/grayscale profiles; subsampled 4:2:0/4:2:2 decode "
     "(supported since r13) is pinned by its own entry, "
     "d5_jpeg_pixels_420. AC coefficients, "

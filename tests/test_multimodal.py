@@ -3070,7 +3070,7 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
                 jfif = True
             if marker == 0xEE and seg[:5] == b"Adobe":
                 app14 = seg[11]
-            if marker in (0xC0, 0xC1, 0xC2):
+            if marker in (0xC0, 0xC1, 0xC2, 0xC9):
                 prec, nc = seg[0], seg[5]
                 comps = [
                     (seg[6 + 3 * c],
@@ -3087,13 +3087,27 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
         .collect()
     }
     seen = {"p12_1c": 0, "p12_3c": 0, "p12_sof2": 0,
-            "rgb_app14": 0, "rgb_cids": 0}
+            "rgb_app14": 0, "rgb_cids": 0, "arith": 0,
+            "arith_gray": 0, "arith_rgb": 0}
     for d, blob in blobs.items():
         if d % 7 == 0:
             continue
         parsed = parse_sof(blob)
         assert parsed is not None, d
         marker, prec, comps, app14, jfif = parsed
+        # r16 weave: every non-12-bit frame at d % 3 == 2 is
+        # sequential arithmetic (SOF9) — composing with gray and
+        # stored-RGB — and nothing else is
+        if d % 3 == 2 and d % 10 != 5:
+            assert marker == 0xC9, d
+            seen["arith"] += 1
+            if len(comps) == 1:
+                seen["arith_gray"] += 1
+            if d % 5 == 2:
+                seen["arith_rgb"] += 1
+            assert M._decode_jpeg_rgb(blob) is not None, d
+        else:
+            assert marker != 0xC9, d
         if d % 10 == 5:
             assert prec == 12, d
             assert marker in (0xC1, 0xC2), d
@@ -3333,3 +3347,175 @@ def test_gif_and_bmp_same_pixels_same_stats(spark):
               "wsum_r", "p00"):
         assert rows[1][k] == rows[2][k], (k, rows[1][k], rows[2][k])
     assert rows[1]["wsum_r"] is not None
+
+
+def test_qm_table_structural_invariants():
+    """The arithmetic coder's Table D.3 transcription
+    (operators/multimodal.py:_QM_TABLE) cannot be cross-checked
+    against another codec in this container (none exists, no
+    network), so pin the structural invariants the published state
+    machine satisfies — a transposed row or swapped column breaks at
+    least one: every transition in range; MPS transitions never
+    INCREASE Qe (estimates only sharpen on MPS renorm); non-switch
+    LPS transitions never DECREASE it; switch rows are exactly the
+    fast-attack chain heads (Qe > 0.45 in the 0x10000 scale) plus
+    nothing else; state 113 is the fixed half-probability bin
+    (self-transitions, no switch, Qe == state 0's)."""
+    from citydata_etl_spark.operators.multimodal import (
+        _QM_FIXED_BIN,
+        _QM_TABLE,
+    )
+
+    assert len(_QM_TABLE) == 114
+    for i, (qe, nmps, nlps, sw) in enumerate(_QM_TABLE):
+        assert 0 < qe < 0x8000, i
+        assert 0 <= nmps < 114 and 0 <= nlps < 114, i
+        assert sw in (0, 1), i
+        assert _QM_TABLE[nmps][0] <= qe, i  # MPS only sharpens
+        if not sw:
+            assert _QM_TABLE[nlps][0] >= qe, i  # LPS only flattens
+    switch_rows = {i for i, r in enumerate(_QM_TABLE) if r[3]}
+    assert switch_rows == {0, 14, 36, 64, 80, 88, 95, 105, 110, 112}
+    assert all(_QM_TABLE[i][0] > 0x5000 for i in switch_rows)
+    qe, nmps, nlps, sw = _QM_TABLE[_QM_FIXED_BIN]
+    assert (qe, nmps, nlps, sw) == (_QM_TABLE[0][0], 113, 113, 0)
+
+
+def test_jpeg_arithmetic_matches_huffman_property():
+    """r16: SEQUENTIAL ARITHMETIC (SOF9, QM coder + the Annex F.1.4
+    DC/AC conditioning models) decodes the SAME quantized
+    coefficients to the SAME pixels as the Huffman encode — across
+    dims, grayscale/color, subsampling, restart intervals, 8/12-bit,
+    and coefficient densities (sparse streams exercise the EOB/zero
+    chains and the small-diff DC conditioning boundary that
+    desynchronizes first when the two sides' context selection
+    drifts). Both entropy codings are lossless, so pixel equality is
+    exact, not a tolerance."""
+    import random
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(6, 40),      # width
+        st.integers(6, 40),      # height
+        st.integers(0, 2**30),   # seed
+        st.sampled_from([None, "420", "422"]),
+        st.sampled_from([0, 2, 3]),   # restart interval
+        st.sampled_from([3, 60, 900]),  # coefficient amplitude
+        st.sampled_from([8, 8, 12]),    # precision
+        st.booleans(),            # grayscale (when unsampled)
+    )
+    def check(w, h, seed, samp_key, ri, amp, prec, gray):
+        rng = random.Random(seed)
+        samp = {"420": [(2, 2), (1, 1), (1, 1)],
+                "422": [(2, 1), (1, 1), (1, 1)], None: None}[samp_key]
+        nc = 1 if gray and samp is None else 3
+        if nc == 1:
+            samp = None
+        sh = samp or [(1, 1)] * nc
+        hmax = max(a for a, _ in sh)
+        vmax = max(b for _, b in sh)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+        def rb(n):
+            out = []
+            for _ in range(n):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = rng.randrange(-amp - 1, amp + 1)
+                for k in range(1, 64):
+                    if rng.random() < 0.35:
+                        blk[k // 8][k % 8] = rng.randrange(-amp, amp + 1)
+                out.append(blk)
+            return out
+
+        comps = [rb(mcuy * sv * mcux * shh) for shh, sv in sh]
+        kw: dict = {"restart_interval": ri, "precision": prec}
+        if nc == 3:
+            kw["sampling"] = samp
+        da = M._decode_jpeg_rgb(encode_jpeg(comps, w, h,
+                                            arithmetic=True, **kw))
+        dh = M._decode_jpeg_rgb(encode_jpeg(comps, w, h, **kw))
+        assert da is not None and dh is not None
+        assert np.array_equal(da[2], dh[2])
+
+    check()
+
+
+def test_jpeg_arithmetic_markers_and_strictness():
+    """SOF9 marker-layer edges: the default-conditioning path (DAC
+    stripped -> identical pixels, F.1.4's L=0/U=1/Kx=5 defaults),
+    malformed DAC payloads (Kx = 0, L > U, odd length) -> None,
+    progressive-arithmetic SOF10 stays out of scope -> None, and
+    truncation inside the entropy stream -> None, never a raise.
+    Also pins composition with the Adobe color models: a CMYK
+    (APP14 transform 0) arithmetic encode decodes equal to its
+    Huffman twin."""
+    import random
+
+    import numpy as np
+
+    from citydata_etl_spark.plans.queries_llm import encode_jpeg
+
+    rng = random.Random(17)
+
+    def rb(n):
+        out = []
+        for _ in range(n):
+            blk = [[0] * 8 for _ in range(8)]
+            blk[0][0] = rng.randrange(-90, 91)
+            for k in range(1, 64):
+                if rng.random() < 0.3:
+                    blk[k // 8][k % 8] = rng.randrange(-50, 51)
+            out.append(blk)
+        return out
+
+    w, h = 22, 19
+    comps = [rb(3 * 3) for _ in range(3)]
+    blob = encode_jpeg(comps, w, h, arithmetic=True)
+    base = M._decode_jpeg_rgb(blob)
+    assert base is not None
+
+    # DAC segment location (FF CC len 00 06 + 4 payload bytes)
+    i = blob.index(b"\xff\xcc")
+    dac_seg = blob[i:i + 8]
+    assert dac_seg[2:4] == b"\x00\x06"
+
+    # (a) stripping DAC entirely -> spec defaults -> same pixels
+    stripped = blob[:i] + blob[i + 8:]
+    dec = M._decode_jpeg_rgb(stripped)
+    assert dec is not None and np.array_equal(dec[2], base[2])
+
+    # (b) malformed DAC payloads reject
+    kx0 = bytearray(blob)
+    kx0[i + 7] = 0x00  # AC Kx = 0 (B.2.4.3 requires 1..63)
+    assert M._decode_jpeg_rgb(bytes(kx0)) is None
+    lgu = bytearray(blob)
+    lgu[i + 5] = 0x05  # DC byte: U=0 < L=5
+    assert M._decode_jpeg_rgb(bytes(lgu)) is None
+    odd = blob[:i + 3] + b"\x05" + blob[i + 4:]  # len 5: dangling byte
+    assert M._decode_jpeg_rgb(odd) is None
+
+    # (c) progressive arithmetic (SOF10 = 0xCA) stays out of scope
+    sof = blob.index(b"\xff\xc9")
+    sof10 = blob[:sof + 1] + b"\xca" + blob[sof + 2:]
+    assert M._decode_jpeg_rgb(sof10) is None
+
+    # (d) truncation inside the entropy stream -> None, no raise
+    sos = blob.index(b"\xff\xda")
+    for cut in (sos + 20, len(blob) - 6):
+        assert M._decode_jpeg_rgb(blob[:cut]) is None
+
+    # (e) Adobe CMYK composes with arithmetic coding
+    four = [rb(3 * 3) for _ in range(4)]
+    ca = M._decode_jpeg_rgb(
+        encode_jpeg(four, w, h, adobe_transform=0, arithmetic=True,
+                    restart_interval=2))
+    ch = M._decode_jpeg_rgb(
+        encode_jpeg(four, w, h, adobe_transform=0, restart_interval=2))
+    assert ca is not None and np.array_equal(ca[2], ch[2])
