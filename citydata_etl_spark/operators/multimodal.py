@@ -1060,9 +1060,16 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
 
     Strictness (all -> None): magnitude-category chains past the
     15-bit cap, a zero-run crossing the band end, a restart marker
-    out of sequence or further than the coder's own flush remnants
-    (<= 8 bytes of slack, each either a pad byte or a stuffed-FF
-    pair) from the consumed position, and truncation anywhere.
+    out of sequence, a scan-end "marker" that is a stray RSTn or not
+    a marker code at all (an FF colliding with garbage), any marker
+    further than 6 unread bytes from the consumed position, and
+    truncation anywhere. One disclosed gap vs the Huffman twin's
+    <8-leftover-bits check, inherent to arithmetic coding (libjpeg
+    behaves the same): the decoder loads look-ahead bytes on demand
+    without knowing where the encoder's code bytes end, so trailing
+    garbage before the end marker is absorbed as phantom code/flush
+    bytes and cannot be distinguished from legal padding — only the
+    marker structure itself is validated.
 
     Throughput posture: the QM coder is inherently one adaptive
     DECISION per bit (no multi-symbol LUT shortcut exists like the
@@ -1234,12 +1241,21 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
     expected_rst = 0
 
     def seek_marker():
-        # consume the coder's flush remnants (pad bytes / stuffed-FF
-        # pairs) up to the next true marker; bounded slack keeps the
-        # strictness of the Huffman paths' leftover checks
+        # consume the coder's flush remnants up to the next true
+        # marker. The lag is bounded arithmetically: the decoder
+        # defers the final decision's renormalization (<= 2 byte
+        # loads), and the encoder's flush appends 2 code bytes, each
+        # possibly FF-stuffed — so a valid stream leaves at most 6
+        # unread bytes. Remnant CONTENT is opaque (any byte value is
+        # a legal flush byte), so up to that many trailing garbage
+        # bytes are indistinguishable from padding — weaker than the
+        # Huffman twin's <8-leftover-bits check, disclosed here; the
+        # MARKER is validated instead (the RSTn sequence at interval
+        # boundaries, and no stray RSTn at scan end — see the call
+        # sites).
         nonlocal dpos
         slack = 0
-        while dpos + 1 < n and slack <= 8:
+        while dpos + 1 < n and slack <= 6:
             if data[dpos] == 0xFF and data[dpos + 1] != 0x00:
                 return data[dpos + 1]
             step = 2 if data[dpos] == 0xFF else 1
@@ -1247,12 +1263,28 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
             slack += step
         return None
 
+    # per-MCU block plan, computed once: (slot, coefficient buffer,
+    # DC table id, AC table id, and the geometry constants the unit
+    # loop folds into each block's flat offset)
+    mcu_plan = []
+    if interleaved:
+        for slot, (ci, chf, cvf, row_blocks) in enumerate(slot_geom):
+            _, dt, at = splan[slot]
+            for by in range(cvf):
+                for bx in range(chf):
+                    mcu_plan.append(
+                        (slot, colists[ci], dt, at,
+                         cvf, row_blocks, chf, by, bx)
+                    )
+    else:
+        ci0, dt0, at0 = splan[0]
+        mcu_plan.append((0, colists[ci0], dt0, at0, 1, 0, 1, 0, 0))
+
     reset_stats()
     initdec()
     for u in range(units):
         if ri and u and u % ri == 0:
-            nonlocal_marker = seek_marker()
-            if nonlocal_marker != 0xD0 + expected_rst:
+            if seek_marker() != 0xD0 + expected_rst:
                 return None
             expected_rst = (expected_rst + 1) % 8
             dpos += 2  # past the RSTn
@@ -1261,17 +1293,19 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
             initdec()
         if interleaved:
             my, mx = divmod(u, mcux)
-            blocks_iter = []
-            for slot, (ci, chf, cvf, row_blocks) in enumerate(slot_geom):
-                for by in range(cvf):
-                    row0 = (my * cvf + by) * row_blocks + mx * chf
-                    for bx in range(chf):
-                        blocks_iter.append((slot, ci, (row0 + bx) << 6))
+            # mcu_plan is hoisted out of the unit loop (the same
+            # slot_bind hoist the Huffman fast path does); only the
+            # per-MCU offset arithmetic runs here
+            blocks_iter = (
+                (slot, co, dt, at,
+                 (((my * cvf + by) * row_blocks) + mx * chf + bx) << 6)
+                for slot, co, dt, at, cvf, row_blocks, chf, by, bx
+                in mcu_plan
+            )
         else:
-            blocks_iter = [(0, splan[0][0], u << 6)]
-        for slot, ci, base in blocks_iter:
-            _, dt, at = splan[slot]
-            co = colists[ci]
+            slot0, co0, dt0, at0 = mcu_plan[0][:4]
+            blocks_iter = ((slot0, co0, dt0, at0, u << 6),)
+        for slot, co, dt, at, base in blocks_iter:
             # --- DC (Figures F.19-F.24, Table F.4 bin layout) ---
             st = dc_stats[dt]
             ctx = dc_ctx[slot]
@@ -1313,7 +1347,13 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
                 v = vm[0]
                 co[base + zz[k]] = -(v + 1) if sign else v + 1
                 k += 1
-    if seek_marker() is None:
+    end_marker = seek_marker()
+    if end_marker is None or 0xD0 <= end_marker <= 0xD7 \
+            or end_marker < 0xC0:
+        # no marker within the flush-remnant bound, a stray RSTn
+        # outside the restart structure, or an FF followed by a
+        # non-marker code (garbage colliding with a flush 0xFF —
+        # every real post-scan marker is 0xC0..0xFE): malformed
         return None
     return dpos, colists
 

@@ -424,12 +424,16 @@ def state_partitions_for(
     built-in aggregations' knee is 4).
 
     Derivation: clamp(ceil(keys / 375) [* 4 if per-group Python],
-    4, 4 * cores). Reproduces every measured knee — 4 for t10's ~1.5k
-    keys, 16 for t12/t19's Python sessionizers, and moves right with
+    4, 4 * cores). Reproduces the measured knees — 4 for t10's ~1.5k
+    keys, 16 for t12's Python sessionizer — and moves right with
     key cardinality exactly as SCALE_REHEARSAL_r15.json measured (at
     10x keys the t12 knee moved 16 -> 32+; at 100x keys fixed-4 cost
     377 s vs 72 s) — while never exceeding 4x cores, past which
-    store-commit machinery wins again. Partition count never changes
+    store-commit machinery wins again. (t19 deliberately stays
+    hand-pinned at 16: its state keys are TIME SLOTS, ~6-9k at driver
+    SFs, so this formula would derive 64 — a value no measurement
+    backs for that cheap-per-group load; its call site says so.)
+    Partition count never changes
     RESULTS (state is keyed), only where the knee lands, so every
     oracle stays byte-identical; it must be set before the first
     checkpoint, which is why the estimate is an input, not something
@@ -467,12 +471,13 @@ def _await_with_state_partitions(
       pays commit machinery per batch (a stream-stream join commits FOUR
       per partition), which is pure fixed overhead on a bounded run —
       the catalog defaults to 4, measured as the knee for these loads.
-      Since r16 callers pass `est_active_keys` (+ `per_group_python`
-      for buffered Python sessionizers) instead of a hand-pinned
-      count, and state_partitions_for derives the knee from key
-      cardinality — see its docstring for the measured derivation
-      (t10/t12 pass their fixture cardinality and derive today's
-      4 / 16 exactly).
+      Since r16 the MEASURED-knee callers (t10, t12) pass
+      `est_active_keys` (+ `per_group_python` for buffered Python
+      sessionizers) instead of a hand-pinned count, and
+      state_partitions_for derives the knee from key cardinality —
+      see its docstring for the derivation (t10/t12 derive today's
+      4 / 16 exactly; t19 stays hand-pinned, rationale at its call
+      site).
       At real scale this is sized UP to key cardinality / executor count
       (2-4x total cores), never lowered — and it cannot be changed after
       the first checkpoint. That guidance is now MEASURED, not advisory
@@ -1786,7 +1791,12 @@ def t19_stream_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"t19_stream_kmv_{next(_STREAM_SEQ)}"
     # 16 state partitions (t12's knee, same reason): thousands of
     # slot groups each run a Python kernel — per-group Python moves
-    # the bottleneck from store-commit overhead to kernel parallelism
+    # the bottleneck from store-commit overhead to kernel parallelism.
+    # Deliberately NOT routed through state_partitions_for (r16): the
+    # state keys here are 300 s TIME SLOTS (~6-9k at driver SFs), so
+    # the formula would derive 64 — unmeasured for this cheap-per-
+    # group load, where 16 is the value actually measured; a
+    # deployment with genuinely hot slot kernels should derive.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("update")

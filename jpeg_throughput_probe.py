@@ -91,8 +91,12 @@ def main() -> None:
         # unchanged decoder); best-of approximates the code's cost
         # best-of-5 at the largest size (r16): steal bursts are long
         # relative to a ~1.5 s decode, so 3 shots can ALL land inside
-        # one burst; 5 shots make the best-of a code number
-        for _ in range(4 if w >= 2560 else 2):
+        # one burst; 5 shots make the best-of a code number. The rep
+        # count is stamped PER RESULT ROW (r16 review finding: the
+        # old single method label silently mislabeled the 2560x1920
+        # rows, corrupting cross-round min-bias attribution).
+        reps = 5 if w >= 2560 else 3
+        for _ in range(reps - 1):
             t0 = time.perf_counter()
             out = _decode_jpeg_rgb(blob)
             dt = min(dt, time.perf_counter() - t0)
@@ -103,6 +107,7 @@ def main() -> None:
             "blob_kb": round(len(blob) / 1024, 1),
             "decode_sec": round(dt, 3),
             "mp_per_sec": round(mp / dt, 3),
+            "best_of": reps,
         })
     # Gate probe: a 7.1 MP frame's decode footprint exceeds the 512 MiB
     # ceiling and must be refused in O(header) time, not decoded.
@@ -119,7 +124,7 @@ def main() -> None:
 
     noise_after = _host_noise_probe()
     print(json.dumps({"metric": "jpeg_decode_throughput_420_dense_ac",
-                      "method": "best_of_3_single_thread",
+                      "method": "best_of_n_single_thread_per_row",
                       "load_avg": [round(x, 2) for x in os.getloadavg()],
                       "noise_before": noise_before,
                       "noise_after": noise_after,

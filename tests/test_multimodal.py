@@ -3511,6 +3511,19 @@ def test_jpeg_arithmetic_markers_and_strictness():
     for cut in (sos + 20, len(blob) - 6):
         assert M._decode_jpeg_rgb(blob[:cut]) is None
 
+    # (f) marker validation at scan end (r16 review finding): a stray
+    # RSTn between the entropy end and EOI is malformed -> None, and
+    # so is an FF colliding with a non-marker code (garbage byte).
+    # Plain trailing garbage is absorbed as phantom code/flush bytes
+    # — inherent to arithmetic coding and disclosed in
+    # _jpeg_arith_scan's docstring (libjpeg behaves the same).
+    eoi = len(blob) - 2
+    assert blob[eoi:] == b"\xff\xd9"
+    assert M._decode_jpeg_rgb(
+        blob[:eoi] + b"\xff\xd0" + blob[eoi:]) is None
+    assert M._decode_jpeg_rgb(
+        blob[:eoi] + b"\xff\x13" + blob[eoi:]) is None
+
     # (e) Adobe CMYK composes with arithmetic coding
     four = [rb(3 * 3) for _ in range(4)]
     ca = M._decode_jpeg_rgb(
