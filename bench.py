@@ -157,6 +157,7 @@ HEADLINE = [
     # round-8 third wave: the distributed IVF trainer's oracle-exact
     # twin (two chained integer Lloyd iterations, zero driver collects)
     "d4_ann_ivf_dist_rank",
+    "d4_ann_ivf_capped_rank",
     # round-9 additions: BPE encode (train+apply over the vocab), MMR
     # retrieval diversification (unrolled greedy picks), parquet bloom
     # point lookup (cold rep includes the one-time bloom write),
@@ -265,6 +266,7 @@ HEADLINE = [
     # round-15 addition: DSIR importance resampling (hashed-bigram
     # log-ratio weights + Gumbel-top-k selection)
     "d6_dsir_select",
+    "d6_dsir_select_hash",
 ]
 
 
