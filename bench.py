@@ -13,7 +13,12 @@ Since r15 the sweep runs TWICE back-to-back inside one idle-gate window
 with calibration probes before AND after and a per-query 1-minute load
 series (bench_detail.json) — mid-run host load is attributable from the
 artifact itself (rep disagreement / load spike / calibration drift)
-instead of masquerading as a code regression (the r14 finding).
+instead of masquerading as a code regression (the r14 finding). Since
+r17 any query whose 1-minute load exceeded $SPARK_GRAFT_RERUN_LOAD
+(default 2.0) in BOTH sweeps gets one targeted third rep — sustained
+load that best-of-2 cannot absorb (the r16 finding) — and the graded
+totals are per-query best-of-N with the rerun set stamped on the line
+(`bench_method_version: 3`).
 
 Each query is forced with a full-result action (count after cache-free
 execution) — no collect of wide payloads, mirroring how a reporting layer
@@ -389,7 +394,7 @@ def main() -> None:
     # rep1 per-query disagreement, (b) a load-series spike at the
     # affected queries, or (c) calibration_after drift, instead of being
     # indistinguishable from a code regression.
-    def run_sweep() -> tuple[
+    def run_sweep(names=None) -> tuple[
         dict[str, float], dict[str, float], dict[str, str],
         dict[str, float],
     ]:
@@ -397,7 +402,7 @@ def main() -> None:
         timings_cold: dict[str, float] = {}
         errors: dict[str, str] = {}
         loads: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in (names if names is not None else HEADLINE):
             fn = catalog[name].spark_fn
             inner = getattr(fn, "__wrapped__", fn)
             try:
@@ -428,6 +433,27 @@ def main() -> None:
     # so rep2's "cold" rewrites the same one-time tables — method-equal
     # to rep1 except for OS page cache, which rep1's warm reps shared too
     timings2, timings2_cold, errors2, loads2 = run_sweep()
+
+    # Targeted THIRD rep (r17 VERDICT task 4): best-of-2 only absorbs
+    # one-rep load spikes — the r16 driver-stamped run was contaminated
+    # through BOTH sweeps (per-query 1-min load 4–9, start GEMM 4x
+    # slower than end) and graded 4 false >1.3x regressions. Any query
+    # whose rep1 AND rep2 post-query 1-minute loads both exceeded the
+    # threshold re-runs ONCE more; the graded total is per-query
+    # best-of-N. Only flagged queries re-run, so the gate window stays
+    # bounded; the rerun set and threshold are stamped on the line.
+    rerun_load = float(os.environ.get("SPARK_GRAFT_RERUN_LOAD", "2.0"))
+    flagged = sorted(
+        n for n in set(timings) | set(timings2)
+        if loads1.get(n, 0.0) > rerun_load
+        and loads2.get(n, 0.0) > rerun_load
+    )
+    timings3: dict[str, float] = {}
+    timings3_cold: dict[str, float] = {}
+    errors3: dict[str, str] = {}
+    loads3: dict[str, float] = {}
+    if flagged:
+        timings3, timings3_cold, errors3, loads3 = run_sweep(flagged)
     calibration_after = _calibration()
     load_after = os.getloadavg()
 
@@ -464,16 +490,16 @@ def main() -> None:
     # the double sweep exists to de-noise. min() over the reps a
     # query completed in keeps the totals comparable; the per-rep
     # sums and query counts stay on the line for attribution.
-    def best_of_reps(rep1: dict, rep2: dict) -> dict[str, float]:
+    def best_of_reps(*reps: dict) -> dict[str, float]:
+        names: set = set().union(*reps)
         return {
-            n: round(min(
-                v for v in (rep1.get(n), rep2.get(n)) if v is not None
-            ), 3)
-            for n in set(rep1) | set(rep2)
+            n: round(min(vals), 3)
+            for n in names
+            if (vals := [v for r in reps if (v := r.get(n)) is not None])
         }
 
-    best_warm = best_of_reps(timings, timings2)
-    best_cold = best_of_reps(timings_cold, timings2_cold)
+    best_warm = best_of_reps(timings, timings2, timings3)
+    best_cold = best_of_reps(timings_cold, timings2_cold, timings3_cold)
 
     fam_warm: dict[str, float] = {}
     fam_cold: dict[str, float] = {}
@@ -491,10 +517,16 @@ def main() -> None:
         "queries_cold": timings_cold,
         "queries_warm_rep2": timings2,
         "queries_cold_rep2": timings2_cold,
+        "queries_warm_rep3": timings3,
+        "queries_cold_rep3": timings3_cold,
         "load_1min_after_query_rep1": loads1,
         "load_1min_after_query_rep2": loads2,
+        "load_1min_after_query_rep3": loads3,
+        "rerun_load_threshold": rerun_load,
+        "rerun_queries": flagged,
         "errors": errors,
         "errors_rep2": errors2,
+        "errors_rep3": errors3,
         "sf": sf,
         "calibration": calibration,
         "calibration_after": calibration_after,
@@ -532,7 +564,18 @@ def main() -> None:
         "queries": slowest,  # slowest 25 warm; full dicts in bench_detail.json
         "families_warm": dict(sorted(fam_warm.items())),
         "families_cold": dict(sorted(fam_cold.items())),
-        "method": "double_sweep_best_of_2_warm_plus_cold",
+        # bench_method_version (r17 ADVICE fix): lets cross-round
+        # consumers detect grading-semantics changes from the artifact
+        # alone. v1 = single sweep (≤r14, value = rep1 sum); v2 =
+        # double sweep, value = per-query best-of-2 (r16); v3 = v2 +
+        # targeted rep3 for queries load-contaminated in BOTH reps.
+        "bench_method_version": 3,
+        "method": "double_sweep_best_of_n_warm_plus_cold",
+        "rerun": {
+            "load_threshold": rerun_load,
+            "n": len(flagged),
+            "queries": flagged[:8],  # full list in bench_detail.json
+        },
         "calibration": calibration,
         "calibration_after": calibration_after,
         "rep2_vs_rep1_warm_median": rep2_ratio_median,
@@ -543,9 +586,10 @@ def main() -> None:
         "n_queries": len(best_warm),
         "n_queries_rep1": len(timings),
         "n_queries_rep2": len(timings2),
+        "n_queries_rep3": len(timings3),
     }
-    if errors or errors2:
-        out["n_errors"] = len(errors) + len(errors2)
+    if errors or errors2 or errors3:
+        out["n_errors"] = len(errors) + len(errors2) + len(errors3)
         # sample from BOTH sweeps (rep2-suffixed) so a rep2-only
         # failure is named on the graded line, not only in the detail
         both = dict(list(errors.items())[:3])

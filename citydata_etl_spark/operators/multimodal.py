@@ -23,8 +23,11 @@ r16 adds SEQUENTIAL ARITHMETIC-CODED decode (SOF9: the T.81 Annex D
 QM coder + Annex F.1.4 DC/AC conditioning models, DAC conditioning
 markers, restart re-init — see _QM_TABLE's transcription disclosure).
 Unsupported PROFILES (progressive-arithmetic SOF10,
-lossless/hierarchical frames, unmarked 4-component frames) return
-NULL per the decode triage convention.
+lossless/hierarchical frames, unmarked 4-component frames, and
+MULTI-SCAN SEQUENTIAL files — per-component non-interleaved scans
+per T.81 B.2.3, rejected by the ns == len(comps) sequential-scan
+gate for Huffman and arithmetic alike) return NULL per the decode
+triage convention.
 
 Scale posture: media decode is the canonical mapInPandas workload — CPU
 per row is large, so parallelism = partitions; `repartition(n)` before the
@@ -1039,7 +1042,7 @@ _QM_FIXED_BIN = 113  # the non-adapting 0.5 state (AC signs)
 
 def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
                      width, height, hmax, vmax, restart_interval,
-                     zz, dc_cond, ac_cond):
+                     zz, dc_cond, ac_cond, prog=None):
     """SEQUENTIAL ARITHMETIC-CODED (SOF9) entropy decode — the QM
     coder of T.81 Annex D driven by the sequential DC/AC statistical
     models of Annex F.1.4 (the same conditioning scheme libjpeg's
@@ -1057,6 +1060,23 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
     malformed stream. splan is a list of (component index, DC
     conditioning table id, AC conditioning table id); dc_cond /
     ac_cond map table ids to (L, U) / Kx.
+
+    `prog` (r17) switches the function to ONE PROGRESSIVE-arithmetic
+    (SOF10) scan: a (coeff arrays, Ss, Se, Ah, Al) tuple. The same
+    QM coder and magnitude-chain closures then drive the T.81 Annex
+    G.2 progressive models (libjpeg jdarith's four decode_mcu
+    flavors): DC first scans are the sequential DC model over
+    point-transformed diffs stored back << Al; DC refinements are
+    one FIXED-bin raw bit per block OR-ed in at Al; AC first scans
+    are the sequential AC model band-limited to [Ss, Se] storing
+    magnitudes << Al; AC refinements walk the band with EOB
+    decisions only past kex (the last already-significant position),
+    an adaptive correction bit per significant coefficient and
+    run/newly-significant decisions for the rest. Coefficients
+    accumulate into the caller's persistent arrays (the run_scan
+    convention) and the return value is just the next marker's
+    position. Statistics and the coder re-initialize per scan and at
+    every restart, exactly as in the sequential body.
 
     Strictness (all -> None): magnitude-category chains past the
     15-bit cap, a zero-run crossing the band end, a restart marker
@@ -1176,11 +1196,13 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
         cw = (width * chf + hmax - 1) // hmax
         chh = (height * cvf + vmax - 1) // vmax
         units = ((cw + 7) // 8) * ((chh + 7) // 8)
+        nbx = (cw + 7) // 8
+        row_blocks0 = mcux * chf
 
     colists = [
         _carray("q", bytes(mcuy * v * mcux * h * 512))
         for _, h, v, _ in comps
-    ]
+    ] if prog is None else None
     dc_stats: dict = {}
     ac_stats: dict = {}
     fixed = bytearray([_QM_FIXED_BIN])
@@ -1262,6 +1284,140 @@ def _jpeg_arith_scan(data, start, splan, comps, mcux, mcuy,
             dpos += step
             slack += step
         return None
+
+    if prog is not None:
+        # --- SOF10 progressive scan (T.81 Annex G.2 / libjpeg
+        # jdarith decode_mcu_{DC,AC}_{first,refine}): the same coder,
+        # conditioning and magnitude-chain closures as the sequential
+        # body below, driven by the progressive statistical models,
+        # accumulating into the caller's persistent coeff arrays.
+        coeff_arrs, Ss, Se, Ah, Al = prog
+        p1 = 1 << Al
+
+        def prog_block(slot, ci, dt, at, bidx):
+            carr = coeff_arrs[ci]
+            if Ss == 0:
+                if Ah:
+                    # DC refinement: one FIXED-bin raw bit per block,
+                    # OR-ed in at Al (exact for the negative stored
+                    # two's-complement values too — the run_scan rule)
+                    if decode(fixed, 0):
+                        carr[bidx, 0] |= p1
+                    return True
+                # DC first: the sequential DC model over diffs of
+                # (dc >> Al); the predictor lives in the shifted
+                # domain and the store scales back up (G.2.1)
+                st = dc_stats[dt]
+                ctx = dc_ctx[slot]
+                if decode(st, ctx) == 0:
+                    dc_ctx[slot] = 0
+                else:
+                    sign = decode(st, ctx + 1)
+                    vm = decode_mag(st, ctx + 2 + sign, False, 20)
+                    if vm is None:
+                        return False
+                    v, cat_base = vm
+                    low, up = dc_cond[dt]
+                    if cat_base < ((1 << low) >> 1):
+                        dc_ctx[slot] = 0
+                    elif cat_base > ((1 << up) >> 1):
+                        dc_ctx[slot] = 12 + 4 * sign
+                    else:
+                        dc_ctx[slot] = 4 + 4 * sign
+                    preds[slot] += -(v + 1) if sign else v + 1
+                carr[bidx, 0] = preds[slot] << Al
+                return True
+            sa = ac_stats[at]
+            if Ah == 0:
+                # AC first: the sequential AC model band-limited to
+                # [Ss, Se], magnitudes stored << Al (G.2.2)
+                kx = ac_cond[at]
+                k = Ss
+                while k <= Se:
+                    se = 3 * (k - 1)
+                    if decode(sa, se):
+                        break  # EOB
+                    while decode(sa, se + 1) == 0:
+                        k += 1
+                        se += 3
+                        if k > Se:
+                            return False  # zero run past the band end
+                    sign = decode(fixed, 0)
+                    vm = decode_mag(
+                        sa, se + 2, True, 189 if k <= kx else 217)
+                    if vm is None:
+                        return False
+                    v = vm[0]
+                    carr[bidx, zz[k]] = \
+                        (-(v + 1) if sign else v + 1) << Al
+                    k += 1
+                return True
+            # AC refinement (jdarith decode_mcu_AC_refine): kex = the
+            # last already-significant position in the band; EOB
+            # decisions are coded only past it. Each position then
+            # resolves to an adaptive correction bit (already
+            # significant — the encoder codes (|v| >> Al) & 1, so the
+            # add is unconditional on the bit), a newly-significant
+            # decision with a FIXED-bin sign, or a zero advance.
+            kex = Se
+            while kex > 0 and carr[bidx, zz[kex]] == 0:
+                kex -= 1
+            k = Ss
+            while k <= Se:
+                se = 3 * (k - 1)
+                if k > kex and decode(sa, se):
+                    break  # EOB
+                while True:
+                    c = carr[bidx, zz[k]]
+                    if c:
+                        if decode(sa, se + 2):
+                            carr[bidx, zz[k]] = \
+                                c + (p1 if c > 0 else -p1)
+                        break
+                    if decode(sa, se + 1):
+                        carr[bidx, zz[k]] = \
+                            -p1 if decode(fixed, 0) else p1
+                        break
+                    se += 3
+                    k += 1
+                    if k > Se:
+                        return False  # run past the band end
+                k += 1
+            return True
+
+        reset_stats()
+        initdec()
+        for u in range(units):
+            if ri and u and u % ri == 0:
+                if seek_marker() != 0xD0 + expected_rst:
+                    return None
+                expected_rst = (expected_rst + 1) % 8
+                dpos += 2
+                at_marker = False
+                reset_stats()
+                initdec()
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for slot, (s_ci, s_h, s_v, s_rb) in enumerate(slot_geom):
+                    _, s_dt, s_at = splan[slot]
+                    for by in range(s_v):
+                        for bx in range(s_h):
+                            bidx = ((my * s_v + by) * s_rb
+                                    + mx * s_h + bx)
+                            if not prog_block(slot, s_ci, s_dt, s_at,
+                                              bidx):
+                                return None
+            else:
+                by, bx = divmod(u, nbx)
+                p_ci, p_dt, p_at = splan[0]
+                if not prog_block(0, p_ci, p_dt, p_at,
+                                  by * row_blocks0 + bx):
+                    return None
+        end_marker = seek_marker()
+        if end_marker is None or 0xD0 <= end_marker <= 0xD7 \
+                or end_marker < 0xC0:
+            return None  # same scan-end strictness as the sequential
+        return dpos
 
     # per-MCU block plan, computed once: (slot, coefficient buffer,
     # DC table id, AC table id, and the geometry constants the unit
@@ -1860,15 +2016,18 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                 hufftabs[(tc, th)] = tab
                 p += 17 + nv
         elif marker in _SOF_MARKERS:
-            if marker not in (0xC0, 0xC1, 0xC2, 0xC9):
-                # lossless/hierarchical/progressive-arithmetic: scope
+            if marker not in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+                # lossless/hierarchical: scope
                 return None
             if frame is not None:
                 return None  # two frames in one stream: malformed
-            progressive = marker == 0xC2
-            # SOF9 = sequential ARITHMETIC (r16): same frame geometry,
-            # entropy decoded by the QM coder (_jpeg_arith_scan)
-            arithmetic = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            # SOF9 = sequential ARITHMETIC (r16), SOF10 = progressive
+            # ARITHMETIC (r17): same frame geometry, entropy decoded
+            # by the QM coder (_jpeg_arith_scan — the progressive
+            # scans drive the Annex G.2 SA/spectral models and
+            # accumulate into the shared coeff arrays)
+            arithmetic = marker in (0xC9, 0xCA)
             if len(seg) < 6:
                 return None
             precision = seg[0]
@@ -1930,8 +2089,12 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
             # YCbCr for ANY 3-component frame once a JFIF APP0 was
             # seen, consulting APP14 / component-id guesses only when
             # JFIF is absent — track it so the stored-RGB decision
-            # below honors that precedence (r16 ADVICE fix).
-            if seg[:5] == b"JFIF\x00":
+            # below honors that precedence (r16 ADVICE fix). libjpeg
+            # (jdmarker.c examine_app0) only honors a JFIF APP0 with
+            # the full 14-byte body (APP0_DATA_LEN); a truncated
+            # signature-only segment must NOT flip a stored-RGB frame
+            # to YCbCr (r17 ADVICE fix).
+            if len(seg) >= 14 and seg[:5] == b"JFIF\x00":
                 saw_jfif = True
         elif marker == 0xEE:  # APP14: Adobe color-transform flag
             if len(seg) >= 12 and seg[:5] == b"Adobe":
@@ -2054,11 +2217,27 @@ def _decode_jpeg_rgb(blob) -> tuple | None:
                             return None
                         cb[k] = Al
             if arithmetic:
+                dc_cond = {t: dac_dc.get(t, (0, 1)) for _, t, _ in splan}
+                ac_cond = {t: dac_ac.get(t, 5) for _, _, t in splan}
+                if progressive:
+                    # SOF10 (r17): one QM-coded scan of the Annex G.2
+                    # progression — accumulates into the shared coeff
+                    # arrays and the marker walk continues to the
+                    # next scan, exactly like run_scan's SOF2 path
+                    ret = _jpeg_arith_scan(
+                        b, pos, splan, comps, mcux, mcuy, width,
+                        height, hmax, vmax, restart_interval, zz,
+                        dc_cond, ac_cond,
+                        prog=(coeff, Ss, Se, Ah, Al))
+                    if ret is None:
+                        return None
+                    pos = ret
+                    n_scans += 1
+                    continue
                 ret = _jpeg_arith_scan(
                     b, pos, splan, comps, mcux, mcuy, width, height,
                     hmax, vmax, restart_interval, zz,
-                    {t: dac_dc.get(t, (0, 1)) for _, t, _ in splan},
-                    {t: dac_ac.get(t, 5) for _, _, t in splan})
+                    dc_cond, ac_cond)
                 if ret is None:
                     return None
                 pos, colists = ret

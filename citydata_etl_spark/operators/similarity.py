@@ -727,6 +727,60 @@ def lsh_multitable_topk_exactsign(
     )
 
 
+#: Measured n_probe escalation factor for the capped-occupancy IVF
+#: regime (r17, SCALE_REHEARSAL_r17.json): at the 100x occupancy point
+#: (200k vectors, occupancy ~447 vs cap 256) the coarse capped posture
+#: agreed 0.557 with the uncapped reference; holding occupancy at the
+#: cap via n_centroids = ceil(n / max_list_len) and escalating n_probe
+#: by this factor restored agreement >= 0.9 at a per-query candidate
+#: bound that stays CONSTANT in n (base_probe * escalation *
+#: max_list_len). Escalating n_probe under the COARSE cap instead was
+#: measured flat — a vector trimmed from its single home list is
+#: unreachable at any n_probe.
+IVF_PROBE_ESCALATION = 2
+
+
+def ivf_posture_for(
+    n_vectors: int, max_list_len: int = 256, base_probe: int = 4,
+) -> tuple[int, int]:
+    """Derive (n_centroids, n_probe) for the capped-IVF production
+    posture from corpus size — self-acting the way
+    queries_time.state_partitions_for is, so the sizing tracks the
+    workload instead of a hand-pin.
+
+    Regimes (measured in SCALE_REHEARSAL_r16/r17.json):
+
+    - SQRT regime (n <= max_list_len**2): the classic n_centroids ~
+      sqrt(n) sizing keeps mean occupancy sqrt(n) <= cap, so the
+      max_list_len window is a measured no-op (r16: pair agreement
+      1.0 at 1x/10x, cap window costs ~3%); probes stay at
+      base_probe.
+    - CAPPED regime (n > max_list_len**2): sqrt sizing would push
+      occupancy past the cap and the uniform-subsample trim then
+      silently drops a CONSTANT FRACTION of every list (r16: agreement
+      0.557 at occupancy ~447 vs cap 256) — unrecoverable by probing,
+      because each vector lives in exactly one list. Growing
+      n_centroids to ceil(n / max_list_len) holds MEAN occupancy at
+      the cap, demoting the trim to an imbalance guard (only overflow
+      above the cap in skewed lists is dropped), and n_probe escalates
+      by the measured IVF_PROBE_ESCALATION to restore the coverage the
+      finer partition dilutes. Per-query candidates stay bounded at
+      base_probe * IVF_PROBE_ESCALATION * max_list_len regardless of
+      n — total probe shuffle O(n), the r14 rehearsal's requirement.
+    """
+    import math
+
+    if n_vectors <= 0:
+        return 8, base_probe
+    sqrt_k = max(8, round(math.sqrt(n_vectors)))
+    if sqrt_k <= max_list_len:
+        return sqrt_k, base_probe
+    return (
+        int(math.ceil(n_vectors / max_list_len)),
+        base_probe * IVF_PROBE_ESCALATION,
+    )
+
+
 def ivf_topk(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, n_probe: int = 4,
     n_iter: int = 5, train_sample: int = 4096, id_col: str = "vec_id",

@@ -107,7 +107,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a21_histogram_quantiles": 15,
     "a22_attribution": 15,
     "a23_sliding_distinct": 15,
-    "a23_sliding_kmv": 11,
+    "a23_sliding_kmv": 16,
     "a24_linear_attribution": 12,
     "a2_approx_distinct": 13,
     "a2_count_distinct": 13,
@@ -129,20 +129,20 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a8_city_score": 13,
     "a9_pivot": 13,
     "d4_ann_ivf": 15,  # rows-only by construction; capped production posture since r15
-    "d4_ann_ivf_capped_rank": 0,  # NEW r16: oracle-exact capped-IVF twin (VERDICT task 1)
+    "d4_ann_ivf_capped_rank": 16,  # NEW r16: oracle-exact capped-IVF twin (VERDICT task 1)
     "d4_ann_ivf_dist": 14,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 13,
     "d4_ann_ivf_rank": 13,
     "d4_ann_ivf_recall": 15,
     "d4_ann_lsh": 13,
     "d4_ann_lsh_rank": 12,
-    "d4_ann_multiprobe_recall": 11,
-    "d4_ann_multitable_recall": 11,
+    "d4_ann_multiprobe_recall": 16,
+    "d4_ann_multitable_recall": 16,
     "d4_ann_pq": 13,
     "d4_ann_pq_rank": 13,
     "d4_ann_recall": 15,
     "d4_bigram_logprob": 13,
-    "d4_bm25_topk": 11,
+    "d4_bm25_topk": 16,
     "d4_bpe_encode": 15,
     "d4_bpe_merge_steps": 15,
     "d4_bpe_pair_counts": 15,
@@ -155,7 +155,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_dedup_report": 15,
     "d4_doc_fingerprint": 13,
     "d4_dup_passage": 13,
-    "d4_dup_passage_cut": 11,
+    "d4_dup_passage_cut": 16,
     "d4_embed_neardup": 13,
     "d4_embed_project": 15,
     "d4_embed_quantize": 14,
@@ -166,7 +166,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_incremental_neardup_rank": 15,
     "d4_knn_label": 15,
     "d4_lang_id": 13,
-    "d4_line_dedup": 11,
+    "d4_line_dedup": 16,
     "d4_lm_logprob": 13,
     "d4_lsh_pair_recall": 15,
     "d4_minhash_hash": 14,  # rows-only by construction (r4 row)
@@ -184,9 +184,9 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_text_normalize": 14,
     "d4_tfidf_topk": 14,
     "d4_token_stats": 12,
-    "d4_url_dedup": 11,
+    "d4_url_dedup": 16,
     "d4_winnowing": 12,
-    "d5_audio_energy": 11,
+    "d5_audio_energy": 16,
     "d5_bmp_histogram": 14,
     "d5_bmp_pixels": 14,
     "d5_bmp_resize": 14,
@@ -196,12 +196,12 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_gif_pixels": 13,
     "d5_image_ahash": 15,
     "d5_image_neardup": 15,
-    "d5_jpeg_cmyk": 0,  # fixture bytes changed r16: JFIF APP0 dropped from Adobe blobs (ADVICE fix); pixels/oracle identical
+    "d5_jpeg_cmyk": 16,  # fixture bytes changed r16: JFIF APP0 dropped from Adobe blobs (ADVICE fix); pixels/oracle identical
     "d5_jpeg_meta": 14,  # r14: EXIF orientation column added (schema + fixture)
-    "d5_jpeg_pixels": 0,  # fixture bytes changed r16: stored-RGB blobs lost JFIF (libjpeg precedence, ADVICE fix); pixels/oracle identical
+    "d5_jpeg_pixels": 16,  # fixture bytes changed r16: stored-RGB blobs lost JFIF (libjpeg precedence, ADVICE fix); pixels/oracle identical
     "d5_jpeg_pixels_420": 15,  # fixture+oracle changed r15: non-divisor weave
     "d5_media_decode": 12,
-    "d5_mp4_meta": 11,
+    "d5_mp4_meta": 16,
     "d5_png_adam7": 13,
     "d5_png_ahash": 13,
     "d5_png_meta": 14,
@@ -216,19 +216,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d6_curation_pipeline": 12,
     "d6_dataset_card": 15,
     "d6_dsir_select": 15,
-    "d6_dsir_select_hash": 0,  # NEW r16: corpus-scale xxhash64 feature path (VERDICT task 5)
+    "d6_dsir_select_hash": 16,  # NEW r16: corpus-scale xxhash64 feature path (VERDICT task 5)
     "d6_dedup_keep": 12,
     "d6_domain_cap": 14,
     "d6_domain_mix": 12,
     "d6_domain_mix_apply": 14,
     "d6_fixed_sample": 14,
-    "d6_global_shuffle": 11,
+    "d6_global_shuffle": 16,
     "d6_label_centroid": 12,
-    "d6_length_histogram": 11,
+    "d6_length_histogram": 16,
     "d6_negative_pairs": 14,
     "d6_pack_sequences": 12,
     "d6_ppl_buckets": 14,
-    "d6_quality_classifier": 11,
+    "d6_quality_classifier": 16,
     "d6_quality_funnel": 12,
     "d6_shard_stats": 12,
     "d6_stratified_sample": 12,
@@ -241,9 +241,9 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f12_url_parse": 14,
     "f13_variant_json": 14,
     "f14_entity_extract": 14,
-    "f15_geo_cell": 11,
-    "f16_number_normalize": 11,
-    "f17_useragent_parse": 11,
+    "f15_geo_cell": 16,
+    "f16_number_normalize": 16,
+    "f17_useragent_parse": 16,
     "f18_ip_cidr": 12,
     "f1_f3_dual_ts_roundtrip": 14,
     "f2_date_parts": 14,
@@ -252,11 +252,11 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f7_json_extract": 14,
     "f8_html_extract": 14,
     "f9_split_explode": 14,
-    "g1_host_pagerank": 11,
-    "g2_triangle_count": 11,
+    "g1_host_pagerank": 16,
+    "g2_triangle_count": 16,
     "g3_bfs_hops": 12,
-    "j10_bloom_prefilter_join": 11,
-    "j11_geo_radius_join": 11,
+    "j10_bloom_prefilter_join": 16,
+    "j11_geo_radius_join": 16,
     "j12_temporal_join": 12,
     "j13_dpp_join": 12,
     "j14_point_in_polygon": 15,
@@ -278,35 +278,35 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "p3_point_filter": 15,
     "p4_dynamic_filter": 15,
     "p6_first_row": 15,
-    "q10_returned_items": 11,
-    "q11_important_parts": 11,
+    "q10_returned_items": 16,
+    "q11_important_parts": 16,
     "q14_promo_revenue": 15,
     "q15_top_supplier": 15,
     "q18_large_orders": 12,
     "q21_waiting_suppliers": 12,
-    "q3_shipping_priority": 11,
-    "q5_regional_volume": 11,
+    "q3_shipping_priority": 16,
+    "q5_regional_volume": 16,
     "q7_nation_volume": 12,
     "s10_orc_roundtrip": 15,
     "s11_compaction": 15,
-    "s12_schema_evolution": 10,
-    "s13_sorted_layout": 10,
-    "s14_partition_pruned_read": 10,
-    "s15_corrupt_records": 10,
-    "s16_xml_roundtrip": 10,
-    "s17_zorder_layout": 11,
+    "s12_schema_evolution": 16,
+    "s13_sorted_layout": 16,
+    "s14_partition_pruned_read": 16,
+    "s15_corrupt_records": 16,
+    "s16_xml_roundtrip": 16,
+    "s17_zorder_layout": 16,
     "s18_fixed_width_scan": 12,
     "s19_bloom_filter_layout": 15,
-    "s1_csv_scan": 11,
-    "s20_partition_evolution": 10,
-    "s21_csv_dialect_sniff": 10,
-    "s2_typed_csv_scan": 11,
-    "s3_json_scan": 11,
-    "s6_object_listing": 11,
-    "s7_partitioned_sink": 11,
-    "s8_csv_overwrite_sink": 11,
-    "s9_staging_rekey": 11,
-    "t10_stream_dynamic_sessions": 11,
+    "s1_csv_scan": 16,
+    "s20_partition_evolution": 16,
+    "s21_csv_dialect_sniff": 16,
+    "s2_typed_csv_scan": 16,
+    "s3_json_scan": 16,
+    "s6_object_listing": 16,
+    "s7_partitioned_sink": 16,
+    "s8_csv_overwrite_sink": 16,
+    "s9_staging_rekey": 16,
+    "t10_stream_dynamic_sessions": 16,
     "t11_stream_geofence": 11,
     "t12_stream_late_sessions": 11,
     "t13_gap_fill": 11,
@@ -314,7 +314,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t15_stream_snapshot_enrich": 12,
     "t16_stream_restart": 14,
     "t17_stream_quarantine": 15,
-    "t18_stream_attribution": 10,
+    "t18_stream_attribution": 16,
     "t19_stream_sliding_kmv": 11,
     "t1_streaming_tumbling": 12,
     "t2_streaming_dedup": 12,
@@ -327,14 +327,14 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "t6_stream_enrich": 13,
     "t7_stream_left_outer_join": 15,
     "t7_stream_stream_join": 15,
-    "t8_stream_dedup_watermark": 10,
-    "t9_streaming_upsert": 10,
+    "t8_stream_dedup_watermark": 16,
+    "t9_streaming_upsert": 16,
     "u10_restore": 13,
     "u11_incremental_view": 13,
     "u12_deletion_vectors": 15,
-    "u13_cascade_delete": 10,
-    "u14_multi_table_txn": 10,
-    "u15_governed_view": 10,
+    "u13_cascade_delete": 16,
+    "u14_multi_table_txn": 16,
+    "u15_governed_view": 16,
     "u16_policy_versioned_read": 11,
     "u17_wap_publish": 11,
     "u1_keyed_update": 11,
@@ -342,7 +342,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "u3_status_routing": 11,
     "u4_scd2_history": 11,
     "u5_merge_upsert": 15,
-    "u6_keyed_delete": 10,
+    "u6_keyed_delete": 16,
     "u7_evolving_merge": 11,
     "u8_time_travel": 11,
     "u9_change_feed": 13,

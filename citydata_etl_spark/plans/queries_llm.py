@@ -4244,9 +4244,8 @@ def encode_jpeg(comp_blocks, w: int, h: int,
     # 12-bit samples need extended sequential (SOF1) or progressive
     # (SOF2): baseline SOF0 is 8-bit by definition (T.81 4.11)
     assert precision in (8, 12)
-    # arithmetic scope (r16): sequential SOF9 only — the progressive
-    # arithmetic modes (SOF10) stay out of scope on both sides
-    assert not (arithmetic and progressive)
+    # arithmetic + progressive (r17): SOF10 — the Annex G.2 scan
+    # kinds driven by the same QM coder/statistical models as SOF9
     # 4-component frames are Adobe CMYK (transform 0) or YCCK (2) and
     # MUST carry the APP14 marker the decoder keys its color model on;
     # 3-component frames may carry transform 0 (STORED RGB, r15) or 1
@@ -4314,9 +4313,11 @@ def encode_jpeg(comp_blocks, w: int, h: int,
         sof += bytes(
             [component_ids[c], (sampling[c][0] << 4) | sampling[c][1], 0]
         )
-    sof_marker = b"\xff\xc9" if arithmetic else (
-        b"\xff\xc2" if progressive else (
-            b"\xff\xc0" if precision == 8 else b"\xff\xc1"))
+    if arithmetic:
+        sof_marker = b"\xff\xca" if progressive else b"\xff\xc9"
+    else:
+        sof_marker = b"\xff\xc2" if progressive else (
+            b"\xff\xc0" if precision == 8 else b"\xff\xc1")
     out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
     # DHT: DC table 0 (12 categories, all 4 bits) + AC table 0 (all
     # 162 run/size symbols, all 8 bits) — canonical, Kraft-valid. A
@@ -4570,6 +4571,179 @@ def encode_jpeg(comp_blocks, w: int, h: int,
                 encode(st, pos, 1 if v & m else 0)
                 m >>= 1
             return cat_base
+
+        if progressive:
+            # --- progressive arithmetic (SOF10, r17): the Annex G.2
+            # scan kinds (libjpeg jcarith's four encode_mcu flavors)
+            # over the same coder / conditioning / magnitude-chain
+            # closures as the sequential branch below. Each scan is an
+            # independent entropy segment: fresh statistics + coder
+            # per scan (and per restart), coder flush + FF stuffing at
+            # scan end — the exact mirror of the decoder's
+            # _jpeg_arith_scan(prog=...) path.
+            if scan_script is None:
+                scan_script = [(list(range(n_comp)), 0, 0, 0, 0)] + [
+                    ([ci], 1, 63, 0, 0) for ci in range(n_comp)
+                ]
+
+            def comp_geom_a(ci):
+                sh, sv = sampling[ci]
+                cw = (w * sh + hmax - 1) // hmax
+                chh = (h * sv + vmax - 1) // vmax
+                return sh, sv, (cw + 7) // 8, (chh + 7) // 8
+
+            def arith_rst(rst):
+                coder_flush()
+                out.extend(stuffed() + bytes([0xFF, 0xD0 + rst]))
+                reset_all()
+                return (rst + 1) % 8
+
+            def arith_dc_scan(cis, Ah, Al):
+                # G.2.1: first pass codes DPCM diffs of the ARITHMETIC
+                # shift dc >> Al with the sequential DC model;
+                # refinement emits one FIXED-bin bit per block
+                spreds = {ci: 0 for ci in cis}
+                sctx = {ci: 0 for ci in cis}
+                rst = 0
+                for m in range(n_mcu):
+                    if restart_interval and m \
+                            and m % restart_interval == 0:
+                        rst = arith_rst(rst)
+                        spreds = {ci: 0 for ci in cis}
+                        sctx = {ci: 0 for ci in cis}
+                    my, mx = divmod(m, mcux)
+                    for ci in cis:
+                        sh, sv = sampling[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                idx = ((my * sv + by) * (mcux * sh)
+                                       + mx * sh + bx)
+                                dc = int(comp_blocks[ci][idx][0][0])
+                                if Ah:
+                                    encode(fixed, 0, (dc >> Al) & 1)
+                                    continue
+                                t = dc >> Al
+                                diff = t - spreds[ci]
+                                spreds[ci] = t
+                                ctx = sctx[ci]
+                                if diff == 0:
+                                    encode(dc_stats, ctx, 0)
+                                    sctx[ci] = 0
+                                else:
+                                    encode(dc_stats, ctx, 1)
+                                    sign = 1 if diff < 0 else 0
+                                    encode(dc_stats, ctx + 1, sign)
+                                    mag = -diff if sign else diff
+                                    cat_base = enc_mag(
+                                        dc_stats, ctx + 2 + sign,
+                                        False, 20, mag - 1)
+                                    if cat_base < ((1 << DC_L) >> 1):
+                                        sctx[ci] = 0
+                                    elif cat_base > ((1 << DC_U) >> 1):
+                                        sctx[ci] = 12 + 4 * sign
+                                    else:
+                                        sctx[ci] = 4 + 4 * sign
+
+            def arith_ac_first(ci, Ss, Se, Al):
+                # G.2.2: the sequential AC model band-limited to
+                # [Ss, Se] over the magnitude point transform
+                sh, sv, nbx, nby = comp_geom_a(ci)
+                rst = 0
+                for u in range(nby * nbx):
+                    if restart_interval and u \
+                            and u % restart_interval == 0:
+                        rst = arith_rst(rst)
+                    by, bx = divmod(u, nbx)
+                    zzb = zz_of(comp_blocks[ci][by * (mcux * sh) + bx])
+                    band = {
+                        k: (abs(zzb[k]) >> Al)
+                        * (1 if zzb[k] > 0 else -1)
+                        for k in range(Ss, Se + 1)
+                    }
+                    ke = max((k for k, v in band.items() if v),
+                             default=Ss - 1)
+                    k = Ss
+                    while k <= ke:
+                        se = 3 * (k - 1)
+                        encode(ac_stats, se, 0)  # not EOB
+                        while band[k] == 0:
+                            encode(ac_stats, se + 1, 0)
+                            se += 3
+                            k += 1
+                        encode(ac_stats, se + 1, 1)
+                        v = band[k]
+                        sign = 1 if v < 0 else 0
+                        encode(fixed, 0, sign)
+                        mag = -v if sign else v
+                        enc_mag(ac_stats, se + 2, True,
+                                189 if k <= KX else 217, mag - 1)
+                        k += 1
+                    if ke < Se:
+                        encode(ac_stats, 3 * (k - 1), 1)  # EOB
+            def arith_ac_refine(ci, Ss, Se, Ah, Al):
+                # G.2.3 / jcarith encode_mcu_AC_refine: EOB decisions
+                # only past kex (last previously-significant
+                # position); per position an adaptive correction bit
+                # ((|v| >> Al) & 1) for already-significant
+                # coefficients, run/newly-significant + FIXED-bin
+                # sign for the rest. Clamping the ke/kex scans at
+                # Ss - 1 is decision-equivalent to libjpeg's walk
+                # below the band: any value < Ss makes every in-band
+                # k > kex, which is all the condition reads.
+                sh, sv, nbx, nby = comp_geom_a(ci)
+                rst = 0
+                for u in range(nby * nbx):
+                    if restart_interval and u \
+                            and u % restart_interval == 0:
+                        rst = arith_rst(rst)
+                    by, bx = divmod(u, nbx)
+                    zzb = zz_of(comp_blocks[ci][by * (mcux * sh) + bx])
+                    ke = Se
+                    while ke >= Ss and (abs(zzb[ke]) >> Al) == 0:
+                        ke -= 1
+                    kex = ke
+                    while kex >= Ss and (abs(zzb[kex]) >> Ah) == 0:
+                        kex -= 1
+                    k = Ss
+                    while k <= ke:
+                        se = 3 * (k - 1)
+                        if k > kex:
+                            encode(ac_stats, se, 0)  # not EOB yet
+                        while True:
+                            t = abs(zzb[k]) >> Al
+                            if t:
+                                if t >> 1:  # previously significant
+                                    encode(ac_stats, se + 2, t & 1)
+                                else:  # newly significant
+                                    encode(ac_stats, se + 1, 1)
+                                    encode(fixed, 0,
+                                           1 if zzb[k] < 0 else 0)
+                                break
+                            encode(ac_stats, se + 1, 0)
+                            se += 3
+                            k += 1
+                        k += 1
+                    if k <= Se:
+                        encode(ac_stats, 3 * (k - 1), 1)  # EOB
+
+            for cis, sSs, sSe, sAh, sAl in scan_script:
+                assert (sSs == 0 and sSe == 0) or \
+                    (len(cis) == 1 and 1 <= sSs <= sSe <= 63)
+                assert sAh == 0 or sAl == sAh - 1
+                out += sos_header(
+                    [component_ids[ci] for ci in cis],
+                    sSs, sSe, sAh, sAl)
+                reset_all()
+                if sSs == 0:
+                    arith_dc_scan(cis, sAh, sAl)
+                elif sAh == 0:
+                    arith_ac_first(cis[0], sSs, sSe, sAl)
+                else:
+                    arith_ac_refine(cis[0], sSs, sSe, sAh, sAl)
+                coder_flush()
+                out += stuffed()
+            out += b"\xff\xd9"  # EOI
+            return bytes(out)
 
         preds = [0] * n_comp
         dc_ctx = [0] * n_comp

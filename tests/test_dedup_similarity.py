@@ -647,6 +647,40 @@ def test_ivf_max_list_len_caps_candidates(spark, clustered_vecs):
     assert 0.05 < recall < 1.0, recall  # (b): degraded, not dead
 
 
+def test_ivf_posture_for_derivation():
+    """r17 VERDICT task 1: the capped-IVF sizing is SELF-ACTING (the
+    state_partitions_for pattern) — (n_centroids, n_probe) derive from
+    corpus size so mean occupancy never exceeds the list cap and the
+    r16 silent-recall-loss mode (uniform trim of every list at
+    occupancy > cap, agreement 0.557 at 100x) cannot occur. Pins the
+    regime boundary, the occupancy invariant, the constant per-query
+    candidate bound in the capped regime, and the floors."""
+    import math
+
+    # sqrt regime (n <= cap^2): classic sqrt sizing, base probes
+    assert S.ivf_posture_for(2_000) == (45, 4)
+    assert S.ivf_posture_for(20_000) == (141, 4)
+    assert S.ivf_posture_for(256 ** 2) == (256, 4)  # boundary inclusive
+    # capped regime: occupancy held AT the cap, probes escalated by the
+    # measured factor (SCALE_REHEARSAL_r17.json)
+    nc, npr = S.ivf_posture_for(200_000)
+    assert nc == math.ceil(200_000 / 256)
+    assert npr == 4 * S.IVF_PROBE_ESCALATION
+    prev_nc = 0
+    for n in (100, 10 ** 4, 10 ** 5, 10 ** 6, 10 ** 8):
+        nc, npr = S.ivf_posture_for(n)
+        assert n / nc <= 256 + 1e-9  # occupancy invariant
+        assert nc >= prev_nc  # monotone in corpus size
+        prev_nc = nc
+        # per-query candidates bounded by a constant independent of n
+        assert npr * 256 <= 4 * S.IVF_PROBE_ESCALATION * 256
+    # floors and custom cap
+    assert S.ivf_posture_for(0) == (8, 4)
+    assert S.ivf_posture_for(10) == (8, 4)
+    nc, npr = S.ivf_posture_for(200, max_list_len=8)
+    assert nc == 25 and npr == 4 * S.IVF_PROBE_ESCALATION
+
+
 def test_ivf_exactseed_cap_matches_reference(spark, clustered_vecs):
     """r16 VERDICT task 1: the capped production posture under an
     oracle-exact statement. ivf_topk_exactseed(max_list_len=m) must
