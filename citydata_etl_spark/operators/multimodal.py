@@ -21,9 +21,11 @@ the unmarked 'R','G','B' component-id signature — libjpeg's
 color-space guess, with its JFIF-APP0 precedence honored since r16);
 r16 adds SEQUENTIAL ARITHMETIC-CODED decode (SOF9: the T.81 Annex D
 QM coder + Annex F.1.4 DC/AC conditioning models, DAC conditioning
-markers, restart re-init — see _QM_TABLE's transcription disclosure).
-Unsupported PROFILES (progressive-arithmetic SOF10,
-lossless/hierarchical frames, unmarked 4-component frames, and
+markers, restart re-init — see _QM_TABLE's transcription disclosure);
+r17 adds PROGRESSIVE ARITHMETIC (SOF10: the same QM coder driving
+the Annex G.2 DC/AC first + refinement models), closing the last
+entropy-coding x progression combination. Unsupported PROFILES
+(lossless/hierarchical frames, unmarked 4-component frames, and
 MULTI-SCAN SEQUENTIAL files — per-component non-interleaved scans
 per T.81 B.2.3, rejected by the ns == len(comps) sequential-scan
 gate for Huffman and arithmetic alike) return NULL per the decode

@@ -198,7 +198,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d5_image_neardup": 15,
     "d5_jpeg_cmyk": 16,  # fixture bytes changed r16: JFIF APP0 dropped from Adobe blobs (ADVICE fix); pixels/oracle identical
     "d5_jpeg_meta": 14,  # r14: EXIF orientation column added (schema + fixture)
-    "d5_jpeg_pixels": 16,  # fixture bytes changed r16: stored-RGB blobs lost JFIF (libjpeg precedence, ADVICE fix); pixels/oracle identical
+    "d5_jpeg_pixels": 0,  # fixture bytes changed r17: half the progressive class rewoven as PROGRESSIVE ARITHMETIC (SOF10); pixels/oracle identical
     "d5_jpeg_pixels_420": 15,  # fixture+oracle changed r15: non-divisor weave
     "d5_media_decode": 12,
     "d5_mp4_meta": 16,

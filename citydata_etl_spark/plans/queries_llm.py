@@ -5205,7 +5205,20 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coder flush + statistics reset per interval), and both
     stored-RGB signatures — so the new entropy decoder faces the
     driver hash invisibly to SQL, the same weave pattern as the
-    progressive class."""
+    progressive class.
+
+    r17 weave: HALF the progressive class (d % 12 in (4, 7) — 7 is
+    the SA-script flavor, 4 the spectral-selection-only flavor and
+    ALWAYS DRI-composed since d % 12 == 4 implies d % 4 == 0) is
+    PROGRESSIVE ARITHMETIC (SOF10, T.81 Annex G.2: the QM coder
+    driving the DC/AC first + refinement models) with the same
+    closed-form pixels, composing with DRI restarts (coder flush +
+    statistics reset per interval inside every scan), grayscale
+    (d % 60 == 40), both stored-RGB signatures (d % 60 == 52 APP14,
+    d % 60 == 7 unmarked cids), and 12-bit precision (d % 60 == 55:
+    3-component 12-bit SOF10); the other half of the progressive
+    class (d % 12 in (1, 10)) keeps both script flavors Huffman —
+    closing the last realistic entropy-coding combination."""
     import pandas as pd
 
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
@@ -5240,7 +5253,6 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # driver hash invisibly to SQL; composes with gray,
                 # DRI restarts, and both stored-RGB signatures
                 # (disjoint from the progressive d % 3 == 1 class)
-                arith = d % 3 == 2 and d % 10 != 5
                 # every frame at d % 3 == 1 is PROGRESSIVE (SOF2)
                 # with the SAME closed-form pixels, so the oracle is
                 # blind to the scan topology and any multi-scan
@@ -5251,6 +5263,17 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # AC first passes, Ah=1 -> Al=0 refinements), the
                 # other half (d % 6 == 4) spectral selection only.
                 prog = d % 3 == 1
+                # r17: HALF the progressive class (d % 12 in (4, 7)
+                # — 7 hits the SA script flavor, 4 the spectral-only
+                # one AND always carries DRI since d % 12 == 4
+                # implies d % 4 == 0) is PROGRESSIVE ARITHMETIC
+                # (SOF10) with the same closed-form pixels, composing
+                # with DRI restarts, grayscale, both stored-RGB
+                # signatures, and (via the 12-bit branch) 12-bit
+                # precision; the other half (d % 12 in (1, 10))
+                # keeps both script flavors on the Huffman side
+                arith = (d % 3 == 2 and d % 10 != 5) \
+                    or (prog and d % 12 in (4, 7))
                 p12 = d % 10 == 5  # r15: 12-bit half of the gray class
                 n_comp = 1 if d % 5 == 0 and not (p12 and d % 20 == 15) \
                     else 3
@@ -5271,7 +5294,8 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              restart_interval=ri,
                                              progressive=prog,
                                              scan_script=script,
-                                             precision=12))
+                                             precision=12,
+                                             arithmetic=arith))
                 elif n_comp == 1:
                     blobs.append(encode_jpeg([plane(yf)], w, h,
                                              restart_interval=ri,

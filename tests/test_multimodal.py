@@ -3070,7 +3070,7 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
                 jfif = True
             if marker == 0xEE and seg[:5] == b"Adobe":
                 app14 = seg[11]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            if marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
                 prec, nc = seg[0], seg[5]
                 comps = [
                     (seg[6 + 3 * c],
@@ -3088,7 +3088,9 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
     }
     seen = {"p12_1c": 0, "p12_3c": 0, "p12_sof2": 0,
             "rgb_app14": 0, "rgb_cids": 0, "arith": 0,
-            "arith_gray": 0, "arith_rgb": 0}
+            "arith_gray": 0, "arith_rgb": 0,
+            "sof10": 0, "sof10_dri": 0, "sof10_gray": 0,
+            "sof10_rgb": 0, "sof10_12bit": 0}
     for d, blob in blobs.items():
         if d % 7 == 0:
             continue
@@ -3108,9 +3110,27 @@ def test_jpeg_fixture_blob_mix_has_r15_profiles(spark):
             assert M._decode_jpeg_rgb(blob) is not None, d
         else:
             assert marker != 0xC9, d
+        # r17 weave: half the progressive class (d % 12 in (4, 7)) is
+        # PROGRESSIVE ARITHMETIC (SOF10) — composing with DRI (the
+        # whole d % 12 == 4 sub-class), gray, stored-RGB and 12-bit —
+        # and nothing else is
+        if d % 3 == 1 and d % 12 in (4, 7):
+            assert marker == 0xCA, d
+            seen["sof10"] += 1
+            if d % 4 == 0:
+                seen["sof10_dri"] += 1
+            if len(comps) == 1:
+                seen["sof10_gray"] += 1
+            if d % 5 == 2:
+                seen["sof10_rgb"] += 1
+            if prec == 12:
+                seen["sof10_12bit"] += 1
+            assert M._decode_jpeg_rgb(blob) is not None, d
+        else:
+            assert marker != 0xCA, d
         if d % 10 == 5:
             assert prec == 12, d
-            assert marker in (0xC1, 0xC2), d
+            assert marker in (0xC1, 0xC2, 0xCA), d
             assert len(comps) == (1 if d % 20 == 5 else 3), d
             seen["p12_1c" if d % 20 == 5 else "p12_3c"] += 1
             if marker == 0xC2:
@@ -3447,11 +3467,85 @@ def test_jpeg_arithmetic_matches_huffman_property():
     check()
 
 
+def test_jpeg_progressive_arithmetic_matches_baseline_property():
+    """r17: PROGRESSIVE ARITHMETIC (SOF10, T.81 Annex G.2 — the QM
+    coder driving the DC/AC first + refinement models) decodes the
+    SAME quantized coefficients to the SAME pixels as the baseline
+    Huffman encode — across dims, grayscale/color, subsampling,
+    restart intervals, 8/12-bit, both scan-script flavors (libjpeg's
+    default SA script and spectral-selection-only), and coefficient
+    densities. Sparse streams exercise the per-band EOB decisions
+    and the AC-refinement kex walk; dense ones the correction-bit
+    and newly-significant paths. Entropy coding is lossless, so
+    pixel equality is exact, not a tolerance."""
+    import random
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from citydata_etl_spark.plans.queries_llm import (
+        encode_jpeg,
+        jpeg_sa_scan_script,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(6, 40),      # width
+        st.integers(6, 40),      # height
+        st.integers(0, 2**30),   # seed
+        st.sampled_from([None, "420", "422"]),
+        st.sampled_from([0, 2, 3]),   # restart interval
+        st.sampled_from([3, 60, 900]),  # coefficient amplitude
+        st.sampled_from([8, 8, 12]),    # precision
+        st.booleans(),            # grayscale (when unsampled)
+        st.booleans(),            # SA script vs spectral-only
+    )
+    def check(w, h, seed, samp_key, ri, amp, prec, gray, sa):
+        rng = random.Random(seed)
+        samp = {"420": [(2, 2), (1, 1), (1, 1)],
+                "422": [(2, 1), (1, 1), (1, 1)], None: None}[samp_key]
+        nc = 1 if gray and samp is None else 3
+        if nc == 1:
+            samp = None
+        sh = samp or [(1, 1)] * nc
+        hmax = max(a for a, _ in sh)
+        vmax = max(b for _, b in sh)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+        def rb(n):
+            out = []
+            for _ in range(n):
+                blk = [[0] * 8 for _ in range(8)]
+                blk[0][0] = rng.randrange(-amp - 1, amp + 1)
+                for k in range(1, 64):
+                    if rng.random() < 0.35:
+                        blk[k // 8][k % 8] = rng.randrange(-amp, amp + 1)
+                out.append(blk)
+            return out
+
+        comps = [rb(mcuy * sv * mcux * shh) for shh, sv in sh]
+        kw: dict = {"restart_interval": ri, "precision": prec}
+        if nc == 3:
+            kw["sampling"] = samp
+        script = jpeg_sa_scan_script(nc) if sa else None
+        da = M._decode_jpeg_rgb(encode_jpeg(
+            comps, w, h, progressive=True, arithmetic=True,
+            scan_script=script, **kw))
+        dh = M._decode_jpeg_rgb(encode_jpeg(comps, w, h, **kw))
+        assert da is not None and dh is not None
+        assert np.array_equal(da[2], dh[2])
+
+    check()
+
+
 def test_jpeg_arithmetic_markers_and_strictness():
     """SOF9 marker-layer edges: the default-conditioning path (DAC
     stripped -> identical pixels, F.1.4's L=0/U=1/Kx=5 defaults),
-    malformed DAC payloads (Kx = 0, L > U, odd length) -> None,
-    progressive-arithmetic SOF10 stays out of scope -> None, and
+    malformed DAC payloads (Kx = 0, L > U, odd length) -> None, a
+    sequential full-band scan under a SOF10 marker -> None (illegal
+    progression, r17), and
     truncation inside the entropy stream -> None, never a raise.
     Also pins composition with the Adobe color models: a CMYK
     (APP14 transform 0) arithmetic encode decodes equal to its
@@ -3501,7 +3595,10 @@ def test_jpeg_arithmetic_markers_and_strictness():
     odd = blob[:i + 3] + b"\x05" + blob[i + 4:]  # len 5: dangling byte
     assert M._decode_jpeg_rgb(odd) is None
 
-    # (c) progressive arithmetic (SOF10 = 0xCA) stays out of scope
+    # (c) flipping the SOF9 marker to SOF10 (0xCA) on a SEQUENTIAL
+    # stream is still malformed: SOF10 is decoded since r17, but its
+    # progressive scan gate requires a DC scan to have Se == 0, which
+    # the full-band sequential SOS violates
     sof = blob.index(b"\xff\xc9")
     sof10 = blob[:sof + 1] + b"\xca" + blob[sof + 2:]
     assert M._decode_jpeg_rgb(sof10) is None
