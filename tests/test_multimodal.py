@@ -2039,6 +2039,17 @@ def test_decoders_never_raise_on_corrupt_mutations():
                     adobe_transform=0, precision=12,
                     progressive=True,
                     scan_script=jpeg_sa_scan_script(3)),
+        # r16/r17 profiles: sequential (SOF9) and progressive (SOF10)
+        # arithmetic coding, with restarts and both scan scripts —
+        # the QM-coder byte feed and the Annex G.2 models face the
+        # same mutation classes as the Huffman paths
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, arithmetic=True,
+                    restart_interval=2),
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, progressive=True,
+                    arithmetic=True, restart_interval=2,
+                    scan_script=jpeg_sa_scan_script(3)),
+        encode_jpeg([dcb(4), dcb(4), dcb(4)], 12, 10, progressive=True,
+                    arithmetic=True),
     ]
     for blob in blobs:
         assert M._decode_image_rgb(blob) is not None  # valid baseline
