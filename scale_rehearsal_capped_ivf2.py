@@ -103,7 +103,7 @@ def _exact_sample_topk(emb, k: int = K, q_blocks: int = 2,
     )
 
 
-def rehearse(spark, sf_dir: str, mult: int) -> dict:
+def rehearse(spark, sf_dir: str, mult: int, arms=None) -> dict:
     from pyspark.sql import functions as F
 
     from citydata_etl_spark.operators import similarity as S
@@ -122,13 +122,17 @@ def rehearse(spark, sf_dir: str, mult: int) -> dict:
     n_gt = gt.count()
     out["gt_sample_pairs"] = int(n_gt)
 
-    arms = [
-        # (name, n_centroids, n_probe, cap)
-        ("uncapped_sqrt_p4", k_sqrt, 4, None),       # reference
-        ("capped_sqrt_p4", k_sqrt, 4, CAP),          # r16 repro (0.557)
-        ("capped_sqrt_p8", k_sqrt, 8, CAP),          # probe-only lever
-        ("capped_posture", nc_post, np_post, CAP),   # derived posture
-        ("capped_posture_p12", nc_post, 12, CAP),    # headroom probe
+    if arms is None:
+        arms = [
+            # (name, n_centroids, n_probe, cap)
+            ("uncapped_sqrt_p4", k_sqrt, 4, None),     # reference
+            ("capped_sqrt_p4", k_sqrt, 4, CAP),        # r16 repro
+            ("capped_sqrt_p8", k_sqrt, 8, CAP),        # probe-only lever
+            ("capped_posture", nc_post, np_post, CAP),  # derived posture
+            ("capped_posture_p12", nc_post, 12, CAP),  # probe headroom
+        ]
+    arms = [("uncapped_sqrt_p4", k_sqrt, 4, None)] + [
+        a for a in arms if a[0] != "uncapped_sqrt_p4"
     ]
     results = {}
     for name, nc, npr, cap in arms:
@@ -190,7 +194,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    mults = [int(a) for a in sys.argv[1:]] or [100]
+    # --phase2 (r17): the phase-1 sweep measured the posture plateau at
+    # recall 0.824 with p8 == p12 — the residual loss is LIST IMBALANCE
+    # (mean occupancy AT the cap means skewed lists overflow and their
+    # overflow is trimmed). Phase 2 measures occupancy HEADROOM:
+    # n_centroids = ceil(n / (cap/2)) halves mean occupancy so only
+    # >2x-mean outlier lists clip, probes swept 8/16.
+    phase2 = "--phase2" in sys.argv
+    mults = [int(a) for a in sys.argv[1:] if a.isdigit()] or [100]
     # idle gate (measurement hygiene): walls here back posture claims
     gate = {"threshold": 1.5, "waited_sec": 0}
     t0 = time.time()
@@ -211,13 +222,31 @@ def main() -> None:
             "candidate bound constant in n?"),
         "runs": [],
     }
+    import math as _math
     for m in mults:
-        row = rehearse(spark, sf_dir, m)
+        if phase2:
+            n_est = 2000 * m  # sf0.1 embeddings x mult
+            nc_hr = int(_math.ceil(n_est / (CAP / 2)))
+            arms = [
+                ("capped_headroom_p8", nc_hr, 8, CAP),
+                ("capped_headroom_p16", nc_hr, 16, CAP),
+            ]
+            row = rehearse(spark, sf_dir, m, arms=arms)
+        else:
+            row = rehearse(spark, sf_dir, m)
         art["runs"].append(row)
         print(json.dumps(row))
     art["load_avg_after"] = [round(x, 2) for x in os.getloadavg()]
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "SCALE_REHEARSAL_r17.json"), "w") as f:
+    path = os.path.join(here, "SCALE_REHEARSAL_r17.json")
+    if phase2 and os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        merged["runs_phase2"] = art["runs"]
+        merged["phase2_idle_gate"] = art["idle_gate"]
+        merged["phase2_load_avg_after"] = art["load_avg_after"]
+        art = merged
+    with open(path, "w") as f:
         json.dump(art, f, indent=1)
 
 
