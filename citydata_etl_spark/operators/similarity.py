@@ -728,16 +728,23 @@ def lsh_multitable_topk_exactsign(
 
 
 #: Measured n_probe escalation factor for the capped-occupancy IVF
-#: regime (r17, SCALE_REHEARSAL_r17.json): at the 100x occupancy point
-#: (200k vectors, occupancy ~447 vs cap 256) the coarse capped posture
-#: agreed 0.557 with the uncapped reference; holding occupancy at the
-#: cap via n_centroids = ceil(n / max_list_len) and escalating n_probe
-#: by this factor restored agreement >= 0.9 at a per-query candidate
-#: bound that stays CONSTANT in n (base_probe * escalation *
-#: max_list_len). Escalating n_probe under the COARSE cap instead was
-#: measured flat — a vector trimmed from its single home list is
-#: unreachable at any n_probe.
+#: regime (r17, SCALE_REHEARSAL_r17.json): the finer capped partition
+#: dilutes per-probe coverage, so n_probe doubles; the phase-2 sweep
+#: measured p8 as the knee (recall 0.9791 vs 0.9797 at p16 for 1.7x
+#: the shuffle). Escalating n_probe under the COARSE cap instead was
+#: measured exactly flat (recall 0.5611 at p4 AND p8) — a vector
+#: trimmed from its single home list is unreachable at any n_probe.
 IVF_PROBE_ESCALATION = 2
+
+#: Measured occupancy headroom for the capped regime (r17 phase 2):
+#: sizing lists to the cap itself (mean occupancy == cap) still
+#: clipped skewed lists' overflow and plateaued recall at 0.824
+#: regardless of probes; halving mean occupancy (headroom 2) leaves
+#: clipping to >2x-mean outlier lists only and measured recall 0.9791
+#: / pair agreement 0.9784 vs the uncapped reference at 100x — at
+#: 1.8x less wall and -33% shuffle (232.6 s / 3626 MB vs 422 s /
+#: 5394 MB).
+IVF_OCCUPANCY_HEADROOM = 2
 
 
 def ivf_posture_for(
@@ -748,7 +755,9 @@ def ivf_posture_for(
     queries_time.state_partitions_for is, so the sizing tracks the
     workload instead of a hand-pin.
 
-    Regimes (measured in SCALE_REHEARSAL_r16/r17.json):
+    Regimes (measured in SCALE_REHEARSAL_r16/r17.json at the sf0.1
+    embeddings x100 = 200k-vector occupancy point, exact-sample
+    ground truth):
 
     - SQRT regime (n <= max_list_len**2): the classic n_centroids ~
       sqrt(n) sizing keeps mean occupancy sqrt(n) <= cap, so the
@@ -757,14 +766,18 @@ def ivf_posture_for(
       base_probe.
     - CAPPED regime (n > max_list_len**2): sqrt sizing would push
       occupancy past the cap and the uniform-subsample trim then
-      silently drops a CONSTANT FRACTION of every list (r16: agreement
-      0.557 at occupancy ~447 vs cap 256) — unrecoverable by probing,
-      because each vector lives in exactly one list. Growing
-      n_centroids to ceil(n / max_list_len) holds MEAN occupancy at
-      the cap, demoting the trim to an imbalance guard (only overflow
-      above the cap in skewed lists is dropped), and n_probe escalates
-      by the measured IVF_PROBE_ESCALATION to restore the coverage the
-      finer partition dilutes. Per-query candidates stay bounded at
+      silently drops a CONSTANT FRACTION of every list (r16/r17:
+      recall 0.5611 at occupancy ~447 vs cap 256) — unrecoverable by
+      probing, because each vector lives in exactly one list
+      (measured flat: p8 == p4). The levers, both measured r17:
+      n_centroids grows to ceil(n / (max_list_len /
+      IVF_OCCUPANCY_HEADROOM)) — mean occupancy at HALF the cap, so
+      the trim only clips >2x-mean outlier lists (sizing lists AT
+      the cap plateaued at recall 0.824) — and n_probe escalates by
+      IVF_PROBE_ESCALATION to restore the coverage the finer
+      partition dilutes (p8 the measured knee). Result at 100x:
+      recall 0.9791 / agreement 0.9784 vs uncapped at 1.8x less wall
+      and -33% shuffle. Per-query candidates stay bounded at
       base_probe * IVF_PROBE_ESCALATION * max_list_len regardless of
       n — total probe shuffle O(n), the r14 rehearsal's requirement.
     """
@@ -776,7 +789,8 @@ def ivf_posture_for(
     if sqrt_k <= max_list_len:
         return sqrt_k, base_probe
     return (
-        int(math.ceil(n_vectors / max_list_len)),
+        int(math.ceil(
+            n_vectors / (max_list_len / IVF_OCCUPANCY_HEADROOM))),
         base_probe * IVF_PROBE_ESCALATION,
     )
 

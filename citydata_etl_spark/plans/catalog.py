@@ -128,7 +128,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a7_union_by_name": 13,
     "a8_city_score": 13,
     "a9_pivot": 13,
-    "d4_ann_ivf": 15,  # rows-only by construction; capped production posture since r15
+    "d4_ann_ivf": 0,  # changed r17: sizing now SELF-ACTING via ivf_posture_for (rows-only by construction; capped posture since r15)
     "d4_ann_ivf_capped_rank": 16,  # NEW r16: oracle-exact capped-IVF twin (VERDICT task 1)
     "d4_ann_ivf_dist": 14,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 13,

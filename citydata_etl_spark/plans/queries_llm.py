@@ -1131,24 +1131,31 @@ def d5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroids trained on a bounded driver sample (broadcast model), "
     "one-pass cluster assignment, n_probe-pruned candidate join, exact "
     "JVM rerank. The inverted-list partition key is the billion-vector "
-    "scale path (operators/similarity.py:ivf_topk). Since r15 the "
-    "entry runs the PRODUCTION POSTURE: max_list_len=256 caps every "
-    "inverted list (deterministic smallest-xxhash64 subsample), "
-    "bounding per-query candidates at n_probe*256 regardless of "
-    "corpus size — the lever the r14 scale rehearsal showed is "
-    "required (uncapped, sqrt(n)-sized lists at fixed n_probe ramp "
-    "the probe shuffle ~n^1.5: 7.4 MB -> 212 MB -> 5.39 GB across "
-    "1x/10x/100x, SCALE_REHEARSAL_r14.json). At sf0.1 (~20k vectors, "
-    "16 lists, mean occupancy ~1250) the cap is ACTIVE, so the "
-    "driver row exercises the capped path, not a no-op flag; the "
-    "bound and the graceful recall cost are pinned by "
-    "test_ivf_max_list_len_caps_candidates. The oracle-exact twins "
-    "(d4_ann_ivf_rank / d4_ann_ivf_dist_rank) stay uncapped — their "
-    "closed-form oracles state the FULL probe scan.",
+    "scale path (operators/similarity.py:ivf_topk). Since r17 the "
+    "PRODUCTION POSTURE is SELF-ACTING: (n_centroids, n_probe) derive "
+    "from corpus size via ivf_posture_for — sqrt sizing while mean "
+    "occupancy fits the max_list_len=256 cap, then centroid growth "
+    "holding occupancy at cap/2 with doubled probes (the r17 "
+    "rehearsal's measured answer to the cap's silent recall price: "
+    "uniform list trimming at occupancy ~447 cost recall 0.5611, "
+    "probe escalation alone was measured FLAT, and the headroom "
+    "posture restored 0.9791 at -33% shuffle and 1.8x less wall than "
+    "uncapped — SCALE_REHEARSAL_r17.json). The cap stays as the "
+    "imbalance guard bounding per-query candidates at n_probe*256 "
+    "regardless of corpus size (the r14 lever against the ~n^1.5 "
+    "uncapped probe-shuffle ramp); cap-ACTIVE truncation itself is "
+    "oracle-gated by d4_ann_ivf_capped_rank (16 lists, cap 16, "
+    "occupancy ~31 at sf0.01 — verifiably truncating). The "
+    "oracle-exact twins (d4_ann_ivf_rank / d4_ann_ivf_dist_rank) "
+    "stay uncapped — their closed-form oracles state the FULL probe "
+    "scan.",
 )
 def d4_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, k=5, max_list_len=256)
+    nc, npr = S.ivf_posture_for(emb.count())
+    return S.ivf_topk(
+        emb, k=5, n_centroids=nc, n_probe=npr, max_list_len=256
+    )
 
 
 @register(

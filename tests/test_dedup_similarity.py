@@ -661,15 +661,20 @@ def test_ivf_posture_for_derivation():
     assert S.ivf_posture_for(2_000) == (45, 4)
     assert S.ivf_posture_for(20_000) == (141, 4)
     assert S.ivf_posture_for(256 ** 2) == (256, 4)  # boundary inclusive
-    # capped regime: occupancy held AT the cap, probes escalated by the
-    # measured factor (SCALE_REHEARSAL_r17.json)
+    # capped regime: mean occupancy held at cap/headroom (the measured
+    # phase-2 posture: occupancy AT the cap plateaued at recall 0.824
+    # from imbalance clipping; headroom 2 measured 0.9791), probes
+    # escalated by the measured factor (SCALE_REHEARSAL_r17.json)
     nc, npr = S.ivf_posture_for(200_000)
-    assert nc == math.ceil(200_000 / 256)
+    assert nc == math.ceil(200_000 * S.IVF_OCCUPANCY_HEADROOM / 256)
+    assert nc == 1563  # the phase-2 measured arm
     assert npr == 4 * S.IVF_PROBE_ESCALATION
     prev_nc = 0
     for n in (100, 10 ** 4, 10 ** 5, 10 ** 6, 10 ** 8):
         nc, npr = S.ivf_posture_for(n)
-        assert n / nc <= 256 + 1e-9  # occupancy invariant
+        assert n / nc <= 256 + 1e-9  # occupancy never exceeds the cap
+        if n > 256 ** 2:  # capped regime: headroom invariant
+            assert n / nc <= 256 / S.IVF_OCCUPANCY_HEADROOM + 1e-9
         assert nc >= prev_nc  # monotone in corpus size
         prev_nc = nc
         # per-query candidates bounded by a constant independent of n
@@ -678,7 +683,7 @@ def test_ivf_posture_for_derivation():
     assert S.ivf_posture_for(0) == (8, 4)
     assert S.ivf_posture_for(10) == (8, 4)
     nc, npr = S.ivf_posture_for(200, max_list_len=8)
-    assert nc == 25 and npr == 4 * S.IVF_PROBE_ESCALATION
+    assert nc == 50 and npr == 4 * S.IVF_PROBE_ESCALATION
 
 
 def test_ivf_exactseed_cap_matches_reference(spark, clustered_vecs):
