@@ -430,9 +430,14 @@ def state_partitions_for(
     10x keys the t12 knee moved 16 -> 32+; at 100x keys fixed-4 cost
     377 s vs 72 s) — while never exceeding 4x cores, past which
     store-commit machinery wins again. (t19 deliberately stays
-    hand-pinned at 16: its state keys are TIME SLOTS, ~6-9k at driver
-    SFs, so this formula would derive 64 — a value no measurement
-    backs for that cheap-per-group load; its call site says so.)
+    hand-pinned at 16: its state keys are TIME SLOTS whose per-group
+    kernel is tiny, and the r17 sweep MEASURED that regime —
+    SCALE_REHEARSAL_r17_T19.json: 16 within noise of best at 8k
+    slots and best by 3.4x at 80k, while this formula's 64 ran
+    1.6-1.7x worse at both scales; for cheap-per-group state the
+    knee saturates near 16 and does not move with key count, so the
+    formula intentionally does not model it — its call site carries
+    the numbers.)
     Partition count never changes
     RESULTS (state is keyed), only where the knee lands, so every
     oracle stays byte-identical; it must be set before the first
@@ -1789,14 +1794,17 @@ def t19_stream_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_slot_kmv(prepared, k=K)
     name = f"t19_stream_kmv_{next(_STREAM_SEQ)}"
-    # 16 state partitions (t12's knee, same reason): thousands of
-    # slot groups each run a Python kernel — per-group Python moves
-    # the bottleneck from store-commit overhead to kernel parallelism.
-    # Deliberately NOT routed through state_partitions_for (r16): the
-    # state keys here are 300 s TIME SLOTS (~6-9k at driver SFs), so
-    # the formula would derive 64 — unmeasured for this cheap-per-
-    # group load, where 16 is the value actually measured; a
-    # deployment with genuinely hot slot kernels should derive.
+    # 16 state partitions — MEASURED for this slot-keyed cheap-per-
+    # group shape (r17, SCALE_REHEARSAL_r17_T19.json): at 8k slots
+    # the 4/16/64 sweep read 9.0/10.05/16.47 s and at 80k slots
+    # 41.58/12.2/20.67 s — 16 is within noise of best at 1x and the
+    # clear winner at 10x, while state_partitions_for's would-be 64
+    # is 1.6-1.7x WORSE at both scales: each slot group's kernel is
+    # tiny (<= k int64s), so extra partitions buy no kernel
+    # parallelism and pay pure store-commit overhead, and the knee
+    # does NOT move with key count (unlike the buffered
+    # sessionizer's). Deliberately NOT routed through
+    # state_partitions_for for exactly that reason.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("update")

@@ -6,7 +6,7 @@ TIME-SLOT keys — "a value no measurement backs for that cheap-per-
 group load". This script produces that measurement: the t19 operator
 shape (streaming_slot_kmv — thousands of slot groups, each a tiny
 Python kernel over <= k int64s) swept over state-partition counts
-{4, 16, 64} at 1x (~8k slots) and 10x (~68k slots) slot cardinality,
+{4, 16, 64} at 1x (~8k slots) and 10x (~80k slots) slot cardinality,
 per-group work held constant (~13 events/slot at both scales, SL
 fixed while the feed span grows — how slot keys actually scale with
 data volume).
@@ -15,11 +15,15 @@ Outcome encodes into queries_time.py's t19 call site: either the
 hand-pin is confirmed (16 within noise of the best at both scales)
 or the formula gains a measured cheap-per-group regime.
 
-Feed: scale_rehearsal_streaming.build_feed (the r15 harness — flat
-part-NNN.parquet files, ascending mtimes, schemas.EVENTS layout);
-the kmv input is the t19 preparation (slot floor + lcg_pick) applied
-to it. Usage: python scale_rehearsal_t19_knee.py (solo-host job).
-Writes SCALE_REHEARSAL_r17_T19.json.
+Feed: a dedicated builder with CONTROLLED slot cardinality (events
+spread uniformly over n_slots * SL seconds by a deterministic
+multiplicative walk — the r15 session-shaped feed collapses to ~68
+distinct timestamps per user-seq because sessions share start times,
+two decades short of t19's regime), written in the r15 harness's flat
+part-NNN.parquet / ascending-mtime / schemas.EVENTS layout; the kmv
+input is the t19 preparation (slot floor + lcg_pick) applied to it.
+Usage: python scale_rehearsal_t19_knee.py (solo-host job). Writes
+SCALE_REHEARSAL_r17_T19.json.
 """
 from __future__ import annotations
 
@@ -29,11 +33,59 @@ import shutil
 import sys
 import time
 
-from scale_rehearsal_streaming import build_feed
-
-SL = 6        # slot length (s): ~8k slots over the 1x feed's span
+SL = 300      # t19's slot length; the feed span sets cardinality
 K = 64
 PART_SWEEP = (4, 16, 64)
+N_BLOCKS = 8
+
+
+def build_slot_feed(spark, root: str, n_events: int,
+                    n_slots: int) -> str:
+    """Write N_BLOCKS flat part-NNN.parquet files (ascending mtimes,
+    schemas.EVENTS layout) whose timestamps spread uniformly over
+    n_slots * SL seconds: tsec = epoch0 + (id * 2654435761 mod
+    span_s) — a full-period multiplicative walk, so every SL-second
+    slot receives ~n_events/n_slots events and the kmv state holds
+    n_slots groups."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = os.path.join(root, f"slotfeed_{n_events}_{n_slots}")
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    epoch0 = 1_600_000_000
+    span_s = n_slots * SL
+    block_span = (span_s + N_BLOCKS - 1) // N_BLOCKS
+    rows = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(epoch0) + (F.col("id") * 2654435761) % span_s
+        ).alias("ts"),
+        (F.col("id") % 1500).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+        (((F.col("id") * 2654435761) % span_s) / block_span)
+        .cast("int").alias("ablk"),
+    ).persist()
+    rows.count()
+    now = 1_700_000_000
+    for b in range(N_BLOCKS):
+        blk = rows.filter(F.col("ablk") == b).drop("ablk")
+        tmp_out = os.path.join(d, f"_blk_{b:02d}")
+        blk.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            tmp_out
+        )
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"part-{b:03d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp_out)
+        os.utime(dst, (now + b, now + b))
+    rows.unpersist()
+    return d
 
 
 def run_kmv(spark, feed_dir: str, n_partitions: int) -> dict:
@@ -106,7 +158,7 @@ def main() -> None:
     gate["waited_sec"] = round(time.time() - t0, 1)
     gate["load_at_start"] = round(os.getloadavg()[0], 2)
     # warmup: JVM + state store + Python worker pool
-    d, _ = build_feed(spark, root, 10_000, 200, late=False)
+    d = build_slot_feed(spark, root, 10_000, 800)
     run_kmv(spark, d, 4)
     shutil.rmtree(d)
     art = {
@@ -119,9 +171,12 @@ def main() -> None:
             "for slot-keyed cheap-per-group state, 1x and 10x slots"),
         "runs": [],
     }
-    for mult, n_events in ((1, 100_000), (10, 1_000_000)):
-        d, _ = build_feed(spark, root, n_events, 1_500, late=False)
-        row = {"slot_mult": mult, "n_events": n_events, "sweep": []}
+    for mult, n_events, n_slots in (
+        (1, 100_000, 8_000), (10, 1_000_000, 80_000),
+    ):
+        d = build_slot_feed(spark, root, n_events, n_slots)
+        row = {"slot_mult": mult, "n_events": n_events,
+               "n_slots_target": n_slots, "sweep": []}
         for nparts in PART_SWEEP:
             row["sweep"].append(run_kmv(spark, d, nparts))
             print(json.dumps(row["sweep"][-1]))
