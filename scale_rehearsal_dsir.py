@@ -13,7 +13,11 @@ pool). Records per arm: wall, shuffle read/write delta, selected
 count (must equal k in both), and the two arms' selected-set overlap.
 
 Usage: python scale_rehearsal_dsir.py [mult ...]  (default 1 10 100)
-Appends one JSON line per mult and writes SCALE_REHEARSAL_r16_DSIR.json.
+Appends one JSON line per mult and writes SCALE_REHEARSAL_r17_DSIR.json.
+(The r16 artifact of this script started at load_avg 17.4 — its
+shuffle-byte claims are load-insensitive but the wall ratios carried
+noise; the r17 re-run sits behind the standard idle gate and stamps
+per-run load, VERDICT r16 task 7.)
 """
 from __future__ import annotations
 
@@ -35,7 +39,8 @@ def rehearse(spark, sf_dir: str, mult: int) -> dict:
     # fixed-size clean target: 500 copy-0 docs; candidates = the rest
     tgt = docs.filter(F.col("doc_id") < 500)
     cand = docs.filter(F.col("doc_id") >= 500)
-    out = {"mult": mult, "n_docs": n}
+    out = {"mult": mult, "n_docs": n,
+           "load_1min_at_start": round(os.getloadavg()[0], 2)}
 
     selected = {}
     for arm in ("rank", "hash"):
@@ -78,6 +83,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mults = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    # idle gate (r17): the r16 run started at load 17.4; walls quoted
+    # from this artifact must come from a quiet window
+    gate = {"threshold": 1.5, "waited_sec": 0}
+    t0 = time.time()
+    while os.getloadavg()[0] > gate["threshold"] and time.time() - t0 < 600:
+        time.sleep(10)
+    gate["waited_sec"] = round(time.time() - t0, 1)
+    gate["load_at_start"] = round(os.getloadavg()[0], 2)
     # throwaway warmup (JVM codegen + Python worker pool) so the first
     # timed mult doesn't carry session startup
     rehearse(spark, sf_dir, 1)
@@ -85,6 +98,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         "load_avg_before": list(os.getloadavg()),
+        "idle_gate": gate,
         "n_buckets": 256,
         "k": 200,
         "runs": [],
@@ -94,7 +108,8 @@ def main() -> None:
         art["runs"].append(row)
         print(json.dumps(row))
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "SCALE_REHEARSAL_r16_DSIR.json"), "w") as f:
+    art["load_avg_after"] = [round(x, 2) for x in os.getloadavg()]
+    with open(os.path.join(here, "SCALE_REHEARSAL_r17_DSIR.json"), "w") as f:
         json.dump(art, f, indent=1)
 
 
