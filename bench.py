@@ -590,11 +590,15 @@ def main() -> None:
     }
     if errors or errors2 or errors3:
         out["n_errors"] = len(errors) + len(errors2) + len(errors3)
-        # sample from BOTH sweeps (rep2-suffixed) so a rep2-only
-        # failure is named on the graded line, not only in the detail
+        # sample from EVERY rep (repN-suffixed) so a failure unique to
+        # any one rep — including the targeted third — is named on the
+        # graded line, not only in the detail file
         both = dict(list(errors.items())[:3])
         both.update({
             f"{k}@rep2": v for k, v in list(errors2.items())[:2]
+        })
+        both.update({
+            f"{k}@rep3": v for k, v in list(errors3.items())[:2]
         })
         out["errors"] = {k: v[:60] for k, v in list(both.items())[:3]}
     # `value`/`value_cold` are the graded totals: per-query best-of-2

@@ -785,9 +785,12 @@ def ivf_posture_for(
 
     if n_vectors <= 0:
         return 8, base_probe
-    sqrt_k = max(8, round(math.sqrt(n_vectors)))
-    if sqrt_k <= max_list_len:
-        return sqrt_k, base_probe
+    # the regime gate is n <= cap^2 EXACTLY (not round(sqrt(n)) <=
+    # cap, whose rounding admits a boundary window — e.g. n = 65700
+    # with cap 256 — where mean occupancy creeps past the cap and the
+    # uniform trim silently re-enters; r17 review finding)
+    if n_vectors <= max_list_len ** 2:
+        return max(8, round(math.sqrt(n_vectors))), base_probe
     return (
         int(math.ceil(
             n_vectors / (max_list_len / IVF_OCCUPANCY_HEADROOM))),

@@ -669,8 +669,12 @@ def test_ivf_posture_for_derivation():
     assert nc == math.ceil(200_000 * S.IVF_OCCUPANCY_HEADROOM / 256)
     assert nc == 1563  # the phase-2 measured arm
     assert npr == 4 * S.IVF_PROBE_ESCALATION
+    # regime-boundary window (r17 review finding): round(sqrt(n))
+    # rounding must not admit occupancy past the cap just above cap^2
+    assert S.ivf_posture_for(65_700)[0] == math.ceil(65_700 / 128)
+    assert S.ivf_posture_for(72, max_list_len=8) == (18, 8)
     prev_nc = 0
-    for n in (100, 10 ** 4, 10 ** 5, 10 ** 6, 10 ** 8):
+    for n in (100, 10 ** 4, 65_600, 10 ** 5, 10 ** 6, 10 ** 8):
         nc, npr = S.ivf_posture_for(n)
         assert n / nc <= 256 + 1e-9  # occupancy never exceeds the cap
         if n > 256 ** 2:  # capped regime: headroom invariant
