@@ -442,7 +442,17 @@ def main() -> None:
     # threshold re-runs ONCE more; the graded total is per-query
     # best-of-N. Only flagged queries re-run, so the gate window stays
     # bounded; the rerun set and threshold are stamped on the line.
-    rerun_load = float(os.environ.get("SPARK_GRAFT_RERUN_LOAD", "2.0"))
+    #
+    # Threshold recalibrated in the r17 OPTIMIZATION round: the sweep's
+    # OWN load sits at median 3–4.5 / p90 ~6.5–7.5 on an otherwise-idle
+    # host (measured across the r15/r16/r17 bench_detail load series —
+    # a local[32] sweep IS sustained load), so the original 2.0 default
+    # flagged 124–131 of 151 queries on a clean host, unbounding the
+    # gate window the mechanism exists to keep bounded. 6.0 sits above
+    # the self-load median with margin while still catching the r16
+    # contamination signature this was built for (t12 loads 7.51/9.29
+    # in BOTH reps of the r16 driver run).
+    rerun_load = float(os.environ.get("SPARK_GRAFT_RERUN_LOAD", "6.0"))
     flagged = sorted(
         n for n in set(timings) | set(timings2)
         if loads1.get(n, 0.0) > rerun_load
