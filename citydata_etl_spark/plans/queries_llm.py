@@ -14,6 +14,30 @@ from citydata_etl_spark.operators import text as TX
 from citydata_etl_spark.plans.catalog import register
 from citydata_etl_spark.sources.readers import read_testdata
 
+
+def _spread_blob_feed(df: DataFrame) -> DataFrame:
+    """Spread a per-blob Python feed across the executor cores before the
+    synth/decode kernels run (r17 OPTIMIZATION; guide §2.5/§4 and
+    operators/multimodal.py's own module posture: for mapInPandas media
+    work, parallelism = partitions).
+
+    The media entries derive their blob relations 1:1 from the documents
+    table, which at the bench scale factors is a SINGLE parquet split
+    (one row group) — effectively unsplittable input — so without this
+    every downstream blob-synthesis + decode chain ran serially in ONE
+    task while the other 31 cores idled (measured: d5_jpeg_pixels warm
+    5.8 s -> 0.9 s with the feed spread; the whole chain is narrow, so
+    the fixture's mapInPandas and every decode kernel after it inherit
+    the feed's partitioning). Round-robin repartition of the id-width
+    projection only — blob bytes are synthesized AFTER the exchange, so
+    the shuffle moves a handful of bytes per row at any scale; at
+    deployment scale, where blobs arrive from storage already split,
+    input partitioning >= cores and the repartition is sized BY the same
+    defaultParallelism the cluster reports. Placement never affects
+    bytes: every builder is row-local (doc_id -> blob is a pure
+    function; verified for each builder before this landed)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
 # Shared oracle CTE fragments (tokens + dense-rank vocabulary — the exact
 # construction in operators/dedup.py: tokens/vocabulary).
 _TOK = """
@@ -1049,7 +1073,10 @@ def _documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata is the storage contract (operators/multimodal.py)."""
     from pyspark.sql import functions as F
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    # text bytes ride the exchange here (unlike the id-only fixture
+    # feeds) — still the right trade: the downstream decode kernels are
+    # per-blob Python, and the corpus is one input split at bench SFs
+    docs = _spread_blob_feed(read_testdata(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -3166,7 +3193,9 @@ def d5_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from citydata_etl_spark.operators.multimodal import jpeg_header_meta
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
     d = F.col("doc_id")
     w = (16 + d % 2000).cast("bigint")
     h = (16 + (d * 13) % 1000).cast("bigint")
@@ -3427,7 +3456,9 @@ def d5_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from citydata_etl_spark.operators.multimodal import audio_energy_windows
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
     d = F.col("doc_id")
     n_samples = (200 + d % 300).cast("bigint")
     data_bytes = n_samples * 2
@@ -3658,7 +3689,9 @@ def d5_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from citydata_etl_spark.operators.multimodal import mp4_header_meta
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
     d = F.col("doc_id")
     ts = (1000 + d % 9000).cast("bigint")
     dur = ((d * 37) % 100000).cast("bigint")
@@ -3797,7 +3830,9 @@ def _bmp_media_fixture(
     OPERATORS decode vectorized."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5077,7 +5112,9 @@ def _gif_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     header blob every 7th row that must yield NULLs."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5228,7 +5265,9 @@ def _jpeg_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing the last realistic entropy-coding combination."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5484,7 +5523,9 @@ def _jpeg420_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d%10==1) and DRI (6-block non-divisor MCUs) compose."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5662,7 +5703,9 @@ def _jpeg_cmyk_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLs."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5839,7 +5882,9 @@ def _png_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics face the driver the same way."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -5979,7 +6024,9 @@ def _png_adam7_media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     lanes composed with the interlace geometry)."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def build(batches):
         for pdf in batches:
@@ -6118,7 +6165,9 @@ def _video_tar_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized."""
     import pandas as pd
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread_blob_feed(
+        read_testdata(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def tar_header(name: str, size: int) -> bytes:
         h = bytearray(512)

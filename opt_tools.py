@@ -57,6 +57,7 @@ def main() -> None:
 
         evdir = tempfile.mkdtemp(prefix="opt_evlog_")
         extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.compress"] = "false"
         extra["spark.eventLog.dir"] = evdir
     spark = get_spark(app_name="opt-tools", extra_conf=extra or None)
     for kv in args.conf:  # runtime-settable confs apply even on reuse
@@ -159,12 +160,20 @@ def _analyze_eventlog(spark, evdir: str, windows) -> None:
     spark.stop()  # flush the event log
     jobs = []  # (submit_ms, end_ms, n_stages, desc)
     pending = {}
-    for path in glob.glob(os.path.join(evdir, "*")):
+    paths = [
+        p
+        for pat in ("*", "*/*")
+        for p in glob.glob(os.path.join(evdir, pat))
+        if os.path.isfile(p)
+    ]
+    for path in paths:
         with open(path, errors="replace") as f:
             for line in f:
                 try:
                     ev = _json.loads(line)
                 except ValueError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 e = ev.get("Event")
                 if e == "SparkListenerJobStart":
