@@ -358,10 +358,16 @@ def histogram_order_statistics(
 
     NB = n_buckets
     spark = vals.sparkSession
-    stats = vals.agg(
-        F.min("c").alias("lo"),
-        F.max("c").alias("hi"),
-        F.count("*").cast("bigint").alias("n"),
+    # persist the 1-row stats: it feeds THREE broadcasts (bucketing, rank
+    # targets, the final est/n stamp), and unpersisted each broadcast
+    # build re-ran the full min/max/count pass over the input (r17
+    # optimization — two full scans saved; results identical).
+    stats = scoped_persist(
+        vals.agg(
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.count("*").cast("bigint").alias("n"),
+        )
     )
     v = scoped_persist(
         vals.crossJoin(F.broadcast(stats)).withColumn(
