@@ -1208,7 +1208,16 @@ def _distexact_centroids(
             )
         )
         # both sides are n_centroids rows — broadcast the trained table
-        # so the carry join never plans exchanges
+        # so the carry join never plans exchanges.
+        # (r17: a per-iteration localCheckpoint was tried here and
+        # REVERTED — it cut the formatted plan 66 KB -> 12 KB but
+        # regressed wall time ~3.0 s -> 4.5+ s warm / 27 s cold on the
+        # bench shape: eager truncation bypasses the CacheManager, so
+        # every warm rerun re-trains from scratch instead of hitting
+        # the persisted intermediates, and the per-rep checkpoint RDDs
+        # accumulate until GC. The lazy chain + scoped persists keep
+        # warm plans cache-matched; planning cost is the cheaper side
+        # of the trade here, as measured for BPE in operators/text.py.)
         cents = (
             cents.join(
                 F.broadcast(trained),

@@ -811,7 +811,8 @@ def bpe_merge_steps(
     cur = tc.select(F.split("token", "").alias("syms"), "cnt")
     pair_counts = _bpe_pair_counts
 
-    def topk(lim: DataFrame, step: int) -> DataFrame:
+    def topk(pairs: DataFrame, step: int) -> DataFrame:
+        lim = pairs.orderBy(F.desc("n"), "pa", "pb").limit(k)
         # rank window over the already-limited k rows, not the vocab
         rw = W.orderBy(F.desc("n"), "pa", "pb")
         return lim.select(
@@ -821,42 +822,25 @@ def bpe_merge_steps(
 
     outs = []
     for step in range(1, n_steps + 1):
-        # ONE pair aggregation per step: the k-row TakeOrdered is
-        # persisted and BOTH consumers — the step's top-k output branch
-        # and the merge winner (its rnk-1 row) — read it, instead of
-        # each re-running the vocabulary aggregation (r17 optimization:
-        # halves the chain's aggregation passes; results identical
-        # because the winner is the same (n desc, pa, pb) top-1).
-        lim = scoped_persist(
-            pair_counts(cur).orderBy(F.desc("n"), "pa", "pb").limit(k)
-        )
-        outs.append(topk(lim, step))
-        best = lim.orderBy(F.desc("n"), "pa", "pb").limit(1).select(
+        pairs = pair_counts(cur)
+        outs.append(topk(pairs, step))
+        best = pairs.orderBy(F.desc("n"), "pa", "pb").limit(1).select(
             F.col("pa").alias("mA"), F.col("pb").alias("mB")
         )
         merged = _bpe_merge_fold()
-        # localCheckpoint each step's merged vocabulary (eager): the
-        # vocab is bounded (distinct tokens), all n_steps+1 output
-        # branches share the chain prefix, and — the r17 measured
-        # driver cost — TRUNCATING the lineage keeps every later
-        # persist/plan from re-optimizing the whole unrolled chain
-        # (guide §3.3: deep iterative plans make planning itself the
-        # bottleneck; the pre-checkpoint chain plan was ~270 KB of
-        # formatted text and the query ~80% driver gap).
+        # persist each step's merged vocabulary: all n_steps+1 output
+        # branches share the chain prefix, and the vocab is bounded
+        # (distinct tokens), so this trades a tiny cache for not
+        # recompiling/recomputing the fold chain once per branch.
         # LEFT join on TRUE, not crossJoin (the bpe_encode guard): an
         # EMPTY winner (no adjacent pair anywhere) must make the merge
         # a no-op, not annihilate the vocabulary.
-        cur = (
-            cur.join(F.broadcast(best), F.lit(True), "left")
-            .select(merged.alias("syms"), "cnt")
-            .localCheckpoint()
+        cur = scoped_persist(
+            cur.join(F.broadcast(best), F.lit(True), "left").select(
+                merged.alias("syms"), "cnt"
+            )
         )
-    outs.append(topk(
-        scoped_persist(
-            pair_counts(cur).orderBy(F.desc("n"), "pa", "pb").limit(k)
-        ),
-        n_steps + 1,
-    ))
+    outs.append(topk(pair_counts(cur), n_steps + 1))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -920,14 +904,10 @@ def bpe_encode(
         # the merge must be a no-op instead. With mA/mB NULL the fold's
         # merge branch can never fire (NULL comparison -> otherwise),
         # so the fold degrades to the identity append.
-        # localCheckpoint, not persist (r17): truncating the lineage
-        # each step keeps plan registration/optimization from re-walking
-        # the whole unrolled chain — the measured dominant cost of the
-        # chained entries (guide §3.3; see bpe_merge_steps).
-        cur = (
-            cur.join(F.broadcast(best), F.lit(True), "left")
-            .select("token", _bpe_merge_fold().alias("syms"), "cnt")
-            .localCheckpoint()
+        cur = scoped_persist(
+            cur.join(F.broadcast(best), F.lit(True), "left").select(
+                "token", _bpe_merge_fold().alias("syms"), "cnt"
+            )
         )
     # conservation check rides along: detokenizing (concatenating) a
     # token's encoded symbols must reproduce the token EXACTLY — any

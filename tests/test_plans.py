@@ -870,34 +870,10 @@ def test_round9_entry_plan_guards(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
     p = _plan(spark, "d4_bpe_encode")
+    assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert "partial_count" in p  # per-doc count combines map-side
+    assert "partial_count" in p  # token count combines map-side
     assert "partial_sum" in p    # per-doc sums combine map-side
-    # The training winner picks run EAGERLY inside per-step
-    # localCheckpoints since the r17 lineage truncation, so the bounded
-    # heap is no longer visible in the FINAL encode plan — assert it on
-    # the step plan the training loop actually executes (same
-    # construction as operators/text.py:bpe_encode's loop body).
-    from citydata_etl_spark.operators.dedup import tokens
-    from citydata_etl_spark.operators.text import _bpe_pair_counts
-    from citydata_etl_spark.sources.readers import read_testdata
-
-    docs = read_testdata(spark, SF_ORACLE, "documents")
-    tc = (
-        tokens(docs, "text", "doc_id", distinct=False)
-        .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-    )
-    cur = tc.select("token", F.split("token", "").alias("syms"), "cnt")
-    pick = (
-        _bpe_pair_counts(cur).orderBy(F.desc("n"), "pa", "pb").limit(1)
-    )
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    sp = pick._jdf.queryExecution().explainString(mode)
-    assert "TakeOrderedAndProject" in sp
-    assert "BatchEvalPython" not in sp and "ArrowEvalPython" not in sp
 
 
 def test_s19_bloom_point_lookup_pushes_in_filter(spark):
