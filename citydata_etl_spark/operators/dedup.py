@@ -1025,10 +1025,11 @@ def dedup_groups(
     min of its label and its neighbors' labels — one join + one groupBy
     per round, O(graph diameter) rounds (near-dup clusters are shallow).
     Convergence is detected by the (monotonically decreasing) label sum.
-    Iterative lineage is truncated per round through the
-    `checkpoint_dir` knob (util.plan_truncator): None = executor-local
-    localCheckpoint, a fault-tolerant path = RELIABLE checkpoint() that
-    survives executor loss on long runs. At extreme scale, swap for the
+    Each round's label relation goes through the `checkpoint_dir`
+    knob (util.plan_truncator): None = scoped persist (the convergence
+    check materializes it; re-executions serve every round from cache),
+    a fault-tolerant path = RELIABLE checkpoint() that survives
+    executor loss on long runs. At extreme scale, swap for the
     large-star/small-star formulation (Kiveris et al.) — same per-round
     primitives, fewer rounds.
     """

@@ -4,9 +4,10 @@ Connected components (the dedup-groups machinery) lives in
 operators/dedup.py:dedup_groups; this module holds the rank-propagation
 family. Everything follows the same iterative-join discipline proven
 there: each iteration is ONE equi-join + ONE aggregate, per-iteration
-localCheckpoint truncates the logical plan (lineage would otherwise grow
-linearly and re-execute every prior iteration), and nothing data-sized
-ever reaches the driver — the only driver scalar is the node count.
+the frontier goes through util.plan_truncator (scoped persist locally —
+re-executions serve every level from cache; reliable checkpoint at
+cluster scale), and nothing data-sized ever reaches the driver — the
+only driver scalar is the node count.
 """
 
 from __future__ import annotations
@@ -52,19 +53,20 @@ def pagerank(
     the standard distributed PageRank step (no adjacency matrices, no
     driver-side state). Self-loops are dropped and edges deduplicated up
     front; the edge+outdeg relation is persisted once and reused across
-    iterations; each iteration's rank relation is localCheckpoint-ed to
-    truncate lineage (without it, iteration k's plan re-derives
-    iterations 1..k-1). Dangling nodes (no out-edges) simply contribute
+    iterations; each iteration's rank relation goes through
+    plan_truncator (persisted locally so re-executions hit the cache;
+    reliably checkpointed at cluster scale). Dangling nodes (no out-edges) simply contribute
     nothing — their mass falls out of circulation, matching the stated
     recurrence rather than the redistribute-variant.
 
     The only driver-side value is N (one count). At 100 TB the node and
-    edge relations stay fully distributed. Lineage truncation policy is
-    the `checkpoint_dir` knob (util.plan_truncator): None keeps
-    executor-local localCheckpoint (fast, lost-executor reruns the
-    job); a fault-tolerant path switches every iteration to RELIABLE
-    checkpoint() so the frontier survives executor loss — the correct
-    default posture for long iterative jobs on a large cluster.
+    edge relations stay fully distributed. Frontier-materialization
+    policy is the `checkpoint_dir` knob (util.plan_truncator): None
+    persists each iteration (re-executions serve every level from
+    cache; see the r17 note there); a fault-tolerant path switches
+    every iteration to RELIABLE checkpoint() so the frontier survives
+    executor loss — the correct default posture for long iterative
+    jobs on a large cluster.
     """
     truncate = plan_truncator(edges.sparkSession, checkpoint_dir)
     e = (
@@ -209,7 +211,7 @@ def bfs_hops(
 
     Shape per iteration: dist x edges equi-join on the source + one
     min-aggregate — the same iterative-join discipline as pagerank, and
-    the same `checkpoint_dir` truncation knob (None = localCheckpoint;
+    the same `checkpoint_dir` knob (None = per-iteration persist;
     fault-tolerant path = reliable checkpoint surviving executor loss).
     The frontier relation is never collected; nothing data-sized
     reaches the driver. Monotone convergence: dist only ever shrinks,
