@@ -1209,16 +1209,18 @@ def _distexact_centroids(
         )
         # both sides are n_centroids rows — broadcast the trained table
         # so the carry join never plans exchanges.
-        # (r17: a per-iteration localCheckpoint was tried here and
-        # REVERTED — it cut the formatted plan 66 KB -> 12 KB but
-        # regressed wall time ~3.0 s -> 4.5+ s warm / 27 s cold on the
-        # bench shape: eager truncation bypasses the CacheManager, so
-        # every warm rerun re-trains from scratch instead of hitting
-        # the persisted intermediates, and the per-rep checkpoint RDDs
-        # accumulate until GC. The lazy chain + scoped persists keep
-        # warm plans cache-matched; planning cost is the cheaper side
-        # of the trade here, as measured for BPE in operators/text.py.)
-        cents = (
+        # scoped_persist each iteration's trained table (r17): iteration
+        # k's cents feeds TWO consumers of iteration k+1 (the broadcast
+        # assignment AND the carry join), so the un-persisted lazy chain
+        # re-executed every earlier iteration's full corpus assignment
+        # once per consumer — 2^k growth in corpus passes. The persist
+        # is O(n_centroids) rows and keeps the CacheManager identity-
+        # match that makes re-executions serve the whole training from
+        # cache. (A per-iteration localCheckpoint was also tried and
+        # REVERTED: it truncates the plan 66 KB -> 12 KB but executes
+        # eagerly OUTSIDE the CacheManager, so every warm rerun
+        # re-trained from scratch — measured ~3.0 -> 4.5+ s warm.)
+        cents = scoped_persist(
             cents.join(
                 F.broadcast(trained),
                 cents["cidx"] == trained["cluster"], "left",
