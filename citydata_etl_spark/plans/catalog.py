@@ -92,23 +92,23 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: hash-FAIL resets the rank to 0: the contract was broken there, and the
 #: fix must re-enter the window first.
 LAST_DRIVER_CHECK: dict[str, int] = {
-    "a10_table_profile": 12,
+    "a10_table_profile": 17,
     "a11_heavy_hitters": 15,
     "a12_event_funnel": 14,
     "a13_data_contract": 15,
     "a14_referential_integrity": 15,
     "a15_outlier_flags": 15,
     "a16_cohort_retention": 15,
-    "a17_time_weighted_avg": 12,
-    "a18_ohlc_bars": 12,
-    "a19_event_transitions": 12,
+    "a17_time_weighted_avg": 17,
+    "a18_ohlc_bars": 17,
+    "a19_event_transitions": 17,
     "a1_pricing_summary": 13,
     "a20_countmin_topk": 14,
     "a21_histogram_quantiles": 15,
     "a22_attribution": 15,
     "a23_sliding_distinct": 15,
     "a23_sliding_kmv": 16,
-    "a24_linear_attribution": 12,
+    "a24_linear_attribution": 17,
     "a2_approx_distinct": 13,
     "a2_count_distinct": 13,
     "a2_kmv_distinct": 13,
@@ -128,14 +128,14 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "a7_union_by_name": 13,
     "a8_city_score": 13,
     "a9_pivot": 13,
-    "d4_ann_ivf": 0,  # changed r17: sizing now SELF-ACTING via ivf_posture_for (rows-only by construction; capped posture since r15)
+    "d4_ann_ivf": 17,  # r17 rows-only driver row (2500 rows) after the self-acting ivf_posture_for change; rows-only by construction
     "d4_ann_ivf_capped_rank": 16,  # NEW r16: oracle-exact capped-IVF twin (VERDICT task 1)
     "d4_ann_ivf_dist": 14,  # rows-only by construction (r4 row)
     "d4_ann_ivf_dist_rank": 13,
     "d4_ann_ivf_rank": 13,
     "d4_ann_ivf_recall": 15,
     "d4_ann_lsh": 13,
-    "d4_ann_lsh_rank": 12,
+    "d4_ann_lsh_rank": 17,
     "d4_ann_multiprobe_recall": 16,
     "d4_ann_multitable_recall": 16,
     "d4_ann_pq": 13,
@@ -183,58 +183,58 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "d4_simhash_pairs": 14,
     "d4_text_normalize": 14,
     "d4_tfidf_topk": 14,
-    "d4_token_stats": 12,
+    "d4_token_stats": 17,
     "d4_url_dedup": 16,
-    "d4_winnowing": 12,
+    "d4_winnowing": 17,
     "d5_audio_energy": 16,
     "d5_bmp_histogram": 14,
     "d5_bmp_pixels": 14,
     "d5_bmp_resize": 14,
     "d5_format_sniff": 14,
-    "d5_frame_sample": 12,
-    "d5_gif_meta": 12,
+    "d5_frame_sample": 17,
+    "d5_gif_meta": 17,
     "d5_gif_pixels": 13,
     "d5_image_ahash": 15,
     "d5_image_neardup": 15,
     "d5_jpeg_cmyk": 16,  # fixture bytes changed r16: JFIF APP0 dropped from Adobe blobs (ADVICE fix); pixels/oracle identical
     "d5_jpeg_meta": 14,  # r14: EXIF orientation column added (schema + fixture)
-    "d5_jpeg_pixels": 0,  # fixture bytes changed r17: half the progressive class rewoven as PROGRESSIVE ARITHMETIC (SOF10); pixels/oracle identical
+    "d5_jpeg_pixels": 17,  # fixture bytes changed r17: half the progressive class rewoven as PROGRESSIVE ARITHMETIC (SOF10); pixels/oracle identical
     "d5_jpeg_pixels_420": 15,  # fixture+oracle changed r15: non-divisor weave
-    "d5_media_decode": 12,
+    "d5_media_decode": 17,
     "d5_mp4_meta": 16,
     "d5_png_adam7": 13,
     "d5_png_ahash": 13,
     "d5_png_meta": 14,
     "d5_png_pixels": 13,
     "d5_scene_cuts": 15,
-    "d5_tar_meta": 12,
+    "d5_tar_meta": 17,
     "d5_wav_meta": 14,
     "d6_blocklist_filter": 14,
     "d6_chunk_documents": 14,
-    "d6_contamination": 12,
+    "d6_contamination": 17,
     "d6_crossdomain_lm": 14,
-    "d6_curation_pipeline": 12,
+    "d6_curation_pipeline": 17,
     "d6_dataset_card": 15,
     "d6_dsir_select": 15,
     "d6_dsir_select_hash": 16,  # NEW r16: corpus-scale xxhash64 feature path (VERDICT task 5)
-    "d6_dedup_keep": 12,
+    "d6_dedup_keep": 17,
     "d6_domain_cap": 14,
-    "d6_domain_mix": 12,
+    "d6_domain_mix": 17,
     "d6_domain_mix_apply": 14,
     "d6_fixed_sample": 14,
     "d6_global_shuffle": 16,
-    "d6_label_centroid": 12,
+    "d6_label_centroid": 17,
     "d6_length_histogram": 16,
     "d6_negative_pairs": 14,
-    "d6_pack_sequences": 12,
+    "d6_pack_sequences": 17,
     "d6_ppl_buckets": 14,
     "d6_quality_classifier": 16,
-    "d6_quality_funnel": 12,
-    "d6_shard_stats": 12,
-    "d6_stratified_sample": 12,
+    "d6_quality_funnel": 17,
+    "d6_shard_stats": 17,
+    "d6_stratified_sample": 17,
     "d6_temperature_mix": 14,
     "d6_tokenizer_fertility": 15,
-    "d6_train_split": 12,
+    "d6_train_split": 17,
     "e2e_collect_run": 14,
     "f10_conditional": 14,
     "f11_haversine": 14,
@@ -244,7 +244,7 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f15_geo_cell": 16,
     "f16_number_normalize": 16,
     "f17_useragent_parse": 16,
-    "f18_ip_cidr": 12,
+    "f18_ip_cidr": 17,
     "f1_f3_dual_ts_roundtrip": 14,
     "f2_date_parts": 14,
     "f4_f5_split_element": 14,
@@ -254,21 +254,21 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "f9_split_explode": 14,
     "g1_host_pagerank": 16,
     "g2_triangle_count": 16,
-    "g3_bfs_hops": 12,
+    "g3_bfs_hops": 17,
     "j10_bloom_prefilter_join": 16,
     "j11_geo_radius_join": 16,
-    "j12_temporal_join": 12,
-    "j13_dpp_join": 12,
+    "j12_temporal_join": 17,
+    "j13_dpp_join": 17,
     "j14_point_in_polygon": 15,
-    "j1_broadcast_lookup": 12,
-    "j2_anti_join": 12,
-    "j2_semi_join": 12,
-    "j3_template_join": 12,
-    "j4_multi_source_join": 12,
-    "j5_range_join": 12,
-    "j6_asof_forward": 12,
-    "j6_asof_join": 12,
-    "j6_asof_nearest": 12,
+    "j1_broadcast_lookup": 17,
+    "j2_anti_join": 17,
+    "j2_semi_join": 17,
+    "j3_template_join": 17,
+    "j4_multi_source_join": 17,
+    "j5_range_join": 17,
+    "j6_asof_forward": 17,
+    "j6_asof_join": 17,
+    "j6_asof_nearest": 17,
     "j6_asof_tolerance": 12,
     "j7_salted_skew_join": 12,
     "j8_bucketed_join": 14,
@@ -307,19 +307,19 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "s8_csv_overwrite_sink": 16,
     "s9_staging_rekey": 16,
     "t10_stream_dynamic_sessions": 16,
-    "t11_stream_geofence": 11,
-    "t12_stream_late_sessions": 11,
-    "t13_gap_fill": 11,
+    "t11_stream_geofence": 17,
+    "t12_stream_late_sessions": 17,
+    "t13_gap_fill": 17,
     "t14_stream_ohlc": 12,
     "t15_stream_snapshot_enrich": 12,
     "t16_stream_restart": 14,
     "t17_stream_quarantine": 15,
     "t18_stream_attribution": 16,
-    "t19_stream_sliding_kmv": 11,
+    "t19_stream_sliding_kmv": 17,
     "t1_streaming_tumbling": 12,
     "t2_streaming_dedup": 12,
     "t3_cdc_promote": 15,
-    "t5_dynamic_gap_session": 11,
+    "t5_dynamic_gap_session": 17,
     "t5_session_window": 12,
     "t5_sliding_window": 12,
     "t5_tumbling_window": 12,
@@ -335,16 +335,16 @@ LAST_DRIVER_CHECK: dict[str, int] = {
     "u13_cascade_delete": 16,
     "u14_multi_table_txn": 16,
     "u15_governed_view": 16,
-    "u16_policy_versioned_read": 11,
-    "u17_wap_publish": 11,
-    "u1_keyed_update": 11,
-    "u2_masked_update": 11,
-    "u3_status_routing": 11,
-    "u4_scd2_history": 11,
+    "u16_policy_versioned_read": 17,
+    "u17_wap_publish": 17,
+    "u1_keyed_update": 17,
+    "u2_masked_update": 17,
+    "u3_status_routing": 17,
+    "u4_scd2_history": 17,
     "u5_merge_upsert": 15,
     "u6_keyed_delete": 16,
-    "u7_evolving_merge": 11,
-    "u8_time_travel": 11,
+    "u7_evolving_merge": 17,
+    "u8_time_travel": 17,
     "u9_change_feed": 13,
 }
 
