@@ -324,6 +324,22 @@ def resample_locf(
     )
 
 
+def _histogram_level(v: DataFrame, level: int, *bucket_cols: str) -> DataFrame:
+    """One equi-width histogram level of histogram_order_statistics:
+    per-bucket (count, min, max) over the value column `c` — a
+    parameter-bounded mergeable sketch (<= n_buckets rows per target),
+    never data. Factored out so the plan test asserts the map-side-
+    combine shape on the operator's REAL aggregation subtree
+    (tests/test_plans.py::test_a21_quantiles_no_global_data_sort)
+    instead of a hand-built replica."""
+    i = str(level)
+    return v.groupBy(*bucket_cols).agg(
+        F.count("*").alias("cnt" + i),
+        F.min("c").alias("mn" + i),
+        F.max("c").alias("mx" + i),
+    )
+
+
 def histogram_order_statistics(
     vals: DataFrame, percents: Sequence[int], n_buckets: int = 128
 ) -> DataFrame:
@@ -369,19 +385,38 @@ def histogram_order_statistics(
     k-th smallest VALUE); the Python side uses the same non-negative
     floor divisions, so the located buckets and residual ranks are
     bit-identical to the oracle's relational statement.
+
+    EAGER-EXECUTION CONTRACT (r17 ADVICE): this operator runs Spark
+    jobs at DataFrame-CONSTRUCTION time (the min/max/count probe and
+    the two <= n_buckets-row histogram collects) and bakes the
+    collected constants into the returned plan — calling it is an
+    action, not a lazy plan build, and a plan-only consumer
+    (explain/dry-run) triggers those bounded jobs. The INPUT IS PINNED
+    first (scoped_persist of the projected value column), so the
+    driver-side targets and the distributed rank window both read the
+    SAME materialization: if the underlying source changes after the
+    call, the returned DataFrame keeps answering for the pinned
+    snapshot (until the scoped cache is released, at which point it
+    recomputes consistently from source — constants and all — only by
+    calling the operator again). Re-derive, don't re-execute, after a
+    source update.
     """
     from citydata_etl_spark.caching import scoped_persist
 
     NB = n_buckets
     spark = vals.sparkSession
     out_schema = "q LONG, est LONG, exact LONG, n LONG"
+    # pin the snapshot BEFORE the first driver-side probe: every
+    # collected constant below and the final distributed rank window
+    # must read one materialization (see the contract paragraph above)
+    vals = scoped_persist(vals)
     srow = vals.agg(
         F.min("c").alias("lo"),
         F.max("c").alias("hi"),
         F.count("*").cast("bigint").alias("n"),
     ).first()
     lo, hi, n = srow["lo"], srow["hi"], srow["n"]
-    if not n:
+    if not n or not percents:
         return spark.createDataFrame([], out_schema)
     width1 = hi - lo + 1
 
@@ -400,28 +435,27 @@ def histogram_order_statistics(
                 return b, mn, mx, k - (cum - cnt)
         raise AssertionError("rank beyond histogram total")
 
-    v = scoped_persist(
-        vals.withColumn(
-            "b1", F.expr(f"((c - ({lo})) * {NB}) div {width1}")
-        )
+    # b1 is one arithmetic projection over the pinned snapshot — no
+    # second cache needed (the r17 form persisted vals+b1 together;
+    # pinning the input moved the cache one node down)
+    v = vals.withColumn(
+        "b1", F.expr(f"((c - ({lo})) * {NB}) div {width1}")
     )
     h1 = sorted(
-        (
-            (r["b1"], r["cnt1"], r["mn1"], r["mx1"])
-            for r in v.groupBy("b1")
-            .agg(
-                F.count("*").alias("cnt1"),
-                F.min("c").alias("mn1"),
-                F.max("c").alias("mx1"),
-            )
-            .collect()
-        ),
+        (r["b1"], r["cnt1"], r["mn1"], r["mx1"])
+        for r in _histogram_level(v, 1, "b1").collect()
     )
 
     answers: list[tuple[int, int, int]] = []  # (q, est, exact) literals
     t1n = []  # (q, b1, mn1, mx1, k2) — non-degenerate level-1 targets
     for q in percents:
         k = (q * n + 99) // 100
+        if k < 1 or k > n:
+            # out-of-range percentile (q <= 0 or q > 100): the pre-r17
+            # relational form produced no row for it; mirror that
+            # instead of walking the histogram past its total (r17
+            # ADVICE — locate() would raise)
+            continue
         b1, mn1, mx1, k2 = locate(h1, k)
         if mn1 == mx1:  # single-value bucket IS the answer
             answers.append((int(q), est_of(b1), int(mn1)))
@@ -451,13 +485,7 @@ def histogram_order_statistics(
         )
         h2 = {}
         for r in sorted(
-            v2.groupBy("b1", "b2")
-            .agg(
-                F.count("*").alias("cnt2"),
-                F.min("c").alias("mn2"),
-                F.max("c").alias("mx2"),
-            )
-            .collect(),
+            _histogram_level(v2, 2, "b1", "b2").collect(),
             key=lambda r: (r["b1"], r["b2"]),
         ):
             h2.setdefault(r["b1"], []).append(
@@ -503,6 +531,8 @@ def histogram_order_statistics(
                     F.lit(int(n)).cast("bigint").alias("n"),
                 )
             )
+    if not branches:  # every requested q was out of range
+        return spark.createDataFrame([], out_schema)
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

@@ -1025,21 +1025,32 @@ def dedup_groups(
     min of its label and its neighbors' labels — one join + one groupBy
     per round, O(graph diameter) rounds (near-dup clusters are shallow).
     Convergence is detected by the (monotonically decreasing) label sum.
-    Each round's label relation goes through the `checkpoint_dir`
-    knob (util.plan_truncator): None = scoped persist (the convergence
-    check materializes it; re-executions serve every round from cache),
-    a fault-tolerant path = RELIABLE checkpoint() that survives
-    executor loss on long runs. At extreme scale, swap for the
+    Each round's label relation is TRUNCATED (util.plan_truncator,
+    local_mode="checkpoint"; a fault-tolerant checkpoint_dir survives
+    executor loss on long runs): the round count is the DATA-dependent
+    graph diameter and each round references the previous labels twice,
+    so retained lineage grows exponentially — the r17 persist-only
+    experiment blew d6_curation_pipeline's plan to ~1.8M formatted
+    lines and flipped its label join to SortMergeJoin (see the
+    plan_truncator docstring). The loop-INVARIANT edge set IS persisted
+    (r17's win, kept): every per-round truncation job and every
+    re-execution reads the pair-mining result from cache instead of
+    re-running it. At extreme scale, swap for the
     large-star/small-star formulation (Kiveris et al.) — same per-round
     primitives, fewer rounds.
     """
+    from citydata_etl_spark.caching import scoped_persist
     from citydata_etl_spark.util import plan_truncator
 
-    truncate = plan_truncator(pairs.sparkSession, checkpoint_dir)
+    truncate = plan_truncator(
+        pairs.sparkSession, checkpoint_dir, local_mode="checkpoint"
+    )
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-    edges = truncate(edges)
+    edges = (
+        scoped_persist(edges) if checkpoint_dir is None else truncate(edges)
+    )
     labels = truncate(
         edges.select(F.col("src").alias("id"))
         .distinct()

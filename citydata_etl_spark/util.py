@@ -114,23 +114,41 @@ def with_metrics(df, name: str, **metrics):
     return observed, obs
 
 
-def plan_truncator(spark, checkpoint_dir: str | None):
+def plan_truncator(
+    spark, checkpoint_dir: str | None, local_mode: str = "persist",
+):
     """Lineage-truncation policy for iterative operators (pagerank,
-    dedup_groups): returns `df -> df` that cuts the logical plan each
-    iteration.
+    bfs_hops, dedup_groups): returns `df -> df` applied to each
+    iteration's frontier.
 
-    checkpoint_dir=None -> scoped_persist: each iteration's frontier is
-    cached (lazily — the next iteration's action, or the convergence
-    check, materializes it), and the logical plan is retained. Retained
-    lineage is the point (r17, measured): an eager localCheckpoint here
-    bypassed the CacheManager, so every RE-EXECUTION of the query
-    (bench warm reps, a dashboard re-running the same derivation)
-    re-ran the whole iterative walk from scratch, where persisted
-    frontiers identity-match the rebuilt plan and serve every level
-    from cache (g1_host_pagerank 1.25 s -> ~0.35 s warm). Plan size
-    grows linearly with iteration count — fine for the bounded walks
-    these operators run (n_iter <= ~10); a long-running walk should
-    pass a checkpoint_dir, which also truncates.
+    checkpoint_dir=None, local_mode="persist" -> scoped_persist: the
+    frontier is cached (lazily — the next iteration's action, or the
+    convergence check, materializes it), and the logical plan is
+    RETAINED. Retained lineage is the point (r17, measured): an eager
+    localCheckpoint here bypassed the CacheManager, so every
+    RE-EXECUTION of the query (bench warm reps, a dashboard re-running
+    the same derivation) re-ran the whole iterative walk from scratch,
+    where persisted frontiers identity-match the rebuilt plan and serve
+    every level from cache (g1_host_pagerank 1.25 s -> ~0.80 s warm).
+    ONLY safe when the loop is PARAMETER-bounded AND the frontier feeds
+    the next iteration a bounded number of times: plan size grows with
+    fanout^n_iter (linear for pagerank's single reference, 2^n_iter for
+    bfs_hops' two — bounded by n_iter <= ~3-10 at every call site).
+
+    checkpoint_dir=None, local_mode="checkpoint" ->
+    localCheckpoint(eager): executor-local truncation every iteration.
+    REQUIRED when the iteration count is DATA-dependent (dedup_groups
+    runs to label convergence — the graph diameter, not a parameter)
+    or the frontier fans out: with persist-only, dedup_groups' two
+    frontier references per round grew the d6_curation_pipeline plan to
+    ~1.8M formatted lines at sf0.001 (exponential), flipped its
+    internal label join to SortMergeJoin (InMemoryRelation estimates,
+    where the checkpointed LogicalRDD had been broadcast), and turned
+    per-round plan ANALYSIS into the dominant cost (the r18 round-open
+    suite failure). Re-execution cost stays bounded by persisting the
+    loop-INVARIANT heavy relations (the edge set) at the call site:
+    each per-rep truncation job is then one small cached-input
+    join+aggregate — the pre-r17 posture plus the invariant cache.
 
     checkpoint_dir=<fault-tolerant path> -> RELIABLE checkpoint(eager)
     into that directory (HDFS/object store): each iteration's frontier
@@ -141,6 +159,8 @@ def plan_truncator(spark, checkpoint_dir: str | None):
     its own checkpoints run.
     """
     if checkpoint_dir is None:
+        if local_mode == "checkpoint":
+            return lambda df: df.localCheckpoint(eager=True)
         from citydata_etl_spark.caching import scoped_persist
 
         return scoped_persist

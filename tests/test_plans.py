@@ -922,18 +922,18 @@ def test_a21_quantiles_no_global_data_sort(spark):
     # and must broadcast — an SMJ would re-shuffle ranked rows
     assert "SortMergeJoin" not in p
 
+    from citydata_etl_spark.operators.aggregates import _histogram_level
     from citydata_etl_spark.sources.readers import read_testdata
 
     orders = read_testdata(spark, SF_ORACLE, "orders")
     vals = orders.select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
     )
-    h1 = vals.withColumn("b1", F.expr("(c * 128) div 1000000")).groupBy(
-        "b1"
-    ).agg(
-        F.count("*").alias("cnt1"),
-        F.min("c").alias("mn1"),
-        F.max("c").alias("mx1"),
+    # the operator's OWN level-1 histogram construction (r17 ADVICE:
+    # assert the real aggregation subtree, not a hand-built replica) —
+    # only the bucket expression's driver-side constants differ per run
+    h1 = _histogram_level(
+        vals.withColumn("b1", F.expr("(c * 128) div 1000000")), 1, "b1"
     )
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
