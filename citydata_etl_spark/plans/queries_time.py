@@ -990,16 +990,21 @@ def t10_stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("event_id", "ts", "user_id", "event_type")
     )
     name = f"t10_stream_dynsess_{next(_STREAM_SEQ)}"
-    # sized from the fixture's active-key cardinality (r16: the r15
-    # rehearsal's guidance made self-acting — state_partitions_for).
-    # Light per-group state (5 ints), so no per_group_python factor:
-    # derives 4 at every driver SF, today's measured knee.
+    # r18: state is SHARD-keyed (64 shards — stateful.py), so the state
+    # key space is the fixed shard count, not user cardinality, and the
+    # partition count derives from it: state_partitions_for(64, cores)
+    # = 4 (the per-shard kernel is a light 5-int fold per user — no
+    # per_group_python factor, same rationale as before sharding), and
+    # the post-shard sweep measured 4/8/16 flat within noise
+    # (1.98/1.92/1.93 s best-of-3 warm at sf0.1). Scale note: a
+    # deployment grows SHARDS with key cardinality, so this derivation
+    # is stable at any corpus.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(name),
-        est_active_keys=_est_event_users(sf_dir),
+        est_active_keys=64,
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
 
@@ -1242,36 +1247,25 @@ def t12_stream_late_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay=f"{block_span_s + 60} seconds",
     )
     name = f"t12_late_sess_{next(_STREAM_SEQ)}"
-    # More state partitions than the catalog's 4: the buffered
-    # sessionizer does real Python work per user per batch (sort +
-    # session fold over the event buffer), so the knee sits where
-    # group work saturates the cores — measured on local[32] after
-    # the binary-packed state landed: 4 -> ~8.3 s, 8 -> ~5.5 s, 16 ->
-    # ~4.9-5.1 s, while 32 regresses (store-commit overhead wins).
-    # defaultParallelism/2 reproduces that knee (32 cores -> 16) and
-    # moves it with the cluster instead of pinning a local[32]
-    # measurement (r12 verdict item 7); partition count never changes
-    # results, only where the knee lands.
-    # t10 keeps the default: its per-user state is 5 ints, group work
-    # is negligible, and extra partitions only add commit machinery.
-    # r15 rehearsal (SCALE_REHEARSAL_r15.json): the knee is KEY-
-    # cardinality-dependent, not volume-dependent — at 10x EVENT
-    # VOLUME (fixed 1.5k keys) it stays at 16 (8/16/32 -> 7.05/6.37/
-    # 8.06 s), but at 10x KEYS (15k) it moves right (8/16/32 ->
-    # 30.1/16.0/12.6 s: 32 now wins). r16: that sizing is now
-    # SELF-ACTING — state_partitions_for derives the count from the
-    # fixture's key cardinality with the measured per-group-Python
-    # factor (derives 16 here at every driver SF, the same knee the
-    # old defaultParallelism/2 expression pinned on local[32], and
-    # moves right with keys at deployment instead of with the
-    # driver's core count).
+    # Partition history: the per-USER-group form's knee was key-
+    # cardinality-dependent (r15 rehearsal: 16 at 1.5k keys, moving
+    # right with keys; state_partitions_for encoded it). r18: state is
+    # SHARD-keyed (64 shards — stateful.py), so the key space is the
+    # fixed shard count and the old derivation no longer applies; the
+    # post-shard sweep at sf0.1 measured 4/8/16/32 -> 3.36/3.07/3.48/
+    # 4.55 s (best-of-3 warm, twice, same ordering both times): 8 = one
+    # store per 8 shards balances the buffered Python kernels' spread
+    # (>= 2 shards per task even when AQE halves) against store-commit
+    # count. Hand-pinned with the measurement, like t19's: the shard
+    # count is a constant of the operator, so the pin is scale-stable
+    # (a deployment grows SHARDS with key cardinality, and this knee
+    # rides shard count, not keys).
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName(name),
-        est_active_keys=_est_event_users(sf_dir),
-        per_group_python=True,
+        n_partitions=8,
     )
     return spark.sql(f"SELECT * FROM {name} WHERE user_id >= 0")
 
@@ -1794,17 +1788,16 @@ def t19_stream_sliding_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_slot_kmv(prepared, k=K)
     name = f"t19_stream_kmv_{next(_STREAM_SEQ)}"
-    # 16 state partitions — MEASURED for this slot-keyed cheap-per-
-    # group shape (r17, SCALE_REHEARSAL_r17_T19.json): at 8k slots
-    # the 4/16/64 sweep read 9.0/10.05/16.47 s and at 80k slots
-    # 41.58/12.2/20.67 s — 16 is within noise of best at 1x and the
-    # clear winner at 10x, while state_partitions_for's would-be 64
-    # is 1.6-1.7x WORSE at both scales: each slot group's kernel is
-    # tiny (<= k int64s), so extra partitions buy no kernel
-    # parallelism and pay pure store-commit overhead, and the knee
-    # does NOT move with key count (unlike the buffered
-    # sessionizer's). Deliberately NOT routed through
-    # state_partitions_for for exactly that reason.
+    # 16 state partitions — MEASURED. Per-slot-group era (r17,
+    # SCALE_REHEARSAL_r17_T19.json): 16 within noise of best at 8k
+    # slots, best by 3.4x at 80k, with state_partitions_for's would-be
+    # 64 1.6-1.7x worse (tiny per-group kernels: partitions bought no
+    # kernel parallelism, only store commits). r18: state is SHARD-
+    # keyed (64 shards — stateful.py:streaming_slot_kmv), which
+    # removed the per-group machinery that sweep was probing; the
+    # post-shard re-sweep at sf0.1 read 4/8/16 -> 2.00/1.95/2.00 s
+    # (best-of-3 warm, flat within noise), so 16 stands. The shard
+    # count, not slot count, now sets the regime — scale-stable.
     _await_with_state_partitions(
         spark,
         out.writeStream.outputMode("update")

@@ -1077,3 +1077,226 @@ def test_state_partitions_sizing_function():
     assert _est_event_users("/root/testdata/sf0.001") == 15
     assert _est_event_users("/root/testdata/sf0.01") == 150
     assert _est_event_users("/root/testdata/sf0.1") == 1500
+
+
+class _FakeShardState:
+    """Minimal GroupState stand-in for the r18 shard kernels."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.wm_ms = 0
+        self.timeout_ts = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+        self.removed = False
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def test_session_shard_group_multi_user_flush_and_gc():
+    """The r18 shard-keyed zero-delay sessionizer, driven directly: two
+    users share one shard blob; an in-data gap closes a session exactly
+    like the per-user reference; the flush pass emits an open session
+    only once the watermark STRICTLY passes its horizon (becoming a
+    counter-preserving tombstone), and an expired tombstone gc's while
+    the other user's state survives."""
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import (
+        make_session_shard_group,
+    )
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["user_id", "tsec", "event_id", "event_type"]
+        )
+
+    fn = make_session_shard_group(error_gap_s=300, default_gap_s=1800)
+    state = _FakeShardState()
+
+    # user 1: events 4000s apart -> first session closes IN-DATA;
+    # user 2: one event -> open session only
+    out = [
+        r
+        for df in fn(
+            (0,),
+            iter([batch([(1, 1000, 1, "view"), (1, 5000, 2, "view"),
+                         (2, 1200, 3, "error")])]),
+            state,
+        )
+        for r in df.itertuples(index=False)
+    ]
+    assert [(r.user_id, r.session_id, r.n_events, r.session_start,
+             r.session_end) for r in out] == [(1, 0, 1, 1000, 1000)]
+    # open: user1 (start 5000, thr 1800 -> horizon 6800), user2 (1200,
+    # error thr 300 -> horizon 1500). Shard timeout = min horizon.
+    assert state.timeout_ts == 1500 * 1000
+
+    # watermark passes user2's horizon only: user2 flushes, user1 stays
+    state.hasTimedOut = True
+    state.wm_ms = 1_500_001
+    out = [
+        r
+        for df in fn((0,), iter([]), state)
+        for r in df.itertuples(index=False)
+    ]
+    assert [(r.user_id, r.session_id) for r in out] == [(2, 0)]
+    assert state.timeout_ts == 6800 * 1000
+
+    # watermark passes user1's horizon; user2 is now a tombstone whose
+    # far deadline is ~1000 days out -> survives, preserving its sid
+    state.wm_ms = 6_800_001
+    out = [
+        r
+        for df in fn((0,), iter([]), state)
+        for r in df.itertuples(index=False)
+    ]
+    assert [(r.user_id, r.session_id) for r in out] == [(1, 1)]
+
+    # a returning user 2 continues its counter (no id reuse)
+    state.hasTimedOut = False
+    out = [
+        r
+        for df in fn((0,), iter([batch([(2, 7000, 9, "view")])]), state)
+        for r in df.itertuples(index=False)
+    ]
+    assert out == []  # reopened, nothing final
+    state.hasTimedOut = True
+    state.wm_ms = (7000 + 1800) * 1000 + 1
+    out = [
+        r
+        for df in fn((0,), iter([]), state)
+        for r in df.itertuples(index=False)
+    ]
+    assert [(r.user_id, r.session_id) for r in out] == [(2, 1)]
+
+
+def test_buffered_session_shard_group_equals_per_user_reference():
+    """Equivalence pin for the r18 shard-keyed buffered sessionizer:
+    the same out-of-order multi-user feed, stepped through the same
+    watermark schedule, must emit the SAME session set as the per-user
+    reference kernel (make_buffered_session_group) — including
+    straggler merges across batches and final-flush ordering. Emission
+    may land in an earlier batch (the shard is invoked whenever any of
+    its users needs attention); the set must be identical."""
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import (
+        make_buffered_session_group,
+        make_buffered_session_shard_group,
+    )
+
+    # (user, tsec, event_id, event_type) per batch, genuinely reordered
+    batches = [
+        [(1, 1000, 1, "view"), (2, 1100, 2, "view"), (1, 9000, 3, "view")],
+        [(1, 2000, 4, "error"), (2, 1200, 5, "view"), (3, 50, 6, "view")],
+        [(2, 9999, 7, "view"), (1, 9100, 8, "view")],
+        [],  # pure watermark-advance batch
+    ]
+    wms = [0, 3_000_000, 9_500_000, 100_000_000_000]
+
+    def run_reference():
+        per_user: dict = {}
+        fn = make_buffered_session_group(300, 1800)
+        emitted = []
+        users = sorted({r[0] for b in batches for r in b})
+        for b, wm in zip(batches, wms):
+            by_user: dict = {}
+            for (u, t, e, k) in b:
+                by_user.setdefault(u, []).append((t, e, k))
+            for u in users:
+                st = per_user.setdefault(u, _FakeShardState())
+                st.wm_ms = wm
+                rows = by_user.get(u)
+                if rows is not None:
+                    st.hasTimedOut = False
+                    pdf = pd.DataFrame(
+                        rows, columns=["tsec", "event_id", "event_type"]
+                    )
+                    outs = fn((u,), iter([pdf]), st)
+                elif st.exists and st.timeout_ts is not None and (
+                    st.timeout_ts < wm
+                ):
+                    st.hasTimedOut = True
+                    outs = fn((u,), iter([]), st)
+                else:
+                    outs = []
+                for df in outs:
+                    emitted += [tuple(r) for r in df.itertuples(False)]
+        return sorted(emitted)
+
+    def run_shard():
+        fn = make_buffered_session_shard_group(300, 1800)
+        st = _FakeShardState()
+        emitted = []
+        for b, wm in zip(batches, wms):
+            st.wm_ms = wm
+            if b:
+                st.hasTimedOut = False
+                pdf = pd.DataFrame(
+                    b,
+                    columns=["user_id", "tsec", "event_id", "event_type"],
+                )
+                outs = fn((0,), iter([pdf]), st)
+            elif st.exists and st.timeout_ts is not None and (
+                st.timeout_ts < wm
+            ):
+                st.hasTimedOut = True
+                outs = fn((0,), iter([]), st)
+            else:
+                outs = []
+            for df in outs:
+                emitted += [tuple(r) for r in df.itertuples(False)]
+        return sorted(emitted)
+
+    ref, got = run_reference(), run_shard()
+    assert ref == got
+    assert len(ref) >= 4  # the schedule genuinely closes sessions
+
+
+def test_kmv_shard_group_per_slot_buffers():
+    """The r18 shard-keyed KMV kernel: per-slot buffers inside one
+    shard blob must merge/truncate exactly like the per-slot form —
+    distinct union, k smallest, per-slot upd bumped only when the slot
+    receives data — across two batches."""
+    import numpy as np
+    import pandas as pd
+
+    from citydata_etl_spark.streaming.stateful import make_kmv_shard_group
+
+    fn = make_kmv_shard_group(k=3)
+    st = _FakeShardState()
+
+    def run(rows):
+        pdf = pd.DataFrame(rows, columns=["slot", "hv"])
+        out = {}
+        for df in fn((0,), iter([pdf]), st):
+            for r in df.itertuples(False):
+                out.setdefault((r.slot, r.upd), []).append(r.hv)
+        return out
+
+    out1 = run([(0, 50), (0, 10), (0, 90), (300, 7)])
+    assert sorted(out1[(0, 1)]) == [10, 50, 90]
+    assert sorted(out1[(300, 1)]) == [7]
+    out2 = run([(0, 5), (0, 70), (0, 10)])  # 5 displaces 90; 10 dup
+    assert sorted(out2[(0, 2)]) == [5, 10, 50]
+    assert (300, 2) not in out2  # no data for slot 300: no emission
