@@ -3472,8 +3472,30 @@ def ahash_neardup_pairs(
 
     Input: (media_id, ahash_lo, ahash_hi) from image_ahash. Output:
     (media_a, media_b, hamming), media_a < media_b."""
+    from citydata_etl_spark.caching import scoped_persist
+
     n_chunks = max_hamming + 1
     assert n_chunks == 4, "chunk layout below is 4 x 16 bits"
+    # r18 (guide §2.3/§2.5 — shuffle/verify distinct keys, not payload
+    # duplicates): perceptual hashes are HEAVILY duplicated exactly
+    # when near-dups exist (at sf0.1, 4,284 images collapse to 312
+    # distinct hashes), so chunk-joining media rows directly explodes
+    # on the duplicate groups — measured 17.7M candidate pairs (sum of
+    # per-chunk bucket occupancy squares) verified inside one
+    # AQE-coalesced 2-task stage. Mining pairs at the DISTINCT-HASH
+    # level first caps the chunk join + popcount verify at
+    # |distinct hashes|^2 worst case (<= ~97k here), and the member
+    # expansion afterwards is proportional to the TRUE OUTPUT, which
+    # no algorithm avoids. Pair set is identical: a qualifying media
+    # pair either shares its exact hash (within-group, hamming 0 <=
+    # max_hamming always) or spans two distinct hashes whose pair
+    # passes the same pigeonhole + popcount test.
+    members = scoped_persist(
+        hashes.select(
+            F.col(id_col).alias("mid"), "ahash_lo", "ahash_hi"
+        )
+    )
+    dh = members.select("ahash_lo", "ahash_hi").distinct()
     chunks = []
     for i in range(4):
         sh = (i % 2) * 16
@@ -3489,18 +3511,16 @@ def ahash_neardup_pairs(
                 ).alias("cv"),
             )
         )
-    keyed = hashes.select(
-        F.col(id_col).alias("mid"), "ahash_lo", "ahash_hi",
+    keyed = dh.select(
+        "ahash_lo", "ahash_hi",
         F.explode(F.array(*chunks)).alias("c"),
-    ).select("mid", "ahash_lo", "ahash_hi", "c.ci", "c.cv")
-    a = keyed.select(
-        F.col("mid").alias("media_a"),
+    ).select("ahash_lo", "ahash_hi", "c.ci", "c.cv")
+    ha = keyed.select(
         F.col("ahash_lo").alias("lo_a"),
         F.col("ahash_hi").alias("hi_a"),
         "ci", "cv",
     )
-    b = keyed.select(
-        F.col("mid").alias("media_b"),
+    hb = keyed.select(
         F.col("ahash_lo").alias("lo_b"),
         F.col("ahash_hi").alias("hi_b"),
         "ci", "cv",
@@ -3509,13 +3529,61 @@ def ahash_neardup_pairs(
         F.bit_count(F.expr("lo_a ^ lo_b"))
         + F.bit_count(F.expr("hi_a ^ hi_b"))
     )
-    return (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b", ham.alias("hamming"))
+    # qualifying ORDERED distinct-hash pairs (struct comparison gives
+    # the total order; distinct drops multi-chunk agreement repeats)
+    hp = (
+        ha.join(hb, ["ci", "cv"])
+        .filter(
+            F.struct(F.col("lo_a"), F.col("hi_a"))
+            < F.struct(F.col("lo_b"), F.col("hi_b"))
+        )
+        .select("lo_a", "hi_a", "lo_b", "hi_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # expansion 1: within-group pairs — identical hashes, hamming 0
+    ma = members.select(
+        F.col("mid").alias("media_a"), "ahash_lo", "ahash_hi"
+    )
+    mb = members.select(
+        F.col("mid").alias("media_b"), "ahash_lo", "ahash_hi"
+    )
+    within = (
+        ma.join(mb, ["ahash_lo", "ahash_hi"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a", "media_b",
+            F.lit(0).cast(
+                hp.schema["hamming"].dataType.simpleString()
+            ).alias("hamming"),
+        )
+    )
+    # expansion 2: cross-group pairs — each unordered media pair
+    # appears exactly once (the hash pair is ordered), re-ordered by id
+    across = (
+        hp.join(
+            ma.select(
+                F.col("media_a").alias("m1"),
+                F.col("ahash_lo").alias("lo_a"),
+                F.col("ahash_hi").alias("hi_a"),
+            ),
+            ["lo_a", "hi_a"],
+        )
+        .join(
+            mb.select(
+                F.col("media_b").alias("m2"),
+                F.col("ahash_lo").alias("lo_b"),
+                F.col("ahash_hi").alias("hi_b"),
+            ),
+            ["lo_b", "hi_b"],
+        )
+        .select(
+            F.least("m1", "m2").alias("media_a"),
+            F.greatest("m1", "m2").alias("media_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(across)
 
 
 def _apply_exif_orientation(px, orientation: int):
