@@ -6277,7 +6277,17 @@ def d5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tar_bmp_frame_stats,
     )
 
-    frames = tar_bmp_frame_stats(_video_tar_fixture(spark, sf_dir))
+    from citydata_etl_spark.caching import scoped_persist
+
+    # persist the per-frame STATS (tiny int64 rows): the lag window and
+    # the frame-count aggregate both consume them, and without the
+    # persist each consumer re-ran the whole synth + tar walk + frame
+    # decode Python pass (r18, measured: the two 32-task decode stages
+    # were 0.78 s + 1.15 s — one of them pure recompute). At 100 TB
+    # the same rule holds: persist decoded FEATURES, never blobs.
+    frames = scoped_persist(
+        tar_bmp_frame_stats(_video_tar_fixture(spark, sf_dir))
+    )
     w = W.partitionBy("video_id").orderBy("frame_idx")
     jumps = frames.select(
         "video_id",
