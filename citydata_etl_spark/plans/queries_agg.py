@@ -145,13 +145,30 @@ def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "locally the per-group rank window expresses the same).",
 )
 def a2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from citydata_etl_spark.caching import scoped_persist
+
     K, M = 256, 2147483647
     li = read_testdata(spark, sf_dir, "lineitem")
+    # ONE corpus scan (r18; guide §2.3-§2.4): the r17 form scanned
+    # lineitem twice — a distinct for the sketch side plus a
+    # countDistinct+count aggregate whose mixed distinct/non-distinct
+    # plan Expands every row — where a single map-side-combined
+    # (flag, orderkey) count carries everything: n_exact = its row
+    # count per flag, n_rows = sum of its counts, and the sketch
+    # hashes derive from its keys (with their own distinct, because
+    # the LCG is mod M and two keys MAY collide at scale — the
+    # oracle's DISTINCT hv). The per-key table is the only
+    # corpus-sized shuffle left, and it combines map-side.
+    per_key = scoped_persist(
+        li.groupBy("l_returnflag", "l_orderkey").agg(
+            F.count("*").alias("cnt")
+        )
+    )
     hv = (
         F.lit(1103515245) * F.pmod(F.col("l_orderkey"), F.lit(M))
         + F.lit(12345)
     ) % F.lit(M)
-    dh = li.select("l_returnflag", hv.alias("hv")).distinct()
+    dh = per_key.select("l_returnflag", hv.alias("hv")).distinct()
     rn = F.row_number().over(
         W.partitionBy("l_returnflag").orderBy("hv")
     )
@@ -164,9 +181,9 @@ def a2_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_buf"),
         )
     )
-    ex = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_exact"),
-        F.count("*").alias("n_rows"),
+    ex = per_key.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_exact"),
+        F.sum("cnt").alias("n_rows"),
     )
     est = F.when(F.col("n_buf") < K, F.col("n_buf")).otherwise(
         F.expr(f"({K - 1} * {M}L) div greatest(kth_hash, 1)")
